@@ -1,0 +1,210 @@
+"""Z-order (Morton) codec as native Spark Column expressions.
+
+Re-expresses the reference codec (``Utils.java:32-159`` in
+shojinishimura/Tiny-MD-HBase) Spark-first: every function here builds a
+*Column expression tree* out of built-in bitwise/shift primitives, so the
+whole codec runs JVM-side inside whole-stage codegen — no Python UDFs, no
+serialization, fully vectorized.
+
+Bit layout (``Bucket.java:42-43``): for ``x = [x0..x31]``, ``y = [y0..y31]``
+(``x0`` = MSB), the 64-bit z-value is the interleave
+``[x0, y0, x1, y1, ..., x31, y31]`` — x bits occupy the *upper* bit of each
+pair. Because coordinates are non-negative (``Point.java:30-31``), bit 63 of
+the z-value is always 0, so **signed LongType ordering equals the reference's
+unsigned lexicographic byte ordering** (SURVEY.md §1.4). That invariant is
+what lets us sort/range-partition on a plain ``bigint`` column at 100 TB
+scale instead of carrying 8-byte binary keys.
+
+Golden vectors come from the reference unit tests (``UtilsTest.java:29-70``),
+e.g. ``zip(0x0000FFFF, 0x00FF00FF) == 0x00005555AAAAFFFF``.
+
+Every builder accepts either a Column or a column name and returns a Column,
+so they compose into larger expressions (filters, sort keys, index
+aggregations) that Catalyst can push down and optimize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bit_spread",
+    "bit_squash",
+    "zvalue",
+    "z_x",
+    "z_y",
+    "make_mask",
+    "prefix_match",
+    "set_bit",
+    "prefix_render",
+    "zorder_encode_py",
+    "zorder_decode_py",
+]
+
+# 64-bit spread masks: round k clears the garbage between the progressively
+# separated bit groups (classic magic-number Morton spread, the 64-bit analog
+# of Utils.makeGap's 5-round mask/shift trick, Utils.java:49-59).
+_SPREAD_MASKS = [
+    0x0000FFFF0000FFFF,  # after << 16: two 16-bit groups
+    0x00FF00FF00FF00FF,  # after << 8
+    0x0F0F0F0F0F0F0F0F,  # after << 4
+    0x3333333333333333,  # after << 2
+    0x5555555555555555,  # after << 1: one bit every 2 positions
+]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def bit_spread(c: Column | str) -> Column:
+    """Spread a 32-bit non-negative int so bit i lands at bit 2*i.
+
+    Native-expression analog of ``Utils.makeGap`` (``Utils.java:52-59``),
+    generalized to the full 32 bits in one pass (the reference spreads
+    16-bit halves; one 64-bit pass is fewer instructions and stays in
+    codegen). Output occupies the even bit positions of a LongType.
+    """
+    v = _col(c).cast("long")
+    for i, mask in enumerate(_SPREAD_MASKS):
+        shift = 16 >> i  # 16, 8, 4, 2, 1
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def bit_squash(c: Column | str) -> Column:
+    """Inverse of :func:`bit_spread`: collect the even bits of a long back
+    into a contiguous 32-bit int (``Utils.elimGap``, ``Utils.java:75-82``)."""
+    v = _col(c).bitwiseAND(F.lit(0x5555555555555555))
+    for shift, mask in [
+        (1, 0x3333333333333333),
+        (2, 0x0F0F0F0F0F0F0F0F),
+        (4, 0x00FF00FF00FF00FF),
+        (8, 0x0000FFFF0000FFFF),
+        (16, 0x00000000FFFFFFFF),
+    ]:
+        v = (v.bitwiseOR(F.shiftright(v, shift))).bitwiseAND(F.lit(mask))
+    return v.cast("int")
+
+
+def zvalue(x: Column | str, y: Column | str) -> Column:
+    """Morton-interleave two non-negative 32-bit ints into one LongType.
+
+    = ``Utils.bitwiseZip`` (``Utils.java:32-47``): x bits at odd positions
+    (upper of each pair, x MSB -> z bit 63 slot-wise), y bits at even.
+    """
+    return F.shiftleft(bit_spread(x), 1).bitwiseOR(bit_spread(y)).alias("zvalue")
+
+
+def z_x(z: Column | str) -> Column:
+    """Extract x back out of a z-value (``Utils.bitwiseUnzip``, ``Utils.java:61-73``)."""
+    return bit_squash(F.shiftright(_col(z), 1))
+
+
+def z_y(z: Column | str) -> Column:
+    """Extract y back out of a z-value."""
+    return bit_squash(_col(z))
+
+
+def make_mask(prefix_len: Column | int) -> Column:
+    """``prefix_len``-bit prefix mask over a 64-bit key: ``-1 << (64 - pl)``.
+
+    = ``Utils.makeMask`` (``Utils.java:107-120``); ``makeMask(8)`` ==
+    0xFF00..00. pl is in [1, 64]; Spark's shiftleft on LongType uses the
+    low 6 bits of the shift amount, so pl == 64 must short-circuit to 0.
+    """
+    pl = F.lit(prefix_len) if isinstance(prefix_len, int) else prefix_len
+    # call_function: the SQL shiftleft accepts a column shift amount (the
+    # Python wrapper insists on an int literal)
+    return F.when(pl >= F.lit(64), F.lit(-1).cast("long")).otherwise(
+        F.call_function("shiftleft", F.lit(-1).cast("long"), F.lit(64) - pl)
+    )
+
+
+def prefix_match(z: Column | str, prefix_z: Column | str, prefix_len: Column | int) -> Column:
+    """True iff ``z`` shares the first ``prefix_len`` bits with ``prefix_z``.
+
+    = ``Utils.prefixMatch`` (``Utils.java:94-105``), as a pure boolean
+    Column: ``(z & mask) == (prefix & mask)``.
+    """
+    m = make_mask(prefix_len)
+    return _col(z).bitwiseAND(m) == _col(prefix_z).bitwiseAND(m)
+
+
+def set_bit(z: Column | str, pos: Column | int) -> Column:
+    """Set bit at position ``pos`` counted from the MSB (0-based).
+
+    = ``Utils.makeBit`` (``Utils.java:148-159``); derives the second child
+    key of a bucket split (``Index.java:217-227``).
+    """
+    p = F.lit(pos) if isinstance(pos, int) else pos
+    return _col(z).bitwiseOR(
+        F.call_function("shiftleft", F.lit(1).cast("long"), F.lit(63) - p)
+    )
+
+
+def prefix_render(z: Column | str, prefix_len: Column | str | int) -> Column:
+    """Render (key, prefix length) as the reference's bucket name string,
+    e.g. ``[0110****...]`` without brackets: first ``pl`` bits literal,
+    don't-care bits as ``*`` (``Utils.toString``, ``Utils.java:161-182``).
+    """
+    pl = F.lit(prefix_len) if isinstance(prefix_len, int) else _col(prefix_len)
+    bits = F.lpad(F.bin(_col(z)), 64, "0")
+    return F.rpad(bits.substr(F.lit(1), pl), 64, "*")
+
+
+# ---------------------------------------------------------------------------
+# Driver-side (plain Python) twins — used for literal query parameters
+# (computing the z-window of a query rectangle on the driver) and for
+# property tests. Same bit math, no Spark involvement.
+# ---------------------------------------------------------------------------
+
+def _spread_py(v: int) -> int:
+    v &= 0xFFFFFFFF
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+    v = (v | (v << 2)) & 0x3333333333333333
+    v = (v | (v << 1)) & 0x5555555555555555
+    return v
+
+
+def _squash_py(v: int) -> int:
+    v &= 0x5555555555555555
+    v = (v | (v >> 1)) & 0x3333333333333333
+    v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+    v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+    v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+    v = (v | (v >> 16)) & 0x00000000FFFFFFFF
+    return v
+
+
+def zorder_encode_py(x: int, y: int) -> int:
+    """Driver-side ``Utils.bitwiseZip`` (``Utils.java:32-47``)."""
+    if x < 0 or y < 0:
+        raise ValueError("coordinates must be non-negative (Point.java:30-31)")
+    return (_spread_py(x) << 1) | _spread_py(y)
+
+
+def zorder_decode_py(z: int) -> tuple[int, int]:
+    """Driver-side ``Utils.bitwiseUnzip`` (``Utils.java:61-73``)."""
+    return _squash_py(z >> 1), _squash_py(z)
+
+
+# SQL text twins (ANSI / DuckDB-compatible) for oracle_sql(): the same
+# spread as nested CASE-free arithmetic. Kept here so the Spark expression
+# and the oracle string evolve together.
+
+def spread_sql(expr: str) -> str:
+    """DuckDB/ANSI SQL text computing bit_spread(expr) on a BIGINT."""
+    v = f"CAST({expr} AS BIGINT)"
+    shifts = [16, 8, 4, 2, 1]
+    for shift, mask in zip(shifts, _SPREAD_MASKS):
+        v = f"(({v} | ({v} << {shift})) & {mask})"
+    return v
+
+
+def zvalue_sql(x_expr: str, y_expr: str) -> str:
+    """DuckDB/ANSI SQL text computing zvalue(x, y)."""
+    return f"(({spread_sql(x_expr)} << 1) | {spread_sql(y_expr)})"
