@@ -1,0 +1,82 @@
+"""Spatial operator tests: inclusive-bounds edges, kNN vs brute force,
+z-window prefilter equivalence (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_md_hbase_spark.operators import spatial
+from tiny_md_hbase_spark.sources import points
+
+
+@pytest.fixture(scope="module")
+def pts(spark, sf_dir):
+    return points(spark, sf_dir).cache()
+
+
+def test_points_view_invariants(pts):
+    row = pts.agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    ).collect()[0]
+    # note: FIXTURES.md claims unique ids, but the generated lineitem has
+    # duplicate (l_orderkey, l_linenumber) pairs — ids repeat; the engine
+    # treats points as a multiset (reference Bucket.java:40-47 semantics)
+    assert row.n > 0
+    assert 0 <= row.minx and row.maxx <= 4095
+    assert 0 <= row.miny and row.maxy <= 4095
+
+
+def test_range_inclusive_both_ends(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 10), (2, 20, 20), (3, 10, 20), (4, 9, 10), (5, 21, 20), (6, 15, 15)],
+        "id long, x int, y int",
+    )
+    got = {r.id for r in spatial.range_query(df, (10, 20), (10, 20)).collect()}
+    assert got == {1, 2, 3, 6}  # endpoints in, outside-by-one out
+
+
+def test_z_prefilter_is_exact(pts):
+    rect = ((512, 1535), (1024, 3071))
+    plain = spatial.range_query(pts, *rect, z_prefilter=False)
+    pre = spatial.range_query(pts, *rect, z_prefilter=True)
+    assert plain.count() == pre.count()
+    assert plain.exceptAll(pre).count() == 0
+
+
+def test_knn_matches_bruteforce(pts):
+    k = 10
+    qx = qy = 2048
+    got = spatial.knn(pts, qx, qy, k).collect()
+    brute = sorted(
+        ((r.x - qx) ** 2 + (r.y - qy) ** 2, r.id, r.x, r.y) for r in pts.collect()
+    )[:k]
+    assert [(r.dist_sq, r.id) for r in got] == [(d, i) for d, i, _, _ in brute]
+    # dist column is the Euclidean distance of dist_sq
+    for r in got:
+        assert r.dist == pytest.approx(r.dist_sq**0.5)
+
+
+def test_knn_fewer_than_k(spark):
+    df = spark.createDataFrame([(1, 0, 0), (2, 1, 1)], "id long, x int, y int")
+    assert spatial.knn(df, 5, 5, 10).count() == 2
+
+
+def test_point_get_multi_entity(spark):
+    # several ids at the same cell -> all returned (Bucket.java:40-47 multiset)
+    df = spark.createDataFrame(
+        [(1, 7, 7), (2, 7, 7), (3, 8, 7)], "id long, x int, y int"
+    )
+    got = {r.id for r in spatial.point_get(df, 7, 7).collect()}
+    assert got == {1, 2}
+
+
+def test_point_get_lookup_self_contained(pts):
+    out = spatial.point_get_lookup(pts).collect()
+    min_id_row = pts.orderBy("id").limit(1).collect()[0]
+    assert any(r.id == min_id_row.id for r in out)
+    assert all((r.x, r.y) == (min_id_row.x, min_id_row.y) for r in out)

@@ -1,0 +1,133 @@
+"""Spatial read operators (SURVEY.md §2.1) as declarative DataFrame builders.
+
+Each builder re-expresses one reference query pipeline as a single logical
+plan Catalyst can optimize whole. The reference's hand-built physical
+tricks map as follows (SURVEY.md §4):
+
+- index-guided bucket pruning (``Index.findBucketsInRange``,
+  ``Index.java:144-164``) → an optional driver-computed ``zvalue BETWEEN``
+  pre-filter that prunes row groups on a z-sorted layout;
+- the server-side residual ``RangeFilter`` (``RangeFilter.java:81-90``) →
+  Catalyst predicate pushdown of the ``BETWEEN`` conjunction into the
+  Parquet scan;
+- kNN's priority-queue + bounded TreeSet (``Client.java:92-152``) →
+  ``TakeOrderedAndProject`` (distributed per-partition top-k then merge).
+
+All operators keep inclusive bounds on both ends of both dimensions
+(``Range.java:28-40``). kNN adds a deterministic ``id`` tiebreak; the
+reference drops distance-ties, an artifact documented in SURVEY.md §1.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tiny_md_hbase_spark.zorder import zorder_encode_py, zvalue
+
+__all__ = [
+    "rect_predicate",
+    "z_window",
+    "range_query",
+    "range_count",
+    "point_get",
+    "knn",
+    "full_scan",
+]
+
+
+def rect_predicate(rx: tuple[int, int], ry: tuple[int, int]) -> Column:
+    """Inclusive 2-D rectangle membership (``Range.include``,
+    ``Range.java:42-44``, applied per axis)."""
+    return F.col("x").between(rx[0], rx[1]) & F.col("y").between(ry[0], ry[1])
+
+
+def z_window(rx: tuple[int, int], ry: tuple[int, int]) -> tuple[int, int]:
+    """The z-value interval covering a rectangle: every point inside the
+    rectangle has ``zip(xmin,ymin) <= z <= zip(xmax,ymax)`` because the
+    Morton code is monotone per axis. This is the scan window the
+    reference derives per bucket (``Bucket.java:63-74``), computed
+    driver-side for the whole query rectangle."""
+    return zorder_encode_py(rx[0], ry[0]), zorder_encode_py(rx[1], ry[1])
+
+
+def range_query(
+    points: DataFrame,
+    rx: tuple[int, int],
+    ry: tuple[int, int],
+    z_prefilter: bool = False,
+) -> DataFrame:
+    """Rectangle query, inclusive bounds (``Client.rangeQuery``,
+    ``Client.java:76-83``).
+
+    The ``BETWEEN`` conjunction is pushed into the Parquet scan by
+    Catalyst (the built-in replacement for ``RangeFilter``). With
+    ``z_prefilter=True`` and a table carrying a ``zvalue`` column (or
+    sorted by z), an additional ``zvalue BETWEEN`` reproduces the
+    reference's index-window pruning: row groups wholly outside the
+    window are skipped via parquet min/max stats.
+    """
+    pred = rect_predicate(rx, ry)
+    if z_prefilter:
+        zmin, zmax = z_window(rx, ry)
+        zcol = F.col("zvalue") if "zvalue" in points.columns else zvalue("x", "y")
+        pred = zcol.between(zmin, zmax) & pred
+    return points.filter(pred).select("id", "x", "y")
+
+
+def range_count(
+    points: DataFrame,
+    rx: tuple[int, int],
+    ry: tuple[int, int],
+    z_prefilter: bool = False,
+) -> DataFrame:
+    """COUNT(*) over a rectangle (CLI ``count``, ``Client.java:194-203``).
+    Partial counts are computed map-side per partition and merged — the
+    aggregate never shuffles rows, only one long per partition."""
+    return range_query(points, rx, ry, z_prefilter).agg(F.count("*").alias("cnt"))
+
+
+def point_get(points: DataFrame, x: int, y: int) -> DataFrame:
+    """Point query: every entity exactly at (x, y) (``Client.get``,
+    ``Client.java:61-65``). An equality filter on both axes; on a
+    z-sorted layout the equivalent single-z filter prunes to one row
+    group, mirroring the reference's single-row ``Get``."""
+    return points.filter((F.col("x") == x) & (F.col("y") == y)).select("id", "x", "y")
+
+
+def point_get_lookup(points: DataFrame) -> DataFrame:
+    """Self-contained t2 variant: look up all entities co-located with the
+    minimum-id point (FIXTURES.md pinned parameters). The 1-row probe side
+    is broadcast — no shuffle of the big side."""
+    probe = points.orderBy("id").limit(1).select("x", "y")
+    return points.join(F.broadcast(probe), ["x", "y"]).select("id", "x", "y")
+
+
+def knn(points: DataFrame, qx: int, qy: int, k: int) -> DataFrame:
+    """k nearest neighbors by Euclidean distance with deterministic id
+    tiebreak (``Client.nearestNeighbor``, ``Client.java:92-152``).
+
+    ``orderBy(dist_sq, id).limit(k)`` compiles to TakeOrderedAndProject:
+    each partition keeps its local top-k in a bounded heap and the driver
+    merges k-sized heaps — the distributed analog of the reference's
+    bucket priority queue + bounded TreeSet, without the manual window
+    growth. Distance is computed in exact integer arithmetic (no float
+    comparisons until the final display column).
+    """
+    dx = F.col("x").cast("long") - F.lit(qx)
+    dy = F.col("y").cast("long") - F.lit(qy)
+    return (
+        points.withColumn("dist_sq", dx * dx + dy * dy)
+        # total order: the fixture's id is not unique (dup (orderkey,
+        # linenumber) pairs), so tiebreak through the whole tuple to keep
+        # the k-boundary deterministic across engines
+        .orderBy("dist_sq", "id", "x", "y")
+        .limit(k)
+        .select("id", "x", "y", "dist_sq", F.sqrt("dist_sq").alias("dist"))
+    )
+
+
+def full_scan(points: DataFrame) -> DataFrame:
+    """Scan an entire dataset/bucket (``Bucket.scan()``,
+    ``Bucket.java:123-125``)."""
+    return points.select("id", "x", "y")

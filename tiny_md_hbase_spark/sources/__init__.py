@@ -1,0 +1,6 @@
+from tiny_md_hbase_spark.sources.tables import (  # noqa: F401
+    POINTS_SQL,
+    load_table,
+    load_tables,
+    points,
+)

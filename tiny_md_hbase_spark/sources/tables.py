@@ -1,0 +1,58 @@
+"""Fixture loaders and the derived ``points`` view (FIXTURES.md).
+
+The reference stores exactly one entity kind — ``Point(id, x, y)`` with
+non-negative coordinates (``Point.java:24-36``). The driver fixtures are
+TPC-H-ish parquet, so spatial operators run over a deterministic derived
+view of ``lineitem``; the SQL text and the DataFrame expression below must
+stay expression-for-expression identical (the DuckDB oracle computes the
+same view from the same parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# ANSI SQL twin of points() — inlined as a CTE in every spatial oracle query.
+POINTS_SQL = (
+    "SELECT l_orderkey * 8 + l_linenumber AS id, "
+    "CAST(l_partkey % 4096 AS INTEGER) AS x, "
+    "CAST((l_suppkey * 997 + l_orderkey) % 4096 AS INTEGER) AS y "
+    "FROM lineitem"
+)
+
+# Coordinate domain of the derived view (FIXTURES.md): [0, 4095]^2.
+DOMAIN_MAX = 4095
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived spatial-parity table: one row per lineitem, id unique,
+    0 <= x, y <= 4095. Catalyst prunes the scan to the three source
+    columns; the projection folds into the scan stage (no shuffle)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        (F.col("l_partkey") % 4096).cast("int").alias("x"),
+        ((F.col("l_suppkey") * 997 + F.col("l_orderkey")) % 4096).cast("int").alias("y"),
+    )
