@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from tiny_md_hbase_spark import zorder as Z  # noqa: E402
+from tiny_md_hbase_spark.operators import index as IX  # noqa: E402
 from tiny_md_hbase_spark.operators import spatial  # noqa: E402
 from tiny_md_hbase_spark.sources import POINTS_SQL, points  # noqa: E402
 
@@ -82,6 +83,19 @@ def _q_prefix_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("id", Z.prefix_render("zvalue", RENDER_PL).alias("bucket_name"))
 
 
+def _q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return IX.index_build(points(spark, sf_dir), threshold=IX.DEFAULT_THRESHOLD)
+
+
+def _q_index_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return IX.index_inspect(IX.index_build(points(spark, sf_dir)))
+
+
+def _q_floor_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = IX.index_build(points(spark, sf_dir))
+    return IX.floor_lookup(idx, Z.zorder_encode_py(*KNN_Q))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "full_scan": _q_full_scan,
@@ -92,12 +106,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_encode": _q_zorder_encode,
         "zorder_decode": _q_zorder_decode,
         "prefix_render": _q_prefix_render,
+        "index_build": _q_index_build,
+        "index_inspect": _q_index_inspect,
+        "floor_lookup": _q_floor_lookup,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracle_sql(): DuckDB ANSI twins over the pre-registered parquet views
 # ---------------------------------------------------------------------------
+
+def _index_cte() -> str:
+    """Recursive-CTE twin of index_build: one-bit-at-a-time splitting
+    exactly as ``Index.splitBucket`` (``Index.java:183-230``), threshold 10,
+    depth cap 64. ``leafidx`` holds (bucket_z, pl, size). DuckDB refuses to
+    left-shift negative numbers, so the prefix mask uses the two's-
+    complement identity ``-1 << s == -(1 << s)``."""
+    zsql = Z.zvalue_sql("x", "y")
+    mask = "(CASE WHEN {pl} >= 64 THEN CAST(-1 AS BIGINT) ELSE -(CAST(1 AS BIGINT) << (64 - {pl})) END)"
+    size_of = (
+        "(SELECT COALESCE(sum(c), 0) FROM zcells WHERE (z & "
+        + mask
+        + ") = {bz})"
+    )
+    t_size = size_of.format(pl="t.pl", bz="t.bucket_z")
+    return (
+        f"WITH RECURSIVE points AS ({POINTS_SQL}), "
+        f"zcells AS (SELECT {zsql} AS z, CAST(count(*) AS BIGINT) AS c "
+        "FROM points GROUP BY 1), "
+        "tree(bucket_z, pl) AS ("
+        "  SELECT CAST(0 AS BIGINT), 2"
+        "  UNION ALL"
+        "  SELECT CASE WHEN b.bit = 0 THEN t.bucket_z"
+        "              ELSE t.bucket_z | (CAST(1 AS BIGINT) << (63 - t.pl)) END,"
+        "         t.pl + 1"
+        "  FROM tree t CROSS JOIN (VALUES (0), (1)) b(bit)"
+        f"  WHERE t.pl < 64 AND {t_size} > {IX.DEFAULT_THRESHOLD}"
+        "), "
+        "leafidx AS ("
+        f"  SELECT t.bucket_z, t.pl, {t_size} AS size FROM tree t"
+        f"  WHERE NOT ({t_size} > {IX.DEFAULT_THRESHOLD} AND t.pl < 64)"
+        ")"
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     zsql = Z.zvalue_sql("x", "y")
@@ -133,5 +184,15 @@ def oracle_sql() -> dict[str, str]:
             f"{_POINTS_CTE} SELECT id, "
             f"rpad(substring(lpad(bin({zsql}), 64, '0'), 1, {RENDER_PL}), 64, '*') "
             "AS bucket_name FROM points"
+        ),
+        "index_build": f"{_index_cte()} SELECT bucket_z, pl, size FROM leafidx",
+        "index_inspect": (
+            f"{_index_cte()} SELECT rpad(substring(lpad(bin(bucket_z), 64, '0'), 1, pl), 64, '*') "
+            "AS bucket_name, size FROM leafidx ORDER BY bucket_name"
+        ),
+        "floor_lookup": (
+            f"{_index_cte()} SELECT bucket_z, pl, size FROM leafidx "
+            f"WHERE bucket_z <= {Z.zorder_encode_py(*KNN_Q)} "
+            "ORDER BY bucket_z DESC LIMIT 1"
         ),
     }

@@ -1,0 +1,115 @@
+"""Index tests (SURVEY.md §5.3): structural invariants after build, exact
+equivalence with an independent one-bit-at-a-time Python recursion, floor
+lookup semantics, and rendering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_md_hbase_spark.operators import index as IX
+from tiny_md_hbase_spark.sources import points
+from tiny_md_hbase_spark.zorder import zorder_encode_py
+
+THRESHOLD = 10
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir):
+    pts = points(spark, sf_dir)
+    idx = IX.index_build(pts, threshold=THRESHOLD)
+    return pts, idx, idx.collect()
+
+
+def test_matches_python_reference(spark, built):
+    pts, _, rows = built
+    cell_counts = [
+        (r.z, r.c) for r in IX.cells(pts).collect()
+    ]
+    expected = IX.index_build_py(cell_counts, threshold=THRESHOLD)
+    got = sorted((r.bucket_z, r.pl, r.size) for r in rows)
+    assert got == expected
+
+
+def test_invariants(built):
+    pts, _, rows = built
+    n_points = pts.count()
+    # sizes are exact and sum to the row count
+    assert sum(r.size for r in rows) == n_points
+    # every bucket within threshold unless at max depth
+    for r in rows:
+        assert r.size <= THRESHOLD or r.pl == IX.MAX_DEPTH
+        assert IX.ROOT_PL <= r.pl <= IX.MAX_DEPTH
+        # bucket key has no bits below its prefix
+        if r.pl < 64:
+            assert r.bucket_z & ((1 << (64 - r.pl)) - 1) == 0
+    # disjoint + coverage of the [00*] domain: walking buckets in z order,
+    # each starts exactly where the previous ended
+    spans = sorted((r.bucket_z, r.bucket_z + (1 << (64 - r.pl))) for r in rows)
+    cursor = 0
+    for lo, hi in spans:
+        assert lo == cursor, f"gap/overlap at {lo:#x} (expected {cursor:#x})"
+        cursor = hi
+    assert cursor == 1 << 62  # whole [00*...*] root subspace
+
+
+def test_empty_input_seeds_root(spark):
+    empty = spark.createDataFrame([], "id long, x int, y int")
+    rows = IX.index_build(empty).collect()
+    assert [(r.bucket_z, r.pl, r.size) for r in rows] == [(0, IX.ROOT_PL, 0)]
+
+
+def test_small_input_single_bucket(spark):
+    df = spark.createDataFrame(
+        [(i, i, i) for i in range(5)], "id long, x int, y int"
+    )
+    rows = IX.index_build(df).collect()
+    assert [(r.bucket_z, r.pl, r.size) for r in rows] == [(0, IX.ROOT_PL, 5)]
+
+
+def test_identical_cell_pileup_stops_at_max_depth(spark):
+    # > threshold points on one cell can never split apart: the reference
+    # chains empty siblings down to pl=64 (Index.java:201-203)
+    df = spark.createDataFrame(
+        [(i, 7, 9) for i in range(15)], "id long, x int, y int"
+    )
+    rows = sorted(IX.index_build(df).collect(), key=lambda r: (r.bucket_z, r.pl))
+    z = zorder_encode_py(7, 9)
+    full = [r for r in rows if r.size == 15]
+    assert len(full) == 1 and full[0].bucket_z == z and full[0].pl == 64
+    assert all(r.size == 0 for r in rows if r.bucket_z != z)
+    # chain: one empty sibling per level from 3..64
+    assert len(rows) == 1 + (64 - IX.ROOT_PL)
+
+
+def test_floor_lookup(spark, built):
+    _, idx, rows = built
+    probe = zorder_encode_py(2048, 2048)
+    got = IX.floor_lookup(idx, probe).collect()
+    expected = max(r.bucket_z for r in rows if r.bucket_z <= probe)
+    assert len(got) == 1 and got[0].bucket_z == expected
+    # the probe falls inside the bucket's span (coverage ⇒ ownership)
+    r = got[0]
+    assert r.bucket_z <= probe < r.bucket_z + (1 << (64 - r.pl))
+
+
+def test_floor_lookup_batch(spark, built):
+    _, idx, rows = built
+    probes = spark.createDataFrame(
+        [(zorder_encode_py(x, y),) for x, y in [(0, 0), (100, 7), (2048, 2048), (4095, 4095)]],
+        "z long",
+    )
+    got = {r.z: r.bucket_z for r in IX.floor_lookup_batch(idx, probes).collect()}
+    for z, bz in got.items():
+        assert bz == max(r.bucket_z for r in rows if r.bucket_z <= z)
+
+
+def test_index_inspect_render(spark):
+    df = spark.createDataFrame([(i, i % 3, i % 5) for i in range(40)], "id long, x int, y int")
+    idx = IX.index_build(df, threshold=10)
+    out = IX.index_inspect(idx).collect()
+    assert all(len(r.bucket_name) == 64 for r in out)
+    for r in out:
+        stars = r.bucket_name.count("*")
+        assert set(r.bucket_name[: 64 - stars]) <= {"0", "1"}
+        assert r.bucket_name.endswith("*" * stars)

@@ -1,0 +1,56 @@
+"""Z-sorted physical layout (SURVEY.md §1.4, §4).
+
+The reference gets spatial locality by making the HBase row key the
+Z-order code (``Bucket.java:42-43``): nearby points are byte-adjacent, so
+rectangle queries touch few key ranges. The Spark-native equivalent is a
+Parquet table range-partitioned and sorted by the ``zvalue`` column:
+
+- ``repartitionByRange("zvalue")`` puts contiguous z-ranges in the same
+  file (the analog of HBase regions);
+- ``sortWithinPartitions("zvalue")`` orders rows inside each file, so each
+  parquet row group's min/max stats cover a tight z-interval;
+- queries that carry a ``zvalue BETWEEN`` or ``x/y BETWEEN`` predicate
+  are pushed into the scan by Catalyst, and row groups/files wholly
+  outside the window are skipped — the same two-phase prune the
+  reference's index scan + windowed bucket scans performed, with no
+  index RPCs.
+
+At cluster scale the same layout bulk-loads straight into a z-keyed store
+(it IS the HFile sort order), and file-level min/max stats give partition
+pruning across thousands of files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tiny_md_hbase_spark.zorder import zvalue
+
+__all__ = ["with_zvalue", "write_points_zsorted", "load_points_zsorted"]
+
+
+def with_zvalue(points: DataFrame) -> DataFrame:
+    if "zvalue" in points.columns:
+        return points
+    return points.withColumn("zvalue", zvalue("x", "y"))
+
+
+def write_points_zsorted(
+    points: DataFrame, path: str, num_partitions: int | None = None
+) -> None:
+    """Materialize a points DataFrame as a z-clustered Parquet table.
+
+    ``num_partitions`` sizes the output files; default leaves it to the
+    session's shuffle parallelism (on a cluster: pick so each file lands
+    near the HDFS block / object-store sweet spot, e.g. total_bytes/512MB).
+    """
+    enc = with_zvalue(points)
+    if num_partitions:
+        enc = enc.repartitionByRange(num_partitions, "zvalue")
+    else:
+        enc = enc.repartitionByRange("zvalue")
+    enc.sortWithinPartitions("zvalue").write.mode("overwrite").parquet(path)
+
+
+def load_points_zsorted(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
