@@ -20,9 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from tiny_md_hbase_spark import zorder as Z  # noqa: E402
+from tiny_md_hbase_spark.operators import dedup as D  # noqa: E402
 from tiny_md_hbase_spark.operators import index as IX  # noqa: E402
+from tiny_md_hbase_spark.operators import similarity as SIM  # noqa: E402
 from tiny_md_hbase_spark.operators import spatial  # noqa: E402
-from tiny_md_hbase_spark.sources import POINTS_SQL, points  # noqa: E402
+from tiny_md_hbase_spark.operators import text as TX  # noqa: E402
+from tiny_md_hbase_spark.sources import POINTS_SQL, load_table, points  # noqa: E402
 
 # FIXTURES.md pinned parameters
 RECT_X = (512, 1535)
@@ -96,6 +99,56 @@ def _q_floor_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IX.floor_lookup(idx, Z.zorder_encode_py(*KNN_Q))
 
 
+# --- training-data pipeline operators (north star, SURVEY.md §7 phase 6) ---
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_minhash(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_embedding(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.embedding_knn(load_table(spark, sf_dir, "embeddings"), 1, KNN_K)
+
+
+def _q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.embedding_knn_lsh(load_table(spark, sf_dir, "embeddings"), 1, KNN_K)
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_count(load_table(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "full_scan": _q_full_scan,
@@ -109,6 +162,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_build": _q_index_build,
         "index_inspect": _q_index_inspect,
         "floor_lookup": _q_floor_lookup,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_embedding": _q_dedup_embedding,
+        "embedding_knn": _q_embedding_knn,
+        "embedding_knn_lsh": _q_embedding_knn_lsh,
+        "text_stats": _q_text_stats,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint": _q_doc_fingerprint,
     }
 
 
@@ -150,8 +215,25 @@ def _index_cte() -> str:
     )
 
 
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END)"
+)
+
+
+def _marker_sql(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> lower(t) IN ({lst})))"
+
+
 def oracle_sql() -> dict[str, str]:
     zsql = Z.zvalue_sql("x", "y")
+    all_stop = sorted({w for ws in TX.LANG_MARKERS.values() for w in ws})
+    dotsim = (
+        "list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2])) / (norm * qnorm)"
+    )
     rect = (
         f"x BETWEEN {RECT_X[0]} AND {RECT_X[1]} "
         f"AND y BETWEEN {RECT_Y[0]} AND {RECT_Y[1]}"
@@ -194,5 +276,93 @@ def oracle_sql() -> dict[str, str]:
             f"{_index_cte()} SELECT bucket_z, pl, size FROM leafidx "
             f"WHERE bucket_z <= {Z.zorder_encode_py(*KNN_Q)} "
             "ORDER BY bucket_z DESC LIMIT 1"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "ngram_jaccard": (
+            "WITH sh AS (SELECT doc_id, lang AS blk, "
+            f"{_SHINGLES} AS s, len({_SHINGLES}) AS sz "
+            f"FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)) "
+            "SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ("
+            "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            "    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+            "      / (a.sz + b.sz - len(list_intersect(a.s, b.s))) AS jac"
+            "  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id"
+            "    AND least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz)"
+            ") WHERE jac >= 0.8"
+        ),
+        "dedup_embedding": (
+            "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "n AS (SELECT vec_id, label, v, "
+            "sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e) "
+            "SELECT vec_a, vec_b, round(cos_sim_raw, 6) AS cos_sim FROM ("
+            "  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+            "    list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))"
+            "      / (a.norm * b.norm) AS cos_sim_raw"
+            "  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id"
+            ") WHERE cos_sim_raw >= 0.95"
+        ),
+        "embedding_knn": (
+            "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "n AS (SELECT vec_id, label, v, "
+            "sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e), "
+            "q AS (SELECT v AS qv, norm AS qnorm FROM n WHERE vec_id = 1) "
+            f"SELECT vec_id, label, round({dotsim}, 6) AS cos_sim "
+            "FROM n CROSS JOIN q "
+            f"ORDER BY cos_sim DESC, vec_id LIMIT {KNN_K}"
+        ),
+        "text_stats": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+            "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "token_count": (
+            f"SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens, "
+            "CAST(floor(length(text) / 4) AS BIGINT) AS est_bpe_tokens "
+            "FROM documents"
+        ),
+        "lang_id": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            + ", ".join(
+                f"{_marker_sql(words)} AS s_{lang}"
+                for lang, words in TX.LANG_MARKERS.items()
+            )
+            + " FROM t) "
+            "SELECT doc_id, CASE "
+            "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+            "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+            "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s"
+        ),
+        "quality_score": (
+            "WITH base AS (SELECT doc_id, length(text) AS n_chars, "
+            f"CAST(len({_TOKS}) AS INTEGER) AS n_tokens, "
+            "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, "
+            "length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces, "
+            f"len(list_filter({_TOKS}, t -> lower(t) IN ("
+            + ", ".join(f"'{w}'" for w in all_stop)
+            + "))) AS stop_hits FROM documents) "
+            "SELECT doc_id, n_chars, n_tokens, alpha_ratio, space_ratio, "
+            "stopword_ratio, mean_token_len, "
+            "round(least(alpha_ratio / 0.7, 1.0) * 0.4 "
+            "+ least(stopword_ratio / 0.06, 1.0) * 0.3 "
+            "+ CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12 "
+            "THEN 0.3 ELSE 0.0 END, 6) AS quality FROM ("
+            "  SELECT doc_id, n_chars, n_tokens,"
+            "    CAST(alpha AS DOUBLE) / n_chars AS alpha_ratio,"
+            "    CAST(spaces AS DOUBLE) / n_chars AS space_ratio,"
+            "    CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,"
+            "    CAST(n_chars AS DOUBLE) / n_tokens AS mean_token_len"
+            "  FROM base)"
+        ),
+        "doc_fingerprint": (
+            f"SELECT doc_id, {TX.doc_fingerprint_sql()} AS fingerprint "
+            "FROM documents"
         ),
     }

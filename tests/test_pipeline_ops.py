@@ -1,0 +1,164 @@
+"""Beyond-parity operator tests: dedup family (with planted duplicates),
+similarity search recall, text analysis determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_md_hbase_spark.operators import dedup as D
+from tiny_md_hbase_spark.operators import similarity as S
+from tiny_md_hbase_spark.operators import text as T
+from tiny_md_hbase_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_dir):
+    """documents + planted exact and near duplicates of doc 0 and 1."""
+    base = load_table(spark, sf_dir, "documents")
+    rows = base.orderBy("doc_id").limit(2).collect()
+    d0, d1 = rows[0], rows[1]
+    near_text = d1.text.rsplit(" ", 1)[0] + " zzz"  # drop last word, add one
+    extra = spark.createDataFrame(
+        [
+            (100001, d0.text, d0.lang, "planted", d0.n_chars),
+            (100002, near_text, d1.lang, "planted", len(near_text)),
+        ],
+        base.schema,
+    )
+    return base.unionByName(extra).cache()
+
+
+# --- exact dedup ----------------------------------------------------------
+
+def test_dedup_exact_finds_planted(planted):
+    groups = D.dedup_exact(planted).filter(F.col("n_copies") > 1).collect()
+    assert len(groups) == 1
+    assert groups[0].n_copies == 2
+
+
+def test_dedup_exact_hashed_equivalent(planted):
+    a = sorted((r.keep_id, r.n_copies) for r in D.dedup_exact(planted).collect())
+    b = sorted((r.keep_id, r.n_copies) for r in D.dedup_exact_hashed(planted).collect())
+    assert a == b
+
+
+# --- minhash / simhash / jaccard -----------------------------------------
+
+def test_minhash_finds_planted_pairs(planted):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in D.dedup_minhash(planted).collect()}
+    d0 = planted.orderBy("doc_id").limit(1).collect()[0].doc_id
+    assert (d0, 100001) in pairs and pairs[(d0, 100001)] == 1.0
+    assert any(b == 100002 for (_, b) in pairs)  # near-dup caught too
+
+
+def test_minhash_pairs_are_truly_similar(planted):
+    # no false positives below the threshold after exact verification
+    for r in D.dedup_minhash(planted).collect():
+        assert r.jaccard >= 0.8
+
+
+def test_simhash_finds_exact_dup(planted):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.dedup_simhash(planted).collect()}
+    d0 = planted.orderBy("doc_id").limit(1).collect()[0].doc_id
+    assert pairs.get((d0, 100001)) == 0
+
+
+def test_ngram_jaccard_planted(planted):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard(planted).collect()}
+    d0 = planted.orderBy("doc_id").limit(1).collect()[0].doc_id
+    assert pairs.get((d0, 100001)) == 1.0
+    # near-dup: one word changed of ~n tokens -> jaccard just under 1
+    near = [j for (a, b), j in pairs.items() if b == 100002]
+    assert near and all(0.8 <= j < 1.0 for j in near)
+
+
+# --- embeddings -----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_embedding_knn_matches_numpy(embs):
+    import numpy as np
+
+    rows = embs.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[1]
+    sims = sorted(
+        ((round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6), -vid) for vid, v in vecs.items()),
+        reverse=True,
+    )[:10]
+    expected = [(-vid, s) for s, vid in sims]
+    got = [(r.vec_id, r.cos_sim) for r in S.embedding_knn(embs, 1, 10).collect()]
+    assert got == expected
+
+
+def test_embedding_knn_lsh_recall(embs):
+    exact = {r.vec_id for r in S.embedding_knn(embs, 1, 10).collect()}
+    approx = {r.vec_id for r in S.embedding_knn_lsh(embs, 1, 10, probe_hamming=6).collect()}
+    # the query itself must always be found (sim 1.0, hamming 0)
+    assert 1 in approx
+    # approximate: demand decent overlap, not exactness
+    assert len(exact & approx) >= 6
+
+
+def test_dedup_embedding_self_similarity(spark, embs):
+    # plant an exact copy of vec 1 under a new id in the same label block
+    r1 = embs.filter(F.col("vec_id") == 1).collect()[0]
+    extra = spark.createDataFrame([(99001, r1.embedding, r1.label)], embs.schema)
+    pairs = D.dedup_embedding(embs.unionByName(extra), threshold=0.95).collect()
+    assert any(a == 1 and b == 99001 and s == 1.0 for a, b, s in
+               ((r.vec_a, r.vec_b, r.cos_sim) for r in pairs))
+
+
+# --- text ----------------------------------------------------------------
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "  a bb  ccc ", "en", "s", 12), (2, "one", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: (r.n_tokens, r.est_bpe_tokens) for r in T.token_count(df).collect()}
+    assert got[1] == (3, 3)
+    assert got[2] == (1, 0)
+
+
+def test_lang_id_deterministic(docs):
+    a = sorted((r.doc_id, r.lang_pred) for r in T.lang_id(docs).collect())
+    b = sorted((r.doc_id, r.lang_pred) for r in T.lang_id(docs).collect())
+    assert a == b
+    assert {p for _, p in a} <= {"en", "de", "fr", "es"}
+
+
+def test_quality_score_bounds(docs):
+    rows = T.quality_score(docs).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_text_stats_totals(docs):
+    stats = T.text_stats(docs).collect()
+    assert sum(r.n_docs for r in stats) == docs.count()
+    for r in stats:
+        assert r.avg_chars == pytest.approx(r.sum_chars / r.n_docs)
+        assert r.min_chars <= r.avg_chars <= r.max_chars
+
+
+def test_doc_fingerprint_matches_python(docs):
+    sample = docs.limit(20).collect()
+    got = {
+        r.doc_id: r.fingerprint
+        for r in T.doc_fingerprint(docs.limit(20)).collect()
+    }
+    for r in sample:
+        h = 0
+        for ch in r.text:
+            h = (h * 31 + ord(ch)) % T.FINGERPRINT_MOD
+        assert got[r.doc_id] == h

@@ -1,0 +1,332 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash-LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+No reference counterpart (SURVEY.md §2.5); these are the beyond-parity
+north-star operators. Design center is 100 TB:
+
+- exact dedup groups on a 64-bit content hash, never shuffling full text;
+- MinHash/SimHash reduce each document to a tiny signature once (one
+  codegen'd pass over tokens), then candidate generation is an equi-join
+  on (band, band-hash) / (band, band-bits) keys — the only shuffles move
+  signatures, not documents;
+- pairwise verifiers (n-gram Jaccard, cosine) run only inside blocks or
+  candidate pairs, with exact size-ratio pruning to kill the quadratic
+  blowup without changing results.
+
+Everything below is native Column expressions (xxhash64, array ops,
+aggregate/transform lambdas) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tiny_md_hbase_spark.operators.text import tokens
+
+__all__ = [
+    "dedup_exact",
+    "dedup_exact_hashed",
+    "shingles",
+    "minhash_signature",
+    "dedup_minhash",
+    "simhash",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "dedup_embedding",
+]
+
+# deterministic odd multipliers/offsets for the minhash permutation family
+# h_i(x) = (a_i * x + b_i) mod 2^31-1 (Mersenne prime). The modulus is kept
+# at 31 bits so a_i * x never overflows a signed 64-bit long JVM-side.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def dedup_exact(documents: DataFrame, key: str = "text") -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per distinct ``key``, with
+    the duplicate count. Oracle-checkable; groups by the raw key."""
+    return (
+        documents.groupBy(key)
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def dedup_exact_hashed(documents: DataFrame, key: str = "text") -> DataFrame:
+    """Scale path for exact dedup: group on xxhash64(key) so the shuffle
+    moves 8-byte keys instead of documents. Collision probability at
+    10^12 docs ~ 2.7e-5 (birthday, 64-bit); a residual equality check per
+    hash group removes even that if required."""
+    return (
+        documents.groupBy(F.xxhash64(key).alias("key_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document; documents shorter than
+    n tokens contribute their whole token string as one shingle."""
+    toks = tokens(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 32, n: int = 3) -> Column:
+    """MinHash signature: for each of ``num_hashes`` permutations, the
+    minimum of ``(a_i * xxhash64(shingle) + b_i) mod M`` over the
+    document's shingle set. One pass, all JVM-side."""
+    sh = shingles(text, n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h, i=i: (h * F.lit(2 * i + 1) + F.lit(7919 * (i + 1)))
+                    % F.lit(_MERSENNE31),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def dedup_minhash(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection.
+
+    signature → split into ``bands`` bands of ``num_hashes/bands`` rows →
+    equi-join on (band index, band hash) → verify candidate pairs with
+    exact shingle Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b.
+
+    The band join is the scale move: ~O(n) signature rows shuffle on
+    short keys; only colliding pairs (expected: near-dups + few false
+    positives) reach the exact verifier.
+    """
+    rows_per_band = num_hashes // bands
+    sh_df = documents.select("doc_id", shingles("text", n).alias("sh"))
+    sig_df = documents.select(
+        "doc_id", minhash_signature("text", num_hashes, n).alias("sig")
+    )
+    # band keys only — the LSH join shuffles (doc_id, band, bhash) rows,
+    # never shingle sets or text
+    banded = sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bhash")
+
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            ["band", "bhash"],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact verify: fetch shingles for the (few) candidates only
+    pairs = (
+        cand.join(sh_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        pairs.filter(jac >= jaccard_threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash(text: Column | str, bits: int = 64, n: int = 1) -> Column:
+    """SimHash: per bit position j, sum +1/-1 votes from each shingle
+    hash's bit j; the fingerprint sets bit j iff the vote is ≥ 0.
+
+    One ``aggregate`` pass with a ``bits``-wide array accumulator (a
+    zip_with per element) — a single compact expression instead of
+    ``bits`` separate aggregates, so it stays within codegen limits."""
+    hashes = F.transform(shingles(text, n), lambda t: F.xxhash64(t))
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                positions,
+                lambda j: F.when(
+                    F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # fold the vote vector into the 64-bit fingerprint
+    weighted = F.zip_with(
+        votes,
+        positions,
+        lambda v, j: F.when(
+            v >= 0, F.call_function("shiftleft", F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        weighted, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
+
+
+def dedup_simhash(
+    documents: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints, banding on 16-bit quarters
+    (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands identical), then
+    exact hamming verify via bit_count(xor). Returns (doc_a, doc_b,
+    hamming)."""
+    width = 64 // bands
+    sh_df = documents.select("doc_id", simhash("text").alias("sh"))
+    banded = sh_df.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", "bk.band", "bk.bkey")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.filter(hamming <= max_hamming)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
+
+
+def ngram_jaccard(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str = "lang",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within blocks.
+
+    The SQL-oracle-checkable exact variant (MinHash above is the scale
+    path). Pairs are blocked on ``block_col`` and pruned by the exact
+    size-ratio bound |A|/|B| ≥ t ⇒ required for J(A,B) ≥ t — the pruning
+    never changes results, only kills pairs that cannot qualify."""
+    sh_df = documents.select(
+        F.col("doc_id"),
+        F.col(block_col).alias("blk"),
+        shingles("text", n).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    a = sh_df.alias("a")
+    b = sh_df.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.col("a.sz") + F.col("b.sz") - inter
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # exact pruning: J <= min/max sizes
+            & (F.least(F.col("a.sz"), F.col("b.sz"))
+               >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))),
+        )
+        .filter(jac >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def dedup_embedding(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocks: exact cosine over
+    double-cast vectors, blocked to bound the pairwise term. Returns
+    (vec_a, vec_b, cos_sim). The LSH route for unblocked data lives in
+    operators/similarity.py."""
+    e = embeddings.select(
+        "vec_id",
+        F.col(block_col).alias("blk"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Embedding similarity search: exact cosine top-k (baseline) and
+random-hyperplane LSH bucketing (the approximate scale path).
+
+No reference counterpart (SURVEY.md §2.5) — north-star operators for
+training-data pipelines. All vector math is native array expressions
+(``zip_with`` dot products, ``aggregate`` sums) over double-cast vectors,
+evaluated element-sequentially — deterministic and identical to the
+DuckDB oracle's evaluation order. No UDFs.
+
+Scale design:
+- brute-force top-k is ``orderBy().limit(k)`` → TakeOrderedAndProject:
+  per-partition bounded heaps, driver merges k rows per partition. One
+  scan, no shuffle of the data itself. Exact, embarrassingly parallel —
+  the right baseline even at 10^9 vectors when k is small.
+- LSH variant: assign each vector to a signature bucket once (one pass),
+  then probe only the query's bucket (and optionally neighboring
+  signatures). The bucket assignment is a plain column — it partitions,
+  prunes, and joins like any key. Recall/probe tradeoff is tunable with
+  ``planes``/``probe_hamming``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cosine",
+    "embedding_knn",
+    "lsh_signature",
+    "embedding_knn_lsh",
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def embedding_knn(
+    embeddings: DataFrame, query_vec_id: int = 1, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k against the vector with ``vec_id=query_vec_id``
+    (FIXTURES.md pinned parameters). The 1-row query side is broadcast;
+    ordering is (rounded sim desc, vec_id) for a deterministic k-boundary
+    across engines."""
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    sim = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def lsh_signature(v: Column, planes: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane LSH signature: bit i = sign(dot(v, r_i)).
+
+    The hyperplanes are deterministic pseudo-random unit-free vectors
+    generated from a fixed integer hash (Park-Miller style residues over
+    a Mersenne prime, scaled to [-1, 1]) — reproducible across runs and
+    engines with no RNG state. Sign-LSH needs no normalization: the
+    signature of v equals the signature of v/|v|."""
+    m = (1 << 31) - 1
+
+    def coeff(p: int, d: int) -> float:
+        # deterministic residue -> [-1, 1)
+        h = (1103515245 * (p * dim + d + 12345) + 54321) % m
+        return 2.0 * h / m - 1.0
+
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        plane = [coeff(p, d) for d in range(dim)]
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(c) for c in plane]),
+                lambda x, r: x * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(
+            F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def embedding_knn_lsh(
+    embeddings: DataFrame,
+    query_vec_id: int = 1,
+    k: int = 10,
+    planes: int = 16,
+    probe_hamming: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: score only vectors whose LSH signature is
+    within ``probe_hamming`` bits of the query's signature (multi-probe).
+
+    The signature comparison (``bit_count(xor) <= h``) prunes before any
+    dot product is computed; on a signature-partitioned table the probe
+    reads only matching partitions. Exactness is traded for scan volume —
+    recall is tested against the brute-force baseline."""
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("sig", lsh_signature(F.col("v"), planes, dim))
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("sig").alias("qsig")
+    )
+    cand = e.crossJoin(F.broadcast(q)).filter(
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= probe_hamming
+    )
+    sim = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    return (
+        cand.select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )

@@ -1,0 +1,167 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+No reference counterpart (the reference is a spatial KV store, SURVEY.md
+§2.5); these are the beyond-parity operators the north star requires,
+built entirely from native Column expressions — per-row string/array
+kernels run inside whole-stage codegen, grouped stats use map-side partial
+aggregation. No Python touches the hot path.
+
+Cross-engine determinism notes (the DuckDB oracles must hash-match):
+- every division is a single per-row double division (never a float
+  aggregate whose accumulation order differs between engines);
+- integer division uses explicit floor() — DuckDB *rounds* on
+  CAST(double AS BIGINT) while Spark truncates;
+- DuckDB regexp_replace needs the 'g' flag to match Spark's
+  replace-all default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "text_stats",
+    "doc_fingerprint",
+    "FINGERPRINT_MOD",
+    "LANG_MARKERS",
+]
+
+FINGERPRINT_MOD = 1_000_000_007  # keeps acc*31+cp < 2^63: no overflow
+
+# tiny deterministic stopword marker lists (public-knowledge function
+# words); priority order breaks ties: en > de > fr > es
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that"],
+    "de": ["der", "die", "und", "nicht", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une"],
+    "es": ["el", "los", "de", "que", "una", "es", "por"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empty strings dropped (leading/trailing space
+    safe). Same expression shape as the SQL twin."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t != '')"
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Per-document token counts: whitespace tokens + a BPE-ish estimate
+    (chars/4, the usual subword rule of thumb)."""
+    return documents.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.floor(F.length("text") / 4).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+def _marker_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: count function-word markers per language,
+    argmax with fixed priority. A deterministic n-gram-free baseline; at
+    100 TB this is one codegen'd pass, no model, no UDF."""
+    toks = tokens("text")
+    df = documents.select(
+        "doc_id",
+        *[
+            _marker_hits(toks, words).alias(f"s_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return df.select("doc_id", pred.alias("lang_pred"))
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Per-document quality signals: length, token stats, alphabetic /
+    whitespace ratios, stopword ratio, and a blended [0,1] score.
+    Heuristics in the spirit of C4/Gopher filtering rules (public)."""
+    toks = tokens("text")
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    spaces = F.length(F.regexp_replace("text", "[^ ]", ""))
+    n_tokens = F.size(toks)
+    stop_hits = _marker_hits(toks, sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+    df = documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (alpha / n_chars).alias("alpha_ratio"),
+        (spaces / n_chars).alias("space_ratio"),
+        (stop_hits / n_tokens).alias("stopword_ratio"),
+        (n_chars / n_tokens).alias("mean_token_len"),
+    )
+    score = (
+        F.least(F.col("alpha_ratio") / 0.7, F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") / 0.06, F.lit(1.0)) * 0.3
+        + F.when((F.col("mean_token_len") >= 3) & (F.col("mean_token_len") <= 12), 0.3)
+        .otherwise(0.0)
+    )
+    return df.withColumn("quality", F.round(score, 6))
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-language corpus stats (FIXTURES.md pinned query). avg is
+    sum/count as ONE double division — exact integer aggregates keep the
+    result bit-identical across engines and partitionings."""
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_chars",
+            "min_chars",
+            "max_chars",
+            (F.col("sum_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+        )
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic polynomial rolling hash over the document's
+    codepoints: ``h = (h*31 + cp) mod 1e9+7``. A content fingerprint
+    both engines compute identically (tested char-split + codepoint
+    equivalence); the scale path for exact dedup keyed on a short int
+    instead of shuffling full text."""
+    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )
+    return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+def doc_fingerprint_sql() -> str:
+    """DuckDB twin of :func:`doc_fingerprint`'s hash expression
+    (list_reduce has no seed argument — prepend it)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
+    )
