@@ -99,6 +99,18 @@ def _q_floor_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IX.floor_lookup(idx, Z.zorder_encode_py(*KNN_Q))
 
 
+_INSERT_BATCH = [(900001, 513, 1025), (900002, 514, 1026), (900003, 515, 1027)]
+
+
+def _q_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-append semantics (SURVEY.md §2.2 insert_append): appended rows
+    are immediately visible to queries — count the pinned rectangle after
+    unioning a literal batch that lands inside it."""
+    pts = points(spark, sf_dir)
+    batch = spark.createDataFrame(_INSERT_BATCH, "id long, x int, y int")
+    return spatial.range_count(pts.unionByName(batch), RECT_X, RECT_Y)
+
+
 # --- training-data pipeline operators (north star, SURVEY.md §7 phase 6) ---
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_build": _q_index_build,
         "index_inspect": _q_index_inspect,
         "floor_lookup": _q_floor_lookup,
+        "insert_append": _q_insert_append,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -276,6 +289,15 @@ def oracle_sql() -> dict[str, str]:
             f"{_index_cte()} SELECT bucket_z, pl, size FROM leafidx "
             f"WHERE bucket_z <= {Z.zorder_encode_py(*KNN_Q)} "
             "ORDER BY bucket_z DESC LIMIT 1"
+        ),
+        "insert_append": (
+            f"{_POINTS_CTE}, batch(id, x, y) AS (VALUES "
+            + ", ".join(
+                f"(CAST({i} AS BIGINT), CAST({x} AS INTEGER), CAST({y} AS INTEGER))"
+                for i, x, y in _INSERT_BATCH
+            )
+            + "), all_pts AS (SELECT * FROM points UNION ALL SELECT * FROM batch) "
+            f"SELECT count(*) AS cnt FROM all_pts WHERE {rect}"
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies "

@@ -1,0 +1,80 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the noop sink — full evaluation of every
+output column (a bare count() would let Catalyst prune the computed
+columns and time nothing), zero driver collection, zero write IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tiny_md_hbase_spark.session import get_spark  # noqa: E402
+
+# the BASELINE.md bench set (spatial parity) + the north-star pipeline set
+BENCH_KEYS = [
+    "range_count",
+    "range_query",
+    "point_get",
+    "knn",
+    "index_build",
+    "zorder_encode",
+    "full_scan",
+    "dedup_exact",
+    "dedup_minhash",
+    "ngram_jaccard",
+    "embedding_knn",
+    "text_stats",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
+    spark = get_spark("tiny-md-hbase-spark-bench", cpus=cpus)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # warm the session (JVM/codegen/parquet footer caches) outside timing
+    qs["range_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, float] = {}
+    for key in BENCH_KEYS:
+        t0 = time.perf_counter()
+        qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        results[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Write-path, streaming-ingest, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_md_hbase_spark.operators import index as IX
+from tiny_md_hbase_spark.operators import multimodal as MM
+from tiny_md_hbase_spark.operators import write as W
+from tiny_md_hbase_spark.streaming import ingest as ING
+
+
+@pytest.fixture()
+def tmp_table():
+    d = tempfile.mkdtemp(prefix="tmh_table_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# --- batch write path -----------------------------------------------------
+
+def test_table_lifecycle_and_insert(spark, tmp_table):
+    path = f"{tmp_table}/t1"
+    W.table_create(spark, path)
+    idx0 = spark.read.parquet(f"{path}/index").collect()
+    assert [(r.bucket_z, r.pl, r.size) for r in idx0] == [(0, IX.ROOT_PL, 0)]
+
+    batch = spark.createDataFrame(
+        [(i, i % 100, (i * 7) % 100) for i in range(50)], "id long, x int, y int"
+    )
+    W.insert_append(spark, path, batch)
+    pts = spark.read.parquet(f"{path}/points")
+    assert pts.count() == 50
+    idx = spark.read.parquet(f"{path}/index")
+    assert idx.agg(F.sum("size")).collect()[0][0] == 50
+
+    # second append accumulates (multiset append semantics)
+    W.insert_append(spark, path, batch)
+    assert spark.read.parquet(f"{path}/points").count() == 100
+    idx2 = spark.read.parquet(f"{path}/index")
+    assert idx2.agg(F.sum("size")).collect()[0][0] == 100
+
+    W.table_drop(path)
+    import os
+
+    assert not os.path.exists(path)
+
+
+def test_generated_ids_fill_nulls(spark):
+    df = spark.createDataFrame([(None, 1, 2), (7, 3, 4)], "id long, x int, y int")
+    rows = W.with_generated_ids(df).collect()
+    ids = {r.x: r.id for r in rows}
+    assert ids[3] == 7 and ids[1] is not None
+
+
+# --- streaming ingest -----------------------------------------------------
+
+def test_stream_ingest_matches_batch(spark, sf_dir, tmp_table):
+    src = f"{tmp_table}/src"
+    table = f"{tmp_table}/table"
+    ckpt = f"{tmp_table}/ckpt"
+    # stage the events fixture as an arriving file
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.write.parquet(src)
+
+    q = ING.stream_ingest_points(spark, src, table, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = spark.read.parquet(f"{table}/points")
+    expected = ING.events_as_points(events)
+    assert got.count() == expected.count()
+    assert got.select("id", "x", "y").exceptAll(expected).count() == 0
+    # index refreshed and consistent
+    idx = spark.read.parquet(f"{table}/index")
+    assert idx.agg(F.sum("size")).collect()[0][0] == expected.count()
+    rows = idx.collect()
+    for r in rows:
+        assert r.size <= IX.DEFAULT_THRESHOLD or r.pl == IX.MAX_DEPTH
+
+
+def test_stream_windowed_counts(spark, sf_dir, tmp_table):
+    src = f"{tmp_table}/src2"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.write.parquet(src)
+
+    agg = ING.stream_windowed_counts(spark, src, window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM win_counts")
+    # compare against the batch computation of the same window agg
+    batch = (
+        events.withColumn("ts", ING.ts_ts("ts"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select("event_type", "n_events")
+    )
+    assert got.count() == batch.count()
+    assert got.agg(F.sum("n_events")).collect()[0][0] == events.count()
+
+
+# --- multimodal plumbing --------------------------------------------------
+
+def test_decode_features_shapes(spark):
+    media = MM.synth_media(spark, 30)
+    feats = MM.decode_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.feature)
+    # deterministic across runs
+    again = {r.media_id: r.feature for r in MM.decode_features(media).collect()}
+    for r in rows:
+        assert again[r.media_id] == pytest.approx(r.feature)
+
+
+def test_decode_real_codec_is_gated(spark):
+    media = MM.synth_media(spark, 3)
+    with pytest.raises(NotImplementedError):
+        MM.decode_features(media, codec="pil")
+
+
+def test_frame_sample_explodes_video_only(spark):
+    media = MM.synth_media(spark, 30)
+    frames = MM.frame_sample(media, every_ms=250)
+    rows = frames.collect()
+    vids = {r.media_id for r in media.filter(F.col("kind") == "video").collect()}
+    assert {r.media_id for r in rows} <= vids
+    assert len(rows) > len(vids)  # multiple frames per video
+    assert all(len(r.frame_payload) > 0 for r in rows)
+
+
+def test_resize_meta(spark):
+    media = MM.synth_media(spark, 12)
+    out = MM.resize_meta(media, max_side=32).collect()
+    for r in out:
+        assert max(r.target_width, r.target_height) <= 32
+        assert r.target_width >= 1 and r.target_height >= 1

@@ -26,6 +26,10 @@ def get_spark(app_name: str = "tiny_md_hbase_spark", cpus: int | None = None) ->
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.maxMetadataStringLength", "2000")
+        # the driver fixtures store TIMESTAMP(NANOS), which the parquet
+        # reader rejects natively; read as long (ns since epoch) and convert
+        # explicitly where timestamp semantics are needed
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
     )
     spark = builder.getOrCreate()
