@@ -56,12 +56,16 @@ def _q_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.full_scan(points(spark, sf_dir))
 
 
+# z_prefilter=False on the derived view: the rectangle predicate alone is
+# exact, and a computed z-window adds per-row expression cost with nothing
+# to prune — the z-window pays off on the materialized z-sorted table,
+# where it skips row groups via parquet stats (tests/test_writer.py)
 def _q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spatial.range_query(points(spark, sf_dir), RECT_X, RECT_Y, z_prefilter=True)
+    return spatial.range_query(points(spark, sf_dir), RECT_X, RECT_Y)
 
 
 def _q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spatial.range_count(points(spark, sf_dir), RECT_X, RECT_Y, z_prefilter=True)
+    return spatial.range_count(points(spark, sf_dir), RECT_X, RECT_Y)
 
 
 def _q_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,95 +75,81 @@ def index_build(
     points: DataFrame,
     threshold: int = DEFAULT_THRESHOLD,
     max_depth: int = MAX_DEPTH,
+    coarse_depth: int = 16,
 ) -> DataFrame:
     """Build the bucket index ``(bucket_z, pl, size)`` to fixpoint.
 
     Returns the leaf trie: disjoint buckets covering the ``[00*]`` domain,
-    every size ≤ threshold unless pl == max_depth, sizes exact.
+    every size ≤ threshold unless pl == max_depth, sizes exact — the
+    reference's end state (verified against the one-bit-at-a-time
+    recursion and a recursive-CTE DuckDB oracle).
+
+    Two-phase coarse-to-fine build, two shuffles total:
+
+    1. **Coarse** — aggregate cell counts at ``coarse_depth``. The result
+       has at most ``2^(coarse_depth - 2)`` rows *regardless of data
+       volume* (16 K at the default depth 16), so collecting it to the
+       driver is bounded the way a range-partitioner's sampled boundaries
+       are. The trie above/at the coarse depth is built driver-side with
+       the exact recursion; coarse nodes still over threshold become
+       **tails**.
+    2. **Fine** — every tail is a closed subproblem (its sub-trie depends
+       only on its own cells). Tail cells are grouped and each group is
+       solved independently by the same recursion inside
+       ``applyInPandas`` — Arrow-batched, embarrassingly parallel,
+       shuffling only (tail_key, z, count) rows.
+
+    Scale notes: deepen ``coarse_depth`` to shrink tails (driver memory
+    grows as 2^(d-2), tail size shrinks proportionally — depth 24 bounds
+    the collect at 4 M rows and mean tail size at data/4M); skewed tails
+    parallelize across executors by key. The per-tail kernel is Python,
+    which is acceptable here: index construction is partitioner metadata
+    (à la Sedona's quadtree build), not the per-row query path.
     """
     spark = points.sparkSession
-    cell_df = cells(points)
+    cell_df = cells(points).localCheckpoint()
 
-    # localCheckpoint each round truncates the lineage: without it round k
-    # re-executes the whole join chain back to the parquet scan, turning an
-    # O(rounds) loop into O(rounds^2) work and an analyzer-killing plan
-    active = cell_df.select(
-        "z", "c", F.lit(ROOT_PL).alias("pl"), _bucket_of(F.col("z"), ROOT_PL).alias("bucket_z")
-    ).localCheckpoint()
-    done: list[DataFrame] = []
-    cached = []
-    while True:
-        counts = (
-            active.groupBy("bucket_z", "pl")
-            .agg(
-                F.sum("c").alias("size"),
-                F.min("z").alias("min_z"),
-                F.max("z").alias("max_z"),
-            )
-            .cache()
-        )
-        cached.append(counts)
-        is_leaf = (F.col("size") <= threshold) | (F.col("pl") >= max_depth)
-        done.append(counts.filter(is_leaf).select("bucket_z", "pl", "size"))
-        over = counts.filter(~is_leaf)
-        if over.isEmpty():
-            break
+    cd = min(coarse_depth, max_depth)
+    coarse = (
+        cell_df.groupBy(_bucket_of(F.col("z"), cd).alias("b"))
+        .agg(F.sum("c").alias("cnt"))
+        .collect()
+    )
+    top = index_build_py(
+        [(r.b, r.cnt) for r in coarse], threshold=threshold, max_depth=cd
+    )
+    if cd < max_depth:
+        tails = [b for b, pl, s in top if pl == cd and s > threshold]
+        top = [(b, pl, s) for b, pl, s in top if not (pl == cd and s > threshold)]
+    else:
+        tails = []
+    top_df = spark.createDataFrame(top, "bucket_z long, pl int, size long")
+    if not tails:
+        return top_df.cache()
 
-        # bisection depth: one past the common prefix of min/max z in the
-        # bucket; min == max (unsplittable cell pile-up) jumps to max_depth
-        xor = F.col("min_z").bitwiseXOR(F.col("max_z"))
-        cp = F.when(xor == 0, F.lit(64)).otherwise(F.lit(64) - F.length(F.bin(xor)))
-        over_ann = over.withColumn("cp", F.least(cp, F.lit(max_depth))).withColumn(
-            "new_pl", F.least(F.col("cp") + 1, F.lit(max_depth))
-        )
+    tail_keys = spark.createDataFrame([(b,) for b in tails], "tb long")
+    tail_cells = cell_df.withColumn("tb", _bucket_of(F.col("z"), cd)).join(
+        F.broadcast(tail_keys), "tb"
+    )
 
-        # the reference's empty-sibling chain for the skipped levels: at
-        # each level l in (pl, cp], the occupied child's sibling, size 0
-        # (Index.java:217-227 writes both children on every split)
-        lvl = F.col("lvl")
-        on_path = _bucket_of(F.col("min_z"), lvl)
-        sibling = on_path.bitwiseXOR(
-            F.call_function("shiftleft", F.lit(1).cast("long"), F.lit(64) - lvl)
-        )
-        # (sequence(a, b) with b < a produces a DESCENDING sequence in
-        # Spark — guard the no-skip case where cp == pl)
-        chain_levels = F.when(
-            F.col("cp") >= F.col("pl") + 1,
-            F.sequence(F.col("pl") + 1, F.col("cp")),
-        ).otherwise(F.array().cast("array<int>"))
-        done.append(
-            over_ann.select(F.explode(chain_levels).alias("lvl"), "min_z")
-            .select(
-                sibling.alias("bucket_z"),
-                lvl.cast("int").alias("pl"),
-                F.lit(0).cast("long").alias("size"),
-            )
-        )
+    def _build_tail(pdf):
+        import pandas as pd
 
-        # refine: only cells in still-overfull buckets stay active
-        reassign = over_ann.select("bucket_z", "pl", "new_pl")
-        active = (
-            active.join(F.broadcast(reassign), ["bucket_z", "pl"])
-            .select(
-                "z",
-                "c",
-                F.col("new_pl").alias("pl"),
-                _bucket_of(F.col("z"), F.col("new_pl")).alias("bucket_z"),
-            )
-            .localCheckpoint()
+        tb = int(pdf["tb"].iloc[0])
+        sub = index_build_py(
+            list(zip((int(z) for z in pdf["z"]), (int(c) for c in pdf["c"]))),
+            threshold=threshold,
+            max_depth=max_depth,
+            root_z=tb,
+            root_pl=cd,
         )
+        return pd.DataFrame(sub, columns=["bucket_z", "pl", "size"])
 
-    index = reduce(DataFrame.unionByName, done).cache()
-    # count() fully materializes the cache, so the per-round intermediates
-    # below can be dropped without triggering lazy recomputation
-    if index.count() == 0:
-        # empty input: the reference still seeds the root bucket
-        # (Index.java:96-99)
-        index = spark.createDataFrame(
-            [(0, ROOT_PL, 0)], "bucket_z long, pl int, size long"
-        )
-    for df in cached:
-        df.unpersist()
+    sub_df = tail_cells.groupBy("tb").applyInPandas(
+        _build_tail, "bucket_z long, pl int, size long"
+    )
+    index = top_df.unionByName(sub_df).cache()
+    index.count()
     return index
 
 
@@ -171,30 +157,39 @@ def index_build_py(
     cell_counts: list[tuple[int, int]],
     threshold: int = DEFAULT_THRESHOLD,
     max_depth: int = MAX_DEPTH,
+    root_z: int = 0,
+    root_pl: int = ROOT_PL,
 ) -> list[tuple[int, int, int]]:
-    """Pure-Python reference implementation (independent oracle for tests):
-    one-bit-at-a-time recursion exactly as ``Index.splitBucket``
-    (``Index.java:183-230``). Input: [(z, count)]; output sorted
+    """Pure-Python trie recursion, exactly ``Index.splitBucket``'s
+    one-bit-at-a-time semantics (``Index.java:183-230``): split while
+    count > threshold and depth < max_depth; every split writes both
+    children (one may be an empty sibling). Serves as (a) the independent
+    oracle for tests, (b) the driver-side coarse phase of the distributed
+    build, and (c) the per-tail kernel inside applyInPandas (rooted at
+    ``root_z``/``root_pl``). Input: [(z, count)]; output sorted
     [(bucket_z, pl, size)]."""
-    cells_sorted = sorted(cell_counts)
-    out: list[tuple[int, int, int]] = []
+    import bisect
 
-    def rec(lo: int, hi: int, bucket_z: int, pl: int) -> None:
-        size = sum(c for _, c in cells_sorted[lo:hi])
+    cells_sorted = sorted(cell_counts)
+    if not cells_sorted:
+        return [(root_z, root_pl, 0)]
+    # prefix sums make each node's size an O(1) range difference
+    zs = [z for z, _ in cells_sorted]
+    acc = [0]
+    for _, c in cells_sorted:
+        acc.append(acc[-1] + c)
+    out: list[tuple[int, int, int]] = []
+    stack = [(0, len(zs), root_z, root_pl)]
+    while stack:
+        lo, hi, bucket_z, pl = stack.pop()
+        size = acc[hi] - acc[lo]
         if size <= threshold or pl >= max_depth:
             out.append((bucket_z, pl, size))
-            return
-        bit = 1 << (63 - pl)
-        right_key = bucket_z | bit
-        import bisect
-
-        mid = bisect.bisect_left(cells_sorted, (right_key, 0), lo, hi)
-        rec(lo, mid, bucket_z, pl + 1)
-        rec(mid, hi, right_key, pl + 1)
-
-    if not cells_sorted:
-        return [(0, ROOT_PL, 0)]
-    rec(0, len(cells_sorted), 0, ROOT_PL)
+            continue
+        right_key = bucket_z | (1 << (63 - pl))
+        mid = bisect.bisect_left(zs, right_key, lo, hi)
+        stack.append((lo, mid, bucket_z, pl + 1))
+        stack.append((mid, hi, right_key, pl + 1))
     return sorted(out)
 
 

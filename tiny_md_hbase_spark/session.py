@@ -31,6 +31,14 @@ def get_spark(app_name: str = "tiny_md_hbase_spark", cpus: int | None = None) ->
         # explicitly where timestamp semantics are needed
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # the codegen'd kernels (minhash/simhash/shingle expressions) emit
+        # large methods; the JVM's default 240 MB code cache fills after a
+        # dozen such queries and the JIT silently stops compiling — every
+        # later query then runs interpreted (measured 20x slowdowns)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -65,6 +65,18 @@ def bit_spread(c: Column | str) -> Column:
     generalized to the full 32 bits in one pass (the reference spreads
     16-bit halves; one 64-bit pass is fewer instructions and stays in
     codegen). Output occupies the even bit positions of a LongType.
+
+    Expression-shape note: ``(v | v << s) & m`` references ``v`` twice and
+    Column trees have no let-binding, so the five rounds build a
+    2^5-duplicated tree. That is fine in *projection* context (whole-stage
+    codegen's subexpression elimination collapses it — measured sub-second
+    per 600k rows) but expensive inside *filter* predicates, which is why
+    query builders never place this expression in a hot per-row filter:
+    z-window pruning belongs on materialized ``zvalue`` columns
+    (sources/writer.py), where it costs a stats lookup, not a per-row
+    re-encode. (A multiplicative one-reference form is NOT correct here:
+    the OR operands overlap before masking, so OR != ADD — carries corrupt
+    kept bits.)
     """
     v = _col(c).cast("long")
     for i, mask in enumerate(_SPREAD_MASKS):
