@@ -22,6 +22,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from tiny_md_hbase_spark import zorder as Z  # noqa: E402
 from tiny_md_hbase_spark.operators import dedup as D  # noqa: E402
 from tiny_md_hbase_spark.operators import index as IX  # noqa: E402
+from tiny_md_hbase_spark.operators import sessions as SES  # noqa: E402
 from tiny_md_hbase_spark.operators import similarity as SIM  # noqa: E402
 from tiny_md_hbase_spark.operators import spatial  # noqa: E402
 from tiny_md_hbase_spark.operators import text as TX  # noqa: E402
@@ -165,6 +166,15 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SES.sessionize(load_table(spark, sf_dir, "events"))
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_clusters(docs, D.ngram_jaccard(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "full_scan": _q_full_scan,
@@ -191,6 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_doc_fingerprint,
+        "sessionize": _q_sessionize,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -390,5 +402,29 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"SELECT doc_id, {TX.doc_fingerprint_sql()} AS fingerprint "
             "FROM documents"
+        ),
+        "sessionize": SES.sessionize_sql(),
+        "dedup_clusters": (
+            "WITH RECURSIVE toks_t AS (SELECT doc_id, lang, "
+            f"{_TOKS} AS toks FROM documents), "
+            f"sh AS (SELECT doc_id, lang AS blk, {_SHINGLES} AS s, "
+            f"len({_SHINGLES}) AS sz FROM toks_t), "
+            "jac_pairs AS ("
+            "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+            "  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id"
+            "    AND least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz)"
+            "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+            "    / (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.8"
+            "), "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM jac_pairs "
+            "UNION SELECT doc_b, doc_a FROM jac_pairs), "
+            "reach(a, b) AS ("
+            "  SELECT a, b FROM edges"
+            "  UNION"
+            "  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a"
+            ") "
+            "SELECT d.doc_id, "
+            "least(d.doc_id, COALESCE((SELECT min(b) FROM reach WHERE a = d.doc_id), "
+            "d.doc_id)) AS cluster_id FROM documents d"
         ),
     }

@@ -1,0 +1,96 @@
+"""Sessionization tests: batch window logic, cluster labeling, and the
+stateful streaming variant vs the batch ground truth."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_md_hbase_spark.operators import dedup as D
+from tiny_md_hbase_spark.operators import sessions as SES
+from tiny_md_hbase_spark.sources import load_table
+from tiny_md_hbase_spark.streaming import ingest as ING
+
+
+def test_sessionize_gap_logic(spark):
+    us = 1_000_000
+    rows = [
+        # user 1: two sessions (gap 40min between e2 and e3)
+        (1, 0 * us, 1, 1.5, "a", "p"),
+        (1, 60 * 60 * us // 60, 2, 2.5, "a", "p"),  # +1 min
+        (1, (1 + 41) * 60 * us, 3, 1.0, "a", "p"),  # +40 min -> new session
+        # user 2: single event
+        (2, 0, 4, 9.0, "b", "p"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, t * 1000, u, k, v, p) for (u, t, e, v, k, p) in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.sum_value_micros)
+        for r in SES.sessionize(ev).collect()
+    }
+    assert got[(1, 0)] == (2, 4_000_000)
+    assert got[(1, 1)] == (1, 1_000_000)
+    assert got[(2, 0)] == (1, 9_000_000)
+
+
+def test_sessionize_fixture_totals(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sess = SES.sessionize(ev)
+    assert sess.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    bad = sess.filter(F.col("session_end_us") < F.col("session_start_us"))
+    assert bad.count() == 0
+
+
+def test_dedup_clusters_transitivity(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 2, 0.9), (4, 5, 0.9)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {r.doc_id: r.cluster_id for r in D.dedup_clusters(docs, pairs).collect()}
+    # chain 0-1-2 collapses transitively; 3 singleton; 4-5 pair
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="sess_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.parquet(f"{tmp}/src")
+        q = (
+            ING.stream_sessionize(spark, f"{tmp}/src")
+            .writeStream.format("memory")
+            .queryName("stream_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.sum_value_micros)
+            for r in spark.sql("SELECT * FROM stream_sessions").collect()
+        }
+        batch = SES.sessionize(ev).collect()
+        # the stream emits every CLOSED session; the per-user last session
+        # stays open in state. Closed sessions must match batch exactly.
+        last_seq = {}
+        for r in batch:
+            last_seq[r.user_id] = max(last_seq.get(r.user_id, -1), r.session_seq)
+        closed_batch = {
+            (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.sum_value_micros)
+            for r in batch
+            if r.session_seq < last_seq[r.user_id]
+        }
+        assert streamed == closed_batch
+        assert len(streamed) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

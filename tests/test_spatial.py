@@ -61,6 +61,39 @@ def test_knn_matches_bruteforce(pts):
         assert r.dist == pytest.approx(r.dist_sq**0.5)
 
 
+def test_knn_indexed_matches_plain(spark, pts, sf_dir):
+    import tempfile
+
+    from tiny_md_hbase_spark.sources.writer import (
+        load_points_zsorted,
+        write_points_zsorted,
+    )
+
+    path = tempfile.mkdtemp(prefix="knnidx_") + "/pts"
+    write_points_zsorted(pts, path, num_partitions=8)
+    zt = load_points_zsorted(spark, path)
+    plain = [(r.dist_sq, r.id) for r in spatial.knn(pts, 2048, 2048, 10).collect()]
+    accel = [
+        (r.dist_sq, r.id)
+        for r in spatial.knn_indexed(zt, 2048, 2048, 10, domain_max=4095).collect()
+    ]
+    assert accel == plain
+    # tiny radius start forces several expansion rounds; still exact
+    accel2 = [
+        (r.dist_sq, r.id)
+        for r in spatial.knn_indexed(
+            zt, 2048, 2048, 10, initial_radius=1, domain_max=4095
+        ).collect()
+    ]
+    assert accel2 == plain
+
+
+def test_knn_indexed_fewer_than_k(spark):
+    df = spark.createDataFrame([(1, 5, 5), (2, 9, 9)], "id long, x int, y int")
+    got = spatial.knn_indexed(df, 0, 0, 10, domain_max=15).collect()
+    assert len(got) == 2
+
+
 def test_knn_fewer_than_k(spark):
     df = spark.createDataFrame([(1, 0, 0), (2, 1, 1)], "id long, x int, y int")
     assert spatial.knn(df, 5, 5, 10).count() == 2

@@ -317,6 +317,55 @@ def ngram_jaccard(
     )
 
 
+def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Group near-duplicate pairs into clusters: every document gets
+    ``cluster_id`` = the minimum doc_id reachable through the pair graph
+    (singletons keep their own id). The keep-one-per-cluster policy is
+    then ``filter(doc_id == cluster_id)``.
+
+    Distributed min-label propagation to fixpoint: each round joins the
+    (tiny) edge list against current labels and takes the neighborhood
+    minimum — O(component diameter) rounds, and near-dup components are
+    shallow in practice. Labels/edges are checkpointed per round so the
+    loop's plan stays flat. No driver-side graph state.
+    """
+    ids = documents.select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = ids.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    while True:
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
 def dedup_embedding(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -25,7 +25,12 @@ from tiny_md_hbase_spark.operators.index import DEFAULT_THRESHOLD
 from tiny_md_hbase_spark.operators.write import refresh_index, with_generated_ids
 from tiny_md_hbase_spark.sources.writer import with_zvalue
 
-__all__ = ["events_as_points", "stream_ingest_points", "stream_windowed_counts"]
+__all__ = [
+    "events_as_points",
+    "stream_ingest_points",
+    "stream_windowed_counts",
+    "stream_sessionize",
+]
 
 # ts arrives as TIMESTAMP(NANOS) in the fixtures, surfaced as nanos-long
 # (see session.py nanosAsLong); ts_ts() converts where real timestamp
@@ -85,6 +90,82 @@ def stream_ingest_points(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, "
+    "n_events long, sum_value_micros long"
+)
+SESSION_STATE_SCHEMA = (
+    "session_start_us long, last_ts_us long, n_events long, sum_micros long"
+)
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    ``applyInPandasWithState``.
+
+    State per user = the open session (start, last ts, count, sum); a
+    batch closes and emits every session whose gap is exceeded either
+    within the batch or against the carried state. Closed sessions match
+    the batch :func:`~tiny_md_hbase_spark.operators.sessions.sessionize`
+    exactly; the still-open tail session per user lives in the state
+    store until more data (or a timeout policy) closes it. State size is
+    O(active users), independent of stream length.
+    """
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start, last, n, s = state.get
+        else:
+            start = last = None
+            n = 0
+            s = 0
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        for ts, val in zip(batch["ts_us"], batch["value"]):
+            ts = int(ts)
+            if last is not None and ts - last > gap_us:
+                rows.append((user_id, start, last, n, s))
+                start, n, s = None, 0, 0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+            s += int(round(val * 1_000_000))
+        state.update((start, last, n, s))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "sum_value_micros",
+            ],
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(source_dir)
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .select("user_id", "ts_us", "event_id", "value")
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
 
 
 def stream_windowed_counts(
