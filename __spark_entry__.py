@@ -166,6 +166,21 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _q_spatial_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spatial.spatial_histogram(points(spark, sf_dir), cell_bits=4)
+
+
+BATCH_QUERY_IDS = (1, 2, 3)
+
+
+def _q_embedding_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries_df = embs.filter(F.col("vec_id").isin(*BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return SIM.embedding_knn_batch(embs, queries_df, KNN_K)
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.sessionize(load_table(spark, sf_dir, "events"))
 
@@ -203,6 +218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "sessionize": _q_sessionize,
         "dedup_clusters": _q_dedup_clusters,
+        "spatial_histogram": _q_spatial_histogram,
+        "embedding_knn_batch": _q_embedding_knn_batch,
     }
 
 
@@ -402,6 +419,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"SELECT doc_id, {TX.doc_fingerprint_sql()} AS fingerprint "
             "FROM documents"
+        ),
+        "spatial_histogram": (
+            f"{_POINTS_CTE} SELECT x >> 4 AS grid_x, y >> 4 AS grid_y, "
+            "CAST(count(*) AS BIGINT) AS n_points FROM points "
+            "GROUP BY grid_x, grid_y"
+        ),
+        "embedding_knn_batch": (
+            "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "n AS (SELECT vec_id, label, v, "
+            "sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e), "
+            "q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n "
+            f"WHERE vec_id IN {BATCH_QUERY_IDS}), "
+            "scored AS (SELECT q.query_id, n.vec_id, n.label, "
+            "round(list_sum(list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2]))"
+            " / (n.norm * q.qnorm), 6) AS cos_sim FROM n CROSS JOIN q) "
+            "SELECT query_id, vec_id, label, cos_sim, CAST(rnk AS INTEGER) AS rank "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) "
+            f"WHERE rnk <= {KNN_K}"
         ),
         "sessionize": SES.sessionize_sql(),
         "dedup_clusters": (

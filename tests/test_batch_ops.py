@@ -1,0 +1,45 @@
+"""spatial_histogram and embedding_knn_batch tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_md_hbase_spark.operators import similarity as S
+from tiny_md_hbase_spark.operators import spatial
+from tiny_md_hbase_spark.sources import load_table, points
+
+
+def test_spatial_histogram_totals_and_bounds(spark, sf_dir):
+    pts = points(spark, sf_dir)
+    hist = spatial.spatial_histogram(pts, cell_bits=4)
+    rows = hist.collect()
+    assert sum(r.n_points for r in rows) == pts.count()
+    assert all(0 <= r.grid_x < 256 and 0 <= r.grid_y < 256 for r in rows)
+    # a specific cell equals the explicit rectangle count
+    gx, gy = rows[0].grid_x, rows[0].grid_y
+    rect = spatial.range_count(
+        pts, (gx * 16, gx * 16 + 15), (gy * 16, gy * 16 + 15)
+    ).collect()[0].cnt
+    assert rect == rows[0].n_points
+
+
+def test_embedding_knn_batch_matches_single(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    batch = S.embedding_knn_batch(embs, queries, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    assert set(by_q) == {1, 2}
+    for qid in (1, 2):
+        single = S.embedding_knn(embs, qid, 10).collect()
+        got = [v for _, v, _ in sorted(by_q[qid])]
+        assert got == [r.vec_id for r in single]
+        # ranks are 1..k dense
+        assert sorted(r for r, _, _ in by_q[qid]) == list(range(1, 11))
+        # the query itself is rank 1 with sim 1.0
+        assert sorted(by_q[qid])[0][1] == qid
+        assert sorted(by_q[qid])[0][2] == pytest.approx(1.0)

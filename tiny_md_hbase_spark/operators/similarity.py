@@ -71,6 +71,81 @@ def embedding_knn(
     )
 
 
+def embedding_knn_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for MANY query vectors at once — the shape real
+    pipelines need (dedup a candidate set against a reference corpus,
+    retrieval eval, hard-negative mining).
+
+    Implementation: the query matrix is broadcast to every task and each
+    Arrow batch of corpus vectors is scored against ALL queries with one
+    numpy matmul (``mapInPandas``) — turning |Q| × |corpus| scalar dot
+    products into BLAS calls. Each task emits only its local top-k per
+    query (partition-level pruning, the map-side combine of top-k), and a
+    single window ranks the ≤ k × partitions × |Q| survivors globally.
+    Shuffle volume is O(|Q| · k · partitions), never O(|Q| · corpus).
+
+    ``queries``: (query_id long, qv array<float|double>). Output:
+    (query_id, vec_id, label, cos_sim, rank). Cosine is computed in
+    float64; ``cos_sim`` is rounded to 6 decimals with (query_id,
+    -cos_sim, vec_id) total ordering.
+    """
+    import numpy as np  # noqa: F401 — used inside the kernel
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    qrows = queries.select("query_id", "qv").collect()
+    qids = [int(r.query_id) for r in qrows]
+    qmat_list = [[float(x) for x in r.qv] for r in qrows]
+
+    bc = spark.sparkContext.broadcast((qids, qmat_list))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids_l, qmat_l = bc.value
+        qm = np.asarray(qmat_l, dtype=np.float64)  # (Q, D)
+        qn = np.linalg.norm(qm, axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # (B, D)
+            vn = np.linalg.norm(vm, axis=1)
+            sims = (vm @ qm.T) / np.outer(vn, qn)  # (B, Q)
+            out = []
+            for qi, qid in enumerate(qids_l):
+                col = sims[:, qi]
+                top = np.argsort(-col, kind="stable")[: min(k, len(col))]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": pdf["vec_id"].iloc[top].to_numpy(),
+                            "label": pdf["label"].iloc[top].to_numpy(),
+                            "cos_sim": np.round(col[top], 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    local_tops = e.mapInPandas(
+        kernel, "query_id long, vec_id long, label int, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        local_tops.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", "cos_sim", "rank")
+    )
+
+
 def lsh_signature(v: Column, planes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane LSH signature: bit i = sign(dot(v, r_i)).
 

@@ -133,6 +133,24 @@ def full_scan(points: DataFrame) -> DataFrame:
     return points.select("id", "x", "y")
 
 
+def spatial_histogram(points: DataFrame, cell_bits: int = 4) -> DataFrame:
+    """2-D grid histogram: counts per (x, y) cell of side ``2^cell_bits``.
+
+    The batch analog of the reference's index statistics (bucket sizes
+    over the space decomposition) for a *uniform* grid: one map-side
+    partial-aggregated groupBy on the truncated coordinates; at scale this
+    is the standard density/heatmap shape and doubles as the skew detector
+    used to pick salting/partition strategies.
+    """
+    gx = F.shiftright("x", cell_bits).alias("grid_x")
+    gy = F.shiftright("y", cell_bits).alias("grid_y")
+    return (
+        points.groupBy(gx, gy)
+        .agg(F.count("*").alias("n_points"))
+        .select("grid_x", "grid_y", "n_points")
+    )
+
+
 def knn_indexed(
     points: DataFrame,
     qx: int,
