@@ -64,24 +64,32 @@ def test_stream_ingest_matches_batch(spark, sf_dir, tmp_table):
     src = f"{tmp_table}/src"
     table = f"{tmp_table}/table"
     ckpt = f"{tmp_table}/ckpt"
-    # stage the events fixture as an arriving file
+    # stage the events fixture as several arriving files so availableNow
+    # produces multiple micro-batches (first = full index build, rest =
+    # incremental refresh)
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    events.write.parquet(src)
+    events.repartition(6).write.parquet(src)
 
-    q = ING.stream_ingest_points(spark, src, table, ckpt, available_now=True)
-    q.awaitTermination(120)
+    q = ING.stream_ingest_points(
+        spark, src, table, ckpt, available_now=True, max_files_per_trigger=2
+    )
+    q.awaitTermination(180)
     assert not q.isActive
 
     got = spark.read.parquet(f"{table}/points")
     expected = ING.events_as_points(events)
     assert got.count() == expected.count()
     assert got.select("id", "x", "y").exceptAll(expected).count() == 0
-    # index refreshed and consistent
+    # index refreshed incrementally across batches == full rebuild
     idx = spark.read.parquet(f"{table}/index")
     assert idx.agg(F.sum("size")).collect()[0][0] == expected.count()
     rows = idx.collect()
     for r in rows:
         assert r.size <= IX.DEFAULT_THRESHOLD or r.pl == IX.MAX_DEPTH
+    full = sorted(
+        (r.bucket_z, r.pl, r.size) for r in IX.index_build(got.select("id", "x", "y")).collect()
+    )
+    assert sorted((r.bucket_z, r.pl, r.size) for r in rows) == full
 
 
 def test_stream_windowed_counts(spark, sf_dir, tmp_table):

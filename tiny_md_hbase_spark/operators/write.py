@@ -17,7 +17,14 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiny_md_hbase_spark.operators.index import DEFAULT_THRESHOLD, index_build
+from tiny_md_hbase_spark.operators.index import (
+    DEFAULT_THRESHOLD,
+    MAX_DEPTH,
+    cells,
+    floor_lookup_batch,
+    index_build,
+    index_build_py,
+)
 from tiny_md_hbase_spark.sources.writer import with_zvalue
 
 __all__ = [
@@ -25,6 +32,7 @@ __all__ = [
     "table_drop",
     "insert_append",
     "refresh_index",
+    "refresh_index_incremental",
     "with_generated_ids",
 ]
 
@@ -78,3 +86,99 @@ def refresh_index(
     index_build(pts, threshold=threshold).write.mode("overwrite").parquet(
         f"{path}/index"
     )
+
+
+def refresh_index_incremental(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    threshold: int = DEFAULT_THRESHOLD,
+) -> None:
+    """Update the index for an appended batch touching only affected
+    buckets — O(batch + overflowing-bucket windows), not O(table).
+
+    1. Route the batch's cells to their owning buckets (broadcast as-of
+       join against the current index — the reference's per-point
+       ``getRowOrBefore`` amortized to one join, ``Index.java:175-181``).
+    2. Bump sizes. Buckets still within threshold are done — their entry
+       is exact without reading the table.
+    3. Each overflowing bucket is a closed subproblem (same property the
+       two-phase builder exploits): re-read ONLY its z-window from the
+       (z-clustered, stats-pruned) table and rebuild its subtree with the
+       exact split recursion.
+
+    Equivalent to a full rebuild by construction: splitting is local to a
+    bucket, and non-overflowing buckets are untouched by definition.
+    """
+    index = spark.read.parquet(f"{path}/index")
+    # route batch cells to owning buckets, then aggregate added counts
+    batch_cells = cells(batch)
+    routed = floor_lookup_batch(index, batch_cells.select("z"))
+    delta = (
+        routed.join(batch_cells, "z")
+        .groupBy("bucket_z")
+        .agg(F.sum("c").alias("added"))
+    )
+
+    merged = (
+        index.join(delta, "bucket_z", "left")
+        .select(
+            "bucket_z",
+            "pl",
+            (F.col("size") + F.coalesce("added", F.lit(0))).alias("size"),
+        )
+    )
+    over = merged.filter((F.col("size") > threshold) & (F.col("pl") < MAX_DEPTH))
+    keep = merged.filter(~((F.col("size") > threshold) & (F.col("pl") < MAX_DEPTH)))
+
+    over_rows = over.collect()  # overflowing buckets only — small by nature
+    if not over_rows:
+        _atomic_write_index(spark, keep, path)
+        return
+
+    pts = spark.read.parquet(f"{path}/points")
+    windows = spark.createDataFrame(
+        [
+            (r.bucket_z, r.pl, r.bucket_z + (1 << (64 - r.pl)) - 1)
+            for r in over_rows
+        ],
+        "wb long, wpl int, wend long",
+    )
+    # z-window semi-join: on the z-sorted table each window prunes to the
+    # few files/row groups it overlaps
+    zcol = with_zvalue(pts)
+    affected = zcol.join(
+        F.broadcast(windows),
+        (F.col("zvalue") >= F.col("wb")) & (F.col("zvalue") <= F.col("wend")),
+    )
+    affected_cells = affected.groupBy("wb", "wpl", "zvalue").agg(
+        F.count("*").alias("c")
+    )
+
+    def _rebuild(pdf):
+        import pandas as pd
+
+        wb = int(pdf["wb"].iloc[0])
+        wpl = int(pdf["wpl"].iloc[0])
+        sub = index_build_py(
+            list(zip((int(z) for z in pdf["zvalue"]), (int(c) for c in pdf["c"]))),
+            threshold=threshold,
+            max_depth=MAX_DEPTH,
+            root_z=wb,
+            root_pl=wpl,
+        )
+        return pd.DataFrame(sub, columns=["bucket_z", "pl", "size"])
+
+    rebuilt = affected_cells.groupBy("wb", "wpl").applyInPandas(
+        _rebuild, "bucket_z long, pl int, size long"
+    )
+    _atomic_write_index(spark, keep.unionByName(rebuilt), path)
+
+
+def _atomic_write_index(spark: SparkSession, index: DataFrame, path: str) -> None:
+    """The new index is derived from the parquet it replaces — materialize
+    (executor-side, via localCheckpoint) before overwriting, or the
+    overwrite would truncate its own input mid-plan."""
+    index.select("bucket_z", "pl", "size").localCheckpoint().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/index")

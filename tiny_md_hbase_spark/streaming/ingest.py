@@ -21,8 +21,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+import os
+
 from tiny_md_hbase_spark.operators.index import DEFAULT_THRESHOLD
-from tiny_md_hbase_spark.operators.write import refresh_index, with_generated_ids
+from tiny_md_hbase_spark.operators.write import (
+    refresh_index,
+    refresh_index_incremental,
+    with_generated_ids,
+)
 from tiny_md_hbase_spark.sources.writer import with_zvalue
 
 __all__ = [
@@ -64,23 +70,35 @@ def stream_ingest_points(
     checkpoint_dir: str,
     threshold: int = DEFAULT_THRESHOLD,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream event files into the z-clustered points table.
 
     Each micro-batch is the reference's insert loop amortized: one
-    z-encode pass, one sorted append, one index refresh. ``availableNow``
-    drains the current backlog and stops (used by tests/backfills); leave
-    it False for a continuous ingest."""
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    z-encode pass, one sorted append, one index refresh (incremental
+    after the first batch). ``availableNow`` drains the current backlog
+    and stops (used by tests/backfills); leave it False for a continuous
+    ingest. ``max_files_per_trigger`` bounds batch size (and makes
+    availableNow produce several micro-batches)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        enc = with_zvalue(with_generated_ids(events_as_points(batch)))
+        pts = with_generated_ids(events_as_points(batch))
+        enc = with_zvalue(pts)
+        had_index = os.path.exists(f"{table_path}/index")
         (
             enc.sortWithinPartitions("zvalue")
             .write.mode("append")
             .parquet(f"{table_path}/points")
         )
-        refresh_index(spark, table_path, threshold=threshold)
+        if had_index:
+            # O(batch + overflowing buckets), not O(table)
+            refresh_index_incremental(spark, table_path, pts, threshold=threshold)
+        else:
+            refresh_index(spark, table_path, threshold=threshold)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
