@@ -146,6 +146,10 @@ def _q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_knn_lsh(load_table(spark, sf_dir, "embeddings"), 1, KNN_K)
 
 
+def _q_embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.embedding_knn_ivf(load_table(spark, sf_dir, "embeddings"), 1, KNN_K)
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -211,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "embedding_knn": _q_embedding_knn,
         "embedding_knn_lsh": _q_embedding_knn_lsh,
+        "embedding_knn_ivf": _q_embedding_knn_ivf,
         "text_stats": _q_text_stats,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,

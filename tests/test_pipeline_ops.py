@@ -109,6 +109,27 @@ def test_embedding_knn_lsh_recall(embs):
     assert len(exact & approx) >= 6
 
 
+def test_embedding_knn_ivf_recall(embs):
+    exact = {r.vec_id for r in S.embedding_knn(embs, 1, 10).collect()}
+    got = S.embedding_knn_ivf(embs, 1, 10, n_clusters=8, n_probe=4).collect()
+    approx = {r.vec_id for r in got}
+    assert 1 in approx  # the query always probes its own cluster
+    assert len(exact & approx) >= 5
+    # deterministic across runs (no RNG anywhere)
+    again = {r.vec_id for r in S.embedding_knn_ivf(embs, 1, 10, n_clusters=8, n_probe=4).collect()}
+    assert approx == again
+
+
+def test_ivf_build_partitions_corpus(embs):
+    assigned, cents = S.ivf_build(embs, n_clusters=8, iters=2)
+    n = assigned.count()
+    assert n == embs.count()
+    per = assigned.groupBy("ivf_cluster").count().collect()
+    assert sum(r["count"] for r in per) == n
+    assert {r.ivf_cluster for r in per} <= set(range(8))
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+
+
 def test_dedup_embedding_self_similarity(spark, embs):
     # plant an exact copy of vec 1 under a new id in the same label block
     r1 = embs.filter(F.col("vec_id") == 1).collect()[0]

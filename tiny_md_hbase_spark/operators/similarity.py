@@ -146,6 +146,98 @@ def embedding_knn_batch(
     )
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 4,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: deterministic Lloyd k-means over the corpus,
+    returning (assigned corpus, centroids).
+
+    Init is the ``n_clusters`` lowest vec_ids (deterministic, no RNG —
+    reproducible across runs/engines); each iteration is one broadcast
+    argmin-assign plus one groupBy with 64 per-dimension avg aggregates —
+    two narrow passes, centroids never exceed n_clusters × dim floats on
+    the driver (partitioner-metadata scale, like the index's coarse
+    phase).
+
+    The assigned ``ivf_cluster`` column is the point: it is an ordinary
+    partitioning/pruning key. Write the table partitioned (or sorted) by
+    it and a probe reads only the probed clusters' files — embarrassingly
+    scalable ANN, the same layout trick the z-order index plays for space.
+    """
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).localCheckpoint()
+    dim = len(e.first().v)
+    centroids = [list(r.v) for r in e.orderBy("vec_id").limit(n_clusters).collect()]
+
+    def assign(df, cents):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(c) for c in cent]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"d{ci}")
+            for ci, cent in enumerate(cents)
+        ]
+        with_d = df.select("vec_id", "label", "v", *dists)
+        best = F.array_position(
+            F.array(*[F.col(f"d{ci}") for ci in range(len(cents))]),
+            F.array_min(F.array(*[F.col(f"d{ci}") for ci in range(len(cents))])),
+        ) - 1
+        return with_d.select(
+            "vec_id", "label", "v", best.cast("int").alias("ivf_cluster")
+        )
+
+    assigned = None
+    for _ in range(iters):
+        assigned = assign(e, centroids)
+        new_rows = (
+            assigned.groupBy("ivf_cluster")
+            .agg(*[F.avg(F.col("v")[d]).alias(f"m{d}") for d in range(dim)])
+            .collect()
+        )
+        for r in new_rows:
+            centroids[r.ivf_cluster] = [r[f"m{d}"] for d in range(dim)]
+    return assign(e, centroids).localCheckpoint(), centroids
+
+
+def embedding_knn_ivf(
+    embeddings: DataFrame,
+    query_vec_id: int = 1,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-probed approximate cosine top-k: score only vectors in the
+    ``n_probe`` clusters nearest the query. On a cluster-partitioned
+    table the probe prunes to n_probe/n_clusters of the files before a
+    single dot product runs."""
+    assigned, centroids = ivf_build(embeddings, n_clusters)
+    q = assigned.filter(F.col("vec_id") == query_vec_id).first()
+    import math
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(range(len(centroids)), key=lambda c: (d2(q.v, centroids[c]), c))[
+        :n_probe
+    ]
+    cand = assigned.filter(F.col("ivf_cluster").isin(*probe))
+    qv = F.array(*[F.lit(x) for x in q.v])
+    sim = F.round(cosine(F.col("v"), qv), 6)
+    return (
+        cand.select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def lsh_signature(v: Column, planes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane LSH signature: bit i = sign(dot(v, r_i)).
 
