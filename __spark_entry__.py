@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from tiny_md_hbase_spark import zorder as Z  # noqa: E402
+from tiny_md_hbase_spark import zorder_nd as ZND  # noqa: E402
 from tiny_md_hbase_spark.operators import dedup as D  # noqa: E402
 from tiny_md_hbase_spark.operators import index as IX  # noqa: E402
 from tiny_md_hbase_spark.operators import sessions as SES  # noqa: E402
@@ -170,6 +171,45 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.corpus_clean(load_table(spark, sf_dir, "documents"))
+
+
+# 3-D derived view (d-dimensional codec demo): 10-bit x/y + 3-bit slot
+_P3_BITS = 10
+
+
+def _points3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        (F.col("l_partkey") % 1024).cast("int").alias("x"),
+        ((F.col("l_suppkey") * 997 + F.col("l_orderkey")) % 1024).cast("int").alias("y"),
+        (F.col("l_linenumber") % 8).cast("int").alias("t"),
+    )
+
+
+_POINTS3D_SQL = (
+    "SELECT l_orderkey * 8 + l_linenumber AS id, "
+    "CAST(l_partkey % 1024 AS INTEGER) AS x, "
+    "CAST((l_suppkey * 997 + l_orderkey) % 1024 AS INTEGER) AS y, "
+    "CAST(l_linenumber % 8 AS INTEGER) AS t FROM lineitem"
+)
+
+
+def _q_zorder3d_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points3d(spark, sf_dir)
+    return pts.select(
+        "id", ZND.zvalue_nd(["x", "y", "t"], _P3_BITS).alias("zvalue3d")
+    )
+
+
+def _q_range_count_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points3d(spark, sf_dir)
+    box = {"x": (0, 511), "y": (256, 767), "t": (1, 4)}
+    return pts.filter(ZND.rect_predicate_nd(box)).agg(F.count("*").alias("cnt"))
+
+
 def _q_spatial_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.spatial_histogram(points(spark, sf_dir), cell_bits=4)
 
@@ -225,6 +265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "spatial_histogram": _q_spatial_histogram,
         "embedding_knn_batch": _q_embedding_knn_batch,
+        "corpus_clean": _q_corpus_clean,
+        "zorder3d_encode": _q_zorder3d_encode,
+        "range_count_3d": _q_range_count_3d,
     }
 
 
@@ -444,6 +487,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
             "ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) "
             f"WHERE rnk <= {KNN_K}"
+        ),
+        "corpus_clean": (
+            "WITH base AS (SELECT doc_id, length(text) AS n_chars, "
+            f"CAST(len({_TOKS}) AS INTEGER) AS n_tokens, "
+            "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, "
+            f"len(list_filter({_TOKS}, t -> lower(t) IN ("
+            + ", ".join(
+                f"'{w}'" for w in sorted({w for ws in TX.LANG_MARKERS.values() for w in ws})
+            )
+            + "))) AS stop_hits FROM documents), "
+            "scored AS (SELECT doc_id, "
+            "round(least((CAST(alpha AS DOUBLE) / n_chars) / 0.7, 1.0) * 0.4 "
+            "+ least((CAST(stop_hits AS DOUBLE) / n_tokens) / 0.06, 1.0) * 0.3 "
+            "+ CASE WHEN (CAST(n_chars AS DOUBLE) / n_tokens) >= 3 "
+            "AND (CAST(n_chars AS DOUBLE) / n_tokens) <= 12 "
+            "THEN 0.3 ELSE 0.0 END, 6) AS quality FROM base), "
+            "good AS (SELECT d.doc_id, d.text, d.lang FROM documents d "
+            "JOIN scored s ON d.doc_id = s.doc_id WHERE s.quality >= 0.5), "
+            "kept AS (SELECT text, min(doc_id) AS keep_id, "
+            "arg_min(lang, doc_id) AS lang FROM good GROUP BY text) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept, "
+            f"CAST(sum(len({_TOKS})) AS BIGINT) AS sum_tokens "
+            "FROM kept GROUP BY lang"
+        ),
+        "zorder3d_encode": (
+            f"WITH points3d AS ({_POINTS3D_SQL}) SELECT id, "
+            f"{ZND.zvalue_nd_sql(['x', 'y', 't'], _P3_BITS)} AS zvalue3d "
+            "FROM points3d"
+        ),
+        "range_count_3d": (
+            f"WITH points3d AS ({_POINTS3D_SQL}) "
+            "SELECT count(*) AS cnt FROM points3d "
+            "WHERE x BETWEEN 0 AND 511 AND y BETWEEN 256 AND 767 "
+            "AND t BETWEEN 1 AND 4"
         ),
         "sessionize": SES.sessionize_sql(),
         "dedup_clusters": (

@@ -157,6 +157,34 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", fp.alias("fingerprint"))
 
 
+def corpus_clean(documents: DataFrame, quality_threshold: float = 0.5) -> DataFrame:
+    """Composite cleaning pipeline — the operators composed the way a real
+    training-data job runs them: quality-filter → exact-dedup (keep lowest
+    doc_id) → per-language token budget. One logical plan: Catalyst fuses
+    the quality filter into the scan side of the dedup aggregation, so the
+    corpus is read once.
+
+    Output: (lang, n_docs_kept, sum_tokens) — what a data curator reads
+    off before launching a tokenization run."""
+    q = quality_score(documents).filter(F.col("quality") >= quality_threshold)
+    good = documents.join(q.select("doc_id"), "doc_id")
+    kept = good.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+    )
+    kept_tok = kept.select(
+        "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    return (
+        kept_tok.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select("lang", "n_docs_kept", "sum_tokens")
+    )
+
+
 def doc_fingerprint_sql() -> str:
     """DuckDB twin of :func:`doc_fingerprint`'s hash expression
     (list_reduce has no seed argument — prepend it)."""

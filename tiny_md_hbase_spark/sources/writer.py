@@ -54,3 +54,29 @@ def write_points_zsorted(
 
 def load_points_zsorted(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_points_table(
+    spark: SparkSession, table_path: str, num_partitions: int | None = None
+) -> None:
+    """Re-cluster an appended table into global z-order — the analog of
+    the HBase major compaction backing the reference's store.
+
+    Batch appends keep per-file z-sort (tight min/max stats) but files
+    overlap in z over time, degrading pruning selectivity. Compaction
+    rewrites the table with ``repartitionByRange + sortWithinPartitions``
+    so file z-spans are disjoint again. Runs out-of-place then swaps, so
+    readers of the old files are never corrupted mid-rewrite.
+    """
+    import shutil
+
+    pts_path = f"{table_path}/points"
+    tmp_path = f"{table_path}/points_compacting"
+    enc = with_zvalue(spark.read.parquet(pts_path))
+    if num_partitions:
+        enc = enc.repartitionByRange(num_partitions, "zvalue")
+    else:
+        enc = enc.repartitionByRange("zvalue")
+    enc.sortWithinPartitions("zvalue").write.mode("overwrite").parquet(tmp_path)
+    shutil.rmtree(pts_path)
+    shutil.move(tmp_path, pts_path)
