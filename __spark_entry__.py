@@ -175,6 +175,33 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_clean(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (interpolating, matches
+    DuckDB quantile_cont bit-for-bit)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+            F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+            F.expr("percentile(n_chars, 0.99)").alias("p99_chars"),
+        )
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing exercised through the driver contract: a
+    deterministic synthetic media table through the Arrow-batched decode
+    kernel (codec stubbed; rows-only check — no SQL analog of the
+    kernel)."""
+    from tiny_md_hbase_spark.operators import multimodal as MM
+
+    feats = MM.decode_features(MM.synth_media(spark, 64))
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.round(F.col("feature")[0], 6).alias("f0")
+    )
+
+
 # 3-D derived view (d-dimensional codec demo): 10-bit x/y + 3-bit slot
 _P3_BITS = 10
 
@@ -266,6 +293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_histogram": _q_spatial_histogram,
         "embedding_knn_batch": _q_embedding_knn_batch,
         "corpus_clean": _q_corpus_clean,
+        "text_percentiles": _q_text_percentiles,
+        "multimodal_features": _q_multimodal_features,
         "zorder3d_encode": _q_zorder3d_encode,
         "range_count_3d": _q_range_count_3d,
     }
@@ -510,6 +539,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept, "
             f"CAST(sum(len({_TOKS})) AS BIGINT) AS sum_tokens "
             "FROM kept GROUP BY lang"
+        ),
+        "text_percentiles": (
+            "SELECT lang, quantile_cont(n_chars, 0.5) AS p50_chars, "
+            "quantile_cont(n_chars, 0.9) AS p90_chars, "
+            "quantile_cont(n_chars, 0.99) AS p99_chars "
+            "FROM documents GROUP BY lang"
         ),
         "zorder3d_encode": (
             f"WITH points3d AS ({_POINTS3D_SQL}) SELECT id, "

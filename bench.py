@@ -37,6 +37,12 @@ BENCH_KEYS = [
     "lang_id",
     "quality_score",
     "doc_fingerprint",
+    "sessionize",
+    "dedup_clusters",
+    "spatial_histogram",
+    "embedding_knn_batch",
+    "corpus_clean",
+    "zorder3d_encode",
 ]
 
 
