@@ -105,6 +105,65 @@ def _q_floor_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IX.floor_lookup(idx, Z.zorder_encode_py(*KNN_Q))
 
 
+def _q_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prefix_match as a query: count points sharing the 8-bit z-prefix
+    of the pinned kNN query point (Utils.prefixMatch, Utils.java:94-105)."""
+    probe = Z.zorder_encode_py(*KNN_Q)
+    enc = points(spark, sf_dir).select(Z.zvalue("x", "y").alias("zvalue"))
+    return enc.filter(Z.prefix_match("zvalue", F.lit(probe), 8)).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def _q_id_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """id_gen (Client.java:177-182): generated ids must be unique per row.
+    The generated values are partitioning-dependent, so the checked output
+    is the uniqueness invariant, not the ids themselves."""
+    from tiny_md_hbase_spark.operators.write import with_generated_ids
+
+    pts = points(spark, sf_dir).drop("id")
+    gen = with_generated_ids(pts)
+    return gen.agg(
+        F.countDistinct("id").alias("n_unique"), F.count("*").alias("n_rows")
+    )
+
+
+def _q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table_create / insert_append / table_drop (Index.java:77-105,
+    Client.java:217-224) driven end-to-end against a scratch path;
+    returns the observable row/size counts per stage (rows-only check —
+    DDL has no DuckDB analog)."""
+    import tempfile
+
+    from tiny_md_hbase_spark.operators import write as W
+
+    d = tempfile.mkdtemp(prefix="lifecycle_")
+    path = f"{d}/t"
+    W.table_create(spark, path)
+    seeded = spark.read.parquet(f"{path}/index").count()
+    batch = spark.createDataFrame(
+        [(i, i % 64, (i * 5) % 64) for i in range(40)], "id long, x int, y int"
+    )
+    W.insert_append(spark, path, batch)
+    n_rows = spark.read.parquet(f"{path}/points").count()
+    n_size = (
+        spark.read.parquet(f"{path}/index").agg(F.sum("size")).collect()[0][0]
+    )
+    W.table_drop(path)
+    import os
+
+    dropped = 0 if os.path.exists(path) else 1
+    return spark.createDataFrame(
+        [
+            ("created_index_buckets", seeded),
+            ("inserted_rows", n_rows),
+            ("index_size_sum", n_size),
+            ("dropped", dropped),
+        ],
+        "stage string, value long",
+    )
+
+
 _INSERT_BATCH = [(900001, 513, 1025), (900002, 514, 1026), (900003, 515, 1027)]
 
 
@@ -275,6 +334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_inspect": _q_index_inspect,
         "floor_lookup": _q_floor_lookup,
         "insert_append": _q_insert_append,
+        "prefix_match": _q_prefix_match,
+        "id_gen": _q_id_gen,
+        "table_lifecycle": _q_table_lifecycle,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -408,6 +470,15 @@ def oracle_sql() -> dict[str, str]:
             )
             + "), all_pts AS (SELECT * FROM points UNION ALL SELECT * FROM batch) "
             f"SELECT count(*) AS cnt FROM all_pts WHERE {rect}"
+        ),
+        "prefix_match": (
+            f"{_POINTS_CTE} SELECT count(*) AS cnt FROM points "
+            f"WHERE (({zsql}) & -(CAST(1 AS BIGINT) << 56)) = "
+            f"{Z.zorder_encode_py(*KNN_Q) & (-1 << 56)}"
+        ),
+        "id_gen": (
+            f"{_POINTS_CTE} SELECT CAST(count(*) AS BIGINT) AS n_unique, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM points"
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies "
