@@ -39,6 +39,11 @@ DOMAIN_MAX = 4095
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the fixtures store TIMESTAMP(NANOS), which the parquet reader rejects
+    # natively; set here (not only in our session factory) so the driver's
+    # own vanilla SparkSession can run every query — ts columns surface as
+    # nanos-longs and are converted explicitly where needed
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
