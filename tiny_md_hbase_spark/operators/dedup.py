@@ -286,17 +286,32 @@ def ngram_jaccard(
             F.transform(shingles("text", n), lambda s: F.xxhash64(s))
         ).alias("sh"),
     ).withColumn("sz", F.size("sh"))
+    # lossless length-bucket blocking: J(A,B) >= t implies |A|/|B| >= t,
+    # and with bucket = floor(log_{1/t}(sz)) qualifying pairs differ by at
+    # most one bucket — so enumerating (bucket, bucket±1) join keys visits
+    # every qualifying pair exactly once while skipping size-incompatible
+    # ones entirely (the ratio residual below stays as the exact check)
+    import math
+
+    log_base = math.log(1.0 / threshold)
+    bucket = F.floor(F.log(F.col("sz").cast("double")) / F.lit(log_base))
+    sh_df = sh_df.withColumn("lb", bucket.cast("int"))
     # the block table usually arrives as ONE parquet file; with the small
     # side broadcast, join parallelism = stream-side partitions, so spread
     # the stream side or the whole O(pairs) verify stage runs on one core
     para = documents.sparkSession.sparkContext.defaultParallelism
-    a = sh_df.repartition(para, "doc_id").alias("a")
+    a = (
+        sh_df.withColumn("lbp", F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)))
+        .repartition(para, "doc_id")
+        .alias("a")
+    )
     b = sh_df.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.lbp") == F.col("b.lb"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # exact pruning: J <= min(|A|,|B|)/max(|A|,|B|)
             & (F.least(F.col("a.sz"), F.col("b.sz"))
