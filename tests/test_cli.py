@@ -1,0 +1,51 @@
+"""CLI parity tests: the reference's verb surface driven in-process."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from tiny_md_hbase_spark import cli
+
+
+@pytest.fixture()
+def table_dir():
+    d = tempfile.mkdtemp(prefix="cli_") + "/t"
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_lifecycle(capsys, table_dir, spark):
+    # spark fixture keeps the session alive; cli reuses it via getOrCreate
+    assert cli.main(["create", table_dir]) == 0
+    for x, y, pid in [(5, 7, 1), (5, 7, 2), (100, 200, 3), (101, 201, 4)]:
+        assert cli.main(["put", table_dir, str(x), str(y), str(pid)]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["get", table_dir, "5", "7"]) == 0
+    out = capsys.readouterr().out
+    assert "[1, (5, 7)]" in out and "[2, (5, 7)]" in out
+
+    assert cli.main(["count", table_dir, "0", "0", "150", "250"]) == 0
+    assert capsys.readouterr().out.strip() == "4"
+
+    assert cli.main(["knn", table_dir, "99", "199", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "[3, (100, 200)]" in out.splitlines()[0]
+
+    assert cli.main(["index", table_dir]) == 0
+    out = capsys.readouterr().out
+    assert "total size: 4" in out
+    assert "size:" in out
+
+    assert cli.main(["drop", table_dir]) == 0
+    import os
+
+    assert not os.path.exists(table_dir)
+
+
+def test_cli_usage(capsys):
+    assert cli.main([]) == 2
+    assert cli.main(["bogus"]) == 2
