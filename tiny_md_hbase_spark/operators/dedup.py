@@ -332,18 +332,24 @@ def ngram_jaccard(
     )
 
 
-def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_clusters(
+    documents: DataFrame, pairs: DataFrame, collect_limit: int = 1_000_000
+) -> DataFrame:
     """Group near-duplicate pairs into clusters: every document gets
     ``cluster_id`` = the minimum doc_id reachable through the pair graph
     (singletons keep their own id). The keep-one-per-cluster policy is
     then ``filter(doc_id == cluster_id)``.
 
-    Distributed min-label propagation to fixpoint: each round joins the
-    (tiny) edge list against current labels and takes the neighborhood
-    minimum — O(component diameter) rounds, and near-dup components are
-    shallow in practice. Labels/edges are checkpointed per round so the
-    loop's plan stays flat. No driver-side graph state.
+    The edge list is *pair metadata*, orders of magnitude smaller than the
+    corpus (near-dup rate × docs). When it fits ``collect_limit`` rows, a
+    driver-side union-find labels the non-singleton docs in one pass and
+    a broadcast join applies the mapping — the same bounded-metadata move
+    the index's coarse phase makes. Larger graphs fall back to
+    distributed min-label propagation to fixpoint: each round joins the
+    edge list against current labels and takes the neighborhood minimum —
+    O(component diameter) rounds, no driver graph state.
     """
+    spark = documents.sparkSession
     ids = documents.select("doc_id")
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -353,6 +359,34 @@ def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= collect_limit:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            a, b = int(r.a), int(r.b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min label wins so the root IS the cluster_id
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        mapping = [(x, find(x)) for x in parent]
+        if not mapping:
+            return ids.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        map_df = spark.createDataFrame(mapping, "doc_id long, cid long")
+        return ids.join(F.broadcast(map_df), "doc_id", "left").select(
+            "doc_id", F.coalesce("cid", F.col("doc_id")).alias("cluster_id")
+        )
+
     labels = ids.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
     while True:
         nbr_min = (
