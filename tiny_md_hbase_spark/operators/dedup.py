@@ -305,7 +305,11 @@ def ngram_jaccard(
         .repartition(para, "doc_id")
         .alias("a")
     )
-    b = sh_df.alias("b")
+    # force the broadcast: the join key (blk, length-bucket) has ~tens of
+    # distinct values, so a sort-merge join would collapse to a few huge
+    # tasks (observed 4x run-to-run flips when AQE chose it); broadcasting
+    # keeps parallelism = stream-side partitions regardless of stats
+    b = F.broadcast(sh_df).alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     pairs = (
         a.join(
@@ -434,7 +438,7 @@ def dedup_embedding(
     )
     para = embeddings.sparkSession.sparkContext.defaultParallelism
     a = e.repartition(para, "vec_id").alias("a")
-    b = e.alias("b")
+    b = F.broadcast(e).alias("b")  # label has ~10 values: never sort-merge
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),

@@ -37,7 +37,12 @@ def get_spark(app_name: str = "tiny_md_hbase_spark", cpus: int | None = None) ->
         # later query then runs interpreted (measured 20x slowdowns)
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g",
+            # -DontCompileHugeMethods: whole-stage codegen regularly emits
+            # methods over HotSpot's 8k-bytecode JIT refusal limit; without
+            # this they run interpreted forever (observed 4-5x swings on the
+            # pair-verify kernels depending on how large the fused method
+            # happened to be)
+            "-XX:ReservedCodeCacheSize=1g -XX:-DontCompileHugeMethods",
         )
     )
     spark = builder.getOrCreate()
