@@ -234,6 +234,10 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_clean(load_table(spark, sf_dir, "documents"))
 
 
+def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.top_tokens(load_table(spark, sf_dir, "documents"), KNN_K)
+
+
 def _q_text_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length percentiles (interpolating, matches
     DuckDB quantile_cont bit-for-bit)."""
@@ -355,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_histogram": _q_spatial_histogram,
         "embedding_knn_batch": _q_embedding_knn_batch,
         "corpus_clean": _q_corpus_clean,
+        "top_tokens": _q_top_tokens,
         "text_percentiles": _q_text_percentiles,
         "multimodal_features": _q_multimodal_features,
         "zorder3d_encode": _q_zorder3d_encode,
@@ -610,6 +615,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept, "
             f"CAST(sum(len({_TOKS})) AS BIGINT) AS sum_tokens "
             "FROM kept GROUP BY lang"
+        ),
+        "top_tokens": (
+            f"WITH toks AS (SELECT lang, unnest({_TOKS}) AS token FROM documents), "
+            "counts AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n "
+            "FROM toks GROUP BY lang, token) "
+            "SELECT lang, token, n, CAST(rnk AS INTEGER) AS rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY lang "
+            "ORDER BY n DESC, token) AS rnk FROM counts) "
+            f"WHERE rnk <= {KNN_K}"
         ),
         "text_percentiles": (
             "SELECT lang, quantile_cont(n_chars, 0.5) AS p50_chars, "

@@ -183,3 +183,19 @@ def test_doc_fingerprint_matches_python(docs):
         for ch in r.text:
             h = (h * 31 + ord(ch)) % T.FINGERPRINT_MOD
         assert got[r.doc_id] == h
+
+def test_top_tokens_counts_and_rank(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b b c", "en", "s", 11),
+            (2, "b b a", "en", "s", 5),
+            (3, "x y", "de", "s", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = T.top_tokens(df, k=2).collect()
+    got = {(r.lang, r.rank): (r.token, r.n) for r in rows}
+    assert got[("en", 1)] == ("a", 4)  # a==b==4; tie broken lexicographically
+    assert got[("en", 2)] == ("b", 4)
+    assert got[("de", 1)] == ("x", 1)
+    assert len(rows) == 4

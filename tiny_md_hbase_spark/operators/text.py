@@ -157,6 +157,27 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", fp.alias("fingerprint"))
 
 
+def top_tokens(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Per-language top-k token frequencies — the vocabulary-building /
+    corpus-inspection shape. Explode → count with map-side partials →
+    per-language window top-k; ties broken lexicographically so the
+    result is a total order. At scale the explode's shuffle carries
+    (lang, token) pairs already pre-aggregated per partition."""
+    from pyspark.sql import Window
+
+    counts = (
+        documents.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "token", "n", "rank")
+    )
+
+
 def corpus_clean(documents: DataFrame, quality_threshold: float = 0.5) -> DataFrame:
     """Composite cleaning pipeline — the operators composed the way a real
     training-data job runs them: quality-filter → exact-dedup (keep lowest
