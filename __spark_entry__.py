@@ -70,6 +70,18 @@ def _q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.range_count(points(spark, sf_dir), RECT_X, RECT_Y)
 
 
+def _q_range_query_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-guided rectangle query: ≤16-interval quad-trie z-cover
+    (Index.findBucketsInRange discarding z false positives,
+    Index.java:155-162) + residual rect predicate. The zvalue column is
+    materialized first (localCheckpoint) — the cover must prune via the
+    stored column, never re-encode per row inside the filter."""
+    pts = points(spark, sf_dir).withColumn(
+        "zvalue", Z.zvalue("x", "y")
+    ).localCheckpoint()
+    return spatial.range_query(pts, RECT_X, RECT_Y, z_cover=16)
+
+
 def _q_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.point_get_lookup(points(spark, sf_dir))
 
@@ -328,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "full_scan": _q_full_scan,
         "range_query": _q_range_query,
+        "range_query_cover": _q_range_query_cover,
         "range_count": _q_range_count,
         "point_get": _q_point_get,
         "knn": _q_knn,
@@ -435,6 +448,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "full_scan": f"{_POINTS_CTE} SELECT id, x, y FROM points",
         "range_query": f"{_POINTS_CTE} SELECT id, x, y FROM points WHERE {rect}",
+        # the z-cover is a lossless superset prefilter; the residual rect
+        # predicate makes results identical to the plain rectangle query
+        "range_query_cover": (
+            f"{_POINTS_CTE} SELECT id, x, y FROM points WHERE {rect}"
+        ),
         "range_count": (
             f"{_POINTS_CTE} SELECT count(*) AS cnt FROM points WHERE {rect}"
         ),

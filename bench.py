@@ -93,6 +93,12 @@ def main() -> None:
     results["range_query_zsorted"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
+    spatial.range_query(zt, (512, 1535), (1024, 3071), z_cover=16).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    results["range_query_zcover"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
     spatial.knn_indexed(zt, 2048, 2048, 10, domain_max=4095).write.format(
         "noop"
     ).mode("overwrite").save()

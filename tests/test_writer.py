@@ -70,3 +70,31 @@ def test_query_equivalence_on_materialized_table(zsorted):
         .collect()
     )
     assert [(r.id, r.x, r.y) for r in a] == [(r.id, r.x, r.y) for r in b]
+
+
+def test_zcover_query_equivalence_and_tightness(zsorted):
+    pts, zt = zsorted
+    # thin band straddling the y=2047|2048 z split: worst case for the
+    # single window, the cover must still return exactly the same rows
+    rect = ((0, 4095), (2000, 2100))
+    a = spatial.range_query(pts, *rect).orderBy("id", "x", "y").collect()
+    b = (
+        spatial.range_query(zt, *rect, z_cover=16)
+        .orderBy("id", "x", "y")
+        .collect()
+    )
+    assert [(r.id, r.x, r.y) for r in a] == [(r.id, r.x, r.y) for r in b]
+    # the cover prefilter alone admits far fewer rows than the window
+    from tiny_md_hbase_spark.operators.spatial import z_cover_predicate, z_window
+
+    zmin, zmax = z_window(*rect)
+    n_window = zt.filter(F.col("zvalue").between(zmin, zmax)).count()
+    n_cover = zt.filter(z_cover_predicate(zt, *rect, 16)).count()
+    assert n_cover <= n_window
+    assert n_cover < zt.count() / 2
+
+
+def test_zcover_requires_materialized_zvalue(zsorted):
+    pts, _ = zsorted
+    with pytest.raises(ValueError):
+        spatial.z_cover_predicate(pts, (0, 10), (0, 10))

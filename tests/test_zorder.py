@@ -145,3 +145,52 @@ def test_sql_twin_matches_duckdb():
     ).fetchall()
     for x, y, z in rows:
         assert z == Z.zorder_encode_py(x, y)
+
+
+# --- z-interval cover -----------------------------------------------------
+
+@given(
+    st.integers(min_value=0, max_value=4000),
+    st.integers(min_value=0, max_value=4000),
+    st.integers(min_value=0, max_value=4000),
+    st.integers(min_value=0, max_value=4000),
+)
+@settings(max_examples=60, deadline=None)
+def test_z_cover_properties(x0, w, y0, h):
+    rx, ry = (x0, x0 + w), (y0, y0 + h)
+    cover = Z.z_cover_py(rx, ry, max_intervals=32)
+    assert 1 <= len(cover) <= 32
+    # disjoint, sorted, within the single z-window
+    lo, hi = Z.zorder_encode_py(rx[0], ry[0]), Z.zorder_encode_py(rx[1], ry[1])
+    for (a0, a1), (b0, b1) in zip(cover, cover[1:]):
+        assert a0 <= a1 < b0 <= b1
+    # every in-rectangle corner/sample point's z is covered
+    xs = {rx[0], rx[1], (rx[0] + rx[1]) // 2}
+    ys = {ry[0], ry[1], (ry[0] + ry[1]) // 2}
+    for px in xs:
+        for py in ys:
+            z = Z.zorder_encode_py(px, py)
+            assert any(a <= z <= b for a, b in cover)
+    # never looser than the single z-window
+    assert cover[0][0] >= lo
+    assert cover[-1][1] <= hi
+
+
+def test_z_cover_tighter_than_window():
+    # thin horizontal band straddling a high z split: the single window
+    # covers nearly the whole keyspace; the cover keeps a tiny fraction
+    rx, ry = (0, 4095), (2047, 2048)
+    lo, hi = Z.zorder_encode_py(rx[0], ry[0]), Z.zorder_encode_py(rx[1], ry[1])
+    cover = Z.z_cover_py(rx, ry, max_intervals=64)
+    covered = sum(b - a + 1 for a, b in cover)
+    assert covered < (hi - lo + 1) / 10
+    # and refining further keeps tightening
+    finer = sum(b - a + 1 for a, b in Z.z_cover_py(rx, ry, max_intervals=256))
+    assert finer < covered / 2
+
+
+def test_z_cover_degenerate():
+    assert Z.z_cover_py((5, 4), (0, 0)) == []
+    z = Z.zorder_encode_py(7, 9)
+    cover = Z.z_cover_py((7, 7), (9, 9))
+    assert any(a <= z <= b for a, b in cover)

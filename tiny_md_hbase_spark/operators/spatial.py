@@ -23,11 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tiny_md_hbase_spark.zorder import zorder_encode_py, zvalue
+from tiny_md_hbase_spark.zorder import z_cover_py, zorder_encode_py, zvalue
 
 __all__ = [
     "rect_predicate",
     "z_window",
+    "z_cover_predicate",
     "range_query",
     "range_count",
     "point_get",
@@ -51,11 +52,47 @@ def z_window(rx: tuple[int, int], ry: tuple[int, int]) -> tuple[int, int]:
     return zorder_encode_py(rx[0], ry[0]), zorder_encode_py(rx[1], ry[1])
 
 
+def z_cover_predicate(
+    points: DataFrame,
+    rx: tuple[int, int],
+    ry: tuple[int, int],
+    max_intervals: int = 64,
+) -> Column:
+    """Disjunction of tight ``zvalue BETWEEN`` intervals covering the
+    rectangle (driver-computed quad-trie cover, ``zorder.z_cover_py``) —
+    the exact analog of the reference's index scan *keeping only buckets
+    whose decoded rectangle intersects the query*
+    (``Index.findBucketsInRange``, ``Index.java:155-162``), where the
+    plain :func:`z_window` keeps every z-interval false positive.
+
+    Each BETWEEN is pushed into the Parquet scan; on a z-sorted layout
+    every row group/file wholly outside all intervals is skipped via
+    min/max stats, so a thin rectangle straddling a high z split reads
+    O(selected) bytes instead of almost the whole window.
+
+    Requires a materialized ``zvalue`` column: re-encoding the Morton code
+    inside a per-row filter predicate costs a 2^5-duplicated expression
+    tree per interval (Column trees have no let-binding and filter context
+    gets no codegen CSE) — stats pruning only pays on the stored column."""
+    if "zvalue" not in points.columns:
+        raise ValueError(
+            "z_cover_predicate needs a materialized zvalue column "
+            "(sources.writer.with_zvalue / write_points_zsorted)"
+        )
+    zcol = F.col("zvalue")
+    cover = z_cover_py(rx, ry, max_intervals)
+    pred = F.lit(False)
+    for zlo, zhi in cover:
+        pred = pred | zcol.between(zlo, zhi)
+    return pred
+
+
 def range_query(
     points: DataFrame,
     rx: tuple[int, int],
     ry: tuple[int, int],
     z_prefilter: bool = False,
+    z_cover: int | None = None,
 ) -> DataFrame:
     """Rectangle query, inclusive bounds (``Client.rangeQuery``,
     ``Client.java:76-83``).
@@ -65,10 +102,15 @@ def range_query(
     ``z_prefilter=True`` and a table carrying a ``zvalue`` column (or
     sorted by z), an additional ``zvalue BETWEEN`` reproduces the
     reference's index-window pruning: row groups wholly outside the
-    window are skipped via parquet min/max stats.
+    window are skipped via parquet min/max stats. ``z_cover=N`` sharpens
+    that to the ≤N-interval quad-trie cover (:func:`z_cover_predicate`) —
+    the full index-guided prune including the false-positive discard of
+    ``Index.java:155-162``; needs a materialized ``zvalue`` column.
     """
     pred = rect_predicate(rx, ry)
-    if z_prefilter:
+    if z_cover is not None:
+        pred = z_cover_predicate(points, rx, ry, z_cover) & pred
+    elif z_prefilter:
         zmin, zmax = z_window(rx, ry)
         zcol = F.col("zvalue") if "zvalue" in points.columns else zvalue("x", "y")
         pred = zcol.between(zmin, zmax) & pred

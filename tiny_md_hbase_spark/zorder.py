@@ -40,6 +40,7 @@ __all__ = [
     "prefix_render",
     "zorder_encode_py",
     "zorder_decode_py",
+    "z_cover_py",
 ]
 
 # 64-bit spread masks: round k clears the garbage between the progressively
@@ -202,6 +203,101 @@ def zorder_encode_py(x: int, y: int) -> int:
 def zorder_decode_py(z: int) -> tuple[int, int]:
     """Driver-side ``Utils.bitwiseUnzip`` (``Utils.java:61-73``)."""
     return _squash_py(z >> 1), _squash_py(z)
+
+
+def z_cover_py(
+    rx: tuple[int, int],
+    ry: tuple[int, int],
+    max_intervals: int = 64,
+) -> list[tuple[int, int]]:
+    """Decompose a query rectangle into a small set of tight, disjoint,
+    sorted z-value intervals whose union covers every point inside it.
+
+    This is the driver-side twin of the reference's index-guided bucket
+    search: ``Index.findBucketsInRange`` scans the single z-window but then
+    *discards* subspaces whose decoded rectangle misses the query rectangle
+    (``Index.java:155-162``). A lone ``[zip(min), zip(max)]`` window can be
+    almost the whole keyspace for a thin rectangle straddling a high z
+    split; the cover keeps only quad-trie cells that actually intersect,
+    so on a z-sorted table the scan prunes to the row groups/files these
+    intervals touch — O(selected), not O(window).
+
+    Algorithm: refine the quad-trie (one z-bit per level, exactly the
+    bucket naming scheme of ``Index.java:54-57``) budget-first — a
+    max-heap of straddling cells, always splitting the one with the
+    largest z-span, so refinement concentrates where it buys the most and
+    adapts to rectangle shape (a thin band refines across its long axis).
+    Cells fully inside emit their whole span; disjoint cells are dropped;
+    the surviving straddlers are emitted clamped. Adjacent intervals
+    merge; if still over ``max_intervals``, the smallest inter-interval
+    gaps are coalesced — always a superset, never lossy, so a residual
+    x/y predicate keeps results exact (the reference's residual is
+    ``RangeFilter``; ours is the pushed-down BETWEEN conjunction).
+    Driver cost is O(budget · log budget) with budget = 16·max_intervals,
+    independent of data and domain size.
+    """
+    import heapq
+
+    if rx[0] > rx[1] or ry[0] > ry[1]:
+        return []
+
+    def classify(z: int, pl: int) -> tuple[str, int]:
+        zhi = z | ((1 << (64 - pl)) - 1) if pl < 64 else z
+        xlo, ylo = zorder_decode_py(z)
+        xhi, yhi = zorder_decode_py(zhi)
+        if xhi < rx[0] or xlo > rx[1] or yhi < ry[0] or ylo > ry[1]:
+            return "out", zhi
+        if xlo >= rx[0] and xhi <= rx[1] and ylo >= ry[0] and yhi <= ry[1]:
+            return "in", zhi
+        return "straddle", zhi
+
+    done: list[tuple[int, int]] = []
+    heap: list[tuple[int, int, int]] = []  # (pl, z, zhi): shallowest first
+    kind, zhi0 = classify(0, 0)
+    if kind == "in":
+        done.append((0, zhi0))
+    elif kind == "straddle":
+        heap.append((0, 0, zhi0))
+    budget = max(256, max_intervals * 16)
+    while heap and len(done) + len(heap) < budget and heap[0][0] < 64:
+        pl, z, _ = heapq.heappop(heap)
+        for child in (z, z | (1 << (63 - pl))):
+            ckind, czhi = classify(child, pl + 1)
+            if ckind == "in":
+                done.append((child, czhi))
+            elif ckind == "straddle":
+                heapq.heappush(heap, (pl + 1, child, czhi))
+    done.extend((z, zhi) for _, z, zhi in heap)
+
+    # straddler cells spill past the naive [zip(min),zip(max)] window;
+    # every in-rectangle z lies inside it, so clamp (tightens for free)
+    lo = zorder_encode_py(rx[0], ry[0])
+    hi = zorder_encode_py(rx[1], ry[1])
+    done = [(max(a, lo), min(b, hi)) for a, b in done if b >= lo and a <= hi]
+    done.sort()
+    intervals: list[tuple[int, int]] = []
+    for a, b in done:
+        if intervals and a <= intervals[-1][1] + 1:
+            intervals[-1] = (intervals[-1][0], max(intervals[-1][1], b))
+        else:
+            intervals.append((a, b))
+    k = len(intervals) - max_intervals
+    if k > 0:
+        # coalesce across the k smallest gaps — still a cover, slightly
+        # looser; merges are independent, so one sorted pass suffices
+        gaps = sorted(
+            (intervals[i + 1][0] - intervals[i][1], i)
+            for i in range(len(intervals) - 1)
+        )
+        merge_after = {i for _, i in gaps[:k]}
+        out: list[tuple[int, int]] = []
+        for i, iv in enumerate(intervals):
+            if out and (i - 1) in merge_after:
+                out[-1] = (out[-1][0], iv[1])
+            else:
+                out.append(iv)
+        intervals = out
+    return intervals
 
 
 # SQL text twins (ANSI / DuckDB-compatible) for oracle_sql(): the same
