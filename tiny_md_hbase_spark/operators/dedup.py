@@ -119,14 +119,17 @@ def dedup_minhash(
     rows_per_band = num_hashes // bands
     # spread the docs before the (expensive) signature projection — a
     # single-file source would otherwise compute every signature on 1-2
-    # cores
+    # cores. Then pin the signature/shingle tables with localCheckpoint:
+    # they are read by BOTH sides of the band join and twice by the verify
+    # joins, and without materialization every consumer re-runs the whole
+    # shingle pass (the dominant cost, and the JIT-variance hotspot)
     docs = documents.repartition(
         documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
-    sh_df = docs.select("doc_id", shingles("text", n).alias("sh"))
+    sh_df = docs.select("doc_id", shingles("text", n).alias("sh")).localCheckpoint()
     sig_df = docs.select(
         "doc_id", minhash_signature("text", num_hashes, n).alias("sig")
-    )
+    ).localCheckpoint()
     # band keys only — the LSH join shuffles (doc_id, band, bhash) rows,
     # never shingle sets or text
     banded = sig_df.select(
@@ -218,9 +221,15 @@ def dedup_simhash(
     exact hamming verify via bit_count(xor). Returns (doc_a, doc_b,
     hamming)."""
     width = 64 // bands
-    sh_df = documents.repartition(
-        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", simhash("text").alias("sh"))
+    # repartition raw rows first (single-file source), materialize once:
+    # both sides of the band self-join read the fingerprint table
+    sh_df = (
+        documents.repartition(
+            documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select("doc_id", simhash("text").alias("sh"))
+        .localCheckpoint()
+    )
     banded = sh_df.select(
         "doc_id",
         "sh",
@@ -279,32 +288,41 @@ def ngram_jaccard(
     # Set cardinalities are unchanged barring a 64-bit collision *within
     # one document pair's shingle sets* (~1e-15 per pair) — the value the
     # string-based SQL oracle computes
-    sh_df = documents.select(
-        F.col("doc_id"),
-        F.col(block_col).alias("blk"),
-        F.array_distinct(
-            F.transform(shingles("text", n), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
-    # lossless length-bucket blocking: J(A,B) >= t implies |A|/|B| >= t,
-    # and with bucket = floor(log_{1/t}(sz)) qualifying pairs differ by at
-    # most one bucket — so enumerating (bucket, bucket±1) join keys visits
-    # every qualifying pair exactly once while skipping size-incompatible
-    # ones entirely (the ratio residual below stays as the exact check)
+    # the corpus usually arrives as ONE parquet file: repartition the raw
+    # rows BEFORE the shingle projection (an exchange above the projection
+    # would leave the whole expensive pass on one core — measured 5-10x on
+    # this stage), then materialize with localCheckpoint so the broadcast
+    # build and the stream side share a single 52-hash-per-doc computation
+    # instead of each re-running the full shingle pass
     import math
 
-    log_base = math.log(1.0 / threshold)
-    bucket = F.floor(F.log(F.col("sz").cast("double")) / F.lit(log_base))
-    sh_df = sh_df.withColumn("lb", bucket.cast("int"))
-    # the block table usually arrives as ONE parquet file; with the small
-    # side broadcast, join parallelism = stream-side partitions, so spread
-    # the stream side or the whole O(pairs) verify stage runs on one core
     para = documents.sparkSession.sparkContext.defaultParallelism
-    a = (
-        sh_df.withColumn("lbp", F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)))
-        .repartition(para, "doc_id")
-        .alias("a")
+    log_base = math.log(1.0 / threshold)
+    sh_df = (
+        documents.repartition(para, "doc_id")
+        .select(
+            F.col("doc_id"),
+            F.col(block_col).alias("blk"),
+            F.array_distinct(
+                F.transform(shingles("text", n), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh"))
+        # lossless length-bucket blocking: J(A,B) >= t implies |A|/|B| >= t,
+        # and with bucket = floor(log_{1/t}(sz)) qualifying pairs differ by
+        # at most one bucket — so enumerating (bucket, bucket±1) join keys
+        # visits every qualifying pair exactly once while skipping
+        # size-incompatible ones entirely (the ratio residual below stays
+        # as the exact check)
+        .withColumn(
+            "lb",
+            F.floor(F.log(F.col("sz").cast("double")) / F.lit(log_base)).cast("int"),
+        )
+        .localCheckpoint()
     )
+    a = sh_df.withColumn(
+        "lbp", F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1))
+    ).alias("a")
     # force the broadcast: the join key (blk, length-bucket) has ~tens of
     # distinct values, so a sort-merge join would collapse to a few huge
     # tasks (observed 4x run-to-run flips when AQE chose it); broadcasting
@@ -428,16 +446,25 @@ def dedup_embedding(
     double-cast vectors, blocked to bound the pairwise term. Returns
     (vec_a, vec_b, cos_sim). The LSH route for unblocked data lives in
     operators/similarity.py."""
-    e = embeddings.select(
-        "vec_id",
-        F.col(block_col).alias("blk"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
-    )
     para = embeddings.sparkSession.sparkContext.defaultParallelism
-    a = e.repartition(para, "vec_id").alias("a")
+    e = (
+        embeddings.repartition(para, "vec_id")
+        .select(
+            "vec_id",
+            F.col(block_col).alias("blk"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn(
+            "norm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+                )
+            ),
+        )
+        .localCheckpoint()
+    )
+    a = e.alias("a")
     b = F.broadcast(e).alias("b")  # label has ~10 values: never sort-merge
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
