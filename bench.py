@@ -58,8 +58,12 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # warm the session (JVM/codegen/parquet footer caches) outside timing
+    # warm the session (JVM/codegen/parquet footer caches + Python UDF
+    # workers — a long-running cluster has both) outside timing
     qs["range_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(64).repartition(cpus).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     results: dict[str, float] = {}
     for key in BENCH_KEYS:

@@ -60,9 +60,16 @@ __all__ = [
 
 
 def cells(points: DataFrame) -> DataFrame:
-    """Per-z-cell point counts — the single pass over the raw data."""
+    """Per-z-cell point counts — the single pass over the raw data.
+
+    The raw rows are spread across the session's parallelism BEFORE the
+    encode+partial-agg stage: a single-file source would otherwise run
+    the whole Morton pass on one core (the exchange that groupBy inserts
+    sits *above* the partial aggregation, not below it)."""
     zcol = F.col("zvalue") if "zvalue" in points.columns else zvalue("x", "y")
-    return points.select(zcol.alias("z")).groupBy("z").agg(
+    para = points.sparkSession.sparkContext.defaultParallelism
+    spread = points if points.rdd.getNumPartitions() >= para // 2 else points.repartition(para)
+    return spread.select(zcol.alias("z")).groupBy("z").agg(
         F.count("*").alias("c")
     )
 
@@ -109,7 +116,16 @@ def index_build(
     spark = points.sparkSession
     cell_df = cells(points).localCheckpoint()
 
-    cd = min(coarse_depth, max_depth)
+    # Anchor the coarse depth to the POPULATED subspace, not bit 0: when
+    # the data lives in a small corner of the 64-bit keyspace (e.g. a
+    # 12-bit/axis domain occupies only the low 24 z-bits), a fixed depth
+    # of 16 yields ONE coarse bucket and the whole fine phase collapses
+    # into a single task. Descend to (shared prefix of zmin/zmax) +
+    # coarse_depth-2 instead — same bounded row count (≤ 2^(coarse_depth-2)),
+    # but the buckets subdivide the space the data actually occupies.
+    zr = cell_df.agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()[0]
+    shared = 64 - ((zr.lo ^ zr.hi).bit_length()) if zr.lo is not None else 0
+    cd = min(max(shared, ROOT_PL) + coarse_depth - 2, max_depth)
     coarse = (
         cell_df.groupBy(_bucket_of(F.col("z"), cd).alias("b"))
         .agg(F.sum("c").alias("cnt"))
@@ -132,21 +148,33 @@ def index_build(
         F.broadcast(tail_keys), "tb"
     )
 
-    def _build_tail(pdf):
+    # one Arrow group per TAIL would pay per-group overhead 2^14 times on
+    # fine-grained coarse depths; hash the tails into ~4x-parallelism
+    # batches instead and solve every tail inside its batch — group count
+    # (and so Arrow/worker overhead) is fixed regardless of tail count,
+    # while the hash keeps batches load-balanced
+    n_batches = 4 * spark.sparkContext.defaultParallelism
+
+    def _build_batch(pdf):
         import pandas as pd
 
-        tb = int(pdf["tb"].iloc[0])
-        sub = index_build_py(
-            list(zip((int(z) for z in pdf["z"]), (int(c) for c in pdf["c"]))),
-            threshold=threshold,
-            max_depth=max_depth,
-            root_z=tb,
-            root_pl=cd,
-        )
-        return pd.DataFrame(sub, columns=["bucket_z", "pl", "size"])
+        out: list[tuple[int, int, int]] = []
+        for tb, g in pdf.groupby("tb"):
+            out.extend(
+                index_build_py(
+                    list(zip((int(z) for z in g["z"]), (int(c) for c in g["c"]))),
+                    threshold=threshold,
+                    max_depth=max_depth,
+                    root_z=int(tb),
+                    root_pl=cd,
+                )
+            )
+        return pd.DataFrame(out, columns=["bucket_z", "pl", "size"])
 
-    sub_df = tail_cells.groupBy("tb").applyInPandas(
-        _build_tail, "bucket_z long, pl int, size long"
+    sub_df = tail_cells.withColumn(
+        "batch", F.pmod(F.xxhash64("tb"), F.lit(n_batches))
+    ).groupBy("batch").applyInPandas(
+        _build_batch, "bucket_z long, pl int, size long"
     )
     index = top_df.unionByName(sub_df).cache()
     index.count()
