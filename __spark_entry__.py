@@ -117,6 +117,22 @@ def _q_floor_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IX.floor_lookup(idx, Z.zorder_encode_py(*KNN_Q))
 
 
+def _q_bucket_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of/floor join at table scale: every point routed to its owning
+    bucket via the prefix equi-join (no inequality join), occupancy
+    aggregated per bucket (Index.fetchBucket, Index.java:115-122)."""
+    pts = points(spark, sf_dir)
+    return IX.bucket_route(pts, IX.index_build(pts))
+
+
+def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SES.windowed_counts(load_table(spark, sf_dir, "events"))
+
+
+def _q_text_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.text_stats_rollup(load_table(spark, sf_dir, "documents"))
+
+
 def _q_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """prefix_match as a query: count points sharing the 8-bit z-prefix
     of the pinned kNN query point (Utils.prefixMatch, Utils.java:94-105)."""
@@ -350,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_build": _q_index_build,
         "index_inspect": _q_index_inspect,
         "floor_lookup": _q_floor_lookup,
+        "bucket_route": _q_bucket_route,
         "insert_append": _q_insert_append,
         "prefix_match": _q_prefix_match,
         "id_gen": _q_id_gen,
@@ -368,12 +385,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_doc_fingerprint,
         "sessionize": _q_sessionize,
+        "windowed_counts": _q_windowed_counts,
         "dedup_clusters": _q_dedup_clusters,
         "spatial_histogram": _q_spatial_histogram,
         "embedding_knn_batch": _q_embedding_knn_batch,
         "corpus_clean": _q_corpus_clean,
         "top_tokens": _q_top_tokens,
         "text_percentiles": _q_text_percentiles,
+        "text_stats_rollup": _q_text_stats_rollup,
         "multimodal_features": _q_multimodal_features,
         "zorder3d_encode": _q_zorder3d_encode,
         "range_count_3d": _q_range_count_3d,
@@ -484,6 +503,15 @@ def oracle_sql() -> dict[str, str]:
             f"{_index_cte()} SELECT bucket_z, pl, size FROM leafidx "
             f"WHERE bucket_z <= {Z.zorder_encode_py(*KNN_Q)} "
             "ORDER BY bucket_z DESC LIMIT 1"
+        ),
+        # floor semantics on a prefix-free complete cover == containment:
+        # the ASOF JOIN (greatest bucket_z <= z) is the oracle twin of the
+        # prefix equi-join route
+        "bucket_route": (
+            f"{_index_cte()} SELECT i.bucket_z, i.pl, "
+            "CAST(sum(zc.c) AS BIGINT) AS n_points "
+            "FROM zcells zc ASOF JOIN leafidx i ON zc.z >= i.bucket_z "
+            "GROUP BY i.bucket_z, i.pl"
         ),
         "insert_append": (
             f"{_POINTS_CTE}, batch(id, x, y) AS (VALUES "
@@ -661,6 +689,13 @@ def oracle_sql() -> dict[str, str]:
             "AND t BETWEEN 1 AND 4"
         ),
         "sessionize": SES.sessionize_sql(),
+        "windowed_counts": SES.windowed_counts_sql(),
+        "text_stats_rollup": (
+            "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(max(n_chars) AS BIGINT) AS max_chars "
+            "FROM documents GROUP BY ROLLUP (lang, source)"
+        ),
         "dedup_clusters": (
             "WITH RECURSIVE toks_t AS (SELECT doc_id, lang, "
             f"{_TOKS} AS toks FROM documents), "

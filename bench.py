@@ -38,6 +38,8 @@ BENCH_KEYS = [
     "quality_score",
     "doc_fingerprint",
     "sessionize",
+    "windowed_counts",
+    "text_stats_rollup",
     "dedup_clusters",
     "spatial_histogram",
     "embedding_knn_batch",

@@ -113,3 +113,14 @@ def test_index_inspect_render(spark):
         stars = r.bucket_name.count("*")
         assert set(r.bucket_name[: 64 - stars]) <= {"0", "1"}
         assert r.bucket_name.endswith("*" * stars)
+
+
+def test_bucket_route_matches_index_sizes(spark, built):
+    pts, idx, rows = built
+    routed = {(r.bucket_z, r.pl): r.n_points for r in IX.bucket_route(pts, idx).collect()}
+    for r in rows:
+        if r.size > 0:
+            assert routed[(r.bucket_z, r.pl)] == r.size
+    # non-empty buckets only, and nothing routed outside the index
+    assert set(routed) <= {(r.bucket_z, r.pl) for r in rows}
+    assert sum(routed.values()) == pts.count()

@@ -199,3 +199,14 @@ def test_top_tokens_counts_and_rank(spark):
     assert got[("en", 2)] == ("b", 4)
     assert got[("de", 1)] == ("x", 1)
     assert len(rows) == 4
+
+def test_text_stats_rollup_subtotals(docs):
+    rows = T.text_stats_rollup(docs).collect()
+    total = [r for r in rows if r.lang is None and r.source is None]
+    assert len(total) == 1 and total[0].n_docs == docs.count()
+    per_lang = {r.lang: r.n_docs for r in rows if r.lang is not None and r.source is None}
+    leaf = {}
+    for r in rows:
+        if r.lang is not None and r.source is not None:
+            leaf[r.lang] = leaf.get(r.lang, 0) + r.n_docs
+    assert per_lang == leaf

@@ -94,3 +94,11 @@ def test_stream_sessionize_matches_batch(spark, sf_dir):
         assert len(streamed) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_windowed_counts_totals(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = SES.windowed_counts(ev).collect()
+    assert sum(r.n_events for r in out) == ev.count()
+    hour = SES.HOUR_US
+    assert all(r.window_start_us % hour == 0 for r in out)

@@ -256,3 +256,34 @@ def floor_lookup_batch(index: DataFrame, probes: DataFrame) -> DataFrame:
             F.max_by("_size", "_bz").alias("size"),
         )
     )
+
+
+def bucket_route(points: DataFrame, index: DataFrame) -> DataFrame:
+    """Route every point to its owning bucket and count occupancy per
+    bucket — the table-sized generalization of the reference's per-point
+    ``getRowOrBefore`` routing (``Index.fetchBucket``, ``Index.java:115-122``)
+    and the batch heart of ``notifyInsertion`` accounting.
+
+    Scale shape: a floor/as-of join against a prefix-free index needs NO
+    inequality join (which would nested-loop at O(points x buckets)).
+    Because the leaves partition the keyspace by bit-prefix, a z-value's
+    owning bucket is the unique leaf with ``bucket_z == z & mask(pl)`` —
+    so we explode each (distinct) z over the index's ~tens of distinct
+    prefix LENGTHS and equi-join on (masked z, pl). The join shuffles
+    short keys, broadcast-hints the index, and parallelizes like any
+    hash join; cells pre-aggregate so each distinct z routes once.
+
+    Returns (bucket_z, pl, n_points); equals the index's own (bucket_z,
+    pl, size) for every non-empty bucket by construction.
+    """
+    pls = sorted(r.pl for r in index.select("pl").distinct().collect())
+    zc = cells(points)
+    cand = zc.withColumn("pl", F.explode(F.array(*[F.lit(p) for p in pls])))
+    masked = cand.withColumn(
+        "bucket_z", F.col("z").bitwiseAND(make_mask(F.col("pl")))
+    )
+    return (
+        masked.join(F.broadcast(index.select("bucket_z", "pl")), ["bucket_z", "pl"])
+        .groupBy("bucket_z", "pl")
+        .agg(F.sum("c").alias("n_points"))
+    )

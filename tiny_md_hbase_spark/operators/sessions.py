@@ -85,3 +85,40 @@ def sessionize_sql(gap_us: int = SESSION_GAP_US) -> str:
         "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
         "AS sum_value_micros FROM sess GROUP BY user_id, session_seq"
     )
+
+
+HOUR_US = 3600 * 1_000_000
+
+
+def windowed_counts(events: DataFrame, window_us: int = HOUR_US) -> DataFrame:
+    """Tumbling-window counts/sums per event_type — the batch twin of
+    ``streaming.ingest.stream_windowed_counts`` (same grouping, no
+    watermark needed at rest). Window assignment is exact integer µs
+    arithmetic (``ts_us - ts_us % window``), which is what ``F.window``
+    computes for tumbling windows without the timestamp-type round trip —
+    keeping the result hashable across engines. One map-side partially
+    aggregated shuffle on (window, event_type)."""
+    ev = events.withColumn("ts_us", F.expr("ts div 1000"))
+    return (
+        ev.groupBy(
+            (F.col("ts_us") - F.col("ts_us") % window_us).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "sum_value_micros"
+            ),
+        )
+    )
+
+
+def windowed_counts_sql(window_us: int = HOUR_US) -> str:
+    """DuckDB twin of :func:`windowed_counts`."""
+    return (
+        "WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events) "
+        f"SELECT ts_us - ts_us % {window_us} AS window_start_us, event_type, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_micros FROM e GROUP BY 1, 2"
+    )

@@ -214,3 +214,15 @@ def doc_fingerprint_sql() -> str:
         "list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))), "
         f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
     )
+
+
+def text_stats_rollup(documents: DataFrame) -> DataFrame:
+    """Corpus statistics with subtotal rows: ROLLUP over (lang, source) —
+    per (lang, source), per lang, and grand total in one aggregation
+    (the reporting shape over a training corpus). NULL marks the
+    rolled-up dimensions, exactly as ANSI GROUP BY ROLLUP."""
+    return documents.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
