@@ -40,8 +40,12 @@ ENTRY_RECT_Y = (1024, 3071)
 KNN_Q = (2048, 2048)
 KNN_K = 10
 RENDER_PL = 12
+DIST_JOIN_R = 4
+KNN_JOIN_QS = [(0, 512, 512), (1, 2048, 2048), (2, 4000, 100)]
 
 _POINTS_CTE = f"WITH points AS ({POINTS_SQL})"
+# distance_join grid-cell side: 2^cell_bits >= radius (spatial.distance_join)
+_DJ_SIDE = 1 << max(1, (DIST_JOIN_R - 1).bit_length())
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -88,6 +92,20 @@ def _q_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.knn(points(spark, sf_dir), *KNN_Q, KNN_K)
+
+
+def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join: all point pairs within DIST_JOIN_R, grid-cell
+    blocked (one hash-join shuffle, no cross join)."""
+    return spatial.distance_join(points(spark, sf_dir), DIST_JOIN_R)
+
+
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact kNN over the pinned probe set via expanding-window
+    candidate pruning + per-probe rank."""
+    return spatial.knn_join(
+        points(spark, sf_dir), KNN_JOIN_QS, KNN_K, domain_max=4095
+    )
 
 
 def _q_zorder_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,6 +378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_count": _q_range_count,
         "point_get": _q_point_get,
         "knn": _q_knn,
+        "distance_join": _q_distance_join,
+        "knn_join": _q_knn_join,
         "zorder_encode": _q_zorder_encode,
         "zorder_decode": _q_zorder_decode,
         "prefix_render": _q_prefix_render,
@@ -484,6 +504,36 @@ def oracle_sql() -> dict[str, str]:
             f"{_POINTS_CTE} SELECT id, x, y, dist_sq, sqrt(dist_sq) AS dist "
             f"FROM (SELECT id, x, y, CAST({dist_sq} AS BIGINT) AS dist_sq "
             f"FROM points) ORDER BY dist_sq, id, x, y LIMIT {KNN_K}"
+        ),
+        # same grid-cell blocking as the Spark plan (cell side >= radius,
+        # 3x3 neighborhood hash join) — a literal O(n^2) join oracle would
+        # not finish at sf0.01
+        "distance_join": (
+            f"{_POINTS_CTE}, c AS (SELECT id, x, y, "
+            f"x // {_DJ_SIDE} AS cx, y // {_DJ_SIDE} AS cy FROM points), "
+            "offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),"
+            "(0,1),(1,-1),(1,0),(1,1)) "
+            "SELECT a.id AS id_a, a.x AS x_a, a.y AS y_a, "
+            "b.id AS id_b, b.x AS x_b, b.y AS y_b, "
+            "CAST(a.x - b.x AS BIGINT) * (a.x - b.x) "
+            "+ CAST(a.y - b.y AS BIGINT) * (a.y - b.y) AS dist_sq "
+            "FROM c a JOIN offs o ON true "
+            "JOIN c b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy "
+            "WHERE (a.id, a.x, a.y) < (b.id, b.x, b.y) "
+            "AND CAST(a.x - b.x AS BIGINT) * (a.x - b.x) "
+            "+ CAST(a.y - b.y AS BIGINT) * (a.y - b.y) "
+            f"<= {DIST_JOIN_R * DIST_JOIN_R}"
+        ),
+        "knn_join": (
+            f"{_POINTS_CTE}, q(qid, qx, qy) AS (VALUES "
+            + ", ".join(f"({qid}, {qx}, {qy})" for qid, qx, qy in KNN_JOIN_QS)
+            + "), d AS (SELECT q.qid, p.id, p.x, p.y, "
+            "CAST(p.x - q.qx AS BIGINT) * (p.x - q.qx) "
+            "+ CAST(p.y - q.qy AS BIGINT) * (p.y - q.qy) AS dist_sq "
+            "FROM points p CROSS JOIN q) "
+            "SELECT qid, id, x, y, dist_sq FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY qid ORDER BY dist_sq, id, x, y) AS rn "
+            f"FROM d) t WHERE rn <= {KNN_K}"
         ),
         "zorder_encode": (
             f"{_POINTS_CTE} SELECT id, {zsql} AS zvalue FROM points"

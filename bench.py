@@ -35,6 +35,8 @@ BENCH_KEYS = [
     "text_stats",
     "token_count",
     "lang_id",
+    "distance_join",
+    "knn_join",
     "quality_score",
     "doc_fingerprint",
     "sessionize",

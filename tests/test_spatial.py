@@ -113,3 +113,50 @@ def test_point_get_lookup_self_contained(pts):
     min_id_row = pts.orderBy("id").limit(1).collect()[0]
     assert any(r.id == min_id_row.id for r in out)
     assert all((r.x, r.y) == (min_id_row.x, min_id_row.y) for r in out)
+
+
+def test_distance_join_matches_bruteforce(pts):
+    import numpy as np
+
+    radius = 4
+    rows = pts.collect()
+    arr = np.array([(r.id, r.x, r.y) for r in rows], dtype=np.int64)
+    d2 = (arr[:, 1][:, None] - arr[:, 1]) ** 2 + (arr[:, 2][:, None] - arr[:, 2]) ** 2
+    tuples = [tuple(t) for t in arr]
+    expect = set()
+    ii, jj = np.nonzero(d2 <= radius * radius)
+    for i, j in zip(ii, jj):
+        a, b = tuples[i], tuples[j]
+        if a < b:
+            expect.add((a, b, int(d2[i, j])))
+    got = {
+        ((r.id_a, r.x_a, r.y_a), (r.id_b, r.x_b, r.y_b), r.dist_sq)
+        for r in spatial.distance_join(pts, radius).collect()
+    }
+    assert got == expect
+
+
+def test_distance_join_cell_edges(spark):
+    # pair straddling a cell boundary must still meet via the neighborhood
+    df = spark.createDataFrame(
+        [(1, 3, 0), (2, 4, 0), (3, 100, 100), (4, 0, 3), (5, 0, 4)],
+        "id long, x int, y int",
+    )
+    got = {(r.id_a, r.id_b) for r in spatial.distance_join(df, 2).collect()}
+    assert got == {(1, 2), (4, 5)}
+
+
+def test_knn_join_matches_per_query_knn(pts):
+    qs = [(0, 512, 512), (1, 2048, 2048), (2, 4000, 100)]
+    k = 7
+    # tiny initial radius forces at least one widening round
+    got = spatial.knn_join(pts, qs, k, initial_radius=2, domain_max=4095)
+    by_qid = {}
+    for r in got.collect():
+        by_qid.setdefault(r.qid, []).append((r.dist_sq, r.id, r.x, r.y))
+    for qid, qx, qy in qs:
+        expect = [
+            (r.dist_sq, r.id, r.x, r.y)
+            for r in spatial.knn(pts, qx, qy, k).collect()
+        ]
+        assert by_qid[qid] == expect

@@ -34,6 +34,8 @@ __all__ = [
     "point_get",
     "knn",
     "full_scan",
+    "distance_join",
+    "knn_join",
 ]
 
 
@@ -191,6 +193,175 @@ def spatial_histogram(points: DataFrame, cell_bits: int = 4) -> DataFrame:
         .agg(F.count("*").alias("n_points"))
         .select("grid_x", "grid_y", "n_points")
     )
+
+
+def distance_join(points: DataFrame, radius: int, cell_bits: int | None = None) -> DataFrame:
+    """All pairs of points within Euclidean distance ``radius`` — the
+    spatial self-join the reference's bucket machinery gestures at but
+    never ships (its only two-table interaction is index→data lookup,
+    ``Index.java:144-164``; SURVEY.md §2.5 lists joins as absent).
+
+    Scale shape: a naive formulation is an O(n²) cross join. Grid-cell
+    blocking turns it into one shuffle hash join on short keys: each
+    point hashes to its home cell of side ``2^cell_bits >= radius``; the
+    probe side explodes over the FORWARD half of the 3x3 cell
+    neighborhood only — (0,0),(0,1),(1,-1),(1,0),(1,1) — an
+    antisymmetric set, so every cross-cell pair meets in exactly one
+    direction (5/9 the candidate volume of the full neighborhood) and
+    same-cell pairs dedup by strict tuple order. Work is O(n * local
+    density), partitions are cells (AQE splits skewed ones), and nothing
+    is broadcast or collected — the same plan runs on 100 TB. Output
+    pairs are canonicalized to (lesser (id,x,y) tuple, greater),
+    deterministic even though fixture ids are not unique.
+    """
+    if cell_bits is None:
+        cell_bits = max(1, (radius - 1).bit_length())
+    if (1 << cell_bits) < radius:
+        raise ValueError("cell side 2^cell_bits must be >= radius")
+    # single-file sources scan with ~3 tasks; the 9x explode + shuffle
+    # write must run at full parallelism, so repartition the RAW rows
+    # first, and materialize the cell table once — both sides of the
+    # self-join consume it (a 100 TB source arrives pre-partitioned and
+    # skips the repartition branch)
+    para = points.sparkSession.sparkContext.defaultParallelism
+    if points.rdd.getNumPartitions() < para // 2:
+        points = points.repartition(para)
+    cells_df = points.select(
+        "id",
+        "x",
+        "y",
+        F.shiftright("x", cell_bits).alias("cx"),
+        F.shiftright("y", cell_bits).alias("cy"),
+    ).localCheckpoint()
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(dx == 0 and dy == 0).alias("same"),
+            )
+            for dx, dy in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+        ]
+    )
+    probe = (
+        cells_df.select("id", "x", "y", "cx", "cy", F.explode(offsets).alias("o"))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("x_a"),
+            F.col("y").alias("y_a"),
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+            F.col("o.same").alias("same"),
+        )
+    )
+    home = cells_df.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("x_b"),
+        F.col("y").alias("y_b"),
+        "cx",
+        "cy",
+    )
+    dx = F.col("x_a").cast("long") - F.col("x_b")
+    dy = F.col("y_a").cast("long") - F.col("y_b")
+    sa = F.struct(
+        F.col("id_a").alias("id"), F.col("x_a").alias("x"), F.col("y_a").alias("y")
+    )
+    sb = F.struct(
+        F.col("id_b").alias("id"), F.col("x_b").alias("x"), F.col("y_b").alias("y")
+    )
+    return (
+        probe.join(home, ["cx", "cy"])
+        # same-cell: strict order dedups the pair (and drops self/identical
+        # tuples); cross-cell: the forward offset set already met the pair
+        # exactly once, any orientation passes
+        .filter(~F.col("same") | (sa < sb))
+        .withColumn("dist_sq", dx * dx + dy * dy)
+        .filter(F.col("dist_sq") <= radius * radius)
+        .select(F.least(sa, sb).alias("lo"), F.greatest(sa, sb).alias("hi"), "dist_sq")
+        .select(
+            F.col("lo.id").alias("id_a"),
+            F.col("lo.x").alias("x_a"),
+            F.col("lo.y").alias("y_a"),
+            F.col("hi.id").alias("id_b"),
+            F.col("hi.x").alias("x_b"),
+            F.col("hi.y").alias("y_b"),
+            "dist_sq",
+        )
+    )
+
+
+def knn_join(
+    points: DataFrame,
+    queries: list[tuple[int, int, int]],
+    k: int,
+    initial_radius: int = 64,
+    domain_max: int = 2**31 - 1,
+) -> DataFrame:
+    """Batched exact kNN: for each (qid, qx, qy) query point, the k
+    nearest data points — ``Client.nearestNeighbor`` (``Client.java:
+    92-152``) lifted from one probe to a probe *set*, the shape an
+    embedding/feature pipeline actually runs.
+
+    Scale shape: never cross-join the table against the probes. Each
+    round broadcasts the tiny probe table, keeps only points inside each
+    probe's current square window (a pushed-down rectangle — on a
+    z-sorted layout only overlapping row groups are read), ranks
+    candidates per probe with one window function over the pruned set,
+    and accepts a probe once its k-th hit lies within the window radius
+    (everything unscanned is farther). Unaccepted probes double their
+    radius; rounds are O(log(r_true/r_0)). Rows entering the rank
+    shuffle are only the candidate neighborhoods, not the table.
+
+    Exact, same total-order tiebreak as :func:`knn`.
+    """
+    from pyspark.sql import Window
+
+    spark = points.sparkSession
+    schema = "qid int, id long, x int, y int, dist_sq long"
+    done: dict[int, list] = {}
+    pending = list(queries)
+    r = initial_radius
+    while pending:
+        qdf = spark.createDataFrame(pending, "qid int, qx int, qy int")
+        cand = points.join(
+            F.broadcast(qdf),
+            F.col("x").between(F.col("qx") - r, F.col("qx") + r)
+            & F.col("y").between(F.col("qy") - r, F.col("qy") + r),
+        )
+        dx = F.col("x").cast("long") - F.col("qx")
+        dy = F.col("y").cast("long") - F.col("qy")
+        ranked = (
+            cand.withColumn("dist_sq", dx * dx + dy * dy)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy("dist_sq", "id", "x", "y")
+                ),
+            )
+            .filter(F.col("rn") <= k)
+            .select("qid", "id", "x", "y", "dist_sq")
+            .collect()
+        )
+        hits: dict[int, list] = {}
+        for row in ranked:
+            hits.setdefault(row.qid, []).append(row)
+        still = []
+        for qid, qx, qy in pending:
+            h = hits.get(qid, [])
+            covered = (
+                qx - r <= 0
+                and qy - r <= 0
+                and qx + r >= domain_max
+                and qy + r >= domain_max
+            )
+            if (len(h) == k and h[-1].dist_sq <= r * r) or covered:
+                done[qid] = h
+            else:
+                still.append((qid, qx, qy))
+        pending = still
+        r *= 2
+    rows = [row for qid in sorted(done) for row in done[qid]]
+    return spark.createDataFrame(rows, schema)
 
 
 def knn_indexed(
