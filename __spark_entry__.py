@@ -174,6 +174,48 @@ def _q_id_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compact_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-then-compact lifecycle (writer.compact_points_table — the
+    HBase major-compaction analog behind the reference's store): two
+    z-sorted batches appended (file z-spans overlap, pruning degrades),
+    then one compaction rewrite (spans disjoint again). Returns the
+    layout observables per stage; rows-only check — physical layout has
+    no DuckDB analog."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.sources import writer as WR
+
+    d = tempfile.mkdtemp(prefix="compact_")
+    try:
+        pts = points(spark, sf_dir)
+        path = f"{d}/points"
+        WR.write_points_zsorted(pts.filter(F.col("id") % 2 == 0), path, 4)
+        WR.write_points_zsorted(
+            pts.filter(F.col("id") % 2 == 1), path, 4, mode="append"
+        )
+        before = WR.file_z_spans(spark, path).collect()
+        WR.compact_points_table(spark, d, num_partitions=8)
+        after = WR.file_z_spans(spark, path).collect()
+        rows_kept = int(
+            sum(r.n_rows for r in before)
+            == sum(r.n_rows for r in after)
+            == pts.count()
+        )
+        return spark.createDataFrame(
+            [
+                ("files_before", len(before)),
+                ("overlap_pairs_before", WR.overlapping_span_pairs(before)),
+                ("files_after", len(after)),
+                ("overlap_pairs_after", WR.overlapping_span_pairs(after)),
+                ("rows_preserved", rows_kept),
+            ],
+            "metric string, value long",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """table_create / insert_append / table_drop (Index.java:77-105,
     Client.java:217-224) driven end-to-end against a scratch path;
@@ -391,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_match": _q_prefix_match,
         "id_gen": _q_id_gen,
         "table_lifecycle": _q_table_lifecycle,
+        "compact_layout": _q_compact_layout,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,

@@ -98,3 +98,49 @@ def test_zcover_requires_materialized_zvalue(zsorted):
     pts, _ = zsorted
     with pytest.raises(ValueError):
         spatial.z_cover_predicate(pts, (0, 10), (0, 10))
+
+
+def test_append_then_compact_restores_clustering(spark, sf_dir):
+    import shutil
+
+    from tiny_md_hbase_spark.sources.writer import (
+        compact_points_table,
+        file_z_spans,
+        overlapping_span_pairs,
+    )
+
+    pts = points(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="compact_t_")
+    try:
+        path = f"{d}/points"
+        write_points_zsorted(pts.filter(F.col("id") % 2 == 0), path, 4)
+        write_points_zsorted(pts.filter(F.col("id") % 2 == 1), path, 4, mode="append")
+        before = file_z_spans(spark, path).collect()
+        assert len(before) == 8
+        # two independently range-partitioned batches must overlap in z
+        assert overlapping_span_pairs(before) > 0
+        rect = ((512, 1535), (1024, 3071))
+        want = spatial.range_query(pts, *rect).count()
+        assert spatial.range_query(load_points_zsorted(spark, path), *rect).count() == want
+
+        compact_points_table(spark, d, num_partitions=8)
+        after = file_z_spans(spark, path).collect()
+        assert overlapping_span_pairs(after) == 0
+        assert sum(r.n_rows for r in after) == pts.count()
+        # query results unchanged by the rewrite
+        assert spatial.range_query(load_points_zsorted(spark, path), *rect).count() == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_overlapping_span_pairs_counts():
+    from collections import namedtuple
+
+    from tiny_md_hbase_spark.sources.writer import overlapping_span_pairs
+
+    S = namedtuple("S", "min_z max_z")
+    assert overlapping_span_pairs([S(0, 1), S(2, 3), S(4, 5)]) == 0
+    assert overlapping_span_pairs([S(0, 10), S(5, 15), S(12, 20)]) == 2
+    assert overlapping_span_pairs([S(0, 10), S(0, 10), S(0, 10)]) == 3
+    # touching endpoints count as overlap (closed z-intervals)
+    assert overlapping_span_pairs([S(0, 5), S(5, 9)]) == 1

@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tiny_md_hbase_spark.zorder import zvalue
 
-__all__ = ["with_zvalue", "write_points_zsorted", "load_points_zsorted"]
+__all__ = [
+    "with_zvalue",
+    "write_points_zsorted",
+    "load_points_zsorted",
+    "compact_points_table",
+    "file_z_spans",
+    "overlapping_span_pairs",
+]
 
 
 def with_zvalue(points: DataFrame) -> DataFrame:
@@ -36,20 +43,26 @@ def with_zvalue(points: DataFrame) -> DataFrame:
 
 
 def write_points_zsorted(
-    points: DataFrame, path: str, num_partitions: int | None = None
+    points: DataFrame,
+    path: str,
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize a points DataFrame as a z-clustered Parquet table.
 
     ``num_partitions`` sizes the output files; default leaves it to the
     session's shuffle parallelism (on a cluster: pick so each file lands
     near the HDFS block / object-store sweet spot, e.g. total_bytes/512MB).
+    ``mode="append"`` adds a new z-sorted batch whose file spans overlap
+    the existing ones — pruning degrades until the next compaction, the
+    same way HBase memstore flushes stack up HFiles.
     """
     enc = with_zvalue(points)
     if num_partitions:
         enc = enc.repartitionByRange(num_partitions, "zvalue")
     else:
         enc = enc.repartitionByRange("zvalue")
-    enc.sortWithinPartitions("zvalue").write.mode("overwrite").parquet(path)
+    enc.sortWithinPartitions("zvalue").write.mode(mode).parquet(path)
 
 
 def load_points_zsorted(spark: SparkSession, path: str) -> DataFrame:
@@ -80,3 +93,34 @@ def compact_points_table(
     enc.sortWithinPartitions("zvalue").write.mode("overwrite").parquet(tmp_path)
     shutil.rmtree(pts_path)
     shutil.move(tmp_path, pts_path)
+
+
+def file_z_spans(spark: SparkSession, pts_path: str) -> DataFrame:
+    """Per-file z-span and row count of a stored points table: one
+    map-side aggregation grouped on ``input_file_name()`` — the direct
+    observable of clustering health (what the parquet footer min/max
+    stats expose to the pruner). Columns: (file, min_z, max_z, n_rows).
+    """
+    from pyspark.sql import functions as F
+
+    df = with_zvalue(spark.read.parquet(pts_path))
+    return df.groupBy(F.input_file_name().alias("file")).agg(
+        F.min("zvalue").alias("min_z"),
+        F.max("zvalue").alias("max_z"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def overlapping_span_pairs(spans: list) -> int:
+    """Number of file pairs whose z-spans overlap (driver-side: the file
+    list is index-table-sized, thousands at most). 0 == perfectly
+    clustered: every z-window query prunes to at most one file per
+    boundary. Sweep-line O(f log f)."""
+    ivals = sorted((r.min_z, r.max_z) for r in spans)
+    pairs = 0
+    active: list[int] = []  # max_z of open intervals
+    for lo, hi in ivals:
+        active = [m for m in active if m >= lo]
+        pairs += len(active)
+        active.append(hi)
+    return pairs
