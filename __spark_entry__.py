@@ -147,6 +147,48 @@ def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.windowed_counts(load_table(spark, sf_dir, "events"))
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup end-to-end: the events table delivered TWICE
+    into a scratch stream source (at-least-once redelivery), drained
+    through the watermarked ``dropDuplicatesWithinWatermark`` operator —
+    survivors must equal the original table (event_id is unique in the
+    fixture)."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming import ingest as ING
+
+    d = tempfile.mkdtemp(prefix="sdedup_q_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.parquet(f"{d}/src")
+        ev.write.mode("append").parquet(f"{d}/src")
+        q = (
+            ING.stream_dedup_events(spark, f"{d}/src")
+            .writeStream.format("memory")
+            .queryName("q_stream_dedup_sink")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table("q_stream_dedup_sink")
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.unix_micros("ts").alias("ts_us"),
+                "value",
+            )
+            # detach from the memory sink before the scratch dir goes away
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_text_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.text_stats_rollup(load_table(spark, sf_dir, "documents"))
 
@@ -449,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "sessionize": _q_sessionize,
         "windowed_counts": _q_windowed_counts,
+        "stream_dedup": _q_stream_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "spatial_histogram": _q_spatial_histogram,
         "embedding_knn_batch": _q_embedding_knn_batch,
@@ -783,6 +826,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sessionize": SES.sessionize_sql(),
         "windowed_counts": SES.windowed_counts_sql(),
+        # streaming dedup of a twice-delivered source == the original table
+        "stream_dedup": (
+            "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, "
+            "value FROM events"
+        ),
         "text_stats_rollup": (
             "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "

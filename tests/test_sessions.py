@@ -102,3 +102,28 @@ def test_windowed_counts_totals(spark, sf_dir):
     assert sum(r.n_events for r in out) == ev.count()
     hour = SES.HOUR_US
     assert all(r.window_start_us % hour == 0 for r in out)
+
+
+def test_stream_dedup_drops_redeliveries(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="sdedup_")
+    try:
+        ev = load_table(spark, sf_dir, "events").limit(2000)
+        # simulate at-least-once delivery: the same batch lands twice
+        ev.write.parquet(f"{tmp}/src")
+        ev.write.mode("append").parquet(f"{tmp}/src")
+        q = (
+            ING.stream_dedup_events(spark, f"{tmp}/src")
+            .writeStream.format("memory")
+            .queryName("stream_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("SELECT event_id FROM stream_dedup").collect()
+        ids = [r.event_id for r in got]
+        assert len(ids) == len(set(ids))
+        assert set(ids) == {r.event_id for r in ev.select("event_id").collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -36,6 +36,7 @@ __all__ = [
     "stream_ingest_points",
     "stream_windowed_counts",
     "stream_sessionize",
+    "stream_dedup_events",
 ]
 
 # ts arrives as TIMESTAMP(NANOS) in the fixtures, surfaced as nanos-long
@@ -184,6 +185,33 @@ def stream_sessionize(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    source_dir: str,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event within
+    the watermark horizon — ``dropDuplicatesWithinWatermark``, the
+    streaming twin of ``dedup_exact``.
+
+    Scale shape: state holds one entry per distinct key seen within the
+    horizon and is evicted as the watermark advances — bounded by arrival
+    rate × horizon, independent of stream length. An unbounded
+    ``dropDuplicates`` would grow state forever; at-least-once sources
+    (Kafka, file redelivery) make this the correct default for an ingest
+    front-door. Keys default to the event identity (event_id); pass e.g.
+    a content hash column for payload-level dedup.
+    """
+    keys = keys or ["event_id"]
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(source_dir)
+        .withColumn("ts", ts_ts("ts"))
+    )
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def stream_windowed_counts(
