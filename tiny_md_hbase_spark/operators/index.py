@@ -9,36 +9,16 @@ prefix length 64 (``Index.java:201``). The final structure is a prefix
 trie whose leaves each hold ≤ threshold points (unless at max depth) —
 independent of insertion order.
 
-Batch construction here:
-
-1. ONE distributed shuffle: ``groupBy(zvalue)`` → per-cell counts. All
-   further work happens on this (much smaller) cell table — at 100 TB the
-   raw points are touched exactly once.
-2. An iterative refinement loop over the cells. Instead of splitting one
-   bit per round (≤ 62 rounds), each overfull bucket jumps directly to its
-   *bisection depth* — one past the common prefix of its min/max z — and
-   the reference's empty-sibling chain entries for the skipped levels are
-   generated arithmetically (they are fully determined: sibling of the
-   occupied child at each level, size 0). Every round therefore splits
-   every overfull bucket into two non-empty children, so rounds are
-   O(log(n/threshold)) instead of O(64), and each round's shuffle runs on
-   a strictly shrinking active set.
-
-The resulting index matches the reference's end state exactly, with exact
+Batch construction here is a two-phase coarse-to-fine build (details on
+:func:`index_build`): a bounded coarse aggregation solved exactly on the
+driver, then every still-overfull coarse bucket ("tail") solved as an
+independent sub-trie inside ``applyInPandas`` — one shuffle of the raw
+z rows, grouped into a fixed number of load-balanced batches. The
+resulting index matches the reference's end state exactly, with exact
 sizes (the reference's counters drift on id-overwrites, SURVEY.md §1.3).
-
-Scale note: the loop state (cells in still-overfull buckets) is a
-DataFrame throughout — nothing is collected to the driver — so the build
-scales to an index too large for one node. The overfull-bucket descriptor
-table joined each round is bounded by the number of *internal* trie nodes
-at that level and is broadcast only if small (Spark/AQE decides;
-``broadcast()`` is hinted because in practice it is tiny relative to the
-cell table).
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -112,23 +92,51 @@ def index_build(
     parallelize across executors by key. The per-tail kernel is Python,
     which is acceptable here: index construction is partitioner metadata
     (à la Sedona's quadtree build), not the per-row query path.
+
+    The raw z rows feed both phases directly — no per-cell pre-aggregation
+    pass: at realistic densities the distinct-z table is nearly as large
+    as the data (589 K cells from 600 K points on the fixture domain), so
+    a ``groupBy(z)`` + checkpoint costs two extra shuffles and buys
+    nothing. The coarse phase partial-aggregates map-side into ≤ 2^(cd-2)
+    keys, and the trie kernel accepts duplicate z entries, so the fine
+    phase needs exactly one shuffle (by tail batch). On a duplicate-heavy
+    domain (points per cell >> 1), reinstate :func:`cells` upstream.
     """
     spark = points.sparkSession
-    cell_df = cells(points).localCheckpoint()
 
     # Anchor the coarse depth to the POPULATED subspace, not bit 0: when
     # the data lives in a small corner of the 64-bit keyspace (e.g. a
     # 12-bit/axis domain occupies only the low 24 z-bits), a fixed depth
     # of 16 yields ONE coarse bucket and the whole fine phase collapses
-    # into a single task. Descend to (shared prefix of zmin/zmax) +
-    # coarse_depth-2 instead — same bounded row count (≤ 2^(coarse_depth-2)),
-    # but the buckets subdivide the space the data actually occupies.
-    zr = cell_df.agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()[0]
-    shared = 64 - ((zr.lo ^ zr.hi).bit_length()) if zr.lo is not None else 0
+    # into a single task. Descend to (shared prefix of the z-range
+    # bounds) + coarse_depth-2 instead — same bounded row count
+    # (≤ 2^(coarse_depth-2)), but the buckets subdivide the space the
+    # data actually occupies. The bounds come from per-axis min/max
+    # (one map-side-partial aggregation, no shuffle of rows):
+    # zip(xmin,ymin) / zip(xmax,ymax) bracket every z, so their common
+    # prefix is a valid (possibly slightly shallow) anchor.
+    from tiny_md_hbase_spark.zorder import zorder_encode_py
+
+    b = points.agg(
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+        F.min("y").alias("y0"),
+        F.max("y").alias("y1"),
+    ).collect()[0]
+    if b.x0 is None:
+        return spark.createDataFrame(
+            [(0, ROOT_PL, 0)], "bucket_z long, pl int, size long"
+        ).cache()
+    shared = 64 - (
+        (zorder_encode_py(b.x0, b.y0) ^ zorder_encode_py(b.x1, b.y1)).bit_length()
+    )
     cd = min(max(shared, ROOT_PL) + coarse_depth - 2, max_depth)
+
+    zcol = F.col("zvalue") if "zvalue" in points.columns else zvalue("x", "y")
+    enc = points.select(zcol.alias("z"))
     coarse = (
-        cell_df.groupBy(_bucket_of(F.col("z"), cd).alias("b"))
-        .agg(F.sum("c").alias("cnt"))
+        enc.groupBy(_bucket_of(F.col("z"), cd).alias("b"))
+        .agg(F.count("*").alias("cnt"))
         .collect()
     )
     top = index_build_py(
@@ -144,7 +152,7 @@ def index_build(
         return top_df.cache()
 
     tail_keys = spark.createDataFrame([(b,) for b in tails], "tb long")
-    tail_cells = cell_df.withColumn("tb", _bucket_of(F.col("z"), cd)).join(
+    tail_rows = enc.withColumn("tb", _bucket_of(F.col("z"), cd)).join(
         F.broadcast(tail_keys), "tb"
     )
 
@@ -162,7 +170,7 @@ def index_build(
         for tb, g in pdf.groupby("tb"):
             out.extend(
                 index_build_py(
-                    list(zip((int(z) for z in g["z"]), (int(c) for c in g["c"]))),
+                    [(int(z), 1) for z in g["z"]],
                     threshold=threshold,
                     max_depth=max_depth,
                     root_z=int(tb),
@@ -171,7 +179,7 @@ def index_build(
             )
         return pd.DataFrame(out, columns=["bucket_z", "pl", "size"])
 
-    sub_df = tail_cells.withColumn(
+    sub_df = tail_rows.withColumn(
         "batch", F.pmod(F.xxhash64("tb"), F.lit(n_batches))
     ).groupBy("batch").applyInPandas(
         _build_batch, "bucket_z long, pl int, size long"
