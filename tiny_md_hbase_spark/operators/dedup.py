@@ -31,6 +31,7 @@ __all__ = [
     "minhash_signature",
     "dedup_minhash",
     "simhash",
+    "simhash_table",
     "dedup_simhash",
     "ngram_jaccard",
     "dedup_embedding",
@@ -115,21 +116,40 @@ def dedup_minhash(
     The band join is the scale move: ~O(n) signature rows shuffle on
     short keys; only colliding pairs (expected: near-dups + few false
     positives) reach the exact verifier.
+
+    The signature is computed as explode(shingles) → one hash column →
+    ``num_hashes`` min-aggregates per doc_id, NOT as per-row
+    ``transform``/``array_min`` array expressions: higher-order array
+    functions are CodegenFallback (interpreted), so 32 of them per row
+    was the dominant cost; min() over a codegen'd hash expression with
+    map-side partial aggregation does the same math JVM-compiled, and
+    the shuffle carries one 32-int row per (doc, partition).
     """
     rows_per_band = num_hashes // bands
-    # spread the docs before the (expensive) signature projection — a
-    # single-file source would otherwise compute every signature on 1-2
-    # cores. Then pin the signature/shingle tables with localCheckpoint:
-    # they are read by BOTH sides of the band join and twice by the verify
-    # joins, and without materialization every consumer re-runs the whole
-    # shingle pass (the dominant cost, and the JIT-variance hotspot)
+    # spread the docs before the (expensive) shingle projection — a
+    # single-file source would otherwise compute every shingle set on 1-2
+    # cores. Then pin the shingle table with localCheckpoint: it feeds the
+    # signature aggregation AND both sides of the verify join, and without
+    # materialization every consumer re-runs the whole shingle pass
     docs = documents.repartition(
         documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     sh_df = docs.select("doc_id", shingles("text", n).alias("sh")).localCheckpoint()
-    sig_df = docs.select(
-        "doc_id", minhash_signature("text", num_hashes, n).alias("sig")
-    ).localCheckpoint()
+    h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31))
+    sig_df = (
+        sh_df.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.col("h") * F.lit(2 * i + 1) + F.lit(7919 * (i + 1)))
+                    % F.lit(_MERSENNE31)
+                ).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        )
+    )
     # band keys only — the LSH join shuffles (doc_id, band, bhash) rows,
     # never shingle sets or text
     banded = sig_df.select(
@@ -140,7 +160,12 @@ def dedup_minhash(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                            *[
+                                f"m{j}"
+                                for j in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
                         ).alias("bhash"),
                     )
                     for b in range(bands)
@@ -213,6 +238,42 @@ def simhash(text: Column | str, bits: int = 64, n: int = 1) -> Column:
     )
 
 
+def simhash_table(documents: DataFrame, bits: int = 64, n: int = 1) -> DataFrame:
+    """Per-document SimHash fingerprints as a table: explode shingle
+    hashes, ``bits`` conditional-sum vote aggregates per doc (all
+    codegen'd, map-side partial), then one projection folds the votes
+    into the fingerprint. Same math as :func:`simhash`, which evaluates
+    interpreted (``aggregate``/``zip_with`` are CodegenFallback) and is
+    kept as the single-expression form; this is the bulk path.
+    Columns: (doc_id, sh)."""
+    from functools import reduce as _reduce
+
+    ex = documents.select(
+        "doc_id", F.explode(shingles("text", n)).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = _reduce(
+        lambda a, b: a.bitwiseOR(b),  # Column | Column is logical OR
+        [
+            # shiftleft, not a Python literal: 1 << 63 overflows signed long
+            F.when(
+                F.col(f"v{j}") >= 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(bits)
+        ],
+    )
+    return votes.select("doc_id", fp.alias("sh"))
+
+
 def dedup_simhash(
     documents: DataFrame, max_hamming: int = 3, bands: int = 4
 ) -> DataFrame:
@@ -223,13 +284,11 @@ def dedup_simhash(
     width = 64 // bands
     # repartition raw rows first (single-file source), materialize once:
     # both sides of the band self-join read the fingerprint table
-    sh_df = (
+    sh_df = simhash_table(
         documents.repartition(
             documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
         )
-        .select("doc_id", simhash("text").alias("sh"))
-        .localCheckpoint()
-    )
+    ).localCheckpoint()
     banded = sh_df.select(
         "doc_id",
         "sh",
