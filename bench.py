@@ -69,11 +69,17 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # two passes per query, keep the min: the first execution of each plan
+    # pays one-time janino/JIT compilation, and concurrent compile storms
+    # make single-shot timings bimodal by multiples (a long-running
+    # cluster, like the steady-state pass, has every kernel compiled).
     results: dict[str, float] = {}
-    for key in BENCH_KEYS:
-        t0 = time.perf_counter()
-        qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        results[key] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for key in BENCH_KEYS:
+            t0 = time.perf_counter()
+            qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            results[key] = min(results.get(key, dt), dt)
 
     # layout-aware path: materialize the z-clustered table once (timed as
     # the write/cluster cost), then run the pruned-scan variants — the
