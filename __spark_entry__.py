@@ -306,6 +306,155 @@ def _q_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.range_count(pts.unionByName(batch), RECT_X, RECT_Y)
 
 
+# --- scalar codec / predicate functions as checkable queries (SURVEY.md
+# §2.2-§2.4). Each key in the §2 inventory gets its own oracle-checked
+# entry; parameters (prefix length, bit position) derive from `id` so the
+# whole [2, 64] / [1, 62] range is exercised, while staying off shift
+# amounts DuckDB rejects as signed-overflow (1<<63).
+
+def _q_bit_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_spread (Utils.makeGap, Utils.java:52-59): x's bits spread to
+    even positions of a long."""
+    return points(spark, sf_dir).select(
+        "id", Z.bit_spread("x").alias("x_spread")
+    )
+
+
+def _q_make_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_mask (Utils.makeMask, Utils.java:107-120) over pl in [2, 64]."""
+    pl = (F.col("id") % 63 + 2).cast("int")
+    return points(spark, sf_dir).select(
+        "id", pl.alias("pl"), Z.make_mask(pl).alias("mask")
+    )
+
+
+def _q_set_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set_bit (Utils.makeBit, Utils.java:148-159): the split-child key
+    derivation, bit position in [1, 62] from the MSB."""
+    pos = (F.col("id") % 62 + 1).cast("int")
+    enc = points(spark, sf_dir).select(
+        "id", Z.zvalue("x", "y").alias("zvalue")
+    )
+    return enc.select(
+        "id", pos.alias("pos"), Z.set_bit("zvalue", pos).alias("z_set")
+    )
+
+
+def _q_byte_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """byte_ops (Utils.not/or/and, Utils.java:122-146) doing their real job:
+    the bucket max corner ``key | ~mask`` (Index.toRanges,
+    Index.java:125-129), then ``& mask`` recovering the key."""
+    idx = IX.index_build(points(spark, sf_dir))
+    mask = Z.make_mask(F.col("pl"))
+    z_max = F.col("bucket_z").bitwiseOR(F.bitwise_not(mask))
+    return idx.select(
+        "bucket_z",
+        "pl",
+        z_max.alias("z_max"),
+        z_max.bitwiseAND(mask).alias("and_back"),
+    )
+
+
+def _q_bytes_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bytes_concat (Utils.concat, Utils.java:84-92): the cell-value
+    packing 4-byte x ‖ 4-byte y, as the columnar ``(x << 32) | y``."""
+    return points(spark, sf_dir).select(
+        "id",
+        F.shiftleft(F.col("x").cast("long"), 32)
+        .bitwiseOR(F.col("y").cast("long"))
+        .alias("packed_xy"),
+    )
+
+
+def _q_euclid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """euclid_dist (Point.distanceFrom, Point.java:38-42) from the pinned
+    query point to every point."""
+    qx, qy = KNN_Q
+    dx = F.col("x").cast("long") - qx
+    dy = F.col("y").cast("long") - qy
+    d2 = dx * dx + dy * dy
+    return points(spark, sf_dir).select(
+        "id", d2.alias("dist_sq"), F.sqrt(d2.cast("double")).alias("dist")
+    )
+
+
+def _q_interval_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interval_preds (Range.include/intersect/distanceFrom/farthestFrom,
+    Range.java:42-64) of each point's x against the pinned x-range."""
+    lo, hi = RECT_X
+    xi = F.col("x").cast("long")
+    include = xi.between(lo, hi)
+    intersect = (xi <= hi) & (xi + 16 >= lo)  # [x, x+16] vs the range
+    dist = F.when(include, F.lit(0).cast("long")).otherwise(
+        F.least(F.abs(xi - lo), F.abs(xi - hi))
+    )
+    farthest = (
+        F.when(F.abs(xi - lo) > F.abs(xi - hi), F.lit(lo))
+        .otherwise(F.lit(hi))
+        .cast("long")
+    )
+    return points(spark, sf_dir).select(
+        "id",
+        include.cast("int").alias("includes"),
+        intersect.cast("int").alias("intersects"),
+        dist.alias("dist_to_range"),
+        farthest.alias("farthest_endpoint"),
+    )
+
+
+def _q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spatial.range_filter_stats(points(spark, sf_dir), RECT_X, RECT_Y)
+
+
+def _q_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return IX.split_step(points(spark, sf_dir), parent_pl=8)
+
+
+def _q_table_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table_create (Index.java:77-105): create scratch tables, read the
+    seeded index back — must be exactly the root bucket ([00*...*],
+    prefix length 2, size 0, Index.java:96-99). The oracle pins that
+    seed, so this checks what table_create persisted, not a constant."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.operators import write as W
+
+    d = tempfile.mkdtemp(prefix="tcreate_")
+    try:
+        W.table_create(spark, f"{d}/t")
+        return (
+            spark.read.parquet(f"{d}/t/index")
+            .select("bucket_z", "pl", "size")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _q_table_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table_drop (CLI drop, Client.java:217-224): create + drop a scratch
+    table; observables are existence before/after."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.operators import write as W
+
+    d = tempfile.mkdtemp(prefix="tdrop_")
+    try:
+        path = f"{d}/t"
+        W.table_create(spark, path)
+        existed = 1 if _os.path.exists(f"{path}/points") else 0
+        W.table_drop(path)
+        dropped = 0 if _os.path.exists(path) else 1
+        return spark.createDataFrame(
+            [(existed, dropped)], "existed_before int, dropped int"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # --- training-data pipeline operators (north star, SURVEY.md §7 phase 6) ---
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,8 +621,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "floor_lookup": _q_floor_lookup,
         "bucket_route": _q_bucket_route,
         "insert_append": _q_insert_append,
+        "bucket_split": _q_bucket_split,
         "prefix_match": _q_prefix_match,
+        "bit_spread": _q_bit_spread,
+        "make_mask": _q_make_mask,
+        "set_bit": _q_set_bit,
+        "byte_ops": _q_byte_ops,
+        "bytes_concat": _q_bytes_concat,
+        "euclid_dist": _q_euclid_dist,
+        "interval_preds": _q_interval_preds,
+        "range_filter": _q_range_filter,
         "id_gen": _q_id_gen,
+        "table_create": _q_table_create,
+        "table_drop": _q_table_drop,
         "table_lifecycle": _q_table_lifecycle,
         "compact_layout": _q_compact_layout,
         "dedup_exact": _q_dedup_exact,
@@ -667,6 +827,87 @@ def oracle_sql() -> dict[str, str]:
             f"{_POINTS_CTE} SELECT CAST(count(*) AS BIGINT) AS n_unique, "
             "CAST(count(*) AS BIGINT) AS n_rows FROM points"
         ),
+        "bit_spread": (
+            f"{_POINTS_CTE} SELECT id, {Z.spread_sql('x')} AS x_spread "
+            "FROM points"
+        ),
+        "make_mask": (
+            f"{_POINTS_CTE} SELECT id, CAST(id % 63 + 2 AS INTEGER) AS pl, "
+            "CASE WHEN id % 63 + 2 >= 64 THEN CAST(-1 AS BIGINT) "
+            "ELSE -(CAST(1 AS BIGINT) << CAST(64 - (id % 63 + 2) AS INTEGER)) "
+            "END AS mask FROM points"
+        ),
+        "set_bit": (
+            f"{_POINTS_CTE} SELECT id, CAST(id % 62 + 1 AS INTEGER) AS pos, "
+            f"({zsql}) | (CAST(1 AS BIGINT) "
+            "<< CAST(63 - (id % 62 + 1) AS INTEGER)) AS z_set FROM points"
+        ),
+        "byte_ops": (
+            f"{_index_cte()} SELECT bucket_z, pl, "
+            "bucket_z | ~m AS z_max, (bucket_z | ~m) & m AS and_back "
+            "FROM (SELECT bucket_z, pl, CASE WHEN pl >= 64 "
+            "THEN CAST(-1 AS BIGINT) "
+            "ELSE -(CAST(1 AS BIGINT) << (64 - pl)) END AS m FROM leafidx)"
+        ),
+        "bytes_concat": (
+            f"{_POINTS_CTE} SELECT id, "
+            "(CAST(x AS BIGINT) << 32) | CAST(y AS BIGINT) AS packed_xy "
+            "FROM points"
+        ),
+        "euclid_dist": (
+            f"{_POINTS_CTE} SELECT id, CAST({dist_sq} AS BIGINT) AS dist_sq, "
+            f"sqrt(CAST({dist_sq} AS DOUBLE)) AS dist FROM points"
+        ),
+        "interval_preds": (
+            f"{_POINTS_CTE} SELECT id, "
+            f"CAST(x BETWEEN {RECT_X[0]} AND {RECT_X[1]} AS INTEGER) "
+            "AS includes, "
+            f"CAST(x <= {RECT_X[1]} AND x + 16 >= {RECT_X[0]} AS INTEGER) "
+            "AS intersects, "
+            f"CAST(CASE WHEN x BETWEEN {RECT_X[0]} AND {RECT_X[1]} THEN 0 "
+            f"ELSE least(abs(x - {RECT_X[0]}), abs(x - {RECT_X[1]})) END "
+            "AS BIGINT) AS dist_to_range, "
+            f"CAST(CASE WHEN abs(x - {RECT_X[0]}) > abs(x - {RECT_X[1]}) "
+            f"THEN {RECT_X[0]} ELSE {RECT_X[1]} END AS BIGINT) "
+            "AS farthest_endpoint FROM points"
+        ),
+        "range_filter": (
+            f"{_POINTS_CTE}, enc AS (SELECT x, y, {zsql} AS z FROM points) "
+            "SELECT count(*) FILTER (WHERE z BETWEEN "
+            f"{Z.zorder_encode_py(RECT_X[0], RECT_Y[0])} AND "
+            f"{Z.zorder_encode_py(RECT_X[1], RECT_Y[1])}) AS n_scanned, "
+            "count(*) FILTER (WHERE z BETWEEN "
+            f"{Z.zorder_encode_py(RECT_X[0], RECT_Y[0])} AND "
+            f"{Z.zorder_encode_py(RECT_X[1], RECT_Y[1])} AND {rect}) "
+            "AS n_hits FROM enc"
+        ),
+        # both child entries always, empty child included (the reference
+        # records `count` and `bucketSize - count` unconditionally,
+        # Index.java:217-227); split bit of a pl=8 parent is z bit 55
+        "bucket_split": (
+            f"{_POINTS_CTE}, enc AS (SELECT {zsql} AS z FROM points), "
+            "b_par AS (SELECT z & -(CAST(1 AS BIGINT) << 56) AS parent_z, "
+            "CAST(count(*) AS BIGINT) AS c FROM enc GROUP BY 1), "
+            "p AS (SELECT parent_z FROM b_par ORDER BY c DESC, parent_z "
+            "LIMIT 1), "
+            "sizes AS (SELECT p.parent_z, "
+            "CAST(count(*) FILTER (WHERE ((z >> 55) & 1) = 0) AS BIGINT) "
+            "AS left_size, "
+            "CAST(count(*) FILTER (WHERE ((z >> 55) & 1) = 1) AS BIGINT) "
+            "AS right_size FROM enc JOIN p "
+            "ON (enc.z & -(CAST(1 AS BIGINT) << 56)) = p.parent_z "
+            "GROUP BY p.parent_z) "
+            "SELECT parent_z, parent_z AS child_z, 9 AS pl, left_size AS size "
+            "FROM sizes UNION ALL "
+            "SELECT parent_z, parent_z | (CAST(1 AS BIGINT) << 55), 9, "
+            "right_size FROM sizes"
+        ),
+        # the seed invariant table_create must persist (Index.java:96-99)
+        "table_create": (
+            "SELECT CAST(0 AS BIGINT) AS bucket_z, 2 AS pl, "
+            "CAST(0 AS BIGINT) AS size"
+        ),
+        "table_drop": "SELECT 1 AS existed_before, 1 AS dropped",
         "dedup_exact": (
             "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies "
             "FROM documents GROUP BY text"

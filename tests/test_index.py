@@ -124,3 +124,40 @@ def test_bucket_route_matches_index_sizes(spark, built):
     # non-empty buckets only, and nothing routed outside the index
     assert set(routed) <= {(r.bucket_z, r.pl) for r in rows}
     assert sum(routed.values()) == pts.count()
+
+
+def test_split_step_both_children(spark, built):
+    """split_step (Index.splitBucket, Index.java:183-230) returns exactly
+    the two child entries: keys = parent / parent|splitbit, sizes exact
+    and summing to the parent's count — including an empty child (the
+    reference writes both entries unconditionally, Index.java:217-227)."""
+    pts, _, _ = built
+    pl = 8
+    rows = sorted(IX.split_step(pts, parent_pl=pl).collect(), key=lambda r: r.child_z)
+    assert len(rows) == 2
+    parent_z = rows[0].parent_z
+    assert rows[0].child_z == parent_z
+    assert rows[1].child_z == parent_z | (1 << (63 - pl))
+    assert all(r.pl == pl + 1 for r in rows)
+    # sizes are exact: recount the parent prefix directly
+    from tiny_md_hbase_spark.zorder import make_mask, zvalue
+
+    n_parent = (
+        pts.select(zvalue("x", "y").alias("z"))
+        .filter(F.col("z").bitwiseAND(make_mask(pl)) == parent_z)
+        .count()
+    )
+    assert rows[0].size + rows[1].size == n_parent
+
+
+def test_split_step_empty_child(spark):
+    """A parent whose points all share the split bit still yields two
+    entries, one with size 0."""
+    pts = spark.createDataFrame(
+        [(i, 0, 0) for i in range(5)], "id long, x int, y int"
+    )
+    rows = sorted(
+        IX.split_step(pts, parent_pl=2).collect(), key=lambda r: r.child_z
+    )
+    assert len(rows) == 2
+    assert (rows[0].size, rows[1].size) == (5, 0)

@@ -160,3 +160,19 @@ def test_knn_join_matches_per_query_knn(pts):
             for r in spatial.knn(pts, qx, qy, k).collect()
         ]
         assert by_qid[qid] == expect
+
+
+def test_range_filter_stats(pts):
+    """range_filter_stats (RangeFilter.java:81-90): n_scanned counts the
+    z-window candidates, n_hits the exact-rectangle survivors; hits must
+    equal the plain rectangle count and never exceed scanned."""
+    from tiny_md_hbase_spark.operators.spatial import (
+        range_count,
+        range_filter_stats,
+    )
+
+    rx, ry = (512, 1535), (1024, 3071)
+    row = range_filter_stats(pts, rx, ry).collect()[0]
+    exact = range_count(pts, rx, ry).collect()[0].cnt
+    assert row.n_hits == exact
+    assert row.n_scanned >= row.n_hits

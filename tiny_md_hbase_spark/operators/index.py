@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tiny_md_hbase_spark.zorder import make_mask, prefix_render, zvalue
+from tiny_md_hbase_spark.zorder import make_mask, prefix_render, set_bit, zvalue
 
 DEFAULT_THRESHOLD = 10  # Client.java:170, README:66-67
 MAX_DEPTH = 64  # Index.java:201
@@ -34,6 +34,7 @@ __all__ = [
     "index_build",
     "index_build_py",
     "index_inspect",
+    "split_step",
     "floor_lookup",
     "floor_lookup_batch",
 ]
@@ -227,6 +228,64 @@ def index_build_py(
         stack.append((lo, mid, bucket_z, pl + 1))
         stack.append((mid, hi, right_key, pl + 1))
     return sorted(out)
+
+
+def split_step(points: DataFrame, parent_pl: int = 8) -> DataFrame:
+    """One bucket-split step in isolation (``Index.splitBucket``,
+    ``Index.java:183-230``): take the most-populated depth-``parent_pl``
+    bucket (deterministic tiebreak: lowest key) and halve it on the next
+    z-bit, returning the two child index entries the reference writes in
+    its batched put (``Index.java:217-227``) — the second child key is
+    ``makeBit(parent, parent_pl)`` (``Utils.java:148-159``), i.e. the
+    parent key with the split bit set.
+
+    The full split-to-fixpoint loop is :func:`index_build`; this operator
+    exposes the single transition for inspection/verification. Two
+    aggregations over (z, count) pairs + one broadcast join — no data-row
+    shuffle beyond the map-side-combined groupBys.
+    """
+    enc = points.select(zvalue("x", "y").alias("z"))
+    parent = (
+        enc.groupBy(
+            F.col("z").bitwiseAND(make_mask(parent_pl)).alias("parent_z")
+        )
+        .agg(F.count("*").alias("parent_size"))
+        .orderBy(F.desc("parent_size"), "parent_z")
+        .limit(1)
+    )
+    # the split bit: z's bit number parent_pl counted from the MSB
+    bit = F.shiftright(F.col("z"), 63 - parent_pl).bitwiseAND(F.lit(1))
+    sizes = (
+        enc.join(
+            F.broadcast(parent),
+            F.col("z").bitwiseAND(make_mask(parent_pl)) == F.col("parent_z"),
+        )
+        .groupBy("parent_z")
+        .agg(
+            F.count_if(bit == 0).alias("left_size"),
+            F.count_if(bit == 1).alias("right_size"),
+        )
+    )
+    # both entries always, empty child included — the reference records
+    # `count` and `bucketSize - count` unconditionally (Index.java:217-227)
+    children = F.array(
+        F.struct(
+            F.col("parent_z").alias("child_z"),
+            F.col("left_size").alias("size"),
+        ),
+        F.struct(
+            set_bit(F.col("parent_z"), parent_pl).alias("child_z"),
+            F.col("right_size").alias("size"),
+        ),
+    )
+    return sizes.select(
+        "parent_z", F.explode(children).alias("c")
+    ).select(
+        "parent_z",
+        F.col("c.child_z").alias("child_z"),
+        F.lit(parent_pl + 1).cast("int").alias("pl"),
+        F.col("c.size").alias("size"),
+    )
 
 
 def index_inspect(index: DataFrame) -> DataFrame:

@@ -36,6 +36,7 @@ __all__ = [
     "full_scan",
     "distance_join",
     "knn_join",
+    "range_filter_stats",
 ]
 
 
@@ -175,6 +176,30 @@ def full_scan(points: DataFrame) -> DataFrame:
     """Scan an entire dataset/bucket (``Bucket.scan()``,
     ``Bucket.java:123-125``)."""
     return points.select("id", "x", "y")
+
+
+def range_filter_stats(
+    points: DataFrame, rx: tuple[int, int], ry: tuple[int, int]
+) -> DataFrame:
+    """Observable semantics of the pushed-down residual predicate
+    (``RangeFilter.filterKeyValue``, ``RangeFilter.java:81-90``): of the
+    rows inside the rectangle's z scan window (what the reference's
+    per-bucket scan reads, ``Bucket.java:63-74``), how many survive the
+    exact rectangle test (what ``RangeFilter`` lets through).
+
+    Returns one row ``(n_scanned, n_hits)``. In Spark the residual is
+    Catalyst's pushed ``BETWEEN`` conjunction — this operator measures the
+    same selectivity as a single-pass conditional aggregation (map-side
+    partials, no shuffle of data rows; the z-encode runs in projection
+    context where codegen CSE collapses the spread expression).
+    """
+    zlo, zhi = z_window(rx, ry)
+    enc = points.select("x", "y", zvalue("x", "y").alias("z"))
+    in_window = F.col("z").between(zlo, zhi)
+    return enc.agg(
+        F.count_if(in_window).alias("n_scanned"),
+        F.count_if(in_window & rect_predicate(rx, ry)).alias("n_hits"),
+    )
 
 
 def spatial_histogram(points: DataFrame, cell_bits: int = 4) -> DataFrame:
