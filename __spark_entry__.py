@@ -598,6 +598,18 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SES.asof_join(load_table(spark, sf_dir, "events"))
+
+
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.corpus_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.pack_tokens(load_table(spark, sf_dir, "documents"))
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.dedup_clusters(docs, D.ngram_jaccard(docs))
@@ -650,6 +662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_doc_fingerprint,
         "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "corpus_sample": _q_corpus_sample,
+        "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
         "stream_dedup": _q_stream_dedup,
         "dedup_clusters": _q_dedup_clusters,
@@ -1066,6 +1081,13 @@ def oracle_sql() -> dict[str, str]:
             "AND t BETWEEN 1 AND 4"
         ),
         "sessionize": SES.sessionize_sql(),
+        "asof_join": SES.asof_join_sql(),
+        "corpus_sample": (
+            f"SELECT doc_id, lang, source, n_chars, {TX.doc_fingerprint_sql()} "
+            "AS fingerprint FROM documents "
+            f"WHERE {TX.doc_fingerprint_sql()} % {TX.SAMPLE_MOD} = 0"
+        ),
+        "pack_tokens": TX.pack_tokens_sql(),
         "windowed_counts": SES.windowed_counts_sql(),
         # streaming dedup of a twice-delivered source == the original table
         "stream_dedup": (

@@ -210,3 +210,43 @@ def test_text_stats_rollup_subtotals(docs):
         if r.lang is not None and r.source is not None:
             leaf[r.lang] = leaf.get(r.lang, 0) + r.n_docs
     assert per_lang == leaf
+
+
+def test_corpus_sample_deterministic_and_content_keyed(docs):
+    from tiny_md_hbase_spark.operators import text as TX
+
+    a = sorted(r.doc_id for r in TX.corpus_sample(docs).collect())
+    b = sorted(r.doc_id for r in TX.corpus_sample(docs.repartition(7)).collect())
+    assert a == b  # stable under repartitioning (content-hash decision)
+    full = {r.doc_id: r.fingerprint for r in TX.doc_fingerprint(docs).collect()}
+    assert a == sorted(d for d, fp in full.items() if fp % TX.SAMPLE_MOD == 0)
+
+
+def test_pack_tokens_conserves_and_bounds(docs):
+    from pyspark.sql import functions as F
+
+    from tiny_md_hbase_spark.operators import text as TX
+
+    budget = 64
+    packed = TX.pack_tokens(docs, budget=budget, buckets=2)
+    total = TX.token_count(docs).agg(F.sum("n_tokens")).collect()[0][0]
+    assert packed.agg(F.sum("sum_tokens")).collect()[0][0] == total
+    assert packed.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+    # tape invariant: docs lie on a per-stream token tape cut every
+    # `budget` tokens; chunk k's first doc starts at a tape offset in
+    # [k*budget, (k+1)*budget) — i.e. the tokens of all earlier chunks
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = packed.withColumn(
+        "start_off", F.coalesce(F.sum("sum_tokens").over(w), F.lit(0))
+    )
+    bad = offs.filter(
+        (F.col("start_off") < F.col("chunk_id") * budget)
+        | (F.col("start_off") >= (F.col("chunk_id") + 1) * budget)
+    )
+    assert bad.count() == 0

@@ -127,3 +127,37 @@ def test_stream_dedup_drops_redeliveries(spark, sf_dir):
         assert set(ids) == {r.event_id for r in ev.select("event_id").collect()}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_asof_join_semantics(spark):
+    us = 1_000_000
+    rows = [
+        # (user, t_us, event_id, type)
+        (1, 10 * us, 100, "error"),
+        (1, 20 * us, 101, "click"),   # -> error 100, lag 10s
+        (1, 30 * us, 102, "error"),
+        (1, 30 * us, 103, "click"),   # same µs: all side-0 errors sort first
+        (1, 30 * us, 104, "error"),   # -> highest-id same-µs error (104) wins
+        (1, 40 * us, 105, "view"),    # -> error 104
+        (2, 5 * us, 200, "click"),    # no prior error -> NULL
+    ]
+    ev = spark.createDataFrame(
+        [(e, t * 1000, u, k, 1.0, "p") for (u, t, e, k) in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    got = {r.event_id: (r.prev_error_event_id, r.lag_us)
+           for r in SES.asof_join(ev).collect()}
+    assert got[101] == (100, 10 * us)
+    assert got[103] == (104, 0)
+    assert got[105] == (104, 10 * us)
+    assert got[200] == (None, None)
+    # right rows are not emitted as left rows
+    assert set(got) == {101, 103, 105, 200}
+
+
+def test_asof_join_fixture_shape(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = SES.asof_join(ev)
+    n_left = ev.filter(F.col("event_type") != "error").count()
+    assert out.count() == n_left
+    assert out.filter(F.col("lag_us") < 0).count() == 0

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "SESSION_GAP_US"]
+__all__ = ["sessionize", "asof_join", "SESSION_GAP_US"]
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
@@ -62,6 +62,87 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
             "n_events",
             "sum_value_micros",
         )
+    )
+
+
+def asof_join(events: DataFrame, right_type: str = "error") -> DataFrame:
+    """Backward as-of join within one event stream: every non-``right_type``
+    event is annotated with the most recent ``right_type`` event of the same
+    user at-or-before its timestamp (the "attach last error before this
+    click" shape; no reference counterpart — SURVEY.md §2.5 notes the
+    reference has no joins at all).
+
+    Spark has no ASOF JOIN operator; the naive formulation is an
+    inequality range join (O(left x right) per user). This implements the
+    classic union-and-window rewrite instead: tag right rows, union (here:
+    one pass over the single stream), and take ``last(..., ignorenulls)``
+    over a (ts, side, event_id)-ordered per-user window. ONE shuffle on
+    ``user_id``, linear work, no join node — the plan a range join should
+    have compiled to. At 100 TB the per-user sort is partition-local after
+    the shuffle and AQE splits skewed users' partitions.
+
+    Ties: a right row at the same microsecond sorts before left rows
+    (side 0 < 1) so it is visible to them; among right rows at the same
+    microsecond the highest event_id wins (window order is ascending and
+    ``last`` takes the latest). Fully deterministic.
+    """
+    is_r = F.col("event_type") == F.lit(right_type)
+    tagged = events.select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.when(is_r, 0).otherwise(1).alias("side"),
+        F.when(is_r, F.col("event_id")).alias("r_eid"),
+        F.when(is_r, F.expr("ts div 1000")).alias("r_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "event_type",
+            "side",
+            F.last("r_eid", ignorenulls=True).over(w).alias("prev_error_event_id"),
+            F.last("r_ts", ignorenulls=True).over(w).alias("prev_error_ts_us"),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "event_type",
+            "prev_error_event_id",
+            "prev_error_ts_us",
+            (F.col("ts_us") - F.col("prev_error_ts_us")).alias("lag_us"),
+        )
+    )
+
+
+def asof_join_sql(right_type: str = "error") -> str:
+    """DuckDB twin of :func:`asof_join` — the same union-window rewrite
+    (ANSI window syntax; avoids DuckDB's ASOF JOIN so the same-microsecond
+    tie rule is bit-identical to the Spark plan)."""
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, "
+        "event_type FROM events), "
+        "t AS (SELECT user_id, ts_us, event_id, event_type, "
+        f"CASE WHEN event_type = '{right_type}' THEN 0 ELSE 1 END AS side, "
+        f"CASE WHEN event_type = '{right_type}' THEN event_id END AS r_eid, "
+        f"CASE WHEN event_type = '{right_type}' THEN ts_us END AS r_ts FROM e), "
+        "j AS (SELECT event_id, user_id, ts_us, event_type, side, "
+        "last_value(r_eid IGNORE NULLS) OVER w AS prev_error_event_id, "
+        "last_value(r_ts IGNORE NULLS) OVER w AS prev_error_ts_us FROM t "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+        "SELECT event_id, user_id, ts_us, event_type, prev_error_event_id, "
+        "prev_error_ts_us, ts_us - prev_error_ts_us AS lag_us "
+        "FROM j WHERE side = 1"
     )
 
 

@@ -28,6 +28,8 @@ __all__ = [
     "quality_score",
     "text_stats",
     "doc_fingerprint",
+    "corpus_sample",
+    "pack_tokens",
     "FINGERPRINT_MOD",
     "LANG_MARKERS",
 ]
@@ -219,6 +221,93 @@ def corpus_clean(documents: DataFrame, quality_threshold: float = 0.5) -> DataFr
             F.sum("n_tokens").alias("sum_tokens"),
         )
         .select("lang", "n_docs_kept", "sum_tokens")
+    )
+
+
+SAMPLE_MOD = 5  # keep fingerprint % 5 == 0 → ~20% of each stratum
+
+
+def corpus_sample(documents: DataFrame, mod: int = SAMPLE_MOD, keep: int = 0) -> DataFrame:
+    """Deterministic content-hash sampling: keep a document iff its
+    rolling-hash fingerprint ≡ ``keep`` (mod ``mod``). Because the decision
+    is a pure function of the text, the sample is stable under
+    repartitioning, re-runs, and incremental appends — the property
+    training-data pipelines need and ``df.sample()`` (per-partition RNG
+    state) does not give. The hash is independent of ``lang``/``source``,
+    so every stratum is sampled at the same ~1/mod rate (stratified by
+    construction). Embarrassingly parallel: no shuffle, filter pushes to
+    the scan."""
+    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )
+    return (
+        documents.select("doc_id", "lang", "source", "n_chars", fp.alias("fingerprint"))
+        .filter(F.col("fingerprint") % mod == keep)
+    )
+
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+PACK_BUCKETS = 8  # parallel packing streams per language
+
+
+def pack_tokens(
+    documents: DataFrame, budget: int = PACK_BUDGET, buckets: int = PACK_BUCKETS
+) -> DataFrame:
+    """Sequence packing manifest: assign documents to fixed token-budget
+    chunks (the pre-tokenization packing step of an LLM training
+    pipeline). Documents are packed in ``doc_id`` order within
+    (lang, doc_id % buckets) streams; a document belongs to the chunk its
+    cumulative prefix starts in (``floor(cum_before / budget)``), so a doc
+    straddling the boundary spills into the open chunk — contiguous
+    packing, no doc reordering, fully deterministic.
+
+    Scale: the window sort is per (lang, bucket) stream — parallelism =
+    strata × buckets (size ``buckets`` to the cluster, not to the data),
+    ONE shuffle, and re-runs produce byte-identical manifests so packing
+    can be resumed/audited. Returns one row per chunk: (lang, bucket,
+    chunk_id, n_docs, sum_tokens)."""
+    from pyspark.sql import Window
+
+    d = documents.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).alias("n_tokens"),
+        (F.col("doc_id") % buckets).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunked = d.select(
+        "lang",
+        "bucket",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).alias(
+            "chunk_id"
+        ),
+    )
+    return chunked.groupBy("lang", "bucket", "chunk_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
+    )
+
+
+def pack_tokens_sql(budget: int = PACK_BUDGET, buckets: int = PACK_BUCKETS) -> str:
+    """DuckDB twin of :func:`pack_tokens`."""
+    n_tok = f"len({tokens_sql('text')})"
+    return (
+        f"WITH d AS (SELECT doc_id, lang, {n_tok} AS n_tokens, "
+        f"doc_id % {buckets} AS bucket FROM documents), "
+        "c AS (SELECT lang, bucket, n_tokens, "
+        "CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, bucket "
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        f"- n_tokens) / {budget}) AS BIGINT) AS chunk_id FROM d) "
+        "SELECT lang, bucket, chunk_id, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens "
+        "FROM c GROUP BY lang, bucket, chunk_id"
     )
 
 
