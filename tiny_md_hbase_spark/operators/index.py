@@ -63,7 +63,7 @@ def index_build(
     points: DataFrame,
     threshold: int = DEFAULT_THRESHOLD,
     max_depth: int = MAX_DEPTH,
-    coarse_depth: int = 16,
+    max_coarse_log: int = 19,
 ) -> DataFrame:
     """Build the bucket index ``(bucket_z, pl, size)`` to fixpoint.
 
@@ -72,76 +72,78 @@ def index_build(
     reference's end state (verified against the one-bit-at-a-time
     recursion and a recursive-CTE DuckDB oracle).
 
-    Two-phase coarse-to-fine build, two shuffles total:
+    Two-phase coarse-to-fine build over ONE materialized pass of the data:
 
-    1. **Coarse** — aggregate cell counts at ``coarse_depth``. The result
-       has at most ``2^(coarse_depth - 2)`` rows *regardless of data
-       volume* (16 K at the default depth 16), so collecting it to the
-       driver is bounded the way a range-partitioner's sampled boundaries
-       are. The trie above/at the coarse depth is built driver-side with
-       the exact recursion; coarse nodes still over threshold become
-       **tails**.
+    0. **Encode once** — spread the raw rows across the session's
+       parallelism (a single-file source would otherwise Morton-encode on
+       one core; the exchange groupBy inserts sits *above* its partial
+       agg), project to the z column, ``localCheckpoint``. Every later
+       phase reads the 8-byte-per-row checkpoint, never the source again.
+    1. **Coarse** — aggregate cell counts at an adaptive depth ``cd`` and
+       Arrow-collect them. ``cd`` is anchored at the shared bit-prefix of
+       [min z, max z] (the populated subspace — a fixed depth yields ONE
+       bucket when the data occupies a corner of the keyspace) and then
+       descends ~log2(4·n/threshold) further, so coarse buckets average
+       ~threshold/4 points and almost every one is already a final leaf
+       or merges into one. The collect is capped at 2^``max_coarse_log``
+       rows (default 512 K ≈ 8 MB) *regardless of data volume* — bounded
+       the way a range-partitioner's sampled boundaries are. The trie
+       above/at ``cd`` is built driver-side with the exact recursion;
+       coarse nodes still over threshold become **tails**.
     2. **Fine** — every tail is a closed subproblem (its sub-trie depends
-       only on its own cells). Tail cells are grouped and each group is
-       solved independently by the same recursion inside
-       ``applyInPandas`` — Arrow-batched, embarrassingly parallel,
-       shuffling only (tail_key, z, count) rows.
+       only on its own cells). Tail rows are grouped and each tail solved
+       independently by the same recursion inside ``applyInPandas`` —
+       Arrow-batched, embarrassingly parallel, shuffling only the tails'
+       (tail_key, z) rows. With the adaptive ``cd`` this phase usually
+       sees a sliver of the data (55 of 600 K rows on the sf0.1 fixture).
 
-    Scale notes: deepen ``coarse_depth`` to shrink tails (driver memory
-    grows as 2^(d-2), tail size shrinks proportionally — depth 24 bounds
-    the collect at 4 M rows and mean tail size at data/4M); skewed tails
-    parallelize across executors by key. The per-tail kernel is Python,
-    which is acceptable here: index construction is partitioner metadata
-    (à la Sedona's quadtree build), not the per-row query path.
-
-    The raw z rows feed both phases directly — no per-cell pre-aggregation
-    pass: at realistic densities the distinct-z table is nearly as large
-    as the data (589 K cells from 600 K points on the fixture domain), so
-    a ``groupBy(z)`` + checkpoint costs two extra shuffles and buys
-    nothing. The coarse phase partial-aggregates map-side into ≤ 2^(cd-2)
-    keys, and the trie kernel accepts duplicate z entries, so the fine
-    phase needs exactly one shuffle (by tail batch). On a duplicate-heavy
+    Scale notes: at 100 TB the collect cap binds (cd = anchor +
+    ``max_coarse_log`` - ROOT_PL) and tails grow with data/2^cap instead
+    of staying sub-threshold — they still parallelize across executors by
+    key, and the per-tail Python kernel is acceptable there: index
+    construction is partitioner metadata (à la Sedona's quadtree build),
+    not the per-row query path. No per-cell pre-aggregation pass: at
+    realistic densities the distinct-z table is nearly as large as the
+    data (589 K cells from 600 K points on the fixture domain), so a
+    ``groupBy(z)`` + checkpoint costs an extra shuffle and buys nothing;
+    the trie kernel accepts duplicate z entries. On a duplicate-heavy
     domain (points per cell >> 1), reinstate :func:`cells` upstream.
     """
     spark = points.sparkSession
 
-    # Anchor the coarse depth to the POPULATED subspace, not bit 0: when
-    # the data lives in a small corner of the 64-bit keyspace (e.g. a
-    # 12-bit/axis domain occupies only the low 24 z-bits), a fixed depth
-    # of 16 yields ONE coarse bucket and the whole fine phase collapses
-    # into a single task. Descend to (shared prefix of the z-range
-    # bounds) + coarse_depth-2 instead — same bounded row count
-    # (≤ 2^(coarse_depth-2)), but the buckets subdivide the space the
-    # data actually occupies. The bounds come from per-axis min/max
-    # (one map-side-partial aggregation, no shuffle of rows):
-    # zip(xmin,ymin) / zip(xmax,ymax) bracket every z, so their common
-    # prefix is a valid (possibly slightly shallow) anchor.
-    from tiny_md_hbase_spark.zorder import zorder_encode_py
-
-    b = points.agg(
-        F.min("x").alias("x0"),
-        F.max("x").alias("x1"),
-        F.min("y").alias("y0"),
-        F.max("y").alias("y1"),
+    zcol = F.col("zvalue") if "zvalue" in points.columns else zvalue("x", "y")
+    para = spark.sparkContext.defaultParallelism
+    raw = (
+        points
+        if points.rdd.getNumPartitions() >= para // 2
+        else points.repartition(para)
+    )
+    enc = raw.select(zcol.alias("z")).localCheckpoint()
+    b = enc.agg(
+        F.min("z").alias("z0"), F.max("z").alias("z1"), F.count("*").alias("n")
     ).collect()[0]
-    if b.x0 is None:
+    if b.z0 is None:
         return spark.createDataFrame(
             [(0, ROOT_PL, 0)], "bucket_z long, pl int, size long"
         ).cache()
-    shared = 64 - (
-        (zorder_encode_py(b.x0, b.y0) ^ zorder_encode_py(b.x1, b.y1)).bit_length()
+    # anchor: common prefix of [min z, max z] is shared by every value
+    # between them — tighter than the zip-of-corner-bounds anchor
+    shared = 64 - (b.z0 ^ b.z1).bit_length()
+    need = (max(b.n, 1) // max(threshold, 1)).bit_length() + 2
+    cd = min(
+        max(shared, ROOT_PL) + min(max(need, 6), max_coarse_log),
+        max_depth,
     )
-    cd = min(max(shared, ROOT_PL) + coarse_depth - 2, max_depth)
 
-    zcol = F.col("zvalue") if "zvalue" in points.columns else zvalue("x", "y")
-    enc = points.select(zcol.alias("z"))
-    coarse = (
+    coarse_pdf = (
         enc.groupBy(_bucket_of(F.col("z"), cd).alias("b"))
         .agg(F.count("*").alias("cnt"))
-        .collect()
+        .toPandas()
     )
     top = index_build_py(
-        [(r.b, r.cnt) for r in coarse], threshold=threshold, max_depth=cd
+        [(int(z), int(c)) for z, c in zip(coarse_pdf["b"], coarse_pdf["cnt"])],
+        threshold=threshold,
+        max_depth=cd,
     )
     if cd < max_depth:
         tails = [b for b, pl, s in top if pl == cd and s > threshold]
@@ -162,7 +164,7 @@ def index_build(
     # batches instead and solve every tail inside its batch — group count
     # (and so Arrow/worker overhead) is fixed regardless of tail count,
     # while the hash keeps batches load-balanced
-    n_batches = 4 * spark.sparkContext.defaultParallelism
+    n_batches = max(1, min(4 * para, len(tails)))
 
     def _build_batch(pdf):
         import pandas as pd
