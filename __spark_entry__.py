@@ -23,6 +23,7 @@ from tiny_md_hbase_spark import zorder as Z  # noqa: E402
 from tiny_md_hbase_spark import zorder_nd as ZND  # noqa: E402
 from tiny_md_hbase_spark.operators import dedup as D  # noqa: E402
 from tiny_md_hbase_spark.operators import index as IX  # noqa: E402
+from tiny_md_hbase_spark.operators import intervals as IV  # noqa: E402
 from tiny_md_hbase_spark.operators import sessions as SES  # noqa: E402
 from tiny_md_hbase_spark.operators import similarity as SIM  # noqa: E402
 from tiny_md_hbase_spark.operators import spatial  # noqa: E402
@@ -602,6 +603,18 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.asof_join(load_table(spark, sf_dir, "events"))
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return IV.interval_join(load_table(spark, sf_dir, "events"))
+
+
+def _q_time_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return IV.time_band_join(load_table(spark, sf_dir, "events"))
+
+
+def _q_grouped_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return IV.grouped_histogram(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_sample(load_table(spark, sf_dir, "documents"))
 
@@ -663,6 +676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
+        "time_band_join": _q_time_band_join,
+        "grouped_histogram": _q_grouped_histogram,
         "corpus_sample": _q_corpus_sample,
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
@@ -1082,6 +1098,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sessionize": SES.sessionize_sql(),
         "asof_join": SES.asof_join_sql(),
+        "interval_join": IV.interval_join_sql(),
+        "time_band_join": IV.time_band_join_sql(),
+        "grouped_histogram": IV.grouped_histogram_sql(),
         "corpus_sample": (
             f"SELECT doc_id, lang, source, n_chars, {TX.doc_fingerprint_sql()} "
             "AS fingerprint FROM documents "

@@ -41,6 +41,9 @@ BENCH_KEYS = [
     "doc_fingerprint",
     "sessionize",
     "windowed_counts",
+    "interval_join",
+    "time_band_join",
+    "grouped_histogram",
     "text_stats_rollup",
     "dedup_clusters",
     "spatial_histogram",
