@@ -603,6 +603,34 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.asof_join(load_table(spark, sf_dir, "events"))
 
 
+def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of join end-to-end: the events table staged into a
+    scratch stream source, drained through the stateful
+    ``applyInPandasWithState`` operator in one availableNow trigger —
+    output must equal the batch ``asof_join`` (same oracle SQL)."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming import ingest as ING
+
+    d = tempfile.mkdtemp(prefix="sasof_q_")
+    try:
+        load_table(spark, sf_dir, "events").write.parquet(f"{d}/src")
+        q = (
+            ING.stream_asof(spark, f"{d}/src")
+            .writeStream.format("memory")
+            .queryName("q_stream_asof_sink")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table("q_stream_asof_sink").localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IV.interval_join(load_table(spark, sf_dir, "events"))
 
@@ -676,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        "stream_asof": _q_stream_asof,
         "interval_join": _q_interval_join,
         "time_band_join": _q_time_band_join,
         "grouped_histogram": _q_grouped_histogram,
@@ -1098,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sessionize": SES.sessionize_sql(),
         "asof_join": SES.asof_join_sql(),
+        "stream_asof": SES.asof_join_sql(),
         "interval_join": IV.interval_join_sql(),
         "time_band_join": IV.time_band_join_sql(),
         "grouped_histogram": IV.grouped_histogram_sql(),

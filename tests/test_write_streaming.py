@@ -118,6 +118,64 @@ def test_stream_windowed_counts(spark, sf_dir, tmp_table):
     assert got.agg(F.sum("n_events")).collect()[0][0] == events.count()
 
 
+def test_stream_asof_matches_batch(spark, sf_dir, tmp_table):
+    from tiny_md_hbase_spark.operators import sessions as SES
+
+    src = f"{tmp_table}/src3"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.write.parquet(src)
+
+    q = (
+        ING.stream_asof(spark, src)
+        .writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM asof_stream")
+    want = SES.asof_join(events).drop("side")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stream_asof_state_carries_across_batches(spark, tmp_table):
+    """An error delivered in batch 1 must annotate clicks arriving in
+    batch 2 (state outlives the micro-batch)."""
+    src = f"{tmp_table}/src4"
+    ckpt = f"{tmp_table}/ckpt4"
+    out_dir = f"{tmp_table}/out4"
+    us = 1_000_000
+    schema = ING.EVENTS_SCHEMA
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        q = (
+            ING.stream_asof(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    write_batch([(1, 10 * us * 1000, 1, "error", 0.0, "")])
+    drain()
+    write_batch([(2, 20 * us * 1000, 1, "click", 0.0, "")])
+    out = {r.event_id: r for r in drain().collect()}
+    assert out[2].prev_error_event_id == 1
+    assert out[2].lag_us == 10 * us
+
+
 # --- multimodal plumbing --------------------------------------------------
 
 def test_decode_features_shapes(spark):

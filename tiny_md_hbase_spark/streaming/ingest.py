@@ -36,6 +36,7 @@ __all__ = [
     "stream_ingest_points",
     "stream_windowed_counts",
     "stream_sessionize",
+    "stream_asof",
     "stream_dedup_events",
 ]
 
@@ -182,6 +183,83 @@ def stream_sessionize(
         fn,
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+ASOF_OUT_SCHEMA = (
+    "event_id long, user_id long, ts_us long, event_type string, "
+    "prev_error_event_id long, prev_error_ts_us long, lag_us long"
+)
+ASOF_STATE_SCHEMA = "r_eid long, r_ts long"
+
+
+def stream_asof(
+    spark: SparkSession,
+    source_dir: str,
+    right_type: str = "error",
+) -> DataFrame:
+    """Streaming backward as-of join within one event stream: every
+    non-``right_type`` event is annotated with the most recent
+    ``right_type`` event of the same user seen so far — the streaming
+    twin of :func:`~tiny_md_hbase_spark.operators.sessions.asof_join`.
+
+    State per user = the latest ``right_type`` (event_id, ts) — O(active
+    users), independent of stream length; each batch is sorted per user
+    by (ts, side, event_id) with the same tie rule as the batch operator
+    (a right row at the same microsecond is visible to left rows at that
+    microsecond). Correct for sources that are in-order per key across
+    batches (the carried state only advances); cross-batch late arrivals
+    would need a watermarked buffer — out of scope, as with the
+    reference's strictly-ordered ingest loop.
+    """
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        r_eid, r_ts = state.get if state.exists else (None, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "side", "event_id"])
+        rows = []
+        for eid, ts, etype, side in zip(
+            batch["event_id"], batch["ts_us"], batch["event_type"], batch["side"]
+        ):
+            eid, ts = int(eid), int(ts)
+            if side == 0:
+                r_eid, r_ts = eid, ts
+            else:
+                rows.append(
+                    (
+                        eid,
+                        user_id,
+                        ts,
+                        etype,
+                        r_eid,
+                        r_ts,
+                        None if r_ts is None else ts - r_ts,
+                    )
+                )
+        state.update((r_eid, r_ts))
+        yield pd.DataFrame(rows, columns=ASOF_OUT_SCHEMA.replace(" long", "")
+                           .replace(" string", "").split(", "))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(source_dir)
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+            "event_type",
+            F.when(F.col("event_type") == right_type, 0).otherwise(1).alias("side"),
+        )
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
