@@ -21,6 +21,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from tiny_md_hbase_spark import zorder as Z  # noqa: E402
 from tiny_md_hbase_spark import zorder_nd as ZND  # noqa: E402
+from tiny_md_hbase_spark.operators import analytics as AN  # noqa: E402
 from tiny_md_hbase_spark.operators import dedup as D  # noqa: E402
 from tiny_md_hbase_spark.operators import index as IX  # noqa: E402
 from tiny_md_hbase_spark.operators import intervals as IV  # noqa: E402
@@ -603,6 +604,21 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.asof_join(load_table(spark, sf_dir, "events"))
 
 
+def _q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.sales_rollup(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.topk_per_group(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
 def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming as-of join end-to-end: the events table staged into a
     scratch stream source, drained through the stateful
@@ -708,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "time_band_join": _q_time_band_join,
         "grouped_histogram": _q_grouped_histogram,
+        "sales_rollup": _q_sales_rollup,
+        "topk_per_group": _q_topk_per_group,
         "corpus_sample": _q_corpus_sample,
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
@@ -1131,6 +1149,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": IV.interval_join_sql(),
         "time_band_join": IV.time_band_join_sql(),
         "grouped_histogram": IV.grouped_histogram_sql(),
+        "sales_rollup": AN.sales_rollup_sql(),
+        "topk_per_group": AN.topk_per_group_sql(),
         "corpus_sample": (
             f"SELECT doc_id, lang, source, n_chars, {TX.doc_fingerprint_sql()} "
             "AS fingerprint FROM documents "
