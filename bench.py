@@ -44,6 +44,9 @@ BENCH_KEYS = [
     "interval_join",
     "time_band_join",
     "grouped_histogram",
+    "sales_rollup",
+    "topk_per_group",
+    "asof_join",
     "text_stats_rollup",
     "dedup_clusters",
     "spatial_histogram",

@@ -1,0 +1,86 @@
+"""Physical-plan contracts: the properties the 100 TB scale story rests
+on, asserted against the planned (pre-AQE) physical plan so regressions
+fail here instead of surfacing as slowdowns on a cluster."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from tiny_md_hbase_spark import plans as P
+from tiny_md_hbase_spark.operators import analytics as AN
+from tiny_md_hbase_spark.operators import dedup as D
+from tiny_md_hbase_spark.operators import spatial
+from tiny_md_hbase_spark.sources import load_table, points
+from tiny_md_hbase_spark.sources.writer import load_points_zsorted, write_points_zsorted
+
+
+def test_range_query_no_shuffle_pruned_scan(spark, sf_dir):
+    q = spatial.range_query(points(spark, sf_dir), (512, 1535), (1024, 3071))
+    assert P.exchange_count(q) == 0
+    # column pruning: only the three lineitem source columns are read
+    (schema,) = P.read_schemas(q)
+    assert set(schema.split("<", 1)[1].rstrip(">").split(",")) == {
+        "l_orderkey:bigint",
+        "l_linenumber:int",
+        "l_partkey:bigint",
+        "l_suppkey:bigint",
+    }
+    assert P.wholestage_codegen_ids(q)
+
+
+def test_range_count_single_scalar_exchange(spark, sf_dir):
+    q = spatial.range_count(points(spark, sf_dir), (512, 1535), (1024, 3071))
+    # partial count map-side; the only exchange carries one long per task
+    assert P.exchange_count(q) <= 1
+
+
+def test_zsorted_scan_pushes_filters(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="plans_zsorted_")
+    try:
+        write_points_zsorted(points(spark, sf_dir), f"{tmp}/points", num_partitions=4)
+        zt = load_points_zsorted(spark, f"{tmp}/points")
+        q = spatial.range_query(zt, (512, 1535), (1024, 3071), z_prefilter=True)
+        pushed = " ".join(P.pushed_filters(q))
+        assert "x" in pushed and "y" in pushed and "zvalue" in pushed
+        assert P.exchange_count(q) == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_knn_distributed_topk(spark, sf_dir):
+    q = spatial.knn(points(spark, sf_dir), 2048, 2048, 10)
+    plan = P.explain_str(q, "simple")
+    # TakeOrderedAndProject = per-partition partial top-k + driver merge;
+    # a global Sort here would be a full-shuffle regression
+    assert "TakeOrderedAndProject" in plan
+    assert P.exchange_count(q) == 0
+
+
+def test_sales_rollup_broadcasts_dims(spark, sf_dir):
+    q = AN.sales_rollup(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    # both dimension joins broadcast (at fixture scale AQE may broadcast
+    # the orders side of the fact-fact join too): no shuffle beyond the
+    # fact-fact join (2 exchanges) and the final small-key rollup (1)
+    assert P.broadcast_join_count(q) >= 2
+    assert P.exchange_count(q) <= 3
+
+
+def test_topk_per_group_windows_reduced_table(spark, sf_dir):
+    q = AN.topk_per_group(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+    assert P.broadcast_join_count(q) == 1
+    # agg exchange on (brand, partkey) + window exchange on brand — the
+    # rank sort runs over the reduced per-part table, never the fact rows
+    assert P.exchange_count(q) <= 2
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    q = D.dedup_exact(load_table(spark, sf_dir, "documents"))
+    assert P.exchange_count(q) <= 1
