@@ -619,6 +619,22 @@ def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.event_type_deviation(load_table(spark, sf_dir, "events"))
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.orders_without_lineitems(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.parts_with_shipments(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming as-of join end-to-end: the events table staged into a
     scratch stream source, drained through the stateful
@@ -726,6 +742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_histogram": _q_grouped_histogram,
         "sales_rollup": _q_sales_rollup,
         "topk_per_group": _q_topk_per_group,
+        "skew_join": _q_skew_join,
+        "anti_join": _q_anti_join,
+        "semi_join": _q_semi_join,
         "corpus_sample": _q_corpus_sample,
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
@@ -1151,6 +1170,9 @@ def oracle_sql() -> dict[str, str]:
         "grouped_histogram": IV.grouped_histogram_sql(),
         "sales_rollup": AN.sales_rollup_sql(),
         "topk_per_group": AN.topk_per_group_sql(),
+        "skew_join": AN.event_type_deviation_sql(),
+        "anti_join": AN.orders_without_lineitems_sql(),
+        "semi_join": AN.parts_with_shipments_sql(),
         "corpus_sample": (
             f"SELECT doc_id, lang, source, n_chars, {TX.doc_fingerprint_sql()} "
             "AS fingerprint FROM documents "

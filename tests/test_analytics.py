@@ -71,6 +71,46 @@ def test_sales_rollup_fixture_totals(spark, sf_dir):
     assert roll.agg(F.sum("n_items")).collect()[0][0] == li.count()
 
 
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 4 else "cold", i * 10) for i in range(40)],
+        "event_id long, k string, v long",
+    )
+    right = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, tag int")
+    got = sorted(
+        (r.event_id, r.tag)
+        for r in AN.salted_join(left, right, "k", F.col("event_id"), 8).collect()
+    )
+    want = sorted(
+        (r.event_id, r.tag) for r in left.join(right, "k").collect()
+    )
+    assert got == want
+
+
+def test_event_type_deviation_sums_to_zeroish(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    dev = AN.event_type_deviation(ev)
+    assert dev.count() == ev.count()
+    # per type: sum(value - floor-mean) is bounded by the rounding
+    # remainder, i.e. 0 <= sum(dev) < count (mean floors toward zero
+    # on the all-positive fixture values)
+    for r in dev.groupBy("event_type").agg(
+        F.sum("dev_micros").alias("s"), F.count("*").alias("c")
+    ).collect():
+        assert 0 <= r.s < r.c
+
+
+def test_semi_anti_join_partition(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n_anti = AN.orders_without_lineitems(orders, lineitem).count()
+    n_semi = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "left_semi"
+    ).count()
+    # semi and anti partition the left table exactly
+    assert n_anti + n_semi == orders.count()
+
+
 def test_topk_rank_invariants(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")

@@ -23,10 +23,22 @@ and would not hash-match across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sales_rollup", "sales_rollup_sql", "topk_per_group", "topk_per_group_sql"]
+__all__ = [
+    "sales_rollup",
+    "sales_rollup_sql",
+    "topk_per_group",
+    "topk_per_group_sql",
+    "salted_join",
+    "event_type_deviation",
+    "event_type_deviation_sql",
+    "orders_without_lineitems",
+    "orders_without_lineitems_sql",
+    "parts_with_shipments",
+    "parts_with_shipments_sql",
+]
 
 
 def _rev_cents(price: str = "l_extendedprice", disc: str = "l_discount"):
@@ -102,6 +114,117 @@ def topk_per_group(lineitem: DataFrame, part: DataFrame, k: int = TOPK_K) -> Dat
         per_part.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("p_brand", "p_partkey", "revenue_cents", "rank")
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_src: Column,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Skew-resilient equi-join: spread each join key over ``num_salts``
+    shuffle partitions.
+
+    A shuffle join on a low-cardinality or heavy-hitter key collapses to
+    at most |distinct keys| busy tasks — with 5 distinct keys on a
+    1000-executor cluster, 995 cores idle while 5 drown. Salting restores
+    parallelism without changing semantics: the big ``left`` gains a
+    deterministic salt (a hash of ``salt_src`` mod ``num_salts``), the
+    small-but-hot ``right`` is replicated once per salt value, and the
+    join key becomes ``(key, _salt)`` — each hot key now spreads over
+    ``num_salts`` tasks. Exactly the rewrite AQE's skew-join applies to
+    oversized partitions at runtime, available here as an explicit
+    operator for engines/paths where AQE cannot see the skew (e.g. a
+    first shuffle, or a key whose every value is hot).
+
+    ``salt_src`` must be deterministic (a column of ``left``) so results
+    are reproducible and oracle-checkable — never ``rand()``.
+    """
+    right_rep = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    left_s = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_src), F.lit(num_salts)).cast("int")
+    )
+    return left_s.join(right_rep.hint("shuffle_hash"), [key, "_salt"]).drop("_salt")
+
+
+def event_type_deviation(events: DataFrame, num_salts: int = 16) -> DataFrame:
+    """Each event's deviation from its type's mean value — the classic
+    enrich-from-group-stats pattern whose join key (``event_type``,
+    5 distinct values) is the worst-case skew shape. The group-stats
+    side is joined back via :func:`salted_join`, so the work spreads
+    over ``5 × num_salts`` partitions instead of 5.
+
+    All arithmetic is exact integer micros (sum and integer-divide of
+    longs) — bit-identical across engines, unlike double accumulation.
+    """
+    ev = events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value_micros"),
+    )
+    stats = (
+        ev.groupBy("event_type")
+        .agg(F.sum("value_micros").alias("sum_micros"), F.count("*").alias("cnt"))
+        .select("event_type", F.expr("sum_micros div cnt").alias("type_mean_micros"))
+    )
+    return salted_join(ev, stats, "event_type", F.col("event_id"), num_salts).select(
+        "event_id",
+        "event_type",
+        "value_micros",
+        "type_mean_micros",
+        (F.col("value_micros") - F.col("type_mean_micros")).alias("dev_micros"),
+    )
+
+
+def event_type_deviation_sql() -> str:
+    """DuckDB twin of :func:`event_type_deviation` (the salt is a pure
+    execution rewrite — the logical result is the plain group-stats
+    join)."""
+    return (
+        "WITH ev AS (SELECT event_id, event_type, "
+        "CAST(round(value * 1000000) AS BIGINT) AS value_micros FROM events), "
+        "stats AS (SELECT event_type, "
+        "sum(value_micros) // count(*) AS type_mean_micros "
+        "FROM ev GROUP BY 1) "
+        "SELECT event_id, ev.event_type, value_micros, type_mean_micros, "
+        "value_micros - type_mean_micros AS dev_micros "
+        "FROM ev JOIN stats ON ev.event_type = stats.event_type"
+    )
+
+
+def orders_without_lineitems(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Anti join: orders with no lineitem rows. LeftAnti ships only the
+    distinct key set of the right side through the shuffle and returns
+    left columns untouched — no row multiplication, no null handling."""
+    return orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "left_anti"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+def orders_without_lineitems_sql() -> str:
+    return (
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE NOT EXISTS "
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"
+    )
+
+
+def parts_with_shipments(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Semi join: parts that appear in at least one lineitem. LeftSemi
+    short-circuits on first match — cheaper than join+distinct, which
+    would multiply rows then collapse them."""
+    return part.join(
+        lineitem, part["p_partkey"] == lineitem["l_partkey"], "left_semi"
+    ).select("p_partkey", "p_brand")
+
+
+def parts_with_shipments_sql() -> str:
+    return (
+        "SELECT p_partkey, p_brand FROM part WHERE EXISTS "
+        "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"
     )
 
 
