@@ -635,6 +635,22 @@ def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.distinct_users(load_table(spark, sf_dir, "events"))
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.approx_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+def _q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.click_days_without_purchase(load_table(spark, sf_dir, "events"))
+
+
+def _q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.sales_cube(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming as-of join end-to-end: the events table staged into a
     scratch stream source, drained through the stateful
@@ -745,6 +761,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": _q_skew_join,
         "anti_join": _q_anti_join,
         "semi_join": _q_semi_join,
+        "distinct_count": _q_distinct_count,
+        "approx_distinct": _q_approx_distinct,
+        "set_except": _q_set_except,
+        "sales_cube": _q_sales_cube,
         "corpus_sample": _q_corpus_sample,
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
@@ -1173,6 +1193,9 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": AN.event_type_deviation_sql(),
         "anti_join": AN.orders_without_lineitems_sql(),
         "semi_join": AN.parts_with_shipments_sql(),
+        "distinct_count": AN.distinct_users_sql(),
+        "set_except": AN.click_days_without_purchase_sql(),
+        "sales_cube": AN.sales_cube_sql(),
         "corpus_sample": (
             f"SELECT doc_id, lang, source, n_chars, {TX.doc_fingerprint_sql()} "
             "AS fingerprint FROM documents "

@@ -111,6 +111,38 @@ def test_semi_anti_join_partition(spark, sf_dir):
     assert n_anti + n_semi == orders.count()
 
 
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: r.n_users for r in AN.distinct_users(ev).collect()}
+    approx = {
+        r.event_type: r.approx_users
+        for r in AN.approx_distinct_users(ev, rsd=0.05).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, est in approx.items():
+        # HLL++ rsd=0.05: allow 4 sigma
+        assert abs(est - exact[t]) <= max(2, 0.2 * exact[t])
+
+
+def test_set_except_disjoint_from_purchases(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("(ts div 1000) div 86400000000").alias("day")
+    got = AN.click_days_without_purchase(ev)
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    assert got.join(buys, ["user_id", "day"], "left_semi").count() == 0
+    assert got.count() == got.distinct().count()
+
+
+def test_sales_cube_grand_total(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cube = AN.sales_cube(li).collect()
+    grand = [r for r in cube if r.l_returnflag is None and r.l_linestatus is None]
+    assert len(grand) == 1 and grand[0].n_items == li.count()
+    # per-flag subtotals sum to the grand total
+    flag_rows = [r for r in cube if r.l_returnflag is not None and r.l_linestatus is None]
+    assert sum(r.gross_cents for r in flag_rows) == grand[0].gross_cents
+
+
 def test_topk_rank_invariants(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")

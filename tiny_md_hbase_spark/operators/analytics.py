@@ -36,6 +36,13 @@ __all__ = [
     "event_type_deviation_sql",
     "orders_without_lineitems",
     "orders_without_lineitems_sql",
+    "distinct_users",
+    "distinct_users_sql",
+    "approx_distinct_users",
+    "click_days_without_purchase",
+    "click_days_without_purchase_sql",
+    "sales_cube",
+    "sales_cube_sql",
     "parts_with_shipments",
     "parts_with_shipments_sql",
 ]
@@ -225,6 +232,79 @@ def parts_with_shipments_sql() -> str:
     return (
         "SELECT p_partkey, p_brand FROM part WHERE EXISTS "
         "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"
+    )
+
+
+def distinct_users(events: DataFrame) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group. Spark plans this as a two-phase
+    expand/partial-agg — the distinct keys are deduplicated map-side
+    within each partition before the shuffle, so the exchange carries at
+    most |group × distinct user| rows, not the event stream."""
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def distinct_users_sql() -> str:
+    return (
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1"
+    )
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct estimate per group — the 100 TB path where
+    the exact form's shuffle of the distinct key set is itself too big.
+    Fixed-size sketch per group (no growth with cardinality), merged
+    map-side; relative standard deviation ``rsd``. No oracle: DuckDB's
+    HLL implementation differs — correctness is pinned by an error-bound
+    test against the exact count instead."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users")
+    )
+
+
+def click_days_without_purchase(events: DataFrame) -> DataFrame:
+    """Set difference at (user, day) grain: days a user clicked but made
+    no purchase. EXCEPT [DISTINCT] = dedup + hash anti lookup, one
+    shuffle on the pair key; day from exact integer division of the
+    nanos timestamp (µs-floored so DuckDB's µs timestamps agree)."""
+    day = F.expr("(ts div 1000) div 86400000000").alias("day")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", day)
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.subtract(buys)
+
+
+def click_days_without_purchase_sql() -> str:
+    return (
+        "SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events "
+        "WHERE event_type = 'click' "
+        "EXCEPT "
+        "SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events "
+        "WHERE event_type = 'purchase'"
+    )
+
+
+def sales_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    pass — Spark expands each input row once per grouping set before a
+    single partial-agg + shuffle, so subtotals cost one aggregation, not
+    four scans. NULL marks the rolled-up dimensions (matching SQL CUBE)."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "gross_cents"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def sales_cube_sql() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS gross_cents, CAST(count(*) AS BIGINT) AS n_items "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
     )
 
 
