@@ -651,6 +651,10 @@ def _q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.sales_cube(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SES.rollup_hierarchy(load_table(spark, sf_dir, "events"))
+
+
 def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming as-of join end-to-end: the events table staged into a
     scratch stream source, drained through the stateful
@@ -765,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "set_except": _q_set_except,
         "sales_cube": _q_sales_cube,
+        "rollup_hierarchy": _q_rollup_hierarchy,
         "corpus_sample": _q_corpus_sample,
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
@@ -1196,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_count": AN.distinct_users_sql(),
         "set_except": AN.click_days_without_purchase_sql(),
         "sales_cube": AN.sales_cube_sql(),
+        "rollup_hierarchy": SES.rollup_hierarchy_sql(),
         "corpus_sample": (
             f"SELECT doc_id, lang, source, n_chars, {TX.doc_fingerprint_sql()} "
             "AS fingerprint FROM documents "

@@ -46,6 +46,26 @@ def test_sessionize_fixture_totals(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_rollup_hierarchy_matches_direct_day_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    via_hierarchy = {
+        (r.day_idx, r.event_type): (r.sum_value_micros, r.n_events)
+        for r in SES.rollup_hierarchy(ev).collect()
+    }
+    direct = {
+        (r.day_idx, r.event_type): (r.s, r.c)
+        for r in ev.groupBy(
+            F.expr("(ts div 1000) div 86400000000").alias("day_idx"), "event_type"
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .collect()
+    }
+    assert via_hierarchy == direct
+
+
 def test_dedup_clusters_transitivity(spark):
     docs = spark.createDataFrame(
         [(i, f"t{i}", "en", "s", 2) for i in range(6)],

@@ -194,6 +194,58 @@ def windowed_counts(events: DataFrame, window_us: int = HOUR_US) -> DataFrame:
     )
 
 
+def rollup_hierarchy(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute → hour → day, each
+    level aggregating the one below instead of the raw stream.
+
+    At 100 TB this is the difference between a day rollup that reads the
+    raw event log (full scan per refresh) and one that reads the minute
+    aggregate (~1/n_events_per_minute of the data): the minute level is
+    the only pass over raw data, and every coarser resolution is a
+    re-aggregation of sums/counts — possible because sum and count are
+    commutative monoids, exactly the partial-agg contract Spark itself
+    uses map-side. Returns the day level; the intermediate levels are
+    the same frame with a coarser integer-index division.
+    """
+    minute = (
+        events.select(
+            F.expr("(ts div 1000) div 60000000").alias("minute_idx"),
+            "event_type",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("v_micros"),
+        )
+        .groupBy("minute_idx", "event_type")
+        .agg(F.sum("v_micros").alias("sum_value_micros"), F.count("*").alias("n_events"))
+    )
+    hour = (
+        minute.groupBy(
+            F.expr("minute_idx div 60").alias("hour_idx"), F.col("event_type")
+        )
+        .agg(
+            F.sum("sum_value_micros").alias("sum_value_micros"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    return (
+        hour.groupBy(F.expr("hour_idx div 24").alias("day_idx"), F.col("event_type"))
+        .agg(
+            F.sum("sum_value_micros").alias("sum_value_micros"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+def rollup_hierarchy_sql() -> str:
+    """DuckDB twin of :func:`rollup_hierarchy` — the direct day-grain
+    aggregate (the hierarchy is an execution strategy; the logical result
+    is identical because sum/count re-aggregate losslessly)."""
+    return (
+        "SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type, "
+        "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_micros, CAST(count(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
 def windowed_counts_sql(window_us: int = HOUR_US) -> str:
     """DuckDB twin of :func:`windowed_counts`."""
     return (
