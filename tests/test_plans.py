@@ -84,3 +84,35 @@ def test_topk_per_group_windows_reduced_table(spark, sf_dir):
 def test_dedup_exact_single_shuffle(spark, sf_dir):
     q = D.dedup_exact(load_table(spark, sf_dir, "documents"))
     assert P.exchange_count(q) <= 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    from tiny_md_hbase_spark.sources.writer import write_bucketed
+
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ),
+        "t_lineitem_b",
+        "l_orderkey",
+        4,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        "t_orders_b",
+        "o_orderkey",
+        4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the co-located sort-merge path is what's
+        # planned (at 100 TB neither fact side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li, o = spark.table("t_lineitem_b"), spark.table("t_orders_b")
+        q = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        assert P.exchange_count(q) == 0
+        assert q.count() == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")

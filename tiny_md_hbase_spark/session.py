@@ -31,6 +31,9 @@ def get_spark(app_name: str = "tiny_md_hbase_spark", cpus: int | None = None) ->
         # explicitly where timestamp semantics are needed
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # bucketed tables (sources.writer.write_bucketed) need a catalog;
+        # keep its files and the derby metastore out of the repo
+        .config("spark.sql.warehouse.dir", "/tmp/tiny_md_hbase_spark_warehouse")
         # the codegen'd kernels (minhash/simhash/shingle expressions) emit
         # large methods; the JVM's default 240 MB code cache fills after a
         # dozen such queries and the JIT silently stops compiling — every
@@ -42,7 +45,8 @@ def get_spark(app_name: str = "tiny_md_hbase_spark", cpus: int | None = None) ->
             # this they run interpreted forever (observed 4-5x swings on the
             # pair-verify kernels depending on how large the fused method
             # happened to be)
-            "-XX:ReservedCodeCacheSize=1g -XX:-DontCompileHugeMethods",
+            "-XX:ReservedCodeCacheSize=1g -XX:-DontCompileHugeMethods "
+            "-Dderby.system.home=/tmp/tiny_md_hbase_spark_metastore",
         )
     )
     spark = builder.getOrCreate()

@@ -33,7 +33,36 @@ __all__ = [
     "compact_points_table",
     "file_z_spans",
     "overlapping_span_pairs",
+    "write_bucketed",
 ]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize ``df`` as a hash-bucketed, bucket-sorted catalog table.
+
+    Bucketing is the at-rest half of a co-located join: two fact tables
+    bucketed on their shared key with the same bucket count join with
+    ZERO exchanges — the rows with equal keys are already in matching
+    files, so a 100 TB lineitem ⋈ orders that would otherwise shuffle
+    both sides every run pays the shuffle once at write time and never
+    again. (The read path needs nothing special: Catalyst recognizes the
+    bucket spec from the catalog and drops both Exchange nodes; with
+    ``sortBy`` it drops the Sorts too.) Read back via ``spark.table``.
+    """
+    (
+        df.repartition(num_buckets, key)
+        .write.mode(mode)
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
 
 
 def with_zvalue(points: DataFrame) -> DataFrame:
