@@ -655,6 +655,14 @@ def _q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.rollup_hierarchy(load_table(spark, sf_dir, "events"))
 
 
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.event_type_pivot(load_table(spark, sf_dir, "events"))
+
+
+def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.running_total(load_table(spark, sf_dir, "events"))
+
+
 def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming as-of join end-to-end: the events table staged into a
     scratch stream source, drained through the stateful
@@ -770,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": _q_set_except,
         "sales_cube": _q_sales_cube,
         "rollup_hierarchy": _q_rollup_hierarchy,
+        "pivot": _q_pivot,
+        "running_total": _q_running_total,
         "corpus_sample": _q_corpus_sample,
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
@@ -1202,6 +1212,8 @@ def oracle_sql() -> dict[str, str]:
         "set_except": AN.click_days_without_purchase_sql(),
         "sales_cube": AN.sales_cube_sql(),
         "rollup_hierarchy": SES.rollup_hierarchy_sql(),
+        "pivot": AN.event_type_pivot_sql(),
+        "running_total": AN.running_total_sql(),
         "corpus_sample": (
             f"SELECT doc_id, lang, source, n_chars, {TX.doc_fingerprint_sql()} "
             "AS fingerprint FROM documents "

@@ -143,6 +143,26 @@ def test_sales_cube_grand_total(spark, sf_dir):
     assert sum(r.gross_cents for r in flag_rows) == grand[0].gross_cents
 
 
+def test_pivot_counts_sum_to_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    piv = AN.event_type_pivot(ev)
+    total = piv.select(
+        sum(F.sum(t) for t in AN.EVENT_TYPES).alias("s")
+    ).collect()[0].s
+    assert total == ev.count()
+    assert piv.count() == ev.select("user_id").distinct().count()
+
+
+def test_running_total_final_equals_group_sum(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rt = AN.running_total(ev)
+    # the max cumulative value per user == the user's total sum
+    final = rt.groupBy("user_id").agg(
+        F.max("cum_value_micros").alias("m"), F.sum("value_micros").alias("s")
+    )
+    assert final.filter(F.col("m") != F.col("s")).count() == 0
+
+
 def test_topk_rank_invariants(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")

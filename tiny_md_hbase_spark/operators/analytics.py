@@ -43,6 +43,10 @@ __all__ = [
     "click_days_without_purchase_sql",
     "sales_cube",
     "sales_cube_sql",
+    "event_type_pivot",
+    "event_type_pivot_sql",
+    "running_total",
+    "running_total_sql",
     "parts_with_shipments",
     "parts_with_shipments_sql",
 ]
@@ -305,6 +309,67 @@ def sales_cube_sql() -> str:
         "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
         "AS gross_cents, CAST(count(*) AS BIGINT) AS n_items "
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    )
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """Pivot events to one row per user with a count column per event
+    type. The value list is explicit — with it, Spark plans a single
+    pass (conditional partial aggs, one shuffle on user_id); without it,
+    it must first run a distinct scan just to learn the column set."""
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select("user_id", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES])
+
+
+def event_type_pivot_sql() -> str:
+    """DuckDB twin of :func:`event_type_pivot` as portable conditional
+    aggregation (PIVOT syntax is dialect-specific; the plan is the same)."""
+    cases = ", ".join(
+        f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"SELECT user_id, {cases} FROM events GROUP BY 1"
+
+
+def running_total(events: DataFrame) -> DataFrame:
+    """Per-user running sum of event value over time — the cumulative
+    window shape (ROWS UNBOUNDED PRECEDING). One shuffle on user_id,
+    then a per-partition sort; the frame is computed in a single
+    sequential pass per user, no quadratic re-aggregation. Ordering is
+    (ts_us, event_id) — event_id breaks same-microsecond ties so the
+    running sum is deterministic and engine-independent."""
+    from pyspark.sql import Window
+
+    ev = events.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value_micros"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.withColumn("cum_value_micros", F.sum("value_micros").over(w))
+
+
+def running_total_sql() -> str:
+    return (
+        "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+        "CAST(round(value * 1000000) AS BIGINT) AS value_micros FROM events) "
+        "SELECT user_id, event_id, ts_us, value_micros, "
+        "sum(value_micros) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value_micros "
+        "FROM ev"
     )
 
 
