@@ -691,6 +691,111 @@ def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization end-to-end. The stateful operator emits a
+    session only when it CLOSES; on a bounded replay the per-user tail
+    session would stay open in the state store, so the staged source
+    appends one far-future sentinel event per user (2× the session gap
+    past that user's last event). The sentinel closes every real session
+    and its own never emits — output equals batch ``sessionize`` exactly
+    (same oracle). ``session_seq`` is reattached by ranking session start
+    times per user, which is exact because session starts are strictly
+    increasing within a user."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from tiny_md_hbase_spark.streaming import ingest as ING
+
+    gap_ns = SES.SESSION_GAP_US * 1000
+    d = tempfile.mkdtemp(prefix="ssess_q_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        sentinels = ev.groupBy("user_id").agg(F.max("ts").alias("mts")).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mts") + F.lit(2 * gap_ns)).alias("ts"),
+            "user_id",
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+        ev.select(*sentinels.columns).union(sentinels).write.parquet(f"{d}/src")
+        q = (
+            ING.stream_sessionize(spark, f"{d}/src")
+            .writeStream.format("memory")
+            .queryName("q_stream_sessionize_sink")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table("q_stream_sessionize_sink")
+        seq = Window.partitionBy("user_id").orderBy("session_start_us")
+        return (
+            out.withColumn(
+                "session_seq", (F.row_number().over(seq) - 1).cast("long")
+            )
+            .select(
+                "user_id",
+                "session_seq",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "sum_value_micros",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming window counts end-to-end. In append mode a
+    window only emits once the watermark passes its end; on a bounded
+    replay the trailing windows would never finalize, so the staged
+    source appends one global sentinel event 4 hours past the last real
+    event — far enough that the 2-hour watermark clears every real
+    1-hour window. The sentinel's own window never finalizes and its
+    event_type is disjoint, so the emitted rows equal the batch window
+    aggregation exactly."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming import ingest as ING
+
+    d = tempfile.mkdtemp(prefix="swin_q_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        sentinel = ev.agg(F.max("ts").alias("mts")).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mts") + F.lit(4 * 3600 * 1_000_000_000)).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+        ev.select(*sentinel.columns).union(sentinel).write.parquet(f"{d}/src")
+        q = (
+            ING.stream_windowed_counts(spark, f"{d}/src")
+            .writeStream.format("memory")
+            .queryName("q_stream_windowed_sink")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table("q_stream_windowed_sink")
+            .filter(F.col("event_type") != "sentinel")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IV.interval_join(load_table(spark, sf_dir, "events"))
 
@@ -765,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "stream_asof": _q_stream_asof,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_windowed": _q_stream_windowed,
         "interval_join": _q_interval_join,
         "time_band_join": _q_time_band_join,
         "grouped_histogram": _q_grouped_histogram,
@@ -1200,6 +1307,15 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SES.sessionize_sql(),
         "asof_join": SES.asof_join_sql(),
         "stream_asof": SES.asof_join_sql(),
+        "stream_sessionize": SES.sessionize_sql(),
+        "stream_windowed": (
+            "WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value "
+            "FROM events) "
+            "SELECT ts_us - ts_us % 3600000000 AS window_start_us, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_micros FROM e GROUP BY 1, 2"
+        ),
         "interval_join": IV.interval_join_sql(),
         "time_band_join": IV.time_band_join_sql(),
         "grouped_histogram": IV.grouped_histogram_sql(),

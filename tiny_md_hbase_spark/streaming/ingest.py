@@ -316,12 +316,18 @@ def stream_windowed_counts(
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(w.alias("win"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact integer micros: a double sum is accumulation-order
+            # dependent and would differ run-to-run and engine-to-engine
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "sum_value_micros"
+            ),
+        )
         .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_micros",
         )
     )
