@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from tiny_md_hbase_spark import sql as _SQLF  # noqa: E402
 from tiny_md_hbase_spark import zorder as Z  # noqa: E402
 from tiny_md_hbase_spark import zorder_nd as ZND  # noqa: E402
 from tiny_md_hbase_spark.operators import analytics as AN  # noqa: E402
@@ -655,6 +656,12 @@ def _q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.rollup_hierarchy(load_table(spark, sf_dir, "events"))
 
 
+def _q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiny_md_hbase_spark import sql as SQLF
+
+    return SQLF.pricing_summary(spark, sf_dir)
+
+
 def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.event_type_pivot(load_table(spark, sf_dir, "events"))
 
@@ -887,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hierarchy": _q_rollup_hierarchy,
         "pivot": _q_pivot,
         "running_total": _q_running_total,
+        "sql_pricing_summary": _q_sql_pricing_summary,
         "corpus_sample": _q_corpus_sample,
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
@@ -1330,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_hierarchy": SES.rollup_hierarchy_sql(),
         "pivot": AN.event_type_pivot_sql(),
         "running_total": AN.running_total_sql(),
+        "sql_pricing_summary": _SQLF.PRICING_SUMMARY_SQL,
         "corpus_sample": (
             f"SELECT doc_id, lang, source, n_chars, {TX.doc_fingerprint_sql()} "
             "AS fingerprint FROM documents "

@@ -30,16 +30,24 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _current_plan(df: DataFrame) -> str:
+    """The plan that is (or will be) executed: once AQE has run a query,
+    explain shows '== Final Plan ==' followed by '== Initial Plan ==' —
+    counting both would double every operator."""
+    plan = explain_str(df, "simple")
+    return plan.split("== Initial Plan ==", 1)[0]
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of *shuffle* exchanges (hash/range/single-partition data
     movement) in the planned physical plan; broadcast exchanges are
     excluded — see :func:`broadcast_join_count` for those."""
-    return len(_SHUFFLE_RE.findall(explain_str(df, "simple")))
+    return len(_SHUFFLE_RE.findall(_current_plan(df)))
 
 
 def broadcast_join_count(df: DataFrame) -> int:
     """Number of broadcast joins in the planned physical plan."""
-    return len(_BROADCAST_JOIN_RE.findall(explain_str(df, "simple")))
+    return len(_BROADCAST_JOIN_RE.findall(_current_plan(df)))
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
