@@ -47,6 +47,16 @@ BENCH_KEYS = [
     "sales_rollup",
     "topk_per_group",
     "asof_join",
+    "skew_join",
+    "semi_join",
+    "anti_join",
+    "distinct_count",
+    "set_except",
+    "sales_cube",
+    "pivot",
+    "running_total",
+    "rollup_hierarchy",
+    "sql_pricing_summary",
     "text_stats_rollup",
     "dedup_clusters",
     "spatial_histogram",
