@@ -63,6 +63,17 @@ def test_minhash_pairs_are_truly_similar(planted):
         assert r.jaccard >= 0.8
 
 
+def test_minhash_portable_finds_planted_pairs(planted):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_minhash_portable(planted).collect()
+    }
+    d0 = planted.orderBy("doc_id").limit(1).collect()[0].doc_id
+    assert (d0, 100001) in pairs and pairs[(d0, 100001)] == 1.0
+    for v in pairs.values():
+        assert v >= 0.8
+
+
 def test_simhash_finds_exact_dup(planted):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.dedup_simhash(planted).collect()}
     d0 = planted.orderBy("doc_id").limit(1).collect()[0].doc_id

@@ -200,6 +200,151 @@ def dedup_minhash(
     )
 
 
+def dedup_minhash_portable(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH with a cross-engine-computable hash — the fully
+    oracle-checked twin of :func:`dedup_minhash`.
+
+    Same pipeline (shingle → k min-hashes → band keys → equi-join →
+    exact Jaccard verify), but the base hash is the polynomial rolling
+    hash ``(acc*31 + codepoint) mod 1e9+7`` over the shingle's
+    characters (exact integer arithmetic any engine reproduces
+    bit-for-bit) instead of Spark's xxhash64, and the band key folds the
+    band's min-hashes with the same polynomial instead of hashing them.
+    This makes every intermediate — signatures, band keys, candidate
+    set, final pairs — identical on Spark and DuckDB, so the WHOLE
+    probabilistic pipeline is under the oracle, not just the exact
+    verifier. The xxhash64 variant stays the production path (JVM-side
+    hash of the shingle string, no per-character fold).
+    """
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
+
+    rows_per_band = num_hashes // bands
+    fold = lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD  # noqa: E731
+    docs = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh_df = docs.select("doc_id", shingles("text", n).alias("sh")).localCheckpoint()
+    codes = F.transform(F.split("s", ""), lambda c: F.ascii(c).cast("long"))
+    h = F.aggregate(codes, F.lit(0).cast("long"), fold)
+    sig_df = (
+        sh_df.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.col("h") * F.lit(2 * i + 1) + F.lit(7919 * (i + 1)))
+                    % F.lit(_MERSENNE31)
+                ).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        )
+    )
+    banded = sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.aggregate(
+                            F.array(
+                                *[
+                                    F.col(f"m{j}")
+                                    for j in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ]
+                            ),
+                            F.lit(0).cast("long"),
+                            fold,
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bhash")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bhash"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = cand.join(
+        sh_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return pairs.filter(jac >= jaccard_threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def dedup_minhash_portable_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> str:
+    """DuckDB twin of :func:`dedup_minhash_portable` — same shingles,
+    same polynomial hashes, same band fold, same verify."""
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, tokens_sql
+
+    rows_per_band = num_hashes // bands
+    shingles_sql = (
+        "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(range(0, len(toks) - 2), "
+        "i -> array_to_string(toks[i+1:i+3], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END)"
+    )
+    char_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {2 * i + 1} + {7919 * (i + 1)}) "
+        f"% {_MERSENNE31})) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, list_reduce(list_prepend(CAST(0 AS BIGINT), ["
+        + ", ".join(f"m{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band))
+        + f"]), (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) AS bhash FROM sig"
+        for b in range(bands)
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents), "
+        f"sh AS (SELECT doc_id, {shingles_sql} AS s FROM t), "
+        f"hashed AS (SELECT doc_id, s, list_transform(s, g -> {char_hash}) AS hs "
+        "FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM hashed), "
+        f"banded AS ({band_rows}), "
+        "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.bhash = b.bhash "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ("
+        "  SELECT doc_a, doc_b,"
+        "    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)"
+        "      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac"
+        "  FROM cand JOIN sh sa ON sa.doc_id = doc_a "
+        "  JOIN sh sb ON sb.doc_id = doc_b"
+        f") WHERE jac >= {jaccard_threshold}"
+    )
+
+
 def simhash(text: Column | str, bits: int = 64, n: int = 1) -> Column:
     """SimHash: per bit position j, sum +1/-1 votes from each shingle
     hash's bit j; the fingerprint sets bit j iff the vote is ≥ 0.
