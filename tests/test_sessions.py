@@ -78,6 +78,26 @@ def test_dedup_clusters_transitivity(spark):
     got = {r.doc_id: r.cluster_id for r in D.dedup_clusters(docs, pairs).collect()}
     # chain 0-1-2 collapses transitively; 3 singleton; 4-5 pair
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+    # the distributed min-label-propagation fallback (collect_limit=0)
+    # must produce the identical labeling
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in D.dedup_clusters(docs, pairs, collect_limit=0).collect()
+    }
+    assert dist == got
+
+
+def test_dedup_clusters_distributed_matches_unionfind_on_fixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard(docs)
+    a = sorted(
+        (r.doc_id, r.cluster_id) for r in D.dedup_clusters(docs, pairs).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in D.dedup_clusters(docs, pairs, collect_limit=0).collect()
+    )
+    assert a == b
 
 
 def test_stream_sessionize_matches_batch(spark, sf_dir):
