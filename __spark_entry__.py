@@ -480,6 +480,10 @@ def _q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_minhash_portable(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_simhash_portable(load_table(spark, sf_dir, "documents"))
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_embedding(load_table(spark, sf_dir, "embeddings"))
 
@@ -868,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_portable": _q_dedup_minhash_portable,
+        "dedup_simhash_portable": _q_dedup_simhash_portable,
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
@@ -1165,6 +1170,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY text"
         ),
         "dedup_minhash_portable": D.dedup_minhash_portable_sql(),
+        "dedup_simhash_portable": D.dedup_simhash_portable_sql(),
         "ngram_jaccard": (
             "WITH sh AS (SELECT doc_id, lang AS blk, "
             f"{_SHINGLES} AS s, len({_SHINGLES}) AS sz "

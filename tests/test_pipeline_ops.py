@@ -74,6 +74,17 @@ def test_minhash_portable_finds_planted_pairs(planted):
         assert v >= 0.8
 
 
+def test_simhash_portable_finds_exact_dup(planted):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.dedup_simhash_portable(planted).collect()
+    }
+    d0 = planted.orderBy("doc_id").limit(1).collect()[0].doc_id
+    assert pairs.get((d0, 100001)) == 0
+    for v in pairs.values():
+        assert 0 <= v <= 3
+
+
 def test_simhash_finds_exact_dup(planted):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.dedup_simhash(planted).collect()}
     d0 = planted.orderBy("doc_id").limit(1).collect()[0].doc_id

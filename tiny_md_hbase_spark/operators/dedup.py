@@ -474,6 +474,160 @@ def dedup_simhash(
     )
 
 
+_PORTABLE_HALF = 28  # each polynomial hash is mod 1e9+7 (< 2^30); bits
+# above 27 are biased by the modulus, so each contributes its low 28
+_PORTABLE_BITS = 2 * _PORTABLE_HALF  # two multipliers (31, 37) -> 56 bits
+
+
+def dedup_simhash_portable(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup with a cross-engine-computable hash — the fully
+    oracle-checked twin of :func:`dedup_simhash` (same pigeonhole
+    banding + exact hamming verify, word shingles).
+
+    The shingle hash is a pair of polynomial rolling hashes
+    ``(acc*m + cp) mod 1e9+7`` with multipliers 31 and 37, giving a
+    56-bit fingerprint (28 unbiased bits from each; a single modular
+    hash only has ~28 usable bits, which collapses precision on a small
+    corpus). Every intermediate — fingerprints, band keys, candidates,
+    hamming distances — is identical on Spark and DuckDB, so the whole
+    pipeline sits under the oracle. The xxhash64 64-bit variant remains
+    the production path.
+    """
+    from functools import reduce as _reduce
+
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
+
+    bits = _PORTABLE_BITS
+    half = _PORTABLE_HALF
+    width = bits // bands
+    docs = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    codes = F.transform(F.split("g", ""), lambda c: F.ascii(c).cast("long"))
+
+    def _poly(mult: int):
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda a, x: (a * mult + x) % FINGERPRINT_MOD,
+        )
+
+    ex = docs.select("doc_id", F.explode(shingles("text", 1)).alias("g")).select(
+        "doc_id", _poly(31).alias("h1"), _poly(37).alias("h2")
+    )
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h1" if j < half else "h2", j % half)
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = _reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(
+                F.col(f"v{j}") >= 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(bits)
+        ],
+    )
+    sh_df = votes.select("doc_id", fp.alias("sh")).localCheckpoint()
+    banded = sh_df.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", "bk.band", "bk.bkey")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return cand.filter(hamming <= max_hamming).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    )
+
+
+def dedup_simhash_portable_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    """DuckDB twin of :func:`dedup_simhash_portable`."""
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, tokens_sql
+
+    bits = _PORTABLE_BITS
+    half = _PORTABLE_HALF
+    width = bits // bands
+
+    def _char_hash(mult: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))), "
+            f"(acc, x) -> (acc * {mult} + x) % {FINGERPRINT_MOD})"
+        )
+
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN ({'h1' if j < half else 'h2'} >> {j % half}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN v{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, (sh >> {b * width}) & {(1 << width) - 1} "
+        "AS bkey FROM fp"
+        for b in range(bands)
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents), "
+        "sh1 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 1 THEN toks "
+        "ELSE [''] END) AS s FROM t), "
+        f"ex AS (SELECT doc_id, unnest(s) AS g FROM sh1), "
+        f"hashed AS (SELECT doc_id, {_char_hash(31)} AS h1, {_char_hash(37)} AS h2 "
+        "FROM ex), "
+        f"votes AS (SELECT doc_id, {vote_cols} FROM hashed GROUP BY doc_id), "
+        f"fp AS (SELECT doc_id, {fp_expr} AS sh FROM votes), "
+        f"banded AS ({band_rows}), "
+        "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming "
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3) "
+        f"SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}"
+    )
+
+
 def ngram_jaccard(
     documents: DataFrame,
     n: int = 3,
