@@ -1195,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id"
             ") WHERE cos_sim_raw >= 0.95"
         ),
+        "embedding_knn_lsh": SIM.embedding_knn_lsh_sql(),
         "embedding_knn": (
             "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
             "FROM embeddings), "

@@ -246,16 +246,8 @@ def lsh_signature(v: Column, planes: int = 16, dim: int = 64) -> Column:
     a Mersenne prime, scaled to [-1, 1]) — reproducible across runs and
     engines with no RNG state. Sign-LSH needs no normalization: the
     signature of v equals the signature of v/|v|."""
-    m = (1 << 31) - 1
-
-    def coeff(p: int, d: int) -> float:
-        # deterministic residue -> [-1, 1)
-        h = (1103515245 * (p * dim + d + 12345) + 54321) % m
-        return 2.0 * h / m - 1.0
-
     sig = F.lit(0).cast("long")
-    for p in range(planes):
-        plane = [coeff(p, d) for d in range(dim)]
+    for p, plane in enumerate(_lsh_coeffs(planes, dim)):
         dot = F.aggregate(
             F.zip_with(
                 v,
@@ -269,6 +261,57 @@ def lsh_signature(v: Column, planes: int = 16, dim: int = 64) -> Column:
             F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         )
     return sig
+
+
+def _lsh_coeffs(planes: int, dim: int) -> list[list[float]]:
+    """The deterministic hyperplane coefficients shared by the Spark
+    expression and the SQL twin — Park-Miller residues over 2^31-1
+    scaled to [-1, 1), no RNG state anywhere."""
+    m = (1 << 31) - 1
+    return [
+        [
+            2.0 * ((1103515245 * (p * dim + d + 12345) + 54321) % m) / m - 1.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def embedding_knn_lsh_sql(
+    query_vec_id: int = 1,
+    k: int = 10,
+    planes: int = 16,
+    probe_hamming: int = 6,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`embedding_knn_lsh`: the hyperplanes are
+    pure integer-derived constants, so they inline as literal arrays and
+    both engines compute identical signatures, candidate sets, and
+    rounded similarities — the whole approximate pipeline is under the
+    oracle (``repr`` of a Python float round-trips, and DuckDB parses
+    decimal literals to the nearest double, i.e. the same bits)."""
+
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot('v', '[' + ', '.join(repr(c) for c in plane) + ']')} >= 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p, plane in enumerate(_lsh_coeffs(planes, dim))
+    )
+    return (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"s AS (SELECT vec_id, label, v, {sig} AS sig FROM e), "
+        "n AS (SELECT vec_id, label, v, sig, "
+        "sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM s), "
+        f"q AS (SELECT v AS qv, sig AS qsig, norm AS qnorm FROM n "
+        f"WHERE vec_id = {query_vec_id}) "
+        f"SELECT vec_id, label, round({dot('v', 'qv')} / (norm * qnorm), 6) "
+        "AS cos_sim FROM n CROSS JOIN q "
+        f"WHERE bit_count(xor(sig, qsig)) <= {probe_hamming} "
+        f"ORDER BY cos_sim DESC, vec_id LIMIT {k}"
+    )
 
 
 def embedding_knn_lsh(
