@@ -86,6 +86,31 @@ def test_dedup_exact_single_shuffle(spark, sf_dir):
     assert P.exchange_count(q) <= 1
 
 
+def test_day_partitioned_scan_prunes_partitions(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from tiny_md_hbase_spark.sources.writer import write_day_partitioned
+
+    tmp = tempfile.mkdtemp(prefix="plans_daypart_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        write_day_partitioned(ev, f"{tmp}/events")
+        stored = spark.read.parquet(f"{tmp}/events")
+        some_day = stored.select("day").limit(1).collect()[0].day
+        q = stored.filter(F.col("day") == some_day)
+        plan = P.explain_str(q, "formatted")
+        # the day predicate prunes at file-listing time, not row level
+        assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+        day_us = int(some_day) * 86_400_000_000
+        want = ev.filter(
+            (F.expr("(ts div 1000)") >= day_us)
+            & (F.expr("(ts div 1000)") < day_us + 86_400_000_000)
+        ).count()
+        assert q.count() == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     from tiny_md_hbase_spark.sources.writer import write_bucketed
 

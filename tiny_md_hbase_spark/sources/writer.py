@@ -23,6 +23,7 @@ pruning across thousands of files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tiny_md_hbase_spark.zorder import zvalue
 
@@ -34,7 +35,27 @@ __all__ = [
     "file_z_spans",
     "overlapping_span_pairs",
     "write_bucketed",
+    "write_day_partitioned",
 ]
+
+
+def write_day_partitioned(
+    events: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Materialize the event stream partitioned by day — the standard
+    100 TB time-series layout. ``partitionBy("day")`` writes one
+    directory per day; a query filtering on ``day`` is pruned at the
+    FILE LISTING level (PartitionFilters in the scan), so a one-day
+    query against a 3-year table lists and reads ~1/1000 of the files —
+    no footer, stat, or row is ever touched for other days. Day is exact
+    integer division of the nanos timestamp (µs-floored, matching every
+    other time derivation in the engine)."""
+    (
+        events.withColumn("day", F.expr("(ts div 1000) div 86400000000"))
+        .write.mode(mode)
+        .partitionBy("day")
+        .parquet(path)
+    )
 
 
 def write_bucketed(
