@@ -664,6 +664,10 @@ def _q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.rollup_hierarchy(load_table(spark, sf_dir, "events"))
 
 
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.table_profile(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiny_md_hbase_spark import sql as SQLF
 
@@ -905,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": _q_pivot,
         "running_total": _q_running_total,
         "sql_pricing_summary": _q_sql_pricing_summary,
+        "table_profile": _q_table_profile,
         "corpus_sample": _q_corpus_sample,
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
@@ -1352,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot": AN.event_type_pivot_sql(),
         "running_total": AN.running_total_sql(),
         "sql_pricing_summary": _SQLF.PRICING_SUMMARY_SQL,
+        "table_profile": AN.table_profile_sql(),
         "corpus_sample": (
             f"SELECT doc_id, lang, source, n_chars, {TX.doc_fingerprint_sql()} "
             "AS fingerprint FROM documents "

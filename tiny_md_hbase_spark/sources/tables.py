@@ -51,6 +51,38 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def write_as(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """Materialize a table in another interchange format. Parquet is the
+    engine's native layout (columnar, stats, pruning); CSV/JSON are the
+    ingest/egress formats a pipeline meets at its edges. Timestamps are
+    already plain longs here (nanos), so they survive textual round
+    trips losslessly."""
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w.option("header", "true").csv(path)
+    elif fmt == "json":
+        w.json(path)
+    elif fmt == "parquet":
+        w.parquet(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+
+
+def load_as(spark: SparkSession, path: str, fmt: str, schema: str) -> DataFrame:
+    """Read a table back from any supported format with an EXPLICIT
+    schema — at 100 TB, schema inference is a full extra pass over text
+    data and silently drifts types (a long column with one float row
+    becomes double); the engine always states the schema at the edge."""
+    r = spark.read.schema(schema)
+    if fmt == "csv":
+        return r.option("header", "true").csv(path)
+    if fmt == "json":
+        return r.json(path)
+    if fmt == "parquet":
+        return r.parquet(path)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
 def points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived spatial-parity table: one row per lineitem, id unique,
     0 <= x, y <= 4095. Catalyst prunes the scan to the three source
