@@ -71,6 +71,32 @@ def test_sales_rollup_fixture_totals(spark, sf_dir):
     assert roll.agg(F.sum("n_items")).collect()[0][0] == li.count()
 
 
+def test_salted_join_matches_plain_join_property(spark):
+    """Property check over adversarial shapes: empty sides, all-hot single
+    key, keys missing from one side, salt counts 1 and 7 (non-power-of-2).
+    Driven as a loop rather than hypothesis @given — each Spark plan costs
+    ~1 s, so a handful of hand-picked worst cases beats 300 random ones."""
+    cases = [
+        # (left rows (id, key), right rows (key, tag), num_salts)
+        ([], [("a", 1)], 4),
+        ([(1, "a")], [], 4),
+        ([(i, "hot") for i in range(30)], [("hot", 1)], 1),
+        ([(i, "hot") for i in range(30)], [("hot", 1), ("cold", 2)], 7),
+        ([(1, "x"), (2, "y"), (3, "z")], [("y", 9)], 16),
+    ]
+    for left_rows, right_rows, salts in cases:
+        left = spark.createDataFrame(left_rows, "event_id long, k string")
+        right = spark.createDataFrame(right_rows, "k string, tag int")
+        got = sorted(
+            (r.event_id, r.tag)
+            for r in AN.salted_join(
+                left, right, "k", F.col("event_id"), salts
+            ).collect()
+        )
+        want = sorted((r.event_id, r.tag) for r in left.join(right, "k").collect())
+        assert got == want, (left_rows, right_rows, salts)
+
+
 def test_salted_join_matches_plain_join(spark):
     left = spark.createDataFrame(
         [(i, "hot" if i % 4 else "cold", i * 10) for i in range(40)],
