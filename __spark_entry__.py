@@ -664,6 +664,14 @@ def _q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.rollup_hierarchy(load_table(spark, sf_dir, "events"))
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.decontaminate(load_table(spark, sf_dir, "documents"))
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.table_profile(load_table(spark, sf_dir, "lineitem"))
 
@@ -910,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": _q_running_total,
         "sql_pricing_summary": _q_sql_pricing_summary,
         "table_profile": _q_table_profile,
+        "chunk_documents": _q_chunk_documents,
+        "decontaminate": _q_decontaminate,
         "corpus_sample": _q_corpus_sample,
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
@@ -1358,6 +1368,8 @@ def oracle_sql() -> dict[str, str]:
         "running_total": AN.running_total_sql(),
         "sql_pricing_summary": _SQLF.PRICING_SUMMARY_SQL,
         "table_profile": AN.table_profile_sql(),
+        "chunk_documents": TX.chunk_documents_sql(),
+        "decontaminate": TX.decontaminate_sql(),
         "corpus_sample": (
             f"SELECT doc_id, lang, source, n_chars, {TX.doc_fingerprint_sql()} "
             "AS fingerprint FROM documents "

@@ -91,6 +91,45 @@ def test_simhash_finds_exact_dup(planted):
     assert pairs.get((d0, 100001)) == 0
 
 
+def test_chunk_documents_tiles_every_token(spark, sf_dir):
+    from tiny_md_hbase_spark.operators import text as TX
+    from tiny_md_hbase_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(docs)
+    n_tok = docs.select(
+        "doc_id", F.size(TX.tokens("text")).alias("n")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("covered"),
+        F.max(F.col("chunk_start") + F.col("n_chunk_tokens")).alias("reach"),
+        F.min("chunk_start").alias("first"),
+    )
+    j = per_doc.join(n_tok, "doc_id")
+    # stride < chunk size => overlapping cover: starts at 0, reaches the
+    # last token, and total chunk tokens >= document tokens
+    assert j.filter(F.col("first") != 0).count() == 0
+    assert j.filter(F.col("reach") < F.col("n")).count() == 0
+    assert j.filter(F.col("covered") < F.col("n")).count() == 0
+
+
+def test_decontaminate_finds_planted_overlap(spark, sf_dir):
+    from tiny_md_hbase_spark.operators import text as TX
+    from tiny_md_hbase_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % TX.DECON_EVAL_MOD == 0).limit(1).collect()[0]
+    leaked_text = " ".join(ev.text.split()[:12])  # 12 tokens => 5 shared 8-grams
+    leak = spark.createDataFrame(
+        [(900001, leaked_text, ev.lang, "leak", len(leaked_text))], docs.schema
+    )
+    hits = {
+        (r.train_doc_id, r.eval_doc_id): r.n_shared_grams
+        for r in TX.decontaminate(docs.unionByName(leak)).collect()
+    }
+    assert hits.get((900001, ev.doc_id)) == 5
+
+
 def test_ngram_jaccard_planted(planted):
     pairs = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard(planted).collect()}
     d0 = planted.orderBy("doc_id").limit(1).collect()[0].doc_id

@@ -30,6 +30,10 @@ __all__ = [
     "doc_fingerprint",
     "corpus_sample",
     "pack_tokens",
+    "chunk_documents",
+    "chunk_documents_sql",
+    "decontaminate",
+    "decontaminate_sql",
     "FINGERPRINT_MOD",
     "LANG_MARKERS",
 ]
@@ -221,6 +225,115 @@ def corpus_clean(documents: DataFrame, quality_threshold: float = 0.5) -> DataFr
             F.sum("n_tokens").alias("sum_tokens"),
         )
         .select("lang", "n_docs_kept", "sum_tokens")
+    )
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    standard pre-tokenization chunking step (stride < chunk_tokens gives
+    the overlap that preserves cross-boundary context).
+
+    Pure narrow transformation: tokens → ``sequence`` of window starts →
+    explode → slice. No shuffle at all — each chunk row is derived from
+    its own document partition-locally, so the operator scales linearly
+    with corpus bytes and parallelizes to however many partitions the
+    scan produced. Columns: (doc_id, chunk_seq, chunk_start, n_chunk_
+    tokens, chunk_text)."""
+    toks = tokens("text")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    ex = documents.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("chunk_start")
+    )
+    piece = F.slice("toks", F.col("chunk_start") + 1, chunk_tokens)
+    return ex.select(
+        "doc_id",
+        (F.col("chunk_start") / stride).cast("long").alias("chunk_seq"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (list slicing is 1-based
+    inclusive on both ends, hence the +1 / +chunk bounds)."""
+    return (
+        f"WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents), "
+        "ex AS (SELECT doc_id, toks, unnest(range(0, "
+        f"greatest(len(toks), 1), {stride})) AS chunk_start FROM t) "
+        f"SELECT doc_id, chunk_start // {stride} AS chunk_seq, "
+        "CAST(chunk_start AS BIGINT) AS chunk_start, "
+        f"CAST(len(toks[chunk_start + 1 : chunk_start + {chunk_tokens}]) AS BIGINT) "
+        "AS n_chunk_tokens, "
+        f"array_to_string(toks[chunk_start + 1 : chunk_start + {chunk_tokens}], ' ') "
+        "AS chunk_text FROM ex"
+    )
+
+
+DECON_GRAM = 8
+DECON_EVAL_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark set
+
+
+def decontaminate(
+    documents: DataFrame,
+    gram_n: int = DECON_GRAM,
+    eval_mod: int = DECON_EVAL_MOD,
+) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing any
+    ``gram_n``-token n-gram with a held-out eval set (here: ``doc_id %
+    eval_mod == 0`` plays the benchmark; in production it's the actual
+    eval corpora). The canonical pre-training hygiene pass.
+
+    Explode both sides to their distinct n-grams and equi-join on the
+    gram, then count shared grams per (train, eval) pair. The join
+    shuffles (gram, doc_id) pairs — at 100 TB, hash the gram to 8 bytes
+    first (``xxhash64``) so the shuffle moves fixed-width keys; the raw
+    string join here keeps the operator exactly reproducible in the
+    oracle. Eval side is tiny → broadcast, so the corpus never shuffles.
+    """
+    from tiny_md_hbase_spark.operators.dedup import shingles
+
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(shingles("text", gram_n)).alias("g")
+    )
+    train = grams(documents.filter(F.col("doc_id") % eval_mod != 0))
+    eval_g = grams(documents.filter(F.col("doc_id") % eval_mod == 0)).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    return (
+        train.join(F.broadcast(eval_g), "g")
+        .groupBy(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def decontaminate_sql(gram_n: int = DECON_GRAM, eval_mod: int = DECON_EVAL_MOD) -> str:
+    """DuckDB twin of :func:`decontaminate`."""
+    sh = (
+        f"list_distinct(CASE WHEN len(toks) >= {gram_n} THEN "
+        f"list_transform(range(0, len(toks) - {gram_n - 1}), "
+        f"i -> array_to_string(toks[i+1:i+{gram_n}], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END)"
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents), "
+        f"g AS (SELECT doc_id, unnest({sh}) AS g FROM t), "
+        f"train AS (SELECT * FROM g WHERE doc_id % {eval_mod} != 0), "
+        f"ev AS (SELECT doc_id AS eval_doc_id, g FROM g WHERE doc_id % {eval_mod} = 0) "
+        "SELECT train.doc_id AS train_doc_id, eval_doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_shared_grams "
+        "FROM train JOIN ev USING (g) GROUP BY 1, 2"
     )
 
 
