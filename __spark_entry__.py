@@ -590,6 +590,26 @@ def _q_range_count_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.filter(ZND.rect_predicate_nd(box)).agg(F.count("*").alias("cnt"))
 
 
+def _q_knn_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D k nearest neighbors — the d-dimensional generalization of the
+    reference's 2-D kNN (SURVEY.md §1.4: 'a d-dimensional generalization
+    is mechanical'). Same TakeOrderedAndProject shape: squared distance
+    kept exact in integers, (dist2, id) total order, distributed partial
+    top-k + driver merge, no shuffle."""
+    pts = _points3d(spark, sf_dir)
+    qx, qy, qt, k = 512, 512, 4, 10
+    d2 = (
+        (F.col("x") - qx) * (F.col("x") - qx)
+        + (F.col("y") - qy) * (F.col("y") - qy)
+        + (F.col("t") - qt) * (F.col("t") - qt)
+    ).cast("long")
+    return (
+        pts.select("id", "x", "y", "t", d2.alias("dist2"))
+        .orderBy("dist2", "id")
+        .limit(k)
+    )
+
+
 def _q_spatial_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.spatial_histogram(points(spark, sf_dir), cell_bits=4)
 
@@ -662,6 +682,10 @@ def _q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.rollup_hierarchy(load_table(spark, sf_dir, "events"))
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "chunk_documents": _q_chunk_documents,
         "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
         "corpus_sample": _q_corpus_sample,
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
@@ -934,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "zorder3d_encode": _q_zorder3d_encode,
         "range_count_3d": _q_range_count_3d,
+        "knn_3d": _q_knn_3d,
     }
 
 
@@ -1334,6 +1360,13 @@ def oracle_sql() -> dict[str, str]:
             f"{ZND.zvalue_nd_sql(['x', 'y', 't'], _P3_BITS)} AS zvalue3d "
             "FROM points3d"
         ),
+        "knn_3d": (
+            f"WITH points3d AS ({_POINTS3D_SQL}) "
+            "SELECT id, x, y, t, "
+            "CAST((x - 512) * (x - 512) + (y - 512) * (y - 512) "
+            "+ (t - 4) * (t - 4) AS BIGINT) AS dist2 "
+            "FROM points3d ORDER BY dist2, id LIMIT 10"
+        ),
         "range_count_3d": (
             f"WITH points3d AS ({_POINTS3D_SQL}) "
             "SELECT count(*) AS cnt FROM points3d "
@@ -1370,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": AN.table_profile_sql(),
         "chunk_documents": TX.chunk_documents_sql(),
         "decontaminate": TX.decontaminate_sql(),
+        "repetition_stats": TX.repetition_stats_sql(),
         "corpus_sample": (
             f"SELECT doc_id, lang, source, n_chars, {TX.doc_fingerprint_sql()} "
             "AS fingerprint FROM documents "

@@ -32,6 +32,8 @@ __all__ = [
     "pack_tokens",
     "chunk_documents",
     "chunk_documents_sql",
+    "repetition_stats",
+    "repetition_stats_sql",
     "decontaminate",
     "decontaminate_sql",
     "FINGERPRINT_MOD",
@@ -225,6 +227,45 @@ def corpus_clean(documents: DataFrame, quality_threshold: float = 0.5) -> DataFr
             F.sum("n_tokens").alias("sum_tokens"),
         )
         .select("lang", "n_docs_kept", "sum_tokens")
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Repetition signals for quality filtering (the Gopher/C4-style
+    rules): the most frequent token's share of the document and the
+    distinct-token ratio. High top-token share or low distinct ratio
+    flags boilerplate/spam. Explode → per-(doc, token) counts → one max
+    aggregation per doc — both shuffles are map-side partially
+    aggregated, and the second operates on the already-reduced
+    (doc, token) table."""
+    tok = documents.select("doc_id", F.explode(tokens("text")).alias("token"))
+    per = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.max("c").alias("top_token_count"),
+        F.count("*").alias("n_distinct_tokens"),
+        F.sum("c").alias("n_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "top_token_count",
+        (F.col("top_token_count") / F.col("n_tokens")).alias("top_token_ratio"),
+        (F.col("n_distinct_tokens") / F.col("n_tokens")).alias("distinct_ratio"),
+    )
+
+
+def repetition_stats_sql() -> str:
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({tokens_sql('text')}) AS token "
+        "FROM documents), "
+        "per AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2) "
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_tokens, "
+        "CAST(max(c) AS BIGINT) AS top_token_count, "
+        "CAST(max(c) AS DOUBLE) / sum(c) AS top_token_ratio, "
+        "CAST(count(*) AS DOUBLE) / sum(c) AS distinct_ratio "
+        "FROM per GROUP BY doc_id"
     )
 
 
