@@ -57,6 +57,11 @@ BENCH_KEYS = [
     "running_total",
     "rollup_hierarchy",
     "sql_pricing_summary",
+    "table_profile",
+    "chunk_documents",
+    "decontaminate",
+    "repetition_stats",
+    "knn_3d",
     "text_stats_rollup",
     "dedup_clusters",
     "spatial_histogram",
