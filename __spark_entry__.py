@@ -684,6 +684,10 @@ def _q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.rollup_hierarchy(load_table(spark, sf_dir, "events"))
 
 
+def _q_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SES.latest_state(load_table(spark, sf_dir, "events"))
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_stats(load_table(spark, sf_dir, "documents"))
 
@@ -938,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": _q_set_except,
         "sales_cube": _q_sales_cube,
         "rollup_hierarchy": _q_rollup_hierarchy,
+        "latest_state": _q_latest_state,
         "pivot": _q_pivot,
         "running_total": _q_running_total,
         "sql_pricing_summary": _q_sql_pricing_summary,
@@ -1397,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "set_except": AN.click_days_without_purchase_sql(),
         "sales_cube": AN.sales_cube_sql(),
         "rollup_hierarchy": SES.rollup_hierarchy_sql(),
+        "latest_state": SES.latest_state_sql(),
         "pivot": AN.event_type_pivot_sql(),
         "running_total": AN.running_total_sql(),
         "sql_pricing_summary": _SQLF.PRICING_SUMMARY_SQL,

@@ -194,6 +194,42 @@ def windowed_counts(events: DataFrame, window_us: int = HOUR_US) -> DataFrame:
     )
 
 
+def latest_state(events: DataFrame) -> DataFrame:
+    """CDC compaction: the latest event per user — last-writer-wins on
+    (ts, event_id). The upsert/merge shape every changelog-backed table
+    needs: one shuffle on the key, then a per-partition sort and
+    row_number; no self-join against a 'current snapshot'. At scale this
+    is the compaction step of a merge-on-read table — AQE coalesces the
+    post-shuffle partitions, and the window never materializes more than
+    one partition's rows."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_type",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("value_micros"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts_us", "event_type", "value_micros")
+    )
+
+
+def latest_state_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, "
+        "CAST(round(value * 1000000) AS BIGINT) AS value_micros FROM events), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts_us DESC, event_id DESC) AS rn FROM e) "
+        "SELECT user_id, event_id, ts_us, event_type, value_micros "
+        "FROM r WHERE rn = 1"
+    )
+
+
 def rollup_hierarchy(events: DataFrame) -> DataFrame:
     """Hypertable-style continuous aggregate: minute → hour → day, each
     level aggregating the one below instead of the raw stream.
