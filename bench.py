@@ -95,12 +95,24 @@ def main() -> None:
     # make single-shot timings bimodal by multiples (a long-running
     # cluster, like the steady-state pass, has every kernel compiled).
     results: dict[str, float] = {}
+    timings: dict[str, list[float]] = {}
     for _pass in range(2):
         for key in BENCH_KEYS:
             t0 = time.perf_counter()
             qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
+            timings.setdefault(key, []).append(dt)
             results[key] = min(results.get(key, dt), dt)
+
+    # the host has degraded phases where identical code runs 2-8x slower
+    # for a stretch; when even the min-of-two disagrees with itself by a
+    # lot, take one tie-breaking third sample so a single bad window
+    # doesn't get recorded as a regression
+    for key, ts in timings.items():
+        if max(ts) > 2.5 * min(ts):
+            t0 = time.perf_counter()
+            qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            results[key] = min(results[key], round(time.perf_counter() - t0, 3))
 
     # layout-aware path: materialize the z-clustered table once (timed as
     # the write/cluster cost), then run the pruned-scan variants — the
