@@ -60,6 +60,9 @@ BENCH_KEYS = [
     "table_profile",
     "chunk_documents",
     "decontaminate",
+    "decontaminate_hashed",
+    "table_profile_approx",
+    "embedding_knn_ivf_portable",
     "repetition_stats",
     "knn_3d",
     "text_stats_rollup",
@@ -94,13 +97,30 @@ def main() -> None:
     # pays one-time janino/JIT compilation, and concurrent compile storms
     # make single-shot timings bimodal by multiples (a long-running
     # cluster, like the steady-state pass, has every kernel compiled).
+    # one failing query must never zero out the whole benchmark run: record
+    # the error per-key, keep timing everything else, still emit the JSON line
     results: dict[str, float] = {}
     timings: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+
+    def run_once(key: str) -> float | None:
+        t0 = time.perf_counter()
+        try:
+            qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[key] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {key} FAILED: {errors[key]}", file=sys.stderr)
+            return None
+        return round(time.perf_counter() - t0, 3)
+
     for _pass in range(2):
         for key in BENCH_KEYS:
-            t0 = time.perf_counter()
-            qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
+            if key in errors:
+                continue
+            dt = run_once(key)
+            if dt is None:
+                results.pop(key, None)
+                continue
             timings.setdefault(key, []).append(dt)
             results[key] = min(results.get(key, dt), dt)
 
@@ -109,10 +129,10 @@ def main() -> None:
     # lot, take one tie-breaking third sample so a single bad window
     # doesn't get recorded as a regression
     for key, ts in timings.items():
-        if max(ts) > 2.5 * min(ts):
-            t0 = time.perf_counter()
-            qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            results[key] = min(results[key], round(time.perf_counter() - t0, 3))
+        if key not in errors and max(ts) > 2.5 * min(ts):
+            dt = run_once(key)
+            if dt is not None:
+                results[key] = min(results[key], dt)
 
     # layout-aware path: materialize the z-clustered table once (timed as
     # the write/cluster cost), then run the pruned-scan variants — the
@@ -127,43 +147,46 @@ def main() -> None:
         write_points_zsorted,
     )
 
-    zdir = tempfile.mkdtemp(prefix="bench_zsorted_") + "/points"
-    t0 = time.perf_counter()
-    write_points_zsorted(points(spark, sf_dir), zdir, num_partitions=cpus)
-    results["zsort_write"] = round(time.perf_counter() - t0, 3)
+    try:
+        zdir = tempfile.mkdtemp(prefix="bench_zsorted_") + "/points"
+        t0 = time.perf_counter()
+        write_points_zsorted(points(spark, sf_dir), zdir, num_partitions=cpus)
+        results["zsort_write"] = round(time.perf_counter() - t0, 3)
 
-    zt = load_points_zsorted(spark, zdir)
-    t0 = time.perf_counter()
-    spatial.range_query(zt, (512, 1535), (1024, 3071), z_prefilter=True).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    results["range_query_zsorted"] = round(time.perf_counter() - t0, 3)
+        zt = load_points_zsorted(spark, zdir)
+        t0 = time.perf_counter()
+        spatial.range_query(
+            zt, (512, 1535), (1024, 3071), z_prefilter=True
+        ).write.format("noop").mode("overwrite").save()
+        results["range_query_zsorted"] = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    spatial.range_query(zt, (512, 1535), (1024, 3071), z_cover=16).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    results["range_query_zcover"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        spatial.range_query(zt, (512, 1535), (1024, 3071), z_cover=16).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results["range_query_zcover"] = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    spatial.knn_indexed(zt, 2048, 2048, 10, domain_max=4095).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    results["knn_indexed_zsorted"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        spatial.knn_indexed(zt, 2048, 2048, 10, domain_max=4095).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results["knn_indexed_zsorted"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["zsorted_layout"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"bench: zsorted layout FAILED: {errors['zsorted_layout']}", file=sys.stderr)
 
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-                "cpus": cpus,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

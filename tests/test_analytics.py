@@ -201,3 +201,19 @@ def test_topk_rank_invariants(spark, sf_dir):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         revs = [r.revenue_cents for r in rows]
         assert revs == sorted(revs, reverse=True)
+
+
+def test_table_profile_approx_bounds(spark, sf_dir):
+    """HLL++ estimates track the exact distinct counts within a loose
+    relative-error band; nulls/min/max are exact in both variants."""
+    from tiny_md_hbase_spark.operators import analytics as AN
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {r.column: r for r in AN.table_profile(li).collect()}
+    approx = {r.column: r for r in AN.table_profile_approx(li).collect()}
+    assert set(exact) == set(approx)
+    for c, er in exact.items():
+        ar = approx[c]
+        assert ar.n_nulls == er.n_nulls
+        assert ar.min_v == er.min_v and ar.max_v == er.max_v
+        assert abs(ar.n_distinct_approx - er.n_distinct) <= max(0.1 * er.n_distinct, 2)

@@ -18,8 +18,11 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "dedup_minhash",
         "dedup_simhash",
         "embedding_knn_ivf",
+        "frame_sample",
         "multimodal_features",
+        "resize_meta",
         "table_lifecycle",
+        "table_profile_approx",
     ]
 
 

@@ -320,3 +320,49 @@ def test_pack_tokens_conserves_and_bounds(docs):
         | (F.col("start_off") >= (F.col("chunk_id") + 1) * budget)
     )
     assert bad.count() == 0
+
+
+def test_decontaminate_hashed_matches_raw(spark, sf_dir):
+    """The xxhash64-keyed production variant must emit exactly the raw-
+    string variant's result (collisions are ~1e-8; none in the fixture),
+    including on a planted leak."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % TX.DECON_EVAL_MOD == 0).limit(1).collect()[0]
+    leaked_text = " ".join(ev.text.split()[:12])
+    leak = spark.createDataFrame(
+        [(900001, leaked_text, ev.lang, "leak", len(leaked_text))], docs.schema
+    )
+    corpus = docs.unionByName(leak)
+    raw = {
+        (r.train_doc_id, r.eval_doc_id): r.n_shared_grams
+        for r in TX.decontaminate(corpus).collect()
+    }
+    hashed = {
+        (r.train_doc_id, r.eval_doc_id): r.n_shared_grams
+        for r in TX.decontaminate_hashed(corpus).collect()
+    }
+    assert hashed == raw
+    assert hashed.get((900001, ev.doc_id)) == 5
+
+
+def test_embedding_knn_ivf_portable_pipeline(embs):
+    """Fixed-centroid IVF twin: deterministic, bounded candidate set, and
+    widening the probe to every cluster recovers the exact top-k (IVF
+    prunes, never re-ranks)."""
+    got = S.embedding_knn_ivf_portable(embs, 1, 10, n_clusters=16, n_probe=4).collect()
+    assert len(got) == 10
+    assert 1 in {r.vec_id for r in got}  # query probes its own cluster
+    sims = [r.cos_sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+    again = S.embedding_knn_ivf_portable(embs, 1, 10, n_clusters=16, n_probe=4).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [(r.vec_id, r.cos_sim) for r in again]
+    exact = {r.vec_id for r in S.embedding_knn(embs, 1, 10).collect()}
+    full = {
+        r.vec_id
+        for r in S.embedding_knn_ivf_portable(
+            embs, 1, 10, n_clusters=16, n_probe=16
+        ).collect()
+    }
+    assert full == exact

@@ -141,3 +141,54 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """Behavior evidence for the skew story: on a deliberately skewed
+    shuffle join (one key holds ~85% of rows), AQE's skew-join rewrite
+    must actually engage — the executed plan's sort-merge join is marked
+    skew=true. Thresholds are scaled down so the 2 MB fixture exhibits
+    what a 100 TB hot key would."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 170_000, F.lit(7))
+            .otherwise(F.col("id") % 64)
+            .cast("long")
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(64).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        j = left.join(right, "k")
+        # execute THIS DataFrame's plan (count() would plan a separate
+        # aggregate query) so AQE finalizes it, then inspect the result
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

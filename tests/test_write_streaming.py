@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from tiny_md_hbase_spark.operators import index as IX
 from tiny_md_hbase_spark.operators import multimodal as MM
 from tiny_md_hbase_spark.operators import write as W
+from tiny_md_hbase_spark.sources import load_table
 from tiny_md_hbase_spark.streaming import ingest as ING
 
 
@@ -67,7 +68,7 @@ def test_stream_ingest_matches_batch(spark, sf_dir, tmp_table):
     # stage the events fixture as several arriving files so availableNow
     # produces multiple micro-batches (first = full index build, rest =
     # incremental refresh)
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_table(spark, sf_dir, "events")
     events.repartition(6).write.parquet(src)
 
     q = ING.stream_ingest_points(
@@ -94,7 +95,7 @@ def test_stream_ingest_matches_batch(spark, sf_dir, tmp_table):
 
 def test_stream_windowed_counts(spark, sf_dir, tmp_table):
     src = f"{tmp_table}/src2"
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_table(spark, sf_dir, "events")
     events.write.parquet(src)
 
     agg = ING.stream_windowed_counts(spark, src, window="1 hour")
@@ -122,7 +123,7 @@ def test_stream_asof_matches_batch(spark, sf_dir, tmp_table):
     from tiny_md_hbase_spark.operators import sessions as SES
 
     src = f"{tmp_table}/src3"
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_table(spark, sf_dir, "events")
     events.write.parquet(src)
 
     q = (
@@ -213,3 +214,33 @@ def test_resize_meta(spark):
     for r in out:
         assert max(r.target_width, r.target_height) <= 32
         assert r.target_width >= 1 and r.target_height >= 1
+
+
+def test_media_partitioned_write_round_trip(spark, tmp_table):
+    """The payload-partitioned file layout: kind=... directories exist
+    (a video-only job prunes to kind=video files), the round trip is
+    lossless, and frame sampling over the file-backed table equals the
+    in-memory result."""
+    import os
+
+    media = MM.synth_media(spark, 48)
+    path = f"{tmp_table}/media"
+    MM.write_media_partitioned(media, path)
+    kinds = {d for d in os.listdir(path) if d.startswith("kind=")}
+    assert kinds == {"kind=image", "kind=audio", "kind=video"}
+
+    back = MM.load_media_partitioned(spark, path)
+    assert back.count() == 48
+    assert back.select("media_id", "kind", "payload").exceptAll(
+        media.select("media_id", "kind", "payload")
+    ).count() == 0
+
+    from_files = {
+        (r.media_id, r.frame_idx): r.frame_payload
+        for r in MM.frame_sample(back, every_ms=250).collect()
+    }
+    in_mem = {
+        (r.media_id, r.frame_idx): r.frame_payload
+        for r in MM.frame_sample(media, every_ms=250).collect()
+    }
+    assert from_files == in_mem

@@ -49,6 +49,9 @@ __all__ = [
     "running_total_sql",
     "parts_with_shipments",
     "parts_with_shipments_sql",
+    "table_profile",
+    "table_profile_approx",
+    "table_profile_sql",
 ]
 
 
@@ -400,6 +403,40 @@ def table_profile(lineitem: DataFrame, cols: list[str] = PROFILE_COLS) -> DataFr
         F.expr(
             f"stack({len(cols)}, {stack_args}) AS "
             "(column, n_nulls, n_distinct, min_v, max_v)"
+        )
+    )
+
+
+def table_profile_approx(
+    lineitem: DataFrame, cols: list[str] = PROFILE_COLS, rsd: float = 0.02
+) -> DataFrame:
+    """Default-path profile at scale: same one-scan shape as
+    :func:`table_profile` but distinct counts via HyperLogLog++
+    (``approx_count_distinct``, relative error ``rsd``). Exact
+    COUNT(DISTINCT) over several columns expands every row once per
+    column (4× row multiplication here) before the exchange; the sketch
+    variant keeps one row per row, carries fixed-size registers through
+    the partial/final aggregation, and never re-expands — at 100 TB this
+    is the only affordable default, with the exact variant kept as the
+    oracle-checked verifier. Sketch estimates are engine-specific, so
+    this key is rows-only for the driver; the local test bounds its
+    relative error against the exact profile."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c, rsd).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = lineitem.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_nulls, n_distinct_approx, min_v, max_v)"
         )
     )
 

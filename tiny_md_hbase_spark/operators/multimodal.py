@@ -38,6 +38,8 @@ __all__ = [
     "decode_features",
     "frame_sample",
     "resize_meta",
+    "write_media_partitioned",
+    "load_media_partitioned",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -167,6 +169,45 @@ def frame_sample(media: DataFrame, every_ms: int = 250, codec: str = "fake") -> 
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+SIZE_BUCKETS = 4  # payload-size strata per kind
+
+
+def write_media_partitioned(media: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """The 100 TB media layout: files partitioned by (kind, size_bucket).
+
+    Partitioning happens on CHEAP metadata before any decode: ``kind``
+    routes each modality to its own directory (a video-only frame-sample
+    job lists/reads only ``kind=video/`` — partition pruning, no scan of
+    images), and ``size_bucket`` (log2 stratum of payload length) keeps
+    each file's rows similar-sized so one task never holds a partition of
+    all-huge payloads. Within a file, rows sort by media_id for stable
+    reads. The decode kernels then run on already-balanced inputs —
+    exercising against files what the in-memory tests assert."""
+    out = media.withColumn(
+        "size_bucket",
+        F.least(
+            F.floor(F.log2(F.length("payload").cast("double") + 1) / 2).cast("int"),
+            F.lit(SIZE_BUCKETS - 1),
+        ),
+    )
+    (
+        out.repartition("kind", "size_bucket")
+        .sortWithinPartitions("media_id")
+        .write.mode(mode)
+        .partitionBy("kind", "size_bucket")
+        .parquet(path)
+    )
+
+
+def load_media_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned media table back with the canonical column
+    set (partition columns re-ordered to the MEDIA_SCHEMA layout)."""
+    df = spark.read.parquet(path)
+    return df.select(
+        "media_id", "kind", "payload", "width", "height", "duration_ms", "format"
+    )
 
 
 def resize_meta(media: DataFrame, max_side: int = 32) -> DataFrame:

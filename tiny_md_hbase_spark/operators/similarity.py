@@ -31,6 +31,9 @@ __all__ = [
     "embedding_knn",
     "lsh_signature",
     "embedding_knn_lsh",
+    "embedding_knn_ivf",
+    "embedding_knn_ivf_portable",
+    "embedding_knn_ivf_portable_sql",
 ]
 
 
@@ -235,6 +238,134 @@ def embedding_knn_ivf(
         cand.select("vec_id", "label", sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
+    )
+
+
+def _ivf_fixed_centroids(n_clusters: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random coarse centroids (Park-Miller residues
+    over 2^31-1, scaled to [-1, 1)) shared by the Spark expression and the
+    SQL twin — the IVF analog of ``_lsh_coeffs``. A coarse quantizer only
+    needs to partition the space consistently; these constants inline as
+    SQL literals, so assignment, probe selection, and scoring are
+    bit-identical across engines."""
+    m = (1 << 31) - 1
+    return [
+        [
+            2.0 * ((48271 * (c * dim + d + 777) + 11) % m) / m - 1.0
+            for d in range(dim)
+        ]
+        for c in range(n_clusters)
+    ]
+
+
+def embedding_knn_ivf_portable(
+    embeddings: DataFrame,
+    query_vec_id: int = 1,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Whole-pipeline-oracle-able IVF top-k: identical structure to
+    :func:`embedding_knn_ivf` (assign every vector to its nearest coarse
+    centroid, probe the ``n_probe`` centroids nearest the query, score
+    only those clusters) but with the deterministic literal centroids of
+    :func:`_ivf_fixed_centroids` instead of Lloyd-iterated ones — k-means'
+    float-avg centroids are accumulation-order dependent and can't be
+    reproduced bit-for-bit in another engine, fixed constants can. The
+    production k-means variant keeps the recall-vs-brute test; this twin
+    puts the assign→probe→prune→score pipeline under the DuckDB oracle.
+
+    Scale shape is unchanged: ``ivf_cluster`` is an ordinary partitioning
+    key, the probe prunes to n_probe/n_clusters of the data before any
+    dot product runs, and the final top-k is TakeOrderedAndProject."""
+    cents = _ivf_fixed_centroids(n_clusters, dim)
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(c) for c in cent]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{ci}")
+        for ci, cent in enumerate(cents)
+    ]
+    darr = F.array(*[F.col(f"d{ci}") for ci in range(n_clusters)])
+    assigned = e.select("vec_id", "label", "v", *dists).select(
+        "vec_id",
+        "label",
+        "v",
+        (F.array_position(darr, F.array_min(darr)) - 1).cast("int").alias("ivf_cluster"),
+    )
+    q = assigned.filter(F.col("vec_id") == query_vec_id).first()
+
+    def d2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    probe = sorted(range(n_clusters), key=lambda c: (d2(list(q.v), cents[c]), c))[
+        :n_probe
+    ]
+    qv = F.array(*[F.lit(x) for x in q.v])
+    sim = F.round(cosine(F.col("v"), qv), 6)
+    return (
+        assigned.filter(F.col("ivf_cluster").isin(*probe))
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def embedding_knn_ivf_portable_sql(
+    query_vec_id: int = 1,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`embedding_knn_ivf_portable`: centroids inline
+    as literal arrays; assignment is first-position argmin over the same
+    left-to-right double sums, probe selection ranks the query's centroid
+    distances with the same (distance, index) tiebreak."""
+    cents = _ivf_fixed_centroids(n_clusters, dim)
+
+    def lit(arr: list[float]) -> str:
+        return "[" + ", ".join(repr(c) for c in arr) + "]"
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        )
+
+    dl = "[" + ", ".join(d2("v", lit(c)) for c in cents) + "]"
+    qd = " UNION ALL ".join(
+        f"SELECT {ci} AS c, {d2('qv', lit(cent))} AS d FROM q"
+        for ci, cent in enumerate(cents)
+    )
+    dot = "list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2]))"
+    return (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"a AS (SELECT vec_id, label, v, "
+        f"CAST(list_position({dl}, list_min({dl})) - 1 AS INTEGER) AS cl FROM e), "
+        f"q AS (SELECT v AS qv FROM a WHERE vec_id = {query_vec_id}), "
+        f"qd AS ({qd}), "
+        f"probe AS (SELECT c FROM qd ORDER BY d, c LIMIT {n_probe}), "
+        "n AS (SELECT vec_id, label, v, "
+        "sqrt(list_sum(list_transform(v, x -> x * x))) AS norm "
+        "FROM a WHERE cl IN (SELECT c FROM probe)) "
+        f"SELECT vec_id, label, round({dot} / "
+        "(norm * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim "
+        "FROM n CROSS JOIN q "
+        f"ORDER BY cos_sim DESC, vec_id LIMIT {k}"
     )
 
 

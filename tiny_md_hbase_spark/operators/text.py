@@ -35,6 +35,7 @@ __all__ = [
     "repetition_stats",
     "repetition_stats_sql",
     "decontaminate",
+    "decontaminate_hashed",
     "decontaminate_sql",
     "FINGERPRINT_MOD",
     "LANG_MARKERS",
@@ -354,6 +355,36 @@ def decontaminate(
     )
     return (
         train.join(F.broadcast(eval_g), "g")
+        .groupBy(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def decontaminate_hashed(
+    documents: DataFrame,
+    gram_n: int = DECON_GRAM,
+    eval_mod: int = DECON_EVAL_MOD,
+) -> DataFrame:
+    """Production twin of :func:`decontaminate`: identical semantics, but
+    the join key is ``xxhash64(gram)`` — an 8-byte fixed-width key instead
+    of a ~50-byte n-gram string. At 100 TB the gram join's shuffle (and the
+    broadcast hash table) moves/holds 64-bit ints instead of raw text, and
+    whole-stage codegen hashes a long instead of re-hashing variable-length
+    UTF-8 per probe. Collision odds are ~1e-8 even at 10^9 distinct grams
+    (64-bit birthday bound), so the output is the raw-string result with
+    probability ≈ 1 — which is why the raw :func:`decontaminate_sql` also
+    serves as this operator's oracle."""
+    from tiny_md_hbase_spark.operators.dedup import shingles
+
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(shingles("text", gram_n)).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    train = grams(documents.filter(F.col("doc_id") % eval_mod != 0))
+    eval_g = grams(documents.filter(F.col("doc_id") % eval_mod == 0)).select(
+        F.col("doc_id").alias("eval_doc_id"), "gh"
+    )
+    return (
+        train.join(F.broadcast(eval_g), "gh")
         .groupBy(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )

@@ -39,12 +39,25 @@ DOMAIN_MAX = 4095
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # the fixtures store TIMESTAMP(NANOS), which the parquet reader rejects
-    # natively; set here (not only in our session factory) so the driver's
-    # own vanilla SparkSession can run every query — ts columns surface as
-    # nanos-longs and are converted explicitly where needed
+    # older fixture generations store TIMESTAMP(NANOS), which the parquet
+    # reader rejects natively; set here (not only in our session factory) so
+    # the driver's own vanilla SparkSession can run every query — nanos ts
+    # columns surface as nanos-longs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and df.schema["ts"].dataType.typeName() != "long":
+        # current fixtures store ts as timestamp[us] (read as TIMESTAMP_NTZ);
+        # normalize to the engine's canonical event-time representation —
+        # int64 nanoseconds since epoch — so all time arithmetic stays exact
+        # integer math and `ts div 1000` (µs) matches the DuckDB oracle's
+        # epoch_us(ts) bit-for-bit. UTC pinned so the NTZ→timestamp cast is
+        # offset-free under any host timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("long"),
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
