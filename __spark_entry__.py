@@ -593,6 +593,13 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding near-dup: sign-LSH banded candidates, exact
+    cosine verify — whole pipeline under the oracle (deterministic
+    hyperplanes inline as SQL literals)."""
+    return D.dedup_embedding_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only resize planning over the synthetic media table —
     pure JVM Column math; rows-only check (media table is synthetic,
@@ -990,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_hashed": _q_decontaminate_hashed,
         "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
         "table_profile_approx": _q_table_profile_approx,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "frame_sample": _q_frame_sample,
         "resize_meta": _q_resize_meta,
         "full_scan": _q_full_scan,
@@ -1314,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_knn_lsh": SIM.embedding_knn_lsh_sql(),
         "embedding_knn_ivf_portable": SIM.embedding_knn_ivf_portable_sql(),
+        "dedup_embedding_lsh": D.dedup_embedding_lsh_sql(),
         "embedding_knn": (
             "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
             "FROM embeddings), "

@@ -63,6 +63,7 @@ BENCH_KEYS = [
     "decontaminate_hashed",
     "table_profile_approx",
     "embedding_knn_ivf_portable",
+    "dedup_embedding_lsh",
     "repetition_stats",
     "knn_3d",
     "text_stats_rollup",

@@ -366,3 +366,33 @@ def test_embedding_knn_ivf_portable_pipeline(embs):
         ).collect()
     }
     assert full == exact
+
+
+def test_dedup_embedding_lsh_precision_and_planted_recall(spark, embs):
+    """Every emitted pair is exactly verified (precision 1 vs the
+    unblocked brute-force pair set); an identical planted vector shares
+    every band with its source, so it is always recalled."""
+    lsh_pairs = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in D.dedup_embedding_lsh(embs, threshold=0.35).collect()
+    }
+    assert lsh_pairs  # non-vacuous on the fixture
+    # precision: each pair really is >= threshold with the exact cosine
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in embs.collect()}
+    for (a, b), cs in lsh_pairs.items():
+        va, vb = vecs[a], vecs[b]
+        exact = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert abs(round(exact, 6) - cs) < 1e-6
+        assert exact >= 0.35
+    # planted exact duplicate: hamming(sig, sig) = 0 -> collides in all bands
+    r1 = embs.filter(F.col("vec_id") == 1).collect()[0]
+    extra = spark.createDataFrame([(99002, r1.embedding, r1.label)], embs.schema)
+    got = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in D.dedup_embedding_lsh(
+            embs.unionByName(extra), threshold=0.95
+        ).collect()
+    }
+    assert got.get((1, 99002)) == 1.0

@@ -35,6 +35,8 @@ __all__ = [
     "dedup_simhash",
     "ngram_jaccard",
     "dedup_embedding",
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_sql",
 ]
 
 # deterministic odd multipliers/offsets for the minhash permutation family
@@ -841,4 +843,118 @@ def dedup_embedding(
             F.col("b.vec_id").alias("vec_b"),
             F.round(cos, 6).alias("cos_sim"),
         )
+    )
+
+
+def dedup_embedding_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH banded candidate pairs,
+    exact-cosine verified. This is the variant that must be the default at
+    100 TB — :func:`dedup_embedding` broadcasts the whole table and is
+    positioned as the blocked verifier only.
+
+    Same division of labor as MinHash-LSH text dedup: one pass computes a
+    ``planes``-bit signature per vector (deterministic hyperplanes shared
+    with the similarity module — no RNG, reproducible in SQL), the
+    signature splits into ``bands`` fixed-width band keys, candidates are
+    an equi-join on (band, band_bits) — the shuffle moves (vec_id, 8-byte
+    key) rows, never vectors — and only candidate pairs fetch their
+    vectors for the exact cosine check. Recall is the LSH tradeoff: a
+    true pair is found iff it collides in ≥1 band (tunable via
+    planes/bands); every emitted pair is exactly verified, so precision
+    is 1 at the given threshold.
+    """
+    from tiny_md_hbase_spark.operators.similarity import cosine, lsh_signature
+
+    rpb = planes // bands
+    mask = (1 << rpb) - 1
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("sig", lsh_signature(F.col("v"), planes, dim))
+    slim = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col("sig")
+                        .bitwiseAND(F.lit(mask << (b * rpb)))
+                        .alias("band_bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.band_bits")
+    a, b = slim.alias("a"), slim.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    cos = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .filter(cos >= threshold)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+def dedup_embedding_lsh_sql(
+    threshold: float = 0.35,
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`dedup_embedding_lsh`: hyperplanes inline as
+    literal arrays (same constants as the Spark expression), bands are the
+    same masked bit-slices, so candidate sets and verified pairs match
+    bit-for-bit."""
+    from tiny_md_hbase_spark.operators.similarity import _lsh_coeffs
+
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot('v', '[' + ', '.join(repr(c) for c in plane) + ']')} >= 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p, plane in enumerate(_lsh_coeffs(planes, dim))
+    )
+    rpb = planes // bands
+    mask = (1 << rpb) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, sig & {mask << (b * rpb)} AS band_bits FROM s"
+        for b in range(bands)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"s AS (SELECT vec_id, v, {sig} AS sig FROM e), "
+        f"bk AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM bk a JOIN bk b ON a.band = b.band AND a.band_bits = b.band_bits "
+        "AND a.vec_id < b.vec_id), "
+        "n AS (SELECT vec_id, v, "
+        "sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e) "
+        f"SELECT vec_a, vec_b, round({dot('va.v', 'vb.v')} / "
+        "(va.norm * vb.norm), 6) AS cos_sim "
+        "FROM cand JOIN n va ON cand.vec_a = va.vec_id "
+        "JOIN n vb ON cand.vec_b = vb.vec_id "
+        f"WHERE {dot('va.v', 'vb.v')} / (va.norm * vb.norm) >= {threshold}"
     )
