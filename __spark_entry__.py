@@ -944,62 +944,73 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(docs, D.ngram_jaccard(docs))
 
 
+def _q_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index/layout-accelerated exact kNN (the reference's best-first
+    bucket expansion, Client.java:92-152, as an expanding z-window search,
+    spatial.py knn_indexed): materialize the z-encoded view, then search
+    doubling square windows pruned by the rectangle + z-interval
+    predicates until the k-th hit is inside the window. Returns exactly
+    the rows of `knn` (same total-order tiebreak) — the plain knn oracle
+    SQL applies verbatim."""
+    pts = points(spark, sf_dir).withColumn(
+        "zvalue", Z.zvalue("x", "y")
+    ).localCheckpoint()
+    return spatial.knn_indexed(pts, *KNN_Q, KNN_K, domain_max=4095)
+
+
+def _q_stream_ingest_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest end-to-end (SURVEY.md §7 phase 5; the reference's
+    per-point insert RPC loop, Client.java:55-59, amortized to
+    micro-batches): stage the events fixture as arriving files, stream
+    them through foreachBatch into a z-clustered points table with
+    per-batch incremental index refresh (streaming/ingest.py
+    stream_ingest_points), then answer the pinned rectangle count FROM
+    THE INGESTED TABLE. The oracle computes the same count from the
+    events fixture directly — matching proves the z-encode + sorted
+    append + readback round trip loses nothing."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming import ingest as ING
+
+    d = tempfile.mkdtemp(prefix="singest_q_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        # several files => several micro-batches: first batch builds the
+        # index, later ones exercise the incremental refresh path
+        ev.repartition(4).write.parquet(f"{d}/src")
+        q = ING.stream_ingest_points(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            available_now=True,
+            max_files_per_trigger=2,
+        )
+        q.awaitTermination(300)
+        ingested = spark.read.parquet(f"{d}/table/points")
+        return spatial.range_count(ingested, RECT_X, RECT_Y).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
-    # Front: keys never checked in r01/r02, keys fixed this round, and new
-    # keys; back: keys already proven green by the driver in r01/r02.
+    # Round-4 rotation (COVERAGE.md has the per-key verdict ages): front =
+    # resize_meta (never checked in any round), the two keys fixed this
+    # round (skew_join / running_total — HUGEINT oracle casts), the two new
+    # keys (knn_indexed / stream_ingest_points), the 42 keys whose latest
+    # verdict is r02 (stalest), and 3 r03 keys whose modules were edited
+    # this round (similarity.py / sources/tables.py). Back = r03-green keys
+    # in untouched modules.
     return {
-        "stream_windowed": _q_stream_windowed,
-        "interval_join": _q_interval_join,
-        "time_band_join": _q_time_band_join,
-        "grouped_histogram": _q_grouped_histogram,
-        "sales_rollup": _q_sales_rollup,
-        "topk_per_group": _q_topk_per_group,
-        "skew_join": _q_skew_join,
-        "anti_join": _q_anti_join,
-        "semi_join": _q_semi_join,
-        "distinct_count": _q_distinct_count,
-        "approx_distinct": _q_approx_distinct,
-        "set_except": _q_set_except,
-        "sales_cube": _q_sales_cube,
-        "rollup_hierarchy": _q_rollup_hierarchy,
-        "latest_state": _q_latest_state,
-        "pivot": _q_pivot,
-        "running_total": _q_running_total,
-        "sql_pricing_summary": _q_sql_pricing_summary,
-        "table_profile": _q_table_profile,
-        "chunk_documents": _q_chunk_documents,
-        "decontaminate": _q_decontaminate,
-        "repetition_stats": _q_repetition_stats,
-        "corpus_sample": _q_corpus_sample,
-        "pack_tokens": _q_pack_tokens,
-        "windowed_counts": _q_windowed_counts,
-        "stream_dedup": _q_stream_dedup,
-        "dedup_clusters": _q_dedup_clusters,
-        "spatial_histogram": _q_spatial_histogram,
-        "embedding_knn_batch": _q_embedding_knn_batch,
-        "corpus_clean": _q_corpus_clean,
-        "top_tokens": _q_top_tokens,
-        "text_percentiles": _q_text_percentiles,
-        "text_stats_rollup": _q_text_stats_rollup,
-        "multimodal_features": _q_multimodal_features,
-        "zorder3d_encode": _q_zorder3d_encode,
-        "range_count_3d": _q_range_count_3d,
-        "knn_3d": _q_knn_3d,
-        "index_build": _q_index_build,
-        "index_inspect": _q_index_inspect,
-        "floor_lookup": _q_floor_lookup,
-        "sessionize": _q_sessionize,
-        "asof_join": _q_asof_join,
-        "stream_asof": _q_stream_asof,
-        "stream_sessionize": _q_stream_sessionize,
-        "dedup_embedding": _q_dedup_embedding,
-        "decontaminate_hashed": _q_decontaminate_hashed,
-        "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
-        "table_profile_approx": _q_table_profile_approx,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "frame_sample": _q_frame_sample,
+        # -- never driver-checked / fixed / new ---------------------------
         "resize_meta": _q_resize_meta,
+        "skew_join": _q_skew_join,
+        "running_total": _q_running_total,
+        "knn_indexed": _q_knn_indexed,
+        "stream_ingest_points": _q_stream_ingest_points,
+        # -- latest verdict r02 (stalest, rotated back in) ----------------
         "full_scan": _q_full_scan,
         "range_query": _q_range_query,
         "range_query_cover": _q_range_query_cover,
@@ -1042,6 +1053,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_doc_fingerprint,
+        # -- r03-green keys in modules edited this round ------------------
+        "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
+        "stream_windowed": _q_stream_windowed,
+        "sessionize": _q_sessionize,
+        # ---- driver window ends here (first 50 keys) --------------------
+        "interval_join": _q_interval_join,
+        "time_band_join": _q_time_band_join,
+        "grouped_histogram": _q_grouped_histogram,
+        "sales_rollup": _q_sales_rollup,
+        "topk_per_group": _q_topk_per_group,
+        "anti_join": _q_anti_join,
+        "semi_join": _q_semi_join,
+        "distinct_count": _q_distinct_count,
+        "approx_distinct": _q_approx_distinct,
+        "set_except": _q_set_except,
+        "sales_cube": _q_sales_cube,
+        "rollup_hierarchy": _q_rollup_hierarchy,
+        "latest_state": _q_latest_state,
+        "pivot": _q_pivot,
+        "sql_pricing_summary": _q_sql_pricing_summary,
+        "table_profile": _q_table_profile,
+        "chunk_documents": _q_chunk_documents,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
+        "corpus_sample": _q_corpus_sample,
+        "pack_tokens": _q_pack_tokens,
+        "windowed_counts": _q_windowed_counts,
+        "stream_dedup": _q_stream_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        "spatial_histogram": _q_spatial_histogram,
+        "embedding_knn_batch": _q_embedding_knn_batch,
+        "corpus_clean": _q_corpus_clean,
+        "top_tokens": _q_top_tokens,
+        "text_percentiles": _q_text_percentiles,
+        "text_stats_rollup": _q_text_stats_rollup,
+        "multimodal_features": _q_multimodal_features,
+        "zorder3d_encode": _q_zorder3d_encode,
+        "range_count_3d": _q_range_count_3d,
+        "knn_3d": _q_knn_3d,
+        "index_build": _q_index_build,
+        "index_inspect": _q_index_inspect,
+        "floor_lookup": _q_floor_lookup,
+        "asof_join": _q_asof_join,
+        "stream_asof": _q_stream_asof,
+        "stream_sessionize": _q_stream_sessionize,
+        "dedup_embedding": _q_dedup_embedding,
+        "decontaminate_hashed": _q_decontaminate_hashed,
+        "table_profile_approx": _q_table_profile_approx,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -1132,6 +1193,23 @@ def oracle_sql() -> dict[str, str]:
             f"{_POINTS_CTE} SELECT id, x, y, dist_sq, sqrt(dist_sq) AS dist "
             f"FROM (SELECT id, x, y, CAST({dist_sq} AS BIGINT) AS dist_sq "
             f"FROM points) ORDER BY dist_sq, id, x, y LIMIT {KNN_K}"
+        ),
+        # knn_indexed is exact and totally ordered identically to knn —
+        # the same oracle applies verbatim (spatial.py knn_indexed)
+        "knn_indexed": (
+            f"{_POINTS_CTE} SELECT id, x, y, dist_sq, sqrt(dist_sq) AS dist "
+            f"FROM (SELECT id, x, y, CAST({dist_sq} AS BIGINT) AS dist_sq "
+            f"FROM points) ORDER BY dist_sq, id, x, y LIMIT {KNN_K}"
+        ),
+        # the streamed z-table must answer the rectangle count the events
+        # fixture itself answers (events_as_points projection inlined)
+        "stream_ingest_points": (
+            "SELECT count(*) AS cnt FROM ("
+            "SELECT CAST(user_id % 4096 AS INTEGER) AS x, "
+            "CAST((event_id * 997 + user_id) % 4096 AS INTEGER) AS y "
+            "FROM events) "
+            f"WHERE x BETWEEN {RECT_X[0]} AND {RECT_X[1]} "
+            f"AND y BETWEEN {RECT_Y[0]} AND {RECT_Y[1]}"
         ),
         # same grid-cell blocking as the Spark plan (cell side >= radius,
         # 3x3 neighborhood hash join) — a literal O(n^2) join oracle would

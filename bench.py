@@ -186,6 +186,10 @@ def main() -> None:
         "cpus": cpus,
     }
     if errors:
+        # a partial run must not read as a faster full run: null the
+        # headline value so any consumer of "value" sees the breakage
+        out["value"] = None
+        out["partial_total_sec"] = total
         out["errors"] = errors
     print(json.dumps(out))
 

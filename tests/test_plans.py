@@ -192,3 +192,24 @@ def test_aqe_skew_join_split_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ngram_jaccard_broadcast_is_conditional(spark, sf_dir):
+    """Above the broadcast budget the pair join must NOT broadcast the
+    corpus shingle table (the 100 TB OOM shape) — it falls back to a
+    salted shuffle-hash join; under the budget it broadcasts. Both
+    shapes return identical rows (execution-only rewrite)."""
+    docs = load_table(spark, sf_dir, "documents")
+    small = D.ngram_jaccard(docs)
+    assert P.broadcast_join_count(small) >= 1
+    base = {(r.doc_a, r.doc_b, r.jaccard) for r in small.collect()}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        big = D.ngram_jaccard(docs)
+        plan = P.explain_str(big, "simple")
+        assert "BroadcastExchange" not in plan, plan[:2000]
+        assert "ShuffledHashJoin" in plan, plan[:2000]
+        assert {(r.doc_a, r.doc_b, r.jaccard) for r in big.collect()} == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -202,10 +202,10 @@ def event_type_deviation_sql() -> str:
         "WITH ev AS (SELECT event_id, event_type, "
         "CAST(round(value * 1000000) AS BIGINT) AS value_micros FROM events), "
         "stats AS (SELECT event_type, "
-        "sum(value_micros) // count(*) AS type_mean_micros "
+        "CAST(sum(value_micros) // count(*) AS BIGINT) AS type_mean_micros "
         "FROM ev GROUP BY 1) "
         "SELECT event_id, ev.event_type, value_micros, type_mean_micros, "
-        "value_micros - type_mean_micros AS dev_micros "
+        "CAST(value_micros - type_mean_micros AS BIGINT) AS dev_micros "
         "FROM ev JOIN stats ON ev.event_type = stats.event_type"
     )
 
@@ -370,8 +370,8 @@ def running_total_sql() -> str:
         "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
         "CAST(round(value * 1000000) AS BIGINT) AS value_micros FROM events) "
         "SELECT user_id, event_id, ts_us, value_micros, "
-        "sum(value_micros) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value_micros "
+        "CAST(sum(value_micros) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_value_micros "
         "FROM ev"
     )
 

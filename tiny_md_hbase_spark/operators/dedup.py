@@ -630,11 +630,27 @@ def dedup_simhash_portable_sql(max_hamming: int = 3, bands: int = 4) -> str:
     )
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """Parse ``spark.sql.autoBroadcastJoinThreshold`` (accepts the plain
+    byte count or a k/m/g suffix) — the same size gate Spark applies to
+    its own broadcast decisions."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    raw = raw.strip().lower().removesuffix("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if raw and raw[-1] in units:
+        return int(float(raw[:-1]) * units[raw[-1]])
+    try:
+        return int(raw)
+    except ValueError:
+        return 10 * (1 << 20)
+
+
 def ngram_jaccard(
     documents: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
     block_col: str = "lang",
+    num_salts: int = 16,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within blocks.
 
@@ -683,22 +699,45 @@ def ngram_jaccard(
     a = sh_df.withColumn(
         "lbp", F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1))
     ).alias("a")
-    # force the broadcast: the join key (blk, length-bucket) has ~tens of
-    # distinct values, so a sort-merge join would collapse to a few huge
-    # tasks (observed 4x run-to-run flips when AQE chose it); broadcasting
-    # keeps parallelism = stream-side partitions regardless of stats
-    b = F.broadcast(sh_df).alias("b")
+    # the join key (blk, length-bucket) has ~tens of distinct values, so a
+    # sort-merge join would collapse to a few huge tasks (observed 4x
+    # run-to-run flips when AQE chose it). Two execution shapes, same rows:
+    #  - build side fits the broadcast budget -> broadcast it (parallelism
+    #    = stream-side partitions, zero shuffle);
+    #  - else (the 100 TB case: an unconditional whole-corpus broadcast
+    #    would OOM the executors) -> shuffle-hash with a salted key: the
+    #    stream side salts on doc_id, the build side replicates per salt,
+    #    so each hot (blk, lb) key spreads over num_salts tasks.
+    cond = (
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.lbp") == F.col("b.lb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # exact pruning: J <= min(|A|,|B|)/max(|A|,|B|)
+        & (F.least(F.col("a.sz"), F.col("b.sz"))
+           >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")))
+    )
+    stats = sh_df.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("n_shingles"),
+    ).first()
+    est_bytes = stats.n_shingles * 8 + stats.n_docs * 64
+    if est_bytes <= _broadcast_threshold_bytes(documents.sparkSession):
+        b = F.broadcast(sh_df).alias("b")
+    else:
+        a = a.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_salts)).cast("int")
+        ).alias("a")
+        b = (
+            sh_df.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+            )
+            .hint("shuffle_hash")
+            .alias("b")
+        )
+        cond = cond & (F.col("a._salt") == F.col("b._salt"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.lbp") == F.col("b.lb"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # exact pruning: J <= min(|A|,|B|)/max(|A|,|B|)
-            & (F.least(F.col("a.sz"), F.col("b.sz"))
-               >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))),
-        )
+        a.join(b, cond)
         # name the intersection so filter and output share ONE computation
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -924,8 +963,14 @@ def dedup_embedding_lsh_sql(
 ) -> str:
     """DuckDB twin of :func:`dedup_embedding_lsh`: hyperplanes inline as
     literal arrays (same constants as the Spark expression), bands are the
-    same masked bit-slices, so candidate sets and verified pairs match
-    bit-for-bit."""
+    same masked bit-slices. Candidate sets agree in practice but not by
+    construction: a sign bit comes from a float dot product (Spark's
+    ``F.aggregate`` fold vs DuckDB's ``list_sum``), so a projection within
+    one ulp of 0 could flip a band key between engines. The verified-pair
+    output is robust to that — a flipped bit only perturbs *candidate*
+    generation, and the exact cosine verify re-checks every candidate —
+    unless the flip hides a pair entirely (never observed on the fixture
+    vectors, whose projections are far from 0)."""
     from tiny_md_hbase_spark.operators.similarity import _lsh_coeffs
 
     def dot(a: str, b: str) -> str:

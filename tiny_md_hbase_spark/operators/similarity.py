@@ -223,6 +223,10 @@ def embedding_knn_ivf(
     single dot product runs."""
     assigned, centroids = ivf_build(embeddings, n_clusters)
     q = assigned.filter(F.col("vec_id") == query_vec_id).first()
+    if q is None:
+        raise ValueError(
+            f"query vector vec_id={query_vec_id} not found in embeddings"
+        )
     import math
 
     def d2(a, b):
@@ -302,7 +306,14 @@ def embedding_knn_ivf_portable(
         "v",
         (F.array_position(darr, F.array_min(darr)) - 1).cast("int").alias("ivf_cluster"),
     )
-    q = assigned.filter(F.col("vec_id") == query_vec_id).first()
+    # fetch only the query row's embedding — pulling it through `assigned`
+    # would evaluate all n_clusters centroid-distance columns just to
+    # discard them driver-side
+    q = e.filter(F.col("vec_id") == query_vec_id).select("v").first()
+    if q is None:
+        raise ValueError(
+            f"query vector vec_id={query_vec_id} not found in embeddings"
+        )
 
     def d2(a: list[float], b: list[float]) -> float:
         acc = 0.0

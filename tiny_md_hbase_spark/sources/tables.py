@@ -45,18 +45,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # columns surface as nanos-longs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and df.schema["ts"].dataType.typeName() != "long":
+    ts_type = df.schema["ts"].dataType.typeName() if name == "events" else "long"
+    if ts_type != "long":
         # current fixtures store ts as timestamp[us] (read as TIMESTAMP_NTZ);
         # normalize to the engine's canonical event-time representation —
         # int64 nanoseconds since epoch — so all time arithmetic stays exact
         # integer math and `ts div 1000` (µs) matches the DuckDB oracle's
-        # epoch_us(ts) bit-for-bit. UTC pinned so the NTZ→timestamp cast is
-        # offset-free under any host timezone.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn(
-            "ts",
-            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("long"),
-        )
+        # epoch_us(ts) bit-for-bit. NTZ wall-clock is measured against the
+        # epoch with timestampdiff — pure calendar arithmetic, independent
+        # of the session timezone (no session-config mutation: a loader
+        # that flips spark.sql.session.timeZone would make every other
+        # timezone-sensitive query order-dependent on whether events was
+        # loaded first).
+        if ts_type == "timestamp_ntz":
+            micros = F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        else:
+            # absolute-instant TIMESTAMP: unix_micros is timezone-free
+            micros = F.unix_micros(F.col("ts"))
+        df = df.withColumn("ts", (micros * 1000).cast("long"))
     return df
 
 
