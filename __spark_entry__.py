@@ -994,6 +994,20 @@ def _q_stream_ingest_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted data-mixture sampling (operators/text.py
+    corpus_mix): keep each doc with its language's target rate, decided
+    by lcg(doc_id) — layout/rerun/append-stable, no shuffle."""
+    return TX.corpus_mix(load_table(spark, sf_dir, "documents"))
+
+
+def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle/shard manifest (operators/text.py
+    corpus_shuffle): pseudo-random shard + dense in-shard position as a
+    pure function of doc_id — the write-training-shards step."""
+    return TX.corpus_shuffle(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-4 rotation (COVERAGE.md has the per-key verdict ages): front =
@@ -1010,6 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": _q_running_total,
         "knn_indexed": _q_knn_indexed,
         "stream_ingest_points": _q_stream_ingest_points,
+        "corpus_mix": _q_corpus_mix,
+        "corpus_shuffle": _q_corpus_shuffle,
         # -- latest verdict r02 (stalest, rotated back in) ----------------
         "full_scan": _q_full_scan,
         "range_query": _q_range_query,
@@ -1053,11 +1069,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_doc_fingerprint,
-        # -- r03-green keys in modules edited this round ------------------
+        # -- r03-green key in a module edited this round ------------------
         "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
+        # ---- driver window ends here (first 50 keys) --------------------
         "stream_windowed": _q_stream_windowed,
         "sessionize": _q_sessionize,
-        # ---- driver window ends here (first 50 keys) --------------------
         "interval_join": _q_interval_join,
         "time_band_join": _q_time_band_join,
         "grouped_histogram": _q_grouped_histogram,
@@ -1578,6 +1594,8 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {TX.doc_fingerprint_sql()} % {TX.SAMPLE_MOD} = 0"
         ),
         "pack_tokens": TX.pack_tokens_sql(),
+        "corpus_mix": TX.corpus_mix_sql(),
+        "corpus_shuffle": TX.corpus_shuffle_sql(),
         "windowed_counts": SES.windowed_counts_sql(),
         # streaming dedup of a twice-delivered source == the original table
         "stream_dedup": (

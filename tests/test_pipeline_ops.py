@@ -396,3 +396,46 @@ def test_dedup_embedding_lsh_precision_and_planted_recall(spark, embs):
         ).collect()
     }
     assert got.get((1, 99002)) == 1.0
+
+
+# --- mixture sampling / deterministic shuffle ------------------------------
+
+def test_corpus_mix_deterministic_and_rebalancing(spark, sf_dir):
+    from tiny_md_hbase_spark.operators import text as TX
+    from tiny_md_hbase_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = TX.corpus_mix(docs)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # layout-independent: same decision after an arbitrary repartition
+    ids2 = sorted(r.doc_id for r in TX.corpus_mix(docs.repartition(7)).collect())
+    assert ids == ids2
+    # realized per-lang rates track the ppm targets (binomial tolerance)
+    tot = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in tot.items():
+        ppm = TX.MIX_TARGETS_PPM.get(lang, TX.MIX_DEFAULT_PPM)
+        exp = n * ppm / 1_000_000
+        sd = (n * (ppm / 1_000_000) * (1 - ppm / 1_000_000)) ** 0.5
+        assert abs(got.get(lang, 0) - exp) <= 4 * sd + 1, (lang, got.get(lang), exp)
+
+
+def test_corpus_shuffle_is_a_permutation(spark, sf_dir):
+    from tiny_md_hbase_spark.operators import text as TX
+    from tiny_md_hbase_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.corpus_shuffle(docs, n_shards=8)
+    rows = out.collect()
+    # every document exactly once
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in docs.select("doc_id").collect())
+    # dense 1..n positions per shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # deterministic under repartitioning
+    again = {(r.doc_id, r.shard, r.pos) for r in TX.corpus_shuffle(docs.repartition(5), n_shards=8).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}

@@ -29,6 +29,10 @@ __all__ = [
     "text_stats",
     "doc_fingerprint",
     "corpus_sample",
+    "corpus_mix",
+    "corpus_mix_sql",
+    "corpus_shuffle",
+    "corpus_shuffle_sql",
     "pack_tokens",
     "chunk_documents",
     "chunk_documents_sql",
@@ -515,4 +519,115 @@ def text_stats_rollup(documents: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --- data-mixture sampling and deterministic shuffle/sharding --------------
+# The last two steps of a training-data pipeline after filtering/dedup:
+# rebalance the per-language mixture, then lay the corpus out in shards in
+# a reproducible pseudo-random order.
+
+# target keep-rates in parts-per-million: downsample the over-represented
+# language (en is ~44% of the fixture corpus), keep most of the rest
+MIX_TARGETS_PPM: dict[str, int] = {
+    "en": 350_000,
+    "de": 800_000,
+    "es": 600_000,
+    "fr": 900_000,
+    "zh": 500_000,
+}
+MIX_DEFAULT_PPM = 250_000
+# 31-bit LCG step — both engines evaluate it in exact int64 (doc_id is
+# far below 2^33, so doc_id * 1103515245 stays under 2^63)
+_MIX_A, _MIX_C, _MIX_M = 1_103_515_245, 12_345, 2_147_483_648
+
+
+def _mix_hash(col: Column) -> Column:
+    return (col * F.lit(_MIX_A) + F.lit(_MIX_C)) % F.lit(_MIX_M)
+
+
+def corpus_mix(
+    documents: DataFrame,
+    targets_ppm: dict[str, int] | None = None,
+    default_ppm: int = MIX_DEFAULT_PPM,
+) -> DataFrame:
+    """Deterministic weighted mixture sampling: keep each document with
+    its language's target probability, decided by a pure function of
+    ``doc_id`` — the data-mixing step that turns a filtered corpus into
+    the training distribution.
+
+    ``df.sample()`` cannot do this job: per-partition RNG state makes the
+    sample change under repartitioning, re-runs, and incremental appends.
+    Here keep/drop is ``lcg(doc_id) % 1e6 < ppm[lang]`` — stable under
+    any layout, so a 100 TB corpus resampled after appending one shard
+    keeps exactly the documents it kept before. No shuffle: the decision
+    is row-local and the filter folds into the scan (on a
+    lang-partitioned layout the all-zero-rate languages prune entirely)."""
+    t = targets_ppm or MIX_TARGETS_PPM
+    rate = F.coalesce(
+        F.create_map(
+            *[x for k, v in sorted(t.items()) for x in (F.lit(k), F.lit(v))]
+        )[F.col("lang")],
+        F.lit(default_ppm),
+    )
+    return documents.select(
+        "doc_id", "lang", "source", "n_chars",
+        (_mix_hash(F.col("doc_id")) % F.lit(1_000_000)).alias("mix_key"),
+    ).filter(F.col("mix_key") < rate)
+
+
+def corpus_mix_sql(
+    targets_ppm: dict[str, int] | None = None,
+    default_ppm: int = MIX_DEFAULT_PPM,
+) -> str:
+    t = targets_ppm or MIX_TARGETS_PPM
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(t.items())
+    )
+    return (
+        "WITH m AS (SELECT doc_id, lang, source, n_chars, "
+        f"(doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M} % 1000000 AS mix_key, "
+        f"CASE {cases} ELSE {default_ppm} END AS ppm FROM documents) "
+        "SELECT doc_id, lang, source, n_chars, mix_key FROM m "
+        "WHERE mix_key < ppm"
+    )
+
+
+SHUFFLE_SHARDS = 16
+# decorrelated from the mix LCG so mixing then sharding doesn't alias
+_SHARD_MULT = 2_654_435_761  # Knuth multiplicative hash constant
+
+
+def corpus_shuffle(documents: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> DataFrame:
+    """Deterministic shuffle + sharding manifest: every document gets a
+    pseudo-random ``shard`` and a dense ``pos`` within it — the
+    write-training-shards step. Order is a pure function of ``doc_id``
+    (multiplicative hash, doc_id tiebreak), so the shard layout is
+    reproducible run-to-run and append-stable for existing documents.
+
+    One shuffle (on ``shard``) then a per-shard sort — the same cost
+    profile as the ``repartitionByRange + sortWithinPartitions`` write
+    it feeds. At 100 TB pick ``n_shards`` so a shard fits an executor
+    sort spill budget (shards are embarrassingly parallel; nothing is
+    global except the hash function)."""
+    from pyspark.sql import Window
+
+    h = (F.col("doc_id") * F.lit(_SHARD_MULT)) % F.lit(_MIX_M)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        documents.select(
+            "doc_id", "lang", h.alias("h"), (h % F.lit(n_shards)).alias("shard")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "lang", "shard", "pos")
+    )
+
+
+def corpus_shuffle_sql(n_shards: int = SHUFFLE_SHARDS) -> str:
+    return (
+        "WITH s AS (SELECT doc_id, lang, "
+        f"(doc_id * {_SHARD_MULT}) % {_MIX_M} AS h FROM documents) "
+        f"SELECT doc_id, lang, h % {n_shards} AS shard, "
+        f"CAST(row_number() OVER (PARTITION BY h % {n_shards} "
+        "ORDER BY h, doc_id) AS BIGINT) AS pos FROM s"
     )
