@@ -72,6 +72,8 @@ BENCH_KEYS = [
     "embedding_knn_batch",
     "corpus_clean",
     "zorder3d_encode",
+    "corpus_mix",
+    "corpus_shuffle",
 ]
 
 

@@ -439,3 +439,10 @@ def test_corpus_shuffle_is_a_permutation(spark, sf_dir):
     # deterministic under repartitioning
     again = {(r.doc_id, r.shard, r.pos) for r in TX.corpus_shuffle(docs.repartition(5), n_shards=8).collect()}
     assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_embedding_knn_ivf_missing_query_raises(embs):
+    from tiny_md_hbase_spark.operators import similarity as SIM
+
+    with pytest.raises(ValueError, match="not found"):
+        SIM.embedding_knn_ivf_portable(embs, query_vec_id=-987654)

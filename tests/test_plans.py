@@ -213,3 +213,22 @@ def test_ngram_jaccard_broadcast_is_conditional(spark, sf_dir):
         assert {(r.doc_a, r.doc_b, r.jaccard) for r in big.collect()} == base
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_corpus_mix_no_shuffle_pushes_scan(spark, sf_dir):
+    """Mixture sampling is row-local: zero exchanges, and the keep
+    decision evaluates inside whole-stage codegen over the scan."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    q = TX.corpus_mix(load_table(spark, sf_dir, "documents"))
+    assert P.exchange_count(q) == 0
+    assert P.wholestage_codegen_ids(q)
+
+
+def test_corpus_shuffle_single_exchange(spark, sf_dir):
+    """Shard/position assignment costs exactly one shuffle (on shard) —
+    the same exchange the downstream sharded write would need anyway."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    q = TX.corpus_shuffle(load_table(spark, sf_dir, "documents"))
+    assert P.exchange_count(q) == 1
