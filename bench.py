@@ -74,6 +74,7 @@ BENCH_KEYS = [
     "zorder3d_encode",
     "corpus_mix",
     "corpus_shuffle",
+    "decontaminate_fuzzy",
 ]
 
 

@@ -446,3 +446,22 @@ def test_embedding_knn_ivf_missing_query_raises(embs):
 
     with pytest.raises(ValueError, match="not found"):
         SIM.embedding_knn_ivf_portable(embs, query_vec_id=-987654)
+
+
+def test_decontaminate_fuzzy_catches_paraphrased_leak(spark, sf_dir):
+    from tiny_md_hbase_spark.operators import dedup as DD
+    from tiny_md_hbase_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0).orderBy("doc_id").limit(1).collect()[0]
+    toks = ev.text.split()
+    toks[len(toks) // 2] = "PARAPHRASED"  # one word edited => near-dup, not exact
+    leak = spark.createDataFrame(
+        [(900007, " ".join(toks), ev.lang, "leak", len(ev.text))], docs.schema
+    )
+    hits = {
+        (r.train_doc_id, r.eval_doc_id): r.jaccard
+        for r in DD.decontaminate_fuzzy(docs.unionByName(leak)).collect()
+    }
+    j = hits.get((900007, ev.doc_id))
+    assert j is not None and 0.5 <= j < 1.0, hits

@@ -34,6 +34,8 @@ __all__ = [
     "simhash_table",
     "dedup_simhash",
     "ngram_jaccard",
+    "decontaminate_fuzzy",
+    "decontaminate_fuzzy_sql",
     "dedup_embedding",
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_sql",
@@ -202,28 +204,16 @@ def dedup_minhash(
     )
 
 
-def dedup_minhash_portable(
-    documents: DataFrame,
-    num_hashes: int = 16,
-    bands: int = 4,
-    n: int = 3,
-    jaccard_threshold: float = 0.8,
-) -> DataFrame:
-    """MinHash+LSH with a cross-engine-computable hash — the fully
-    oracle-checked twin of :func:`dedup_minhash`.
-
-    Same pipeline (shingle → k min-hashes → band keys → equi-join →
-    exact Jaccard verify), but the base hash is the polynomial rolling
-    hash ``(acc*31 + codepoint) mod 1e9+7`` over the shingle's
-    characters (exact integer arithmetic any engine reproduces
-    bit-for-bit) instead of Spark's xxhash64, and the band key folds the
-    band's min-hashes with the same polynomial instead of hashing them.
-    This makes every intermediate — signatures, band keys, candidate
-    set, final pairs — identical on Spark and DuckDB, so the WHOLE
-    probabilistic pipeline is under the oracle, not just the exact
-    verifier. The xxhash64 variant stays the production path (JVM-side
-    hash of the shingle string, no per-character fold).
-    """
+def _portable_banded(
+    documents: DataFrame, num_hashes: int, bands: int, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared cross-engine MinHash front end: (shingle-set table,
+    banded-signature table). Base hash is the polynomial rolling hash
+    ``(acc*31 + codepoint) mod 1e9+7`` (exact integer arithmetic any
+    engine reproduces bit-for-bit); band keys fold the band's min-hashes
+    with the same polynomial. One materialized shingle pass
+    (localCheckpoint) feeds both the signatures and the later exact
+    verify joins."""
     from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
 
     rows_per_band = num_hashes // bands
@@ -273,6 +263,32 @@ def dedup_minhash_portable(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bhash")
+    return sh_df, banded
+
+
+def dedup_minhash_portable(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH with a cross-engine-computable hash — the fully
+    oracle-checked twin of :func:`dedup_minhash`.
+
+    Same pipeline (shingle → k min-hashes → band keys → equi-join →
+    exact Jaccard verify), but the base hash is the polynomial rolling
+    hash ``(acc*31 + codepoint) mod 1e9+7`` over the shingle's
+    characters (exact integer arithmetic any engine reproduces
+    bit-for-bit) instead of Spark's xxhash64, and the band key folds the
+    band's min-hashes with the same polynomial instead of hashing them.
+    This makes every intermediate — signatures, band keys, candidate
+    set, final pairs — identical on Spark and DuckDB, so the WHOLE
+    probabilistic pipeline is under the oracle, not just the exact
+    verifier. The xxhash64 variant stays the production path (JVM-side
+    hash of the shingle string, no per-character fold).
+    """
+    sh_df, banded = _portable_banded(documents, num_hashes, bands, n)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bhash"])
@@ -343,6 +359,118 @@ def dedup_minhash_portable_sql(
         "      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac"
         "  FROM cand JOIN sh sa ON sa.doc_id = doc_a "
         "  JOIN sh sb ON sb.doc_id = doc_b"
+        f") WHERE jac >= {jaccard_threshold}"
+    )
+
+
+def decontaminate_fuzzy(
+    documents: DataFrame,
+    eval_mod: int = 50,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy train/eval decontamination: training documents that are
+    NEAR-duplicates of a held-out eval document (paraphrase-level
+    leakage the exact shared-n-gram check, ``text.decontaminate``,
+    misses when the contaminated copy was lightly edited).
+
+    Same split convention as ``decontaminate``: ``doc_id % eval_mod ==
+    0`` plays the held-out benchmark. Pipeline = the portable MinHash
+    front end (:func:`_portable_banded`) on the WHOLE corpus, band keys
+    split into eval/train sides, candidates from the banded equi-join,
+    then the exact shingle-Jaccard verify at ``jaccard_threshold``
+    (lower than the dedup default 0.8 — contamination screening wants
+    paraphrase recall, and every candidate is exactly verified so the
+    lower bar adds no false positives).
+
+    Scale shape: the corpus never shuffles as text — signatures are a
+    map-side pass over one materialized shingle table; the eval side of
+    the band join is broadcast (eval benchmarks are small and fixed by
+    construction, exactly as in ``decontaminate``); the verify join
+    touches only colliding candidates."""
+    sh_df, banded = _portable_banded(documents, num_hashes, bands, n)
+    is_eval = F.col("doc_id") % eval_mod == 0
+    tr_b = banded.filter(~is_eval)
+    ev_b = banded.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc_id"), "band", "bhash"
+    )
+    cand = (
+        tr_b.join(F.broadcast(ev_b), ["band", "bhash"])
+        .select(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
+        .dropDuplicates(["train_doc_id", "eval_doc_id"])
+    )
+    pairs = cand.join(
+        sh_df.select(F.col("doc_id").alias("train_doc_id"), F.col("sh").alias("sh_t")),
+        "train_doc_id",
+    ).join(
+        F.broadcast(
+            sh_df.filter(is_eval).select(
+                F.col("doc_id").alias("eval_doc_id"), F.col("sh").alias("sh_e")
+            )
+        ),
+        "eval_doc_id",
+    )
+    inter = F.size(F.array_intersect("sh_t", "sh_e"))
+    union = F.size("sh_t") + F.size("sh_e") - inter
+    jac = inter / union
+    return pairs.filter(jac >= jaccard_threshold).select(
+        "train_doc_id", "eval_doc_id", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def decontaminate_fuzzy_sql(
+    eval_mod: int = 50,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`decontaminate_fuzzy` — same shingles, same
+    polynomial signature/band arithmetic, same split, same verify, so
+    the whole probabilistic pipeline is under the oracle."""
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, tokens_sql
+
+    rows_per_band = num_hashes // bands
+    shingles_sql = (
+        "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(range(0, len(toks) - 2), "
+        "i -> array_to_string(toks[i+1:i+3], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END)"
+    )
+    char_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {2 * i + 1} + {7919 * (i + 1)}) "
+        f"% {_MERSENNE31})) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, list_reduce(list_prepend(CAST(0 AS BIGINT), ["
+        + ", ".join(f"m{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band))
+        + f"]), (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) AS bhash FROM sig"
+        for b in range(bands)
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents), "
+        f"sh AS (SELECT doc_id, {shingles_sql} AS s FROM t), "
+        f"hashed AS (SELECT doc_id, s, list_transform(s, g -> {char_hash}) AS hs "
+        "FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM hashed), "
+        f"banded AS ({band_rows}), "
+        "cand AS (SELECT a.doc_id AS train_doc_id, b.doc_id AS eval_doc_id "
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.bhash = b.bhash "
+        f"WHERE a.doc_id % {eval_mod} != 0 AND b.doc_id % {eval_mod} = 0 "
+        "GROUP BY 1, 2) "
+        "SELECT train_doc_id, eval_doc_id, round(jac, 6) AS jaccard FROM ("
+        "  SELECT train_doc_id, eval_doc_id,"
+        "    CAST(len(list_intersect(st.s, se.s)) AS DOUBLE)"
+        "      / (len(st.s) + len(se.s) - len(list_intersect(st.s, se.s))) AS jac"
+        "  FROM cand JOIN sh st ON st.doc_id = train_doc_id "
+        "  JOIN sh se ON se.doc_id = eval_doc_id"
         f") WHERE jac >= {jaccard_threshold}"
     )
 
