@@ -232,3 +232,16 @@ def test_corpus_shuffle_single_exchange(spark, sf_dir):
 
     q = TX.corpus_shuffle(load_table(spark, sf_dir, "documents"))
     assert P.exchange_count(q) == 1
+
+
+def test_decontaminate_fuzzy_broadcasts_eval_side_only(spark, sf_dir):
+    """The eval side of the band join (and of the verify join) is
+    broadcast — the training corpus must never be built into a hash
+    relation. Both joins broadcast; the stream side stays the corpus."""
+    from tiny_md_hbase_spark.operators import dedup as DD
+
+    q = DD.decontaminate_fuzzy(load_table(spark, sf_dir, "documents"))
+    assert P.broadcast_join_count(q) >= 2
+    # every non-broadcast join in the plan must also be on the eval axis:
+    # no SortMergeJoin may materialize over the full corpus pair space
+    assert "SortMergeJoin" not in P.explain_str(q, "simple")
