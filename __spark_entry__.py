@@ -1001,6 +1001,14 @@ def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_mix(load_table(spark, sf_dir, "documents"))
 
 
+def _q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subset selection (operators/text.py corpus_budget):
+    per language, take documents in deterministic shuffle order until
+    the running token total fills the budget — turns mixture rates into
+    an exact token allocation."""
+    return TX.corpus_budget(load_table(spark, sf_dir, "documents"))
+
+
 def _q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (near-duplicate) train/eval decontamination via the
     portable-MinHash band join + exact shingle-Jaccard verify
@@ -1035,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_points": _q_stream_ingest_points,
         "corpus_mix": _q_corpus_mix,
         "corpus_shuffle": _q_corpus_shuffle,
+        "corpus_budget": _q_corpus_budget,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         # -- latest verdict r02 (stalest, rotated back in) ----------------
         "full_scan": _q_full_scan,
@@ -1056,7 +1065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "make_mask": _q_make_mask,
         "set_bit": _q_set_bit,
         "byte_ops": _q_byte_ops,
-        "bytes_concat": _q_bytes_concat,
         "euclid_dist": _q_euclid_dist,
         "interval_preds": _q_interval_preds,
         "range_filter": _q_range_filter,
@@ -1080,6 +1088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_doc_fingerprint,
         # ---- driver window ends here (first 50 keys) --------------------
+        # bytes_concat displaced to make room for corpus_budget: trivial
+        # codec select, r02-green, re-proven by this round's local full run
+        "bytes_concat": _q_bytes_concat,
         "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
         "stream_windowed": _q_stream_windowed,
         "sessionize": _q_sessionize,
@@ -1604,6 +1615,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_tokens": TX.pack_tokens_sql(),
         "decontaminate_fuzzy": D.decontaminate_fuzzy_sql(),
+        "corpus_budget": TX.corpus_budget_sql(),
         "corpus_mix": TX.corpus_mix_sql(),
         "corpus_shuffle": TX.corpus_shuffle_sql(),
         "windowed_counts": SES.windowed_counts_sql(),

@@ -75,6 +75,7 @@ BENCH_KEYS = [
     "corpus_mix",
     "corpus_shuffle",
     "decontaminate_fuzzy",
+    "corpus_budget",
 ]
 
 

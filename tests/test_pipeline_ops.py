@@ -465,3 +465,32 @@ def test_decontaminate_fuzzy_catches_paraphrased_leak(spark, sf_dir):
     }
     j = hits.get((900007, ev.doc_id))
     assert j is not None and 0.5 <= j < 1.0, hits
+
+
+def test_corpus_budget_fills_each_language(spark, sf_dir):
+    from tiny_md_hbase_spark.operators import text as TX
+    from tiny_md_hbase_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 800
+    out = TX.corpus_budget(docs, budget=budget).collect()
+    totals = docs.select(
+        "lang", F.size(TX.tokens("text")).alias("n")
+    ).groupBy("lang").agg(F.sum("n").alias("tot")).collect()
+    corpus_tot = {r.lang: r.tot for r in totals}
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        filled = max(r.cum_tokens for r in rows)
+        max_doc = max(r.n_tokens for r in rows)
+        if corpus_tot[lang] >= budget:
+            # fill-until-full: reaches the budget, overshoots < one doc
+            assert budget <= filled < budget + max_doc, (lang, filled)
+        else:
+            assert filled == corpus_tot[lang]
+        # boundary doc included exactly once: all kept docs started under budget
+        assert all(r.cum_tokens - r.n_tokens < budget for r in rows)
+    # deterministic under repartitioning
+    again = {(r.doc_id, r.cum_tokens) for r in TX.corpus_budget(docs.repartition(9), budget=budget).collect()}
+    assert again == {(r.doc_id, r.cum_tokens) for r in out}

@@ -33,6 +33,8 @@ __all__ = [
     "corpus_mix_sql",
     "corpus_shuffle",
     "corpus_shuffle_sql",
+    "corpus_budget",
+    "corpus_budget_sql",
     "pack_tokens",
     "chunk_documents",
     "chunk_documents_sql",
@@ -630,4 +632,60 @@ def corpus_shuffle_sql(n_shards: int = SHUFFLE_SHARDS) -> str:
         f"SELECT doc_id, lang, h % {n_shards} AS shard, "
         f"CAST(row_number() OVER (PARTITION BY h % {n_shards} "
         "ORDER BY h, doc_id) AS BIGINT) AS pos FROM s"
+    )
+
+
+TOKEN_BUDGET_PER_LANG = 2_000
+
+
+def corpus_budget(
+    documents: DataFrame, budget: int = TOKEN_BUDGET_PER_LANG
+) -> DataFrame:
+    """Deterministic token-budget subset selection: per language, take
+    documents in the :func:`corpus_shuffle` pseudo-random order until the
+    running token total fills ``budget`` — "sample N tokens per domain",
+    the step that turns mixture *rates* into an exact token allocation.
+
+    Fill-until-full semantics: a document is kept iff the tokens before
+    it (in hash order) are still under budget, so the boundary-crossing
+    document is included and every language lands in
+    ``[budget, budget + max_doc_tokens)``. All integer arithmetic over a
+    deterministic total order (hash, doc_id) — identical in any engine,
+    stable under re-runs and layout. Cost: one shuffle on ``lang`` and a
+    single sequential window pass per language (the cumulative-sum
+    frame); at 100 TB the per-language partitions are the natural unit —
+    skew on a giant language is bounded by the budget itself, since the
+    running sum lets everything past ~budget tokens short-circuit at the
+    filter."""
+    from pyspark.sql import Window
+
+    d = documents.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(_SHARD_MULT)) % F.lit(_MIX_M)).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter((F.col("cum_tokens") - F.col("n_tokens")) < budget)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+def corpus_budget_sql(budget: int = TOKEN_BUDGET_PER_LANG) -> str:
+    return (
+        "WITH d AS (SELECT doc_id, lang, "
+        f"CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens, "
+        f"(doc_id * {_SHARD_MULT}) % {_MIX_M} AS h FROM documents), "
+        "c AS (SELECT doc_id, lang, n_tokens, "
+        "CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum_tokens FROM d) "
+        "SELECT doc_id, lang, n_tokens, cum_tokens FROM c "
+        f"WHERE cum_tokens - n_tokens < {budget}"
     )
