@@ -245,3 +245,12 @@ def test_decontaminate_fuzzy_broadcasts_eval_side_only(spark, sf_dir):
     # every non-broadcast join in the plan must also be on the eval axis:
     # no SortMergeJoin may materialize over the full corpus pair space
     assert "SortMergeJoin" not in P.explain_str(q, "simple")
+
+
+def test_corpus_budget_single_exchange(spark, sf_dir):
+    """Budget selection costs one shuffle (on lang) + a single
+    cumulative-window pass — no second exchange, no join."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    q = TX.corpus_budget(load_table(spark, sf_dir, "documents"))
+    assert P.exchange_count(q) == 1
