@@ -51,6 +51,19 @@ _POINTS_CTE = f"WITH points AS ({POINTS_SQL})"
 _DJ_SIDE = 1 << max(1, (DIST_JOIN_R - 1).bit_length())
 
 
+def _await_drained(q, timeout: int = 300) -> None:
+    """Block until an availableNow streaming query drains, failing LOUDLY
+    on timeout: reading the sink (or deleting the scratch dir) under a
+    still-running query would surface as a partial count — a silent wrong
+    answer, or a flaky pass, instead of this explicit error."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} still running after {timeout}s; "
+            "sink contents would be partial"
+        )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rectangle count over the derived points view at sf0.001."""
     pts = points(spark, "/root/testdata/sf0.001")
@@ -175,7 +188,7 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         return (
             spark.table("q_stream_dedup_sink")
             .select(
@@ -808,7 +821,7 @@ def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         return spark.table("q_stream_asof_sink").localCheckpoint()
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -853,7 +866,7 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         out = spark.table("q_stream_sessionize_sink")
         seq = Window.partitionBy("user_id").orderBy("session_start_us")
         return (
@@ -909,7 +922,7 @@ def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         return (
             spark.table("q_stream_windowed_sink")
             .filter(F.col("event_type") != "sentinel")
@@ -987,7 +1000,7 @@ def _q_stream_ingest_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             available_now=True,
             max_files_per_trigger=2,
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         ingested = spark.read.parquet(f"{d}/table/points")
         return spatial.range_count(ingested, RECT_X, RECT_Y).localCheckpoint()
     finally:

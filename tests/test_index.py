@@ -95,13 +95,28 @@ def test_floor_lookup(spark, built):
 
 def test_floor_lookup_batch(spark, built):
     _, idx, rows = built
+    coords = [(0, 0), (100, 7), (2048, 2048), (4095, 4095)]
     probes = spark.createDataFrame(
-        [(zorder_encode_py(x, y),) for x, y in [(0, 0), (100, 7), (2048, 2048), (4095, 4095)]],
-        "z long",
+        [(zorder_encode_py(x, y),) for x, y in coords], "z long"
     )
     got = {r.z: r.bucket_z for r in IX.floor_lookup_batch(idx, probes).collect()}
+    assert len(got) == len(coords)  # complete cover: every probe resolves
     for z, bz in got.items():
         assert bz == max(r.bucket_z for r in rows if r.bucket_z <= z)
+
+
+def test_floor_lookup_batch_is_equi_join(spark, built):
+    """The batch floor lookup must be the prefix equi-join, never the
+    O(|probes| x |buckets|) inequality nested loop."""
+    from tiny_md_hbase_spark import plans as P
+
+    _, idx, _ = built
+    probes = spark.range(64).select((F.col("id") * 997 % (1 << 24)).alias("z"))
+    q = IX.floor_lookup_batch(idx, probes)
+    plan = P.explain_str(q, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert P.broadcast_join_count(q) >= 1
 
 
 def test_index_inspect_render(spark):

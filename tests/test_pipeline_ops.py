@@ -91,6 +91,45 @@ def test_simhash_finds_exact_dup(planted):
     assert pairs.get((d0, 100001)) == 0
 
 
+def test_minhash_jvm_equals_portable_after_verify(planted):
+    """Cross-check of the two MinHash variants: the production JVM-hash
+    pipeline (xxhash64 — not oracle-able in DuckDB) and its oracle-green
+    portable twin must emit the SAME verified pairs with the SAME exact
+    Jaccard at the same threshold. Candidate sets may differ (different
+    hash families band differently); the exact-Jaccard verifier must
+    erase that difference on every pair either family surfaces."""
+    jvm = {
+        (r.doc_a, r.doc_b): r.jaccard for r in D.dedup_minhash(planted).collect()
+    }
+    portable = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_minhash_portable(planted).collect()
+    }
+    assert jvm and jvm == portable
+
+
+def test_simhash_jvm_and_portable_agree_on_exact_dups(planted):
+    """SimHash cross-check: hamming distances live in different spaces
+    (64-bit xxhash64 vs 2x28-bit polynomial), so the near-dup sets —
+    even the hamming==0 sets: unrelated docs can collide to one simhash,
+    differently per family — may legitimately differ at the margin. The
+    family-independent invariant: every exact TEXT duplicate pair is
+    hamming 0 in BOTH families, and each family's output respects its
+    own max_hamming bound."""
+    d0 = planted.orderBy("doc_id").limit(1).collect()[0].doc_id
+    exact_text_pairs = {(d0, 100001)}  # the planted verbatim copy
+    jvm = {(r.doc_a, r.doc_b): r.hamming for r in D.dedup_simhash(planted).collect()}
+    portable = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.dedup_simhash_portable(planted).collect()
+    }
+    for p in exact_text_pairs:
+        assert jvm.get(p) == 0, (p, jvm.get(p))
+        assert portable.get(p) == 0, (p, portable.get(p))
+    assert all(0 <= h <= 3 for h in jvm.values())
+    assert all(0 <= h <= 3 for h in portable.values())
+
+
 def test_chunk_documents_tiles_every_token(spark, sf_dir):
     from tiny_md_hbase_spark.operators import text as TX
     from tiny_md_hbase_spark.sources import load_table
@@ -494,3 +533,28 @@ def test_corpus_budget_fills_each_language(spark, sf_dir):
     # deterministic under repartitioning
     again = {(r.doc_id, r.cum_tokens) for r in TX.corpus_budget(docs.repartition(9), budget=budget).collect()}
     assert again == {(r.doc_id, r.cum_tokens) for r in out}
+    # sharding is an execution detail: n_shards must not change the result
+    one_shard = {
+        (r.doc_id, r.cum_tokens)
+        for r in TX.corpus_budget(docs, budget=budget, n_shards=1).collect()
+    }
+    assert one_shard == {(r.doc_id, r.cum_tokens) for r in out}
+
+
+def test_corpus_budget_null_text_counts_zero(spark, sf_dir):
+    """A NULL-text document contributes 0 tokens (not size()'s -1
+    sentinel, which would corrupt every downstream running sum) and is
+    still eligible for selection, matching the oracle's COALESCE."""
+    from tiny_md_hbase_spark.operators import text as TX
+    from tiny_md_hbase_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    nulled = spark.createDataFrame(
+        [(990001, None, "en", "synthetic", 0)], docs.schema
+    )
+    out = TX.corpus_budget(docs.unionByName(nulled), budget=10**9).collect()
+    row = next(r for r in out if r.doc_id == 990001)
+    assert row.n_tokens == 0
+    # running sums stay consistent: cum is non-decreasing in (h-order)
+    # and never negative
+    assert all(r.cum_tokens >= r.n_tokens >= 0 for r in out)

@@ -4,6 +4,7 @@ fail here instead of surfacing as slowdowns on a cluster."""
 
 from __future__ import annotations
 
+import re
 import shutil
 import tempfile
 
@@ -247,10 +248,24 @@ def test_decontaminate_fuzzy_broadcasts_eval_side_only(spark, sf_dir):
     assert "SortMergeJoin" not in P.explain_str(q, "simple")
 
 
-def test_corpus_budget_single_exchange(spark, sf_dir):
-    """Budget selection costs one shuffle (on lang) + a single
-    cumulative-window pass — no second exchange, no join."""
+def test_corpus_budget_sharded_prefix_sum(spark, sf_dir):
+    """Budget selection must never sort a whole language in one task:
+    the cumulative window partitions by (lang, bshard) — order-preserving
+    h-range shards — with the tiny per-shard offset relation broadcast
+    back. Two data shuffles max (the offsets aggregate and the in-shard
+    window), and no window partitioned by lang alone."""
     from tiny_md_hbase_spark.operators import text as TX
 
     q = TX.corpus_budget(load_table(spark, sf_dir, "documents"))
-    assert P.exchange_count(q) == 1
+    plan = P.explain_str(q, "simple")
+    # the big-data (n_tokens) window is keyed by (lang, bshard): its
+    # partition spec — the bracket list after the window expressions —
+    # must contain bshard. Only the tiny shard_tokens aggregate window
+    # may partition by lang alone.
+    big = re.findall(r"Window \[sum\(n_tokens[^\n]*?\], \[([^\]]*)\]", plan)
+    assert big and all("bshard" in s for s in big), plan
+    lang_alone = re.findall(r"Window \[sum\((\w+)[^\n]*?\], \[lang#\d+\]", plan)
+    assert all(expr == "shard_tokens" for expr in lang_alone), plan
+    # offsets come back via broadcast, not a shuffled join
+    assert P.broadcast_join_count(q) >= 1
+    assert "SortMergeJoin" not in plan

@@ -114,7 +114,7 @@ def test_stream_sessionize_matches_batch(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180)
         streamed = {
             (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.sum_value_micros)
             for r in spark.sql("SELECT * FROM stream_sessions").collect()
@@ -160,7 +160,7 @@ def test_stream_dedup_drops_redeliveries(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180)
         got = spark.sql("SELECT event_id FROM stream_dedup").collect()
         ids = [r.event_id for r in got]
         assert len(ids) == len(set(ids))

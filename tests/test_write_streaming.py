@@ -74,7 +74,7 @@ def test_stream_ingest_matches_batch(spark, sf_dir, tmp_table):
     q = ING.stream_ingest_points(
         spark, src, table, ckpt, available_now=True, max_files_per_trigger=2
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     assert not q.isActive
 
     got = spark.read.parquet(f"{table}/points")
@@ -106,7 +106,7 @@ def test_stream_windowed_counts(spark, sf_dir, tmp_table):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = spark.sql("SELECT * FROM win_counts")
     # compare against the batch computation of the same window agg
     batch = (
@@ -134,7 +134,7 @@ def test_stream_asof_matches_batch(spark, sf_dir, tmp_table):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = spark.sql("SELECT * FROM asof_stream")
     want = SES.asof_join(events).drop("side")
     assert got.count() == want.count()
@@ -166,7 +166,7 @@ def test_stream_asof_state_carries_across_batches(spark, tmp_table):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         return spark.read.parquet(out_dir)
 
     write_batch([(1, 10 * us * 1000, 1, "error", 0.0, "")])

@@ -844,12 +844,23 @@ def ngram_jaccard(
         & (F.least(F.col("a.sz"), F.col("b.sz"))
            >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")))
     )
+    # NOTE: constructing this DataFrame runs Spark jobs — the
+    # localCheckpoint above materializes the shingle projection, and this
+    # stats pass (a count+sum over the already-checkpointed partitions,
+    # cheap by comparison) sizes the build side off the REAL shingle
+    # counts rather than a file-size proxy that shingle expansion would
+    # invalidate in either direction.
     stats = sh_df.agg(
         F.count("*").alias("n_docs"),
         F.coalesce(F.sum("sz"), F.lit(0)).alias("n_shingles"),
     ).first()
     est_bytes = stats.n_shingles * 8 + stats.n_docs * 64
-    if est_bytes <= _broadcast_threshold_bytes(documents.sparkSession):
+    # 4x headroom: the broadcast HashedRelation carries UnsafeRow + hash
+    # table overhead well beyond the raw 8 bytes/shingle, so near the
+    # threshold the raw estimate would pick broadcast for a relation that
+    # exceeds the budget once built. Overshooting the other way only
+    # costs the salted shuffle-hash path, which is safe at any size.
+    if est_bytes * 4 <= _broadcast_threshold_bytes(documents.sparkSession):
         b = F.broadcast(sh_df).alias("b")
     else:
         a = a.withColumn(

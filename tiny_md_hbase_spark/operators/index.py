@@ -310,21 +310,33 @@ def floor_lookup(index: DataFrame, probe_z: int) -> DataFrame:
 
 
 def floor_lookup_batch(index: DataFrame, probes: DataFrame) -> DataFrame:
-    """As-of join: for each probe z, the owning bucket. Broadcast the index
-    (it is the small side) and pick the max qualifying key per probe —
-    no shuffle of the probe side beyond the final aggregation."""
-    idx = index.select(
-        F.col("bucket_z").alias("_bz"), F.col("pl").alias("_pl"), F.col("size").alias("_size")
+    """As-of join at probe-set scale: for each probe z, its owning bucket
+    (``Index.java:115-122`` semantics, many probes at once).
+
+    Scale shape — the same prefix equi-join as :func:`bucket_route`. An
+    inequality broadcast join (``z >= bucket_z``) materializes
+    O(|probes| × |buckets| / 2) intermediate rows before any per-probe
+    collapse — the exact anti-pattern bucket_route's docstring warns
+    about. Because the index leaves partition the keyspace prefix-free,
+    the owner is the unique leaf with ``bucket_z == z & mask(pl)``: so
+    explode each probe over the index's ~tens of distinct prefix
+    LENGTHS and hash-join on (masked z, pl). At most one candidate
+    survives per probe, so the join IS the answer — no aggregation, no
+    shuffle of the probe side at all with the index broadcast.
+
+    Requires a complete prefix-free cover, which is what
+    :func:`index_build` produces (the reference's sibling chains,
+    ``Index.java:183-230``, guarantee the same). A probe outside the
+    cover — impossible against a complete index — is dropped rather
+    than floored to a preceding unrelated bucket."""
+    pls = sorted(r.pl for r in index.select("pl").distinct().collect())
+    cand = probes.withColumn("pl", F.explode(F.array(*[F.lit(p) for p in pls])))
+    masked = cand.withColumn(
+        "bucket_z", F.col("z").bitwiseAND(make_mask(F.col("pl")))
     )
-    joined = probes.join(F.broadcast(idx), F.col("z") >= F.col("_bz"), "left")
-    return (
-        joined.groupBy("z")
-        .agg(
-            F.max_by("_bz", "_bz").alias("bucket_z"),
-            F.max_by("_pl", "_bz").alias("pl"),
-            F.max_by("_size", "_bz").alias("size"),
-        )
-    )
+    return masked.join(
+        F.broadcast(index.select("bucket_z", "pl", "size")), ["bucket_z", "pl"]
+    ).select("z", "bucket_z", "pl", "size")
 
 
 def bucket_route(points: DataFrame, index: DataFrame) -> DataFrame:

@@ -636,10 +636,13 @@ def corpus_shuffle_sql(n_shards: int = SHUFFLE_SHARDS) -> str:
 
 
 TOKEN_BUDGET_PER_LANG = 2_000
+BUDGET_SHARDS = 32
 
 
 def corpus_budget(
-    documents: DataFrame, budget: int = TOKEN_BUDGET_PER_LANG
+    documents: DataFrame,
+    budget: int = TOKEN_BUDGET_PER_LANG,
+    n_shards: int = BUDGET_SHARDS,
 ) -> DataFrame:
     """Deterministic token-budget subset selection: per language, take
     documents in the :func:`corpus_shuffle` pseudo-random order until the
@@ -651,36 +654,82 @@ def corpus_budget(
     document is included and every language lands in
     ``[budget, budget + max_doc_tokens)``. All integer arithmetic over a
     deterministic total order (hash, doc_id) — identical in any engine,
-    stable under re-runs and layout. Cost: one shuffle on ``lang`` and a
-    single sequential window pass per language (the cumulative-sum
-    frame); at 100 TB the per-language partitions are the natural unit —
-    skew on a giant language is bounded by the budget itself, since the
-    running sum lets everything past ~budget tokens short-circuit at the
-    filter."""
+    stable under re-runs and layout.
+
+    Scale shape — two-phase prefix sum, never a whole language through
+    one task. ``h`` is uniform in [0, ``_MIX_M``), so contiguous h-ranges
+    make ``n_shards`` order-preserving shards per language (ties in h
+    share a shard, so the (h, doc_id) total order is respected across
+    shard boundaries). Phase 1 computes per-(lang, shard) token sums — a
+    map-side-combined aggregate, langs × n_shards rows. Phase 2 turns
+    those into exclusive per-shard offsets (a window over the tiny
+    aggregate) and keeps only shards whose offset is still under budget:
+    every row's exclusive prefix is ≥ its shard offset, so dropped
+    shards provably contain no survivors. Phase 3 broadcast-joins the
+    surviving offsets back and runs the cumulative window *within* each
+    (lang, shard) — at 100 TB a dominant language costs one tiny extra
+    aggregate scan, and only the first ~budget tokens' worth of shards
+    are ever sorted. The single-window form this replaces sorted the
+    entire language in one task before its filter could run."""
     from pyspark.sql import Window
 
+    width = -(-_MIX_M // n_shards)  # ceil: shard ids stay < n_shards
     d = documents.select(
         "doc_id",
         "lang",
-        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        # size(NULL) is -1 or NULL depending on spark.sql.legacy.sizeOfNull;
+        # guard on the column itself so both configs yield 0 like the oracle
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(tokens("text")))
+        .cast("long")
+        .alias("n_tokens"),
         ((F.col("doc_id") * F.lit(_SHARD_MULT)) % F.lit(_MIX_M)).alias("h"),
-    )
-    w = (
+    ).withColumn("bshard", F.floor(F.col("h") / F.lit(width)).cast("int"))
+
+    parts = d.groupBy("lang", "bshard").agg(F.sum("n_tokens").alias("shard_tokens"))
+    off_w = (
         Window.partitionBy("lang")
+        .orderBy("bshard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parts.withColumn(
+            "offset", F.coalesce(F.sum("shard_tokens").over(off_w), F.lit(0))
+        )
+        .filter(F.col("offset") < budget)
+        .select(
+            F.col("lang").alias("o_lang"),
+            F.col("bshard").alias("o_bshard"),
+            "offset",
+        )
+    )
+    in_shard = (
+        Window.partitionBy("lang", "bshard")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        d.join(
+            F.broadcast(offsets),
+            F.col("lang").eqNullSafe(F.col("o_lang"))
+            & (F.col("bshard") == F.col("o_bshard")),
+        )
+        .withColumn(
+            "cum_tokens", F.col("offset") + F.sum("n_tokens").over(in_shard)
+        )
         .filter((F.col("cum_tokens") - F.col("n_tokens")) < budget)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
 
 
 def corpus_budget_sql(budget: int = TOKEN_BUDGET_PER_LANG) -> str:
+    # The oracle keeps the one-window reference form: the sharded
+    # two-phase prefix sum above is a pure execution-shape change and
+    # must produce identical cum_tokens. COALESCE mirrors the Spark
+    # side's null-text guard (Spark size(NULL) is -1, DuckDB len NULL).
     return (
         "WITH d AS (SELECT doc_id, lang, "
-        f"CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens, "
+        f"CAST(COALESCE(len({tokens_sql('text')}), 0) AS BIGINT) AS n_tokens, "
         f"(doc_id * {_SHARD_MULT}) % {_MIX_M} AS h FROM documents), "
         "c AS (SELECT doc_id, lang, n_tokens, "
         "CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id "
