@@ -84,7 +84,55 @@ def test_incremental_no_overflow_touches_nothing_heavy(spark, tmp_table):
     from tiny_md_hbase_spark.sources.writer import with_zvalue
 
     with_zvalue(b).write.mode("append").parquet(f"{path}/points")
-    W.refresh_index_incremental(spark, path, b)
+    stats = W.refresh_index_incremental(spark, path, b)
+    assert stats == {"overflowed": 0, "table_scanned": False}
     assert _index_set(spark, path) == _full_set(spark, path)
     total = spark.read.parquet(f"{path}/index").agg(F.sum("size")).collect()[0][0]
     assert total == 8
+
+
+def test_incremental_no_overflow_never_reads_points(spark, tmp_table):
+    """Physical proof of O(batch), not O(table): with no overflowing
+    bucket the refresh must complete WITHOUT opening the points table —
+    here the table directory is removed before the refresh, so any
+    regression that re-reads it fails with a missing-path error instead
+    of silently scanning 100 TB per micro-batch."""
+    path = f"{tmp_table}/t3"
+    W.table_create(spark, path)
+    first = spark.createDataFrame(
+        [(i, i * 11 % 4096, i * 29 % 4096) for i in range(8)],
+        "id long, x int, y int",
+    )
+    W.insert_append(spark, path, first)
+    before = _index_set(spark, path)
+    shutil.rmtree(f"{path}/points")  # no one may look at the table now
+    b = spark.createDataFrame([(900, 3500, 3500)], "id long, x int, y int")
+    stats = W.refresh_index_incremental(spark, path, b)
+    assert stats == {"overflowed": 0, "table_scanned": False}
+    after = _index_set(spark, path)
+    assert sum(s for _, _, s in after) == sum(s for _, _, s in before) + 1
+
+
+def test_overflow_window_scan_pushes_literal_zvalue_filter(spark, tmp_table):
+    """The overflow re-read must prune at the parquet scan: the z-windows
+    are applied as a literal zvalue disjunction (PushedFilters), not only
+    as the window-assign join predicate — a join predicate prunes no
+    files, which at 100 TB means a full table scan per refresh."""
+    from tiny_md_hbase_spark import plans as P
+    from tiny_md_hbase_spark.sources.writer import write_points_zsorted
+
+    pts = spark.createDataFrame(
+        [(i, i % 4096, (i * 7) % 4096) for i in range(4000)],
+        "id long, x int, y int",
+    )
+    zdir = f"{tmp_table}/zpts"
+    write_points_zsorted(pts, zdir, num_partitions=8)
+    stored = spark.read.parquet(zdir)
+
+    class Over:
+        bucket_z, pl = 0, 8
+
+    q = W._overflow_window_cells(stored, [Over()])
+    pushed = " ".join(P.pushed_filters(q))
+    assert "zvalue" in pushed, pushed
+    assert P.broadcast_join_count(q) >= 1

@@ -93,6 +93,47 @@ def test_stream_ingest_matches_batch(spark, sf_dir, tmp_table):
     assert sorted((r.bucket_z, r.pl, r.size) for r in rows) == full
 
 
+def test_stream_ingest_refresh_is_incremental(spark, sf_dir, tmp_table, monkeypatch):
+    """Drives >=3 incremental micro-batches and pins the COST CLASS, not
+    just the result: every refresh after the first reports its
+    incrementality stats, batches that overflow nothing never scan the
+    points table, and the final index still equals a full rebuild.
+    foreachBatch runs driver-side in this process, so wrapping the
+    function the sink calls observes the real streaming path."""
+    src = f"{tmp_table}/src"
+    table = f"{tmp_table}/table"
+    events = load_table(spark, sf_dir, "events")
+    # 5 files -> batch 0 full-builds, batches 1..4 refresh incrementally
+    events.repartition(5).write.parquet(src)
+
+    calls: list[dict] = []
+    real = W.refresh_index_incremental
+
+    def recording(spark_, path_, batch_, threshold=IX.DEFAULT_THRESHOLD):
+        stats = real(spark_, path_, batch_, threshold=threshold)
+        calls.append(stats)
+        return stats
+
+    monkeypatch.setattr(ING, "refresh_index_incremental", recording)
+    q = ING.stream_ingest_points(
+        spark, src, table, f"{tmp_table}/ckpt", available_now=True,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(180)
+
+    assert len(calls) >= 3, calls
+    for stats in calls:
+        # the contract: a no-overflow batch must not have scanned the table
+        assert stats["table_scanned"] == (stats["overflowed"] > 0), calls
+    got = spark.read.parquet(f"{table}/points").select("id", "x", "y")
+    full = sorted((r.bucket_z, r.pl, r.size) for r in IX.index_build(got).collect())
+    idx = sorted(
+        (r.bucket_z, r.pl, r.size)
+        for r in spark.read.parquet(f"{table}/index").collect()
+    )
+    assert idx == full
+
+
 def test_stream_windowed_counts(spark, sf_dir, tmp_table):
     src = f"{tmp_table}/src2"
     events = load_table(spark, sf_dir, "events")

@@ -38,6 +38,10 @@ __all__ = [
 
 _POINTS_SCHEMA = "id long, x int, y int"
 
+# cap on the literal zvalue-range disjuncts pushed into the overflow
+# re-read scan; see _overflow_window_cells
+_MAX_SCAN_RANGES = 64
+
 
 def table_create(spark: SparkSession, path: str) -> None:
     """Create an empty points table + seeded index (``Index.java:77-105``:
@@ -93,7 +97,7 @@ def refresh_index_incremental(
     path: str,
     batch: DataFrame,
     threshold: int = DEFAULT_THRESHOLD,
-) -> None:
+) -> dict:
     """Update the index for an appended batch touching only affected
     buckets — O(batch + overflowing-bucket windows), not O(table).
 
@@ -109,6 +113,11 @@ def refresh_index_incremental(
 
     Equivalent to a full rebuild by construction: splitting is local to a
     bucket, and non-overflowing buckets are untouched by definition.
+
+    Returns incrementality stats so callers/tests can observe the cost
+    class without plan surgery: ``{"overflowed": n_buckets,
+    "table_scanned": bool}`` — a batch that overflows nothing must never
+    read the points table at all.
     """
     index = spark.read.parquet(f"{path}/index")
     # route batch cells to owning buckets, then aggregate added counts
@@ -134,26 +143,10 @@ def refresh_index_incremental(
     over_rows = over.collect()  # overflowing buckets only — small by nature
     if not over_rows:
         _atomic_write_index(spark, keep, path)
-        return
+        return {"overflowed": 0, "table_scanned": False}
 
     pts = spark.read.parquet(f"{path}/points")
-    windows = spark.createDataFrame(
-        [
-            (r.bucket_z, r.pl, r.bucket_z + (1 << (64 - r.pl)) - 1)
-            for r in over_rows
-        ],
-        "wb long, wpl int, wend long",
-    )
-    # z-window semi-join: on the z-sorted table each window prunes to the
-    # few files/row groups it overlaps
-    zcol = with_zvalue(pts)
-    affected = zcol.join(
-        F.broadcast(windows),
-        (F.col("zvalue") >= F.col("wb")) & (F.col("zvalue") <= F.col("wend")),
-    )
-    affected_cells = affected.groupBy("wb", "wpl", "zvalue").agg(
-        F.count("*").alias("c")
-    )
+    affected_cells = _overflow_window_cells(pts, over_rows)
 
     def _rebuild(pdf):
         import pandas as pd
@@ -173,6 +166,66 @@ def refresh_index_incremental(
         _rebuild, "bucket_z long, pl int, size long"
     )
     _atomic_write_index(spark, keep.unionByName(rebuilt), path)
+    return {"overflowed": len(over_rows), "table_scanned": True}
+
+
+def _overflow_window_cells(pts: DataFrame, over_rows: list) -> DataFrame:
+    """Cells of the overflowing buckets' z-windows, tagged with their
+    window (wb, wpl).
+
+    The windows are applied twice on purpose: once as a LITERAL
+    disjunction of ``zvalue BETWEEN`` predicates — over_rows is already
+    collected, and only a literal filter reaches the parquet readers
+    (PushedFilters on the stored ``zvalue`` of the z-clustered layout),
+    so at 100 TB the rebuild reads the few files/row groups each window
+    overlaps instead of scanning the table into a join — and once as the
+    broadcast window-assign join that labels each surviving row. The
+    join alone gives no scan pruning: a join predicate is not a pushable
+    filter.
+
+    The literal filter is a SUPERSET prefilter (the join still assigns
+    exact windows), so it may be safely coarsened: overlapping/adjacent
+    windows are merged, and at most ``_MAX_SCAN_RANGES`` disjuncts are
+    emitted (beyond that, neighbors share a disjunct spanning the gap).
+    Without the cap a batch that overflows thousands of buckets builds a
+    thousands-deep OR tree — StackOverflowError in Catalyst and a
+    filter too wide to push anyway."""
+    from functools import reduce
+
+    spark = pts.sparkSession
+    bounds = [
+        (r.bucket_z, r.pl, r.bucket_z + (1 << (64 - r.pl)) - 1) for r in over_rows
+    ]
+    windows = spark.createDataFrame(bounds, "wb long, wpl int, wend long")
+
+    merged: list[list[int]] = []
+    for wb, _, wend in sorted((b[0], b[1], b[2]) for b in bounds):
+        if merged and wb <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], wend)
+        else:
+            merged.append([wb, wend])
+    if len(merged) > _MAX_SCAN_RANGES:
+        # keep range starts, widen each kept range to its group's end
+        step = -(-len(merged) // _MAX_SCAN_RANGES)
+        merged = [
+            [grp[0][0], grp[-1][1]]
+            for grp in (
+                merged[i : i + step] for i in range(0, len(merged), step)
+            )
+        ]
+    pred = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("zvalue") >= lo) & (F.col("zvalue") <= hi)
+            for lo, hi in merged
+        ],
+    )
+    zcol = with_zvalue(pts)
+    affected = zcol.filter(pred).join(
+        F.broadcast(windows),
+        (F.col("zvalue") >= F.col("wb")) & (F.col("zvalue") <= F.col("wend")),
+    )
+    return affected.groupBy("wb", "wpl", "zvalue").agg(F.count("*").alias("c"))
 
 
 def _atomic_write_index(spark: SparkSession, index: DataFrame, path: str) -> None:
