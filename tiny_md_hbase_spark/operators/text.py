@@ -670,21 +670,32 @@ def corpus_budget(
     (lang, shard) — at 100 TB a dominant language costs one tiny extra
     aggregate scan, and only the first ~budget tokens' worth of shards
     are ever sorted. The single-window form this replaces sorted the
-    entire language in one task before its filter could run."""
+    entire language in one task before its filter could run.
+
+    The slim (doc_id, lang, n_tokens, h, bshard) projection feeds both
+    phases; ``cache()`` (lazy, MEMORY_AND_DISK, deduped by Spark's
+    CacheManager across identical plans) makes the corpus scan +
+    tokenizer run ONCE — without it each phase re-reads and re-tokenizes
+    the full text, and at 100 TB the second scan costs more than
+    materializing ~40 bytes/row ever could."""
     from pyspark.sql import Window
 
     width = -(-_MIX_M // n_shards)  # ceil: shard ids stay < n_shards
-    d = documents.select(
-        "doc_id",
-        "lang",
-        # size(NULL) is -1 or NULL depending on spark.sql.legacy.sizeOfNull;
-        # guard on the column itself so both configs yield 0 like the oracle
-        F.when(F.col("text").isNull(), F.lit(0))
-        .otherwise(F.size(tokens("text")))
-        .cast("long")
-        .alias("n_tokens"),
-        ((F.col("doc_id") * F.lit(_SHARD_MULT)) % F.lit(_MIX_M)).alias("h"),
-    ).withColumn("bshard", F.floor(F.col("h") / F.lit(width)).cast("int"))
+    d = (
+        documents.select(
+            "doc_id",
+            "lang",
+            # size(NULL) is -1 or NULL depending on spark.sql.legacy.sizeOfNull;
+            # guard on the column itself so both configs yield 0 like the oracle
+            F.when(F.col("text").isNull(), F.lit(0))
+            .otherwise(F.size(tokens("text")))
+            .cast("long")
+            .alias("n_tokens"),
+            ((F.col("doc_id") * F.lit(_SHARD_MULT)) % F.lit(_MIX_M)).alias("h"),
+        )
+        .withColumn("bshard", F.floor(F.col("h") / F.lit(width)).cast("int"))
+        .cache()
+    )
 
     parts = d.groupBy("lang", "bshard").agg(F.sum("n_tokens").alias("shard_tokens"))
     off_w = (
