@@ -26,6 +26,7 @@ from tiny_md_hbase_spark.operators import analytics as AN  # noqa: E402
 from tiny_md_hbase_spark.operators import dedup as D  # noqa: E402
 from tiny_md_hbase_spark.operators import index as IX  # noqa: E402
 from tiny_md_hbase_spark.operators import intervals as IV  # noqa: E402
+from tiny_md_hbase_spark.operators import privacy as PV  # noqa: E402
 from tiny_md_hbase_spark.operators import sessions as SES  # noqa: E402
 from tiny_md_hbase_spark.operators import similarity as SIM  # noqa: E402
 from tiny_md_hbase_spark.operators import spatial  # noqa: E402
@@ -535,6 +536,60 @@ def _q_embedding_knn_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_knn_ivf_portable(
         load_table(spark, sf_dir, "embeddings"), 1, KNN_K, n_probe=16
     )
+
+
+def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.py winnow_fingerprint):
+    distinct window-minima of token-3-gram hashes, the MOSS robust local
+    fingerprint; pure integer math, no shuffle."""
+    return TX.winnow_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/privacy.py) over the corpus with
+    deterministically INJECTED PII — the synthetic fixture contains
+    none, and an all-zero redaction count would leave the regex chain
+    untested. Every 5th doc gains an email, every 7th a phone + IPv4,
+    every 11th a long digit id; the SQL twin injects the identical
+    suffixes, so counts and scrubbed text are non-vacuously checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" tel 555-867-5309 host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" ref 123456789012")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return PV.pii_scrub(injected)
+
+
+_PII_INJECT_CTE = (
+    "WITH injected AS (SELECT doc_id, text "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com now' ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN ' tel 555-867-5309 host 10.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END "
+    "|| CASE WHEN doc_id % 11 = 0 THEN ' ref 123456789012' ELSE '' END AS text "
+    "FROM documents)"
+)
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,18 +1108,22 @@ def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-5 rotation (COVERAGE.md tracks per-key verdict ages): front =
-    # embedding_knn_ivf_full (new this round), corpus_budget (reworked:
-    # sharded two-phase prefix sum) and ngram_jaccard (broadcast-estimate
-    # headroom) whose modules changed since their r04 verdicts, then the
-    # entire stale cohort — bytes_concat (r02) and 46 of the 48 keys whose
-    # latest verdict is r03. The 2 r03 keys left out to fit the window,
-    # multimodal_features and frame_sample, are rows-only smokes (weakest
-    # driver signal; their real checks are the local determinism/CRC
-    # tests) — they rotate forward in r06. Back = the 48 r04-green keys in
-    # otherwise-untouched modules.
+    # the 3 new keys (embedding_knn_ivf_full / pii_scrub /
+    # winnow_fingerprint), corpus_budget (reworked: sharded two-phase
+    # prefix sum) and ngram_jaccard (broadcast-estimate headroom) whose
+    # modules changed since their r04 verdicts, then the stale cohort —
+    # bytes_concat (r02) and 44 of the 48 keys whose latest verdict is
+    # r03. The 4 r03 keys left out to fit the window (multimodal_features,
+    # frame_sample, approx_distinct, table_profile_approx) are all
+    # rows-only smokes (weakest driver signal; their real checks are the
+    # local determinism/CRC/error-bound tests) — they lead the r06
+    # rotation. Back = the 48 r04-green keys in otherwise-untouched
+    # modules.
     return {
         # -- new / changed since their last verdict ------------------------
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
+        "pii_scrub": _q_pii_scrub,
+        "winnow_fingerprint": _q_winnow_fingerprint,
         "corpus_budget": _q_corpus_budget,
         "ngram_jaccard": _q_ngram_jaccard,
         # -- latest verdict r02 (stalest) ----------------------------------
@@ -1081,7 +1140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": _q_anti_join,
         "semi_join": _q_semi_join,
         "distinct_count": _q_distinct_count,
-        "approx_distinct": _q_approx_distinct,
         "set_except": _q_set_except,
         "sales_cube": _q_sales_cube,
         "rollup_hierarchy": _q_rollup_hierarchy,
@@ -1114,12 +1172,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _q_stream_sessionize,
         "dedup_embedding": _q_dedup_embedding,
         "decontaminate_hashed": _q_decontaminate_hashed,
-        "table_profile_approx": _q_table_profile_approx,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # ---- driver window ends here (first 50 keys) --------------------
         # r03 rows-only smokes displaced to fit; r06 rotation front-runners
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
+        "approx_distinct": _q_approx_distinct,
+        "table_profile_approx": _q_table_profile_approx,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1480,6 +1539,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn": exact_knn_sql,
         # full-probe IVF must collapse to exact kNN: same oracle text
         "embedding_knn_ivf_full": exact_knn_sql,
+        "winnow_fingerprint": TX.winnow_fingerprint_sql(),
+        "pii_scrub": f"{_PII_INJECT_CTE} {PV.pii_scrub_sql(table='injected')}",
         "text_stats": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "

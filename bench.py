@@ -76,6 +76,8 @@ BENCH_KEYS = [
     "corpus_shuffle",
     "decontaminate_fuzzy",
     "corpus_budget",
+    "pii_scrub",
+    "winnow_fingerprint",
 ]
 
 

@@ -130,6 +130,80 @@ def test_simhash_jvm_and_portable_agree_on_exact_dups(planted):
     assert all(0 <= h <= 3 for h in portable.values())
 
 
+def test_pii_scrub_planted(spark):
+    from tiny_md_hbase_spark.operators import privacy as PV
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now", "en", "s", 0),
+            (2, "server 192.168.100.7 and card 4111111111111111", "en", "s", 0),
+            (3, "call +1 at 555-867-5309 ok", "en", "s", 0),
+            (4, "nothing sensitive here", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = {r.doc_id: r for r in PV.pii_scrub(docs).collect()}
+    assert rows[1].n_email == 1 and rows[1].clean_text == "mail <EMAIL> now"
+    assert rows[2].n_ip == 1 and rows[2].n_id == 1
+    assert rows[2].clean_text == "server <IP> and card <ID>"
+    assert rows[3].n_phone == 1 and "<PHONE>" in rows[3].clean_text
+    assert rows[4].clean_text == "nothing sensitive here"
+    assert (
+        rows[4].n_email == rows[4].n_ip == rows[4].n_phone == rows[4].n_id == 0
+    )
+
+
+def test_pii_scrub_sequential_no_double_count(spark):
+    """An IPv4 must not also be counted as a long id (sequential scrub:
+    the ip placeholder removes the digits before the id pattern runs),
+    and digits inside a redacted email never resurface."""
+    from tiny_md_hbase_spark.operators import privacy as PV
+
+    docs = spark.createDataFrame(
+        [(1, "x 10.200.300.400 y 123456789@example.com z", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    r = PV.pii_scrub(docs).collect()[0]
+    assert r.n_email == 1 and r.n_ip == 1 and r.n_id == 0
+    assert r.clean_text == "x <IP> y <EMAIL> z"
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing's core property: any shared token run of w + k - 1
+    tokens yields at least one shared fingerprint, regardless of the
+    surrounding text."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w + k - 1 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four five", "en", "s", 0),
+            (2, f"totally different prefix {shared} and another suffix here", "en", "s", 0),
+            (3, "no overlap with anything else at all whatsoever", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    fps: dict[int, set] = {}
+    for r in TX.winnow_fingerprint(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], (fps[1], fps[2])
+    assert not (fps[1] & fps[3])
+    # density: winnowing keeps far fewer fingerprints than grams
+    n_tokens = len(f"one two {shared} three four five".split())
+    assert len(fps[1]) <= n_tokens - TX.WINNOW_K + 1
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    from tiny_md_hbase_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = TX.winnow_fingerprint(docs).collect()
+    assert len(rows) == 1  # < k tokens -> whole text is the one gram
+
+
 def test_chunk_documents_tiles_every_token(spark, sf_dir):
     from tiny_md_hbase_spark.operators import text as TX
     from tiny_md_hbase_spark.sources import load_table

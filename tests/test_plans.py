@@ -248,6 +248,16 @@ def test_decontaminate_fuzzy_broadcasts_eval_side_only(spark, sf_dir):
     assert "SortMergeJoin" not in P.explain_str(q, "simple")
 
 
+def test_winnow_fingerprint_single_exchange(spark, sf_dir):
+    """Winnowing costs exactly one shuffle (on doc_id for the sliding
+    window); the per-doc dedup must reuse that partitioning — doc_id is
+    a prefix of the dedup key — instead of adding a second exchange."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    q = TX.winnow_fingerprint(load_table(spark, sf_dir, "documents"))
+    assert P.exchange_count(q) == 1
+
+
 def test_corpus_budget_sharded_prefix_sum(spark, sf_dir):
     """Budget selection must never sort a whole language in one task:
     the cumulative window partitions by (lang, bshard) — order-preserving
