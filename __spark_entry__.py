@@ -545,6 +545,12 @@ def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnow_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage pairs over winnowing fingerprints with stop-phrase
+    (document-frequency) pruning before the self-join."""
+    return TX.winnow_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/privacy.py) over the corpus with
     deterministically INJECTED PII — the synthetic fixture contains
@@ -1108,22 +1114,25 @@ def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-5 rotation (COVERAGE.md tracks per-key verdict ages): front =
-    # the 3 new keys (embedding_knn_ivf_full / pii_scrub /
-    # winnow_fingerprint), corpus_budget (reworked: sharded two-phase
-    # prefix sum) and ngram_jaccard (broadcast-estimate headroom) whose
-    # modules changed since their r04 verdicts, then the stale cohort —
-    # bytes_concat (r02) and 44 of the 48 keys whose latest verdict is
-    # r03. The 4 r03 keys left out to fit the window (multimodal_features,
-    # frame_sample, approx_distinct, table_profile_approx) are all
-    # rows-only smokes (weakest driver signal; their real checks are the
-    # local determinism/CRC/error-bound tests) — they lead the r06
-    # rotation. Back = the 48 r04-green keys in otherwise-untouched
-    # modules.
+    # the 4 new keys (embedding_knn_ivf_full / pii_scrub /
+    # winnow_fingerprint / winnow_pairs), corpus_budget (reworked:
+    # sharded two-phase prefix sum) and ngram_jaccard (broadcast-estimate
+    # headroom) whose modules changed since their r04 verdicts, then the
+    # stale cohort — bytes_concat (r02) and 43 of the 48 keys whose
+    # latest verdict is r03. The 5 r03 keys left out to fit the window:
+    # multimodal_features, frame_sample, approx_distinct,
+    # table_profile_approx (rows-only smokes — weakest driver signal;
+    # their real checks are the local determinism/CRC/error-bound tests)
+    # and sql_pricing_summary (oracle == the same SQL text on both
+    # engines: facade parity, lowest-information oracle). All five lead
+    # the r06 rotation. Back = the 48 r04-green keys in
+    # otherwise-untouched modules.
     return {
         # -- new / changed since their last verdict ------------------------
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
         "pii_scrub": _q_pii_scrub,
         "winnow_fingerprint": _q_winnow_fingerprint,
+        "winnow_pairs": _q_winnow_pairs,
         "corpus_budget": _q_corpus_budget,
         "ngram_jaccard": _q_ngram_jaccard,
         # -- latest verdict r02 (stalest) ----------------------------------
@@ -1145,7 +1154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hierarchy": _q_rollup_hierarchy,
         "latest_state": _q_latest_state,
         "pivot": _q_pivot,
-        "sql_pricing_summary": _q_sql_pricing_summary,
         "table_profile": _q_table_profile,
         "chunk_documents": _q_chunk_documents,
         "decontaminate": _q_decontaminate,
@@ -1179,6 +1187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "approx_distinct": _q_approx_distinct,
         "table_profile_approx": _q_table_profile_approx,
+        # r03 oracle key displaced for winnow_pairs: its check is the SAME
+        # SQL text on both engines (facade parity, not operator logic) —
+        # the lowest-information oracle in the cohort; r06 front-runner
+        "sql_pricing_summary": _q_sql_pricing_summary,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1540,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF must collapse to exact kNN: same oracle text
         "embedding_knn_ivf_full": exact_knn_sql,
         "winnow_fingerprint": TX.winnow_fingerprint_sql(),
+        "winnow_pairs": TX.winnow_pairs_sql(),
         "pii_scrub": f"{_PII_INJECT_CTE} {PV.pii_scrub_sql(table='injected')}",
         "text_stats": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "

@@ -78,6 +78,7 @@ BENCH_KEYS = [
     "corpus_budget",
     "pii_scrub",
     "winnow_fingerprint",
+    "winnow_pairs",
 ]
 
 

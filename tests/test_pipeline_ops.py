@@ -193,6 +193,36 @@ def test_winnow_shared_run_guarantee(spark):
     assert len(fps[1]) <= n_tokens - TX.WINNOW_K + 1
 
 
+def test_winnow_pairs_planted_copy(spark):
+    """A copied passage (>= w + k - 1 shared tokens in a run) pairs its
+    two documents; unrelated docs never pair; a stop-phrase shared by
+    MANY docs is df-pruned and creates no pairs on its own."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    passage = "the quick brown fox jumps over lazy dogs tonight"
+    boiler = "standard footer text appears everywhere in corpus pages"
+    rows = [
+        (1, f"intro words {passage} closing remarks here", "en", "s", 0),
+        (2, f"other beginning {passage} different ending words", "en", "s", 0),
+        (3, "completely unrelated content about spark plans", "en", "s", 0),
+    ]
+    # 20 docs sharing only the boilerplate: df(=20) > max_df(=10) prunes it
+    rows += [
+        (100 + i, f"doc number {i} unique words {boiler}", "en", "s", 0)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in TX.winnow_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    assert not any(a >= 100 and b >= 100 for a, b in pairs), pairs
+
+
 def test_winnow_short_doc_single_fingerprint(spark):
     from tiny_md_hbase_spark.operators import text as TX
 

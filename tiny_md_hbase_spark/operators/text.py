@@ -37,6 +37,8 @@ __all__ = [
     "corpus_budget_sql",
     "winnow_fingerprint",
     "winnow_fingerprint_sql",
+    "winnow_pairs",
+    "winnow_pairs_sql",
     "pack_tokens",
     "chunk_documents",
     "chunk_documents_sql",
@@ -718,6 +720,67 @@ def winnow_fingerprint_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
         f"j -> list_min(gh[j+1:j+{w}]))) "
         "ELSE [list_min(gh)] END AS fps FROM h) "
         "SELECT doc_id, unnest(fps) AS fp FROM win"
+    )
+
+
+WINNOW_MAX_DF = 10  # fingerprints in more docs than this are stop-phrases
+
+
+def winnow_pairs(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    max_df: int = WINNOW_MAX_DF,
+) -> DataFrame:
+    """Copied-passage detection: document pairs sharing ≥ ``min_shared``
+    winnowing fingerprints — the corpus-scale consumer of
+    :func:`winnow_fingerprint` (MOSS's matching step).
+
+    Scale shape: fingerprints whose document frequency exceeds
+    ``max_df`` are boilerplate/stop-phrases and are dropped BEFORE the
+    self-join — the standard guard that keeps the equi-join's per-key
+    fan-out bounded (a fingerprint shared by f docs contributes f²/2
+    pairs; capping f caps the blowup, exactly the hot-key discipline of
+    the LSH band joins). The join then shuffles only (fp, doc_id) pairs
+    and the per-pair count is a map-side-combinable aggregate. Returns
+    (doc_a, doc_b, n_shared), doc_a < doc_b."""
+    fp = winnow_fingerprint(documents, k, w)
+    df_ok = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    slim = fp.join(df_ok, "fp")
+    pairs = (
+        slim.alias("a")
+        .join(slim.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs
+
+
+def winnow_pairs_sql(
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    max_df: int = WINNOW_MAX_DF,
+) -> str:
+    base = winnow_fingerprint_sql(k, w)
+    return (
+        f"WITH fps AS ({base}), "
+        f"ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}), "
+        "slim AS (SELECT f.doc_id, f.fp FROM fps f JOIN ok USING (fp)) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM slim a JOIN slim b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_shared}"
     )
 
 
