@@ -545,6 +545,42 @@ def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnow_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/text.py corpus_diff) between the corpus
+    and a deterministically derived v2: every 13th doc removed, every
+    17th doc's text revised, every 19th re-added under a shifted id —
+    mirrored verbatim in the SQL twin so added/removed/changed rows are
+    non-vacuously checked."""
+    base = load_table(spark, sf_dir, "documents")
+    kept = base.filter(F.col("doc_id") % 13 != 0)
+    v2 = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" revised"))
+        ).otherwise(F.col("text")),
+    ).unionByName(
+        base.filter(F.col("doc_id") % 19 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    return TX.corpus_diff(base, v2)
+
+
+_CORPUS_V2_CTE = (
+    "WITH v2 AS ("
+    "SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text || ' revised' "
+    "ELSE text END AS text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 13 != 0 "
+    "UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 19 = 0)"
+)
+
+
 def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copied-passage pairs over winnowing fingerprints with stop-phrase
     (document-frequency) pruning before the self-join."""
@@ -1191,6 +1227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL text on both engines (facade parity, not operator logic) —
         # the lowest-information oracle in the cohort; r06 front-runner
         "sql_pricing_summary": _q_sql_pricing_summary,
+        # new this round but out-of-window (window full of stale+new keys
+        # with strictly higher priority); locally oracle-verified, first
+        # driver verdict lands with the r06 rotation
+        "corpus_diff": _q_corpus_diff,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1553,6 +1593,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_ivf_full": exact_knn_sql,
         "winnow_fingerprint": TX.winnow_fingerprint_sql(),
         "winnow_pairs": TX.winnow_pairs_sql(),
+        "corpus_diff": (
+            f"{_CORPUS_V2_CTE} {TX.corpus_diff_sql('documents', 'v2')}"
+        ),
         "pii_scrub": f"{_PII_INJECT_CTE} {PV.pii_scrub_sql(table='injected')}",
         "text_stats": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "

@@ -223,6 +223,32 @@ def test_winnow_pairs_planted_copy(spark):
     assert not any(a >= 100 and b >= 100 for a, b in pairs), pairs
 
 
+def test_corpus_diff_statuses(spark):
+    from tiny_md_hbase_spark.operators import text as TX
+
+    schema = "doc_id long, text string, lang string, source string, n_chars int"
+    old = spark.createDataFrame(
+        [
+            (1, "same text", "en", "s", 0),
+            (2, "will change", "en", "s", 0),
+            (3, "will vanish", "de", "s", 0),
+            (4, None, "fr", "s", 0),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "same text", "en", "s", 0),
+            (2, "has changed", "en", "s", 0),
+            (4, None, "fr", "s", 0),  # NULL == NULL must read as unchanged
+            (5, "brand new", "es", "s", 0),
+        ],
+        schema,
+    )
+    got = {r.doc_id: (r.lang, r.status) for r in TX.corpus_diff(old, new).collect()}
+    assert got == {2: ("en", "changed"), 3: ("de", "removed"), 5: ("es", "added")}
+
+
 def test_winnow_short_doc_single_fingerprint(spark):
     from tiny_md_hbase_spark.operators import text as TX
 

@@ -39,6 +39,8 @@ __all__ = [
     "winnow_fingerprint_sql",
     "winnow_pairs",
     "winnow_pairs_sql",
+    "corpus_diff",
+    "corpus_diff_sql",
     "pack_tokens",
     "chunk_documents",
     "chunk_documents_sql",
@@ -781,6 +783,56 @@ def winnow_pairs_sql(
         "CAST(count(*) AS BIGINT) AS n_shared "
         "FROM slim a JOIN slim b ON a.fp = b.fp AND a.doc_id < b.doc_id "
         f"GROUP BY 1, 2 HAVING count(*) >= {min_shared}"
+    )
+
+
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff between two corpus versions: every document that was
+    added, removed, or whose text changed — the bookkeeping step of an
+    incremental training-data pipeline (what do I re-tokenize / re-dedup
+    after this crawl refresh?).
+
+    Scale shape: one full-outer shuffle join on ``doc_id`` (on bucketed
+    or doc_id-partitioned layouts the exchange disappears entirely), a
+    row-local status expression, and a selective filter — unchanged
+    documents, the overwhelming majority between adjacent snapshots,
+    never leave the join stage. Text equality is compared directly (not
+    via hash), so the result is exact and engine-portable. Returns
+    (doc_id, lang, status) with status ∈ {added, removed, changed}."""
+    o = old.select(
+        "doc_id", F.col("lang").alias("o_lang"), F.col("text").alias("o_text")
+    )
+    n = new.select(
+        "doc_id", F.col("lang").alias("n_lang"), F.col("text").alias("n_text")
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("o_text").isNull() & F.col("n_text").isNotNull(), "added")
+        .when(F.col("n_text").isNull() & F.col("o_text").isNotNull(), "removed")
+        .when(~F.col("o_text").eqNullSafe(F.col("n_text")), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            "doc_id",
+            F.coalesce("n_lang", "o_lang").alias("lang"),
+            status.alias("status"),
+        )
+        .filter(F.col("status") != "unchanged")
+    )
+
+
+def corpus_diff_sql(old_table: str, new_table: str) -> str:
+    return (
+        "SELECT doc_id, lang, status FROM ("
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+        "COALESCE(n.lang, o.lang) AS lang, "
+        "CASE WHEN o.text IS NULL AND n.text IS NOT NULL THEN 'added' "
+        "WHEN n.text IS NULL AND o.text IS NOT NULL THEN 'removed' "
+        "WHEN o.text IS DISTINCT FROM n.text THEN 'changed' "
+        "ELSE 'unchanged' END AS status "
+        f"FROM {old_table} o FULL OUTER JOIN {new_table} n ON o.doc_id = n.doc_id"
+        ") WHERE status != 'unchanged'"
     )
 
 
