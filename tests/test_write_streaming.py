@@ -93,6 +93,38 @@ def test_stream_ingest_matches_batch(spark, sf_dir, tmp_table):
     assert sorted((r.bucket_z, r.pl, r.size) for r in rows) == full
 
 
+def test_pii_scrub_unchanged_on_stream(spark, tmp_table):
+    """Row-local operators are batch/stream unified: the SAME pii_scrub
+    plan runs on a streaming DataFrame with identical results — no
+    stream-specific variant needed (stateless select, no watermark)."""
+    from tiny_md_hbase_spark.operators import privacy as PV
+
+    schema = "doc_id long, text string, lang string, source string, n_chars int"
+    rows = [
+        (1, "mail a@b.co now", "en", "s", 0),
+        (2, "ip 10.1.2.3 here", "en", "s", 0),
+        (3, "clean", "en", "s", 0),
+    ]
+    src = f"{tmp_table}/docs_src"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    q = (
+        PV.pii_scrub(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_table}/pii_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.table("pii_stream").collect()}
+    batch = {r.doc_id: r for r in PV.pii_scrub(spark.read.parquet(src)).collect()}
+    assert {d: (r.clean_text, r.n_email, r.n_ip) for d, r in got.items()} == {
+        d: (r.clean_text, r.n_email, r.n_ip) for d, r in batch.items()
+    }
+    assert got[1].n_email == 1 and got[2].n_ip == 1
+
+
 def test_stream_ingest_refresh_is_incremental(spark, sf_dir, tmp_table, monkeypatch):
     """Drives >=3 incremental micro-batches and pins the COST CLASS, not
     just the result: every refresh after the first reports its

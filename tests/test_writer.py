@@ -144,3 +144,47 @@ def test_overlapping_span_pairs_counts():
     assert overlapping_span_pairs([S(0, 10), S(0, 10), S(0, 10)]) == 3
     # touching endpoints count as overlap (closed z-intervals)
     assert overlapping_span_pairs([S(0, 5), S(5, 9)]) == 1
+
+
+def test_write_corpus_shards_layout_and_order(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiny_md_hbase_spark.operators.text import corpus_shuffle
+    from tiny_md_hbase_spark.sources import load_table
+    from tiny_md_hbase_spark.sources.writer import (
+        load_corpus_shard,
+        write_corpus_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="tmh_shards_")
+    try:
+        path = f"{d}/shards"
+        write_corpus_shards(docs, path)
+        # every document lands in exactly the shard the manifest says
+        manifest = {
+            r.doc_id: (r.shard, r.pos) for r in corpus_shuffle(docs).collect()
+        }
+        stored = spark.read.parquet(path).select("doc_id", "shard", "pos").collect()
+        assert {r.doc_id: (r.shard, r.pos) for r in stored} == manifest
+        # a single-shard read is partition-pruned to that directory
+        # (input_file_name must be read off the scan, before any sort)
+        pruned = spark.read.parquet(path).filter(F.col("shard") == 3)
+        files = {
+            r.f for r in pruned.select(F.input_file_name().alias("f")).collect()
+        }
+        assert files and all("shard=3" in f for f in files)
+        # reading order is the dense in-shard position
+        one = load_corpus_shard(spark, path, 3)
+        poss = [r.pos for r in one.select("pos").collect()]
+        assert poss == sorted(poss) and poss[0] == 1
+        # rewrite reproduces the identical layout (pure function of doc_id)
+        path2 = f"{d}/shards2"
+        write_corpus_shards(docs.repartition(7), path2)
+        stored2 = spark.read.parquet(path2).select("doc_id", "shard", "pos").collect()
+        assert {r.doc_id: (r.shard, r.pos) for r in stored2} == manifest
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -36,6 +36,8 @@ __all__ = [
     "overlapping_span_pairs",
     "write_bucketed",
     "write_day_partitioned",
+    "write_corpus_shards",
+    "load_corpus_shard",
 ]
 
 
@@ -143,6 +145,48 @@ def compact_points_table(
     enc.sortWithinPartitions("zvalue").write.mode("overwrite").parquet(tmp_path)
     shutil.rmtree(pts_path)
     shutil.move(tmp_path, pts_path)
+
+
+def write_corpus_shards(
+    documents: DataFrame, path: str, n_shards: int | None = None
+) -> None:
+    """Materialize the :func:`~tiny_md_hbase_spark.operators.text.corpus_shuffle`
+    manifest as the physical training-shard layout: one
+    ``shard=N/`` partition directory per shard, rows ordered by the
+    deterministic in-shard position ``pos`` — the write-training-data
+    step a data loader consumes sequentially.
+
+    Scale shape: ONE exchange (`repartition` on the shard column — the
+    same shuffle corpus_shuffle already pays for its window) + an
+    in-partition sort; `partitionBy` on the write then splits files per
+    shard directory with no further movement. The layout is
+    reproducible: re-running over the same corpus yields byte-identical
+    shard membership and order (pure function of doc_id), so a resumed
+    or re-provisioned 100 TB write lands the same documents in the same
+    shards."""
+    from tiny_md_hbase_spark.operators.text import corpus_shuffle
+
+    manifest = corpus_shuffle(
+        documents, n_shards=n_shards
+    ) if n_shards else corpus_shuffle(documents)
+    out = (
+        documents.join(manifest.select("doc_id", "shard", "pos"), "doc_id")
+        .repartition("shard")
+        .sortWithinPartitions("shard", "pos")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def load_corpus_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
+    """One training shard in reading order; partition pruning means only
+    that shard's directory is listed/read."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("shard") == shard)
+        .orderBy("pos")
+    )
 
 
 def file_z_spans(spark: SparkSession, pts_path: str) -> DataFrame:
