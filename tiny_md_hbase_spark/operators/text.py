@@ -658,42 +658,66 @@ def winnow_fingerprint(
     provide.
 
     All exact integer arithmetic (the polynomial char hash both engines
-    reproduce bit-for-bit). Scale shape: posexplode the positional gram
-    sequence, hash each gram ONCE (one interpreted higher-order fold per
-    row — the acceptable dose; an array-of-windows expression tree
-    re-evaluates the whole hash array per window slice, CodegenFallback
-    with no CSE, measured O(grams²) and ~50× slower), then the w-row
-    sliding minimum as a rank window over (doc_id, gram position) — one
-    shuffle on doc_id, and the final per-doc dedup reuses that
-    partitioning (doc_id is a prefix of the dedup key), so no second
-    exchange. Returns (doc_id, fp) — feed into an equi-join on fp to
-    find copied passages across a corpus, the same banding shape as the
-    MinHash LSH join."""
+    reproduce bit-for-bit). Scale shape — hash tokens, not grams:
+    posexplode the token sequence and fold each token ONCE into
+    ``(h, 31^len mod M)`` (one interpreted higher-order fold per token;
+    hashing the gram strings instead folds every char k times across
+    overlapping grams and ships ~20-byte strings through the shuffle —
+    measured ~2× slower; an array-of-windows expression tree is worse
+    still, O(grams²) interpreted, ~50×). The gram hash is then assembled
+    from k consecutive token hashes with pure codegen ``lead()``
+    arithmetic — congruent to the char fold of the exact gram string,
+    since tokens contain no whitespace and every intermediate stays
+    under 2^62 — and the w-row sliding minimum runs over the same
+    (doc_id, position) sort, so the whole operator costs ONE shuffle of
+    long-only rows; the final per-doc dedup reuses the partitioning
+    (doc_id is a prefix of the dedup key). Returns (doc_id, fp) — feed
+    into an equi-join on fp to find copied passages across a corpus,
+    the same banding shape as the MinHash LSH join."""
     from pyspark.sql import Window
 
+    M = F.lit(FINGERPRINT_MOD)
     toks = tokens("text")
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    base = documents.select("doc_id", toks.alias("toks"))
+
+    # -- long docs: per-token (h, p=31^len) in ONE fold ------------------
+    t = base.filter(F.size("toks") >= k).select(
+        "doc_id", F.posexplode("toks").alias("ti", "tok")
+    )
+    hp = F.aggregate(
+        F.transform(F.split("tok", ""), lambda c: F.ascii(c).cast("long")),
+        F.struct(
+            F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")
         ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    # positional gram rows (NO distinct: winnowing is order-aware)
-    g = documents.select("doc_id", F.posexplode(grams).alias("gi", "g"))
-    h = F.aggregate(
-        F.transform(F.split("g", ""), lambda c: F.ascii(c).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + x) % F.lit(FINGERPRINT_MOD),
+        lambda acc, c: F.struct(
+            ((acc["h"] * 31 + c) % M).alias("h"), ((acc["p"] * 31) % M).alias("p")
+        ),
+    )
+    th = t.select("doc_id", "ti", hp.alias("hp")).select(
+        "doc_id", "ti", F.col("hp.h").alias("h"), F.col("hp.p").alias("p")
+    )
+    order = Window.partitionBy("doc_id").orderBy("ti")
+    # h(t1 ' ' t2 ... ' ' tk): extend by the space (×31 + 32), then by the
+    # next token (× its 31^len, + its hash) — mod after every product so
+    # nothing exceeds 2^60
+    gram_h: Column = F.col("h")
+    for j in range(1, k):
+        gram_h = (gram_h * 31 + 32) % M
+        gram_h = (
+            gram_h * F.lead("p", j).over(order) + F.lead("h", j).over(order)
+        ) % M
+    g = (
+        th.select("doc_id", F.col("ti").alias("gi"), gram_h.alias("gh"))
+        # trailing positions have no full gram (lead returned null)
+        .filter(F.col("gh").isNotNull())
     )
     slide = Window.partitionBy("doc_id").orderBy("gi").rowsBetween(0, w - 1)
     per_doc = Window.partitionBy("doc_id")
-    return (
-        g.select("doc_id", "gi", h.alias("h"))
-        .withColumn("wmin", F.min("h").over(slide))
+    long_fps = (
+        g.withColumn("wmin", F.min("gh").over(slide))
         .withColumn("n", F.count("*").over(per_doc))
-        # one window per full w-run; short docs keep their single
-        # (truncated-window) minimum at position 0
+        # one window per full w-run; docs with fewer than w grams keep
+        # their single (truncated-window) minimum at position 0
         .filter(
             (F.col("gi") <= F.col("n") - w)
             | ((F.col("n") < w) & (F.col("gi") == 0))
@@ -701,6 +725,20 @@ def winnow_fingerprint(
         .select("doc_id", F.col("wmin").alias("fp"))
         .dropDuplicates(["doc_id", "fp"])
     )
+
+    # -- short docs (< k tokens): whole text is the single gram ----------
+    short_fps = base.filter(F.size("toks") < k).select(
+        "doc_id",
+        F.aggregate(
+            F.transform(
+                F.split(F.concat_ws(" ", "toks"), ""),
+                lambda c: F.ascii(c).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % M,
+        ).alias("fp"),
+    )
+    return long_fps.unionByName(short_fps)
 
 
 def winnow_fingerprint_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
@@ -746,7 +784,12 @@ def winnow_pairs(
     pairs; capping f caps the blowup, exactly the hot-key discipline of
     the LSH band joins). The join then shuffles only (fp, doc_id) pairs
     and the per-pair count is a map-side-combinable aggregate. Returns
-    (doc_a, doc_b, n_shared), doc_a < doc_b."""
+    (doc_a, doc_b, n_shared), doc_a < doc_b.
+
+    The fingerprint table feeds the df aggregate and both self-join
+    sides; its shuffle output is shared via ReusedExchange (identical
+    subplans), so no materialization is needed — measured: checkpointing
+    it does not move the operator's time."""
     fp = winnow_fingerprint(documents, k, w)
     df_ok = (
         fp.groupBy("fp")
