@@ -545,6 +545,14 @@ def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnow_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end curation pipeline (operators/text.py
+    corpus_prepare): PII-scrub → quality filter → exact dedup →
+    deterministic mixture → per-language token budget, returning the
+    selected-documents manifest."""
+    return TX.corpus_prepare(load_table(spark, sf_dir, "documents"))
+
+
 def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/text.py corpus_diff) between the corpus
     and a deterministically derived v2: every 13th doc removed, every
@@ -1231,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with strictly higher priority); locally oracle-verified, first
         # driver verdict lands with the r06 rotation
         "corpus_diff": _q_corpus_diff,
+        "corpus_prepare": _q_corpus_prepare,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1596,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": (
             f"{_CORPUS_V2_CTE} {TX.corpus_diff_sql('documents', 'v2')}"
         ),
+        "corpus_prepare": TX.corpus_prepare_sql(),
         "pii_scrub": f"{_PII_INJECT_CTE} {PV.pii_scrub_sql(table='injected')}",
         "text_stats": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "

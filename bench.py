@@ -79,6 +79,7 @@ BENCH_KEYS = [
     "pii_scrub",
     "winnow_fingerprint",
     "winnow_pairs",
+    "corpus_prepare",
 ]
 
 

@@ -223,6 +223,46 @@ def test_winnow_pairs_planted_copy(spark):
     assert not any(a >= 100 and b >= 100 for a, b in pairs), pairs
 
 
+def test_corpus_prepare_consistent_with_stages(spark, sf_dir):
+    """The flagship pipeline must equal its stages run standalone:
+    every selected doc passes the quality bar, survives exact dedup
+    (lowest doc_id for its scrubbed text), passes the mix decision, and
+    the per-language budgets obey fill-until-full."""
+    from tiny_md_hbase_spark.operators import text as TX
+    from tiny_md_hbase_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.corpus_prepare(docs).collect()
+    assert out
+    selected = {r.doc_id for r in out}
+    # stage replication
+    from tiny_md_hbase_spark.operators.privacy import PII_PATTERNS
+
+    cur = F.col("text")
+    for _, pat, repl in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pat, repl)
+    scrubbed = docs.select("doc_id", cur.alias("text"), "lang", "source", "n_chars")
+    ok = {
+        r.doc_id
+        for r in TX.quality_score(scrubbed).filter(F.col("quality") >= 0.5).collect()
+    }
+    assert selected <= ok
+    kept = {
+        r.doc_id
+        for r in scrubbed.filter(F.col("doc_id").isin(list(ok)))
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    assert selected <= kept
+    # budget invariant per language
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for rows in by_lang.values():
+        assert all(r.cum_tokens - r.n_tokens < TX.TOKEN_BUDGET_PER_LANG for r in rows)
+
+
 def test_corpus_diff_statuses(spark):
     from tiny_md_hbase_spark.operators import text as TX
 

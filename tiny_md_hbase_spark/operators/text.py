@@ -41,6 +41,8 @@ __all__ = [
     "winnow_pairs_sql",
     "corpus_diff",
     "corpus_diff_sql",
+    "corpus_prepare",
+    "corpus_prepare_sql",
     "pack_tokens",
     "chunk_documents",
     "chunk_documents_sql",
@@ -829,6 +831,108 @@ def winnow_pairs_sql(
     )
 
 
+TOKEN_BUDGET_PER_LANG = 2_000
+BUDGET_SHARDS = 32
+
+
+def corpus_prepare(
+    documents: DataFrame,
+    quality_threshold: float = 0.5,
+    budget: int = TOKEN_BUDGET_PER_LANG,
+) -> DataFrame:
+    """The flagship end-to-end training-data pipeline, composed from the
+    operators a real curation job chains: PII-scrub → quality filter →
+    exact dedup (keep lowest doc_id) → deterministic mixture sampling →
+    per-language token budget. Returns the SELECTED documents —
+    (doc_id, lang, n_tokens, cum_tokens) — the manifest a tokenizer run
+    consumes.
+
+    Everything stays one logical plan until the budget stage: the scrub
+    is row-local (fuses into the scan), the quality filter is a
+    broadcast-able semi-join on doc_id, dedup is one hash aggregation on
+    text, the mix decision is a pure function of doc_id, and the budget
+    runs the sharded two-phase prefix sum of :func:`corpus_budget`. At
+    100 TB the corpus is scanned once for scrub+quality+dedup (Catalyst
+    fuses the row-local stages into the aggregation's scan side), once
+    more for the budget's token projection — each stage's scale story is
+    documented and plan-tested on its own operator."""
+    cur: Column = F.col("text")
+    from tiny_md_hbase_spark.operators.privacy import PII_PATTERNS
+
+    for _, pat, repl in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pat, repl)
+    scrubbed = documents.select(
+        "doc_id", cur.alias("text"), "lang", "source", "n_chars"
+    )
+    ok = (
+        quality_score(scrubbed)
+        .filter(F.col("quality") >= quality_threshold)
+        .select("doc_id")
+    )
+    good = scrubbed.join(ok, "doc_id")
+    keep_ids = good.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    survivors = good.join(keep_ids, "doc_id")
+    mixed_ids = corpus_mix(survivors).select("doc_id")
+    selected = survivors.join(mixed_ids, "doc_id")
+    return corpus_budget(selected, budget=budget)
+
+
+def corpus_prepare_sql(
+    quality_threshold: float = 0.5, budget: int = TOKEN_BUDGET_PER_LANG
+) -> str:
+    """DuckDB twin: the same five stages as one CTE chain, each stage's
+    text identical in structure to its standalone operator's oracle."""
+    from tiny_md_hbase_spark.operators.privacy import PII_PATTERNS
+
+    cur = "text"
+    for _, pat, repl in PII_PATTERNS:
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    toks = tokens_sql("text")
+    stop = ", ".join(
+        f"'{w}'" for w in sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    )
+    t = MIX_TARGETS_PPM
+    mix_cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(t.items())
+    )
+    return (
+        f"WITH scrubbed AS (SELECT doc_id, {cur} AS text, lang, source, n_chars "
+        "FROM documents), "
+        "qbase AS (SELECT doc_id, length(text) AS n_chars, "
+        f"CAST(len({toks}) AS INTEGER) AS n_tokens, "
+        "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, "
+        f"len(list_filter({toks}, t -> lower(t) IN ({stop}))) AS stop_hits "
+        "FROM scrubbed), "
+        "qr AS (SELECT doc_id, CAST(alpha AS DOUBLE) / n_chars AS alpha_ratio, "
+        "CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio, "
+        "CAST(n_chars AS DOUBLE) / n_tokens AS mean_token_len FROM qbase), "
+        "ok AS (SELECT doc_id FROM qr WHERE "
+        "round(least(alpha_ratio / 0.7, 1.0) * 0.4 "
+        "+ least(stopword_ratio / 0.06, 1.0) * 0.3 "
+        "+ CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12 "
+        f"THEN 0.3 ELSE 0.0 END, 6) >= {quality_threshold}), "
+        "good AS (SELECT s.* FROM scrubbed s JOIN ok USING (doc_id)), "
+        "keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text), "
+        "surv AS (SELECT g.* FROM good g JOIN keep USING (doc_id)), "
+        "mixk AS (SELECT doc_id, "
+        f"(doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M} % 1000000 AS mix_key, "
+        f"CASE {mix_cases} ELSE {MIX_DEFAULT_PPM} END AS ppm FROM surv), "
+        "sel AS (SELECT s.* FROM surv s JOIN mixk USING (doc_id) "
+        "WHERE mix_key < ppm), "
+        "d AS (SELECT doc_id, lang, "
+        f"CAST(COALESCE(len({toks}), 0) AS BIGINT) AS n_tokens, "
+        f"(doc_id * {_SHARD_MULT}) % {_MIX_M} AS h FROM sel), "
+        "c AS (SELECT doc_id, lang, n_tokens, "
+        "CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum_tokens FROM d) "
+        "SELECT doc_id, lang, n_tokens, cum_tokens FROM c "
+        f"WHERE cum_tokens - n_tokens < {budget}"
+    )
+
+
 def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Snapshot diff between two corpus versions: every document that was
     added, removed, or whose text changed — the bookkeeping step of an
@@ -877,10 +981,6 @@ def corpus_diff_sql(old_table: str, new_table: str) -> str:
         f"FROM {old_table} o FULL OUTER JOIN {new_table} n ON o.doc_id = n.doc_id"
         ") WHERE status != 'unchanged'"
     )
-
-
-TOKEN_BUDGET_PER_LANG = 2_000
-BUDGET_SHARDS = 32
 
 
 def corpus_budget(
