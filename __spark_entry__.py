@@ -684,6 +684,28 @@ def _q_text_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact payload dedup over the synthetic media table with planted
+    byte-identical duplicates (rows-only: the in-memory media table has
+    no DuckDB view; determinism + planted-dup invariants are asserted in
+    tests/test_write_streaming.py)."""
+    from tiny_md_hbase_spark.operators import multimodal as MM
+
+    base = MM.synth_media(spark, 64)
+    dups = base.filter(F.col("media_id") % 8 == 0).select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        "kind",
+        "payload",
+        "width",
+        "height",
+        "duration_ms",
+        "format",
+    )
+    return MM.media_dedup_exact(base.unionByName(dups)).filter(
+        F.col("n_copies") > 1
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing exercised through the driver contract: a
     deterministic synthetic media table through the Arrow-batched decode
@@ -1240,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver verdict lands with the r06 rotation
         "corpus_diff": _q_corpus_diff,
         "corpus_prepare": _q_corpus_prepare,
+        "media_dedup": _q_media_dedup,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,

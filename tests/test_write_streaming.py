@@ -93,6 +93,36 @@ def test_stream_ingest_matches_batch(spark, sf_dir, tmp_table):
     assert sorted((r.bucket_z, r.pl, r.size) for r in rows) == full
 
 
+def test_media_dedup_exact_planted(spark):
+    """Planted byte-identical payloads group together; distinct payloads
+    never do; the payload bytes themselves stay out of the shuffle (the
+    group key is kind + 8-byte hash)."""
+    base = MM.synth_media(spark, 48)
+    dups = base.filter(F.col("media_id") % 10 == 0).select(
+        (F.col("media_id") + 500).alias("media_id"),
+        "kind", "payload", "width", "height", "duration_ms", "format",
+    )
+    out = MM.media_dedup_exact(base.unionByName(dups))
+    groups = {(r.kind, r.payload_hash): r for r in out.collect()}
+    n_planted = dups.count()
+    multi = [r for r in groups.values() if r.n_copies > 1]
+    assert len(multi) == n_planted
+    for r in multi:
+        assert r.n_copies == 2 and r.keep_id < 500
+    # singles: every non-duplicated payload is its own group
+    assert sum(r.n_copies for r in groups.values()) == 48 + n_planted
+    # deterministic under repartitioning
+    again = {
+        (r.kind, r.payload_hash): (r.keep_id, r.n_copies, r.sum_bytes)
+        for r in MM.media_dedup_exact(
+            base.unionByName(dups).repartition(7)
+        ).collect()
+    }
+    assert again == {
+        k: (r.keep_id, r.n_copies, r.sum_bytes) for k, r in groups.items()
+    }
+
+
 def test_pii_scrub_unchanged_on_stream(spark, tmp_table):
     """Row-local operators are batch/stream unified: the SAME pii_scrub
     plan runs on a streaming DataFrame with identical results — no

@@ -38,6 +38,7 @@ __all__ = [
     "decode_features",
     "frame_sample",
     "resize_meta",
+    "media_dedup_exact",
     "write_media_partitioned",
     "load_media_partitioned",
 ]
@@ -98,6 +99,37 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_dedup_exact(media: DataFrame) -> DataFrame:
+    """Exact duplicate groups over binary payloads — the multimodal twin
+    of ``dedup_exact``: group on ``(kind, xxhash64(payload))`` and keep
+    the lowest media_id.
+
+    Scale shape: the payloads themselves never shuffle — the aggregation
+    key is the 8-byte JVM hash plus the kind partition column (kind
+    first, so on a kind-partitioned layout the shuffle respects the
+    layout and a single-kind job prunes before hashing). Collision risk
+    at 64-bit over per-kind corpus sizes is the standard ~n²/2^65
+    birthday bound; a verify pass comparing payload bytes within groups
+    is one extra self-join on the tiny duplicate set if a deployment
+    needs certainty. Returns (kind, payload_hash, keep_id, n_copies,
+    sum_bytes) for n_copies ≥ 1 — filter ``n_copies > 1`` for the
+    dedup-deletion worklist."""
+    return (
+        media.select(
+            "kind",
+            F.xxhash64("payload").alias("payload_hash"),
+            "media_id",
+            F.length("payload").alias("n_bytes"),
+        )
+        .groupBy("kind", "payload_hash")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.sum("n_bytes").alias("sum_bytes"),
+        )
+    )
 
 
 def _fake_feature(payload: bytes) -> list[float]:
