@@ -19,6 +19,7 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "dedup_simhash",
         "embedding_knn_ivf",
         "frame_sample",
+        "media_dedup",
         "multimodal_features",
         "resize_meta",
         "table_lifecycle",
