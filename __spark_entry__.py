@@ -752,6 +752,14 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_embedding_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.py dedup_semantic):
+    coarse-cluster on deterministic unit centroids, pairwise-cosine prune
+    within clusters only, keep-first survivors — whole pipeline under the
+    oracle (centroids inline as SQL literals)."""
+    return D.dedup_semantic(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only resize planning over the synthetic media table —
     pure JVM Column math; rows-only check (media table is synthetic,
@@ -1263,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _q_corpus_diff,
         "corpus_prepare": _q_corpus_prepare,
         "media_dedup": _q_media_dedup,
+        "dedup_semantic": _q_dedup_semantic,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1620,6 +1629,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_lsh": SIM.embedding_knn_lsh_sql(),
         "embedding_knn_ivf_portable": SIM.embedding_knn_ivf_portable_sql(),
         "dedup_embedding_lsh": D.dedup_embedding_lsh_sql(),
+        "dedup_semantic": D.dedup_semantic_sql(),
         "embedding_knn": exact_knn_sql,
         # full-probe IVF must collapse to exact kNN: same oracle text
         "embedding_knn_ivf_full": exact_knn_sql,

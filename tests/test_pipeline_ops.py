@@ -409,6 +409,33 @@ def test_ivf_build_partitions_corpus(embs):
     assert len(cents) == 8 and all(len(c) == 64 for c in cents)
 
 
+def test_dedup_semantic_drops_planted_copy(spark, embs):
+    """SemDeDup keep-first rule: an exact copy planted under a higher
+    vec_id lands in the same (deterministic) cluster as the original,
+    cosine 1.0 >= threshold, so the copy is dropped and the original
+    survives; every other vector's survival is unchanged."""
+    r1 = embs.filter(F.col("vec_id") == 1).collect()[0]
+    extra = spark.createDataFrame([(99002, r1.embedding, r1.label)], embs.schema)
+    base_ids = {r.vec_id for r in D.dedup_semantic(embs).collect()}
+    got = D.dedup_semantic(embs.unionByName(extra)).collect()
+    ids = {r.vec_id for r in got}
+    assert 99002 not in ids
+    assert ids == base_ids  # the planted copy changes nothing else
+    # deterministic across runs (fixed centroids, no RNG)
+    again = {r.vec_id for r in D.dedup_semantic(embs.unionByName(extra)).collect()}
+    assert again == ids
+
+
+def test_dedup_semantic_unit_centroids_spread(embs):
+    """The unit-norm centroid fix: raw [-1,1)^64 centroids collapse every
+    unit-norm vector into one cell (the origin-nearest centroid wins all
+    argmins); normalized centroids must yield >1 populated cluster and
+    full coverage."""
+    surv = D.dedup_semantic(embs, threshold=2.0).collect()  # no drops
+    assert len(surv) == embs.count()
+    assert len({r.ivf_cluster for r in surv}) > 1
+
+
 def test_dedup_embedding_self_similarity(spark, embs):
     # plant an exact copy of vec 1 under a new id in the same label block
     r1 = embs.filter(F.col("vec_id") == 1).collect()[0]

@@ -279,3 +279,15 @@ def test_corpus_budget_sharded_prefix_sum(spark, sf_dir):
     # offsets come back via broadcast, not a shuffled join
     assert P.broadcast_join_count(q) >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_semantic_pairwise_is_cluster_equi_join(spark, sf_dir):
+    """SemDeDup's quadratic term must stay confined to clusters: the
+    within-cluster pairwise stage has to plan as an equi-join on
+    ivf_cluster (the vec_id inequality and the cosine threshold ride
+    along as post-join filters), never as a nested-loop over the whole
+    table — the difference between sum(c_i^2) and n^2 at 100 TB."""
+    q = D.dedup_semantic(load_table(spark, sf_dir, "embeddings"))
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -39,6 +39,8 @@ __all__ = [
     "dedup_embedding",
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_sql",
+    "dedup_semantic",
+    "dedup_semantic_sql",
 ]
 
 # deterministic odd multipliers/offsets for the minhash permutation family
@@ -1141,4 +1143,120 @@ def dedup_embedding_lsh_sql(
         "FROM cand JOIN n va ON cand.vec_a = va.vec_id "
         "JOIN n vb ON cand.vec_b = vb.vec_id "
         f"WHERE {dot('va.v', 'vb.v')} / (va.norm * vb.norm) >= {threshold}"
+    )
+
+
+def dedup_semantic(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup-style, Abbas et al. 2023): coarse-cluster
+    every embedding on the deterministic fixed centroids of
+    ``similarity._ivf_fixed_centroids``, then prune near-duplicates by
+    exact pairwise cosine *within each cluster only*. A vector is dropped
+    iff some lower-``vec_id`` vector in the SAME cluster has cosine >=
+    ``threshold`` with it (greedy keep-first — deterministic and
+    SQL-expressible; like SemDeDup, cross-cluster near-dups are the
+    accepted recall tradeoff that buys the quadratic-term bound). Returns
+    the survivors as (vec_id, label, ivf_cluster).
+
+    100 TB shape: assignment is one codegen'd pass (no shuffle); the
+    pairwise term is an equi-join on ``ivf_cluster``, so vectors shuffle
+    once on the cluster key and the quadratic cost is sum(c_i^2) over
+    cluster sizes instead of n^2 — n_clusters is the knob that bounds
+    c_i (raise it with corpus size; the fixture default 16 keeps the
+    oracle cheap). The final keep is a left-anti join on vec_id."""
+    from tiny_md_hbase_spark.operators.similarity import _unit_centroids, cosine
+
+    cents = _unit_centroids(n_clusters, dim)
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(c) for c in cent]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{ci}")
+        for ci, cent in enumerate(cents)
+    ]
+    darr = F.array(*[F.col(f"d{ci}") for ci in range(n_clusters)])
+    assigned = (
+        e.select("vec_id", "label", "v", *dists)
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            (F.array_position(darr, F.array_min(darr)) - 1)
+            .cast("int")
+            .alias("ivf_cluster"),
+        )
+        # one materialization: assignment feeds both join sides and the
+        # final keep — without it the n_clusters distance columns are
+        # recomputed three times
+        .localCheckpoint()
+    )
+    a = assigned.alias("a")
+    b = assigned.select("vec_id", "v", "ivf_cluster").alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.ivf_cluster") == F.col("b.ivf_cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(cosine(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dups, "vec_id", "left_anti").select(
+        "vec_id", "label", "ivf_cluster"
+    )
+
+
+def dedup_semantic_sql(
+    threshold: float = 0.35,
+    n_clusters: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`dedup_semantic`: the same literal centroids
+    inline (first-position argmin over identical left-to-right double
+    sums — the ``embedding_knn_ivf_portable_sql`` assignment CTE), the
+    same keep-first dup rule as a NOT EXISTS over the within-cluster
+    self-join. Cosine thresholding compares the same IEEE double
+    expression on both engines (single division, left-to-right fold),
+    the contract the oracle-green ``dedup_embedding`` already relies
+    on."""
+    from tiny_md_hbase_spark.operators.similarity import _unit_centroids
+
+    cents = _unit_centroids(n_clusters, dim)
+
+    def lit(arr: list[float]) -> str:
+        return "[" + ", ".join(repr(c) for c in arr) + "]"
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        )
+
+    dl = "[" + ", ".join(d2("v", lit(c)) for c in cents) + "]"
+    dot = "list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]))"
+    return (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"a AS (SELECT vec_id, label, v, "
+        f"CAST(list_position({dl}, list_min({dl})) - 1 AS INTEGER) "
+        "AS ivf_cluster FROM e), "
+        "n AS (SELECT vec_id, label, v, ivf_cluster, "
+        "sqrt(list_sum(list_transform(v, t -> t * t))) AS norm FROM a) "
+        "SELECT x.vec_id, x.label, x.ivf_cluster FROM n x "
+        "WHERE NOT EXISTS (SELECT 1 FROM n y "
+        "WHERE y.ivf_cluster = x.ivf_cluster AND y.vec_id < x.vec_id "
+        f"AND {dot} / (x.norm * y.norm) >= {threshold})"
     )

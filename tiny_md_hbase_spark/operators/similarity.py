@@ -262,6 +262,23 @@ def _ivf_fixed_centroids(n_clusters: int, dim: int) -> list[list[float]]:
     ]
 
 
+def _unit_centroids(n_clusters: int, dim: int) -> list[list[float]]:
+    """:func:`_ivf_fixed_centroids` scaled to unit norm. The raw
+    Park-Miller centroids have norm ~sqrt(dim/3) (~4.6 at dim=64); against
+    unit-norm embeddings the one nearest the origin wins every argmin and
+    the quantizer degenerates to a single cell. On the unit sphere,
+    nearest-by-L2 equals max-cosine, so these spread unit-norm data across
+    all cells. Normalization happens here in Python — both engines consume
+    the exact same float literals, so cross-engine assignment stays
+    bit-identical."""
+    cents = _ivf_fixed_centroids(n_clusters, dim)
+    out = []
+    for cent in cents:
+        nrm = sum(x * x for x in cent) ** 0.5
+        out.append([x / nrm for x in cent])
+    return out
+
+
 def embedding_knn_ivf_portable(
     embeddings: DataFrame,
     query_vec_id: int = 1,
