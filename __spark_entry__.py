@@ -760,6 +760,22 @@ def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_semantic(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinctive terms by TF-IDF (operators/text.py
+    tfidf_top_terms): explode → vocab-sized tf/df aggregates → rounded
+    score ranked per language. Corpus count enters as a broadcast 1-row
+    aggregate, keeping the plan lazy."""
+    return TX.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search (operators/text.py keyword_search):
+    all-terms containment filter + occurrence-count ranking as per-row
+    array kernels — scan → filter → TakeOrderedAndProject, no shuffle
+    beyond the top-k."""
+    return TX.keyword_search(load_table(spark, sf_dir, "documents"))
+
+
 def _q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only resize planning over the synthetic media table —
     pure JVM Column math; rows-only check (media table is synthetic,
@@ -1272,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prepare": _q_corpus_prepare,
         "media_dedup": _q_media_dedup,
         "dedup_semantic": _q_dedup_semantic,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "keyword_search": _q_keyword_search,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1630,6 +1648,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_ivf_portable": SIM.embedding_knn_ivf_portable_sql(),
         "dedup_embedding_lsh": D.dedup_embedding_lsh_sql(),
         "dedup_semantic": D.dedup_semantic_sql(),
+        "tfidf_top_terms": TX.tfidf_top_terms_sql(),
+        "keyword_search": TX.keyword_search_sql(),
         "embedding_knn": exact_knn_sql,
         # full-probe IVF must collapse to exact kNN: same oracle text
         "embedding_knn_ivf_full": exact_knn_sql,

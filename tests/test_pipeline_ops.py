@@ -755,3 +755,52 @@ def test_corpus_budget_null_text_counts_zero(spark, sf_dir):
     # running sums stay consistent: cum is non-decreasing in (h-order)
     # and never negative
     assert all(r.cum_tokens >= r.n_tokens >= 0 for r in out)
+
+
+# --- tfidf / keyword search ----------------------------------------------
+
+def test_tfidf_planted_unique_term_tops_its_language(spark, docs):
+    """A corpus-unique term (df=1, max idf) repeated often in one doc must
+    out-score every organic term in that document's language."""
+    txt = " ".join(["qqzzyy"] * 40)
+    extra = spark.createDataFrame(
+        [(100010, txt, "en", "planted", len(txt))], docs.schema
+    )
+    out = T.tfidf_top_terms(docs.unionByName(extra)).collect()
+    en = [r for r in out if r.lang == "en"]
+    assert len(en) == 10
+    top = max(en, key=lambda r: r.tfidf)
+    assert top.term == "qqzzyy" and top.df == 1 and top.tf == 40
+
+
+def test_tfidf_rank_and_rounding_contract(docs):
+    out = T.tfidf_top_terms(docs, k=5).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for rows in by_lang.values():
+        assert len(rows) == 5
+        # scores non-increasing in the (tfidf desc, term asc) rank order
+        ordered = sorted(rows, key=lambda r: (-r.tfidf, r.term))
+        assert [r.tfidf for r in ordered] == sorted(
+            (r.tfidf for r in rows), reverse=True
+        )
+        assert all(r.tfidf == round(r.tfidf, 6) for r in rows)
+
+
+def test_keyword_search_conjunctive_and_ranked(spark, docs):
+    """A planted doc repeating every query term dominates the ranking; a
+    doc missing one term is excluded no matter how often the others
+    appear."""
+    hit = " ".join(["vector stream merge"] * 50)
+    miss = " ".join(["vector stream"] * 500)  # no 'merge': conjunctive fail
+    extra = spark.createDataFrame(
+        [
+            (100020, hit, "en", "planted", len(hit)),
+            (100021, miss, "en", "planted", len(miss)),
+        ],
+        docs.schema,
+    )
+    got = T.keyword_search(docs.unionByName(extra)).collect()
+    assert got[0].doc_id == 100020 and got[0].score == 150
+    assert all(r.doc_id != 100021 for r in got)

@@ -291,3 +291,34 @@ def test_dedup_semantic_pairwise_is_cluster_equi_join(spark, sf_dir):
     plan = P.explain_str(q, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keyword_search_scan_filter_topk_no_shuffle(spark, sf_dir):
+    """Conjunctive search is a single pass: containment filter and term
+    counting are per-row array kernels, the top-k is
+    TakeOrderedAndProject — no exchange anywhere, and the scan reads
+    only (doc_id, text)."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    # other modules cache `documents` session-wide; cached-plan
+    # substitution would report the cache's full-width ReadSchema and
+    # hide the pruning this test pins
+    spark.catalog.clearCache()
+    q = TX.keyword_search(load_table(spark, sf_dir, "documents"))
+    assert P.exchange_count(q) == 0
+    assert "TakeOrderedAndProject" in P.explain_str(q, "simple")
+    (schema,) = P.read_schemas(q)
+    assert "text" in schema and "lang" not in schema
+
+
+def test_tfidf_scan_prunes_columns(spark, sf_dir):
+    """TF-IDF reads only (doc_id, lang, text); everything after the
+    explode aggregates to vocabulary-sized relations."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    spark.catalog.clearCache()  # see test_keyword_search_scan_filter_topk_no_shuffle
+    q = TX.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+    schemas = P.read_schemas(q)
+    assert schemas and all(
+        "n_chars" not in s and "source" not in s for s in schemas
+    )

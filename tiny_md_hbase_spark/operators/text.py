@@ -51,6 +51,10 @@ __all__ = [
     "decontaminate",
     "decontaminate_hashed",
     "decontaminate_sql",
+    "tfidf_top_terms",
+    "tfidf_top_terms_sql",
+    "keyword_search",
+    "keyword_search_sql",
     "FINGERPRINT_MOD",
     "LANG_MARKERS",
 ]
@@ -1092,4 +1096,129 @@ def corpus_budget_sql(budget: int = TOKEN_BUDGET_PER_LANG) -> str:
         "AS cum_tokens FROM d) "
         "SELECT doc_id, lang, n_tokens, cum_tokens FROM c "
         f"WHERE cum_tokens - n_tokens < {budget}"
+    )
+
+
+SEARCH_TERMS = ("vector", "stream", "merge")  # fixture query, conjunctive
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Per-language distinctive terms by TF-IDF: term frequency aggregated
+    per (lang, term), document frequency per term over the whole corpus,
+    score = tf * ln(N / df) rounded to 6 decimals, top ``k`` per language
+    by (score desc, term asc). Returns (lang, term, tf, df, tfidf).
+
+    100 TB shape: one explode feeds two map-side partial aggregations
+    (tf keyed on (lang, term), df on term after a per-doc distinct); the
+    tf-df join and the per-lang ranking window run over VOCABULARY-sized
+    relations (terms, not documents), so the only corpus-sized work is
+    the explode+aggregate scan. The corpus row count enters the plan as
+    a broadcast 1-row aggregate, not an eager driver-side count — the
+    whole pipeline stays lazy.
+
+    Cross-engine note: ranking uses the ROUNDED score on both engines —
+    Java's Math.log and libm's ln may differ in the last ulp, and
+    round-6 plus the term tiebreak makes the rank order identical."""
+    from pyspark.sql import Window
+
+    t = documents.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    ).select("doc_id", "lang", F.lower("tok").alias("term"))
+    tf = t.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        t.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n = documents.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("lang", "term", "tf", "df", "tfidf")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 10) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` — same rounded score, same
+    (tfidf desc, term asc) rank order."""
+    return (
+        "WITH t AS (SELECT doc_id, lang, lower(u.tok) AS term "
+        f"FROM documents, unnest({tokens_sql('text')}) AS u(tok)), "
+        "tf AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY 1, 2), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1), "
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents), "
+        "s AS (SELECT lang, tf.term, tf, df, "
+        "round(tf * ln(n_docs / df), 6) AS tfidf "
+        "FROM tf JOIN df USING (term) CROSS JOIN n) "
+        "SELECT lang, term, tf, df, tfidf FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY lang "
+        "ORDER BY tfidf DESC, term) AS rn FROM s) "
+        f"WHERE rn <= {k}"
+    )
+
+
+def keyword_search(
+    documents: DataFrame,
+    terms: tuple[str, ...] = SEARCH_TERMS,
+    k: int = 10,
+) -> DataFrame:
+    """Conjunctive keyword search: documents containing ALL query terms,
+    ranked by total query-term occurrences (ties broken by doc_id).
+    Returns the top ``k`` as (doc_id, score).
+
+    100 TB shape: zero shuffle except the final top-k. Containment and
+    scoring are per-row array kernels over the token list (codegen'd —
+    ``array_intersect`` size equals the term count iff every distinct
+    query term is present), so the plan is scan → filter → project →
+    TakeOrderedAndProject; the conjunctive filter prunes before any
+    per-term counting. An inverted index (explode → posting lists,
+    cf. ``top_tokens``) is the right build for repeated ad-hoc queries;
+    this is the single-query scan form."""
+    qs = [t.lower() for t in terms]
+    toks = F.transform(tokens("text"), lambda t: F.lower(t))
+    d = documents.select("doc_id", toks.alias("toks"))
+    have_all = (
+        F.size(F.array_intersect("toks", F.array(*[F.lit(q) for q in qs])))
+        == len(qs)
+    )
+    score = F.size(F.filter("toks", lambda t: t.isin(*qs)))
+    return (
+        d.filter(have_all)
+        .select("doc_id", score.cast("long").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def keyword_search_sql(
+    terms: tuple[str, ...] = SEARCH_TERMS, k: int = 10
+) -> str:
+    """DuckDB twin of :func:`keyword_search`."""
+    qs = [t.lower() for t in terms]
+    inlist = ", ".join(f"'{q}'" for q in qs)
+    return (
+        "WITH d AS (SELECT doc_id, "
+        f"list_transform({tokens_sql('text')}, t -> lower(t)) AS toks "
+        "FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(list_filter(toks, t -> t IN ({inlist}))) AS BIGINT) "
+        "AS score FROM d "
+        f"WHERE len(list_filter([{inlist}], q -> list_contains(toks, q))) "
+        f"= {len(qs)} "
+        f"ORDER BY score DESC, doc_id LIMIT {k}"
     )
