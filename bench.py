@@ -80,6 +80,9 @@ BENCH_KEYS = [
     "winnow_fingerprint",
     "winnow_pairs",
     "corpus_prepare",
+    "dedup_semantic",
+    "tfidf_top_terms",
+    "keyword_search",
 ]
 
 
