@@ -776,6 +776,31 @@ def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.keyword_search(load_table(spark, sf_dir, "documents"))
 
 
+def _q_keyword_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated keyword search (sources/writer.py
+    write_inverted_index + keyword_search_indexed): build the
+    bucket-partitioned posting-list layout, then search touching only
+    the query terms' bucket directories (partition pruning on literal
+    buckets from the portable term hash). Returns exactly the rows of
+    `keyword_search` — the scan-form oracle SQL applies verbatim."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.sources.writer import (
+        keyword_search_indexed,
+        write_inverted_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="invidx_q_")
+    try:
+        write_inverted_index(
+            load_table(spark, sf_dir, "documents"), f"{d}/idx"
+        )
+        return keyword_search_indexed(spark, f"{d}/idx").localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only resize planning over the synthetic media table —
     pure JVM Column math; rows-only check (media table is synthetic,
@@ -1290,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "keyword_search": _q_keyword_search,
+        "keyword_search_indexed": _q_keyword_search_indexed,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1650,6 +1676,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": D.dedup_semantic_sql(),
         "tfidf_top_terms": TX.tfidf_top_terms_sql(),
         "keyword_search": TX.keyword_search_sql(),
+        # indexed search must collapse to the scan form: same oracle text
+        "keyword_search_indexed": TX.keyword_search_sql(),
         "embedding_knn": exact_knn_sql,
         # full-probe IVF must collapse to exact kNN: same oracle text
         "embedding_knn_ivf_full": exact_knn_sql,

@@ -83,6 +83,7 @@ BENCH_KEYS = [
     "dedup_semantic",
     "tfidf_top_terms",
     "keyword_search",
+    "keyword_search_indexed",
 ]
 
 

@@ -188,3 +188,68 @@ def test_write_corpus_shards_layout_and_order(spark, sf_dir):
         assert {r.doc_id: (r.shard, r.pos) for r in stored2} == manifest
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- inverted index -------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def inv_index(spark, sf_dir):
+    from tiny_md_hbase_spark.sources import load_table
+    from tiny_md_hbase_spark.sources.writer import write_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="invidx_") + "/idx"
+    write_inverted_index(docs, path)
+    return docs, path
+
+
+def test_inverted_index_search_equals_scan_search(spark, inv_index):
+    """The index is an access path, not a different query: indexed search
+    must return exactly the scan form's rows in the same rank order."""
+    from tiny_md_hbase_spark.operators.text import keyword_search
+    from tiny_md_hbase_spark.sources.writer import keyword_search_indexed
+
+    docs, path = inv_index
+    got = [(r.doc_id, r.score) for r in keyword_search_indexed(spark, path).collect()]
+    want = [(r.doc_id, r.score) for r in keyword_search(docs).collect()]
+    assert got == want and got
+
+
+def test_inverted_index_search_prunes_partitions(spark, inv_index):
+    """The point of the layout: the query plan's scan must carry a
+    PartitionFilter on the literal buckets of the query terms — only
+    those directories are listed/read, O(postings) per query instead of
+    O(corpus)."""
+    import re
+
+    from tiny_md_hbase_spark import plans as P
+    from tiny_md_hbase_spark.sources.writer import (
+        keyword_search_indexed,
+        term_bucket,
+    )
+
+    _, path = inv_index
+    q = keyword_search_indexed(spark, path, terms=("vector", "merge"))
+    plan = P.explain_str(q, "formatted")
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    want = sorted({term_bucket(t) for t in ("vector", "merge")})
+    assert pf and any(
+        all(str(b) in f for b in want) and " IN " in f for f in pf
+    ), plan
+
+
+def test_term_bucket_twin_matches_spark_expression(spark):
+    """The Python bucket hash (used for partition-pruning literals) and
+    the Spark write-side expression must agree on every term, including
+    non-ASCII codepoints."""
+    from tiny_md_hbase_spark.sources.writer import _term_bucket_col, term_bucket
+
+    terms = ["vector", "stream", "merge", "a", "zzz", "Grüße", "日本語"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r.term: r.b
+        for r in df.select(
+            "term", _term_bucket_col(F.col("term"), 16).alias("b")
+        ).collect()
+    }
+    assert got == {t: term_bucket(t, 16) for t in terms}

@@ -38,6 +38,9 @@ __all__ = [
     "write_day_partitioned",
     "write_corpus_shards",
     "load_corpus_shard",
+    "term_bucket",
+    "write_inverted_index",
+    "keyword_search_indexed",
 ]
 
 
@@ -218,3 +221,100 @@ def overlapping_span_pairs(spans: list) -> int:
         pairs += len(active)
         active.append(hi)
     return pairs
+
+
+def term_bucket(term: str, num_buckets: int = 16) -> int:
+    """Driver-side twin of the index's term-bucket hash: polynomial
+    rolling hash over codepoints (``h = h*31 + cp mod 1e9+7``, the
+    ``doc_fingerprint`` family) mod ``num_buckets``. Computable in plain
+    Python, so a query can name its partition directories as literals —
+    the prerequisite for partition pruning at plan time."""
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
+
+    h = 0
+    for ch in term:
+        h = (h * 31 + ord(ch)) % FINGERPRINT_MOD
+    return h % num_buckets
+
+
+def _term_bucket_col(term, num_buckets: int):
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
+
+    codes = F.transform(F.split(term, ""), lambda c: F.ascii(c).cast("long"))
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )
+    return F.pmod(h, F.lit(num_buckets)).cast("int")
+
+
+def write_inverted_index(
+    documents: DataFrame, path: str, num_buckets: int = 16
+) -> None:
+    """Materialize the corpus inverted index: one posting row per
+    (term, doc_id) with its term frequency, laid out as
+    ``bucket=N/`` partition directories keyed by a PORTABLE term hash
+    (:func:`term_bucket` — not Spark-internal xxhash64, so the query
+    side can compute bucket literals without a cluster round trip).
+
+    The single-query scan form (``text.keyword_search``) reads the whole
+    corpus per query; this is the repeated-ad-hoc-query build: pay one
+    explode + aggregate pass, then every search touches only
+    ``len(terms)/num_buckets`` of the index files via partition pruning.
+    Scale shape: explode → map-side partial count on (term, doc_id) →
+    one exchange on the bucket column so each partition directory is
+    written by its own tasks."""
+    from tiny_md_hbase_spark.operators.text import tokens
+
+    postings = (
+        documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", F.lower("tok").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("bucket", _term_bucket_col(F.col("term"), num_buckets))
+    )
+    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def keyword_search_indexed(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...] | None = None,
+    k: int = 10,
+    num_buckets: int = 16,
+) -> DataFrame:
+    """Conjunctive keyword search over the materialized inverted index —
+    returns exactly the rows of ``text.keyword_search`` on the same
+    corpus ((doc_id, score), score = total query-term occurrences,
+    (score desc, doc_id) order).
+
+    The scan reads ONLY the partition directories of the query terms'
+    buckets (bucket literals from :func:`term_bucket`; `term IN (...)`
+    prunes row groups inside them via parquet stats), then one
+    doc_id-keyed aggregation enforces the conjunction
+    (count(distinct term) == len(terms)) and sums tf into the score.
+    Per query that is O(matching postings), not O(corpus) — the point
+    of building the index."""
+    from tiny_md_hbase_spark.operators.text import SEARCH_TERMS
+
+    qs = sorted({t.lower() for t in (terms or SEARCH_TERMS)})
+    buckets = sorted({term_bucket(q, num_buckets) for q in qs})
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(qs))
+    )
+    return (
+        idx.groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").cast("long").alias("score"),
+        )
+        .filter(F.col("n_terms") == len(qs))
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
