@@ -801,6 +801,14 @@ def _q_keyword_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM document scoring (operators/text.py
+    lm_bigram_score): the perplexity-filter primitive with no external
+    model — add-one-smoothed bigram probabilities from vocab-bounded
+    aggregates, per-doc nll via a position-ordered deterministic fold."""
+    return TX.lm_bigram_score(load_table(spark, sf_dir, "documents"))
+
+
 def _q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only resize planning over the synthetic media table —
     pure JVM Column math; rows-only check (media table is synthetic,
@@ -1316,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "keyword_search": _q_keyword_search,
         "keyword_search_indexed": _q_keyword_search_indexed,
+        "lm_bigram_score": _q_lm_bigram_score,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1678,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": TX.keyword_search_sql(),
         # indexed search must collapse to the scan form: same oracle text
         "keyword_search_indexed": TX.keyword_search_sql(),
+        "lm_bigram_score": TX.lm_bigram_score_sql(),
         "embedding_knn": exact_knn_sql,
         # full-probe IVF must collapse to exact kNN: same oracle text
         "embedding_knn_ivf_full": exact_knn_sql,

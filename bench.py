@@ -84,6 +84,7 @@ BENCH_KEYS = [
     "tfidf_top_terms",
     "keyword_search",
     "keyword_search_indexed",
+    "lm_bigram_score",
 ]
 
 

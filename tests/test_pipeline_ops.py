@@ -804,3 +804,36 @@ def test_keyword_search_conjunctive_and_ranked(spark, docs):
     got = T.keyword_search(docs.unionByName(extra)).collect()
     assert got[0].doc_id == 100020 and got[0].score == 150
     assert all(r.doc_id != 100021 for r in got)
+
+
+# --- bigram LM scoring ----------------------------------------------------
+
+def test_lm_bigram_score_flags_atypical_doc(spark, docs):
+    """A document whose bigrams never occur elsewhere in the corpus must
+    score a higher nll (less typical) than every organic document; a
+    one-token document has no bigrams and is omitted."""
+    weird = "xqj kvw plf ztn gmb xqj kvw dlp"
+    extra = spark.createDataFrame(
+        [
+            (100030, weird, "en", "planted", len(weird)),
+            (100031, "solo", "en", "planted", 4),
+        ],
+        docs.schema,
+    )
+    out = {r.doc_id: r for r in T.lm_bigram_score(docs.unionByName(extra)).collect()}
+    assert 100031 not in out  # no bigrams
+    organic_max = max(r.nll for i, r in out.items() if i < 100000)
+    assert out[100030].nll > organic_max
+    assert out[100030].n_bigrams == 7
+
+
+def test_lm_bigram_score_deterministic_under_repartition(docs):
+    """The per-doc fold is position-ordered, so the score must be
+    bit-identical regardless of input partitioning — the property the
+    oracle hash-compare rests on."""
+    a = {r.doc_id: r.nll for r in T.lm_bigram_score(docs).collect()}
+    b = {
+        r.doc_id: r.nll
+        for r in T.lm_bigram_score(docs.repartition(13)).collect()
+    }
+    assert a == b

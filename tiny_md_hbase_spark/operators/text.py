@@ -55,6 +55,8 @@ __all__ = [
     "tfidf_top_terms_sql",
     "keyword_search",
     "keyword_search_sql",
+    "lm_bigram_score",
+    "lm_bigram_score_sql",
     "FINGERPRINT_MOD",
     "LANG_MARKERS",
 ]
@@ -1221,4 +1223,95 @@ def keyword_search_sql(
         f"WHERE len(list_filter([{inlist}], q -> list_contains(toks, q))) "
         f"= {len(qs)} "
         f"ORDER BY score DESC, doc_id LIMIT {k}"
+    )
+
+
+def lm_bigram_score(documents: DataFrame) -> DataFrame:
+    """Corpus-trained bigram surprisal scoring — the perplexity-filter
+    primitive (CCNet-style) without an external model: score each
+    document by the average negative log relative-frequency of its
+    bigrams under the corpus's own empirical bigram distribution
+    (higher nll = rarer constructions = less typical of the corpus).
+    Returns (doc_id, n_bigrams, nll); documents with < 2 tokens have no
+    bigrams and are omitted.
+
+    Deliberately a joint-frequency model, not an add-one conditional
+    P(w2|w1): backoff-free Laplace smoothing hands near-uniform 1/V
+    probability to bigrams whose CONTEXT is rare, which *rewards*
+    never-seen-before junk on any corpus whose vocabulary is small
+    relative to its context counts. Joint surprisal penalizes rare
+    bigrams monotonically. Self-counts are included (a document's own
+    bigrams are part of the corpus distribution); an out-of-fold
+    variant would subtract the document's contribution.
+
+    100 TB shape: one explode produces positioned bigram rows; the model
+    is a vocabulary-bounded count aggregate; scoring joins bigram
+    instances to the model on short string keys (an 8-byte hashed-key
+    variant is the same join shape); the total count enters as a lazy
+    broadcast 1-row aggregate.
+
+    Cross-engine determinism: a plain float SUM/AVG aggregates in
+    partition order, which no oracle can reproduce — so each document's
+    log-probs are collected, sorted by token position, and folded
+    left-to-right (the module's list_sum/F.aggregate contract), with a
+    single per-row division and one final round(6)."""
+    from pyspark.sql.types import DoubleType
+
+    lt = F.transform(tokens("text"), lambda t: F.lower(t))
+    d = documents.select("doc_id", lt.alias("lt"))
+    bg_structs = F.when(
+        F.size("lt") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("lt") - 2),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(
+                    " ", F.element_at("lt", i + 1), F.element_at("lt", i + 2)
+                ).alias("bg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,bg:string>>"))
+    b = d.select("doc_id", F.explode(bg_structs).alias("s")).select(
+        "doc_id", "s.pos", "s.bg"
+    )
+    c12 = b.groupBy("bg").agg(F.count("*").alias("c12"))
+    nb = b.agg(F.count("*").cast("double").alias("nb"))
+    lnp = F.log(F.col("c12") / F.col("nb"))
+    scored = (
+        b.join(c12, "bg")
+        .crossJoin(F.broadcast(nb))
+        .select("doc_id", "pos", lnp.cast(DoubleType()).alias("lnp"))
+    )
+    g = scored.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lnp"))).alias("ps"),
+        F.count("*").alias("n_bigrams"),
+    )
+    nll_sum = F.aggregate(
+        F.transform("ps", lambda s: s.lnp), F.lit(0.0), lambda a, x: a + x
+    )
+    return g.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-nll_sum / F.col("n_bigrams"), 6).alias("nll"),
+    )
+
+
+def lm_bigram_score_sql() -> str:
+    """DuckDB twin of :func:`lm_bigram_score` — same positioned bigrams,
+    same joint relative-frequency, same position-ordered sum."""
+    return (
+        "WITH d AS (SELECT doc_id, "
+        f"list_transform({tokens_sql('text')}, t -> lower(t)) AS lt "
+        "FROM documents), "
+        "b AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos, "
+        "lt[u.i + 1] || ' ' || lt[u.i + 2] AS bg "
+        "FROM d, unnest(range(len(lt) - 1)) AS u(i) WHERE len(lt) >= 2), "
+        "c12 AS (SELECT bg, count(*) AS c12 FROM b GROUP BY 1), "
+        "nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM b), "
+        "s AS (SELECT doc_id, pos, ln(c12 / nb) AS lnp "
+        "FROM b JOIN c12 USING (bg) CROSS JOIN nb), "
+        "g AS (SELECT doc_id, count(*) AS n_bigrams, "
+        "list(lnp ORDER BY pos) AS ps FROM s GROUP BY 1) "
+        "SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, "
+        "round(-list_sum(ps) / n_bigrams, 6) AS nll FROM g"
     )
