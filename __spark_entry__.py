@@ -995,6 +995,13 @@ def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.running_total(load_table(spark, sf_dir, "events"))
 
 
+def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flagging (operators/analytics.py
+    anomaly_zscore): exact integer-cents sums make the score one
+    conversion + sqrt + division — order-independent, hash-exact."""
+    return AN.anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
 def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming as-of join end-to-end: the events table staged into a
     scratch stream source, drained through the stateful
@@ -1325,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": _q_keyword_search,
         "keyword_search_indexed": _q_keyword_search_indexed,
         "lm_bigram_score": _q_lm_bigram_score,
+        "anomaly_zscore": _q_anomaly_zscore,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1688,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         # indexed search must collapse to the scan form: same oracle text
         "keyword_search_indexed": TX.keyword_search_sql(),
         "lm_bigram_score": TX.lm_bigram_score_sql(),
+        "anomaly_zscore": AN.anomaly_zscore_sql(),
         "embedding_knn": exact_knn_sql,
         # full-probe IVF must collapse to exact kNN: same oracle text
         "embedding_knn_ivf_full": exact_knn_sql,

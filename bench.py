@@ -85,6 +85,7 @@ BENCH_KEYS = [
     "keyword_search",
     "keyword_search_indexed",
     "lm_bigram_score",
+    "anomaly_zscore",
 ]
 
 

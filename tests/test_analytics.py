@@ -217,3 +217,28 @@ def test_table_profile_approx_bounds(spark, sf_dir):
         assert ar.n_nulls == er.n_nulls
         assert ar.min_v == er.min_v and ar.max_v == er.max_v
         assert abs(ar.n_distinct_approx - er.n_distinct) <= max(0.1 * er.n_distinct, 2)
+
+
+def test_anomaly_zscore_flags_planted_outlier(spark, sf_dir):
+    """An event whose value dwarfs its type's distribution must be
+    flagged with a large positive z; the same event keeps every other
+    row's exact-integer z unchanged except through the (tiny) shift it
+    itself adds to the type's stats."""
+    ev = load_table(spark, sf_dir, "events")
+    extra = spark.createDataFrame(
+        [(990001, 1717200000000000, 1, "click", 99999.0, "{}")],
+        ev.schema,
+    )
+    out = {r.event_id: r for r in AN.anomaly_zscore(ev.unionByName(extra)).collect()}
+    assert 990001 in out
+    assert out[990001].z == max(r.z for r in out.values())
+    assert out[990001].value_cents == 9999900
+
+
+def test_anomaly_zscore_deterministic_under_repartition(spark, sf_dir):
+    """Integer sums are order-independent, so the flagged set and every
+    z must be bit-identical across partitionings."""
+    ev = load_table(spark, sf_dir, "events")
+    a = sorted(tuple(r) for r in AN.anomaly_zscore(ev).collect())
+    b = sorted(tuple(r) for r in AN.anomaly_zscore(ev.repartition(17)).collect())
+    assert a == b and a

@@ -34,6 +34,8 @@ __all__ = [
     "salted_join",
     "event_type_deviation",
     "event_type_deviation_sql",
+    "anomaly_zscore",
+    "anomaly_zscore_sql",
     "orders_without_lineitems",
     "orders_without_lineitems_sql",
     "distinct_users",
@@ -465,4 +467,65 @@ def topk_per_group_sql(k: int = TOPK_K) -> str:
         "FROM per_part) "
         f"SELECT p_brand, p_partkey, revenue_cents, rank FROM ranked "
         f"WHERE rank <= {k}"
+    )
+
+
+def anomaly_zscore(events: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """Per-type z-score anomaly detection over event values — the
+    streaming-adjacent data-quality gate (flag events whose value is
+    ``threshold`` population standard deviations from their type's
+    mean). Returns (event_id, event_type, value_cents, z).
+
+    All statistics are exact integer cents: with n, s1 = Σc, s2 = Σc²
+    (order-independent BIGINT sums),
+
+        z = (c·n − s1) / sqrt(s2·n − s1²)
+
+    — both operands are exact integers, so the whole score is ONE
+    integer→double conversion, one sqrt, one division: bit-identical
+    across engines and partitionings, where mean/std computed in
+    floating point would drift with accumulation order. (Bound: s2·n
+    fits int64 up to ~10^6 rows/type at cents scale; at larger grain
+    the same sums go through DECIMAL(38) unchanged.)
+
+    100 TB shape: map-side partial aggregation to a row-per-type stats
+    relation, broadcast back (5 types — the classic skew key, same as
+    :func:`event_type_deviation`), then a row-local filter."""
+    ev = events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.sum("value_cents").alias("s1"),
+        F.sum(F.col("value_cents") * F.col("value_cents")).alias("s2"),
+        F.count("*").alias("n"),
+    )
+    num = F.col("value_cents") * F.col("n") - F.col("s1")
+    den = F.sqrt(F.col("s2") * F.col("n") - F.col("s1") * F.col("s1"))
+    z = num / den
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= threshold)
+        .select(
+            "event_id", "event_type", "value_cents", F.round(z, 6).alias("z")
+        )
+    )
+
+
+def anomaly_zscore_sql(threshold: float = 3.0) -> str:
+    """DuckDB twin of :func:`anomaly_zscore`: aggregates cast back to
+    BIGINT (DuckDB sums BIGINT into HUGEINT) so both engines feed the
+    same exact int64 values into the one conversion/sqrt/division."""
+    return (
+        "WITH ev AS (SELECT event_id, event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS value_cents FROM events), "
+        "s AS (SELECT event_type, CAST(sum(value_cents) AS BIGINT) AS s1, "
+        "CAST(sum(value_cents * value_cents) AS BIGINT) AS s2, "
+        "count(*) AS n FROM ev GROUP BY 1) "
+        "SELECT event_id, ev.event_type, value_cents, "
+        "round((value_cents * n - s1) / sqrt(s2 * n - s1 * s1), 6) AS z "
+        "FROM ev JOIN s USING (event_type) "
+        f"WHERE abs((value_cents * n - s1) / sqrt(s2 * n - s1 * s1)) "
+        f">= {threshold}"
     )
