@@ -995,6 +995,14 @@ def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.running_total(load_table(spark, sf_dir, "events"))
 
 
+def _q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (operators/similarity.py
+    embedding_project): 64-d → 16-d on a deterministic literal matrix —
+    the dim-reduction preprocessing that cuts ANN dot-product and
+    shuffle cost 4x; row-local, no shuffle."""
+    return SIM.embedding_project(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score anomaly flagging (operators/analytics.py
     anomaly_zscore): exact integer-cents sums make the score one
@@ -1333,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search_indexed": _q_keyword_search_indexed,
         "lm_bigram_score": _q_lm_bigram_score,
         "anomaly_zscore": _q_anomaly_zscore,
+        "embedding_project": _q_embedding_project,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1697,6 +1706,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search_indexed": TX.keyword_search_sql(),
         "lm_bigram_score": TX.lm_bigram_score_sql(),
         "anomaly_zscore": AN.anomaly_zscore_sql(),
+        "embedding_project": SIM.embedding_project_sql(),
         "embedding_knn": exact_knn_sql,
         # full-probe IVF must collapse to exact kNN: same oracle text
         "embedding_knn_ivf_full": exact_knn_sql,

@@ -86,6 +86,7 @@ BENCH_KEYS = [
     "keyword_search_indexed",
     "lm_bigram_score",
     "anomaly_zscore",
+    "embedding_project",
 ]
 
 

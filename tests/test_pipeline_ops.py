@@ -837,3 +837,46 @@ def test_lm_bigram_score_deterministic_under_repartition(docs):
         for r in T.lm_bigram_score(docs.repartition(13)).collect()
     }
     assert a == b
+
+
+# --- random projection ----------------------------------------------------
+
+def test_embedding_project_shape_and_determinism(embs):
+    out = S.embedding_project(embs).collect()
+    assert len(out) == embs.count()
+    assert all(len(r.proj) == 16 for r in out)
+    again = S.embedding_project(embs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_embedding_project_preserves_distances(embs):
+    """The JL guarantee (the property projected-space candidate
+    generation rests on): pairwise squared distances are preserved up to
+    a distortion that SHRINKS as out_dim grows. The broken
+    linear-in-the-index matrix measured ~0.8 mean relative error flat in
+    out_dim; the avalanche-mixed, variance-corrected matrix must land
+    near the 1/sqrt(out_dim) JL regime and improve when dims double.
+    (Top-k recall is deliberately NOT asserted: the fixture's similarity
+    gaps are smaller than any 16-d JL distortion.)"""
+    import numpy as np
+
+    rows = embs.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    ids = sorted(vecs)[:60]
+
+    def mean_err(out_dim):
+        proj = {
+            r.vec_id: np.array(r.proj, dtype=np.float64)
+            for r in S.embedding_project(embs, out_dim=out_dim).collect()
+        }
+        errs = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                do = np.sum((vecs[ids[i]] - vecs[ids[j]]) ** 2)
+                dp = np.sum((proj[ids[i]] - proj[ids[j]]) ** 2)
+                errs.append(abs(dp - do) / do)
+        return float(np.mean(errs))
+
+    e16, e32 = mean_err(16), mean_err(32)
+    assert e16 < 0.4, e16
+    assert e32 < e16, (e16, e32)
