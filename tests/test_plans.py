@@ -281,16 +281,19 @@ def test_corpus_budget_sharded_prefix_sum(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_dedup_semantic_pairwise_is_cluster_equi_join(spark, sf_dir):
+def test_dedup_semantic_single_cluster_exchange(spark, sf_dir):
     """SemDeDup's quadratic term must stay confined to clusters: the
-    within-cluster pairwise stage has to plan as an equi-join on
-    ivf_cluster (the vec_id inequality and the cosine threshold ride
-    along as post-join filters), never as a nested-loop over the whole
-    table — the difference between sum(c_i^2) and n^2 at 100 TB."""
+    pairwise stage is ONE exchange on ivf_cluster feeding the
+    Arrow-batched per-cluster gram kernel — never a join/nested-loop
+    over the whole table (the difference between sum(c_i^2) BLAS work
+    and n^2 shuffled pairs at 100 TB)."""
     q = D.dedup_semantic(load_table(spark, sf_dir, "embeddings"))
     plan = P.explain_str(q, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert P.exchange_count(q) == 1
 
 
 def test_keyword_search_scan_filter_topk_no_shuffle(spark, sf_dir):

@@ -1153,22 +1153,31 @@ def dedup_semantic(
     dim: int = 64,
 ) -> DataFrame:
     """Semantic dedup (SemDeDup-style, Abbas et al. 2023): coarse-cluster
-    every embedding on the deterministic fixed centroids of
-    ``similarity._ivf_fixed_centroids``, then prune near-duplicates by
-    exact pairwise cosine *within each cluster only*. A vector is dropped
-    iff some lower-``vec_id`` vector in the SAME cluster has cosine >=
+    every embedding on the deterministic unit-norm fixed centroids of
+    ``similarity._unit_centroids``, then prune near-duplicates by exact
+    pairwise cosine *within each cluster only*. A vector is dropped iff
+    some lower-``vec_id`` vector in the SAME cluster has cosine >=
     ``threshold`` with it (greedy keep-first — deterministic and
     SQL-expressible; like SemDeDup, cross-cluster near-dups are the
     accepted recall tradeoff that buys the quadratic-term bound). Returns
     the survivors as (vec_id, label, ivf_cluster).
 
     100 TB shape: assignment is one codegen'd pass (no shuffle); the
-    pairwise term is an equi-join on ``ivf_cluster``, so vectors shuffle
-    once on the cluster key and the quadratic cost is sum(c_i^2) over
-    cluster sizes instead of n^2 — n_clusters is the knob that bounds
-    c_i (raise it with corpus size; the fixture default 16 keeps the
-    oracle cheap). The final keep is a left-anti join on vec_id."""
-    from tiny_md_hbase_spark.operators.similarity import _unit_centroids, cosine
+    pairwise term runs inside each cluster via an Arrow-batched
+    ``applyInPandas`` kernel — ONE shuffle on the cluster key, then one
+    float64 BLAS gram matrix per cluster instead of sum(c_i^2)
+    interpreted cosine folds (higher-order array expressions are
+    CodegenFallback; the pure-join form measured 25 s on 2 000 vectors
+    where the kernel is sub-second — same justification as
+    ``embedding_knn_batch``). n_clusters is the knob that bounds
+    per-cluster memory (c_i vectors + a c_i^2 triangle); raise it with
+    corpus size.
+
+    Cross-engine note: numpy's pairwise-summed dot differs from the
+    oracle's left-to-right fold by ~1 ulp; only a cosine within ~1e-15
+    of ``threshold`` could flip a survivor, the same boundary argument
+    ``dedup_embedding_lsh_sql`` documents for its band bits."""
+    from tiny_md_hbase_spark.operators.similarity import _unit_centroids
 
     cents = _unit_centroids(n_clusters, dim)
     e = embeddings.select(
@@ -1187,35 +1196,28 @@ def dedup_semantic(
         for ci, cent in enumerate(cents)
     ]
     darr = F.array(*[F.col(f"d{ci}") for ci in range(n_clusters)])
-    assigned = (
-        e.select("vec_id", "label", "v", *dists)
-        .select(
-            "vec_id",
-            "label",
-            "v",
-            (F.array_position(darr, F.array_min(darr)) - 1)
-            .cast("int")
-            .alias("ivf_cluster"),
-        )
-        # one materialization: assignment feeds both join sides and the
-        # final keep — without it the n_clusters distance columns are
-        # recomputed three times
-        .localCheckpoint()
+    assigned = e.select("vec_id", "label", "v", *dists).select(
+        "vec_id",
+        "label",
+        "v",
+        (F.array_position(darr, F.array_min(darr)) - 1)
+        .cast("int")
+        .alias("ivf_cluster"),
     )
-    a = assigned.alias("a")
-    b = assigned.select("vec_id", "v", "ivf_cluster").alias("b")
-    dups = (
-        a.join(
-            b,
-            (F.col("a.ivf_cluster") == F.col("b.ivf_cluster"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
-        )
-        .filter(cosine(F.col("a.v"), F.col("b.v")) >= threshold)
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
-    )
-    return assigned.join(dups, "vec_id", "left_anti").select(
-        "vec_id", "label", "ivf_cluster"
+
+    def survivors(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        vm = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+        gram = vn @ vn.T
+        # dup[j]: any i < j (rows are vec_id-sorted) with cos >= threshold
+        dup = (np.tril(gram, -1) >= threshold).any(axis=1)
+        return pdf.loc[~dup, ["vec_id", "label", "ivf_cluster"]]
+
+    return assigned.groupBy("ivf_cluster").applyInPandas(
+        survivors, "vec_id long, label int, ivf_cluster int"
     )
 
 
