@@ -1033,31 +1033,45 @@ def dedup_embedding_lsh(
     bands: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: sign-LSH banded candidate pairs,
-    exact-cosine verified. This is the variant that must be the default at
-    100 TB — :func:`dedup_embedding` broadcasts the whole table and is
-    positioned as the blocked verifier only.
+    """Scale path for embedding near-dup: sign-LSH banded buckets,
+    exact-cosine verified per bucket. This is the variant that must be
+    the default at 100 TB — :func:`dedup_embedding` broadcasts the whole
+    table and is positioned as the blocked verifier only.
 
-    Same division of labor as MinHash-LSH text dedup: one pass computes a
-    ``planes``-bit signature per vector (deterministic hyperplanes shared
-    with the similarity module — no RNG, reproducible in SQL), the
-    signature splits into ``bands`` fixed-width band keys, candidates are
-    an equi-join on (band, band_bits) — the shuffle moves (vec_id, 8-byte
-    key) rows, never vectors — and only candidate pairs fetch their
-    vectors for the exact cosine check. Recall is the LSH tradeoff: a
-    true pair is found iff it collides in ≥1 band (tunable via
-    planes/bands); every emitted pair is exactly verified, so precision
-    is 1 at the given threshold.
+    One pass computes a ``planes``-bit signature per vector
+    (deterministic hyperplanes shared with the similarity module — no
+    RNG, reproducible in SQL); the signature splits into ``bands``
+    fixed-width band keys; each (band, band_bits) bucket then verifies
+    its pairs with ONE float64 gram matmul inside an Arrow-batched
+    ``applyInPandas`` kernel, and pairs colliding in several bands
+    dedupe on (vec_a, vec_b). Recall is the LSH tradeoff: a true pair is
+    found iff it collides in ≥1 band (tunable via planes/bands); every
+    emitted pair is exactly verified, so precision is 1.
+
+    Why per-bucket gram instead of the candidate equi-join + per-pair
+    cosine: both enumerate the same sum(b_i^2) pairs, but the join form
+    materializes every candidate as a shuffled row and then evaluates an
+    interpreted higher-order fold per pair (CodegenFallback — measured
+    ~4-6 s for 2 000 vectors / 465 K candidates at the pinned 4-bit
+    bands), while the kernel shuffles each vector ``bands`` times and
+    never materializes pairs outside the matmul. Candidate volume is
+    quadratic in bucket density, the vector shuffle is linear — the
+    bucket form is the one that survives dense buckets. The kernel's
+    pairwise-summed dots differ from the oracle's left-to-right fold by
+    ~1 ulp; only a cosine within ~1e-15 of the threshold (or of a
+    round-6 boundary) could flip output, the documented boundary
+    argument of the SQL twin.
     """
-    from tiny_md_hbase_spark.operators.similarity import cosine, lsh_signature
+    from tiny_md_hbase_spark.operators.similarity import lsh_signature
 
     rpb = planes // bands
     mask = (1 << rpb) - 1
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("sig", lsh_signature(F.col("v"), planes, dim))
-    slim = e.select(
+    bucketed = e.select(
         "vec_id",
+        "v",
         F.explode(
             F.array(
                 *[
@@ -1071,28 +1085,34 @@ def dedup_embedding_lsh(
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "bk.band", "bk.band_bits")
-    a, b = slim.alias("a"), slim.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select("vec_id", "v", "bk.band", "bk.band_bits")
+
+    def verify(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        vm = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+        gram = vn @ vn.T
+        ii, jj = np.nonzero(np.tril(gram, -1) >= threshold)  # j < i
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[jj],
+                "vec_b": ids[ii],
+                "cos_sim": np.round(gram[ii, jj], 6),
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
-    )
-    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
-    cos = cosine(F.col("v_a"), F.col("v_b"))
+
     return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .filter(cos >= threshold)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        bucketed.groupBy("band", "band_bits")
+        .applyInPandas(verify, "vec_a long, vec_b long, cos_sim double")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
