@@ -1003,6 +1003,14 @@ def _q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_project(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_knn_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN through the JL projection (operators/similarity.py
+    embedding_knn_projected): projected-space top-overfetch*k candidates,
+    exact full-vector re-rank — the whole prune→re-rank pipeline under
+    the oracle."""
+    return SIM.embedding_knn_projected(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score anomaly flagging (operators/analytics.py
     anomaly_zscore): exact integer-cents sums make the score one
@@ -1342,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_score": _q_lm_bigram_score,
         "anomaly_zscore": _q_anomaly_zscore,
         "embedding_project": _q_embedding_project,
+        "embedding_knn_projected": _q_embedding_knn_projected,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1707,6 +1716,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram_score": TX.lm_bigram_score_sql(),
         "anomaly_zscore": AN.anomaly_zscore_sql(),
         "embedding_project": SIM.embedding_project_sql(),
+        "embedding_knn_projected": SIM.embedding_knn_projected_sql(),
         "embedding_knn": exact_knn_sql,
         # full-probe IVF must collapse to exact kNN: same oracle text
         "embedding_knn_ivf_full": exact_knn_sql,

@@ -87,6 +87,7 @@ BENCH_KEYS = [
     "lm_bigram_score",
     "anomaly_zscore",
     "embedding_project",
+    "embedding_knn_projected",
 ]
 
 

@@ -880,3 +880,27 @@ def test_embedding_project_preserves_distances(embs):
     e16, e32 = mean_err(16), mean_err(32)
     assert e16 < 0.4, e16
     assert e32 < e16, (e16, e32)
+
+
+def test_embedding_knn_projected_prune_rerank_contract(embs):
+    """The prune→re-rank contract: every returned cos_sim is the EXACT
+    full-vector similarity (re-rank is exact, only candidate generation
+    is approximate), the query finds itself at rank 1, and widening the
+    overfetch to the corpus size recovers the exact top-k (the prune
+    never re-scores, it only drops)."""
+    got = S.embedding_knn_projected(embs, 1, 10).collect()
+    assert got[0].vec_id == 1 and got[0].cos_sim == 1.0
+    exact_sims = {
+        r.vec_id: r.cos_sim
+        for r in S.embedding_knn(embs, 1, embs.count()).collect()
+    }
+    for r in got:
+        assert r.cos_sim == exact_sims[r.vec_id]
+    full = [
+        (r.vec_id, r.cos_sim)
+        for r in S.embedding_knn_projected(
+            embs, 1, 10, overfetch=embs.count() // 10 + 1
+        ).collect()
+    ]
+    exact = [(r.vec_id, r.cos_sim) for r in S.embedding_knn(embs, 1, 10).collect()]
+    assert full == exact

@@ -36,6 +36,8 @@ __all__ = [
     "embedding_knn_ivf_portable_sql",
     "embedding_project",
     "embedding_project_sql",
+    "embedding_knn_projected",
+    "embedding_knn_projected_sql",
 ]
 
 
@@ -587,4 +589,94 @@ def embedding_project_sql(out_dim: int = 16, dim: int = 64) -> str:
         "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings) "
         f"SELECT vec_id, label, [{coords}] AS proj FROM e"
+    )
+
+
+def embedding_knn_projected(
+    embeddings: DataFrame,
+    query_vec_id: int = 1,
+    k: int = 10,
+    out_dim: int = 16,
+    dim: int = 64,
+    overfetch: int = 4,
+) -> DataFrame:
+    """Approximate kNN through the JL projection: rank ALL vectors by
+    cosine in the ``out_dim`` projected space (out_dim/dim of the
+    dot-product cost), keep the top ``overfetch * k`` candidates, then
+    re-rank only those by exact full-vector cosine. Output schema and
+    ordering match :func:`embedding_knn`; recall < 1 is the JL
+    distortion tradeoff, bounded by the overfetch factor.
+
+    100 TB shape: the projected scan is the same
+    TakeOrderedAndProject as brute kNN but folds 16 coordinates per row
+    instead of 64; only ``overfetch*k`` full vectors are ever fetched
+    (a vec_id IN semi-join against the stored table — row-group pruning
+    territory). Fully deterministic: literal projection matrix, round-6
+    projected scores with vec_id tiebreaks at the overfetch boundary."""
+    proj = embedding_project(embeddings, out_dim=out_dim, dim=dim)
+    qp = proj.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("proj").alias("qp")
+    )
+    psim = F.round(cosine(F.col("proj"), F.col("qp")), 6)
+    cand = (
+        proj.crossJoin(F.broadcast(qp))
+        .select("vec_id", psim.alias("proj_sim"))
+        .orderBy(F.col("proj_sim").desc(), "vec_id")
+        .limit(overfetch * k)
+    )
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    sim = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    return (
+        e.join(cand.select("vec_id"), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def embedding_knn_projected_sql(
+    query_vec_id: int = 1,
+    k: int = 10,
+    out_dim: int = 16,
+    dim: int = 64,
+    overfetch: int = 4,
+) -> str:
+    """DuckDB twin of :func:`embedding_knn_projected`: the projection CTE
+    is :func:`embedding_project_sql`'s expression inline, candidate
+    selection and re-rank use the same round-6 scores and vec_id
+    tiebreaks."""
+    rows = _projection_matrix(out_dim, dim)
+
+    def lit(arr: list[float]) -> str:
+        return "[" + ", ".join(repr(c) for c in arr) + "]"
+
+    coords = ", ".join(
+        "round(list_sum(list_transform(list_zip(v, "
+        f"{lit(row)}), p -> p[1] * p[2])), 6)"
+        for row in rows
+    )
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+            f" * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+        )
+
+    return (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"p AS (SELECT vec_id, [{coords}] AS proj FROM e), "
+        f"qp AS (SELECT proj AS qproj FROM p WHERE vec_id = {query_vec_id}), "
+        f"cand AS (SELECT vec_id, round({cos('proj', 'qproj')}, 6) AS proj_sim "
+        "FROM p CROSS JOIN qp "
+        f"ORDER BY proj_sim DESC, vec_id LIMIT {overfetch * k}), "
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}) "
+        f"SELECT e.vec_id, e.label, round({cos('e.v', 'qv')}, 6) AS cos_sim "
+        "FROM e CROSS JOIN q "
+        "WHERE e.vec_id IN (SELECT vec_id FROM cand) "
+        f"ORDER BY cos_sim DESC, e.vec_id LIMIT {k}"
     )
