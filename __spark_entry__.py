@@ -801,6 +801,13 @@ def _q_keyword_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Gopher quality rules (operators/text.py
+    gopher_quality): five named boolean rules + conjunctive passes flag,
+    one row-local codegen pass."""
+    return TX.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
 def _q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM document scoring (operators/text.py
     lm_bigram_score): the perplexity-filter primitive with no external
@@ -1348,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": _q_keyword_search,
         "keyword_search_indexed": _q_keyword_search_indexed,
         "lm_bigram_score": _q_lm_bigram_score,
+        "gopher_quality": _q_gopher_quality,
         "anomaly_zscore": _q_anomaly_zscore,
         "embedding_project": _q_embedding_project,
         "embedding_knn_projected": _q_embedding_knn_projected,
@@ -1714,6 +1722,7 @@ def oracle_sql() -> dict[str, str]:
         # indexed search must collapse to the scan form: same oracle text
         "keyword_search_indexed": TX.keyword_search_sql(),
         "lm_bigram_score": TX.lm_bigram_score_sql(),
+        "gopher_quality": TX.gopher_quality_sql(),
         "anomaly_zscore": AN.anomaly_zscore_sql(),
         "embedding_project": SIM.embedding_project_sql(),
         "embedding_knn_projected": SIM.embedding_knn_projected_sql(),

@@ -88,6 +88,7 @@ BENCH_KEYS = [
     "anomaly_zscore",
     "embedding_project",
     "embedding_knn_projected",
+    "gopher_quality",
 ]
 
 

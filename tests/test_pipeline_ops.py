@@ -904,3 +904,32 @@ def test_embedding_knn_projected_prune_rerank_contract(embs):
     ]
     exact = [(r.vec_id, r.cos_sim) for r in S.embedding_knn(embs, 1, 10).collect()]
     assert full == exact
+
+
+def test_gopher_quality_rules_fire_individually(spark):
+    """Each Gopher rule must fail for exactly the construction that
+    violates it: too-short doc, all-numeric words, symbol spam, missing
+    stopwords — and a clean passage passes all five."""
+    good = (
+        "the quick brown fox jumps over that lazy dog and keeps running "
+        "with steady pace to be sure of the route and have time left "
+        "the road bends east of town and that old bridge holds firm "
+        "with traffic light and heavy to be fair about the crossing "
+        "have patience and the journey ends well that is the point"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "s", 0),
+            (2, "too short to pass", "en", "s", 0),
+            (3, " ".join(["12345"] * 60), "en", "s", 0),
+            (4, good + " " + "#" * 1 + " #### ### ## # # # #", "en", "s", 0),
+            (5, " ".join(["lorem", "ipsum", "dolor", "sitam"] * 15), "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {r.doc_id: r for r in T.gopher_quality(docs).collect()}
+    assert out[1].passes
+    assert not out[2].ok_word_count and not out[2].passes
+    assert not out[3].ok_alpha_words and not out[3].passes
+    assert not out[4].ok_symbol_ratio and not out[4].passes
+    assert not out[5].ok_stopwords and not out[5].passes

@@ -57,6 +57,9 @@ __all__ = [
     "keyword_search_sql",
     "lm_bigram_score",
     "lm_bigram_score_sql",
+    "gopher_quality",
+    "gopher_quality_sql",
+    "GOPHER_STOPWORDS",
     "FINGERPRINT_MOD",
     "LANG_MARKERS",
 ]
@@ -1314,4 +1317,103 @@ def lm_bigram_score_sql() -> str:
         "list(lnp ORDER BY pos) AS ps FROM s GROUP BY 1) "
         "SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, "
         "round(-list_sum(ps) / n_bigrams, 6) AS nll FROM g"
+    )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """The Gopher repetition-free quality rules (Rae et al. 2021, §A1.1 —
+    public), as one row-local codegen pass per document. Each rule is an
+    explicit boolean column so a pipeline can report WHY a document was
+    dropped, plus the conjunctive ``passes`` flag:
+
+    - 50 <= word count <= 100 000,
+    - 3 <= mean word length <= 10,
+    - >= 80% of words contain an alphabetic character,
+    - symbol-to-word ratio (#/ellipsis) <= 0.1,
+    - >= 2 hits from the 8 canonical stopwords.
+
+    Every ratio is one per-row double division (the module's
+    determinism contract); outputs are rounded to 6. Zero-token
+    documents fail the word-count rule with NULL-safe ratios."""
+    toks = tokens("text")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    n_symbols = (
+        F.size(F.split("text", "#", -1))
+        - 1
+        + F.size(F.split("text", r"\.\.\.", -1))
+        - 1
+    )
+    n_stop = _marker_hits(toks, list(GOPHER_STOPWORDS))
+    d = documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_len"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        n_stop.alias("n_stop"),
+    )
+    mean_len = F.col("sum_len") / F.col("n_words")
+    alpha_frac = F.col("n_alpha_words") / F.col("n_words")
+    sym_ratio = F.col("n_symbols") / F.col("n_words")
+    r_count = (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+    r_len = (mean_len >= 3) & (mean_len <= 10)
+    r_alpha = alpha_frac >= 0.8
+    r_sym = sym_ratio <= 0.1
+    r_stop = F.col("n_stop") >= 2
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.col("n_stop").alias("n_stopword_hits"),
+        r_count.alias("ok_word_count"),
+        r_len.alias("ok_mean_len"),
+        r_alpha.alias("ok_alpha_words"),
+        r_sym.alias("ok_symbol_ratio"),
+        r_stop.alias("ok_stopwords"),
+        (r_count & r_len & r_alpha & r_sym & r_stop).alias("passes"),
+    )
+
+
+def gopher_quality_sql() -> str:
+    """DuckDB twin of :func:`gopher_quality` — same token list, same
+    single-division ratios, same rule thresholds."""
+    stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    t = tokens_sql("text")
+    return (
+        f"WITH d AS (SELECT doc_id, {t} AS toks, text FROM documents), "
+        "m AS (SELECT doc_id, len(toks) AS n_words, "
+        "CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) "
+        "AS sum_len, "
+        "len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) "
+        "AS n_alpha_words, "
+        "len(regexp_split_to_array(text, '#')) - 1 "
+        "+ len(regexp_split_to_array(text, '\\.\\.\\.')) - 1 AS n_symbols, "
+        f"len(list_filter(toks, t -> lower(t) IN ({stop}))) AS n_stop "
+        "FROM d) "
+        "SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, "
+        "round(sum_len / n_words, 6) AS mean_word_len, "
+        "round(n_alpha_words / CAST(n_words AS DOUBLE), 6) AS alpha_word_frac, "
+        "round(n_symbols / CAST(n_words AS DOUBLE), 6) AS symbol_ratio, "
+        "CAST(n_stop AS INTEGER) AS n_stopword_hits, "
+        "n_words >= 50 AND n_words <= 100000 AS ok_word_count, "
+        "sum_len / n_words >= 3 AND sum_len / n_words <= 10 AS ok_mean_len, "
+        "n_alpha_words / CAST(n_words AS DOUBLE) >= 0.8 AS ok_alpha_words, "
+        "n_symbols / CAST(n_words AS DOUBLE) <= 0.1 AS ok_symbol_ratio, "
+        "n_stop >= 2 AS ok_stopwords, "
+        "(n_words >= 50 AND n_words <= 100000) "
+        "AND (sum_len / n_words >= 3 AND sum_len / n_words <= 10) "
+        "AND (n_alpha_words / CAST(n_words AS DOUBLE) >= 0.8) "
+        "AND (n_symbols / CAST(n_words AS DOUBLE) <= 0.1) "
+        "AND (n_stop >= 2) AS passes FROM m"
     )
