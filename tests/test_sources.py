@@ -39,3 +39,39 @@ def test_unsupported_format_raises(spark, sf_dir):
         write_as(ev, "/tmp/never", "avro")
     with pytest.raises(ValueError):
         load_as(spark, "/tmp/never", "orcish", EVENTS_DDL)
+
+
+# --- JSONL corpus interchange ---------------------------------------------
+
+def test_jsonl_corpus_roundtrip_lossless(spark, sf_dir):
+    import tempfile
+
+    from tiny_md_hbase_spark.sources import (
+        load_table,
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="jsonl_") + "/corpus"
+    write_jsonl_corpus(docs, d, n_shards=4)
+    back = read_jsonl_corpus(spark, d).select(*docs.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    import glob
+
+    assert len(glob.glob(f"{d}/part-*")) == 4
+
+
+def test_jsonl_reader_failfast_on_malformed(spark, tmp_path):
+    import pytest as _pytest
+
+    from tiny_md_hbase_spark.sources import read_jsonl_corpus
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "part-00000.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json\n"
+    )
+    with _pytest.raises(Exception):
+        read_jsonl_corpus(spark, str(p)).collect()
