@@ -89,6 +89,7 @@ BENCH_KEYS = [
     "embedding_project",
     "embedding_knn_projected",
     "gopher_quality",
+    "corpus_jsonl_roundtrip",
 ]
 
 
