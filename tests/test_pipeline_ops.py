@@ -933,3 +933,18 @@ def test_gopher_quality_rules_fire_individually(spark):
     assert not out[3].ok_alpha_words and not out[3].passes
     assert not out[4].ok_symbol_ratio and not out[4].passes
     assert not out[5].ok_stopwords and not out[5].passes
+
+
+def test_gopher_quality_empty_and_null_docs_survive_ansi(spark):
+    """The session runs ANSI mode, where a bare /0 errors: a zero-token
+    document must fail ok_word_count with NULL ratios (NULLIF
+    denominator), a NULL-text document reports all-NULL metrics, and
+    neither crashes nor NULL-drops its row (false AND NULL = false)."""
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {r.doc_id: r for r in T.gopher_quality(docs).collect()}
+    assert out[1].n_words == 0 and out[1].mean_word_len is None
+    assert out[1].ok_word_count is False and out[1].passes is False
+    assert out[2].n_words is None and out[2].passes is None

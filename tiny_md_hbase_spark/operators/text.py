@@ -1337,7 +1337,11 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
 
     Every ratio is one per-row double division (the module's
     determinism contract); outputs are rounded to 6. Zero-token
-    documents fail the word-count rule with NULL-safe ratios."""
+    documents fail the word-count rule and report NULL ratios — the
+    denominator is NULLIF(n_words, 0) on BOTH engines, because the
+    session runs ANSI mode where a bare /0 is an error, not a NULL
+    (and SQL three-valued logic makes false AND NULL = false, so
+    ``passes`` stays false, never NULL-drops a row)."""
     toks = tokens("text")
     n_words = F.size(toks)
     sum_len = F.aggregate(
@@ -1361,9 +1365,10 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
         n_symbols.alias("n_symbols"),
         n_stop.alias("n_stop"),
     )
-    mean_len = F.col("sum_len") / F.col("n_words")
-    alpha_frac = F.col("n_alpha_words") / F.col("n_words")
-    sym_ratio = F.col("n_symbols") / F.col("n_words")
+    den = F.nullif(F.col("n_words"), F.lit(0))
+    mean_len = F.col("sum_len") / den
+    alpha_frac = F.col("n_alpha_words") / den
+    sym_ratio = F.col("n_symbols") / den
     r_count = (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
     r_len = (mean_len >= 3) & (mean_len <= 10)
     r_alpha = alpha_frac >= 0.8
@@ -1402,18 +1407,24 @@ def gopher_quality_sql() -> str:
         f"len(list_filter(toks, t -> lower(t) IN ({stop}))) AS n_stop "
         "FROM d) "
         "SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, "
-        "round(sum_len / n_words, 6) AS mean_word_len, "
-        "round(n_alpha_words / CAST(n_words AS DOUBLE), 6) AS alpha_word_frac, "
-        "round(n_symbols / CAST(n_words AS DOUBLE), 6) AS symbol_ratio, "
+        "round(sum_len / NULLIF(n_words, 0), 6) AS mean_word_len, "
+        "round(n_alpha_words / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) "
+        "AS alpha_word_frac, "
+        "round(n_symbols / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) "
+        "AS symbol_ratio, "
         "CAST(n_stop AS INTEGER) AS n_stopword_hits, "
         "n_words >= 50 AND n_words <= 100000 AS ok_word_count, "
-        "sum_len / n_words >= 3 AND sum_len / n_words <= 10 AS ok_mean_len, "
-        "n_alpha_words / CAST(n_words AS DOUBLE) >= 0.8 AS ok_alpha_words, "
-        "n_symbols / CAST(n_words AS DOUBLE) <= 0.1 AS ok_symbol_ratio, "
+        "sum_len / NULLIF(n_words, 0) >= 3 "
+        "AND sum_len / NULLIF(n_words, 0) <= 10 AS ok_mean_len, "
+        "n_alpha_words / CAST(NULLIF(n_words, 0) AS DOUBLE) >= 0.8 "
+        "AS ok_alpha_words, "
+        "n_symbols / CAST(NULLIF(n_words, 0) AS DOUBLE) <= 0.1 "
+        "AS ok_symbol_ratio, "
         "n_stop >= 2 AS ok_stopwords, "
         "(n_words >= 50 AND n_words <= 100000) "
-        "AND (sum_len / n_words >= 3 AND sum_len / n_words <= 10) "
-        "AND (n_alpha_words / CAST(n_words AS DOUBLE) >= 0.8) "
-        "AND (n_symbols / CAST(n_words AS DOUBLE) <= 0.1) "
+        "AND (sum_len / NULLIF(n_words, 0) >= 3 "
+        "AND sum_len / NULLIF(n_words, 0) <= 10) "
+        "AND (n_alpha_words / CAST(NULLIF(n_words, 0) AS DOUBLE) >= 0.8) "
+        "AND (n_symbols / CAST(NULLIF(n_words, 0) AS DOUBLE) <= 0.1) "
         "AND (n_stop >= 2) AS passes FROM m"
     )
