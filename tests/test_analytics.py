@@ -242,3 +242,18 @@ def test_anomaly_zscore_deterministic_under_repartition(spark, sf_dir):
     a = sorted(tuple(r) for r in AN.anomaly_zscore(ev).collect())
     b = sorted(tuple(r) for r in AN.anomaly_zscore(ev.repartition(17)).collect())
     assert a == b and a
+
+
+def test_anomaly_zscore_constant_type_yields_no_outliers(spark):
+    """A zero-variance event type makes the z denominator 0; under ANSI
+    mode a bare 0/0 raises — the NULLIF guard must instead yield no
+    outliers for the constant type without crashing the query."""
+    ev = spark.createDataFrame(
+        [(i, 0, 1, "flat", 5.0, "{}") for i in range(20)]
+        + [(100 + i, 0, 1, "varied", float(i * i), "{}") for i in range(20)],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = AN.anomaly_zscore(ev, threshold=2.0).collect()
+    assert all(r.event_type != "flat" for r in out)
+    assert any(r.event_type == "varied" for r in out)

@@ -502,7 +502,11 @@ def anomaly_zscore(events: DataFrame, threshold: float = 3.0) -> DataFrame:
         F.count("*").alias("n"),
     )
     num = F.col("value_cents") * F.col("n") - F.col("s1")
-    den = F.sqrt(F.col("s2") * F.col("n") - F.col("s1") * F.col("s1"))
+    # NULLIF: a zero-variance type would make this 0/0, which ANSI mode
+    # raises on; NULL z filters out — a constant type has no outliers
+    den = F.nullif(
+        F.sqrt(F.col("s2") * F.col("n") - F.col("s1") * F.col("s1")), F.lit(0.0)
+    )
     z = num / den
     return (
         ev.join(F.broadcast(stats), "event_type")
@@ -524,8 +528,9 @@ def anomaly_zscore_sql(threshold: float = 3.0) -> str:
         "CAST(sum(value_cents * value_cents) AS BIGINT) AS s2, "
         "count(*) AS n FROM ev GROUP BY 1) "
         "SELECT event_id, ev.event_type, value_cents, "
-        "round((value_cents * n - s1) / sqrt(s2 * n - s1 * s1), 6) AS z "
+        "round((value_cents * n - s1) "
+        "/ NULLIF(sqrt(s2 * n - s1 * s1), 0), 6) AS z "
         "FROM ev JOIN s USING (event_type) "
-        f"WHERE abs((value_cents * n - s1) / sqrt(s2 * n - s1 * s1)) "
-        f">= {threshold}"
+        f"WHERE abs((value_cents * n - s1) "
+        f"/ NULLIF(sqrt(s2 * n - s1 * s1), 0)) >= {threshold}"
     )
