@@ -948,3 +948,17 @@ def test_gopher_quality_empty_and_null_docs_survive_ansi(spark):
     assert out[1].n_words == 0 and out[1].mean_word_len is None
     assert out[1].ok_word_count is False and out[1].passes is False
     assert out[2].n_words is None and out[2].passes is None
+
+
+def test_keyword_search_duplicate_terms_deduped(spark, docs):
+    """Containment is set semantics: a duplicated query term must behave
+    exactly like the deduped query on BOTH access paths (pre-fix, the
+    scan form could never satisfy its ==len(terms) check and returned
+    nothing while the oracle and the indexed form matched docs)."""
+    dup = T.keyword_search(docs, terms=("vector", "vector", "merge"))
+    ded = T.keyword_search(docs, terms=("vector", "merge"))
+    assert [tuple(r) for r in dup.collect()] == [tuple(r) for r in ded.collect()]
+    assert dup.count() > 0
+    assert T.keyword_search_sql(("vector", "vector", "merge")) == T.keyword_search_sql(
+        ("vector", "merge")
+    )

@@ -253,3 +253,23 @@ def test_term_bucket_twin_matches_spark_expression(spark):
         ).collect()
     }
     assert got == {t: term_bucket(t, 16) for t in terms}
+
+
+def test_inverted_index_bucket_modulus_persisted(spark, sf_dir):
+    """The reader must derive the bucket modulus from the index itself:
+    an index written with a non-default num_buckets searched with the
+    default would compute bucket literals under the wrong modulus and
+    silently return nothing."""
+    from tiny_md_hbase_spark.operators.text import keyword_search
+    from tiny_md_hbase_spark.sources import load_table
+    from tiny_md_hbase_spark.sources.writer import (
+        keyword_search_indexed,
+        write_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="invidx32_") + "/idx"
+    write_inverted_index(docs, path, num_buckets=32)
+    got = [(r.doc_id, r.score) for r in keyword_search_indexed(spark, path).collect()]
+    want = [(r.doc_id, r.score) for r in keyword_search(docs).collect()]
+    assert got == want and got

@@ -1098,16 +1098,36 @@ def dedup_embedding_lsh(
             )
         vm = np.asarray(pdf["v"].tolist(), dtype=np.float64)
         vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
-        gram = vn @ vn.T
-        ii, jj = np.nonzero(np.tril(gram, -1) >= threshold)  # j < i
         ids = pdf["vec_id"].to_numpy()
-        return pd.DataFrame(
-            {
-                "vec_a": ids[jj],
-                "vec_b": ids[ii],
-                "cos_sim": np.round(gram[ii, jj], 6),
-            }
-        )
+        n = len(vn)
+        # tile the gram: a dense bucket's full c x c matrix is O(c^2)
+        # floats in ONE task (31 GB at c=62.5K) — each tile is
+        # (tile x c), bounding peak memory at ~32 MB while keeping the
+        # BLAS inner loop. Vectors themselves are O(c x dim), the
+        # irreducible cost of holding the bucket.
+        tile = max(1, (4 << 20) // n)
+        out = []
+        for r0 in range(1, n, tile):
+            r1 = min(r0 + tile, n)
+            block = vn[r0:r1] @ vn.T  # rows r0..r1 vs ALL columns
+            ri, ci = np.nonzero(block >= threshold)
+            keep = ci < (ri + r0)  # strictly-lower triangle: col < row
+            ri, ci = ri[keep], ci[keep]
+            if len(ri):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[ci],
+                            "vec_b": ids[ri + r0],
+                            "cos_sim": np.round(block[ri, ci], 6),
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        return pd.concat(out, ignore_index=True)
 
     return (
         bucketed.groupBy("band", "band_bits")
@@ -1134,8 +1154,7 @@ def dedup_embedding_lsh_sql(
     vectors, whose projections are far from 0)."""
     from tiny_md_hbase_spark.operators.similarity import _lsh_coeffs
 
-    def dot(a: str, b: str) -> str:
-        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    from tiny_md_hbase_spark.operators.similarity import sql_dot as dot
 
     sig = " + ".join(
         f"(CASE WHEN {dot('v', '[' + ', '.join(repr(c) for c in plane) + ']')} >= 0 "
@@ -1231,9 +1250,19 @@ def dedup_semantic(
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         vm = np.asarray(pdf["v"].tolist(), dtype=np.float64)
         vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
-        gram = vn @ vn.T
-        # dup[j]: any i < j (rows are vec_id-sorted) with cos >= threshold
-        dup = (np.tril(gram, -1) >= threshold).any(axis=1)
+        n = len(vn)
+        # tiled gram (see dedup_embedding_lsh): peak memory O(tile*c_i),
+        # never the O(c_i^2) a full gram would pin on a dense cluster
+        tile = max(1, (4 << 20) // max(n, 1))
+        dup = np.zeros(n, dtype=bool)
+        for r0 in range(1, n, tile):
+            r1 = min(r0 + tile, n)
+            block = vn[r0:r1] @ vn.T
+            for k in range(r1 - r0):
+                # dup[row]: any earlier vec_id (col < row) past threshold
+                row = r0 + k
+                if (block[k, :row] >= threshold).any():
+                    dup[row] = True
         return pdf.loc[~dup, ["vec_id", "label", "ivf_cluster"]]
 
     return assigned.groupBy("ivf_cluster").applyInPandas(
@@ -1254,21 +1283,17 @@ def dedup_semantic_sql(
     expression on both engines (single division, left-to-right fold),
     the contract the oracle-green ``dedup_embedding`` already relies
     on."""
-    from tiny_md_hbase_spark.operators.similarity import _unit_centroids
+    from tiny_md_hbase_spark.operators.similarity import (
+        _unit_centroids,
+        sql_d2 as d2,
+        sql_dot,
+        sql_lit as lit,
+    )
 
     cents = _unit_centroids(n_clusters, dim)
 
-    def lit(arr: list[float]) -> str:
-        return "[" + ", ".join(repr(c) for c in arr) + "]"
-
-    def d2(a: str, b: str) -> str:
-        return (
-            f"list_sum(list_transform(list_zip({a}, {b}), "
-            "p -> (p[1] - p[2]) * (p[1] - p[2])))"
-        )
-
     dl = "[" + ", ".join(d2("v", lit(c)) for c in cents) + "]"
-    dot = "list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]))"
+    dot = sql_dot("x.v", "y.v")
     return (
         "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings), "

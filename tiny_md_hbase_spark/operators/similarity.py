@@ -58,6 +58,41 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def sql_lit(arr: list[float]) -> str:
+    """A float list as a DuckDB array literal — repr() so both engines
+    consume the exact same doubles (the cross-engine fold contract)."""
+    return "[" + ", ".join(repr(c) for c in arr) + "]"
+
+
+def sql_dot(a: str, b: str) -> str:
+    """The DuckDB dot-product expression matching the Spark
+    zip_with/aggregate fold: list_sum folds left-to-right over the
+    element products. Every oracle twin in this repo must build its dot
+    from THIS helper so a change to the fold/rounding contract lands in
+    one place."""
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def sql_norm(v: str) -> str:
+    """DuckDB twin of :func:`_norm` (sqrt of the self-dot fold)."""
+    return f"sqrt(list_sum(list_transform({v}, x -> x * x)))"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    """DuckDB twin of :func:`cosine`."""
+    return f"{sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)})"
+
+
+def sql_d2(a: str, b: str) -> str:
+    """DuckDB squared-euclidean fold matching the Spark assignment
+    expression."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+
 def embedding_knn(
     embeddings: DataFrame, query_vec_id: int = 1, k: int = 10
 ) -> DataFrame:
@@ -368,14 +403,7 @@ def embedding_knn_ivf_portable_sql(
     distances with the same (distance, index) tiebreak."""
     cents = _ivf_fixed_centroids(n_clusters, dim)
 
-    def lit(arr: list[float]) -> str:
-        return "[" + ", ".join(repr(c) for c in arr) + "]"
-
-    def d2(a: str, b: str) -> str:
-        return (
-            f"list_sum(list_transform(list_zip({a}, {b}), "
-            "p -> (p[1] - p[2]) * (p[1] - p[2])))"
-        )
+    lit, d2 = sql_lit, sql_d2
 
     dl = "[" + ", ".join(d2("v", lit(c)) for c in cents) + "]"
     qd = " UNION ALL ".join(
@@ -454,8 +482,7 @@ def embedding_knn_lsh_sql(
     oracle (``repr`` of a Python float round-trips, and DuckDB parses
     decimal literals to the nearest double, i.e. the same bits)."""
 
-    def dot(a: str, b: str) -> str:
-        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    dot = sql_dot
 
     sig = " + ".join(
         f"(CASE WHEN {dot('v', '[' + ', '.join(repr(c) for c in plane) + ']')} >= 0 "
@@ -538,6 +565,15 @@ def _projection_matrix(out_dim: int, dim: int) -> list[list[float]]:
     ]
 
 
+def projection_coords_sql(rows: list[list[float]]) -> str:
+    """The round-6 projected coordinates as one SQL select-list — shared
+    verbatim by ``embedding_project_sql`` and
+    ``embedding_knn_projected_sql`` so the two can never drift."""
+    return ", ".join(
+        f"round({sql_dot('v', sql_lit(row))}, 6)" for row in rows
+    )
+
+
 def embedding_project(
     embeddings: DataFrame, out_dim: int = 16, dim: int = 64
 ) -> DataFrame:
@@ -577,14 +613,7 @@ def embedding_project_sql(out_dim: int = 16, dim: int = 64) -> str:
     literals, identical left-to-right folds per coordinate."""
     rows = _projection_matrix(out_dim, dim)
 
-    def lit(arr: list[float]) -> str:
-        return "[" + ", ".join(repr(c) for c in arr) + "]"
-
-    coords = ", ".join(
-        "round(list_sum(list_transform(list_zip(v, "
-        f"{lit(row)}), p -> p[1] * p[2])), 6)"
-        for row in rows
-    )
+    coords = projection_coords_sql(rows)
     return (
         "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings) "
@@ -651,20 +680,8 @@ def embedding_knn_projected_sql(
     tiebreaks."""
     rows = _projection_matrix(out_dim, dim)
 
-    def lit(arr: list[float]) -> str:
-        return "[" + ", ".join(repr(c) for c in arr) + "]"
-
-    coords = ", ".join(
-        "round(list_sum(list_transform(list_zip(v, "
-        f"{lit(row)}), p -> p[1] * p[2])), 6)"
-        for row in rows
-    )
-    def cos(a: str, b: str) -> str:
-        return (
-            f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
-            f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
-            f" * sqrt(list_sum(list_transform({b}, x -> x * x))))"
-        )
+    coords = projection_coords_sql(rows)
+    cos = sql_cosine
 
     return (
         "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "

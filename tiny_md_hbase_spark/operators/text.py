@@ -1126,16 +1126,21 @@ def tfidf_top_terms(documents: DataFrame, k: int = 10) -> DataFrame:
     round-6 plus the term tiebreak makes the rank order identical."""
     from pyspark.sql import Window
 
-    t = documents.select(
-        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
-    ).select("doc_id", "lang", F.lower("tok").alias("term"))
-    tf = t.groupBy("lang", "term").agg(F.count("*").alias("tf"))
-    df_ = (
-        t.select("term", "doc_id")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
+    # ONE corpus explode: aggregate to the (doc, lang, term) grain first
+    # (vocab-per-doc-sized), materialize it, then derive tf AND df from
+    # that grain — without the checkpoint, Catalyst duplicates the
+    # unshared explode subtree and the corpus is scanned+tokenized twice
+    dt_grain = (
+        documents.select(
+            "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+        )
+        .select("doc_id", "lang", F.lower("tok").alias("term"))
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
+    tf = dt_grain.groupBy("lang", "term").agg(F.sum("n").alias("tf"))
+    df_ = dt_grain.groupBy("term").agg(F.count("*").alias("df"))
     n = documents.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
         tf.join(df_, "term")
@@ -1194,7 +1199,10 @@ def keyword_search(
     per-term counting. An inverted index (explode → posting lists,
     cf. ``top_tokens``) is the right build for repeated ad-hoc queries;
     this is the single-query scan form."""
-    qs = [t.lower() for t in terms]
+    # dedupe: containment is set semantics (array_intersect dedupes), so
+    # a duplicated query term could otherwise never satisfy == len(qs);
+    # the SQL twin and the indexed form dedupe identically
+    qs = sorted({t.lower() for t in terms})
     toks = F.transform(tokens("text"), lambda t: F.lower(t))
     d = documents.select("doc_id", toks.alias("toks"))
     have_all = (
@@ -1214,7 +1222,7 @@ def keyword_search_sql(
     terms: tuple[str, ...] = SEARCH_TERMS, k: int = 10
 ) -> str:
     """DuckDB twin of :func:`keyword_search`."""
-    qs = [t.lower() for t in terms]
+    qs = sorted({t.lower() for t in terms})
     inlist = ", ".join(f"'{q}'" for q in qs)
     return (
         "WITH d AS (SELECT doc_id, "
@@ -1247,11 +1255,13 @@ def lm_bigram_score(documents: DataFrame) -> DataFrame:
     bigrams are part of the corpus distribution); an out-of-fold
     variant would subtract the document's contribution.
 
-    100 TB shape: one explode produces positioned bigram rows; the model
-    is a vocabulary-bounded count aggregate; scoring joins bigram
-    instances to the model on short string keys (an 8-byte hashed-key
-    variant is the same join shape); the total count enters as a lazy
-    broadcast 1-row aggregate.
+    100 TB shape: ONE explode produces the positioned bigram relation
+    (checkpointed — it feeds both the model aggregate and the probe
+    side of the scoring join); the model is a vocabulary-bounded count
+    aggregate; scoring joins bigram instances to the model on short
+    string keys (an 8-byte hashed-key variant is the same join shape);
+    the total count derives from the model (vocab-sized scan) and
+    enters as a broadcast 1-row aggregate.
 
     Cross-engine determinism: a plain float SUM/AVG aggregates in
     partition order, which no oracle can reproduce — so each document's
@@ -1274,11 +1284,18 @@ def lm_bigram_score(documents: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,bg:string>>"))
-    b = d.select("doc_id", F.explode(bg_structs).alias("s")).select(
-        "doc_id", "s.pos", "s.bg"
+    # ONE corpus explode: the positioned-bigram relation feeds the model
+    # aggregate AND the probe side of the scoring join — checkpoint it
+    # or Catalyst re-runs the tokenize+explode for each consumer; the
+    # total count then derives from the (vocab-sized) model instead of
+    # a third corpus scan
+    b = (
+        d.select("doc_id", F.explode(bg_structs).alias("s"))
+        .select("doc_id", "s.pos", "s.bg")
+        .localCheckpoint()
     )
     c12 = b.groupBy("bg").agg(F.count("*").alias("c12"))
-    nb = b.agg(F.count("*").cast("double").alias("nb"))
+    nb = c12.agg(F.sum("c12").cast("double").alias("nb"))
     lnp = F.log(F.col("c12") / F.col("nb"))
     scored = (
         b.join(c12, "bg")

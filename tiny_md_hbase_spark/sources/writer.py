@@ -277,6 +277,13 @@ def write_inverted_index(
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(path)
+    # persist the bucket modulus: a reader probing with a different
+    # num_buckets computes bucket literals under the wrong modulus and
+    # silently prunes to the wrong directories. The _meta prefix keeps
+    # the marker invisible to the postings read (FileIndex hides _paths)
+    documents.sparkSession.createDataFrame(
+        [(num_buckets,)], "num_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_index_meta")
 
 
 def keyword_search_indexed(
@@ -284,7 +291,7 @@ def keyword_search_indexed(
     path: str,
     terms: tuple[str, ...] | None = None,
     k: int = 10,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Conjunctive keyword search over the materialized inverted index —
     returns exactly the rows of ``text.keyword_search`` on the same
@@ -300,6 +307,13 @@ def keyword_search_indexed(
     of building the index."""
     from tiny_md_hbase_spark.operators.text import SEARCH_TERMS
 
+    if num_buckets is None:
+        # read the modulus the index was WRITTEN with — a mismatched
+        # guess would prune to the wrong directories and return an
+        # empty/wrong result with no error
+        num_buckets = int(
+            spark.read.parquet(f"{path}/_index_meta").first().num_buckets
+        )
     qs = sorted({t.lower() for t in (terms or SEARCH_TERMS)})
     buckets = sorted({term_bucket(q, num_buckets) for q in qs})
     idx = (
