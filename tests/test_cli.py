@@ -49,3 +49,29 @@ def test_cli_lifecycle(capsys, table_dir, spark):
 def test_cli_usage(capsys):
     assert cli.main([]) == 2
     assert cli.main(["bogus"]) == 2
+
+
+def test_cli_pipeline_verbs(capsys, spark, sf_dir):
+    corpus = f"{sf_dir}/documents.parquet"
+    assert cli.main(["search", corpus, "vector", "merge"]) == 0
+    out = capsys.readouterr().out
+    assert "score:" in out
+
+    assert cli.main(["quality", corpus]) == 0
+    out = capsys.readouterr().out
+    assert "passed: " in out and "/" in out
+
+    assert cli.main(["dedup", corpus]) == 0
+    out = capsys.readouterr().out
+    assert "duplicate groups:" in out
+
+    d = tempfile.mkdtemp(prefix="cli_export_") + "/out"
+    try:
+        assert cli.main(["export", corpus, d]) == 0
+        out = capsys.readouterr().out
+        assert "exported" in out
+        from tiny_md_hbase_spark.sources import read_jsonl_corpus
+
+        assert read_jsonl_corpus(spark, d).count() == spark.read.parquet(corpus).count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -11,6 +11,15 @@ run the same verbs against a Spark-backed table directory:
     python -m tiny_md_hbase_spark.cli index   <table_dir>
     python -m tiny_md_hbase_spark.cli drop    <table_dir>
 
+Pipeline verbs beyond the reference surface (corpus_dir = a documents
+parquet file/directory; the north-star LLM-data operators driven the
+same way):
+
+    python -m tiny_md_hbase_spark.cli search  <corpus_dir> <term> [term ...]
+    python -m tiny_md_hbase_spark.cli quality <corpus_dir>
+    python -m tiny_md_hbase_spark.cli dedup   <corpus_dir>
+    python -m tiny_md_hbase_spark.cli export  <corpus_dir> <out_dir>
+
 Differences from the reference CLI, on purpose:
 - ``knn`` exists as a verb (the reference implements kNN but never wires
   it into ``main``, SURVEY.md §1.3);
@@ -53,7 +62,10 @@ def main(argv: list[str] | None = None) -> int:
         print(USAGE)
         return 2
     verb, *args = argv
-    if verb not in {"create", "put", "get", "count", "range", "knn", "index", "drop"}:
+    if verb not in {
+        "create", "put", "get", "count", "range", "knn", "index", "drop",
+        "search", "quality", "dedup", "export",
+    }:
         print(USAGE)
         return 2
 
@@ -102,6 +114,40 @@ def main(argv: list[str] | None = None) -> int:
             rows = spatial.knn(_points(spark, path), int(x), int(y), int(k)).collect()
             for line in _render_points(rows):
                 print(line)
+        elif verb == "search":
+            path, *terms = args
+            from tiny_md_hbase_spark.operators.text import keyword_search
+
+            docs = spark.read.parquet(path)
+            for r in keyword_search(docs, terms=tuple(terms)).collect():
+                print(f"[{r.doc_id}] score: {r.score}")
+        elif verb == "quality":
+            (path,) = args
+            from tiny_md_hbase_spark.operators.text import gopher_quality
+
+            q = gopher_quality(spark.read.parquet(path))
+            agg = q.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("passes").cast("int")).alias("ok"),
+            ).collect()[0]
+            print(f"passed: {agg.ok}/{agg.n}")
+        elif verb == "dedup":
+            (path,) = args
+            from tiny_md_hbase_spark.operators.dedup import dedup_exact
+
+            groups = dedup_exact(spark.read.parquet(path)).filter(
+                F.col("n_copies") > 1
+            )
+            for r in groups.orderBy("keep_id").collect():
+                print(f"[{r.keep_id}] copies: {r.n_copies}")
+            print(f"duplicate groups: {groups.count()}")
+        elif verb == "export":
+            path, out = args
+            from tiny_md_hbase_spark.sources.jsonl import write_jsonl_corpus
+
+            docs = spark.read.parquet(path)
+            write_jsonl_corpus(docs, out, n_shards=8)
+            print(f"exported {docs.count()} docs to {out}")
         elif verb == "index":
             (path,) = args
             idx = spark.read.parquet(f"{path}/index")
