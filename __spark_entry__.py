@@ -589,6 +589,48 @@ _CORPUS_V2_CTE = (
 )
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (operators/dedup.py dedup_incremental): the
+    corpus is split into an existing part (doc_id < 400) and a NEW
+    batch — docs >= 400 plus planted copies (every 7th old doc re-sent
+    under a shifted id, and an in-batch double of every 11th new doc) —
+    so seen-drop and in-batch keep-min are both non-vacuous; the SQL
+    twin derives the same split/plants via CTE."""
+    base = load_table(spark, sf_dir, "documents")
+    corpus = base.filter(F.col("doc_id") < 400)
+    newb = (
+        base.filter(F.col("doc_id") >= 400)
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+        .unionByName(
+            base.filter(
+                (F.col("doc_id") >= 400) & (F.col("doc_id") % 11 == 0)
+            ).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+    )
+    return D.dedup_incremental(corpus, newb)
+
+
+_INCR_CTES = (
+    "WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400), "
+    "new_docs AS ("
+    "SELECT * FROM documents WHERE doc_id >= 400 "
+    "UNION ALL "
+    "SELECT doc_id + 2000000 AS doc_id, text, lang, source, n_chars "
+    "FROM corpus WHERE doc_id % 7 = 0 "
+    "UNION ALL "
+    "SELECT doc_id + 3000000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id >= 400 AND doc_id % 11 = 0)"
+)
+
+
 def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copied-passage pairs over winnowing fingerprints with stop-phrase
     (document-frequency) pruning before the self-join."""
@@ -1389,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_score": _q_lm_bigram_score,
         "gopher_quality": _q_gopher_quality,
         "corpus_jsonl_roundtrip": _q_corpus_jsonl_roundtrip,
+        "dedup_incremental": _q_dedup_incremental,
         "anomaly_zscore": _q_anomaly_zscore,
         "embedding_project": _q_embedding_project,
         "embedding_knn_projected": _q_embedding_knn_projected,
@@ -1758,6 +1801,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": TX.gopher_quality_sql(),
         "corpus_jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "dedup_incremental": (
+            f"{_INCR_CTES} {D.dedup_incremental_sql('corpus', 'new_docs')}"
         ),
         "anomaly_zscore": AN.anomaly_zscore_sql(),
         "embedding_project": SIM.embedding_project_sql(),

@@ -90,6 +90,7 @@ BENCH_KEYS = [
     "embedding_knn_projected",
     "gopher_quality",
     "corpus_jsonl_roundtrip",
+    "dedup_incremental",
 ]
 
 

@@ -962,3 +962,25 @@ def test_keyword_search_duplicate_terms_deduped(spark, docs):
     assert T.keyword_search_sql(("vector", "vector", "merge")) == T.keyword_search_sql(
         ("vector", "merge")
     )
+
+
+def test_dedup_incremental_drops_seen_and_merges_in_batch(spark, docs):
+    """Only-new-work dedup: content already in the corpus is dropped
+    entirely (regardless of its new doc_id); within the batch the
+    lowest doc_id per content survives with the right copy count; and
+    genuinely new content passes through untouched."""
+    base = docs.limit(0)
+    old_rows = docs.orderBy("doc_id").limit(3).collect()
+    corpus = spark.createDataFrame(old_rows, docs.schema)
+    newb = spark.createDataFrame(
+        [
+            (5001, old_rows[0].text, "en", "s", old_rows[0].n_chars),  # seen
+            (5002, "entirely new content here", "en", "s", 24),
+            (5003, "entirely new content here", "en", "s", 24),  # in-batch dup
+            (5004, "another brand new doc", "en", "s", 21),
+        ],
+        docs.schema,
+    )
+    del base
+    got = {r.keep_id: r.n_copies for r in D.dedup_incremental(corpus, newb).collect()}
+    assert got == {5002: 2, 5004: 1}

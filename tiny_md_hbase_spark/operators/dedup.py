@@ -41,6 +41,8 @@ __all__ = [
     "dedup_embedding_lsh_sql",
     "dedup_semantic",
     "dedup_semantic_sql",
+    "dedup_incremental",
+    "dedup_incremental_sql",
 ]
 
 # deterministic odd multipliers/offsets for the minhash permutation family
@@ -1306,4 +1308,72 @@ def dedup_semantic_sql(
         "WHERE NOT EXISTS (SELECT 1 FROM n y "
         "WHERE y.ivf_cluster = x.ivf_cluster AND y.vec_id < x.vec_id "
         f"AND {dot} / (x.norm * y.norm) >= {threshold})"
+    )
+
+
+def _content_fp(text: Column | str) -> Column:
+    """The portable polynomial content fingerprint (``doc_fingerprint``'s
+    expression, reused as a join key): h = (h*31 + codepoint) mod 1e9+7 —
+    computable identically in DuckDB, unlike xxhash64."""
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
+
+    c = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD
+    )
+
+
+def dedup_incremental(corpus: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Incremental exact dedup — the only-new-work production shape: a
+    NEW batch is deduped against an EXISTING corpus by joining 8-byte
+    content fingerprints, so each ingest pays O(batch + |seen-set|) and
+    never re-reads old text. Returns the new batch's survivors
+    (keep_id, n_copies): documents whose content is already in the
+    corpus are dropped entirely; within the batch, the lowest doc_id
+    per content survives and n_copies counts its in-batch copies.
+
+    At scale the ``seen`` side is a persisted fingerprint table
+    (append survivors' fingerprints after each batch — exactly the
+    incremental-index refresh pattern of streaming/ingest.py); here it
+    derives from the corpus argument. The fingerprint is the portable
+    polynomial hash (not xxhash64) so the whole operator sits under the
+    DuckDB oracle; production can swap in xxhash64 for throughput, the
+    join shape is identical (``dedup_exact_hashed`` precedent)."""
+    seen = corpus.select(_content_fp("text").alias("h")).distinct()
+    nd = new_docs.select("doc_id", _content_fp("text").alias("h"))
+    fresh = nd.join(seen, "h", "left_anti")
+    return (
+        fresh.groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def dedup_incremental_sql(
+    corpus_table: str = "documents", new_table: str = "new_docs"
+) -> str:
+    """DuckDB twin of :func:`dedup_incremental` — the same polynomial
+    fingerprint as ``doc_fingerprint_sql``, the same anti-join +
+    keep-min."""
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
+
+    # same formulation as the oracle-green doc_fingerprint_sql
+    def fp(col: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split({col}, ''), "
+            "c -> CAST(unicode(c) AS BIGINT))), "
+            f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
+        )
+
+    # no leading WITH: the entry prepends its own CTE chain (the
+    # corpus_diff_sql composition pattern), so this emits subqueries
+    return (
+        "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "count(*) AS n_copies FROM ("
+        f"SELECT doc_id, {fp('text')} AS h FROM {new_table}) nd "
+        "WHERE h NOT IN ("
+        f"SELECT DISTINCT {fp('text')} AS h FROM {corpus_table}) "
+        "GROUP BY h"
     )
