@@ -325,3 +325,12 @@ def test_tfidf_scan_prunes_columns(spark, sf_dir):
     assert schemas and all(
         "n_chars" not in s and "source" not in s for s in schemas
     )
+
+
+def test_embedding_project_row_local_no_shuffle(spark, sf_dir):
+    """The projection claims row-local execution: 16 codegen'd folds per
+    row, zero exchanges anywhere in the plan."""
+    from tiny_md_hbase_spark.operators import similarity as SIM
+
+    q = SIM.embedding_project(load_table(spark, sf_dir, "embeddings"))
+    assert P.exchange_count(q) == 0
