@@ -1303,6 +1303,58 @@ def _q_stream_ingest_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-dedup end-to-end (streaming/ingest.py
+    stream_dedup_docs): the corpus plus planted duplicates (every 7th
+    doc re-sent under a shifted id, every 11th doubled) staged as
+    arriving files, drained through the cross-batch fingerprint dedup
+    sink, then counted per language FROM THE INGESTED TABLE. Exactly
+    one survivor per distinct content must remain regardless of batch
+    order, so the oracle is count(DISTINCT text) per lang over the same
+    staged set."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming.ingest import stream_dedup_docs
+
+    d = tempfile.mkdtemp(prefix="sdedup_q_")
+    try:
+        base = load_table(spark, sf_dir, "documents")
+        staged = (
+            base.unionByName(
+                base.filter(F.col("doc_id") % 7 == 0).select(
+                    (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                    "text", "lang", "source", "n_chars",
+                )
+            )
+            .unionByName(
+                base.filter(F.col("doc_id") % 11 == 0).select(
+                    (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                    "text", "lang", "source", "n_chars",
+                )
+            )
+        )
+        staged.repartitionByRange(4, "doc_id").write.parquet(f"{d}/src")
+        q = stream_dedup_docs(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        _await_drained(q)
+        docs = spark.read.parquet(f"{d}/table/docs")
+        return (
+            docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("lang")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted data-mixture sampling (operators/text.py
     corpus_mix): keep each doc with its language's target rate, decided
@@ -1432,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "corpus_jsonl_roundtrip": _q_corpus_jsonl_roundtrip,
         "dedup_incremental": _q_dedup_incremental,
+        "stream_dedup_docs": _q_stream_dedup_docs,
         "anomaly_zscore": _q_anomaly_zscore,
         "embedding_project": _q_embedding_project,
         "embedding_knn_projected": _q_embedding_knn_projected,
@@ -1804,6 +1857,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_incremental": (
             f"{_INCR_CTES} {D.dedup_incremental_sql('corpus', 'new_docs')}"
+        ),
+        # the staged set = documents + the two planted-dup unions; one
+        # survivor per distinct content regardless of batch order
+        "stream_dedup_docs": (
+            "WITH staged AS (SELECT * FROM documents "
+            "UNION ALL SELECT doc_id + 2000000, text, lang, source, n_chars "
+            "FROM documents WHERE doc_id % 7 = 0 "
+            "UNION ALL SELECT doc_id + 3000000, text, lang, source, n_chars "
+            "FROM documents WHERE doc_id % 11 = 0) "
+            "SELECT lang, count(DISTINCT text) AS n_docs FROM staged "
+            "GROUP BY lang ORDER BY lang"
         ),
         "anomaly_zscore": AN.anomaly_zscore_sql(),
         "embedding_project": SIM.embedding_project_sql(),

@@ -347,3 +347,49 @@ def test_media_partitioned_write_round_trip(spark, tmp_table):
         for r in MM.frame_sample(media, every_ms=250).collect()
     }
     assert from_files == in_mem
+
+
+def test_stream_dedup_docs_keep_first_across_batches(spark):
+    """Cross-batch dedup semantics pinned with two explicitly-ordered
+    arrivals: batch 1's doc wins over a later lower-id duplicate (the
+    seen-set drops it — keep-FIRST-ARRIVAL, not global keep-min), the
+    in-batch keep is min doc_id, and every distinct content survives
+    exactly once."""
+    d = tempfile.mkdtemp(prefix="sdedup_t_")
+    try:
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        batch1 = spark.createDataFrame(
+            [
+                (10, "alpha content", "en", "s", 13),
+                (11, "beta content", "en", "s", 12),
+                (12, "beta content", "en", "s", 12),  # in-batch dup of 11
+            ],
+            schema,
+        )
+        batch2 = spark.createDataFrame(
+            [
+                (1, "alpha content", "en", "s", 13),  # seen: dropped despite lower id
+                (13, "gamma content", "en", "s", 13),
+            ],
+            schema,
+        )
+        batch1.coalesce(1).write.parquet(f"{d}/src")
+        time.sleep(1.1)  # distinct mtimes: file order == arrival order
+        batch2.coalesce(1).write.mode("append").parquet(f"{d}/src")
+        q = ING.stream_dedup_docs(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(300)
+        got = sorted(
+            r.doc_id for r in spark.read.parquet(f"{d}/table/docs").collect()
+        )
+        assert got == [10, 11, 13]
+        # seen-set holds one fingerprint per distinct content
+        assert spark.read.parquet(f"{d}/table/seen").distinct().count() == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

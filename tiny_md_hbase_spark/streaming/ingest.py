@@ -38,6 +38,7 @@ __all__ = [
     "stream_sessionize",
     "stream_asof",
     "stream_dedup_events",
+    "stream_dedup_docs",
 ]
 
 # ts arrives as TIMESTAMP(NANOS) in the fixtures, surfaced as nanos-long
@@ -331,3 +332,62 @@ def stream_windowed_counts(
             "sum_value_micros",
         )
     )
+
+
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_dedup_docs(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming corpus ingest with cross-batch exact dedup — the
+    streaming twin of ``dedup.dedup_incremental``: each micro-batch
+    keeps its lowest-``doc_id`` row per content fingerprint, anti-joins
+    the persisted ``seen`` fingerprint table (documents whose content
+    arrived in ANY earlier batch are dropped), appends the survivors to
+    ``{table_path}/docs`` and their fingerprints to
+    ``{table_path}/seen``. Per batch the work is O(batch + seen-set) —
+    old TEXT is never re-read, only 8-byte fingerprints (the
+    incremental-index-refresh pattern of :func:`stream_ingest_points`,
+    applied to dedup state).
+
+    Exactly one survivor per distinct content survives the whole drain;
+    WHICH doc_id that is follows arrival order (keep-first), so
+    cross-run determinism of the id set requires deterministically
+    ordered staging — set-level invariants (one-per-content, per-lang
+    counts) hold under any order."""
+    from tiny_md_hbase_spark.operators.dedup import _content_fp
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        b = batch.withColumn("h", _content_fp("text"))
+        keep = b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        surv = b.join(keep, ["h", "doc_id"])
+        if os.path.exists(f"{table_path}/seen"):
+            seen = batch.sparkSession.read.parquet(f"{table_path}/seen")
+            surv = surv.join(seen, "h", "left_anti")
+        surv = surv.localCheckpoint()  # read seen BEFORE appending to it
+        surv.select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).write.mode("append").parquet(f"{table_path}/docs")
+        surv.select("h").write.mode("append").parquet(f"{table_path}/seen")
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
