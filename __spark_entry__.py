@@ -1467,7 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the lowest-information oracle in the cohort; r06 front-runner
         "sql_pricing_summary": _q_sql_pricing_summary,
         # new this round but out-of-window (window full of stale+new keys
-        # with strictly higher priority); all 12 below are locally
+        # with strictly higher priority); all 15 below are locally
         # oracle-verified (scripts/oracle_check.py ALL OK at sf0.01);
         # first driver verdicts land with the r06 rotation, where they
         # lead together with the 5 displaced r03 keys above. media_dedup
