@@ -362,7 +362,16 @@ def stream_dedup_docs(
     WHICH doc_id that is follows arrival order (keep-first), so
     cross-run determinism of the id set requires deterministically
     ordered staging — set-level invariants (one-per-content, per-lang
-    counts) hold under any order."""
+    counts) hold under any order.
+
+    Failure semantics: ``foreachBatch`` replays the last uncommitted
+    batch on restart, and the two appends here are not atomic — a crash
+    between them can re-ingest that batch's survivors on replay
+    (at-least-once). Production closes this by writing both sinks
+    through a transactional table format, or by stamping ``batch_id``
+    into the appends and dropping replayed duplicates at read time;
+    plain parquet keeps this function dependency-free for the fixture
+    environment."""
     from tiny_md_hbase_spark.operators.dedup import _content_fp
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
