@@ -871,6 +871,13 @@ def _q_corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/text.py
+    corpus_split): LCG-of-doc_id against integer ppm thresholds —
+    layout/append-stable, zero shuffle."""
+    return TX.corpus_split(load_table(spark, sf_dir, "documents"))
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical Gopher quality rules (operators/text.py
     gopher_quality): five named boolean rules + conjunctive passes flag,
@@ -1467,7 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the lowest-information oracle in the cohort; r06 front-runner
         "sql_pricing_summary": _q_sql_pricing_summary,
         # new this round but out-of-window (window full of stale+new keys
-        # with strictly higher priority); all 15 below are locally
+        # with strictly higher priority); all 16 below are locally
         # oracle-verified (scripts/oracle_check.py ALL OK at sf0.01);
         # first driver verdicts land with the r06 rotation, where they
         # lead together with the 5 displaced r03 keys above. media_dedup
@@ -1482,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search_indexed": _q_keyword_search_indexed,
         "lm_bigram_score": _q_lm_bigram_score,
         "gopher_quality": _q_gopher_quality,
+        "corpus_split": _q_corpus_split,
         "corpus_jsonl_roundtrip": _q_corpus_jsonl_roundtrip,
         "dedup_incremental": _q_dedup_incremental,
         "stream_dedup_docs": _q_stream_dedup_docs,
@@ -1852,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search_indexed": TX.keyword_search_sql(),
         "lm_bigram_score": TX.lm_bigram_score_sql(),
         "gopher_quality": TX.gopher_quality_sql(),
+        "corpus_split": TX.corpus_split_sql(),
         "corpus_jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),

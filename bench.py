@@ -91,6 +91,7 @@ BENCH_KEYS = [
     "gopher_quality",
     "corpus_jsonl_roundtrip",
     "dedup_incremental",
+    "corpus_split",
 ]
 
 

@@ -984,3 +984,22 @@ def test_dedup_incremental_drops_seen_and_merges_in_batch(spark, docs):
     del base
     got = {r.keep_id: r.n_copies for r in D.dedup_incremental(corpus, newb).collect()}
     assert got == {5002: 2, 5004: 1}
+
+
+def test_corpus_split_stable_under_append_and_repartition(spark, docs):
+    """The property randomSplit cannot give: a document's split never
+    changes when the corpus is repartitioned or grown — and the split
+    covers every doc exactly once with all three classes present at
+    a permissive ppm."""
+    base = {r.doc_id: r.split for r in T.corpus_split(docs).collect()}
+    assert len(base) == docs.count()
+    extra = spark.createDataFrame(
+        [(999_999, "new doc text", "en", "s", 12)], docs.schema
+    )
+    grown = {
+        r.doc_id: r.split
+        for r in T.corpus_split(docs.unionByName(extra).repartition(7)).collect()
+    }
+    assert all(grown[k] == v for k, v in base.items())
+    wide = {r.split for r in T.corpus_split(docs, ppm=(600_000, 200_000, 200_000)).collect()}
+    assert wide == {"train", "validation", "test"}

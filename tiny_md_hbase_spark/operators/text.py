@@ -60,6 +60,8 @@ __all__ = [
     "gopher_quality",
     "gopher_quality_sql",
     "GOPHER_STOPWORDS",
+    "corpus_split",
+    "corpus_split_sql",
     "FINGERPRINT_MOD",
     "LANG_MARKERS",
 ]
@@ -1444,4 +1446,45 @@ def gopher_quality_sql() -> str:
         "AND (n_alpha_words / CAST(NULLIF(n_words, 0) AS DOUBLE) >= 0.8) "
         "AND (n_symbols / CAST(NULLIF(n_words, 0) AS DOUBLE) <= 0.1) "
         "AND (n_stop >= 2) AS passes FROM m"
+    )
+
+
+SPLIT_PPM = (980_000, 10_000, 10_000)  # train / validation / test
+
+
+def corpus_split(
+    documents: DataFrame, ppm: tuple[int, int, int] = SPLIT_PPM
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: each document's
+    split is a pure function of ``doc_id`` (the :func:`corpus_mix` LCG
+    reduced mod 1e6 against integer thresholds), so the partition is
+    stable under repartitioning, re-runs, and incremental appends — a
+    document NEVER migrates between splits when the corpus grows, the
+    property ``randomSplit`` (per-partition RNG) cannot give. Returns
+    (doc_id, lang, split). Row-local, zero shuffle; integer thresholds
+    keep the cut bit-identical across engines (no float boundaries).
+
+    Held-out hygiene note: hash-of-id splitting prevents LEAKAGE BY
+    IDENTITY only; near-duplicate leakage across splits is what
+    ``decontaminate``/``decontaminate_fuzzy`` are for, downstream."""
+    t1, t2, _ = ppm
+    key = _mix_hash(F.col("doc_id")) % F.lit(1_000_000)
+    split = (
+        F.when(key < t1, "train")
+        .when(key < t1 + t2, "validation")
+        .otherwise("test")
+    )
+    return documents.select("doc_id", "lang", split.alias("split"))
+
+
+def corpus_split_sql(ppm: tuple[int, int, int] = SPLIT_PPM) -> str:
+    """DuckDB twin of :func:`corpus_split` — same LCG, same integer
+    thresholds."""
+    t1, t2, _ = ppm
+    key = f"(doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M} % 1000000"
+    return (
+        "SELECT doc_id, lang, "
+        f"CASE WHEN {key} < {t1} THEN 'train' "
+        f"WHEN {key} < {t1 + t2} THEN 'validation' "
+        "ELSE 'test' END AS split FROM documents"
     )
