@@ -1393,6 +1393,34 @@ def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_shuffle(load_table(spark, sf_dir, "documents"))
 
 
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap (operators/text.py source_cap): at most
+    ``cap`` documents per source, longest-first — the domain-balancing
+    step, implemented as skew-safe two-phase top-N (local rank within
+    (source, shard), global re-rank over ≤ cap × n_shards survivors) so
+    a dominant crawl host never funnels through one task."""
+    return TX.source_cap(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merit-based cluster survivor selection (operators/dedup.py
+    dedup_keep_best): near-dup clusters from the ngram_jaccard +
+    dedup_clusters pipeline, then ONE max_by aggregation picks each
+    cluster's longest member as the survivor — no window sort, map-side
+    partial argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = D.dedup_clusters(docs, D.ngram_jaccard(docs))
+    return D.dedup_keep_best(docs, clusters)
+
+
+def _q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (operators/similarity.py
+    centroid_assign): the k-means / IVF assignment kernel as a
+    zero-shuffle per-row array fold against deterministic seed
+    centroids, exactly matched by the DuckDB cross-join argmin."""
+    return SIM.centroid_assign(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-5 rotation (COVERAGE.md tracks per-key verdict ages): front =
@@ -1474,7 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the lowest-information oracle in the cohort; r06 front-runner
         "sql_pricing_summary": _q_sql_pricing_summary,
         # new this round but out-of-window (window full of stale+new keys
-        # with strictly higher priority); all 16 below are locally
+        # with strictly higher priority); all 19 below are locally
         # oracle-verified (scripts/oracle_check.py ALL OK at sf0.01);
         # first driver verdicts land with the r06 rotation, where they
         # lead together with the 5 displaced r03 keys above. media_dedup
@@ -1496,6 +1524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": _q_anomaly_zscore,
         "embedding_project": _q_embedding_project,
         "embedding_knn_projected": _q_embedding_knn_projected,
+        "source_cap": _q_source_cap,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "centroid_assign": _q_centroid_assign,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1614,6 +1645,29 @@ def oracle_sql() -> dict[str, str]:
     dist_sq = (
         f"(CAST(x AS BIGINT) - {KNN_Q[0]}) * (CAST(x AS BIGINT) - {KNN_Q[0]}) "
         f"+ (CAST(y AS BIGINT) - {KNN_Q[1]}) * (CAST(y AS BIGINT) - {KNN_Q[1]})"
+    )
+    clusters_sql = (
+        "WITH RECURSIVE toks_t AS (SELECT doc_id, lang, "
+        f"{_TOKS} AS toks FROM documents), "
+        f"sh AS (SELECT doc_id, lang AS blk, {_SHINGLES} AS s, "
+        f"len({_SHINGLES}) AS sz FROM toks_t), "
+        "jac_pairs AS ("
+        "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        "  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id"
+        "    AND least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz)"
+        "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+        "    / (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.8"
+        "), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM jac_pairs "
+        "UNION SELECT doc_b, doc_a FROM jac_pairs), "
+        "reach(a, b) AS ("
+        "  SELECT a, b FROM edges"
+        "  UNION"
+        "  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a"
+        ") "
+        "SELECT d.doc_id, "
+        "least(d.doc_id, COALESCE((SELECT min(b) FROM reach WHERE a = d.doc_id), "
+        "d.doc_id)) AS cluster_id FROM documents d"
     )
     exact_knn_sql = (
         "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
@@ -2074,27 +2128,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(n_chars) AS BIGINT) AS max_chars "
             "FROM documents GROUP BY ROLLUP (lang, source)"
         ),
-        "dedup_clusters": (
-            "WITH RECURSIVE toks_t AS (SELECT doc_id, lang, "
-            f"{_TOKS} AS toks FROM documents), "
-            f"sh AS (SELECT doc_id, lang AS blk, {_SHINGLES} AS s, "
-            f"len({_SHINGLES}) AS sz FROM toks_t), "
-            "jac_pairs AS ("
-            "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
-            "  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id"
-            "    AND least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz)"
-            "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
-            "    / (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.8"
-            "), "
-            "edges AS (SELECT doc_a AS a, doc_b AS b FROM jac_pairs "
-            "UNION SELECT doc_b, doc_a FROM jac_pairs), "
-            "reach(a, b) AS ("
-            "  SELECT a, b FROM edges"
-            "  UNION"
-            "  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a"
-            ") "
-            "SELECT d.doc_id, "
-            "least(d.doc_id, COALESCE((SELECT min(b) FROM reach WHERE a = d.doc_id), "
-            "d.doc_id)) AS cluster_id FROM documents d"
+        "dedup_clusters": clusters_sql,
+        "source_cap": TX.source_cap_sql(),
+        "centroid_assign": SIM.centroid_assign_sql(),
+        # wrap the cluster labeling (a nested-WITH subquery) and pick
+        # each cluster's longest member — the single-window reference
+        # form of the Spark side's max_by aggregation
+        "dedup_keep_best": (
+            "SELECT cluster_id, doc_id AS keep_id, mx AS keep_chars, "
+            "nm AS n_members FROM ("
+            "  SELECT c.cluster_id, d.doc_id, "
+            "    row_number() OVER (PARTITION BY c.cluster_id "
+            "      ORDER BY d.n_chars DESC, d.doc_id) AS rn, "
+            "    count(*) OVER (PARTITION BY c.cluster_id) AS nm, "
+            "    max(d.n_chars) OVER (PARTITION BY c.cluster_id) AS mx "
+            f"  FROM ({clusters_sql}) c "
+            "  JOIN documents d ON c.doc_id = d.doc_id"
+            ") WHERE rn = 1"
         ),
     }

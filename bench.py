@@ -92,6 +92,9 @@ BENCH_KEYS = [
     "corpus_jsonl_roundtrip",
     "dedup_incremental",
     "corpus_split",
+    "source_cap",
+    "dedup_keep_best",
+    "centroid_assign",
 ]
 
 

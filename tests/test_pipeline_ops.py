@@ -1003,3 +1003,65 @@ def test_corpus_split_stable_under_append_and_repartition(spark, docs):
     assert all(grown[k] == v for k, v in base.items())
     wide = {r.split for r in T.corpus_split(docs, ppm=(600_000, 200_000, 200_000)).collect()}
     assert wide == {"train", "validation", "test"}
+
+
+# --- keep-best survivor selection -----------------------------------------
+
+def test_dedup_keep_best_picks_longest_then_lowest_id(spark):
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50)], "doc_id long, n_chars long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster_id long"
+    )
+    out = {
+        r.cluster_id: r
+        for r in D.dedup_keep_best(docs, clusters).collect()
+    }
+    assert out[1].keep_id == 2  # longest wins; n_chars tie breaks to min id
+    assert out[1].keep_chars == 300 and out[1].n_members == 3
+    assert out[4].keep_id == 4 and out[4].n_members == 1
+
+
+# --- per-source frequency cap ---------------------------------------------
+
+def test_source_cap_matches_single_window(docs):
+    from pyspark.sql import Window
+
+    cap = 10
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    naive = {
+        (r.doc_id, r.source, r.n_chars, r.rank)
+        for r in docs.select("doc_id", "source", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+        .collect()
+    }
+    two_phase = {
+        (r.doc_id, r.source, r.n_chars, r.rank)
+        for r in T.source_cap(docs, cap=cap).collect()
+    }
+    assert two_phase == naive
+    per_source = (
+        T.source_cap(docs, cap=cap).groupBy("source").count().collect()
+    )
+    assert all(r["count"] <= cap for r in per_source)
+
+
+# --- centroid assignment ---------------------------------------------------
+
+def test_centroid_assign_seeds_map_to_themselves(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.centroid_assign(emb, n_clusters=8)
+    assert out.count() == emb.count()
+    seeds = [r.vec_id for r in emb.orderBy("vec_id").limit(8).collect()]
+    assigned = {r.vec_id: r for r in out.filter(F.col("vec_id").isin(seeds)).collect()}
+    for sid in seeds:
+        assert assigned[sid].cluster_id == sid
+        assert assigned[sid].dist2 == 0.0
+    # every vector lands on a real seed
+    assert {
+        r.cluster_id for r in out.select("cluster_id").distinct().collect()
+    } <= set(seeds)

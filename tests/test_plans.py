@@ -334,3 +334,31 @@ def test_embedding_project_row_local_no_shuffle(spark, sf_dir):
 
     q = SIM.embedding_project(load_table(spark, sf_dir, "embeddings"))
     assert P.exchange_count(q) == 0
+
+
+def test_source_cap_local_then_global_window(spark, sf_dir):
+    """The per-source cap must never sort a whole source in one task:
+    phase 1's row_number partitions by (source, shard) — a dominant
+    source fans out over the shards — and only the bounded survivor set
+    (≤ cap × n_shards rows per source) meets the source-only window."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    q = TX.source_cap(load_table(spark, sf_dir, "documents"))
+    plan = P.explain_str(q, "simple")
+    specs = re.findall(r"Window \[row_number\(\)[^\n]*?\], \[([^\]]*)\]", plan)
+    assert len(specs) == 2, plan
+    # plans print final-operator-first: specs[0] is the global re-rank,
+    # specs[1] the sharded local rank
+    assert "shard" not in specs[0] and "source" in specs[0], plan
+    assert "shard" in specs[1] and "source" in specs[1], plan
+
+
+def test_centroid_assign_zero_shuffle(spark, sf_dir):
+    """Assignment is a per-row fold against literal centroids — no
+    exchange anywhere, and only the three needed source columns read."""
+    from tiny_md_hbase_spark.operators import similarity as S
+
+    q = S.centroid_assign(load_table(spark, sf_dir, "embeddings"))
+    assert P.exchange_count(q) == 0
+    plan = P.explain_str(q, "simple")
+    assert "Join" not in plan

@@ -43,6 +43,7 @@ __all__ = [
     "dedup_semantic_sql",
     "dedup_incremental",
     "dedup_incremental_sql",
+    "dedup_keep_best",
 ]
 
 # deterministic odd multipliers/offsets for the minhash permutation family
@@ -1376,4 +1377,38 @@ def dedup_incremental_sql(
         "WHERE h NOT IN ("
         f"SELECT DISTINCT {fp('text')} AS h FROM {corpus_table}) "
         "GROUP BY h"
+    )
+
+
+def dedup_keep_best(documents: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Pick each near-dup cluster's SURVIVOR by merit, not by id: the
+    longest member (``n_chars`` desc, doc_id asc tiebreak) wins. Real
+    pipelines keep the most complete capture of a page, not whichever
+    copy happened to get the smallest id — the min-id policy
+    :func:`dedup_clusters` documents is the right *label*, this is the
+    right *representative*.
+
+    ``clusters`` is :func:`dedup_clusters` output ((doc_id, cluster_id),
+    one row per document). Output: one row per cluster —
+    (cluster_id, keep_id, keep_chars, n_members).
+
+    100 TB shape: the cluster labels join back to the (doc_id, n_chars)
+    projection — never the text — and the argmax is ``max_by`` over a
+    (n_chars, -doc_id) struct: ONE exchange on cluster_id with map-side
+    partial aggregation, no window sort, no skew funnel even if one
+    cluster holds a million mirror copies (each task reduces its share
+    to a single candidate struct before the shuffle)."""
+    slim = documents.select("doc_id", "n_chars")
+    j = clusters.join(slim, "doc_id")
+    best = F.struct(
+        F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("neg_id")
+    )
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.max_by("doc_id", best).alias("keep_id"),
+            F.max("n_chars").alias("keep_chars"),
+            F.count("*").alias("n_members"),
+        )
+        .select("cluster_id", "keep_id", "keep_chars", "n_members")
     )

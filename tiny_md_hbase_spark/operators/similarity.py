@@ -38,6 +38,8 @@ __all__ = [
     "embedding_project_sql",
     "embedding_knn_projected",
     "embedding_knn_projected_sql",
+    "centroid_assign",
+    "centroid_assign_sql",
 ]
 
 
@@ -696,4 +698,78 @@ def embedding_knn_projected_sql(
         "FROM e CROSS JOIN q "
         "WHERE e.vec_id IN (SELECT vec_id FROM cand) "
         f"ORDER BY cos_sim DESC, e.vec_id LIMIT {k}"
+    )
+
+
+def centroid_assign(embeddings: DataFrame, n_clusters: int = 8) -> DataFrame:
+    """Nearest-centroid assignment — the k-means / IVF assignment step as
+    a standalone, exactly-oracle-checkable operator. Seed centroids are
+    the ``n_clusters`` lowest vec_ids (deterministic, no RNG); each
+    vector gets the seed's vec_id as its ``cluster_id`` plus the squared
+    L2 distance to it.
+
+    This is the kernel :func:`ivf_build` iterates (its ``assign``
+    closure), exposed so the driver oracle can pin its exact semantics:
+    distances accumulate element-sequentially in doubles — the same
+    fold order DuckDB's ``list_sum(list_transform(...))`` uses — so the
+    round-6 ``dist2`` is bit-identical across engines. Ties between
+    centroids break to the lowest cluster_id via lexicographic struct
+    ordering (``array_min`` over (d2, cid) structs).
+
+    100 TB shape: ZERO shuffle — the centroids ride into every task as
+    plan literals (k × dim doubles, partitioner-metadata scale) and the
+    assignment is a per-row array kernel. For k beyond a few thousand
+    you'd switch to a broadcast join against a centroid table instead of
+    literals; the output column is the point either way — an ordinary
+    partitioning / pruning key for cluster-local downstream work
+    (SemDeDup-style per-cluster dedup, IVF probes, balanced sampling).
+    """
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [
+        (r.vec_id, list(r.v)) for r in e.orderBy("vec_id").limit(n_clusters).collect()
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(c) for c in cv]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cv in seeds
+        ]
+    )
+    best = F.array_min(pairs)
+    return e.select(
+        "vec_id",
+        "label",
+        best["cid"].alias("cluster_id"),
+        F.round(best["d2"], 6).alias("dist2"),
+    )
+
+
+def centroid_assign_sql(n_clusters: int = 8) -> str:
+    """DuckDB twin of :func:`centroid_assign`: cross join to the seed
+    CTE, squared-L2 via the shared :func:`sql_d2` fold (same element
+    order, same doubles as the Spark ``zip_with`` kernel), argmin via
+    ``row_number() OVER (... ORDER BY d2, cid)``."""
+    return (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id "
+        f"LIMIT {n_clusters}), "
+        "d AS (SELECT e.vec_id, e.label, c.cid, "
+        f"{sql_d2('e.v', 'c.cv')} AS d2 "
+        "FROM e CROSS JOIN c) "
+        "SELECT vec_id, label, cid AS cluster_id, round(d2, 6) AS dist2 "
+        "FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1"
     )

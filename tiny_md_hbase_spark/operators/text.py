@@ -62,6 +62,8 @@ __all__ = [
     "GOPHER_STOPWORDS",
     "corpus_split",
     "corpus_split_sql",
+    "source_cap",
+    "source_cap_sql",
     "FINGERPRINT_MOD",
     "LANG_MARKERS",
 ]
@@ -1487,4 +1489,58 @@ def corpus_split_sql(ppm: tuple[int, int, int] = SPLIT_PPM) -> str:
         f"CASE WHEN {key} < {t1} THEN 'train' "
         f"WHEN {key} < {t1 + t2} THEN 'validation' "
         "ELSE 'test' END AS split FROM documents"
+    )
+
+
+def source_cap(
+    documents: DataFrame, cap: int = 10, n_shards: int = 8
+) -> DataFrame:
+    """Per-source frequency cap: keep at most ``cap`` documents from each
+    source, preferring longer documents (``n_chars`` desc, doc_id asc
+    tiebreak) — the domain-balancing step every web-scale corpus applies
+    so one giant crawl host can't dominate the training mix.
+
+    100 TB shape: the naive form is one ``row_number`` window over
+    ``partitionBy(source)`` — a single task sorting ALL of a dominant
+    source (the same funnel ``corpus_budget`` had before its rework).
+    Instead, two phases of the classic skew-safe top-N:
+
+    1. local: rank within (source, shard) where shard =
+       ``doc_id * Knuth-hash % n_shards`` — a dominant source fans out
+       over ``n_shards`` tasks, each keeping its local top ``cap``;
+    2. global: re-rank the ≤ cap × n_shards survivors per source. The
+       second window's per-source input is bounded by a CONSTANT
+       (cap × n_shards rows), not by the source's corpus share, so no
+       task ever sorts more than that regardless of skew.
+
+    Every true global top-``cap`` row is its shard's local top-``cap``
+    (rank within a subset never exceeds rank within the whole), so
+    phase 1 provably drops no survivor. Output: (doc_id, source,
+    n_chars, rank) with rank the true per-source rank — identical to
+    the single-window oracle."""
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col("doc_id") * F.lit(_SHARD_MULT), F.lit(n_shards))
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    local_w = Window.partitionBy("source", "shard").orderBy(*order)
+    global_w = Window.partitionBy("source").orderBy(*order)
+    return (
+        documents.select("doc_id", "source", "n_chars", shard.alias("shard"))
+        .withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= cap)
+        .withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= cap)
+        .select("doc_id", "source", "n_chars", "rank")
+    )
+
+
+def source_cap_sql(cap: int = 10) -> str:
+    """DuckDB twin of :func:`source_cap` — the single-window reference
+    form (the oracle need not be skew-safe; it must only pin the exact
+    survivors and ranks the two-phase plan must reproduce)."""
+    return (
+        "SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS rank FROM ("
+        "SELECT doc_id, source, n_chars, row_number() OVER ("
+        "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
+        f"FROM documents) WHERE rn <= {cap}"
     )
