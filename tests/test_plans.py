@@ -362,3 +362,21 @@ def test_centroid_assign_zero_shuffle(spark, sf_dir):
     assert P.exchange_count(q) == 0
     plan = P.explain_str(q, "simple")
     assert "Join" not in plan
+
+
+def test_vocab_rankings_are_two_phase(spark, sf_dir):
+    """top_tokens and tfidf_top_terms rank VOCABULARY-sized relations;
+    neither may sort a whole language's vocab in one task. Both must go
+    through skew_safe_topk: a (lang, _shard) local window feeding a
+    lang-only window whose input is bounded by k × n_shards."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    for q in (TX.top_tokens(docs), TX.tfidf_top_terms(docs)):
+        plan = P.explain_str(q, "simple")
+        specs = re.findall(
+            r"Window \[row_number\(\)[^\n]*?\], \[([^\]]*)\]", plan
+        )
+        assert len(specs) == 2, plan
+        assert "_shard" not in specs[0] and "lang" in specs[0], plan
+        assert "_shard" in specs[1] and "lang" in specs[1], plan

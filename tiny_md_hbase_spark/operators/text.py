@@ -64,6 +64,7 @@ __all__ = [
     "corpus_split_sql",
     "source_cap",
     "source_cap_sql",
+    "skew_safe_topk",
     "FINGERPRINT_MOD",
     "LANG_MARKERS",
 ]
@@ -89,6 +90,41 @@ def tokens(text: Column | str) -> Column:
 
 def tokens_sql(expr: str) -> str:
     return f"list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t != '')"
+
+
+def skew_safe_topk(
+    df: DataFrame,
+    part_cols: list[str],
+    order: list[Column],
+    k: int,
+    shard: Column,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Two-phase per-group top-k — the skew-safe replacement for a bare
+    ``row_number() OVER (PARTITION BY group)``: a single-key window
+    funnels a dominant group's ENTIRE relation through one task's sort,
+    the classic 100 TB window killer (the shape the corpus_budget rework
+    removed).
+
+    Phase 1 ranks within (group, shard) — ``shard`` is any deterministic
+    hash of a high-cardinality column — and keeps each shard's local
+    top-k; phase 2 re-ranks the survivors per group. The second window's
+    per-group input is bounded by the CONSTANT k × n_shards, independent
+    of group size. Lossless: a row's rank within its shard never exceeds
+    its group rank, so every true top-k row survives phase 1. The
+    ``rank_name`` column carries the exact global rank."""
+    from pyspark.sql import Window
+
+    local_w = Window.partitionBy(*part_cols, "_shard").orderBy(*order)
+    global_w = Window.partitionBy(*part_cols).orderBy(*order)
+    return (
+        df.withColumn("_shard", shard)
+        .withColumn("_lrank", F.row_number().over(local_w))
+        .filter(F.col("_lrank") <= k)
+        .withColumn(rank_name, F.row_number().over(global_w))
+        .filter(F.col(rank_name) <= k)
+        .drop("_shard", "_lrank")
+    )
 
 
 def token_count(documents: DataFrame) -> DataFrame:
@@ -212,22 +248,24 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
 def top_tokens(documents: DataFrame, k: int = 10) -> DataFrame:
     """Per-language top-k token frequencies — the vocabulary-building /
     corpus-inspection shape. Explode → count with map-side partials →
-    per-language window top-k; ties broken lexicographically so the
+    skew-safe two-phase top-k; ties broken lexicographically so the
     result is a total order. At scale the explode's shuffle carries
-    (lang, token) pairs already pre-aggregated per partition."""
-    from pyspark.sql import Window
-
+    (lang, token) pairs already pre-aggregated per partition, and the
+    ranking never sorts a whole language's VOCABULARY in one task (a
+    web-scale language has 10^8+ distinct tokens): phase 1 ranks within
+    (lang, token-hash shard), phase 2 over ≤ k × n_shards survivors."""
     counts = (
         documents.select("lang", F.explode(tokens("text")).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("lang", "token", "n", "rank")
-    )
+    return skew_safe_topk(
+        counts,
+        ["lang"],
+        [F.col("n").desc(), F.col("token").asc()],
+        k,
+        F.pmod(F.xxhash64("token"), F.lit(8)),
+    ).select("lang", "token", "n", "rank")
 
 
 def corpus_clean(documents: DataFrame, quality_threshold: float = 0.5) -> DataFrame:
@@ -1119,17 +1157,18 @@ def tfidf_top_terms(documents: DataFrame, k: int = 10) -> DataFrame:
 
     100 TB shape: one explode feeds two map-side partial aggregations
     (tf keyed on (lang, term), df on term after a per-doc distinct); the
-    tf-df join and the per-lang ranking window run over VOCABULARY-sized
-    relations (terms, not documents), so the only corpus-sized work is
-    the explode+aggregate scan. The corpus row count enters the plan as
-    a broadcast 1-row aggregate, not an eager driver-side count — the
-    whole pipeline stays lazy.
+    tf-df join and the ranking run over VOCABULARY-sized relations
+    (terms, not documents), so the only corpus-sized work is the
+    explode+aggregate scan — and even the vocabulary ranking is the
+    :func:`skew_safe_topk` two-phase form, since a web-scale language's
+    vocabulary (10^8+ distinct terms) is itself too big for one task's
+    sort. The corpus row count enters the plan as a broadcast 1-row
+    aggregate, not an eager driver-side count — the whole pipeline
+    stays lazy.
 
     Cross-engine note: ranking uses the ROUNDED score on both engines —
     Java's Math.log and libm's ln may differ in the last ulp, and
     round-6 plus the term tiebreak makes the rank order identical."""
-    from pyspark.sql import Window
-
     # ONE corpus explode: aggregate to the (doc, lang, term) grain first
     # (vocab-per-doc-sized), materialize it, then derive tf AND df from
     # that grain — without the checkpoint, Catalyst duplicates the
@@ -1159,12 +1198,14 @@ def tfidf_top_terms(documents: DataFrame, k: int = 10) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), "term")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("lang", "term", "tf", "df", "tfidf")
-    )
+    return skew_safe_topk(
+        scored,
+        ["lang"],
+        [F.col("tfidf").desc(), F.col("term").asc()],
+        k,
+        F.pmod(F.xxhash64("term"), F.lit(8)),
+        rank_name="rn",
+    ).select("lang", "term", "tf", "df", "tfidf")
 
 
 def tfidf_top_terms_sql(k: int = 10) -> str:
@@ -1515,23 +1556,16 @@ def source_cap(
 
     Every true global top-``cap`` row is its shard's local top-``cap``
     (rank within a subset never exceeds rank within the whole), so
-    phase 1 provably drops no survivor. Output: (doc_id, source,
-    n_chars, rank) with rank the true per-source rank — identical to
-    the single-window oracle."""
-    from pyspark.sql import Window
-
-    shard = F.pmod(F.col("doc_id") * F.lit(_SHARD_MULT), F.lit(n_shards))
-    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
-    local_w = Window.partitionBy("source", "shard").orderBy(*order)
-    global_w = Window.partitionBy("source").orderBy(*order)
-    return (
-        documents.select("doc_id", "source", "n_chars", shard.alias("shard"))
-        .withColumn("lrank", F.row_number().over(local_w))
-        .filter(F.col("lrank") <= cap)
-        .withColumn("rank", F.row_number().over(global_w))
-        .filter(F.col("rank") <= cap)
-        .select("doc_id", "source", "n_chars", "rank")
-    )
+    phase 1 provably drops no survivor (the shared :func:`skew_safe_topk`
+    mechanics). Output: (doc_id, source, n_chars, rank) with rank the
+    true per-source rank — identical to the single-window oracle."""
+    return skew_safe_topk(
+        documents.select("doc_id", "source", "n_chars"),
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        cap,
+        F.pmod(F.col("doc_id") * F.lit(_SHARD_MULT), F.lit(n_shards)),
+    ).select("doc_id", "source", "n_chars", "rank")
 
 
 def source_cap_sql(cap: int = 10) -> str:
