@@ -77,9 +77,14 @@ def test_topk_per_group_windows_reduced_table(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
     assert P.broadcast_join_count(q) == 1
-    # agg exchange on (brand, partkey) + window exchange on brand — the
-    # rank sort runs over the reduced per-part table, never the fact rows
-    assert P.exchange_count(q) <= 2
+    # agg exchange on (brand, partkey) + the two skew_safe_topk window
+    # exchanges ((brand, _shard) then brand) — the rank sorts run over
+    # the reduced per-part table, never the fact rows, and no single
+    # task ever sorts a whole brand's parts
+    assert P.exchange_count(q) <= 3
+    plan = P.explain_str(q, "simple")
+    specs = re.findall(r"Window \[row_number\(\)[^\n]*?\], \[([^\]]*)\]", plan)
+    assert len(specs) == 2 and "_shard" in specs[1] and "_shard" not in specs[0], plan
 
 
 def test_dedup_exact_single_shuffle(spark, sf_dir):

@@ -111,10 +111,16 @@ TOPK_K = 3
 
 def topk_per_group(lineitem: DataFrame, part: DataFrame, k: int = TOPK_K) -> DataFrame:
     """Top-``k`` parts by revenue within each brand: broadcast-join the
-    part dim, aggregate to (brand, part) BEFORE the window, then
-    ``row_number`` over the reduced table with a deterministic
-    (revenue DESC, partkey ASC) total order.
+    part dim, aggregate to (brand, part) BEFORE the window, then rank
+    the reduced table with a deterministic (revenue DESC, partkey ASC)
+    total order. Brand cardinality is tiny (~25) while parts scale with
+    the data, so the per-brand group is parts/25 rows — big enough at
+    100 TB that the ranking goes through :func:`skew_safe_topk` (local
+    rank within a partkey-hash shard, global re-rank over a
+    constant-bounded survivor set) instead of one window task per brand.
     """
+    from tiny_md_hbase_spark.operators.text import skew_safe_topk
+
     per_part = (
         lineitem.join(
             F.broadcast(part.select("p_partkey", "p_brand")),
@@ -123,14 +129,13 @@ def topk_per_group(lineitem: DataFrame, part: DataFrame, k: int = TOPK_K) -> Dat
         .groupBy("p_brand", "p_partkey")
         .agg(F.sum(_rev_cents()).alias("revenue_cents"))
     )
-    w = Window.partitionBy("p_brand").orderBy(
-        F.col("revenue_cents").desc(), F.col("p_partkey")
-    )
-    return (
-        per_part.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("p_brand", "p_partkey", "revenue_cents", "rank")
-    )
+    return skew_safe_topk(
+        per_part,
+        ["p_brand"],
+        [F.col("revenue_cents").desc(), F.col("p_partkey").asc()],
+        k,
+        F.pmod(F.xxhash64("p_partkey"), F.lit(8)),
+    ).select("p_brand", "p_partkey", "revenue_cents", "rank")
 
 
 def salted_join(
