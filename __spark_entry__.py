@@ -1421,6 +1421,14 @@ def _q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.centroid_assign(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard integrity manifest (operators/text.py corpus_manifest):
+    doc counts, token totals, doc_id spans, and an order-independent
+    portable content checksum per corpus_shuffle shard — one map-side
+    partial aggregation, the dataset-card / corruption-audit artifact."""
+    return TX.corpus_manifest(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-5 rotation (COVERAGE.md tracks per-key verdict ages): front =
@@ -1502,7 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the lowest-information oracle in the cohort; r06 front-runner
         "sql_pricing_summary": _q_sql_pricing_summary,
         # new this round but out-of-window (window full of stale+new keys
-        # with strictly higher priority); all 19 below are locally
+        # with strictly higher priority); all 20 below are locally
         # oracle-verified (scripts/oracle_check.py ALL OK at sf0.01);
         # first driver verdicts land with the r06 rotation, where they
         # lead together with the 5 displaced r03 keys above. media_dedup
@@ -1527,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": _q_source_cap,
         "dedup_keep_best": _q_dedup_keep_best,
         "centroid_assign": _q_centroid_assign,
+        "corpus_manifest": _q_corpus_manifest,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -2131,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": clusters_sql,
         "source_cap": TX.source_cap_sql(),
         "centroid_assign": SIM.centroid_assign_sql(),
+        "corpus_manifest": TX.corpus_manifest_sql(),
         # wrap the cluster labeling (a nested-WITH subquery) and pick
         # each cluster's longest member — the single-window reference
         # form of the Spark side's max_by aggregation

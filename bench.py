@@ -95,6 +95,7 @@ BENCH_KEYS = [
     "source_cap",
     "dedup_keep_best",
     "centroid_assign",
+    "corpus_manifest",
 ]
 
 

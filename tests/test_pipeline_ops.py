@@ -1065,3 +1065,28 @@ def test_centroid_assign_seeds_map_to_themselves(spark, sf_dir):
     assert {
         r.cluster_id for r in out.select("cluster_id").distinct().collect()
     } <= set(seeds)
+
+
+# --- corpus manifest -------------------------------------------------------
+
+def test_corpus_manifest_order_independent_and_detects_corruption(spark, docs):
+    base = {r.shard: r for r in T.corpus_manifest(docs).collect()}
+    # additive checksum + dense aggregation: any partitioning yields the
+    # identical manifest
+    re_part = {r.shard: r for r in T.corpus_manifest(docs.repartition(7)).collect()}
+    assert {k: tuple(v) for k, v in base.items()} == {
+        k: tuple(v) for k, v in re_part.items()
+    }
+    # flip one document's text: exactly that document's shard changes
+    # checksum, every other shard row is untouched
+    victim = docs.orderBy("doc_id").first()
+    corrupted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim.doc_id, F.concat("text", F.lit("x")))
+        .otherwise(F.col("text")),
+    )
+    after = {r.shard: r for r in T.corpus_manifest(corrupted).collect()}
+    changed = [s for s in base if tuple(base[s]) != tuple(after[s])]
+    assert len(changed) == 1
+    assert base[changed[0]].n_docs == after[changed[0]].n_docs
+    assert base[changed[0]].checksum != after[changed[0]].checksum

@@ -385,3 +385,14 @@ def test_vocab_rankings_are_two_phase(spark, sf_dir):
         assert len(specs) == 2, plan
         assert "_shard" not in specs[0] and "lang" in specs[0], plan
         assert "_shard" in specs[1] and "lang" in specs[1], plan
+
+
+def test_corpus_manifest_single_aggregation(spark, sf_dir):
+    """The manifest is one scan + one map-side-partial aggregation keyed
+    by shard — nothing else may move (no joins, no windows)."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    q = TX.corpus_manifest(load_table(spark, sf_dir, "documents"))
+    assert P.exchange_count(q) == 1
+    plan = P.explain_str(q, "simple")
+    assert "Join" not in plan and "Window" not in plan

@@ -65,6 +65,9 @@ __all__ = [
     "source_cap",
     "source_cap_sql",
     "skew_safe_topk",
+    "fingerprint_col",
+    "corpus_manifest",
+    "corpus_manifest_sql",
     "FINGERPRINT_MOD",
     "LANG_MARKERS",
 ]
@@ -230,19 +233,27 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def fingerprint_col(text: Column | str = "text") -> Column:
+    """The portable content-fingerprint expression: deterministic
+    polynomial rolling hash over the codepoints, ``h = (h*31 + cp) mod
+    1e9+7``. Shared by :func:`doc_fingerprint` and
+    :func:`corpus_manifest`; the DuckDB twin is
+    :func:`doc_fingerprint_sql`."""
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Deterministic polynomial rolling hash over the document's
     codepoints: ``h = (h*31 + cp) mod 1e9+7``. A content fingerprint
     both engines compute identically (tested char-split + codepoint
     equivalence); the scale path for exact dedup keyed on a short int
     instead of shuffling full text."""
-    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long"))
-    fp = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
-    )
-    return documents.select("doc_id", fp.alias("fingerprint"))
+    return documents.select("doc_id", fingerprint_col().alias("fingerprint"))
 
 
 def top_tokens(documents: DataFrame, k: int = 10) -> DataFrame:
@@ -1577,4 +1588,69 @@ def source_cap_sql(cap: int = 10) -> str:
         "SELECT doc_id, source, n_chars, row_number() OVER ("
         "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
         f"FROM documents) WHERE rn <= {cap}"
+    )
+
+
+def corpus_manifest(
+    documents: DataFrame, n_shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """Per-shard integrity manifest — the dataset-card / audit artifact
+    a training run records next to its shards: document count, token
+    total, doc_id span, and an order-independent content checksum, one
+    row per shard of the :func:`corpus_shuffle` layout.
+
+    The checksum is the SUM of the portable per-document fingerprint
+    (:func:`fingerprint_col`) mod 1e9+7 — order-independent (addition
+    commutes, so it is stable under any partitioning / shard write
+    order) and engine-portable, unlike xxhash64. The sum accumulates in
+    DECIMAL(38,0), which holds ~10^29 documents' worth of 30-bit
+    fingerprints without overflow; only the final mod narrows to BIGINT.
+
+    100 TB shape: ONE map-side-partial aggregation keyed by shard — the
+    scan computes (shard, n_tokens, fp) per row and reduces; nothing
+    else moves. Re-run after any copy/restore and diff against the
+    recorded manifest: a changed checksum pins corruption to a shard
+    without re-reading text anywhere else."""
+    h = (F.col("doc_id") * F.lit(_SHARD_MULT)) % F.lit(_MIX_M)
+    d = documents.select(
+        (h % F.lit(n_shards)).alias("shard"),
+        F.col("doc_id"),
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(tokens("text")))
+        .cast("long")
+        .alias("n_tokens"),
+        fingerprint_col().alias("fp"),
+    )
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.pmod(
+                F.sum(F.col("fp").cast("decimal(38,0)")), F.lit(FINGERPRINT_MOD)
+            )
+            .cast("long")
+            .alias("checksum"),
+        )
+        .select(
+            "shard", "n_docs", "sum_tokens", "min_doc_id", "max_doc_id", "checksum"
+        )
+    )
+
+
+def corpus_manifest_sql(n_shards: int = SHUFFLE_SHARDS) -> str:
+    """DuckDB twin of :func:`corpus_manifest`: HUGEINT accumulation for
+    the checksum sum, the same null-token guard as the Spark side."""
+    return (
+        "WITH s AS (SELECT doc_id, "
+        f"(doc_id * {_SHARD_MULT}) % {_MIX_M} % {n_shards} AS shard, "
+        f"COALESCE(CAST(len({tokens_sql('text')}) AS BIGINT), 0) AS n_tokens, "
+        f"{doc_fingerprint_sql()} AS fp FROM documents) "
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, "
+        "min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id, "
+        f"CAST(sum(CAST(fp AS HUGEINT)) % {FINGERPRINT_MOD} AS BIGINT) "
+        "AS checksum FROM s GROUP BY shard"
     )
