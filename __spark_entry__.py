@@ -1421,6 +1421,17 @@ def _q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.centroid_assign(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_sql_zcodec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-codec through the SQL-only door (sql.py
+    register_codec_functions): Spark SQL scalar UDFs whose bodies the
+    planner inlines into whole-stage codegen — encode, decode-back, and
+    a prefix self-match over the points view. The oracle pins the
+    roundtrip identity (x_rt = x, y_rt = y) and the DuckDB-computed
+    z-values, proving the third spelling of the codec (Column / Spark
+    SQL / DuckDB SQL) agrees."""
+    return _SQLF.zcodec_roundtrip(spark, sf_dir)
+
+
 def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard integrity manifest (operators/text.py corpus_manifest):
     doc counts, token totals, doc_id spans, and an order-independent
@@ -1510,7 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the lowest-information oracle in the cohort; r06 front-runner
         "sql_pricing_summary": _q_sql_pricing_summary,
         # new this round but out-of-window (window full of stale+new keys
-        # with strictly higher priority); all 20 below are locally
+        # with strictly higher priority); all 21 below are locally
         # oracle-verified (scripts/oracle_check.py ALL OK at sf0.01);
         # first driver verdicts land with the r06 rotation, where they
         # lead together with the 5 displaced r03 keys above. media_dedup
@@ -1536,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "centroid_assign": _q_centroid_assign,
         "corpus_manifest": _q_corpus_manifest,
+        "sql_zcodec": _q_sql_zcodec,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -2141,6 +2153,10 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": TX.source_cap_sql(),
         "centroid_assign": SIM.centroid_assign_sql(),
         "corpus_manifest": TX.corpus_manifest_sql(),
+        "sql_zcodec": (
+            f"{_POINTS_CTE} SELECT id, x, y, {zsql} AS zvalue, "
+            "x AS x_rt, y AS y_rt, TRUE AS self_match FROM points"
+        ),
         # wrap the cluster labeling (a nested-WITH subquery) and pick
         # each cluster's longest member — the single-window reference
         # form of the Spark side's max_by aggregation

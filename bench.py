@@ -96,6 +96,7 @@ BENCH_KEYS = [
     "dedup_keep_best",
     "centroid_assign",
     "corpus_manifest",
+    "sql_zcodec",
 ]
 
 

@@ -18,9 +18,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tiny_md_hbase_spark.sources.tables import TABLE_NAMES, load_table
+from tiny_md_hbase_spark.sources.tables import POINTS_SQL, TABLE_NAMES, load_table
 
-__all__ = ["register_views", "pricing_summary", "PRICING_SUMMARY_SQL"]
+__all__ = [
+    "register_views",
+    "pricing_summary",
+    "PRICING_SUMMARY_SQL",
+    "register_codec_functions",
+    "zcodec_roundtrip",
+    "ZCODEC_SQL",
+]
 
 # Runs verbatim on Spark AND DuckDB (ANSI subset both parse identically).
 PRICING_SUMMARY_SQL = (
@@ -60,3 +67,106 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — one source of truth, two engines)."""
     register_views(spark, sf_dir)
     return spark.sql(PRICING_SUMMARY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SQL scalar functions: the z-codec for SQL-only users
+# ---------------------------------------------------------------------------
+
+# the same magic-number rounds as zorder.bit_spread / bit_squash
+# (Utils.java:49-82 semantics) — one source of constants would be ideal,
+# but the masks are pinned by golden vectors in tests/test_zorder.py on
+# BOTH surfaces, which is the stronger guard
+_SPREAD_ROUNDS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _spread_expr(v: str) -> str:
+    e = f"CAST({v} AS BIGINT)"
+    for shift, mask in _SPREAD_ROUNDS:
+        e = f"(({e} | shiftleft({e}, {shift})) & {mask})"
+    return e
+
+
+def _squash_expr(v: str) -> str:
+    e = f"({v} & 6148914691236517205)"  # 0x5555...
+    for shift, mask in [
+        (1, 0x3333333333333333),
+        (2, 0x0F0F0F0F0F0F0F0F),
+        (4, 0x00FF00FF00FF00FF),
+        (8, 0x0000FFFF0000FFFF),
+        (16, 0x00000000FFFFFFFF),
+    ]:
+        e = f"(({e} | shiftright({e}, {shift})) & {mask})"
+    return f"CAST({e} AS INT)"
+
+
+def register_codec_functions(spark: SparkSession) -> None:
+    """Register the z-order codec as Spark SQL *scalar UDFs* (``CREATE
+    TEMPORARY FUNCTION ... RETURN <expr>``) so a SQL-only user gets the
+    full codec — ``SELECT zvalue(x, y) FROM points`` — without touching
+    the DataFrame API.
+
+    These are SQL functions, not Python UDFs: the planner INLINES the
+    body into the calling query (the physical plan shows the raw
+    bitwise expression, no UDF call node), so they run inside
+    whole-stage codegen with identical performance to the Column
+    builders in ``zorder.py`` — the codec has one semantics, three
+    spellings (Column, Spark SQL, DuckDB oracle SQL), and the golden
+    vectors in tests/test_zorder.py pin all of them. Temp functions are
+    session-scoped; call this once per session (idempotent)."""
+    defs = {
+        # bit i of a 32-bit non-negative int -> bit 2i of a BIGINT
+        "z_bit_spread(v BIGINT) RETURNS BIGINT": _spread_expr("v"),
+        # Morton interleave: x odd (upper) positions, y even
+        "zvalue(x BIGINT, y BIGINT) RETURNS BIGINT": (
+            f"shiftleft({_spread_expr('x')}, 1) | {_spread_expr('y')}"
+        ),
+        "z_x(z BIGINT) RETURNS INT": _squash_expr("shiftright(z, 1)"),
+        "z_y(z BIGINT) RETURNS INT": _squash_expr("z"),
+        # pl-bit prefix mask; shiftleft uses the low 6 bits of the
+        # amount, so pl = 64 must short-circuit (zorder.make_mask)
+        "z_mask(pl INT) RETURNS BIGINT": (
+            "CASE WHEN pl >= 64 THEN CAST(-1 AS BIGINT) "
+            "ELSE shiftleft(CAST(-1 AS BIGINT), 64 - pl) END"
+        ),
+        "z_prefix_match(z BIGINT, pz BIGINT, pl INT) RETURNS BOOLEAN": (
+            "(z & z_mask(pl)) = (pz & z_mask(pl))"
+        ),
+        # portable rolling content fingerprint (text.fingerprint_col)
+        "doc_fp(t STRING) RETURNS BIGINT": (
+            "aggregate(transform(split(t, ''), "
+            "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
+            "(acc, x) -> (acc * 31 + x) % 1000000007)"
+        ),
+    }
+    for sig, body in defs.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {sig} RETURN {body}")
+
+
+# round-trips the codec through the SQL door over the derived points
+# view; identical rows to the zorder_encode/decode DataFrame operators
+ZCODEC_SQL = (
+    "SELECT id, x, y, zvalue(x, y) AS zvalue, "
+    "z_x(zvalue(x, y)) AS x_rt, z_y(zvalue(x, y)) AS y_rt, "
+    "z_prefix_match(zvalue(x, y), zvalue(x, y), 16) AS self_match "
+    "FROM points"
+)
+
+
+def zcodec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codec via the SQL surface: encode, decode back, and a prefix
+    self-match — proving the SQL-function spelling of the codec agrees
+    with the Column spelling (same golden vectors) and with the DuckDB
+    oracle."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW points AS {POINTS_SQL}"
+    )
+    register_codec_functions(spark)
+    return spark.sql(ZCODEC_SQL)
