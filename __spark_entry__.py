@@ -1421,6 +1421,41 @@ def _q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.centroid_assign(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming manifest maintenance (streaming/ingest.py
+    stream_manifest): the corpus staged as arriving files, drained one
+    file per micro-batch, each batch's per-shard manifest delta merged
+    into the persisted manifest. The additive checksum makes the merge
+    exact, so the incrementally-maintained result must be BIT-IDENTICAL
+    to the batch corpus_manifest over the whole corpus — which is the
+    oracle."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming.ingest import stream_manifest
+
+    d = tempfile.mkdtemp(prefix="smanifest_q_")
+    try:
+        base = load_table(spark, sf_dir, "documents")
+        base.repartitionByRange(4, "doc_id").write.parquet(f"{d}/src")
+        q = stream_manifest(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        _await_drained(q)
+        return (
+            spark.read.parquet(f"{d}/table/manifest")
+            .orderBy("shard")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_sql_zcodec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-codec through the SQL-only door (sql.py
     register_codec_functions): Spark SQL scalar UDFs whose bodies the
@@ -1521,7 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the lowest-information oracle in the cohort; r06 front-runner
         "sql_pricing_summary": _q_sql_pricing_summary,
         # new this round but out-of-window (window full of stale+new keys
-        # with strictly higher priority); all 21 below are locally
+        # with strictly higher priority); all 22 below are locally
         # oracle-verified (scripts/oracle_check.py ALL OK at sf0.01);
         # first driver verdicts land with the r06 rotation, where they
         # lead together with the 5 displaced r03 keys above. media_dedup
@@ -1548,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_assign": _q_centroid_assign,
         "corpus_manifest": _q_corpus_manifest,
         "sql_zcodec": _q_sql_zcodec,
+        "stream_manifest": _q_stream_manifest,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -2153,6 +2189,8 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": TX.source_cap_sql(),
         "centroid_assign": SIM.centroid_assign_sql(),
         "corpus_manifest": TX.corpus_manifest_sql(),
+        # the streaming merge must equal the batch manifest bit-for-bit
+        "stream_manifest": TX.corpus_manifest_sql(),
         "sql_zcodec": (
             f"{_POINTS_CTE} SELECT id, x, y, {zsql} AS zvalue, "
             "x AS x_rt, y AS y_rt, TRUE AS self_match FROM points"

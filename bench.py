@@ -97,6 +97,7 @@ BENCH_KEYS = [
     "centroid_assign",
     "corpus_manifest",
     "sql_zcodec",
+    "stream_manifest",
 ]
 
 

@@ -393,3 +393,35 @@ def test_stream_dedup_docs_keep_first_across_batches(spark):
         assert spark.read.parquet(f"{d}/table/seen").distinct().count() == 3
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_manifest_incremental_equals_batch(spark, sf_dir):
+    """The incrementally-maintained manifest after draining multiple
+    micro-batches must be bit-identical to corpus_manifest over the
+    whole corpus — the additive-checksum merge is exact, not
+    approximate. Also pins that >1 micro-batch actually ran (the merge
+    path, not just the first-batch copy)."""
+    from tiny_md_hbase_spark.operators.text import corpus_manifest
+
+    d = tempfile.mkdtemp(prefix="smanifest_t_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.repartitionByRange(4, "doc_id").write.parquet(f"{d}/src")
+        q = ING.stream_manifest(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(300)
+        assert len(q.recentProgress) >= 4  # one micro-batch per staged file
+        got = {
+            r.shard: tuple(r)
+            for r in spark.read.parquet(f"{d}/table/manifest").collect()
+        }
+        want = {r.shard: tuple(r) for r in corpus_manifest(docs).collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
