@@ -1449,6 +1449,7 @@ def _q_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await_drained(q)
         return (
             spark.read.parquet(f"{d}/table/manifest")
+            .drop("last_batch_id")  # replay-idempotence stamp, not data
             .orderBy("shard")
             .localCheckpoint()
         )

@@ -417,11 +417,28 @@ def test_stream_manifest_incremental_equals_batch(spark, sf_dir):
         )
         assert q.awaitTermination(300)
         assert len(q.recentProgress) >= 4  # one micro-batch per staged file
+        stored = spark.read.parquet(f"{d}/table/manifest")
         got = {
             r.shard: tuple(r)
-            for r in spark.read.parquet(f"{d}/table/manifest").collect()
+            for r in stored.drop("last_batch_id").collect()
         }
         want = {r.shard: tuple(r) for r in corpus_manifest(docs).collect()}
         assert got == want
+        # replay idempotence: foreachBatch replays the last uncommitted
+        # batch on restart — re-merging an already-stamped batch id must
+        # be a refused no-op, or the audit table double-counts
+        stamp = stored.agg(F.max("last_batch_id")).first()[0]
+        replay = docs.limit(50)  # any content; the stamp must gate it
+        assert (
+            ING.merge_manifest_batch(replay, int(stamp), f"{d}/table/manifest", 16)
+            is False
+        )
+        again = {
+            r.shard: tuple(r)
+            for r in spark.read.parquet(f"{d}/table/manifest")
+            .drop("last_batch_id")
+            .collect()
+        }
+        assert again == want
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -118,6 +118,13 @@ def skew_safe_topk(
     ``rank_name`` column carries the exact global rank."""
     from pyspark.sql import Window
 
+    clashes = {"_shard", "_lrank", rank_name} & set(df.columns)
+    if clashes:
+        # withColumn would silently REPLACE these — data loss, not error
+        raise ValueError(
+            f"skew_safe_topk: input already has column(s) {sorted(clashes)}; "
+            "rename them (or pass a different rank_name) first"
+        )
     local_w = Window.partitionBy(*part_cols, "_shard").orderBy(*order)
     global_w = Window.partitionBy(*part_cols).orderBy(*order)
     return (
@@ -1568,14 +1575,19 @@ def source_cap(
     Every true global top-``cap`` row is its shard's local top-``cap``
     (rank within a subset never exceeds rank within the whole), so
     phase 1 provably drops no survivor (the shared :func:`skew_safe_topk`
-    mechanics). Output: (doc_id, source, n_chars, rank) with rank the
-    true per-source rank — identical to the single-window oracle."""
+    mechanics). The shard is ``xxhash64(doc_id) % n_shards`` — a
+    multiplicative-constant shard would be a no-op mod a power-of-two
+    (the constant is odd ≡ 1 mod 8/16), re-creating the funnel for
+    stride-minted id schemes, and its unreduced multiply overflows
+    BIGINT under ANSI mode for ids ≥ ~3.5e9. Output: (doc_id, source,
+    n_chars, rank) with rank the true per-source rank — identical to
+    the single-window oracle."""
     return skew_safe_topk(
         documents.select("doc_id", "source", "n_chars"),
         ["source"],
         [F.col("n_chars").desc(), F.col("doc_id").asc()],
         cap,
-        F.pmod(F.col("doc_id") * F.lit(_SHARD_MULT), F.lit(n_shards)),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)),
     ).select("doc_id", "source", "n_chars", "rank")
 
 

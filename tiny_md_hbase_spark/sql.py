@@ -73,16 +73,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL scalar functions: the z-codec for SQL-only users
 # ---------------------------------------------------------------------------
 
-# the same magic-number rounds as zorder.bit_spread / bit_squash
-# (Utils.java:49-82 semantics) — one source of constants would be ideal,
-# but the masks are pinned by golden vectors in tests/test_zorder.py on
-# BOTH surfaces, which is the stronger guard
-_SPREAD_ROUNDS = [
-    (16, 0x0000FFFF0000FFFF),
-    (8, 0x00FF00FF00FF00FF),
-    (4, 0x0F0F0F0F0F0F0F0F),
-    (2, 0x3333333333333333),
-    (1, 0x5555555555555555),
+# one source of constants: the spread masks live in zorder.py (the
+# module of record for the codec, Utils.java:49-82 semantics); both the
+# spread and its inverse's round table are derived from that list, so a
+# codec change lands in one place across all three spellings (Column /
+# Spark SQL / DuckDB oracle). Golden vectors in tests/test_zorder.py and
+# tests/test_sql.py pin every spelling.
+from tiny_md_hbase_spark.zorder import _SPREAD_MASKS  # noqa: E402
+
+_SPREAD_ROUNDS = [(16 >> i, m) for i, m in enumerate(_SPREAD_MASKS)]
+# inverse: shifts reversed/doubled back, masks walked the other way,
+# ending on the low-32 collect mask
+_SQUASH_ROUNDS = [
+    (16 >> i, m)
+    for i, m in zip(range(4, -1, -1), _SPREAD_MASKS[:-1][::-1] + [0x00000000FFFFFFFF])
 ]
 
 
@@ -94,14 +98,8 @@ def _spread_expr(v: str) -> str:
 
 
 def _squash_expr(v: str) -> str:
-    e = f"({v} & 6148914691236517205)"  # 0x5555...
-    for shift, mask in [
-        (1, 0x3333333333333333),
-        (2, 0x0F0F0F0F0F0F0F0F),
-        (4, 0x00FF00FF00FF00FF),
-        (8, 0x0000FFFF0000FFFF),
-        (16, 0x00000000FFFFFFFF),
-    ]:
+    e = f"({v} & {_SPREAD_MASKS[-1]})"  # keep even bits
+    for shift, mask in _SQUASH_ROUNDS:
         e = f"(({e} | shiftright({e}, {shift})) & {mask})"
     return f"CAST({e} AS INT)"
 
@@ -130,9 +128,14 @@ def register_codec_functions(spark: SparkSession) -> None:
         "z_x(z BIGINT) RETURNS INT": _squash_expr("shiftright(z, 1)"),
         "z_y(z BIGINT) RETURNS INT": _squash_expr("z"),
         # pl-bit prefix mask; shiftleft uses the low 6 bits of the
-        # amount, so pl = 64 must short-circuit (zorder.make_mask)
+        # amount, so BOTH ends need a short-circuit: pl >= 64 -> all
+        # ones (zorder.make_mask) and pl <= 0 -> 0 (empty prefix —
+        # without it shiftleft(-1, 64) wraps to -1 and
+        # z_prefix_match(z, pz, 0) would wrongly demand z = pz instead
+        # of being vacuously true)
         "z_mask(pl INT) RETURNS BIGINT": (
             "CASE WHEN pl >= 64 THEN CAST(-1 AS BIGINT) "
+            "WHEN pl <= 0 THEN CAST(0 AS BIGINT) "
             "ELSE shiftleft(CAST(-1 AS BIGINT), 64 - pl) END"
         ),
         "z_prefix_match(z BIGINT, pz BIGINT, pl INT) RETURNS BOOLEAN": (

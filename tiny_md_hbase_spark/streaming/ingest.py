@@ -40,6 +40,7 @@ __all__ = [
     "stream_dedup_events",
     "stream_dedup_docs",
     "stream_manifest",
+    "merge_manifest_batch",
 ]
 
 # ts arrives as TIMESTAMP(NANOS) in the fixtures, surfaced as nanos-long
@@ -423,13 +424,15 @@ def stream_manifest(
     combine; per batch the work is O(batch) plus a merge over the
     n_shards-row persisted manifest — arriving text is read once, ever.
 
-    Failure semantics: the manifest overwrite is atomic per batch
-    (parquet dir replace after materialization), and ``foreachBatch``
-    replays the last uncommitted batch on restart — a replayed merge
-    would double-count that batch (at-least-once). Production stamps
-    ``batch_id`` into the manifest table and skips already-merged ids;
-    plain parquet keeps the fixture path dependency-free (same trade as
-    :func:`stream_dedup_docs`, documented there)."""
+    Failure semantics: the merge is REPLAY-IDEMPOTENT. ``foreachBatch``
+    replays the last uncommitted batch on restart (at-least-once), and a
+    naively re-applied delta would double-count into a table whose whole
+    purpose is bit-exact auditing — so every manifest row carries the
+    ``last_batch_id`` it was merged up to, and a batch whose id is
+    already ≤ that stamp is skipped. The overwrite itself happens after
+    materialization (a localCheckpoint), so the read-modify-write never
+    reads a half-replaced directory; foreachBatch calls are serial, so
+    the stamp comparison races nothing."""
     from tiny_md_hbase_spark.operators.text import SHUFFLE_SHARDS, corpus_manifest
 
     shards = n_shards if n_shards is not None else SHUFFLE_SHARDS
@@ -440,28 +443,7 @@ def stream_manifest(
     mpath = f"{table_path}/manifest"
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
-
-        delta = corpus_manifest(batch, shards)
-        if os.path.exists(mpath):
-            old = batch.sparkSession.read.parquet(mpath)
-            merged = (
-                old.unionByName(delta)
-                .groupBy("shard")
-                .agg(
-                    F.sum("n_docs").alias("n_docs"),
-                    F.sum("sum_tokens").alias("sum_tokens"),
-                    F.min("min_doc_id").alias("min_doc_id"),
-                    F.max("max_doc_id").alias("max_doc_id"),
-                    F.pmod(F.sum("checksum"), F.lit(FINGERPRINT_MOD)).alias(
-                        "checksum"
-                    ),
-                )
-            )
-        else:
-            merged = delta
-        # materialize BEFORE overwriting the table it was read from
-        merged.localCheckpoint().write.mode("overwrite").parquet(mpath)
+        merge_manifest_batch(batch, batch_id, mpath, shards)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
@@ -471,3 +453,41 @@ def stream_manifest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def merge_manifest_batch(
+    batch: DataFrame, batch_id: int, mpath: str, shards: int
+) -> bool:
+    """One micro-batch's manifest merge (the :func:`stream_manifest`
+    sink body, module-level so the replay path is directly testable).
+    Returns False without touching the table when ``batch_id`` is
+    already covered by the stored ``last_batch_id`` stamp — the
+    replay-idempotence guard; True when the delta was merged."""
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, corpus_manifest
+
+    delta = corpus_manifest(batch, shards)
+    if os.path.exists(mpath):
+        old = batch.sparkSession.read.parquet(mpath)
+        stamp = old.agg(F.max("last_batch_id")).first()[0]
+        if stamp is not None and batch_id <= stamp:
+            return False  # replayed batch: its delta is already merged
+        merged = (
+            old.drop("last_batch_id")
+            .unionByName(delta)
+            .groupBy("shard")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_tokens").alias("sum_tokens"),
+                F.min("min_doc_id").alias("min_doc_id"),
+                F.max("max_doc_id").alias("max_doc_id"),
+                F.pmod(F.sum("checksum"), F.lit(FINGERPRINT_MOD)).alias(
+                    "checksum"
+                ),
+            )
+        )
+    else:
+        merged = delta
+    merged = merged.withColumn("last_batch_id", F.lit(batch_id).cast("long"))
+    # materialize BEFORE overwriting the table it was read from
+    merged.localCheckpoint().write.mode("overwrite").parquet(mpath)
+    return True
