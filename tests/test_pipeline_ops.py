@@ -1090,3 +1090,27 @@ def test_corpus_manifest_order_independent_and_detects_corruption(spark, docs):
     assert len(changed) == 1
     assert base[changed[0]].n_docs == after[changed[0]].n_docs
     assert base[changed[0]].checksum != after[changed[0]].checksum
+
+
+# --- shard-hash robustness -------------------------------------------------
+
+def test_shard_hash_survives_huge_ids_and_breaks_strides(spark):
+    """Two latent 100 TB defects pinned: (1) the multiplicative hash
+    must pre-reduce doc_id mod M so huge ids don't overflow BIGINT
+    under ANSI mode; (2) shard ids must come from the hash's HIGH bits
+    — the low bits are a no-op (the constant ≡ 1 mod 16), so a
+    stride-16 id scheme would otherwise collapse into one shard."""
+    huge = spark.createDataFrame(
+        [(10**13 + i, "en") for i in range(8)], "doc_id long, lang string"
+    )
+    out = T.corpus_shuffle(huge).collect()  # must not raise under ANSI
+    assert len(out) == 8
+    strided = spark.createDataFrame(
+        [(16 * i, f"doc {i}", "en") for i in range(256)],
+        "doc_id long, text string, lang string",
+    )
+    shards = {r.shard for r in T.corpus_shuffle(strided).collect()}
+    # all ids ≡ 0 mod 16: a low-bits shard would put every row in shard 0
+    assert len(shards) > 8
+    m = {r.shard for r in T.corpus_manifest(strided).collect()}
+    assert len(m) > 8

@@ -616,13 +616,23 @@ MIX_TARGETS_PPM: dict[str, int] = {
     "zh": 500_000,
 }
 MIX_DEFAULT_PPM = 250_000
-# 31-bit LCG step — both engines evaluate it in exact int64 (doc_id is
-# far below 2^33, so doc_id * 1103515245 stays under 2^63)
+# 31-bit LCG step. Every site reduces doc_id mod M BEFORE the multiply:
+# (d mod M) * A ≡ d * A (mod M), so results are identical, but the
+# product stays < 2^62 for ANY 64-bit doc_id — the unreduced form
+# overflows (and errors under ANSI mode, the session default) once ids
+# pass ~8.4e9, a realistic id range at 100 TB.
 _MIX_A, _MIX_C, _MIX_M = 1_103_515_245, 12_345, 2_147_483_648
 
 
 def _mix_hash(col: Column) -> Column:
-    return (col * F.lit(_MIX_A) + F.lit(_MIX_C)) % F.lit(_MIX_M)
+    return (F.pmod(col, F.lit(_MIX_M)) * F.lit(_MIX_A) + F.lit(_MIX_C)) % F.lit(
+        _MIX_M
+    )
+
+
+def _mix_hash_sql(expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`_mix_hash` (same pre-reduction)."""
+    return f"(({expr} % {_MIX_M}) * {_MIX_A} + {_MIX_C}) % {_MIX_M}"
 
 
 def corpus_mix(
@@ -665,7 +675,7 @@ def corpus_mix_sql(
     )
     return (
         "WITH m AS (SELECT doc_id, lang, source, n_chars, "
-        f"(doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M} % 1000000 AS mix_key, "
+        f"{_mix_hash_sql()} % 1000000 AS mix_key, "
         f"CASE {cases} ELSE {default_ppm} END AS ppm FROM documents) "
         "SELECT doc_id, lang, source, n_chars, mix_key FROM m "
         "WHERE mix_key < ppm"
@@ -675,6 +685,29 @@ def corpus_mix_sql(
 SHUFFLE_SHARDS = 16
 # decorrelated from the mix LCG so mixing then sharding doesn't alias
 _SHARD_MULT = 2_654_435_761  # Knuth multiplicative hash constant
+# the well-mixed bits of h = (d * _SHARD_MULT) mod 2^31 are the HIGH
+# ones (Fibonacci hashing); the low bits are a no-op — _SHARD_MULT ≡ 1
+# (mod 16), so h % 16 = doc_id % 16, which re-correlates with any
+# stride-minted id scheme. Shard ids therefore come from bits 15..30.
+_SHARD_SHIFT = 15
+
+
+def _shard_hash(col: Column) -> Column:
+    """Overflow-safe multiplicative hash (pre-reduced like _mix_hash)."""
+    return (F.pmod(col, F.lit(_MIX_M)) * F.lit(_SHARD_MULT)) % F.lit(_MIX_M)
+
+
+def _shard_hash_sql(expr: str = "doc_id") -> str:
+    return f"(({expr} % {_MIX_M}) * {_SHARD_MULT}) % {_MIX_M}"
+
+
+def _shard_of(h: Column, n_shards: int) -> Column:
+    """Shard id from the hash's high bits (see _SHARD_SHIFT note)."""
+    return F.pmod(F.shiftright(h, _SHARD_SHIFT), F.lit(n_shards))
+
+
+def _shard_of_sql(h_expr: str, n_shards: int) -> str:
+    return f"({h_expr} // {1 << _SHARD_SHIFT}) % {n_shards}"
 
 
 def corpus_shuffle(documents: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> DataFrame:
@@ -691,11 +724,11 @@ def corpus_shuffle(documents: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> Data
     global except the hash function)."""
     from pyspark.sql import Window
 
-    h = (F.col("doc_id") * F.lit(_SHARD_MULT)) % F.lit(_MIX_M)
+    h = _shard_hash(F.col("doc_id"))
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     return (
         documents.select(
-            "doc_id", "lang", h.alias("h"), (h % F.lit(n_shards)).alias("shard")
+            "doc_id", "lang", h.alias("h"), _shard_of(h, n_shards).alias("shard")
         )
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "lang", "shard", "pos")
@@ -703,11 +736,12 @@ def corpus_shuffle(documents: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> Data
 
 
 def corpus_shuffle_sql(n_shards: int = SHUFFLE_SHARDS) -> str:
+    shard = _shard_of_sql("h", n_shards)
     return (
         "WITH s AS (SELECT doc_id, lang, "
-        f"(doc_id * {_SHARD_MULT}) % {_MIX_M} AS h FROM documents) "
-        f"SELECT doc_id, lang, h % {n_shards} AS shard, "
-        f"CAST(row_number() OVER (PARTITION BY h % {n_shards} "
+        f"{_shard_hash_sql()} AS h FROM documents) "
+        f"SELECT doc_id, lang, {shard} AS shard, "
+        f"CAST(row_number() OVER (PARTITION BY {shard} "
         "ORDER BY h, doc_id) AS BIGINT) AS pos FROM s"
     )
 
@@ -986,13 +1020,13 @@ def corpus_prepare_sql(
         "keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text), "
         "surv AS (SELECT g.* FROM good g JOIN keep USING (doc_id)), "
         "mixk AS (SELECT doc_id, "
-        f"(doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M} % 1000000 AS mix_key, "
+        f"{_mix_hash_sql()} % 1000000 AS mix_key, "
         f"CASE {mix_cases} ELSE {MIX_DEFAULT_PPM} END AS ppm FROM surv), "
         "sel AS (SELECT s.* FROM surv s JOIN mixk USING (doc_id) "
         "WHERE mix_key < ppm), "
         "d AS (SELECT doc_id, lang, "
         f"CAST(COALESCE(len({toks}), 0) AS BIGINT) AS n_tokens, "
-        f"(doc_id * {_SHARD_MULT}) % {_MIX_M} AS h FROM sel), "
+        f"{_shard_hash_sql()} AS h FROM sel), "
         "c AS (SELECT doc_id, lang, n_tokens, "
         "CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
@@ -1104,7 +1138,7 @@ def corpus_budget(
             .otherwise(F.size(tokens("text")))
             .cast("long")
             .alias("n_tokens"),
-            ((F.col("doc_id") * F.lit(_SHARD_MULT)) % F.lit(_MIX_M)).alias("h"),
+            _shard_hash(F.col("doc_id")).alias("h"),
         )
         .withColumn("bshard", F.floor(F.col("h") / F.lit(width)).cast("int"))
         .cache()
@@ -1154,7 +1188,7 @@ def corpus_budget_sql(budget: int = TOKEN_BUDGET_PER_LANG) -> str:
     return (
         "WITH d AS (SELECT doc_id, lang, "
         f"CAST(COALESCE(len({tokens_sql('text')}), 0) AS BIGINT) AS n_tokens, "
-        f"(doc_id * {_SHARD_MULT}) % {_MIX_M} AS h FROM documents), "
+        f"{_shard_hash_sql()} AS h FROM documents), "
         "c AS (SELECT doc_id, lang, n_tokens, "
         "CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
@@ -1542,7 +1576,7 @@ def corpus_split_sql(ppm: tuple[int, int, int] = SPLIT_PPM) -> str:
     """DuckDB twin of :func:`corpus_split` — same LCG, same integer
     thresholds."""
     t1, t2, _ = ppm
-    key = f"(doc_id * {_MIX_A} + {_MIX_C}) % {_MIX_M} % 1000000"
+    key = f"{_mix_hash_sql()} % 1000000"
     return (
         "SELECT doc_id, lang, "
         f"CASE WHEN {key} < {t1} THEN 'train' "
@@ -1623,9 +1657,9 @@ def corpus_manifest(
     else moves. Re-run after any copy/restore and diff against the
     recorded manifest: a changed checksum pins corruption to a shard
     without re-reading text anywhere else."""
-    h = (F.col("doc_id") * F.lit(_SHARD_MULT)) % F.lit(_MIX_M)
+    h = _shard_hash(F.col("doc_id"))
     d = documents.select(
-        (h % F.lit(n_shards)).alias("shard"),
+        _shard_of(h, n_shards).alias("shard"),
         F.col("doc_id"),
         F.when(F.col("text").isNull(), F.lit(0))
         .otherwise(F.size(tokens("text")))
@@ -1657,7 +1691,7 @@ def corpus_manifest_sql(n_shards: int = SHUFFLE_SHARDS) -> str:
     the checksum sum, the same null-token guard as the Spark side."""
     return (
         "WITH s AS (SELECT doc_id, "
-        f"(doc_id * {_SHARD_MULT}) % {_MIX_M} % {n_shards} AS shard, "
+        f"{_shard_of_sql(_shard_hash_sql(), n_shards)} AS shard, "
         f"COALESCE(CAST(len({tokens_sql('text')}) AS BIGINT), 0) AS n_tokens, "
         f"{doc_fingerprint_sql()} AS fp FROM documents) "
         "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
