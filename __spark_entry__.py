@@ -1421,6 +1421,34 @@ def _q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.centroid_assign(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_knn_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the materialized cluster-partitioned layout
+    (sources/writer.py write_embeddings_clustered +
+    embedding_knn_clustered): embeddings written partitionBy(ivf_cluster)
+    under the portable centroids, probed at n_probe=ALL so the result
+    must equal exact brute-force kNN — the recall=1.0 boundary oracle.
+    The pruning evidence (n_probe=4 reads only 4 partition directories)
+    is pinned separately in tests/test_plans.py."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.sources.writer import (
+        embedding_knn_clustered,
+        write_embeddings_clustered,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivflayout_q_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_embeddings_clustered(emb, f"{d}/emb")
+        q = emb.filter(F.col("vec_id") == 1).first()
+        return embedding_knn_clustered(
+            spark, f"{d}/emb", [float(x) for x in q.embedding]
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming manifest maintenance (streaming/ingest.py
     stream_manifest): the corpus staged as arriving files, drained one
@@ -1557,7 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the lowest-information oracle in the cohort; r06 front-runner
         "sql_pricing_summary": _q_sql_pricing_summary,
         # new this round but out-of-window (window full of stale+new keys
-        # with strictly higher priority); all 22 below are locally
+        # with strictly higher priority); all 23 below are locally
         # oracle-verified (scripts/oracle_check.py ALL OK at sf0.01);
         # first driver verdicts land with the r06 rotation, where they
         # lead together with the 5 displaced r03 keys above. media_dedup
@@ -1585,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest": _q_corpus_manifest,
         "sql_zcodec": _q_sql_zcodec,
         "stream_manifest": _q_stream_manifest,
+        "embedding_knn_clustered": _q_embedding_knn_clustered,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -1996,6 +2025,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn": exact_knn_sql,
         # full-probe IVF must collapse to exact kNN: same oracle text
         "embedding_knn_ivf_full": exact_knn_sql,
+        # full-probe over the cluster-partitioned LAYOUT == exact kNN
+        "embedding_knn_clustered": exact_knn_sql,
         "winnow_fingerprint": TX.winnow_fingerprint_sql(),
         "winnow_pairs": TX.winnow_pairs_sql(),
         "corpus_diff": (

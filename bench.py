@@ -98,6 +98,7 @@ BENCH_KEYS = [
     "corpus_manifest",
     "sql_zcodec",
     "stream_manifest",
+    "embedding_knn_clustered",
 ]
 
 

@@ -396,3 +396,34 @@ def test_corpus_manifest_single_aggregation(spark, sf_dir):
     assert P.exchange_count(q) == 1
     plan = P.explain_str(q, "simple")
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_embedding_clustered_layout_prunes_partitions(spark, sf_dir):
+    """The materialized ANN layout must deliver listing-level pruning:
+    an n_probe=4 query over the ivf_cluster-partitioned table shows the
+    probe set in PartitionFilters, and probing all clusters returns
+    exactly the brute-force top-k (recall=1.0 boundary)."""
+    from tiny_md_hbase_spark.operators.similarity import embedding_knn
+    from tiny_md_hbase_spark.sources.writer import (
+        embedding_knn_clustered,
+        write_embeddings_clustered,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="plans_ivf_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_embeddings_clustered(emb, f"{tmp}/emb")
+        qv = [float(x) for x in emb.filter("vec_id = 1").first().embedding]
+        probed = embedding_knn_clustered(spark, f"{tmp}/emb", qv, n_probe=4)
+        plan = P.explain_str(probed, "formatted")
+        assert "PartitionFilters" in plan
+        tail = plan.split("PartitionFilters", 1)[1][:200]
+        assert "ivf_cluster" in tail, tail
+        full = embedding_knn_clustered(spark, f"{tmp}/emb", qv)
+        want = [
+            (r.vec_id, r.label, r.cos_sim) for r in embedding_knn(emb).collect()
+        ]
+        got = [(r.vec_id, r.label, r.cos_sim) for r in full.collect()]
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

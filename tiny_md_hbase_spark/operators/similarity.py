@@ -33,6 +33,7 @@ __all__ = [
     "embedding_knn_lsh",
     "embedding_knn_ivf",
     "embedding_knn_ivf_portable",
+    "assign_fixed_clusters",
     "embedding_knn_ivf_portable_sql",
     "embedding_project",
     "embedding_project_sql",
@@ -320,6 +321,40 @@ def _unit_centroids(n_clusters: int, dim: int) -> list[list[float]]:
     return out
 
 
+def assign_fixed_clusters(
+    embeddings: DataFrame, n_clusters: int = 16, dim: int = 64
+) -> DataFrame:
+    """Portable-centroid cluster assignment — the shared kernel of
+    :func:`embedding_knn_ivf_portable` and the cluster-partitioned
+    layout writer (sources/writer.py write_embeddings_clustered).
+    Returns (vec_id, label, v, ivf_cluster); row-local, zero shuffle."""
+    cents = _ivf_fixed_centroids(n_clusters, dim)
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(c) for c in cent]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{ci}")
+        for ci, cent in enumerate(cents)
+    ]
+    darr = F.array(*[F.col(f"d{ci}") for ci in range(n_clusters)])
+    return e.select("vec_id", "label", "v", *dists).select(
+        "vec_id",
+        "label",
+        "v",
+        (F.array_position(darr, F.array_min(darr)) - 1)
+        .cast("int")
+        .alias("ivf_cluster"),
+    )
+
+
 def embedding_knn_ivf_portable(
     embeddings: DataFrame,
     query_vec_id: int = 1,
@@ -345,25 +380,7 @@ def embedding_knn_ivf_portable(
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.array(*[F.lit(c) for c in cent]),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias(f"d{ci}")
-        for ci, cent in enumerate(cents)
-    ]
-    darr = F.array(*[F.col(f"d{ci}") for ci in range(n_clusters)])
-    assigned = e.select("vec_id", "label", "v", *dists).select(
-        "vec_id",
-        "label",
-        "v",
-        (F.array_position(darr, F.array_min(darr)) - 1).cast("int").alias("ivf_cluster"),
-    )
+    assigned = assign_fixed_clusters(embeddings, n_clusters, dim)
     # fetch only the query row's embedding — pulling it through `assigned`
     # would evaluate all n_clusters centroid-distance columns just to
     # discard them driver-side

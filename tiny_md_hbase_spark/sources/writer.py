@@ -41,6 +41,8 @@ __all__ = [
     "term_bucket",
     "write_inverted_index",
     "keyword_search_indexed",
+    "write_embeddings_clustered",
+    "embedding_knn_clustered",
 ]
 
 
@@ -330,5 +332,78 @@ def keyword_search_indexed(
         .filter(F.col("n_terms") == len(qs))
         .select("doc_id", "score")
         .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def write_embeddings_clustered(
+    embeddings: DataFrame, path: str, n_clusters: int = 16, dim: int = 64
+) -> None:
+    """Materialize the ANN layout the IVF docstrings promise: embeddings
+    written ``partitionBy(ivf_cluster)`` under the portable fixed
+    centroids — the embedding-space analog of the z-sorted points table
+    (layout IS the index). A probe then reads ONLY the probed clusters'
+    partition directories via listing-level pruning; at 10^9 vectors a
+    4-of-16 probe touches a quarter of the files before a single dot
+    product runs.
+
+    The assignment (similarity.assign_fixed_clusters) is row-local —
+    the only exchange is the write's own ``repartition`` so each
+    cluster directory is produced by its own task instead of every
+    task writing a sliver of every cluster."""
+    from tiny_md_hbase_spark.operators.similarity import assign_fixed_clusters
+
+    assigned = assign_fixed_clusters(embeddings, n_clusters, dim).select(
+        "vec_id", "label", F.col("v").alias("embedding"), "ivf_cluster"
+    )
+    assigned.repartition("ivf_cluster").write.mode("overwrite").partitionBy(
+        "ivf_cluster"
+    ).parquet(path)
+    embeddings.sparkSession.createDataFrame(
+        [(n_clusters, dim)], "n_clusters int, dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivf_meta")
+
+
+def embedding_knn_clustered(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Cosine top-k over the cluster-partitioned layout: rank the stored
+    centroids by distance to ``query_vec`` driver-side (n_clusters × dim
+    floats — partitioner metadata), then scan ONLY the ``n_probe``
+    nearest clusters' directories (`ivf_cluster IN (...)` prunes at
+    file-listing time, asserted in tests/test_plans.py) and run the
+    exact cosine top-k inside them.
+
+    ``n_probe=None`` probes every cluster — then the result equals the
+    exact brute-force :func:`~tiny_md_hbase_spark.operators.similarity.
+    embedding_knn` (the recall=1.0 boundary the oracle pins); smaller
+    probes trade recall for a proportionally smaller scan. The query
+    vector arrives as a literal (in production: from the embedding
+    service), so nothing scans the table to locate it."""
+    from tiny_md_hbase_spark.operators.similarity import (
+        _ivf_fixed_centroids,
+        cosine,
+    )
+
+    meta = spark.read.parquet(f"{path}/_ivf_meta").first()
+    n_clusters, dim = int(meta.n_clusters), int(meta.dim)
+    cents = _ivf_fixed_centroids(n_clusters, dim)
+
+    def d2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted(range(n_clusters), key=lambda c: (d2(query_vec, cents[c]), c))
+    probe = order[: n_probe if n_probe is not None else n_clusters]
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(F.col("embedding"), qv), 6)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("ivf_cluster").isin(probe))
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )
