@@ -1105,8 +1105,10 @@ def test_shard_hash_survives_huge_ids_and_breaks_strides(spark):
     )
     out = T.corpus_shuffle(huge).collect()  # must not raise under ANSI
     assert len(out) == 8
+    # stride 2^20: zeroes the hash's low 20 bits — any shard derivation
+    # below the top bits collapses to one shard here
     strided = spark.createDataFrame(
-        [(16 * i, f"doc {i}", "en") for i in range(256)],
+        [((1 << 20) * i, f"doc {i}", "en") for i in range(256)],
         "doc_id long, text string, lang string",
     )
     shards = {r.shard for r in T.corpus_shuffle(strided).collect()}
@@ -1114,3 +1116,39 @@ def test_shard_hash_survives_huge_ids_and_breaks_strides(spark):
     assert len(shards) > 8
     m = {r.shard for r in T.corpus_manifest(strided).collect()}
     assert len(m) > 8
+
+
+def test_mix_and_shard_hash_cross_engine_parity_negative_ids(spark):
+    """DuckDB's % is sign-preserving, Spark's pmod is not: the SQL twins
+    must use the ((x % M + M) % M) idiom or any negative doc_id hashes
+    differently across engines. Pinned over a sign-mixed id set."""
+    import duckdb
+
+    from tiny_md_hbase_spark.operators.text import (
+        _mix_hash,
+        _mix_hash_sql,
+        _shard_hash,
+        _shard_hash_sql,
+    )
+
+    ids = [-(10**12) - 7, -5, -1, 0, 1, 5, 10**13 + 3]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: (r.m, r.s)
+        for r in df.select(
+            "doc_id",
+            _mix_hash(F.col("doc_id")).alias("m"),
+            _shard_hash(F.col("doc_id")).alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            f"SELECT doc_id, {_mix_hash_sql()} AS m, "
+            f"{_shard_hash_sql()} AS s FROM t"
+        ).fetchall()
+    }
+    assert got == want

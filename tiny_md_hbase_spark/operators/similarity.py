@@ -34,6 +34,7 @@ __all__ = [
     "embedding_knn_ivf",
     "embedding_knn_ivf_portable",
     "assign_fixed_clusters",
+    "probe_order",
     "embedding_knn_ivf_portable_sql",
     "embedding_project",
     "embedding_project_sql",
@@ -321,6 +322,28 @@ def _unit_centroids(n_clusters: int, dim: int) -> list[list[float]]:
     return out
 
 
+def probe_order(
+    query_vec: list[float], cents: list[list[float]], n_probe: int | None = None
+) -> list[int]:
+    """Driver-side centroid ranking — the probe half of the portable IVF
+    pipeline, shared by :func:`embedding_knn_ivf_portable` and the
+    cluster-partitioned layout probe (sources/writer.py
+    embedding_knn_clustered) so the two ANN paths carry ONE definition
+    of the distance + (d2, index) tiebreak and can never desynchronize.
+    ``n_probe=None`` ranks every centroid (the full-probe boundary)."""
+
+    def d2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    order = sorted(
+        range(len(cents)), key=lambda c: (d2(query_vec, cents[c]), c)
+    )
+    return order[: n_probe if n_probe is not None else len(cents)]
+
+
 def assign_fixed_clusters(
     embeddings: DataFrame, n_clusters: int = 16, dim: int = 64
 ) -> DataFrame:
@@ -389,16 +412,7 @@ def embedding_knn_ivf_portable(
         raise ValueError(
             f"query vector vec_id={query_vec_id} not found in embeddings"
         )
-
-    def d2(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += (x - y) * (x - y)
-        return acc
-
-    probe = sorted(range(n_clusters), key=lambda c: (d2(list(q.v), cents[c]), c))[
-        :n_probe
-    ]
+    probe = probe_order(list(q.v), cents, n_probe)
     qv = F.array(*[F.lit(x) for x in q.v])
     sim = F.round(cosine(F.col("v"), qv), 6)
     return (

@@ -631,8 +631,13 @@ def _mix_hash(col: Column) -> Column:
 
 
 def _mix_hash_sql(expr: str = "doc_id") -> str:
-    """DuckDB twin of :func:`_mix_hash` (same pre-reduction)."""
-    return f"(({expr} % {_MIX_M}) * {_MIX_A} + {_MIX_C}) % {_MIX_M}"
+    """DuckDB twin of :func:`_mix_hash` — the ((x % M + M) % M) idiom
+    because DuckDB's ``%`` is sign-preserving where Spark's ``pmod``
+    is not (negative doc_ids would otherwise diverge cross-engine)."""
+    return (
+        f"((({expr} % {_MIX_M} + {_MIX_M}) % {_MIX_M}) * {_MIX_A} + {_MIX_C})"
+        f" % {_MIX_M}"
+    )
 
 
 def corpus_mix(
@@ -688,8 +693,11 @@ _SHARD_MULT = 2_654_435_761  # Knuth multiplicative hash constant
 # the well-mixed bits of h = (d * _SHARD_MULT) mod 2^31 are the HIGH
 # ones (Fibonacci hashing); the low bits are a no-op — _SHARD_MULT ≡ 1
 # (mod 16), so h % 16 = doc_id % 16, which re-correlates with any
-# stride-minted id scheme. Shard ids therefore come from bits 15..30.
-_SHARD_SHIFT = 15
+# stride-minted id scheme. Shard ids therefore come from the TOP bits
+# via the range mapping (h * n) div 2^31 — middle bits would still
+# collapse for large power-of-2 strides (ids at stride 2^k zero h's
+# low k bits, so any shard bits below position k are constant; the top
+# bits vary for every k ≤ 27).
 
 
 def _shard_hash(col: Column) -> Column:
@@ -698,16 +706,22 @@ def _shard_hash(col: Column) -> Column:
 
 
 def _shard_hash_sql(expr: str = "doc_id") -> str:
-    return f"(({expr} % {_MIX_M}) * {_SHARD_MULT}) % {_MIX_M}"
+    """DuckDB twin of :func:`_shard_hash`. DuckDB's ``%`` is
+    sign-preserving where Spark's ``pmod`` is not, so the reduction is
+    the ((x % M + M) % M) idiom — without it any negative doc_id would
+    hash differently across engines."""
+    return f"((({expr} % {_MIX_M} + {_MIX_M}) % {_MIX_M}) * {_SHARD_MULT}) % {_MIX_M}"
 
 
 def _shard_of(h: Column, n_shards: int) -> Column:
-    """Shard id from the hash's high bits (see _SHARD_SHIFT note)."""
-    return F.pmod(F.shiftright(h, _SHARD_SHIFT), F.lit(n_shards))
+    """Shard id from the hash's top bits: ``(h * n) div 2^31`` (as a
+    right shift — 2^31 is the modulus). h < 2^31 and n_shards is small,
+    so the product stays far under 2^63."""
+    return F.shiftright(h * F.lit(n_shards), 31)
 
 
 def _shard_of_sql(h_expr: str, n_shards: int) -> str:
-    return f"({h_expr} // {1 << _SHARD_SHIFT}) % {n_shards}"
+    return f"(({h_expr}) * {n_shards} // {_MIX_M})"
 
 
 def corpus_shuffle(documents: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> DataFrame:

@@ -387,17 +387,13 @@ def embedding_knn_clustered(
     from tiny_md_hbase_spark.operators.similarity import (
         _ivf_fixed_centroids,
         cosine,
+        probe_order,
     )
 
     meta = spark.read.parquet(f"{path}/_ivf_meta").first()
     n_clusters, dim = int(meta.n_clusters), int(meta.dim)
     cents = _ivf_fixed_centroids(n_clusters, dim)
-
-    def d2(a: list[float], b: list[float]) -> float:
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
-
-    order = sorted(range(n_clusters), key=lambda c: (d2(query_vec, cents[c]), c))
-    probe = order[: n_probe if n_probe is not None else n_clusters]
+    probe = probe_order(query_vec, cents, n_probe)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = F.round(cosine(F.col("embedding"), qv), 6)
     return (
