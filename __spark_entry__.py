@@ -1509,17 +1509,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-5 rotation (COVERAGE.md tracks per-key verdict ages): front =
     # the 4 new keys (embedding_knn_ivf_full / pii_scrub /
     # winnow_fingerprint / winnow_pairs), corpus_budget (reworked:
-    # sharded two-phase prefix sum) and ngram_jaccard (broadcast-estimate
-    # headroom) whose modules changed since their r04 verdicts, then the
-    # stale cohort — bytes_concat (r02) and 43 of the 48 keys whose
-    # latest verdict is r03. The 5 r03 keys left out to fit the window:
+    # sharded two-phase prefix sum), ngram_jaccard (broadcast-estimate
+    # headroom), and corpus_shuffle — its OBSERVABLE OUTPUT changed this
+    # round (shard ids now from the hash's top bits): an r04 verdict on
+    # the old mapping proves nothing, so it displaces knn_3d (r03,
+    # module untouched, golden-vector + property tests) to the r06
+    # front. Then the stale cohort — bytes_concat (r02) and 42 of the 48
+    # keys whose latest verdict is r03. The 5 r03 keys left out to fit:
     # multimodal_features, frame_sample, approx_distinct,
     # table_profile_approx (rows-only smokes — weakest driver signal;
     # their real checks are the local determinism/CRC/error-bound tests)
     # and sql_pricing_summary (oracle == the same SQL text on both
-    # engines: facade parity, lowest-information oracle). All five lead
-    # the r06 rotation. Back = the 48 r04-green keys in
-    # otherwise-untouched modules.
+    # engines: facade parity, lowest-information oracle). All six lead
+    # the r06 rotation. Back = the r04-green keys in otherwise-untouched
+    # modules.
     return {
         # -- new / changed since their last verdict ------------------------
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
@@ -1528,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "corpus_budget": _q_corpus_budget,
         "ngram_jaccard": _q_ngram_jaccard,
+        "corpus_shuffle": _q_corpus_shuffle,
         # -- latest verdict r02 (stalest) ----------------------------------
         "bytes_concat": _q_bytes_concat,
         # -- latest verdict r03, rotated back into the window --------------
@@ -1564,7 +1568,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_rollup": _q_text_stats_rollup,
         "zorder3d_encode": _q_zorder3d_encode,
         "range_count_3d": _q_range_count_3d,
-        "knn_3d": _q_knn_3d,
         "index_build": _q_index_build,
         "index_inspect": _q_index_inspect,
         "floor_lookup": _q_floor_lookup,
@@ -1575,6 +1578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_hashed": _q_decontaminate_hashed,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # ---- driver window ends here (first 50 keys) --------------------
+        # displaced for corpus_shuffle's changed output (see header note)
+        "knn_3d": _q_knn_3d,
         # r03 rows-only smokes displaced to fit; r06 rotation front-runners
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
@@ -1621,7 +1626,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_indexed": _q_knn_indexed,
         "stream_ingest_points": _q_stream_ingest_points,
         "corpus_mix": _q_corpus_mix,
-        "corpus_shuffle": _q_corpus_shuffle,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "full_scan": _q_full_scan,
         "range_query": _q_range_query,
