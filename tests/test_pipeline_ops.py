@@ -1152,3 +1152,43 @@ def test_mix_and_shard_hash_cross_engine_parity_negative_ids(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_skew_safe_topk_equals_naive_window_randomized(spark):
+    """Property check of the shared two-phase helper against the naive
+    single-window rank on seeded pseudo-random data — including heavy
+    duplication in the order column (rank ties) and a dominant group.
+    Driven as a seeded loop, not hypothesis @given (each Spark plan
+    costs seconds; see test_analytics.py for the same pattern)."""
+    import random
+
+    from pyspark.sql import Window
+
+    for seed in (7, 99):
+        rng = random.Random(seed)
+        rows = [
+            (
+                i,
+                f"g{rng.choice([0] * 6 + [1, 2])}",  # group 0 dominates
+                rng.randrange(5),  # few distinct values -> many ties
+            )
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "id long, grp string, val long")
+        order = [F.col("val").desc(), F.col("id").asc()]
+        naive = {
+            (r.id, r.grp, r.rank)
+            for r in df.withColumn(
+                "rank",
+                F.row_number().over(Window.partitionBy("grp").orderBy(*order)),
+            )
+            .filter(F.col("rank") <= 7)
+            .collect()
+        }
+        two_phase = {
+            (r.id, r.grp, r.rank)
+            for r in T.skew_safe_topk(
+                df, ["grp"], order, 7, F.pmod(F.xxhash64("id"), F.lit(8))
+            ).collect()
+        }
+        assert two_phase == naive, seed
