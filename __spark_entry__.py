@@ -818,6 +818,33 @@ def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.keyword_search(load_table(spark, sf_dir, "documents"))
 
 
+def _q_keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi-BM25-ranked disjunctive search (operators/text.py
+    keyword_search_bm25): one map-side stats aggregate (N, avgdl,
+    per-term df) broadcast into a per-row codegen'd scoring expression →
+    TakeOrderedAndProject. The oracle twin folds the identical literals
+    in the identical order, with round(6) absorbing last-ulp ln()
+    differences."""
+    return TX.keyword_search_bm25(load_table(spark, sf_dir, "documents"))
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate line removal (operators/text.py line_dedup): lines
+    occurring in >= 2 distinct documents deleted everywhere, documents
+    rebuilt in original line order — the C4/RefinedWeb cleaning step.
+    Count-distinct on the line's md5, left_anti against the (small)
+    boilerplate set, one groupBy(doc_id) rebuild."""
+    return TX.line_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _q_embedding_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN (operators/similarity.py
+    embedding_knn_quantized): corpus-wide max-abs scale → BIGINT dot
+    products — exact integer scores, so the oracle match is
+    bit-identical with no rounding epsilon."""
+    return SIM.embedding_knn_quantized(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_keyword_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-accelerated keyword search (sources/writer.py
     write_inverted_index + keyword_search_indexed): build the
@@ -1507,24 +1534,31 @@ def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-5 rotation (COVERAGE.md tracks per-key verdict ages): front =
-    # the 4 new keys (embedding_knn_ivf_full / pii_scrub /
-    # winnow_fingerprint / winnow_pairs), corpus_budget (reworked:
+    # the 7 new keys (keyword_search_bm25 / line_dedup /
+    # embedding_knn_quantized / embedding_knn_ivf_full / pii_scrub /
+    # winnow_fingerprint / winnow_pairs — the first three displace
+    # dedup_embedding / decontaminate_hashed / dedup_embedding_lsh, r03
+    # verdicts in untouched modules, to the r06 front), corpus_budget
+    # (reworked:
     # sharded two-phase prefix sum), ngram_jaccard (broadcast-estimate
     # headroom), and corpus_shuffle — its OBSERVABLE OUTPUT changed this
     # round (shard ids now from the hash's top bits): an r04 verdict on
     # the old mapping proves nothing, so it displaces knn_3d (r03,
     # module untouched, golden-vector + property tests) to the r06
-    # front. Then the stale cohort — bytes_concat (r02) and 42 of the 48
-    # keys whose latest verdict is r03. The 5 r03 keys left out to fit:
-    # multimodal_features, frame_sample, approx_distinct,
-    # table_profile_approx (rows-only smokes — weakest driver signal;
-    # their real checks are the local determinism/CRC/error-bound tests)
-    # and sql_pricing_summary (oracle == the same SQL text on both
-    # engines: facade parity, lowest-information oracle). All six lead
-    # the r06 rotation. Back = the r04-green keys in otherwise-untouched
-    # modules.
+    # front. Then the stale cohort — bytes_concat (r02) and 39 of the 48
+    # keys whose latest verdict is r03. The 9 r03 keys left out to fit:
+    # the 3 displaced above, multimodal_features, frame_sample,
+    # approx_distinct, table_profile_approx (rows-only smokes — weakest
+    # driver signal; their real checks are the local
+    # determinism/CRC/error-bound tests) and sql_pricing_summary
+    # (oracle == the same SQL text on both engines: facade parity,
+    # lowest-information oracle). All ten lead the r06 rotation. Back =
+    # the r04-green keys in otherwise-untouched modules.
     return {
         # -- new / changed since their last verdict ------------------------
+        "keyword_search_bm25": _q_keyword_search_bm25,
+        "line_dedup": _q_line_dedup,
+        "embedding_knn_quantized": _q_embedding_knn_quantized,
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
         "pii_scrub": _q_pii_scrub,
         "winnow_fingerprint": _q_winnow_fingerprint,
@@ -1574,10 +1608,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "stream_asof": _q_stream_asof,
         "stream_sessionize": _q_stream_sessionize,
+        # ---- driver window ends here (first 50 keys) --------------------
+        # displaced to the r06 front by the three new session keys
+        # (keyword_search_bm25 / line_dedup / embedding_knn_quantized,
+        # in-window at the top): r03 verdicts, modules untouched since,
+        # pipeline tests keep them covered locally
         "dedup_embedding": _q_dedup_embedding,
         "decontaminate_hashed": _q_decontaminate_hashed,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        # ---- driver window ends here (first 50 keys) --------------------
         # displaced for corpus_shuffle's changed output (see header note)
         "knn_3d": _q_knn_3d,
         # r03 rows-only smokes displaced to fit; r06 rotation front-runners
@@ -2003,6 +2041,9 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": TX.keyword_search_sql(),
         # indexed search must collapse to the scan form: same oracle text
         "keyword_search_indexed": TX.keyword_search_sql(),
+        "keyword_search_bm25": TX.keyword_search_bm25_sql(),
+        "line_dedup": TX.line_dedup_sql(),
+        "embedding_knn_quantized": SIM.embedding_knn_quantized_sql(),
         "lm_bigram_score": TX.lm_bigram_score_sql(),
         "gopher_quality": TX.gopher_quality_sql(),
         "corpus_split": TX.corpus_split_sql(),

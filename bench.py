@@ -99,6 +99,9 @@ BENCH_KEYS = [
     "sql_zcodec",
     "stream_manifest",
     "embedding_knn_clustered",
+    "keyword_search_bm25",
+    "line_dedup",
+    "embedding_knn_quantized",
 ]
 
 

@@ -1192,3 +1192,111 @@ def test_skew_safe_topk_equals_naive_window_randomized(spark):
             ).collect()
         }
         assert two_phase == naive, seed
+
+
+# --- BM25 keyword search --------------------------------------------------
+
+def test_bm25_is_disjunctive_and_idf_weighted(spark):
+    """Rare-term docs outrank common-term docs; any-term membership."""
+    rows = [
+        (1, "rare alpha beta"),            # has the rare term
+        (2, "common alpha beta"),          # has the common term only
+        (3, "common gamma delta"),
+        (4, "common epsilon zeta"),
+        (5, "alpha beta gamma"),           # has neither query term
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = T.keyword_search_bm25(df, terms=("rare", "common"), k=10).collect()
+    ids = [r.doc_id for r in got]
+    assert 5 not in ids  # no query term -> excluded
+    assert set(ids) == {1, 2, 3, 4}
+    # df(rare)=1 < df(common)=3 -> idf(rare) > idf(common); equal tf and
+    # equal doc length mean the rare-term doc must rank first
+    assert ids[0] == 1
+    assert all(got[i].bm25 >= got[i + 1].bm25 for i in range(len(got) - 1))
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf: the shorter document scores higher (b > 0)."""
+    rows = [
+        (1, "term " + "pad " * 40),
+        (2, "term pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in
+           T.keyword_search_bm25(df, terms=("term",), k=10).collect()}
+    assert got[2] > got[1] > 0
+
+
+def test_bm25_saturates_with_k1(spark):
+    """tf growth adds score but with diminishing returns (< linear)."""
+    rows = [
+        (1, "q pad pad pad pad pad pad pad"),
+        (2, "q q pad pad pad pad pad pad"),
+        (3, "q q q q pad pad pad pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in
+           T.keyword_search_bm25(df, terms=("q",), k=10).collect()}
+    assert got[3] > got[2] > got[1]
+    assert (got[3] - got[2]) < (got[2] - got[1])  # saturation
+
+
+# --- line-level boilerplate removal ---------------------------------------
+
+def test_line_dedup_removes_shared_lines_keeps_order(spark):
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"unique one\n{boiler}\nunique two"),
+        (2, f"{boiler}\nother content"),
+        (3, "entirely original text"),
+        (4, boiler),  # nothing but boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.line_dedup(df, min_docs=2).collect()}
+    assert len(got) == 4  # every input doc comes back
+    assert got[1].clean_text == "unique one\nunique two"
+    assert (got[1].n_lines, got[1].n_kept) == (3, 2)
+    assert got[2].clean_text == "other content"
+    assert got[3].clean_text == "entirely original text"
+    assert got[4].clean_text == "" and got[4].n_kept == 0
+
+
+def test_line_dedup_threshold(spark):
+    """min_docs=3: a line in only 2 docs survives."""
+    rows = [(1, "shared\na"), (2, "shared\nb"), (3, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.clean_text
+           for r in T.line_dedup(df, min_docs=3).collect()}
+    assert got[1] == "shared\na" and got[2] == "shared\nb"
+
+
+def test_line_dedup_counts_distinct_docs_not_occurrences(spark):
+    """A line repeated many times INSIDE one doc is not boilerplate."""
+    rows = [(1, "echo\necho\necho"), (2, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.clean_text
+           for r in T.line_dedup(df, min_docs=2).collect()}
+    assert got[1] == "echo\necho\necho"
+
+
+# --- int8 scalar-quantized ANN --------------------------------------------
+
+def test_knn_quantized_recall_vs_exact(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in S.embedding_knn(embs, 1, 10).collect()]
+    quant = [r.vec_id for r in S.embedding_knn_quantized(embs, 1, 10).collect()]
+    # int8 keeps ~2 decimal digits of each coordinate: the query itself
+    # must stay top-1 and recall@10 should be high on real fixtures
+    assert quant[0] == exact[0] == 1
+    assert len(set(exact) & set(quant)) >= 7
+
+
+def test_knn_quantized_scores_are_exact_ints(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    rows = S.embedding_knn_quantized(embs, 1, 10).collect()
+    dim = len(embs.first().embedding)
+    assert all(isinstance(r.qscore, int) for r in rows)
+    assert all(abs(r.qscore) <= 127 * 127 * dim for r in rows)
+    # self-similarity bounds every other quantized dot product
+    assert rows[0].qscore == max(r.qscore for r in rows)

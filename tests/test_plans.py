@@ -427,3 +427,51 @@ def test_embedding_clustered_layout_prunes_partitions(spark, sf_dir):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_broadcast_stats_then_topk(spark, sf_dir):
+    """BM25 is two corpus passes: a map-side partial aggregate for the
+    stats relation (broadcast, never shuffled wide) and a scoring pass
+    ending in TakeOrderedAndProject. The exchanges are the stats
+    aggregate's scalar shuffle + its broadcast — nothing row-count
+    sized — and no job runs at plan-construction time."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    spark.catalog.clearCache()
+    q = TX.keyword_search_bm25(load_table(spark, sf_dir, "documents"))
+    plan = P.explain_str(q, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only shuffle is the 1-row stats aggregation (partial -> final)
+    assert P.exchange_count(q) <= 1
+    assert all("n_chars" not in s for s in P.read_schemas(q))
+
+
+def test_line_dedup_no_cartesian_and_pruned_scan(spark, sf_dir):
+    """Boilerplate join runs on the md5 key (anti join, broadcast or
+    hashed — never a nested-loop over lines) and the scan reads only
+    (doc_id, text)."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    spark.catalog.clearCache()
+    q = TX.line_dedup(load_table(spark, sf_dir, "documents"))
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert all("lang" not in s and "source" not in s for s in P.read_schemas(q))
+
+
+def test_knn_quantized_broadcasts_scale_and_query(spark, sf_dir):
+    """The max-abs scale and the quantized query are 1-row broadcasts;
+    scoring stays a per-row integer fold ending in
+    TakeOrderedAndProject — no exchange of the corpus itself beyond the
+    scalar max aggregate."""
+    from tiny_md_hbase_spark.operators import similarity as SIM
+
+    spark.catalog.clearCache()
+    q = SIM.embedding_knn_quantized(load_table(spark, sf_dir, "embeddings"))
+    plan = P.explain_str(q, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # two scalar aggregates (scale, again under the query side) at most
+    assert P.exchange_count(q) <= 2

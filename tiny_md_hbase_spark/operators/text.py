@@ -55,6 +55,10 @@ __all__ = [
     "tfidf_top_terms_sql",
     "keyword_search",
     "keyword_search_sql",
+    "keyword_search_bm25",
+    "keyword_search_bm25_sql",
+    "line_dedup",
+    "line_dedup_sql",
     "lm_bigram_score",
     "lm_bigram_score_sql",
     "gopher_quality",
@@ -1345,6 +1349,205 @@ def keyword_search_sql(
         f"WHERE len(list_filter([{inlist}], q -> list_contains(toks, q))) "
         f"= {len(qs)} "
         f"ORDER BY score DESC, doc_id LIMIT {k}"
+    )
+
+
+def keyword_search_bm25(
+    documents: DataFrame,
+    terms: tuple[str, ...] = SEARCH_TERMS,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Disjunctive keyword search ranked by Okapi BM25 (the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf form): documents containing
+    ANY query term, scored ``sum_q idf(q) * tf*(k1+1) / (tf + k1*(1 - b
+    + b*dl/avgdl))`` and returned as the top ``k`` (doc_id, bm25).
+
+    100 TB shape: TWO corpus passes and nothing else — (1) a map-side
+    partial aggregate computes the corpus statistics the formula needs
+    (N, sum of document lengths, per-term document frequencies as
+    summed containment flags — the term list is a small literal, so no
+    explode and no posting lists); (2) the 1-row stats relation is
+    broadcast (crossJoin) and scoring is a per-row codegen'd expression
+    over the token array, ending in TakeOrderedAndProject. No job runs
+    at plan-construction time — the stats stay a lazy aggregate under
+    the broadcast exchange.
+
+    Cross-engine determinism: every float enters through one exact
+    integer cast or one division of exact integers (avgdl), the per-row
+    expression tree is written with the same literals/associativity as
+    the SQL twin, and the final score is round(6) so a last-ulp ``ln``
+    difference cannot reorder the k-boundary (ties then break on
+    doc_id)."""
+    qs = sorted({t.lower() for t in terms})
+    toks = F.transform(tokens("text"), lambda t: F.lower(t))
+    d = documents.select("doc_id", toks.alias("toks"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        (
+            F.sum(F.size("toks")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", q), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("double")
+            .alias(f"df_{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    dl = F.size("toks").cast("double")
+    contribs = []
+    for i, q in enumerate(qs):
+        # single-arg lambda: a second parameter would make F.filter
+        # treat it as the (element, index) form
+        tf = F.size(F.filter("toks", lambda t: t == F.lit(q))).cast("double")
+        df = F.col(f"df_{i}")
+        idf = F.log(
+            (F.col("nd") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl")
+        )
+        contribs.append(idf * (tf * F.lit(k1 + 1.0)) / denom)
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    have_any = (
+        F.size(F.array_intersect("toks", F.array(*[F.lit(q) for q in qs])))
+        >= 1
+    )
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .filter(have_any)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def keyword_search_bm25_sql(
+    terms: tuple[str, ...] = SEARCH_TERMS,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`keyword_search_bm25` — literals, cast
+    points, and associativity mirror the Spark expression tree exactly
+    so both engines fold the same doubles."""
+    qs = sorted({t.lower() for t in terms})
+    inlist = ", ".join(f"'{q}'" for q in qs)
+    dfs = ", ".join(
+        "CAST(sum(CASE WHEN list_contains(toks, '%s') THEN 1 ELSE 0 END)"
+        " AS DOUBLE) AS df_%d" % (q, i)
+        for i, q in enumerate(qs)
+    )
+    contribs = []
+    for i, q in enumerate(qs):
+        tf = f"CAST(len(list_filter(toks, t -> t = '{q}')) AS DOUBLE)"
+        idf = f"ln((nd - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        denom = (
+            f"({tf} + {k1!r} * ({1.0 - b!r} + {b!r} * "
+            f"CAST(len(toks) AS DOUBLE) / avgdl))"
+        )
+        contribs.append(f"{idf} * ({tf} * {k1 + 1.0!r}) / {denom}")
+    score = " + ".join(contribs)
+    return (
+        "WITH d AS (SELECT doc_id, "
+        f"list_transform({tokens_sql('text')}, t -> lower(t)) AS toks "
+        "FROM documents), "
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS nd, "
+        "CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+        "AS avgdl, "
+        f"{dfs} FROM d) "
+        f"SELECT doc_id, round({score}, 6) AS bm25 FROM d, s "
+        f"WHERE len(list_filter([{inlist}], q -> list_contains(toks, q))) "
+        ">= 1 "
+        f"ORDER BY bm25 DESC, doc_id LIMIT {k}"
+    )
+
+
+def line_dedup(documents: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Boilerplate line removal — the C4/RefinedWeb corpus-cleaning
+    step: any LINE occurring in ``min_docs`` or more distinct documents
+    (nav bars, cookie banners, license headers) is deleted from every
+    document. Returns one row per input document:
+    (doc_id, clean_text, n_lines, n_kept) — ``clean_text`` is the
+    surviving lines re-joined in original order ('' when everything was
+    boilerplate).
+
+    100 TB shape: posexplode lines once; group by the line's md5 (the
+    32-hex key shuffles instead of arbitrarily long line text; at
+    production scale the same shape runs on ``xxhash64`` for 8-byte
+    keys — md5 here because the oracle must compute the identical key)
+    with a map-side partial count-distinct; the boilerplate set —
+    typically tiny relative to the corpus — comes back as a left_anti
+    join that AQE converts to broadcast at runtime when it is small,
+    with the shuffled-hash fallback for adversarial corpora; one final
+    groupBy(doc_id) reassembles (doc_id is the input's layout key, so
+    with a line-preserving source layout this is the only full-width
+    exchange). No Python anywhere.
+
+    Determinism: per-doc line order is restored by sorting the
+    collected (pos, line) structs — position is unique within a doc, so
+    the rebuild never depends on shuffle arrival order."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split(txt, "\n")).alias("pos", "line")
+    )
+    boiler = (
+        lines.groupBy(F.md5("line").alias("h"))
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    kept = lines.withColumn("h", F.md5("line")).join(boiler, "h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        documents.select(
+            "doc_id", F.size(F.split(txt, "\n")).cast("long").alias("n_lines")
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )
+
+
+def line_dedup_sql(min_docs: int = 2) -> str:
+    """DuckDB twin of :func:`line_dedup` (same md5 grouping key, same
+    position-ordered rebuild)."""
+    split = "string_split(coalesce(text, ''), chr(10))"
+    return (
+        f"WITH l AS (SELECT doc_id, u.i AS pos, {split}[u.i + 1] AS line "
+        f"FROM documents, unnest(range(len({split}))) AS u(i)), "
+        "b AS (SELECT md5(line) AS h FROM l GROUP BY md5(line) "
+        f"HAVING count(DISTINCT doc_id) >= {min_docs}), "
+        "k AS (SELECT doc_id, pos, line FROM l "
+        "WHERE md5(line) NOT IN (SELECT h FROM b)), "
+        "a AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) "
+        "AS clean_text, CAST(count(*) AS BIGINT) AS n_kept "
+        "FROM k GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, "
+        f"CAST(len({split.replace('text', 'd.text')}) AS BIGINT) AS n_lines, "
+        "coalesce(a.n_kept, 0) AS n_kept "
+        "FROM documents d LEFT JOIN a USING (doc_id)"
     )
 
 
