@@ -845,6 +845,35 @@ def _q_embedding_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_knn_quantized(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_knn_quantized_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN over the MATERIALIZED int8 layout (sources/writer.py
+    write_embeddings_quantized + embedding_knn_quantized_stored): build
+    the quantized table (array<tinyint> + stored scale), query it with
+    vec_id 1's float vector quantized under the stored scale. Integer
+    scores — must equal the scan-form embedding_knn_quantized
+    row-for-row, so that oracle applies verbatim."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.sources.writer import (
+        embedding_knn_quantized_stored,
+        write_embeddings_quantized,
+    )
+
+    d = tempfile.mkdtemp(prefix="sqlayout_q_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_embeddings_quantized(emb, f"{d}/emb")
+        q = emb.filter(F.col("vec_id") == 1).first()
+        return embedding_knn_quantized_stored(
+            spark, f"{d}/emb", [float(x) for x in q.embedding]
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_keyword_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-accelerated keyword search (sources/writer.py
     write_inverted_index + keyword_search_indexed): build the
@@ -1534,31 +1563,34 @@ def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-5 rotation (COVERAGE.md tracks per-key verdict ages): front =
-    # the 7 new keys (keyword_search_bm25 / line_dedup /
-    # embedding_knn_quantized / embedding_knn_ivf_full / pii_scrub /
-    # winnow_fingerprint / winnow_pairs — the first three displace
-    # dedup_embedding / decontaminate_hashed / dedup_embedding_lsh, r03
-    # verdicts in untouched modules, to the r06 front), corpus_budget
+    # the 8 new keys (keyword_search_bm25 / line_dedup /
+    # embedding_knn_quantized + its materialized-layout twin
+    # embedding_knn_quantized_stored / embedding_knn_ivf_full /
+    # pii_scrub / winnow_fingerprint / winnow_pairs — the four
+    # session-new ones displace dedup_embedding / decontaminate_hashed /
+    # dedup_embedding_lsh / stream_sessionize, r03 verdicts in untouched
+    # modules, to the r06 front), corpus_budget
     # (reworked:
     # sharded two-phase prefix sum), ngram_jaccard (broadcast-estimate
     # headroom), and corpus_shuffle — its OBSERVABLE OUTPUT changed this
     # round (shard ids now from the hash's top bits): an r04 verdict on
     # the old mapping proves nothing, so it displaces knn_3d (r03,
     # module untouched, golden-vector + property tests) to the r06
-    # front. Then the stale cohort — bytes_concat (r02) and 39 of the 48
-    # keys whose latest verdict is r03. The 9 r03 keys left out to fit:
-    # the 3 displaced above, multimodal_features, frame_sample,
+    # front. Then the stale cohort — bytes_concat (r02) and 38 of the 48
+    # keys whose latest verdict is r03. The 10 r03 keys left out to fit:
+    # the 4 displaced above, multimodal_features, frame_sample,
     # approx_distinct, table_profile_approx (rows-only smokes — weakest
     # driver signal; their real checks are the local
     # determinism/CRC/error-bound tests) and sql_pricing_summary
     # (oracle == the same SQL text on both engines: facade parity,
-    # lowest-information oracle). All ten lead the r06 rotation. Back =
-    # the r04-green keys in otherwise-untouched modules.
+    # lowest-information oracle). All of these lead the r06 rotation.
+    # Back = the r04-green keys in otherwise-untouched modules.
     return {
         # -- new / changed since their last verdict ------------------------
         "keyword_search_bm25": _q_keyword_search_bm25,
         "line_dedup": _q_line_dedup,
         "embedding_knn_quantized": _q_embedding_knn_quantized,
+        "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
         "pii_scrub": _q_pii_scrub,
         "winnow_fingerprint": _q_winnow_fingerprint,
@@ -1607,8 +1639,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "floor_lookup": _q_floor_lookup,
         "asof_join": _q_asof_join,
         "stream_asof": _q_stream_asof,
-        "stream_sessionize": _q_stream_sessionize,
         # ---- driver window ends here (first 50 keys) --------------------
+        # displaced by embedding_knn_quantized_stored (new, in-window);
+        # r03 verdict, streaming module untouched, state tests local
+        "stream_sessionize": _q_stream_sessionize,
         # displaced to the r06 front by the three new session keys
         # (keyword_search_bm25 / line_dedup / embedding_knn_quantized,
         # in-window at the top): r03 verdicts, modules untouched since,
@@ -2044,6 +2078,8 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search_bm25": TX.keyword_search_bm25_sql(),
         "line_dedup": TX.line_dedup_sql(),
         "embedding_knn_quantized": SIM.embedding_knn_quantized_sql(),
+        # stored int8 layout must equal the scan form: same oracle text
+        "embedding_knn_quantized_stored": SIM.embedding_knn_quantized_sql(),
         "lm_bigram_score": TX.lm_bigram_score_sql(),
         "gopher_quality": TX.gopher_quality_sql(),
         "corpus_split": TX.corpus_split_sql(),

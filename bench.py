@@ -102,6 +102,7 @@ BENCH_KEYS = [
     "keyword_search_bm25",
     "line_dedup",
     "embedding_knn_quantized",
+    "embedding_knn_quantized_stored",
 ]
 
 

@@ -273,3 +273,64 @@ def test_inverted_index_bucket_modulus_persisted(spark, sf_dir):
     got = [(r.doc_id, r.score) for r in keyword_search_indexed(spark, path).collect()]
     want = [(r.doc_id, r.score) for r in keyword_search(docs).collect()]
     assert got == want and got
+
+
+# --- int8 quantized embedding layout --------------------------------------
+
+@pytest.fixture(scope="module")
+def sq_layout(spark, sf_dir):
+    import shutil
+
+    from tiny_md_hbase_spark.sources import load_table
+    from tiny_md_hbase_spark.sources.writer import write_embeddings_quantized
+
+    d = tempfile.mkdtemp(prefix="sq_layout_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    write_embeddings_quantized(emb, f"{d}/emb")
+    yield f"{d}/emb", emb
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_quantized_layout_stores_int8(spark, sq_layout):
+    path, _ = sq_layout
+    qv_field = {f.name: f for f in spark.read.parquet(path).schema}["qv"]
+    assert qv_field.dataType.simpleString() == "array<tinyint>"
+    row = spark.read.parquet(path).first()
+    assert all(-127 <= v <= 127 for v in row.qv)
+
+
+def test_quantized_stored_equals_scan_form(spark, sq_layout):
+    from tiny_md_hbase_spark.operators.similarity import (
+        embedding_knn_quantized,
+    )
+    from tiny_md_hbase_spark.sources.writer import (
+        embedding_knn_quantized_stored,
+    )
+
+    path, emb = sq_layout
+    q = emb.filter(F.col("vec_id") == 1).first()
+    stored = embedding_knn_quantized_stored(
+        spark, path, [float(x) for x in q.embedding]
+    ).collect()
+    scan = embedding_knn_quantized(emb, 1, 10).collect()
+    assert [(r.vec_id, r.qscore) for r in stored] == [
+        (r.vec_id, r.qscore) for r in scan
+    ]
+
+
+def test_quantized_stored_search_has_no_join(spark, sq_layout):
+    from tiny_md_hbase_spark import plans as P
+    from tiny_md_hbase_spark.sources.writer import (
+        embedding_knn_quantized_stored,
+    )
+
+    path, emb = sq_layout
+    q = emb.filter(F.col("vec_id") == 1).first()
+    df = embedding_knn_quantized_stored(
+        spark, path, [float(x) for x in q.embedding]
+    )
+    plan = P.explain_str(df, "simple")
+    # the scale and query are baked in as literals at build time: the
+    # search itself is scan -> integer fold -> TakeOrderedAndProject
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
