@@ -103,6 +103,7 @@ BENCH_KEYS = [
     "line_dedup",
     "embedding_knn_quantized",
     "embedding_knn_quantized_stored",
+    "keyword_search_bm25_indexed",
 ]
 
 

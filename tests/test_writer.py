@@ -334,3 +334,64 @@ def test_quantized_stored_search_has_no_join(spark, sq_layout):
     # search itself is scan -> integer fold -> TakeOrderedAndProject
     assert "Join" not in plan and "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# --- BM25 over the inverted index -----------------------------------------
+
+def test_bm25_indexed_equals_scan_form(spark, inv_index):
+    """Float parity is engineered (same expression tree, same round(6)):
+    indexed BM25 must return exactly the scan form's rows and scores in
+    the same rank order."""
+    from tiny_md_hbase_spark.operators.text import keyword_search_bm25
+    from tiny_md_hbase_spark.sources.writer import keyword_search_bm25_indexed
+
+    docs, path = inv_index
+    got = [
+        (r.doc_id, r.bm25)
+        for r in keyword_search_bm25_indexed(spark, path).collect()
+    ]
+    want = [(r.doc_id, r.bm25) for r in keyword_search_bm25(docs).collect()]
+    assert got == want and got
+
+
+def test_bm25_indexed_prunes_to_query_buckets(spark, inv_index):
+    """The ranked query keeps the layout's payoff: the postings scan
+    carries the PartitionFilter on the query terms' literal buckets."""
+    import re
+
+    from tiny_md_hbase_spark import plans as P
+    from tiny_md_hbase_spark.sources.writer import (
+        keyword_search_bm25_indexed,
+        term_bucket,
+    )
+
+    _, path = inv_index
+    q = keyword_search_bm25_indexed(spark, path, terms=("vector", "merge"))
+    plan = P.explain_str(q, "formatted")
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    want = sorted({term_bucket(t) for t in ("vector", "merge")})
+    assert pf and any(
+        all(str(b) in f for b in want) and " IN " in f for f in pf
+    ), plan
+
+
+def test_doc_lens_side_table_written(spark, inv_index):
+    """_doc_lens comes from the documents (zero-token docs included), is
+    invisible to the postings read, and matches the corpus token
+    counts."""
+    from pyspark.sql import functions as F2
+    from tiny_md_hbase_spark.operators.text import tokens
+
+    docs, path = inv_index
+    lens = spark.read.parquet(f"{path}/_doc_lens")
+    assert lens.count() == docs.count()
+    want = {
+        r.doc_id: r.dl
+        for r in docs.select(
+            "doc_id", F2.size(tokens("text")).cast("long").alias("dl")
+        ).collect()
+    }
+    got = {r.doc_id: r.dl for r in lens.collect()}
+    assert got == want
+    # postings read must not pick up the side table's rows
+    assert "dl" not in spark.read.parquet(path).columns

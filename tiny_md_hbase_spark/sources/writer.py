@@ -45,6 +45,7 @@ __all__ = [
     "embedding_knn_clustered",
     "write_embeddings_quantized",
     "embedding_knn_quantized_stored",
+    "keyword_search_bm25_indexed",
 ]
 
 
@@ -288,6 +289,14 @@ def write_inverted_index(
     documents.sparkSession.createDataFrame(
         [(num_buckets,)], "num_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_index_meta")
+    # per-document token counts — the BM25 length-normalization side
+    # table (underscore-prefixed: invisible to the postings read).
+    # Written from `documents`, NOT derived from the postings, so
+    # zero-token documents still count toward N/avgdl exactly as the
+    # scan form counts them
+    documents.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("dl")
+    ).write.mode("overwrite").parquet(f"{path}/_doc_lens")
 
 
 def keyword_search_indexed(
@@ -477,5 +486,96 @@ def embedding_knn_quantized_stored(
         spark.read.parquet(path)
         .select("vec_id", "label", qscore.alias("qscore"))
         .orderBy(F.col("qscore").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def keyword_search_bm25_indexed(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 over the materialized inverted index — returns exactly
+    the rows of ``text.keyword_search_bm25`` on the same corpus, so that
+    oracle applies verbatim.
+
+    Everything the formula needs comes from the index, never the corpus:
+    df(q) = posting-row count per query term (postings are one row per
+    (term, doc)); N and avgdl from the ``_doc_lens`` side table (written
+    from the documents, so zero-token docs count exactly as the scan
+    form counts them); tf from the posting rows. Per query the scan
+    touches only the query terms' bucket directories (partition pruning
+    on literal buckets) plus the 16-byte-per-doc ``_doc_lens`` table —
+    O(matching postings + docs), not O(corpus text).
+
+    Float parity with the scan form is engineered, not hoped for: each
+    candidate's (term → tf) rows are pivoted into per-term columns
+    (missing term → 0, the scan's tf for an absent term), and the SAME
+    expression tree — literals, casts, associativity, term order — is
+    applied, ending in the same round(6). The per-term df/stat
+    relations are 1-row broadcasts."""
+    from tiny_md_hbase_spark.operators.text import SEARCH_TERMS
+
+    if num_buckets is None:
+        num_buckets = int(
+            spark.read.parquet(f"{path}/_index_meta").first().num_buckets
+        )
+    qs = sorted({t.lower() for t in (terms or SEARCH_TERMS)})
+    buckets = sorted({term_bucket(q, num_buckets) for q in qs})
+    lens = spark.read.parquet(f"{path}/_doc_lens")
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(qs))
+    )
+    dfs = idx.agg(
+        *[
+            F.sum(F.when(F.col("term") == q, F.lit(1)).otherwise(F.lit(0)))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    cand = idx.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == q, F.col("tf"))).alias(f"tf_{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    joined = (
+        cand.join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+    )
+    dl = F.col("dl").cast("double")
+    contribs = []
+    for i, q in enumerate(qs):
+        tf = F.coalesce(F.col(f"tf_{i}"), F.lit(0).cast("long")).cast(
+            "double"
+        )
+        df = F.col(f"df_{i}")
+        idf = F.log(
+            (F.col("nd") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl")
+        )
+        contribs.append(idf * (tf * F.lit(k1 + 1.0)) / denom)
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return (
+        joined.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
     )
