@@ -845,6 +845,16 @@ def _q_embedding_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_knn_quantized(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-quantile quality filter (operators/text.py
+    quality_gate): keep the top ceil(N*0.3) docs by (quality desc,
+    doc_id) via the bounded-cardinality histogram threshold — per-score
+    counts + a metadata-sized cumulative window + boundary-class
+    row_number, never a global sort of the corpus. The oracle is the
+    naive row_number reference form the selection must equal."""
+    return TX.quality_gate(load_table(spark, sf_dir, "documents"))
+
+
 def _q_keyword_search_bm25_indexed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1591,21 +1601,22 @@ def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-5 rotation (COVERAGE.md tracks per-key verdict ages): front =
-    # the 9 new keys (keyword_search_bm25 + its indexed twin /
-    # line_dedup / embedding_knn_quantized + its materialized-layout
-    # twin / embedding_knn_ivf_full / pii_scrub / winnow_fingerprint /
-    # winnow_pairs — the five session-new ones displace dedup_embedding
-    # / decontaminate_hashed / dedup_embedding_lsh / stream_asof /
-    # stream_sessionize, r03 verdicts in untouched modules, to the r06
-    # front), corpus_budget (reworked:
+    # the 10 new keys (keyword_search_bm25 + its indexed twin /
+    # line_dedup / quality_gate / embedding_knn_quantized + its
+    # materialized-layout twin / embedding_knn_ivf_full / pii_scrub /
+    # winnow_fingerprint / winnow_pairs — the six session-new ones
+    # displace dedup_embedding / decontaminate_hashed /
+    # dedup_embedding_lsh / asof_join / stream_asof / stream_sessionize,
+    # r03 verdicts in untouched modules, to the r06 front),
+    # corpus_budget (reworked:
     # sharded two-phase prefix sum), ngram_jaccard (broadcast-estimate
     # headroom), and corpus_shuffle — its OBSERVABLE OUTPUT changed this
     # round (shard ids now from the hash's top bits): an r04 verdict on
     # the old mapping proves nothing, so it displaces knn_3d (r03,
     # module untouched, golden-vector + property tests) to the r06
-    # front. Then the stale cohort — bytes_concat (r02) and 37 of the 48
-    # keys whose latest verdict is r03. The 11 r03 keys left out to fit:
-    # the 5 displaced above, multimodal_features, frame_sample,
+    # front. Then the stale cohort — bytes_concat (r02) and 36 of the 48
+    # keys whose latest verdict is r03. The 12 r03 keys left out to fit:
+    # the 6 displaced above, multimodal_features, frame_sample,
     # approx_distinct, table_profile_approx (rows-only smokes — weakest
     # driver signal; their real checks are the local
     # determinism/CRC/error-bound tests) and sql_pricing_summary
@@ -1617,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search_bm25": _q_keyword_search_bm25,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
         "line_dedup": _q_line_dedup,
+        "quality_gate": _q_quality_gate,
         "embedding_knn_quantized": _q_embedding_knn_quantized,
         "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
@@ -1665,13 +1677,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_build": _q_index_build,
         "index_inspect": _q_index_inspect,
         "floor_lookup": _q_floor_lookup,
-        "asof_join": _q_asof_join,
         # ---- driver window ends here (first 50 keys) --------------------
         # displaced by the session-new in-window keys
         # (keyword_search_bm25 + its indexed twin, line_dedup,
-        # embedding_knn_quantized + its stored twin): r03 verdicts,
-        # modules untouched since, streaming-state / planted-pair /
-        # LSH-recall tests keep them covered locally
+        # quality_gate, embedding_knn_quantized + its stored twin): r03
+        # verdicts, modules untouched since, streaming-state /
+        # planted-pair / LSH-recall / asof tests keep them covered
+        # locally
+        "asof_join": _q_asof_join,
         "stream_asof": _q_stream_asof,
         "stream_sessionize": _q_stream_sessionize,
         "dedup_embedding": _q_dedup_embedding,
@@ -2109,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_quantized_stored": SIM.embedding_knn_quantized_sql(),
         # indexed BM25 must equal the scan form: same oracle text
         "keyword_search_bm25_indexed": TX.keyword_search_bm25_sql(),
+        "quality_gate": TX.quality_gate_sql(),
         "lm_bigram_score": TX.lm_bigram_score_sql(),
         "gopher_quality": TX.gopher_quality_sql(),
         "corpus_split": TX.corpus_split_sql(),

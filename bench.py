@@ -104,6 +104,7 @@ BENCH_KEYS = [
     "embedding_knn_quantized",
     "embedding_knn_quantized_stored",
     "keyword_search_bm25_indexed",
+    "quality_gate",
 ]
 
 

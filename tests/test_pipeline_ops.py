@@ -1300,3 +1300,41 @@ def test_knn_quantized_scores_are_exact_ints(spark, sf_dir):
     assert all(abs(r.qscore) <= 127 * 127 * dim for r in rows)
     # self-similarity bounds every other quantized dot product
     assert rows[0].qscore == max(r.qscore for r in rows)
+
+
+# --- exact corpus-quantile quality gate -----------------------------------
+
+def test_quality_gate_exact_count_and_top_ranked(docs):
+    import math
+
+    n = docs.count()
+    got = T.quality_gate(docs, 0.3).collect()
+    assert len(got) == math.ceil(n * 0.3)
+    # every kept doc outranks every dropped doc under (quality, -doc_id)
+    kept = {r.doc_id for r in got}
+    ranked = sorted(
+        ((r.quality, -r.doc_id, r.doc_id)
+         for r in T.quality_score(docs).collect()),
+        reverse=True,
+    )
+    want = {d for (_, _, d) in ranked[: len(got)]}
+    assert kept == want
+
+
+def test_quality_gate_tie_break_on_doc_id(spark):
+    """All-equal scores: the boundary class IS the whole corpus; the
+    gate must keep the smallest doc_ids."""
+    rows = [(i, "alpha beta gamma delta five six") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in T.quality_gate(df, 0.5).collect())
+    assert kept == [0, 1, 2, 3, 4]
+
+
+def test_quality_gate_keeps_higher_scores_first(spark):
+    """Two clearly separated score classes: the high class is kept
+    outright, the low class supplies only the remainder."""
+    hi = [(i, "the and of to in is that node graph edge") for i in range(4)]
+    lo = [(100 + i, "#### #### ####") for i in range(6)]
+    df = spark.createDataFrame(hi + lo, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in T.quality_gate(df, 0.5).collect())
+    assert kept == [0, 1, 2, 3, 100]

@@ -57,6 +57,8 @@ __all__ = [
     "keyword_search_sql",
     "keyword_search_bm25",
     "keyword_search_bm25_sql",
+    "quality_gate",
+    "quality_gate_sql",
     "line_dedup",
     "line_dedup_sql",
     "lm_bigram_score",
@@ -1468,6 +1470,102 @@ def keyword_search_bm25_sql(
         f"WHERE len(list_filter([{inlist}], q -> list_contains(toks, q))) "
         ">= 1 "
         f"ORDER BY bm25 DESC, doc_id LIMIT {k}"
+    )
+
+
+def quality_gate(documents: DataFrame, keep_frac: float = 0.3) -> DataFrame:
+    """EXACT corpus-quantile quality filter: keep the top
+    ``ceil(N * keep_frac)`` documents by (quality desc, doc_id asc) —
+    the "train on the best 30%" gate, selected exactly, not by a
+    sampled threshold.
+
+    The naive form is one global sort (rank every document — the
+    100 TB window killer). This instead exploits the score's BOUNDED
+    cardinality (quality is round(6) on a [0,1] blend — at most ~10^6
+    distinct values, in practice a few hundred): (1) a map-side
+    histogram of per-score counts; (2) a cumulative window over the
+    HISTOGRAM (metadata-sized, single task over score classes, not
+    documents); (3) every document joins its score class (broadcast) —
+    classes wholly above the cut are kept outright with zero sorting,
+    and only the single boundary class ranks its members by doc_id to
+    take the remaining ``k - above`` slots. The only per-document
+    window is that one class; if a degenerate corpus puts most mass on
+    one score, that window is the shape ``skew_safe_topk`` solves and
+    can be swapped in.
+
+    Cross-engine contract: ``k = ceil(double(N) * keep_frac)`` in
+    DOUBLE arithmetic on both engines (a decimal-typed literal on one
+    side would ceil to a different integer when N*frac lands near an
+    integer); selection is equivalent to ``row_number() OVER (ORDER BY
+    quality DESC, doc_id) <= k`` — the oracle's form."""
+    from pyspark.sql import Window
+
+    scored = (
+        quality_score(documents)
+        .select("doc_id", "quality")
+        .filter(F.col("quality").isNotNull())
+    )
+    kdf = scored.agg(
+        F.ceil(F.count(F.lit(1)).cast("double") * F.lit(keep_frac))
+        .cast("long")
+        .alias("k")
+    )
+    hist = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hist = hist.withColumn(
+        "above", F.coalesce(F.sum("c").over(w_cum), F.lit(0))
+    )
+    j = scored.join(F.broadcast(hist), "quality").crossJoin(F.broadcast(kdf))
+    full = j.filter(F.col("above") + F.col("c") <= F.col("k"))
+    w_edge = Window.partitionBy("quality").orderBy("doc_id")
+    edge = (
+        j.filter(
+            (F.col("above") < F.col("k"))
+            & (F.col("above") + F.col("c") > F.col("k"))
+        )
+        .withColumn("rn", F.row_number().over(w_edge))
+        .filter(F.col("rn") <= F.col("k") - F.col("above"))
+    )
+    return full.select("doc_id", "quality").unionByName(
+        edge.select("doc_id", "quality")
+    )
+
+
+def _quality_scored_sql() -> str:
+    """DuckDB relation (doc_id, quality) matching
+    :func:`quality_score`'s blended score."""
+    all_stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    inlist = ", ".join(f"'{w}'" for w in all_stop)
+    return (
+        "SELECT doc_id, "
+        "round(least(alpha_ratio / 0.7, 1.0) * 0.4 "
+        "+ least(stopword_ratio / 0.06, 1.0) * 0.3 "
+        "+ CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12 "
+        "THEN 0.3 ELSE 0.0 END, 6) AS quality FROM ("
+        "SELECT doc_id, "
+        "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+        " / length(text) AS alpha_ratio, "
+        f"CAST(len(list_filter({tokens_sql('text')}, t -> lower(t) IN "
+        f"({inlist}))) AS DOUBLE) / len({tokens_sql('text')}) "
+        "AS stopword_ratio, "
+        f"CAST(length(text) AS DOUBLE) / len({tokens_sql('text')}) "
+        "AS mean_token_len FROM documents)"
+    )
+
+
+def quality_gate_sql(keep_frac: float = 0.3) -> str:
+    """DuckDB twin of :func:`quality_gate` — the straightforward
+    row_number reference form the histogram selection must equal."""
+    return (
+        f"WITH s AS ({_quality_scored_sql()}), "
+        "k AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) * "
+        f"{keep_frac!r}) AS BIGINT) AS k FROM s), "
+        "r AS (SELECT doc_id, quality, row_number() OVER "
+        "(ORDER BY quality DESC, doc_id) AS rn FROM s "
+        "WHERE quality IS NOT NULL) "
+        "SELECT doc_id, quality FROM r, k WHERE rn <= k.k"
     )
 
 
