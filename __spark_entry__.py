@@ -2184,25 +2184,22 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s"
         ),
         "quality_score": (
-            "WITH base AS (SELECT doc_id, length(text) AS n_chars, "
-            f"CAST(len({_TOKS}) AS INTEGER) AS n_tokens, "
-            "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, "
-            "length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces, "
-            f"len(list_filter({_TOKS}, t -> lower(t) IN ("
-            + ", ".join(f"'{w}'" for w in all_stop)
-            + "))) AS stop_hits FROM documents) "
+            # single-source blend (TX.quality_*_sql); qbase extended
+            # with the spaces count this oracle alone reports
+            "WITH qbase AS ("
+            + TX.quality_qbase_sql().replace(
+                " FROM documents",
+                ", length(regexp_replace(text, '[^ ]', '', 'g')) "
+                "AS spaces FROM documents",
+            )
+            + "), "
+            f"qr AS (SELECT doc_id, n_chars, n_tokens, "
+            f"{TX.quality_ratios_sql()}, "
+            "CASE WHEN n_chars > 0 THEN CAST(spaces AS DOUBLE) / n_chars "
+            "END AS space_ratio FROM qbase) "
             "SELECT doc_id, n_chars, n_tokens, alpha_ratio, space_ratio, "
             "stopword_ratio, mean_token_len, "
-            "round(least(alpha_ratio / 0.7, 1.0) * 0.4 "
-            "+ least(stopword_ratio / 0.06, 1.0) * 0.3 "
-            "+ CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12 "
-            "THEN 0.3 ELSE 0.0 END, 6) AS quality FROM ("
-            "  SELECT doc_id, n_chars, n_tokens,"
-            "    CAST(alpha AS DOUBLE) / n_chars AS alpha_ratio,"
-            "    CAST(spaces AS DOUBLE) / n_chars AS space_ratio,"
-            "    CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,"
-            "    CAST(n_chars AS DOUBLE) / n_tokens AS mean_token_len"
-            "  FROM base)"
+            f"{TX.quality_blend_sql()} AS quality FROM qr"
         ),
         "doc_fingerprint": (
             f"SELECT doc_id, {TX.doc_fingerprint_sql()} AS fingerprint "
@@ -2229,20 +2226,11 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE rnk <= {KNN_K}"
         ),
         "corpus_clean": (
-            "WITH base AS (SELECT doc_id, length(text) AS n_chars, "
-            f"CAST(len({_TOKS}) AS INTEGER) AS n_tokens, "
-            "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, "
-            f"len(list_filter({_TOKS}, t -> lower(t) IN ("
-            + ", ".join(
-                f"'{w}'" for w in sorted({w for ws in TX.LANG_MARKERS.values() for w in ws})
-            )
-            + "))) AS stop_hits FROM documents), "
+            # single-source blend (TX.quality_*_sql)
+            f"WITH qbase AS ({TX.quality_qbase_sql()}), "
+            f"qr AS (SELECT doc_id, {TX.quality_ratios_sql()} FROM qbase), "
             "scored AS (SELECT doc_id, "
-            "round(least((CAST(alpha AS DOUBLE) / n_chars) / 0.7, 1.0) * 0.4 "
-            "+ least((CAST(stop_hits AS DOUBLE) / n_tokens) / 0.06, 1.0) * 0.3 "
-            "+ CASE WHEN (CAST(n_chars AS DOUBLE) / n_tokens) >= 3 "
-            "AND (CAST(n_chars AS DOUBLE) / n_tokens) <= 12 "
-            "THEN 0.3 ELSE 0.0 END, 6) AS quality FROM base), "
+            f"{TX.quality_blend_sql()} AS quality FROM qr), "
             "good AS (SELECT d.doc_id, d.text, d.lang FROM documents d "
             "JOIN scored s ON d.doc_id = s.doc_id WHERE s.quality >= 0.5), "
             "kept AS (SELECT text, min(doc_id) AS keep_id, "

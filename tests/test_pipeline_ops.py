@@ -1338,3 +1338,44 @@ def test_quality_gate_keeps_higher_scores_first(spark):
     df = spark.createDataFrame(hi + lo, "doc_id long, text string")
     kept = sorted(r.doc_id for r in T.quality_gate(df, 0.5).collect())
     assert kept == [0, 1, 2, 3, 100]
+
+
+# --- review-fix regressions: ANSI guards and argument contracts -----------
+
+def test_quality_score_null_on_degenerate_docs(spark):
+    """Empty / whitespace-only docs score NULL instead of aborting the
+    job under Spark 4's default ANSI mode."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the and of to in is that words here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.quality for r in T.quality_score(df).collect()}
+    assert got[1] is None and got[2] is None and got[3] is not None
+
+
+def test_quality_gate_skips_degenerate_docs(spark):
+    """The gate ranks only scoreable docs; k is a fraction of THOSE."""
+    rows = [(1, ""), (2, "   ")] + [
+        (10 + i, "the and of to in is that words here") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in T.quality_gate(df, 0.5).collect())
+    assert kept == [10, 11]  # ceil(4 * 0.5) of the 4 scoreable docs
+
+
+def test_bm25_rejects_empty_terms(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        T.keyword_search_bm25(df, terms=())
+    with pytest.raises(ValueError):
+        T.keyword_search(df, terms=())
+
+
+def test_quantize_zero_corpus_scores_zero(spark):
+    """All-zero embeddings quantize to 0 (no ANSI divide-by-zero)."""
+    z = spark.createDataFrame(
+        [(i, [0.0] * 8, "z") for i in range(5)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    rows = S.embedding_knn_quantized(z, 1, 3).collect()
+    assert len(rows) == 3 and all(r.qscore == 0 for r in rows)

@@ -119,17 +119,34 @@ def embedding_knn(
     )
 
 
+def _maxabs_scale(e: DataFrame) -> DataFrame:
+    """1-row corpus max-abs scale over a relation with ``v:
+    array<double>`` — the single source for the quantization scale, so
+    the scan form and the materialized layout can never quantize under
+    different aggregates."""
+    return e.agg(
+        F.max(F.array_max(F.transform("v", lambda x: F.abs(x)))).alias("mx")
+    )
+
+
 def _quantize(v: Column, mx: Column) -> Column:
     """Symmetric int8 scalar quantization of an array<double> column
     under the corpus-wide max-abs scale ``mx``: round(x * 127 / mx)
     clipped to [-127, 127], kept as BIGINT for exact integer dot
     products. The clip-then-cast runs on an integral double, so the
-    result is exact in any engine."""
+    result is exact in any engine. ``mx = 0`` (all-zero corpus)
+    quantizes to 0 instead of dividing by zero — under Spark 4's
+    default ANSI mode an unguarded x/0 would abort the job."""
     return F.transform(
         v,
         lambda x: F.greatest(
             F.lit(-127.0),
-            F.least(F.lit(127.0), F.round(x * F.lit(127.0) / mx, 0)),
+            F.least(
+                F.lit(127.0),
+                F.when(
+                    mx != F.lit(0.0), F.round(x * F.lit(127.0) / mx, 0)
+                ).otherwise(F.lit(0.0)),
+            ),
         ).cast("long"),
     )
 
@@ -158,9 +175,7 @@ def embedding_knn_quantized(
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    scale = e.agg(
-        F.max(F.array_max(F.transform("v", lambda x: F.abs(x)))).alias("mx")
-    )
+    scale = _maxabs_scale(e)
     q = (
         e.filter(F.col("vec_id") == query_vec_id)
         .crossJoin(F.broadcast(scale))
@@ -188,7 +203,8 @@ def embedding_knn_quantized_sql(query_vec_id: int = 1, k: int = 10) -> str:
     match exactly with no rounding epsilon."""
     quant = (
         "list_transform({v}, x -> CAST(greatest(-127.0, "
-        "least(127.0, round(x * 127.0 / mx, 0))) AS BIGINT))"
+        "least(127.0, CASE WHEN mx <> 0 THEN round(x * 127.0 / mx, 0) "
+        "ELSE 0.0 END)) AS BIGINT))"
     )
     return (
         "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "

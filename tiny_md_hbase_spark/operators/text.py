@@ -57,8 +57,12 @@ __all__ = [
     "keyword_search_sql",
     "keyword_search_bm25",
     "keyword_search_bm25_sql",
+    "bm25_score",
     "quality_gate",
     "quality_gate_sql",
+    "quality_qbase_sql",
+    "quality_ratios_sql",
+    "quality_blend_sql",
     "line_dedup",
     "line_dedup_sql",
     "lm_bigram_score",
@@ -205,14 +209,19 @@ def quality_score(documents: DataFrame) -> DataFrame:
     spaces = F.length(F.regexp_replace("text", "[^ ]", ""))
     n_tokens = F.size(toks)
     stop_hits = _marker_hits(toks, sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+    # zero-guard every ratio: Spark 4 defaults to ANSI mode, where an
+    # unguarded x/0 ABORTS the job on the first empty or whitespace-only
+    # document instead of yielding NULL — the guard makes degenerate
+    # docs score NULL on both engines (CASE short-circuits, so the
+    # division never evaluates for them)
     df = documents.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        (alpha / n_chars).alias("alpha_ratio"),
-        (spaces / n_chars).alias("space_ratio"),
-        (stop_hits / n_tokens).alias("stopword_ratio"),
-        (n_chars / n_tokens).alias("mean_token_len"),
+        F.when(n_chars > 0, alpha / n_chars).alias("alpha_ratio"),
+        F.when(n_chars > 0, spaces / n_chars).alias("space_ratio"),
+        F.when(n_tokens > 0, stop_hits / n_tokens).alias("stopword_ratio"),
+        F.when(n_tokens > 0, n_chars / n_tokens).alias("mean_token_len"),
     )
     score = (
         F.least(F.col("alpha_ratio") / 0.7, F.lit(1.0)) * 0.4
@@ -220,7 +229,63 @@ def quality_score(documents: DataFrame) -> DataFrame:
         + F.when((F.col("mean_token_len") >= 3) & (F.col("mean_token_len") <= 12), 0.3)
         .otherwise(0.0)
     )
-    return df.withColumn("quality", F.round(score, 6))
+    # top-level guard, not per-term: least() IGNORES nulls in both
+    # engines, so a null ratio would silently contribute the 1.0 cap
+    # instead of poisoning the blend
+    quality = F.when(
+        F.col("alpha_ratio").isNotNull()
+        & F.col("stopword_ratio").isNotNull(),
+        F.round(score, 6),
+    )
+    return df.withColumn("quality", quality)
+
+
+def quality_ratios_sql() -> str:
+    """Guarded ratio projections over a relation carrying
+    (n_chars, n_tokens, alpha, stop_hits) — the SINGLE source of the
+    quality ratios' SQL text (every oracle embedding the blend builds
+    from this + :func:`quality_blend_sql`, so a formula change lands in
+    one place). The CASE guards mirror the Spark side's ANSI-safe
+    zero-denominator handling: degenerate docs get NULL ratios."""
+    return (
+        "CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars END "
+        "AS alpha_ratio, "
+        "CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens "
+        "END AS stopword_ratio, "
+        "CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens "
+        "END AS mean_token_len"
+    )
+
+
+def quality_blend_sql(
+    ar: str = "alpha_ratio",
+    sr: str = "stopword_ratio",
+    mtl: str = "mean_token_len",
+) -> str:
+    """The blended [0,1] quality score's SQL text (single source, see
+    :func:`quality_ratios_sql`). NULL iff a ratio is NULL — guarded at
+    the top level because least() ignores NULLs in both engines."""
+    return (
+        f"CASE WHEN {ar} IS NOT NULL AND {sr} IS NOT NULL THEN "
+        f"round(least({ar} / 0.7, 1.0) * 0.4 "
+        f"+ least({sr} / 0.06, 1.0) * 0.3 "
+        f"+ CASE WHEN {mtl} >= 3 AND {mtl} <= 12 THEN 0.3 ELSE 0.0 END, "
+        "6) END"
+    )
+
+
+def quality_qbase_sql(source: str = "documents") -> str:
+    """The (doc_id, n_chars, n_tokens, alpha, stop_hits) base relation
+    feeding :func:`quality_ratios_sql` (single source)."""
+    all_stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    inlist = ", ".join(f"'{w}'" for w in all_stop)
+    return (
+        "SELECT doc_id, length(text) AS n_chars, "
+        f"CAST(len({tokens_sql('text')}) AS INTEGER) AS n_tokens, "
+        "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, "
+        f"len(list_filter({tokens_sql('text')}, t -> lower(t) IN "
+        f"({inlist}))) AS stop_hits FROM {source}"
+    )
 
 
 def text_stats(documents: DataFrame) -> DataFrame:
@@ -1023,19 +1088,10 @@ def corpus_prepare_sql(
     return (
         f"WITH scrubbed AS (SELECT doc_id, {cur} AS text, lang, source, n_chars "
         "FROM documents), "
-        "qbase AS (SELECT doc_id, length(text) AS n_chars, "
-        f"CAST(len({toks}) AS INTEGER) AS n_tokens, "
-        "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, "
-        f"len(list_filter({toks}, t -> lower(t) IN ({stop}))) AS stop_hits "
-        "FROM scrubbed), "
-        "qr AS (SELECT doc_id, CAST(alpha AS DOUBLE) / n_chars AS alpha_ratio, "
-        "CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio, "
-        "CAST(n_chars AS DOUBLE) / n_tokens AS mean_token_len FROM qbase), "
+        f"qbase AS ({quality_qbase_sql('scrubbed')}), "
+        f"qr AS (SELECT doc_id, {quality_ratios_sql()} FROM qbase), "
         "ok AS (SELECT doc_id FROM qr WHERE "
-        "round(least(alpha_ratio / 0.7, 1.0) * 0.4 "
-        "+ least(stopword_ratio / 0.06, 1.0) * 0.3 "
-        "+ CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12 "
-        f"THEN 0.3 ELSE 0.0 END, 6) >= {quality_threshold}), "
+        f"{quality_blend_sql()} >= {quality_threshold}), "
         "good AS (SELECT s.* FROM scrubbed s JOIN ok USING (doc_id)), "
         "keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text), "
         "surv AS (SELECT g.* FROM good g JOIN keep USING (doc_id)), "
@@ -1320,6 +1376,8 @@ def keyword_search(
     # a duplicated query term could otherwise never satisfy == len(qs);
     # the SQL twin and the indexed form dedupe identically
     qs = sorted({t.lower() for t in terms})
+    if not qs:
+        raise ValueError("keyword_search requires at least one term")
     toks = F.transform(tokens("text"), lambda t: F.lower(t))
     d = documents.select("doc_id", toks.alias("toks"))
     have_all = (
@@ -1354,6 +1412,31 @@ def keyword_search_sql(
     )
 
 
+def bm25_score(tf_cols: list[Column], dl: Column, k1: float, b: float) -> Column:
+    """The BM25 scoring expression tree — the SINGLE source both the
+    scan form and the index-accelerated form build from, so their
+    row-for-row equality (and the shared oracle) is structural, not
+    copy-maintained. Expects the enclosing relation to carry 1-row
+    broadcast columns ``nd``/``avgdl`` and per-term ``df_<i>`` aligned
+    with ``tf_cols``'s order; literals/casts/associativity here define
+    the cross-engine float contract mirrored by
+    :func:`keyword_search_bm25_sql`."""
+    contribs = []
+    for i, tf in enumerate(tf_cols):
+        df = F.col(f"df_{i}")
+        idf = F.log(
+            (F.col("nd") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl")
+        )
+        contribs.append(idf * (tf * F.lit(k1 + 1.0)) / denom)
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return score
+
+
 def keyword_search_bm25(
     documents: DataFrame,
     terms: tuple[str, ...] = SEARCH_TERMS,
@@ -1383,6 +1466,8 @@ def keyword_search_bm25(
     difference cannot reorder the k-boundary (ties then break on
     doc_id)."""
     qs = sorted({t.lower() for t in terms})
+    if not qs:
+        raise ValueError("keyword_search_bm25 requires at least one term")
     toks = F.transform(tokens("text"), lambda t: F.lower(t))
     d = documents.select("doc_id", toks.alias("toks"))
     stats = d.agg(
@@ -1403,22 +1488,13 @@ def keyword_search_bm25(
         ],
     )
     dl = F.size("toks").cast("double")
-    contribs = []
-    for i, q in enumerate(qs):
-        # single-arg lambda: a second parameter would make F.filter
-        # treat it as the (element, index) form
-        tf = F.size(F.filter("toks", lambda t: t == F.lit(q))).cast("double")
-        df = F.col(f"df_{i}")
-        idf = F.log(
-            (F.col("nd") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
-        )
-        denom = tf + F.lit(k1) * (
-            F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl")
-        )
-        contribs.append(idf * (tf * F.lit(k1 + 1.0)) / denom)
-    score = contribs[0]
-    for c in contribs[1:]:
-        score = score + c
+    # single-arg lambda: a second parameter would make F.filter
+    # treat it as the (element, index) form
+    tf_cols = [
+        F.size(F.filter("toks", lambda t: t == F.lit(q))).cast("double")
+        for q in qs
+    ]
+    score = bm25_score(tf_cols, dl, k1, b)
     have_any = (
         F.size(F.array_intersect("toks", F.array(*[F.lit(q) for q in qs])))
         >= 1
@@ -1505,12 +1581,15 @@ def quality_gate(documents: DataFrame, keep_frac: float = 0.3) -> DataFrame:
         .select("doc_id", "quality")
         .filter(F.col("quality").isNotNull())
     )
-    kdf = scored.agg(
-        F.ceil(F.count(F.lit(1)).cast("double") * F.lit(keep_frac))
+    hist = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
+    # N comes from the histogram (sum of class counts — scoreable docs
+    # only, matching the oracle's filtered count), NOT from a third
+    # corpus scan of the regex-heavy scoring projection
+    kdf = hist.agg(
+        F.ceil(F.sum("c").cast("double") * F.lit(keep_frac))
         .cast("long")
         .alias("k")
     )
-    hist = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
     w_cum = Window.orderBy(F.col("quality").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1535,23 +1614,12 @@ def quality_gate(documents: DataFrame, keep_frac: float = 0.3) -> DataFrame:
 
 def _quality_scored_sql() -> str:
     """DuckDB relation (doc_id, quality) matching
-    :func:`quality_score`'s blended score."""
-    all_stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
-    inlist = ", ".join(f"'{w}'" for w in all_stop)
+    :func:`quality_score`'s blended score — built from the shared
+    single-source builders."""
     return (
-        "SELECT doc_id, "
-        "round(least(alpha_ratio / 0.7, 1.0) * 0.4 "
-        "+ least(stopword_ratio / 0.06, 1.0) * 0.3 "
-        "+ CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12 "
-        "THEN 0.3 ELSE 0.0 END, 6) AS quality FROM ("
-        "SELECT doc_id, "
-        "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
-        " / length(text) AS alpha_ratio, "
-        f"CAST(len(list_filter({tokens_sql('text')}, t -> lower(t) IN "
-        f"({inlist}))) AS DOUBLE) / len({tokens_sql('text')}) "
-        "AS stopword_ratio, "
-        f"CAST(length(text) AS DOUBLE) / len({tokens_sql('text')}) "
-        "AS mean_token_len FROM documents)"
+        f"SELECT doc_id, {quality_blend_sql()} AS quality FROM ("
+        f"SELECT doc_id, {quality_ratios_sql()} FROM "
+        f"({quality_qbase_sql()}))"
     )
 
 
@@ -1560,11 +1628,13 @@ def quality_gate_sql(keep_frac: float = 0.3) -> str:
     row_number reference form the histogram selection must equal."""
     return (
         f"WITH s AS ({_quality_scored_sql()}), "
-        "k AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) * "
-        f"{keep_frac!r}) AS BIGINT) AS k FROM s), "
         "r AS (SELECT doc_id, quality, row_number() OVER "
         "(ORDER BY quality DESC, doc_id) AS rn FROM s "
-        "WHERE quality IS NOT NULL) "
+        "WHERE quality IS NOT NULL), "
+        # N counts scoreable (non-null-quality) docs only, like the
+        # Spark histogram sum
+        "k AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) * "
+        f"{keep_frac!r}) AS BIGINT) AS k FROM r) "
         "SELECT doc_id, quality FROM r, k WHERE rn <= k.k"
     )
 
@@ -1614,11 +1684,14 @@ def line_dedup(documents: DataFrame, min_docs: int = 2) -> DataFrame:
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
+    # n_lines from the already-exploded relation (split yields >= 1
+    # element for every doc, so no doc is lost) — NOT a second scan of
+    # the full text column
+    n_lines = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
     return (
-        documents.select(
-            "doc_id", F.size(F.split(txt, "\n")).cast("long").alias("n_lines")
-        )
-        .join(rebuilt, "doc_id", "left")
+        n_lines.join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),

@@ -327,7 +327,13 @@ def keyword_search_indexed(
         num_buckets = int(
             spark.read.parquet(f"{path}/_index_meta").first().num_buckets
         )
-    qs = sorted({t.lower() for t in (terms or SEARCH_TERMS)})
+    qs = sorted(
+        {t.lower() for t in (SEARCH_TERMS if terms is None else terms)}
+    )
+    if not qs:
+        # mirror the scan form: explicit empty terms error out rather
+        # than silently searching the default query
+        raise ValueError("keyword_search_indexed requires at least one term")
     buckets = sorted({term_bucket(q, num_buckets) for q in qs})
     idx = (
         spark.read.parquet(path)
@@ -428,14 +434,15 @@ def write_embeddings_quantized(embeddings: DataFrame, path: str) -> None:
     One corpus pass computes the scale (map-side partial max), a second
     writes the quantized rows — both row-local under a broadcast 1-row
     scale, no shuffle beyond the scalar aggregate."""
-    from tiny_md_hbase_spark.operators.similarity import _quantize
+    from tiny_md_hbase_spark.operators.similarity import (
+        _maxabs_scale,
+        _quantize,
+    )
 
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    scale = e.agg(
-        F.max(F.array_max(F.transform("v", lambda x: F.abs(x)))).alias("mx")
-    )
+    scale = _maxabs_scale(e)
     q = e.crossJoin(F.broadcast(scale)).select(
         "vec_id",
         "label",
@@ -462,7 +469,13 @@ def embedding_knn_quantized_stored(
     verbatim."""
     from tiny_md_hbase_spark.operators.similarity import _quantize
 
-    mx = float(spark.read.parquet(f"{path}/_sq_meta").first().mx)
+    meta = spark.read.parquet(f"{path}/_sq_meta").first()
+    if meta is None or meta.mx is None:
+        raise ValueError(
+            f"{path}/_sq_meta holds no scale — the layout was written "
+            "from an empty embeddings table"
+        )
+    mx = float(meta.mx)
     qq = (
         spark.range(1)
         .select(
@@ -518,13 +531,21 @@ def keyword_search_bm25_indexed(
     expression tree — literals, casts, associativity, term order — is
     applied, ending in the same round(6). The per-term df/stat
     relations are 1-row broadcasts."""
-    from tiny_md_hbase_spark.operators.text import SEARCH_TERMS
+    from tiny_md_hbase_spark.operators.text import SEARCH_TERMS, bm25_score
 
     if num_buckets is None:
         num_buckets = int(
             spark.read.parquet(f"{path}/_index_meta").first().num_buckets
         )
-    qs = sorted({t.lower() for t in (terms or SEARCH_TERMS)})
+    qs = sorted(
+        {t.lower() for t in (SEARCH_TERMS if terms is None else terms)}
+    )
+    if not qs:
+        # mirror the scan form: an explicit empty term set is an error,
+        # not a silent fallback to the default query
+        raise ValueError(
+            "keyword_search_bm25_indexed requires at least one term"
+        )
     buckets = sorted({term_bucket(q, num_buckets) for q in qs})
     lens = spark.read.parquet(f"{path}/_doc_lens")
     stats = lens.agg(
@@ -558,22 +579,11 @@ def keyword_search_bm25_indexed(
         .crossJoin(F.broadcast(dfs))
     )
     dl = F.col("dl").cast("double")
-    contribs = []
-    for i, q in enumerate(qs):
-        tf = F.coalesce(F.col(f"tf_{i}"), F.lit(0).cast("long")).cast(
-            "double"
-        )
-        df = F.col(f"df_{i}")
-        idf = F.log(
-            (F.col("nd") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
-        )
-        denom = tf + F.lit(k1) * (
-            F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl")
-        )
-        contribs.append(idf * (tf * F.lit(k1 + 1.0)) / denom)
-    score = contribs[0]
-    for c in contribs[1:]:
-        score = score + c
+    tf_cols = [
+        F.coalesce(F.col(f"tf_{i}"), F.lit(0).cast("long")).cast("double")
+        for i in range(len(qs))
+    ]
+    score = bm25_score(tf_cols, dl, k1, b)
     return (
         joined.select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
