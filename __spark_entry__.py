@@ -1518,15 +1518,19 @@ def _q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_embedding_knn_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN over the materialized cluster-partitioned layout
     (sources/writer.py write_embeddings_clustered +
-    embedding_knn_clustered): embeddings written partitionBy(ivf_cluster)
-    under the portable centroids, probed at n_probe=ALL so the result
-    must equal exact brute-force kNN — the recall=1.0 boundary oracle.
-    The pruning evidence (n_probe=4 reads only 4 partition directories)
-    is pinned separately in tests/test_plans.py."""
+    append_embeddings_clustered + embedding_knn_clustered): HALF the
+    embeddings written, the other half APPENDED through the incremental
+    path (fixed centroids: O(batch) ingest, no re-clustering), probed at
+    n_probe=ALL so the result must equal exact brute-force kNN over the
+    union — one recall=1.0 boundary oracle proving both the layout and
+    its append maintenance. The pruning evidence (n_probe=4 reads only
+    4 partition directories) is pinned separately in
+    tests/test_plans.py."""
     import shutil
     import tempfile
 
     from tiny_md_hbase_spark.sources.writer import (
+        append_embeddings_clustered,
         embedding_knn_clustered,
         write_embeddings_clustered,
     )
@@ -1534,7 +1538,9 @@ def _q_embedding_knn_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="ivflayout_q_")
     try:
         emb = load_table(spark, sf_dir, "embeddings")
-        write_embeddings_clustered(emb, f"{d}/emb")
+        half = F.pmod(F.col("vec_id"), F.lit(2)) == 0
+        write_embeddings_clustered(emb.filter(half), f"{d}/emb")
+        append_embeddings_clustered(emb.filter(~half), f"{d}/emb")
         q = emb.filter(F.col("vec_id") == 1).first()
         return embedding_knn_clustered(
             spark, f"{d}/emb", [float(x) for x in q.embedding]

@@ -395,3 +395,47 @@ def test_doc_lens_side_table_written(spark, inv_index):
     assert got == want
     # postings read must not pick up the side table's rows
     assert "dl" not in spark.read.parquet(path).columns
+
+
+# --- incremental append to the clustered ANN layout -----------------------
+
+def test_clustered_append_equals_full_rebuild(spark, sf_dir):
+    """Append half the corpus through the incremental path: a full-probe
+    search must equal the same search over a one-shot rebuild, and the
+    files written by the first batch must remain untouched."""
+    import os
+    import shutil
+
+    from tiny_md_hbase_spark.sources import load_table
+    from tiny_md_hbase_spark.sources.writer import (
+        append_embeddings_clustered,
+        embedding_knn_clustered,
+        write_embeddings_clustered,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_append_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first().embedding]
+        half = F.pmod(F.col("vec_id"), F.lit(2)) == 0
+        write_embeddings_clustered(emb.filter(half), f"{d}/inc")
+        before = {
+            os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+            for r, _, fs in os.walk(f"{d}/inc")
+            for f in fs
+            if f.endswith(".parquet") and "_ivf_meta" not in r
+        }
+        append_embeddings_clustered(emb.filter(~half), f"{d}/inc")
+        after = {
+            p: os.path.getmtime(p)
+            for p in before
+        }
+        assert before == after  # first batch's files untouched
+        write_embeddings_clustered(emb, f"{d}/full")
+        inc = [(r.vec_id, r.cos_sim)
+               for r in embedding_knn_clustered(spark, f"{d}/inc", q).collect()]
+        full = [(r.vec_id, r.cos_sim)
+                for r in embedding_knn_clustered(spark, f"{d}/full", q).collect()]
+        assert inc == full and len(inc) == 10
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

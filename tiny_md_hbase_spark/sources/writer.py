@@ -42,6 +42,7 @@ __all__ = [
     "write_inverted_index",
     "keyword_search_indexed",
     "write_embeddings_clustered",
+    "append_embeddings_clustered",
     "embedding_knn_clustered",
     "write_embeddings_quantized",
     "embedding_knn_quantized_stored",
@@ -379,6 +380,36 @@ def write_embeddings_clustered(
     embeddings.sparkSession.createDataFrame(
         [(n_clusters, dim)], "n_clusters int, dim int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivf_meta")
+
+
+def append_embeddings_clustered(
+    new_embeddings: DataFrame, path: str
+) -> None:
+    """Incremental maintenance of the cluster-partitioned ANN layout:
+    assign the NEW batch under the layout's STORED (n_clusters, dim)
+    — the fixed portable centroids mean an append never re-clusters or
+    rewrites existing data; each new row lands in its cluster's
+    directory and every prior file is untouched. The embedding-space
+    analog of the z-table's append path (write_points_zsorted
+    mode="append"): ingest cost is O(batch), reads stay
+    partition-pruned, and a full-probe search over the appended layout
+    still equals exact brute-force kNN over the union — no compaction
+    step is ever required because cluster membership is a pure function
+    of the vector."""
+    from tiny_md_hbase_spark.operators.similarity import (
+        assign_fixed_clusters,
+    )
+
+    spark = new_embeddings.sparkSession
+    meta = spark.read.parquet(f"{path}/_ivf_meta").first()
+    assigned = assign_fixed_clusters(
+        new_embeddings, int(meta.n_clusters), int(meta.dim)
+    ).select(
+        "vec_id", "label", F.col("v").alias("embedding"), "ivf_cluster"
+    )
+    assigned.repartition("ivf_cluster").write.mode("append").partitionBy(
+        "ivf_cluster"
+    ).parquet(path)
 
 
 def embedding_knn_clustered(
