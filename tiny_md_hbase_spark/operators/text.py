@@ -1078,9 +1078,6 @@ def corpus_prepare_sql(
     for _, pat, repl in PII_PATTERNS:
         cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
     toks = tokens_sql("text")
-    stop = ", ".join(
-        f"'{w}'" for w in sorted({w for ws in LANG_MARKERS.values() for w in ws})
-    )
     t = MIX_TARGETS_PPM
     mix_cases = " ".join(
         f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(t.items())
