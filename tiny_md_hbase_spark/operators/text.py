@@ -1579,21 +1579,27 @@ def quality_gate(documents: DataFrame, keep_frac: float = 0.3) -> DataFrame:
         .filter(F.col("quality").isNotNull())
     )
     hist = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
-    # N comes from the histogram (sum of class counts — scoreable docs
-    # only, matching the oracle's filtered count), NOT from a third
-    # corpus scan of the regex-heavy scoring projection
-    kdf = hist.agg(
-        F.ceil(F.sum("c").cast("double") * F.lit(keep_frac))
-        .cast("long")
-        .alias("k")
-    )
+    # above AND k both come from windows over the HISTOGRAM, inside the
+    # one broadcast relation: a separate k-aggregate (or a corpus count)
+    # would re-evaluate the regex-heavy scoring lineage once per
+    # consumer — this keeps the whole plan at three scoring scans
+    # (histogram build + the two branches below), and the shared
+    # broadcast is built once (ReusedExchange across the union)
     w_cum = Window.orderBy(F.col("quality").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    hist = hist.withColumn(
-        "above", F.coalesce(F.sum("c").over(w_cum), F.lit(0))
+    w_tot = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    j = scored.join(F.broadcast(hist), "quality").crossJoin(F.broadcast(kdf))
+    hist = hist.select(
+        "quality",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("above"),
+        F.ceil(F.sum("c").over(w_tot).cast("double") * F.lit(keep_frac))
+        .cast("long")
+        .alias("k"),
+    )
+    j = scored.join(F.broadcast(hist), "quality")
     full = j.filter(F.col("above") + F.col("c") <= F.col("k"))
     w_edge = Window.partitionBy("quality").orderBy("doc_id")
     edge = (
