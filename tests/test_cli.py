@@ -75,3 +75,16 @@ def test_cli_pipeline_verbs(capsys, spark, sf_dir):
         assert read_jsonl_corpus(spark, d).count() == spark.read.parquet(corpus).count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_rank_and_gate(capsys, sf_dir):
+    from tiny_md_hbase_spark import cli
+
+    corpus = f"{sf_dir}/documents.parquet"
+    assert cli.main(["rank", corpus, "vector", "stream"]) == 0
+    out = capsys.readouterr().out
+    assert "bm25:" in out
+
+    assert cli.main(["gate", corpus, "0.3"]) == 0
+    out = capsys.readouterr().out
+    assert "kept: " in out and "cutoff quality:" in out

@@ -16,7 +16,9 @@ parquet file/directory; the north-star LLM-data operators driven the
 same way):
 
     python -m tiny_md_hbase_spark.cli search  <corpus_dir> <term> [term ...]
+    python -m tiny_md_hbase_spark.cli rank    <corpus_dir> <term> [term ...]
     python -m tiny_md_hbase_spark.cli quality <corpus_dir>
+    python -m tiny_md_hbase_spark.cli gate    <corpus_dir> <keep_frac>
     python -m tiny_md_hbase_spark.cli dedup   <corpus_dir>
     python -m tiny_md_hbase_spark.cli export  <corpus_dir> <out_dir>
 
@@ -64,7 +66,7 @@ def main(argv: list[str] | None = None) -> int:
     verb, *args = argv
     if verb not in {
         "create", "put", "get", "count", "range", "knn", "index", "drop",
-        "search", "quality", "dedup", "export",
+        "search", "rank", "quality", "gate", "dedup", "export",
     }:
         print(USAGE)
         return 2
@@ -121,6 +123,23 @@ def main(argv: list[str] | None = None) -> int:
             docs = spark.read.parquet(path)
             for r in keyword_search(docs, terms=tuple(terms)).collect():
                 print(f"[{r.doc_id}] score: {r.score}")
+        elif verb == "rank":
+            path, *terms = args
+            from tiny_md_hbase_spark.operators.text import (
+                keyword_search_bm25,
+            )
+
+            docs = spark.read.parquet(path)
+            for r in keyword_search_bm25(docs, terms=tuple(terms)).collect():
+                print(f"[{r.doc_id}] bm25: {r.bm25}")
+        elif verb == "gate":
+            path, frac = args
+            from tiny_md_hbase_spark.operators.text import quality_gate
+
+            kept = quality_gate(spark.read.parquet(path), float(frac))
+            n = kept.count()
+            worst = kept.orderBy("quality", "doc_id").first()
+            print(f"kept: {n} (cutoff quality: {worst.quality})")
         elif verb == "quality":
             (path,) = args
             from tiny_md_hbase_spark.operators.text import gopher_quality
