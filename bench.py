@@ -105,6 +105,7 @@ BENCH_KEYS = [
     "embedding_knn_quantized_stored",
     "keyword_search_bm25_indexed",
     "quality_gate",
+    "embedding_profile",
 ]
 
 

@@ -1379,3 +1379,23 @@ def test_quantize_zero_corpus_scores_zero(spark):
     )
     rows = S.embedding_knn_quantized(z, 1, 3).collect()
     assert len(rows) == 3 and all(r.qscore == 0 for r in rows)
+
+
+# --- per-dimension embedding profile --------------------------------------
+
+def test_embedding_profile_shape_and_invariance(spark, sf_dir):
+    """One row per dimension; decimal-exact sums make the statistics
+    identical under any repartitioning (the float-agg determinism
+    contract)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    a = sorted(tuple(r) for r in S.embedding_profile(embs).collect())
+    assert len(a) == 64
+    dims = [r[0] for r in a]
+    assert dims == list(range(64))
+    for (_, n, mean, std, mn, mx) in a:
+        assert n == embs.count()
+        assert mn <= mean <= mx and std >= 0
+    b = sorted(
+        tuple(r) for r in S.embedding_profile(embs.repartition(13)).collect()
+    )
+    assert a == b

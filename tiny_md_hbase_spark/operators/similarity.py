@@ -44,6 +44,8 @@ __all__ = [
     "centroid_assign_sql",
     "embedding_knn_quantized",
     "embedding_knn_quantized_sql",
+    "embedding_profile",
+    "embedding_profile_sql",
 ]
 
 
@@ -908,4 +910,86 @@ def centroid_assign_sql(n_clusters: int = 8) -> str:
         "SELECT vec_id, label, cid AS cluster_id, round(d2, 6) AS dist2 "
         "FROM (SELECT *, row_number() OVER "
         "(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1"
+    )
+
+
+def embedding_profile(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column —
+    (dim, n_vecs, mean, std, min_val, max_val) — the data-quality
+    monitor for an embedding pipeline (dead dimensions, drift between
+    snapshots, normalization bugs all show up here first).
+
+    100 TB shape: NO explode — a dim-bounded set of columnar aggregates
+    (3 per dimension) with map-side partial merge; the corpus is
+    scanned once and the only exchange carries one 192-column row per
+    task. The 1-row result unpivots into the per-dim relation at zero
+    cost.
+
+    Cross-engine determinism: a float SUM over a distributed corpus is
+    partition-order-dependent — so each component is cast to
+    DECIMAL(28,9) (and its square to DECIMAL(38,18)) BEFORE summing;
+    decimal sums are exact and order-independent, and a double is never
+    exactly on a decimal rounding midpoint, so both engines round the
+    cast identically. mean/std then derive via single divisions of
+    exact values, identical on both sides."""
+    e = embeddings.select(F.col("embedding").cast("array<double>").alias("v"))
+    aggs = []
+    for i in range(dim):
+        x = F.element_at("v", i + 1)
+        aggs += [
+            F.sum(x.cast("decimal(28,9)")).alias(f"s_{i}"),
+            F.sum((x * x).cast("decimal(38,18)")).alias(f"ss_{i}"),
+            F.min(x).alias(f"mn_{i}"),
+            F.max(x).alias(f"mx_{i}"),
+        ]
+    row = e.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    nd = F.col("n").cast("double")
+    structs = []
+    for i in range(dim):
+        mean = F.col(f"s_{i}").cast("double") / nd
+        var = F.col(f"ss_{i}").cast("double") / nd - mean * mean
+        structs.append(
+            F.struct(
+                F.lit(i).alias("dim"),
+                F.round(mean, 9).alias("mean"),
+                F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 9).alias("std"),
+                F.col(f"mn_{i}").alias("min_val"),
+                F.col(f"mx_{i}").alias("max_val"),
+            )
+        )
+    return row.select(
+        F.col("n").alias("n_vecs"), F.explode(F.array(*structs)).alias("p")
+    ).select(
+        F.col("p.dim").alias("dim"),
+        "n_vecs",
+        F.col("p.mean").alias("mean"),
+        F.col("p.std").alias("std"),
+        F.col("p.min_val").alias("min_val"),
+        F.col("p.max_val").alias("max_val"),
+    )
+
+
+def embedding_profile_sql(dim: int = 64) -> str:
+    """DuckDB twin of :func:`embedding_profile` — same decimal-sum
+    determinism contract, same division/round order."""
+    aggs = ", ".join(
+        f"sum(CAST(v[{i + 1}] AS DECIMAL(28,9))) AS s_{i}, "
+        f"sum(CAST(v[{i + 1}] * v[{i + 1}] AS DECIMAL(38,18))) AS ss_{i}, "
+        f"min(v[{i + 1}]) AS mn_{i}, max(v[{i + 1}]) AS mx_{i}"
+        for i in range(dim)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT {i} AS dim, CAST(n AS BIGINT) AS n_vecs, "
+        f"round(CAST(s_{i} AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean, "
+        f"round(sqrt(greatest(CAST(ss_{i} AS DOUBLE) / CAST(n AS DOUBLE) "
+        f"- (CAST(s_{i} AS DOUBLE) / CAST(n AS DOUBLE)) "
+        f"* (CAST(s_{i} AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)), 9) AS std, "
+        f"mn_{i} AS min_val, mx_{i} AS max_val FROM w"
+        for i in range(dim)
+    )
+    return (
+        "WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"w AS (SELECT count(*) AS n, {aggs} FROM e) "
+        f"{arms}"
     )
