@@ -1399,3 +1399,108 @@ def test_embedding_profile_shape_and_invariance(spark, sf_dir):
         tuple(r) for r in S.embedding_profile(embs.repartition(13)).collect()
     )
     assert a == b
+
+
+# --- seeded property tests for the session's operators --------------------
+
+def test_line_dedup_matches_python_reference(spark):
+    """Random corpora from a small line pool vs an exact in-Python
+    reference. Seeded loop, not @given — each Spark plan costs seconds."""
+    import random
+
+    pool = [f"line {i}" for i in range(12)]
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        docs = [
+            (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 6))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        # reference: lines present in >= 2 distinct docs are boilerplate
+        from collections import defaultdict
+
+        docs_per_line = defaultdict(set)
+        for did, text in docs:
+            for ln in text.split("\n"):
+                docs_per_line[ln].add(did)
+        boiler = {ln for ln, ds in docs_per_line.items() if len(ds) >= 2}
+        want = {}
+        for did, text in docs:
+            kept = [ln for ln in text.split("\n") if ln not in boiler]
+            want[did] = (
+                "\n".join(kept),
+                len(text.split("\n")),
+                len(kept),
+            )
+        got = {
+            r.doc_id: (r.clean_text, r.n_lines, r.n_kept)
+            for r in T.line_dedup(df, min_docs=2).collect()
+        }
+        assert got == want, seed
+
+
+def test_bm25_matches_python_reference(spark):
+    """Random corpora vs an in-Python Okapi BM25 with the identical
+    formula; scores compared at the round(6) contract."""
+    import math
+    import random
+
+    vocab = ["alpha", "beta", "gamma", "delta", "query", "rare"]
+    for seed in (5, 77):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        terms = ("query", "rare")
+        got = {
+            r.doc_id: r.bm25
+            for r in T.keyword_search_bm25(df, terms=terms, k=100).collect()
+        }
+        # reference
+        qs = sorted(set(terms))
+        n = float(len(docs))
+        toks = {d: t.split() for d, t in docs}
+        avgdl = sum(len(t) for t in toks.values()) / n
+        dfreq = {q: float(sum(q in t for t in toks.values())) for q in qs}
+        want = {}
+        for d, t in toks.items():
+            if not any(q in t for q in qs):
+                continue
+            s = 0.0
+            for q in qs:
+                tf = float(t.count(q))
+                idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0)
+                s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+            want[d] = s
+        assert set(got) == set(want), seed
+        for d in want:
+            assert abs(got[d] - want[d]) < 2e-6, (seed, d, got[d], want[d])
+
+
+def test_quality_gate_matches_naive_ranking_random(spark, sf_dir):
+    """Random doc subsets (heavy tie mass included) vs the naive
+    full-ranking definition computed in the same session."""
+    import math
+    import random
+
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "documents")
+    for seed, frac in ((3, 0.25), (9, 0.6)):
+        rng = random.Random(seed)
+        ids = [r.doc_id for r in base.select("doc_id").collect()]
+        pick = set(rng.sample(ids, 120))
+        df = base.filter(F.col("doc_id").isin(pick))
+        got = sorted(r.doc_id for r in T.quality_gate(df, frac).collect())
+        scored = T.quality_score(df).filter(F.col("quality").isNotNull())
+        k = math.ceil(scored.count() * frac)
+        w = Window.orderBy(F.col("quality").desc(), "doc_id")
+        want = sorted(
+            r.doc_id
+            for r in scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        )
+        assert got == want, (seed, frac)
