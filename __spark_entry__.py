@@ -1412,6 +1412,48 @@ def _q_stream_ingest_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_stream_ingest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding ingest into the clustered ANN layout
+    (streaming/ingest.py stream_ingest_embeddings): the embeddings
+    fixture staged as arriving files, drained micro-batch by
+    micro-batch through the O(batch) append path under the stored
+    centroids, then queried at FULL probe — which must equal exact
+    brute-force kNN over the whole fixture, so the exact-kNN oracle
+    applies verbatim. Proves route-on-arrival clustering loses
+    nothing."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.sources.writer import (
+        embedding_knn_clustered,
+        write_embeddings_clustered,
+    )
+    from tiny_md_hbase_spark.streaming import ingest as ING
+
+    d = tempfile.mkdtemp(prefix="semb_q_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        emb.repartition(4).write.parquet(f"{d}/src")
+        # initialize the layout (centroids + meta) on an empty relation;
+        # every vector then arrives through the streaming append
+        write_embeddings_clustered(emb.limit(0), f"{d}/emb")
+        q = ING.stream_ingest_embeddings(
+            spark,
+            f"{d}/src",
+            f"{d}/emb",
+            f"{d}/ckpt",
+            available_now=True,
+            max_files_per_trigger=2,
+        )
+        _await_drained(q)
+        qv = emb.filter(F.col("vec_id") == 1).first()
+        return embedding_knn_clustered(
+            spark, f"{d}/emb", [float(x) for x in qv.embedding]
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest-dedup end-to-end (streaming/ingest.py
     stream_dedup_docs): the corpus plus planted duplicates (every 7th
@@ -1615,22 +1657,23 @@ def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-5 rotation (COVERAGE.md tracks per-key verdict ages): front =
-    # the 11 new keys (keyword_search_bm25 + its indexed twin /
+    # the 12 new keys (keyword_search_bm25 + its indexed twin /
     # line_dedup / quality_gate / embedding_profile /
-    # embedding_knn_quantized + its materialized-layout twin /
-    # embedding_knn_ivf_full / pii_scrub / winnow_fingerprint /
-    # winnow_pairs — the seven session-new ones displace dedup_embedding
-    # / decontaminate_hashed / dedup_embedding_lsh / asof_join /
-    # stream_asof / stream_sessionize / floor_lookup, r03 verdicts in
-    # untouched modules, to the r06 front), corpus_budget (reworked:
+    # stream_ingest_embeddings / embedding_knn_quantized + its
+    # materialized-layout twin / embedding_knn_ivf_full / pii_scrub /
+    # winnow_fingerprint / winnow_pairs — the eight session-new ones
+    # displace dedup_embedding / decontaminate_hashed /
+    # dedup_embedding_lsh / asof_join / stream_asof / stream_sessionize
+    # / floor_lookup / index_inspect, r03 verdicts in untouched modules,
+    # to the r06 front), corpus_budget (reworked:
     # sharded two-phase prefix sum), ngram_jaccard (broadcast-estimate
     # headroom), and corpus_shuffle — its OBSERVABLE OUTPUT changed this
     # round (shard ids now from the hash's top bits): an r04 verdict on
     # the old mapping proves nothing, so it displaces knn_3d (r03,
     # module untouched, golden-vector + property tests) to the r06
-    # front. Then the stale cohort — bytes_concat (r02) and 35 of the 48
-    # keys whose latest verdict is r03. The 13 r03 keys left out to fit:
-    # the 7 displaced above, multimodal_features, frame_sample,
+    # front. Then the stale cohort — bytes_concat (r02) and 34 of the 48
+    # keys whose latest verdict is r03. The 14 r03 keys left out to fit:
+    # the 8 displaced above, multimodal_features, frame_sample,
     # approx_distinct, table_profile_approx (rows-only smokes — weakest
     # driver signal; their real checks are the local
     # determinism/CRC/error-bound tests) and sql_pricing_summary
@@ -1644,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "quality_gate": _q_quality_gate,
         "embedding_profile": _q_embedding_profile,
+        "stream_ingest_embeddings": _q_stream_ingest_embeddings,
         "embedding_knn_quantized": _q_embedding_knn_quantized,
         "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
@@ -1690,10 +1734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder3d_encode": _q_zorder3d_encode,
         "range_count_3d": _q_range_count_3d,
         "index_build": _q_index_build,
-        "index_inspect": _q_index_inspect,
         # ---- driver window ends here (first 50 keys) --------------------
-        # floor_lookup displaced by embedding_profile (new, in-window);
-        # r03 verdict, index module untouched, oracle + unit tests local
+        # index_inspect / floor_lookup displaced by embedding_profile +
+        # stream_ingest_embeddings (new, in-window); r03 verdicts, index
+        # module untouched, oracle + unit tests local
+        "index_inspect": _q_index_inspect,
         "floor_lookup": _q_floor_lookup,
         # displaced by the session-new in-window keys
         # (keyword_search_bm25 + its indexed twin, line_dedup,
@@ -2169,6 +2214,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_ivf_full": exact_knn_sql,
         # full-probe over the cluster-partitioned LAYOUT == exact kNN
         "embedding_knn_clustered": exact_knn_sql,
+        # streamed-in layout at full probe must also equal exact kNN
+        "stream_ingest_embeddings": exact_knn_sql,
         "winnow_fingerprint": TX.winnow_fingerprint_sql(),
         "winnow_pairs": TX.winnow_pairs_sql(),
         "corpus_diff": (

@@ -106,6 +106,7 @@ BENCH_KEYS = [
     "keyword_search_bm25_indexed",
     "quality_gate",
     "embedding_profile",
+    "stream_ingest_embeddings",
 ]
 
 

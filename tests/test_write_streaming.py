@@ -442,3 +442,39 @@ def test_stream_manifest_incremental_equals_batch(spark, sf_dir):
         assert again == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_ingest_embeddings_equals_batch_layout(spark, sf_dir, tmp_path):
+    """Drain the embeddings fixture through micro-batched clustered
+    appends: cluster membership and full-probe search must equal a
+    one-shot batch build of the same layout."""
+    from pyspark.sql import functions as F
+
+    from tiny_md_hbase_spark.sources import load_table
+    from tiny_md_hbase_spark.sources.writer import (
+        embedding_knn_clustered,
+        write_embeddings_clustered,
+    )
+    from tiny_md_hbase_spark.streaming.ingest import stream_ingest_embeddings
+
+    d = str(tmp_path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.repartition(3).write.parquet(f"{d}/src")
+    write_embeddings_clustered(emb.limit(0), f"{d}/inc")
+    q = stream_ingest_embeddings(
+        spark, f"{d}/src", f"{d}/inc", f"{d}/ckpt",
+        available_now=True, max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(300)
+    write_embeddings_clustered(emb, f"{d}/full")
+    inc = {(r.vec_id, r.ivf_cluster)
+           for r in spark.read.parquet(f"{d}/inc").collect()}
+    full = {(r.vec_id, r.ivf_cluster)
+            for r in spark.read.parquet(f"{d}/full").collect()}
+    assert inc == full and len(inc) == emb.count()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first().embedding]
+    got = [(r.vec_id, r.cos_sim)
+           for r in embedding_knn_clustered(spark, f"{d}/inc", qv).collect()]
+    want = [(r.vec_id, r.cos_sim)
+            for r in embedding_knn_clustered(spark, f"{d}/full", qv).collect()]
+    assert got == want

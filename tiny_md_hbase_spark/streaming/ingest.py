@@ -39,6 +39,7 @@ __all__ = [
     "stream_asof",
     "stream_dedup_events",
     "stream_dedup_docs",
+    "stream_ingest_embeddings",
     "stream_manifest",
     "merge_manifest_batch",
 ]
@@ -491,3 +492,54 @@ def merge_manifest_batch(
     # materialize BEFORE overwriting the table it was read from
     merged.localCheckpoint().write.mode("overwrite").parquet(mpath)
     return True
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def stream_ingest_embeddings(
+    spark: SparkSession,
+    source_dir: str,
+    layout_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming embedding ingest into the cluster-partitioned ANN
+    layout: each micro-batch routes through
+    ``writer.append_embeddings_clustered`` — assignment under the
+    layout's STORED fixed centroids, so a batch lands directly in its
+    cluster directories with every prior file untouched and nothing
+    ever re-clustered. The embedding-space twin of
+    :func:`stream_ingest_points`: per-batch cost is O(batch), the
+    at-rest layout is identical to a one-shot batch build (asserted in
+    tests), and a full-probe search over the drained stream equals
+    exact brute-force kNN over everything ingested.
+
+    The layout (with ``_ivf_meta``) must exist before the stream starts
+    — create it with ``write_embeddings_clustered`` (possibly on an
+    empty relation). Failure semantics: one idempotency gap —
+    ``foreachBatch`` replays the last uncommitted batch, and a crash
+    mid-append can duplicate its rows (at-least-once); production
+    closes this with a transactional table format, as in
+    :func:`stream_dedup_docs`."""
+    from tiny_md_hbase_spark.sources.writer import (
+        append_embeddings_clustered,
+    )
+
+    reader = spark.readStream.schema(EMB_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        append_embeddings_clustered(batch, layout_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
