@@ -103,6 +103,18 @@ def _q_range_query_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.range_query(pts, RECT_X, RECT_Y, z_cover=16)
 
 
+POLY_V = [(512, 1024), (1536, 1024), (2048, 2048), (1024, 3072), (256, 2048)]
+
+
+def _q_polygon_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex-polygon containment query (operators/spatial.py
+    polygon_query): a pinned CCW pentagon over the populated coordinate
+    band; exact BIGINT half-plane tests behind a scan-pushed bbox
+    filter — the geofence shape class one step beyond the reference's
+    rectangles."""
+    return spatial.polygon_query(points(spark, sf_dir), POLY_V)
+
+
 def _q_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.point_get_lookup(points(spark, sf_dir))
 
@@ -1657,23 +1669,24 @@ def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-5 rotation (COVERAGE.md tracks per-key verdict ages): front =
-    # the 12 new keys (keyword_search_bm25 + its indexed twin /
+    # the 13 new keys (keyword_search_bm25 + its indexed twin /
     # line_dedup / quality_gate / embedding_profile /
-    # stream_ingest_embeddings / embedding_knn_quantized + its
-    # materialized-layout twin / embedding_knn_ivf_full / pii_scrub /
-    # winnow_fingerprint / winnow_pairs — the eight session-new ones
-    # displace dedup_embedding / decontaminate_hashed /
-    # dedup_embedding_lsh / asof_join / stream_asof / stream_sessionize
-    # / floor_lookup / index_inspect, r03 verdicts in untouched modules,
-    # to the r06 front), corpus_budget (reworked:
+    # stream_ingest_embeddings / polygon_query /
+    # embedding_knn_quantized + its materialized-layout twin /
+    # embedding_knn_ivf_full / pii_scrub / winnow_fingerprint /
+    # winnow_pairs — the nine session-new ones displace dedup_embedding
+    # / decontaminate_hashed / dedup_embedding_lsh / asof_join /
+    # stream_asof / stream_sessionize / floor_lookup / index_inspect /
+    # index_build, r03 verdicts in untouched modules, to the r06
+    # front), corpus_budget (reworked:
     # sharded two-phase prefix sum), ngram_jaccard (broadcast-estimate
     # headroom), and corpus_shuffle — its OBSERVABLE OUTPUT changed this
     # round (shard ids now from the hash's top bits): an r04 verdict on
     # the old mapping proves nothing, so it displaces knn_3d (r03,
     # module untouched, golden-vector + property tests) to the r06
-    # front. Then the stale cohort — bytes_concat (r02) and 34 of the 48
-    # keys whose latest verdict is r03. The 14 r03 keys left out to fit:
-    # the 8 displaced above, multimodal_features, frame_sample,
+    # front. Then the stale cohort — bytes_concat (r02) and 33 of the 48
+    # keys whose latest verdict is r03. The 15 r03 keys left out to fit:
+    # the 9 displaced above, multimodal_features, frame_sample,
     # approx_distinct, table_profile_approx (rows-only smokes — weakest
     # driver signal; their real checks are the local
     # determinism/CRC/error-bound tests) and sql_pricing_summary
@@ -1688,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": _q_quality_gate,
         "embedding_profile": _q_embedding_profile,
         "stream_ingest_embeddings": _q_stream_ingest_embeddings,
+        "polygon_query": _q_polygon_query,
         "embedding_knn_quantized": _q_embedding_knn_quantized,
         "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
@@ -1733,11 +1747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_rollup": _q_text_stats_rollup,
         "zorder3d_encode": _q_zorder3d_encode,
         "range_count_3d": _q_range_count_3d,
-        "index_build": _q_index_build,
         # ---- driver window ends here (first 50 keys) --------------------
-        # index_inspect / floor_lookup displaced by embedding_profile +
-        # stream_ingest_embeddings (new, in-window); r03 verdicts, index
-        # module untouched, oracle + unit tests local
+        # index_build / index_inspect / floor_lookup displaced by
+        # embedding_profile + stream_ingest_embeddings + polygon_query
+        # (new, in-window); r03 verdicts, index module untouched,
+        # oracle + unit tests local
+        "index_build": _q_index_build,
         "index_inspect": _q_index_inspect,
         "floor_lookup": _q_floor_lookup,
         # displaced by the session-new in-window keys
@@ -2186,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search_bm25_indexed": TX.keyword_search_bm25_sql(),
         "quality_gate": TX.quality_gate_sql(),
         "embedding_profile": SIM.embedding_profile_sql(),
+        "polygon_query": spatial.polygon_query_sql(POINTS_SQL, POLY_V),
         "lm_bigram_score": TX.lm_bigram_score_sql(),
         "gopher_quality": TX.gopher_quality_sql(),
         "corpus_split": TX.corpus_split_sql(),

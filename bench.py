@@ -107,6 +107,7 @@ BENCH_KEYS = [
     "quality_gate",
     "embedding_profile",
     "stream_ingest_embeddings",
+    "polygon_query",
 ]
 
 

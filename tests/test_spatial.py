@@ -176,3 +176,70 @@ def test_range_filter_stats(pts):
     exact = range_count(pts, rx, ry).collect()[0].cnt
     assert row.n_hits == exact
     assert row.n_scanned >= row.n_hits
+
+
+# --- convex polygon query -------------------------------------------------
+
+def test_polygon_query_matches_python_reference(spark, sf_dir):
+    """Convex CCW quad over the sf0.001-populated x band vs an exact
+    in-Python half-plane check (the entry's pinned pentagon sits in the
+    wider sf0.01 band)."""
+    from tiny_md_hbase_spark.sources import points as load_points
+
+    V = [(0, 1000), (180, 500), (199, 3000), (20, 3500)]
+
+    def inside(px, py):
+        n = len(V)
+        for i in range(n):
+            x1, y1 = V[i]
+            x2, y2 = V[(i + 1) % n]
+            if (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) < 0:
+                return False
+        return True
+
+    pts = load_points(spark, sf_dir)
+    got = {(r.id, r.x, r.y) for r in spatial.polygon_query(pts, V).collect()}
+    want = {
+        (r.id, r.x, r.y)
+        for r in pts.collect()
+        if inside(r.x, r.y)
+    }
+    assert got == want and got
+
+
+def test_polygon_query_rectangle_degenerates_to_range_query(spark, sf_dir):
+    """An axis-aligned CCW rectangle polygon returns exactly the
+    rectangle query's rows."""
+    from tiny_md_hbase_spark.sources import points as load_points
+
+    rx, ry = (512, 1535), (1024, 3071)
+    V = [(rx[0], ry[0]), (rx[1], ry[0]), (rx[1], ry[1]), (rx[0], ry[1])]
+    pts = load_points(spark, sf_dir)
+    got = {(r.id, r.x, r.y) for r in spatial.polygon_query(pts, V).collect()}
+    want = {
+        (r.id, r.x, r.y) for r in spatial.range_query(pts, rx, ry).collect()
+    }
+    assert got == want
+
+
+def test_polygon_query_pushes_bbox_to_scan(spark, sf_dir, tmp_path):
+    """On a MATERIALIZED points table the bounding box reaches the
+    parquet scan as pushed filters (on the derived lineitem view x/y
+    are computed columns, so nothing can push); the half-plane tests
+    stay row-local — no shuffle on either layout."""
+    from tiny_md_hbase_spark import plans as P
+    from tiny_md_hbase_spark.sources import points as load_points
+
+    V = [(0, 1000), (180, 500), (199, 3000), (20, 3500)]
+    load_points(spark, sf_dir).write.parquet(f"{tmp_path}/pts")
+    q = spatial.polygon_query(spark.read.parquet(f"{tmp_path}/pts"), V)
+    pushed = " ".join(P.pushed_filters(q))
+    assert "x" in pushed and "y" in pushed
+    assert P.exchange_count(q) == 0
+
+
+def test_polygon_query_rejects_degenerate(spark, sf_dir):
+    from tiny_md_hbase_spark.sources import points as load_points
+
+    with pytest.raises(ValueError):
+        spatial.polygon_query(load_points(spark, sf_dir), [(0, 0), (1, 1)])

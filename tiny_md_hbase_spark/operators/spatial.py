@@ -37,6 +37,8 @@ __all__ = [
     "distance_join",
     "knn_join",
     "range_filter_stats",
+    "polygon_query",
+    "polygon_query_sql",
 ]
 
 
@@ -440,4 +442,70 @@ def knn_indexed(
     spark = points.sparkSession
     return spark.createDataFrame(
         hits, "id long, x int, y int, dist_sq long, dist double"
+    )
+
+
+def polygon_query(
+    points: DataFrame, vertices: list[tuple[int, int]]
+) -> DataFrame:
+    """Points inside (or on the boundary of) a CONVEX polygon given as
+    CCW integer vertices — the shape class one step beyond the
+    reference's axis-aligned rectangles (`Client.rangeQuery`), needed
+    for geofences and sensor footprints over the same point table.
+
+    Membership is the half-plane conjunction: for every directed edge
+    (v1→v2), the cross product (x2-x1)(y-y1) - (y2-y1)(x-x1) must be
+    >= 0. All arithmetic is BIGINT — exact, no epsilon, identical in
+    any engine (the coordinate domain [0, 2^31) keeps each cross term
+    under 2^62; the fixtures are far smaller).
+
+    100 TB shape: the polygon's bounding box is a plain x/y BETWEEN
+    conjunction — Catalyst pushes it into the parquet scan (and the
+    z-sorted layout prunes row groups with it), so the per-row edge
+    tests only run on the bbox survivors; the edge tests themselves are
+    codegen'd comparisons, zero shuffle. A concave polygon decomposes
+    into convex pieces unioned by OR — same plan shape."""
+    if len(vertices) < 3:
+        raise ValueError("polygon_query needs at least 3 vertices")
+    xs = [v[0] for v in vertices]
+    ys = [v[1] for v in vertices]
+    bbox = F.col("x").between(min(xs), max(xs)) & F.col("y").between(
+        min(ys), max(ys)
+    )
+    x = F.col("x").cast("long")
+    y = F.col("y").cast("long")
+    pred = bbox
+    n = len(vertices)
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        cross = F.lit(int(x2 - x1)) * (y - F.lit(int(y1))) - F.lit(
+            int(y2 - y1)
+        ) * (x - F.lit(int(x1)))
+        pred = pred & (cross >= 0)
+    return points.filter(pred).select("id", "x", "y")
+
+
+def polygon_query_sql(
+    points_sql: str, vertices: list[tuple[int, int]]
+) -> str:
+    """DuckDB twin of :func:`polygon_query` over a points relation SQL
+    (same BIGINT cross products, same inclusive bbox)."""
+    xs = [v[0] for v in vertices]
+    ys = [v[1] for v in vertices]
+    conds = [
+        f"x BETWEEN {min(xs)} AND {max(xs)}",
+        f"y BETWEEN {min(ys)} AND {max(ys)}",
+    ]
+    n = len(vertices)
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        conds.append(
+            f"{x2 - x1} * (CAST(y AS BIGINT) - {y1}) "
+            f"- {y2 - y1} * (CAST(x AS BIGINT) - {x1}) >= 0"
+        )
+    return (
+        f"WITH points AS ({points_sql}) "
+        f"SELECT id, x, y FROM points WHERE {' AND '.join(conds)}"
     )
