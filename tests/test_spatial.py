@@ -243,3 +243,17 @@ def test_polygon_query_rejects_degenerate(spark, sf_dir):
 
     with pytest.raises(ValueError):
         spatial.polygon_query(load_points(spark, sf_dir), [(0, 0), (1, 1)])
+
+
+def test_polygon_query_rejects_cw_and_concave(spark, sf_dir):
+    """Clockwise rings (shapefile convention) and reflex vertices fail
+    loudly instead of silently returning 0 rows."""
+    from tiny_md_hbase_spark.sources import points as load_points
+
+    pts = load_points(spark, sf_dir)
+    ccw = [(0, 1000), (180, 500), (199, 3000), (20, 3500)]
+    with pytest.raises(ValueError, match="counter-clockwise"):
+        spatial.polygon_query(pts, list(reversed(ccw)))
+    concave = [(0, 0), (100, 0), (50, 30), (100, 100), (0, 100)]
+    with pytest.raises(ValueError, match="convex"):
+        spatial.polygon_query(pts, concave)

@@ -137,9 +137,17 @@ def main(argv: list[str] | None = None) -> int:
             from tiny_md_hbase_spark.operators.text import quality_gate
 
             kept = quality_gate(spark.read.parquet(path), float(frac))
-            n = kept.count()
-            worst = kept.orderBy("quality", "doc_id").first()
-            print(f"kept: {n} (cutoff quality: {worst.quality})")
+            # ONE action: count + worst-kept (quality, doc_id) in the
+            # same aggregate — a second pass would re-run the scoring
+            # scans; min(struct) is None when nothing is kept
+            row = kept.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.struct("quality", "doc_id")).alias("w"),
+            ).first()
+            if row.n:
+                print(f"kept: {row.n} (cutoff quality: {row.w.quality})")
+            else:
+                print("kept: 0")
         elif verb == "quality":
             (path,) = args
             from tiny_md_hbase_spark.operators.text import gopher_quality

@@ -920,10 +920,10 @@ def embedding_profile(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     snapshots, normalization bugs all show up here first).
 
     100 TB shape: NO explode — a dim-bounded set of columnar aggregates
-    (3 per dimension) with map-side partial merge; the corpus is
-    scanned once and the only exchange carries one 192-column row per
-    task. The 1-row result unpivots into the per-dim relation at zero
-    cost.
+    (4 per dimension: sum, sum-of-squares, min, max) with map-side
+    partial merge; the corpus is scanned once and the only exchange
+    carries one 257-column row (64×4 + count) per task. The 1-row
+    result unpivots into the per-dim relation at zero cost.
 
     Cross-engine determinism: a float SUM over a distributed corpus is
     partition-order-dependent — so each component is cast to

@@ -467,6 +467,30 @@ def polygon_query(
     into convex pieces unioned by OR — same plan shape."""
     if len(vertices) < 3:
         raise ValueError("polygon_query needs at least 3 vertices")
+    # reject CW or concave input LOUDLY: a clockwise ring (the
+    # shapefile exterior-ring convention) would flip every half-plane
+    # and silently return 0 rows
+    n_v = len(vertices)
+    area2 = sum(
+        vertices[i][0] * vertices[(i + 1) % n_v][1]
+        - vertices[(i + 1) % n_v][0] * vertices[i][1]
+        for i in range(n_v)
+    )
+    if area2 <= 0:
+        raise ValueError(
+            "polygon_query needs counter-clockwise vertices "
+            f"(signed area {area2 / 2}); reverse the ring"
+        )
+    for i in range(n_v):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n_v]
+        x3, y3 = vertices[(i + 2) % n_v]
+        if (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1) < 0:
+            raise ValueError(
+                "polygon_query needs a convex polygon (reflex vertex at "
+                f"{vertices[(i + 1) % n_v]}); decompose concave shapes "
+                "into convex pieces and OR the predicates"
+            )
     xs = [v[0] for v in vertices]
     ys = [v[1] for v in vertices]
     bbox = F.col("x").between(min(xs), max(xs)) & F.col("y").between(

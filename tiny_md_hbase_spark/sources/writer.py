@@ -383,7 +383,10 @@ def write_embeddings_clustered(
 
 
 def append_embeddings_clustered(
-    new_embeddings: DataFrame, path: str
+    new_embeddings: DataFrame,
+    path: str,
+    n_clusters: int | None = None,
+    dim: int | None = None,
 ) -> None:
     """Incremental maintenance of the cluster-partitioned ANN layout:
     assign the NEW batch under the layout's STORED (n_clusters, dim)
@@ -400,10 +403,14 @@ def append_embeddings_clustered(
         assign_fixed_clusters,
     )
 
-    spark = new_embeddings.sparkSession
-    meta = spark.read.parquet(f"{path}/_ivf_meta").first()
+    if n_clusters is None or dim is None:
+        # callers that append repeatedly (the streaming sink) pass the
+        # immutable meta through instead of re-reading it per batch
+        spark = new_embeddings.sparkSession
+        meta = spark.read.parquet(f"{path}/_ivf_meta").first()
+        n_clusters, dim = int(meta.n_clusters), int(meta.dim)
     assigned = assign_fixed_clusters(
-        new_embeddings, int(meta.n_clusters), int(meta.dim)
+        new_embeddings, n_clusters, dim
     ).select(
         "vec_id", "label", F.col("v").alias("embedding"), "ivf_cluster"
     )

@@ -527,13 +527,18 @@ def stream_ingest_embeddings(
         append_embeddings_clustered,
     )
 
+    # the layout meta is immutable while the stream runs: read it ONCE
+    # here, not once per micro-batch inside the sink
+    meta = spark.read.parquet(f"{layout_path}/_ivf_meta").first()
+    n_clusters, dim = int(meta.n_clusters), int(meta.dim)
+
     reader = spark.readStream.schema(EMB_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        append_embeddings_clustered(batch, layout_path)
+        append_embeddings_clustered(batch, layout_path, n_clusters, dim)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
