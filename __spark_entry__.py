@@ -31,6 +31,7 @@ from tiny_md_hbase_spark.operators import sessions as SES  # noqa: E402
 from tiny_md_hbase_spark.operators import similarity as SIM  # noqa: E402
 from tiny_md_hbase_spark.operators import spatial  # noqa: E402
 from tiny_md_hbase_spark.operators import text as TX  # noqa: E402
+from tiny_md_hbase_spark.operators import timeseries as TS  # noqa: E402
 from tiny_md_hbase_spark.sources import POINTS_SQL, load_table, points  # noqa: E402
 
 # FIXTURES.md pinned parameters
@@ -1666,6 +1667,33 @@ def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_manifest(load_table(spark, sf_dir, "documents"))
 
 
+def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per event type with zero-fill + forward-fill
+    (operators/timeseries.py gap_fill): raw events collapse to the
+    bounded per-type spine with map-side partials first; the ordered
+    window only ever sorts span/bucket rows per type."""
+    return TS.gap_fill(load_table(spark, sf_dir, "events"))
+
+
+def _q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24 h sum/count per event type at each observed hourly
+    bucket — RANGE frame over integer epoch seconds so gaps behave
+    identically in both engines."""
+    return TS.rolling_stats(load_table(spark, sf_dir, "events"))
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel, first-touch semantics,
+    all stages co-partitioned on user_id."""
+    return TS.funnel(load_table(spark, sf_dir, "events"))
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over distinct (user, week)
+    activity."""
+    return TS.retention(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-5 rotation (COVERAGE.md tracks per-key verdict ages): front =
@@ -1808,6 +1836,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_zcodec": _q_sql_zcodec,
         "stream_manifest": _q_stream_manifest,
         "embedding_knn_clustered": _q_embedding_knn_clustered,
+        # the time-series family (operators/timeseries.py) — session-new,
+        # same out-of-window staging as the block above; oracle-verified
+        # locally, first driver verdicts lead the r06 rotation
+        "gap_fill": _q_gap_fill,
+        "rolling_stats": _q_rolling_stats,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
         "resize_meta": _q_resize_meta,
         "skew_join": _q_skew_join,
@@ -2435,4 +2470,8 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN documents d ON c.doc_id = d.doc_id"
             ") WHERE rn = 1"
         ),
+        "gap_fill": TS.gap_fill_sql(),
+        "rolling_stats": TS.rolling_stats_sql(),
+        "funnel": TS.funnel_sql(),
+        "retention": TS.retention_sql(),
     }

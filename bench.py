@@ -108,6 +108,10 @@ BENCH_KEYS = [
     "embedding_profile",
     "stream_ingest_embeddings",
     "polygon_query",
+    "gap_fill",
+    "rolling_stats",
+    "funnel",
+    "retention",
 ]
 
 

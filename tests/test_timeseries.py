@@ -1,0 +1,243 @@
+"""Semantic + plan contracts for operators/timeseries.py: gap_fill,
+rolling_stats, funnel, retention. The DuckDB oracles pin whole-query
+equality at sf0.01; these tests pin the SEMANTIC corners (planted gaps,
+strict funnel ordering, cohort offsets) on hand-built fixtures and the
+scale shape (map-side partials before any ordered window; no cartesian
+anything) on the real tables."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tiny_md_hbase_spark import plans as P
+from tiny_md_hbase_spark.operators import timeseries as TS
+from tiny_md_hbase_spark.sources import load_table
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+_EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _nanos(ts) -> int:
+    """UTC wall-clock -> the engine's canonical int64 epoch nanoseconds
+    (sources/tables.py load_table normalizes events.ts the same way)."""
+    if not isinstance(ts, dt.datetime):
+        ts = dt.datetime.fromisoformat(ts)
+    return ((ts - _EPOCH) // dt.timedelta(microseconds=1)) * 1000
+
+
+def _events(spark, rows):
+    """rows: (event_id, iso-ts-or-datetime, user_id, event_type, value)."""
+    data = [
+        (int(eid), _nanos(ts), int(uid), et, float(v), "{}")
+        for eid, ts, uid, et, v in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+
+
+def test_gap_fill_zero_fills_and_carries_forward(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01T00:10:00", 1, "a", 1.5),
+            (2, "2024-01-01T03:20:00", 1, "a", 2.0),
+            (3, "2024-01-01T03:40:00", 2, "a", 0.25),
+        ],
+    )
+    rows = {r["bucket_s"]: r for r in TS.gap_fill(ev).collect()}
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    assert sorted(rows) == [base, base + 3600, base + 7200, base + 10800]
+    # observed first bucket
+    assert rows[base]["n_events"] == 1
+    assert rows[base]["sum_value_micros"] == 1_500_000
+    assert rows[base]["ff_sum_value_micros"] == 1_500_000
+    # planted gap: zero-filled counts, carried-forward sum
+    for gap in (base + 3600, base + 7200):
+        assert rows[gap]["n_events"] == 0
+        assert rows[gap]["sum_value_micros"] == 0
+        assert rows[gap]["ff_sum_value_micros"] == 1_500_000
+    # hour 3 aggregates both events exactly in integer micros
+    assert rows[base + 10800]["n_events"] == 2
+    assert rows[base + 10800]["sum_value_micros"] == 2_250_000
+    assert rows[base + 10800]["ff_sum_value_micros"] == 2_250_000
+
+
+def test_gap_fill_spines_are_per_type(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01T00:00:30", 1, "a", 1.0),
+            (2, "2024-01-01T05:00:30", 1, "a", 1.0),
+            (3, "2024-01-02T00:00:30", 1, "b", 1.0),
+        ],
+    )
+    out = TS.gap_fill(ev).groupBy("event_type").count().collect()
+    counts = {r["event_type"]: r["count"] for r in out}
+    # type a spans 6 hourly buckets; type b's spine is its single bucket,
+    # NOT stretched to the global min/max
+    assert counts == {"a": 6, "b": 1}
+
+
+def test_rolling_stats_range_frame_ages_out(spark):
+    base = dt.datetime(2024, 1, 1)
+    ev = _events(
+        spark,
+        [
+            (1, base, 1, "a", 1.0),
+            (2, base + dt.timedelta(hours=23), 1, "a", 2.0),
+            (3, base + dt.timedelta(hours=30), 1, "a", 4.0),
+        ],
+    )
+    rows = {r["bucket_s"]: r for r in TS.rolling_stats(ev).collect()}
+    b0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    # hour 23 still sees hour 0 (trailing 24h = buckets 0..23 inclusive)
+    assert rows[b0 + 23 * 3600]["rolling_sum_micros"] == 3_000_000
+    assert rows[b0 + 23 * 3600]["rolling_events"] == 2
+    # hour 30's frame is [hour 7, hour 30]: hour 0 aged out, hour 23 still in
+    assert rows[b0 + 30 * 3600]["rolling_sum_micros"] == 6_000_000
+    assert rows[b0 + 30 * 3600]["rolling_events"] == 2
+    # gaps between observations produce no spine rows in rolling_stats
+    assert len(rows) == 3
+
+
+def test_funnel_requires_strict_order(spark):
+    t = dt.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t + dt.timedelta(minutes=minutes)
+
+    ev = _events(
+        spark,
+        [
+            # user 1: full ordered conversion
+            (1, at(0), 1, "view", 0.0),
+            (2, at(1), 1, "click", 0.0),
+            (3, at(2), 1, "purchase", 0.0),
+            # user 2: click BEFORE first view -> no step-2 credit
+            (4, at(0), 2, "click", 0.0),
+            (5, at(1), 2, "view", 0.0),
+            # user 3: view only
+            (6, at(0), 3, "view", 0.0),
+            # user 4: click at the SAME microsecond as view -> strict >
+            (7, at(5), 4, "view", 0.0),
+            (8, at(5), 4, "click", 0.0),
+            # user 5: purchase without ever viewing -> no credit at all
+            (9, at(0), 5, "purchase", 0.0),
+        ],
+    )
+    out = {r["step"]: (r["event_type"], r["users"]) for r in TS.funnel(ev).collect()}
+    assert out == {1: ("view", 4), 2: ("click", 1), 3: ("purchase", 1)}
+
+
+def test_funnel_uses_first_touch_anchor(spark):
+    t = dt.datetime(2024, 1, 1)
+    # click falls between the user's two views: credit comes from the
+    # EARLIEST view, so the click converts
+    ev = _events(
+        spark,
+        [
+            (1, t, 1, "view", 0.0),
+            (2, t + dt.timedelta(minutes=1), 1, "click", 0.0),
+            (3, t + dt.timedelta(minutes=2), 1, "view", 0.0),
+        ],
+    )
+    out = {r["step"]: r["users"] for r in TS.funnel(ev).collect()}
+    assert out == {1: 1, 2: 1, 3: 0}
+
+
+def test_retention_cohort_triangle(spark):
+    week = dt.timedelta(days=7)
+    # epoch-week boundaries: pick a base safely inside week w0
+    w0 = dt.datetime(2024, 1, 4)
+    ev = _events(
+        spark,
+        [
+            # user 1: first active w0, returns w0+1 and w0+3
+            (1, w0, 1, "view", 0.0),
+            (2, w0 + week, 1, "view", 0.0),
+            (3, w0 + 3 * week, 1, "click", 0.0),
+            # two events in the SAME week count once
+            (4, w0 + 3 * week + dt.timedelta(hours=1), 1, "view", 0.0),
+            # user 2: single week, one cohort later
+            (5, w0 + week, 2, "view", 0.0),
+        ],
+    )
+    out = TS.retention(ev).collect()
+    cohorts = {(r["cohort_week"] - min(x["cohort_week"] for x in out), r["week_offset"]): r["users"] for r in out}
+    assert cohorts == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+# ---------------------------------------------------------------------------
+# plan contracts — the 100 TB shape
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_aggregates_before_ordered_window(spark, sf_dir):
+    q = TS.gap_fill(load_table(spark, sf_dir, "events"))
+    plan = P.explain_str(q, "simple")
+    # raw events collapse via map-side partial aggregation; the per-type
+    # ordered window (the sequential pass) runs over the bounded series
+    assert "partial_sum" in plan
+    # the lead+sequence expansion needs no join and no second scan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    # one exchange for the aggregate, one to re-key the series by type
+    assert P.exchange_count(q) <= 2
+
+
+def test_rolling_stats_window_reuses_agg_partitioning(spark, sf_dir):
+    q = TS.rolling_stats(load_table(spark, sf_dir, "events"))
+    plan = P.explain_str(q, "simple")
+    assert "partial_sum" in plan
+    # one exchange for the (event_type, bucket_s) aggregate, one to
+    # re-key the bounded spine by event_type for the RANGE window —
+    # nothing data-sized past the first
+    assert P.exchange_count(q) <= 2
+    assert "Join" not in plan
+
+
+def test_funnel_joins_stay_on_user_id(spark, sf_dir):
+    q = TS.funnel(load_table(spark, sf_dir, "events"))
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no window functions, no per-user collect_list
+    assert "Window" not in plan
+    assert "collect_list" not in plan
+
+
+def test_retention_counts_without_distinct_recount(spark, sf_dir):
+    q = TS.retention(load_table(spark, sf_dir, "events"))
+    plan = P.explain_str(q, "simple")
+    # the (user, week) dedup is the ONLY distinct pass; the final count
+    # is a plain count over the join output
+    assert plan.count("count(distinct") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_equals_gap_fill_cumulative_on_dense_series(spark):
+    """Cross-operator consistency: on a gap-free series, the trailing
+    24h rolling sum at bucket t equals the gap-filled series' sum of
+    the last 24 buckets — pinning that both share the same bucket
+    arithmetic and micros scaling."""
+    base = dt.datetime(2024, 2, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), 1, "a", float(i) / 4) for i in range(40)
+    ]
+    ev = _events(spark, rows)
+    roll = {
+        r["bucket_s"]: r["rolling_sum_micros"]
+        for r in TS.rolling_stats(ev).collect()
+    }
+    dense = sorted(
+        (r["bucket_s"], r["sum_value_micros"]) for r in TS.gap_fill(ev).collect()
+    )
+    sums = [v for _, v in dense]
+    for idx, (bucket, _) in enumerate(dense):
+        lo = max(0, idx - 23)
+        assert roll[bucket] == sum(sums[lo : idx + 1])
