@@ -67,6 +67,31 @@ def test_gap_fill_zero_fills_and_carries_forward(spark):
     assert rows[base + 10800]["ff_sum_value_micros"] == 2_250_000
 
 
+def test_gap_fill_null_value_counts_as_zero(spark):
+    """A NULL value contributes 0 micros (but still counts as an event),
+    so bucket sums are never NULL — pinning the coalesce that keeps the
+    Spark side aligned with the oracle's COALESCE(h.sum, 0) spine."""
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01T00:10:00", 1, "a", 1.0),
+            (3, "2024-01-01T02:30:00", 1, "a", 0.5),
+        ],
+    ).unionByName(
+        _events(spark, [(2, "2024-01-01T02:10:00", 2, "a", 0.0)]).withColumn(
+            "value", F.lit(None).cast("double")
+        )
+    )
+    rows = {r["bucket_s"]: r for r in TS.gap_fill(ev).collect()}
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    # the all-NULL-free hour is unaffected
+    assert rows[base]["sum_value_micros"] == 1_000_000
+    # hour 2: NULL-value event counts but adds 0 micros; sum is 500000, not NULL
+    assert rows[base + 7200]["n_events"] == 2
+    assert rows[base + 7200]["sum_value_micros"] == 500_000
+    assert rows[base + 7200]["ff_sum_value_micros"] == 500_000
+
+
 def test_gap_fill_spines_are_per_type(spark):
     ev = _events(
         spark,

@@ -53,7 +53,12 @@ def _hourly(events: DataFrame, bucket_s: int = HOUR_S) -> DataFrame:
         events.select(
             "event_type",
             F.expr("ts div 1000").alias("ts_us"),
-            F.round(F.col("value") * 1_000_000).cast("long").alias("value_micros"),
+            # NULL value contributes 0, so bucket sums are never NULL:
+            # without this, gap_fill's observed-bucket sum (NULL) would
+            # diverge from its oracle's COALESCE(h.sum, 0) spine form
+            F.coalesce(
+                F.round(F.col("value") * 1_000_000).cast("long"), F.lit(0)
+            ).alias("value_micros"),
         )
         .groupBy(
             "event_type",
@@ -69,7 +74,7 @@ def _hourly(events: DataFrame, bucket_s: int = HOUR_S) -> DataFrame:
 _HOURLY_SQL = (
     "hourly AS (SELECT event_type, "
     "(epoch_us(ts) // 3600000000) * 3600 AS bucket_s, "
-    "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros, "
+    "CAST(sum(COALESCE(CAST(round(value * 1000000) AS BIGINT), 0)) AS BIGINT) AS sum_value_micros, "
     "count(*) AS n_events FROM events GROUP BY 1, 2)"
 )
 
