@@ -1682,6 +1682,14 @@ def _q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.rolling_stats(load_table(spark, sf_dir, "events"))
 
 
+def _q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close hourly downsampling per event type
+    (operators/timeseries.py ohlc): first/last resolved by strict
+    (ts_us, event_id) order via struct min/max — one map-side-partial
+    shuffle, no window."""
+    return TS.ohlc(load_table(spark, sf_dir, "events"))
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view -> click -> purchase funnel, first-touch semantics,
     all stages co-partitioned on user_id."""
@@ -1841,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally, first driver verdicts lead the r06 rotation
         "gap_fill": _q_gap_fill,
         "rolling_stats": _q_rolling_stats,
+        "ohlc": _q_ohlc,
         "funnel": _q_funnel,
         "retention": _q_retention,
         # -- latest verdict r04 (freshest, rotated to the back) ------------
@@ -2472,6 +2481,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gap_fill": TS.gap_fill_sql(),
         "rolling_stats": TS.rolling_stats_sql(),
+        "ohlc": TS.ohlc_sql(),
         "funnel": TS.funnel_sql(),
         "retention": TS.retention_sql(),
     }

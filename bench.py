@@ -110,6 +110,7 @@ BENCH_KEYS = [
     "polygon_query",
     "gap_fill",
     "rolling_stats",
+    "ohlc",
     "funnel",
     "retention",
 ]

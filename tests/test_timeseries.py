@@ -130,6 +130,59 @@ def test_rolling_stats_range_frame_ages_out(spark):
     assert len(rows) == 3
 
 
+def test_ohlc_first_last_min_max(spark):
+    t = dt.datetime(2024, 1, 1)
+    ev = _events(
+        spark,
+        [
+            (1, t + dt.timedelta(minutes=10), 1, "a", 2.0),   # open
+            (2, t + dt.timedelta(minutes=20), 1, "a", 5.0),   # high
+            (3, t + dt.timedelta(minutes=30), 1, "a", 0.25),  # low
+            (4, t + dt.timedelta(minutes=40), 1, "a", 3.0),   # close
+            (5, t + dt.timedelta(hours=2), 1, "a", 7.0),      # other bucket
+        ],
+    )
+    rows = {r["bucket_s"]: r for r in TS.ohlc(ev).collect()}
+    base = int(t.replace(tzinfo=dt.timezone.utc).timestamp())
+    r0 = rows[base]
+    assert (
+        r0["open_micros"],
+        r0["high_micros"],
+        r0["low_micros"],
+        r0["close_micros"],
+        r0["n_events"],
+    ) == (2_000_000, 5_000_000, 250_000, 3_000_000, 4)
+    r2 = rows[base + 7200]
+    assert r2["open_micros"] == r2["close_micros"] == 7_000_000
+    assert r2["n_events"] == 1
+
+
+def test_ohlc_ties_resolve_by_event_id(spark):
+    """Two events in the SAME microsecond: first/last come from the
+    smaller/larger event_id — deterministic in both engines, not
+    whichever row an arg_min kept."""
+    t = dt.datetime(2024, 1, 1, 0, 30)
+    ev = _events(
+        spark,
+        [
+            (7, t, 1, "a", 9.0),
+            (3, t, 2, "a", 1.0),  # same ts, smaller event_id -> open
+        ],
+    )
+    r = TS.ohlc(ev).collect()[0]
+    assert r["open_micros"] == 1_000_000
+    assert r["close_micros"] == 9_000_000
+
+
+def test_ohlc_single_mapside_partial_shuffle(spark, sf_dir):
+    q = TS.ohlc(load_table(spark, sf_dir, "events"))
+    plan = P.explain_str(q, "simple")
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert P.exchange_count(q) == 1
+
+
 def test_funnel_requires_strict_order(spark):
     t = dt.datetime(2024, 1, 1)
 

@@ -198,6 +198,64 @@ def rolling_stats_sql(hours: int = ROLLING_HOURS) -> str:
     )
 
 
+def ohlc(events: DataFrame, bucket_s: int = HOUR_S) -> DataFrame:
+    """Open/high/low/close downsampling: per (event_type, hourly
+    bucket), the first and last observed value plus the min/max — the
+    standard lossy time-series compaction (candlesticks, dashboard
+    downsampling, feature rollups).
+
+    First/last are deterministic under ties: "first" is the value at
+    the lexicographically smallest ``(ts_us, event_id)`` — two events
+    in the same microsecond resolve by event_id, identically in both
+    engines, rather than by whichever row an engine's arg_min happens
+    to keep.  Implemented as ``min``/``max`` over a
+    ``struct(ts_us, event_id, value_micros)``: structs compare
+    lexicographically in Spark and DuckDB alike, and struct min/max is
+    an ordinary declarative aggregate, so the whole query is ONE
+    map-side-partial shuffle on (event_type, bucket_s) — every raw
+    partition collapses to at most one partial per bucket it spans, no
+    window, no join, no second scan.  NULL values contribute 0 micros
+    (the :func:`_hourly` convention).
+    """
+    bucket_us = bucket_s * 1_000_000
+    tagged = events.select(
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.coalesce(
+            F.round(F.col("value") * 1_000_000).cast("long"), F.lit(0)
+        ).alias("value_micros"),
+        "event_id",
+    ).select(
+        "event_type",
+        (F.expr(f"(ts_us div {bucket_us}) * {bucket_s}")).alias("bucket_s"),
+        F.struct("ts_us", "event_id", "value_micros").alias("tev"),
+        "value_micros",
+    )
+    return tagged.groupBy("event_type", "bucket_s").agg(
+        F.min("tev").getField("value_micros").alias("open_micros"),
+        F.max("value_micros").alias("high_micros"),
+        F.min("value_micros").alias("low_micros"),
+        F.max("tev").getField("value_micros").alias("close_micros"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def ohlc_sql(bucket_s: int = HOUR_S) -> str:
+    tev = "{'t': ts_us, 'e': event_id, 'v': value_micros}"
+    return (
+        "WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, "
+        "COALESCE(CAST(round(value * 1000000) AS BIGINT), 0) AS value_micros, "
+        "event_id FROM events) "
+        f"SELECT event_type, (ts_us // {bucket_s * 1_000_000}) * {bucket_s} AS bucket_s, "
+        f"(min({tev})).v AS open_micros, "
+        "max(value_micros) AS high_micros, "
+        "min(value_micros) AS low_micros, "
+        f"(max({tev})).v AS close_micros, "
+        "count(*) AS n_events "
+        "FROM e GROUP BY 1, 2"
+    )
+
+
 def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
     """Ordered-funnel user counts: how many users performed step 1,
     then step 2 STRICTLY AFTER their first step 1, then step 3 after
