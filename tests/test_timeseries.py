@@ -183,6 +183,110 @@ def test_ohlc_single_mapside_partial_shuffle(spark, sf_dir):
     assert P.exchange_count(q) == 1
 
 
+def test_ohlc_null_values_skip_extremes_but_count(spark):
+    """NULL values never become a bucket's low/open/close (min/max skip
+    them) yet still count in n_events; an all-NULL bucket has NULL
+    extremes — unlike the sum convention, where NULL contributes 0."""
+    t = dt.datetime(2024, 1, 1)
+    base_rows = _events(
+        spark,
+        [
+            (1, t + dt.timedelta(minutes=10), 1, "a", 5.0),
+            (2, t + dt.timedelta(minutes=20), 1, "a", 3.0),
+        ],
+    )
+    null_rows = _events(
+        spark,
+        [
+            (3, t + dt.timedelta(minutes=5), 1, "a", 0.0),   # earliest, NULL
+            (4, t + dt.timedelta(hours=3), 1, "a", 0.0),     # all-NULL bucket
+        ],
+    ).withColumn("value", F.lit(None).cast("double"))
+    rows = {r["bucket_s"]: r for r in TS.ohlc(base_rows.unionByName(null_rows)).collect()}
+    base = int(t.replace(tzinfo=dt.timezone.utc).timestamp())
+    r0 = rows[base]
+    # the NULL event is the earliest but cannot be the open; low is 3, not 0
+    assert r0["open_micros"] == 5_000_000
+    assert r0["low_micros"] == 3_000_000
+    assert r0["n_events"] == 3
+    r3 = rows[base + 3 * 3600]
+    assert r3["n_events"] == 1
+    assert r3["open_micros"] is None
+    assert r3["high_micros"] is None
+    assert r3["close_micros"] is None
+
+
+def test_gap_fill_chunked_expansion_crosses_chunk_boundaries(spark):
+    """A gap longer than GAP_CHUNK buckets expands through the two-level
+    generate with no seam: every bucket appears exactly once, zero-filled,
+    with the carry-forward intact."""
+    n_gap = TS.GAP_CHUNK * 2 + 37  # spans 3 level-1 chunks
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01T00:00:30", 1, "a", 1.0),
+            (2, "2024-01-01T00:00:30", 1, "b", 2.0),
+        ],
+    )
+    # move type a's second observation n_gap+1 minutes later at 60s buckets
+    later = _events(
+        spark, [(3, dt.datetime(2024, 1, 1, 0, 0, 30) + dt.timedelta(minutes=n_gap + 1), 1, "a", 4.0)]
+    )
+    out = TS.gap_fill(ev.unionByName(later), bucket_s=60).filter(
+        F.col("event_type") == "a"
+    )
+    rows = sorted(r["bucket_s"] for r in out.collect())
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    assert rows == [base + 60 * i for i in range(n_gap + 2)]
+    # every gap bucket zero-fills and carries type a's first sum forward
+    mid = out.filter(
+        (F.col("bucket_s") > base) & (F.col("bucket_s") < base + 60 * (n_gap + 1))
+    )
+    agg = mid.agg(
+        F.count("*").alias("n"),
+        F.sum("n_events").alias("ev"),
+        F.min("ff_sum_value_micros").alias("ff_lo"),
+        F.max("ff_sum_value_micros").alias("ff_hi"),
+    ).collect()[0]
+    assert (agg["n"], agg["ev"], agg["ff_lo"], agg["ff_hi"]) == (
+        n_gap, 0, 1_000_000, 1_000_000
+    )
+
+
+def test_input_guards_raise(spark):
+    import pytest as _pytest
+
+    ev = _events(spark, [(1, "2024-01-01T00:00:00", 1, "a", 1.0)])
+    with _pytest.raises(ValueError):
+        TS.gap_fill(ev, bucket_s=0)
+    with _pytest.raises(ValueError):
+        TS.gap_fill_sql(bucket_s=-60)
+    with _pytest.raises(ValueError):
+        TS.rolling_stats(ev, hours=0)
+    with _pytest.raises(ValueError):
+        TS.rolling_stats_sql(hours=0)
+    with _pytest.raises(ValueError):
+        TS.ohlc(ev, bucket_s=0)
+    with _pytest.raises(ValueError):
+        TS.funnel(ev, steps=[])
+    with _pytest.raises(ValueError):
+        TS.funnel_sql(steps=[])
+
+
+def test_funnel_sql_escapes_step_names():
+    sql = TS.funnel_sql(["add'to'cart", "purchase"])
+    assert "'add''to''cart'" in sql
+    # DuckDB must parse the escaped literal
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT 1::BIGINT AS user_id, "
+        "'view' AS event_type, now()::TIMESTAMP AS ts WHERE false"
+    )
+    assert con.execute(sql).fetchall() == [(1, "add'to'cart", 0), (2, "purchase", 0)]
+
+
 def test_funnel_requires_strict_order(spark):
     t = dt.datetime(2024, 1, 1)
 

@@ -37,6 +37,32 @@ WEEK_US = 7 * 86400 * 1_000_000
 FUNNEL_STEPS = ["view", "click", "purchase"]
 ROLLING_HOURS = 24
 
+# gap_fill expands each inter-observation gap in two explode levels of
+# at most this many elements each (see gap_fill) so a single sparse
+# series can never build one giant in-memory array on one row
+GAP_CHUNK = 1024
+
+
+def _require_positive(name: str, value: int) -> None:
+    if value <= 0:
+        raise ValueError(f"{name} must be a positive integer, got {value!r}")
+
+
+def _value_micros(null_as_zero: bool):
+    """``value`` as exact LONG micros — the module's ONE definition of
+    the micros conversion (both engines mirror it in SQL via
+    :func:`_value_micros_sql`).  ``null_as_zero`` picks the NULL
+    convention: sums treat a NULL value as 0 (bucket sums are never
+    NULL, matching the oracles' COALESCE spine forms); extremes
+    (:func:`ohlc`) keep NULL so min/max skip the row."""
+    m = F.round(F.col("value") * 1_000_000).cast("long")
+    return F.coalesce(m, F.lit(0)) if null_as_zero else m
+
+
+def _value_micros_sql(null_as_zero: bool) -> str:
+    m = "CAST(round(value * 1000000) AS BIGINT)"
+    return f"COALESCE({m}, 0)" if null_as_zero else m
+
 
 def _hourly(events: DataFrame, bucket_s: int = HOUR_S) -> DataFrame:
     """Per-(event_type, bucket) exact sums — the shared first phase.
@@ -48,17 +74,13 @@ def _hourly(events: DataFrame, bucket_s: int = HOUR_S) -> DataFrame:
     partition, not the row count.  ``bucket_s`` is epoch seconds of
     the bucket start (integer arithmetic end to end).
     """
+    _require_positive("bucket_s", bucket_s)
     bucket_us = bucket_s * 1_000_000
     return (
         events.select(
             "event_type",
             F.expr("ts div 1000").alias("ts_us"),
-            # NULL value contributes 0, so bucket sums are never NULL:
-            # without this, gap_fill's observed-bucket sum (NULL) would
-            # diverge from its oracle's COALESCE(h.sum, 0) spine form
-            F.coalesce(
-                F.round(F.col("value") * 1_000_000).cast("long"), F.lit(0)
-            ).alias("value_micros"),
+            _value_micros(null_as_zero=True).alias("value_micros"),
         )
         .groupBy(
             "event_type",
@@ -71,12 +93,14 @@ def _hourly(events: DataFrame, bucket_s: int = HOUR_S) -> DataFrame:
     )
 
 
-_HOURLY_SQL = (
-    "hourly AS (SELECT event_type, "
-    "(epoch_us(ts) // 3600000000) * 3600 AS bucket_s, "
-    "CAST(sum(COALESCE(CAST(round(value * 1000000) AS BIGINT), 0)) AS BIGINT) AS sum_value_micros, "
-    "count(*) AS n_events FROM events GROUP BY 1, 2)"
-)
+def _hourly_sql(bucket_s: int = HOUR_S) -> str:
+    _require_positive("bucket_s", bucket_s)
+    return (
+        "hourly AS (SELECT event_type, "
+        f"(epoch_us(ts) // {bucket_s * 1_000_000}) * {bucket_s} AS bucket_s, "
+        f"CAST(sum({_value_micros_sql(null_as_zero=True)}) AS BIGINT) AS sum_value_micros, "
+        "count(*) AS n_events FROM events GROUP BY 1, 2)"
+    )
 
 
 def gap_fill(events: DataFrame, bucket_s: int = HOUR_S) -> DataFrame:
@@ -105,24 +129,49 @@ def gap_fill(events: DataFrame, bucket_s: int = HOUR_S) -> DataFrame:
     (span/bucket rows per type — a year of hours is 8,760 rows), never
     over raw events, so the sequential pass is calendar-bounded, not
     data-bounded.
+
+    The expansion itself is TWO nested generate levels — coarse chunk
+    starts (``GAP_CHUNK`` buckets apart), then buckets within each
+    chunk — so one row's in-memory ``sequence`` array is at most
+    ``gap/GAP_CHUNK`` (level 1) or ``GAP_CHUNK`` (level 2) elements.
+    A single flat ``sequence`` would build the whole gap as one array
+    on one row: a decade-long gap at minute granularity is a ~5M-element
+    (tens of MB) single-row allocation, and past 2^31 elements Spark's
+    ``sequence`` throws outright.
     """
     hourly = _hourly(events, bucket_s)
     w = Window.partitionBy("event_type").orderBy("bucket_s")
     step = F.lit(bucket_s).cast("long")
-    expanded = hourly.withColumn(
-        "next_bucket_s", F.lead("bucket_s").over(w)
-    ).select(
-        "event_type",
-        F.col("bucket_s").alias("obs_bucket_s"),
-        "n_events",
-        "sum_value_micros",
-        F.explode(
-            F.sequence(
-                "bucket_s",
-                F.coalesce(F.col("next_bucket_s") - step, F.col("bucket_s")),
-                step,
-            )
-        ).alias("bucket_s"),
+    chunk = F.lit(bucket_s * GAP_CHUNK).cast("long")
+    expanded = (
+        hourly.withColumn("next_bucket_s", F.lead("bucket_s").over(w))
+        .withColumn(
+            "gap_end_s",
+            F.coalesce(F.col("next_bucket_s") - step, F.col("bucket_s")),
+        )
+        .select(
+            "event_type",
+            F.col("bucket_s").alias("obs_bucket_s"),
+            "n_events",
+            "sum_value_micros",
+            "gap_end_s",
+            F.explode(
+                F.sequence("bucket_s", "gap_end_s", chunk)
+            ).alias("chunk_s"),
+        )
+        .select(
+            "event_type",
+            "obs_bucket_s",
+            "n_events",
+            "sum_value_micros",
+            F.explode(
+                F.sequence(
+                    "chunk_s",
+                    F.least(F.col("chunk_s") + chunk - step, F.col("gap_end_s")),
+                    step,
+                )
+            ).alias("bucket_s"),
+        )
     )
     observed = F.col("bucket_s") == F.col("obs_bucket_s")
     zero = F.lit(0).cast("long")
@@ -139,7 +188,7 @@ def gap_fill(events: DataFrame, bucket_s: int = HOUR_S) -> DataFrame:
 
 def gap_fill_sql(bucket_s: int = HOUR_S) -> str:
     return (
-        f"WITH {_HOURLY_SQL}, "
+        f"WITH {_hourly_sql(bucket_s)}, "
         "bounds AS (SELECT event_type, min(bucket_s) AS lo, max(bucket_s) AS hi "
         "FROM hourly GROUP BY 1), "
         "spine AS (SELECT event_type, "
@@ -167,6 +216,7 @@ def rolling_stats(events: DataFrame, hours: int = ROLLING_HOURS) -> DataFrame:
     sorts the bounded per-type spine, not raw events.  Sums are exact
     LONG micros, so the rolling sum is order-independent.
     """
+    _require_positive("hours", hours)
     frame_lo = -(hours - 1) * HOUR_S
     w = (
         Window.partitionBy("event_type")
@@ -184,13 +234,14 @@ def rolling_stats(events: DataFrame, hours: int = ROLLING_HOURS) -> DataFrame:
 
 
 def rolling_stats_sql(hours: int = ROLLING_HOURS) -> str:
+    _require_positive("hours", hours)
     preceding = (hours - 1) * HOUR_S
     frame = (
         f"OVER (PARTITION BY event_type ORDER BY bucket_s "
         f"RANGE BETWEEN {preceding} PRECEDING AND CURRENT ROW)"
     )
     return (
-        f"WITH {_HOURLY_SQL} "
+        f"WITH {_hourly_sql()} "
         "SELECT event_type, bucket_s, n_events, sum_value_micros, "
         f"CAST(sum(sum_value_micros) {frame} AS BIGINT) AS rolling_sum_micros, "
         f"CAST(sum(n_events) {frame} AS BIGINT) AS rolling_events "
@@ -214,21 +265,29 @@ def ohlc(events: DataFrame, bucket_s: int = HOUR_S) -> DataFrame:
     an ordinary declarative aggregate, so the whole query is ONE
     map-side-partial shuffle on (event_type, bucket_s) — every raw
     partition collapses to at most one partial per bucket it spans, no
-    window, no join, no second scan.  NULL values contribute 0 micros
-    (the :func:`_hourly` convention).
+    window, no join, no second scan.
+
+    NULL values are IGNORED for the extremes (min/max skip them, in
+    both engines, via a NULL micros / NULL struct) but still counted
+    in ``n_events`` — coalescing them to 0 like the sum convention
+    would report a phantom 0 as a bucket's low/open/close.  A bucket
+    whose every value is NULL yields NULL extremes.
     """
+    _require_positive("bucket_s", bucket_s)
     bucket_us = bucket_s * 1_000_000
+    micros = _value_micros(null_as_zero=False)
     tagged = events.select(
         "event_type",
         F.expr("ts div 1000").alias("ts_us"),
-        F.coalesce(
-            F.round(F.col("value") * 1_000_000).cast("long"), F.lit(0)
-        ).alias("value_micros"),
+        micros.alias("value_micros"),
         "event_id",
     ).select(
         "event_type",
         (F.expr(f"(ts_us div {bucket_us}) * {bucket_s}")).alias("bucket_s"),
-        F.struct("ts_us", "event_id", "value_micros").alias("tev"),
+        F.when(
+            F.col("value_micros").isNotNull(),
+            F.struct("ts_us", "event_id", "value_micros"),
+        ).alias("tev"),
         "value_micros",
     )
     return tagged.groupBy("event_type", "bucket_s").agg(
@@ -241,10 +300,14 @@ def ohlc(events: DataFrame, bucket_s: int = HOUR_S) -> DataFrame:
 
 
 def ohlc_sql(bucket_s: int = HOUR_S) -> str:
-    tev = "{'t': ts_us, 'e': event_id, 'v': value_micros}"
+    _require_positive("bucket_s", bucket_s)
+    tev = (
+        "CASE WHEN value_micros IS NULL THEN NULL "
+        "ELSE {'t': ts_us, 'e': event_id, 'v': value_micros} END"
+    )
     return (
         "WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, "
-        "COALESCE(CAST(round(value * 1000000) AS BIGINT), 0) AS value_micros, "
+        f"{_value_micros_sql(null_as_zero=False)} AS value_micros, "
         "event_id FROM events) "
         f"SELECT event_type, (ts_us // {bucket_s * 1_000_000}) * {bucket_s} AS bucket_s, "
         f"(min({tev})).v AS open_micros, "
@@ -276,8 +339,17 @@ def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
     aggregates unioned together; no window functions, no
     collect_list of per-user event arrays (which would break on a
     100 TB power user).
+
+    Each stage table is ``cache()``d (lazy, MEMORY_AND_DISK): stage
+    *i* feeds BOTH its own count branch and stage *i+1*'s join, and
+    without the cache Spark re-executes the whole chain's lineage per
+    consumer — O(steps²) scans of the event table for a k-step
+    funnel.  The cached relations are per-user aggregates (bounded by
+    the user count, ~16 bytes/row), not raw events.
     """
     steps = FUNNEL_STEPS if steps is None else steps
+    if not steps:
+        raise ValueError("funnel needs at least one step event type")
     ev = events.select(
         "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
     )
@@ -285,6 +357,7 @@ def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
         ev.filter(F.col("event_type") == steps[0])
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t"))
+        .cache()
     )
     out = stage.agg(F.count("*").alias("users")).select(
         F.lit(1).alias("step"), F.lit(steps[0]).alias("event_type"), "users"
@@ -296,6 +369,7 @@ def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
             .filter(F.col("ts_us") > F.col("_prev_t"))
             .groupBy("user_id")
             .agg(F.min("ts_us").alias("t"))
+            .cache()
         )
         out = out.unionByName(
             nxt.agg(F.count("*").alias("users")).select(
@@ -308,22 +382,30 @@ def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
 
 def funnel_sql(steps: list[str] | None = None) -> str:
     steps = FUNNEL_STEPS if steps is None else steps
+    if not steps:
+        raise ValueError("funnel needs at least one step event type")
+
+    def q(name: str) -> str:
+        # SQL string literal: double embedded quotes so a step name like
+        # "add'to'cart" parses (the Spark twin takes it via F.lit as-is)
+        return "'" + name.replace("'", "''") + "'"
+
     ctes = [
         "e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events)",
         (
             f"s1 AS (SELECT user_id, min(ts_us) AS t FROM e "
-            f"WHERE event_type = '{steps[0]}' GROUP BY 1)"
+            f"WHERE event_type = {q(steps[0])} GROUP BY 1)"
         ),
     ]
     for i, name in enumerate(steps[1:], start=2):
         ctes.append(
             f"s{i} AS (SELECT e.user_id, min(e.ts_us) AS t "
             f"FROM e JOIN s{i - 1} USING (user_id) "
-            f"WHERE e.event_type = '{name}' AND e.ts_us > s{i - 1}.t GROUP BY 1)"
+            f"WHERE e.event_type = {q(name)} AND e.ts_us > s{i - 1}.t GROUP BY 1)"
         )
     selects = [
         (
-            f"SELECT {i} AS step, '{name}' AS event_type, "
+            f"SELECT {i} AS step, {q(name)} AS event_type, "
             f"CAST(count(*) AS BIGINT) AS users FROM s{i}"
         )
         for i, name in enumerate(steps, start=1)
