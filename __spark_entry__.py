@@ -336,6 +336,62 @@ def _q_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.range_count(pts.unionByName(batch), RECT_X, RECT_Y)
 
 
+def _q_write_path_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL write path end-to-end, oracle-checked (operators/write.py
+    insert_append + insert_append_incremental → refresh_index_incremental):
+    seed a scratch table with 7/8 of the points (full index rebuild), then
+    append the remaining 1/8 through the O(batch) incremental refresh —
+    only overflowing buckets' z-windows are re-read, the reference's
+    insert→notifyInsertion→maySplit chain (Client.java:55-59,
+    Index.java:175-230) as one batch job. The refreshed index must equal
+    a from-scratch ``index_build`` over ALL points, which is exactly the
+    recursive-CTE oracle that checks index_build — so the driver proves
+    append + incremental maintenance converges to the canonical trie."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.operators import write as W
+
+    d = tempfile.mkdtemp(prefix="writepath_")
+    path = f"{d}/t"
+    try:
+        pts = points(spark, sf_dir)
+        W.table_create(spark, path)
+        W.insert_append(spark, path, pts.filter(F.col("id") % 8 != 0))
+        W.insert_append_incremental(spark, path, pts.filter(F.col("id") % 8 == 0))
+        return (
+            spark.read.parquet(f"{path}/index")
+            .select("bucket_z", "pl", "size")
+            # detach from the scratch parquet before the dir goes away
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# floor_lookup_batch probes: pinned coordinates spanning the populated
+# domain + ONE z outside the index's [00*] cover (x,y <= 4095 means every
+# encodable point has z < 2^24; 2^62 begins the [01*] subspace), which the
+# prefix equi-join must DROP — the documented divergence from the
+# reference's floor-to-preceding-bucket (unreachable on a complete cover)
+_FLB_COORDS = [(0, 0), (512, 1024), (2048, 2048), (4000, 100), (4095, 4095)]
+_FLB_OUT_OF_COVER = 1 << 62
+
+
+def _q_floor_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched owning-bucket lookup (operators/index.py floor_lookup_batch
+    — ``getRowOrBefore`` at probe-set scale, Index.java:115-122, reworked
+    in r05 from an inequality broadcast join to the prefix equi-join over
+    the index's distinct prefix lengths)."""
+    idx = IX.index_build(points(spark, sf_dir))
+    probes = spark.createDataFrame(
+        [(Z.zorder_encode_py(x, y),) for x, y in _FLB_COORDS]
+        + [(_FLB_OUT_OF_COVER,)],
+        "z long",
+    )
+    return IX.floor_lookup_batch(idx, probes)
+
+
 # --- scalar codec / predicate functions as checkable queries (SURVEY.md
 # §2.2-§2.4). Each key in the §2 inventory gets its own oracle-checked
 # entry; parameters (prefix length, bit position) derive from `id` so the
@@ -503,6 +559,55 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-form equivalence oracle for the PRODUCTION (xxhash64) MinHash
+    pipeline: its output is checked against the EXACT all-pairs shingle
+    Jaccard computed in SQL — no banding, no hashing, just ground truth.
+    The exact-verify stage guarantees output ⊆ truth for ANY hash family;
+    equality additionally certifies full banding recall on this fixture
+    (verified to hold at sf0.001 and sf0.01: every qualifying pair shares
+    ≥1 of 8 bands under both hash families). This converts dedup_minhash's
+    engine-specific form from a rows-only smoke into a value-checked key;
+    the probabilistic recall floor for unseen data stays pinned by the
+    planted-pair tests (tests/test_dedup.py)."""
+    return D.dedup_minhash(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_simhash_band_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-losslessness invariant for the PRODUCTION (xxhash64)
+    SimHash: the pigeonhole claim — hamming ≤ 3 of 64 bits ⇒ at least one
+    of 4 16-bit bands identical — means the banded pipeline must find
+    EXACTLY the pairs a naive all-pairs hamming scan over the same
+    fingerprints finds. Both sides run in Spark (the fingerprints are
+    engine-specific, so no value-level SQL twin exists); the oracle pins
+    the invariant's observable: zero missed, zero extra. The naive side
+    is the quadratic verification harness, acceptable only because this
+    is a correctness key, never a production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.simhash_table(
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    ).localCheckpoint()
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    naive = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )
+    banded = D.dedup_simhash(docs)
+    missed = naive.join(banded, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count("*").alias("n_missed")
+    )
+    extra = banded.join(naive, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count("*").alias("n_extra")
+    )
+    return missed.crossJoin(extra)
+
+
 def _q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_minhash_portable(load_table(spark, sf_dir, "documents"))
 
@@ -548,6 +653,19 @@ def _q_embedding_knn_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     widest setting instead of merely agreeing with itself."""
     return SIM.embedding_knn_ivf_portable(
         load_table(spark, sf_dir, "embeddings"), 1, KNN_K, n_probe=16
+    )
+
+
+def _q_embedding_knn_ivf_kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-form equivalence oracle for the PRODUCTION (k-means-trained)
+    IVF: at n_probe == n_clusters every cluster is scored, so the result
+    must equal EXACT brute-force kNN for ANY centroid set — the Lloyd
+    iterations affect which rows each probe prunes, never the scoring.
+    The oracle is the exact-kNN SQL, putting the k-means form's
+    assign→probe→prune→score machinery under a value-level check (its
+    recall at narrow probes stays covered by the recall-vs-brute test)."""
+    return SIM.embedding_knn_ivf(
+        load_table(spark, sf_dir, "embeddings"), 1, KNN_K, n_clusters=16, n_probe=16
     )
 
 
@@ -1704,33 +1822,129 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
-    # Round-5 rotation (COVERAGE.md tracks per-key verdict ages): front =
-    # the 13 new keys (keyword_search_bm25 + its indexed twin /
-    # line_dedup / quality_gate / embedding_profile /
-    # stream_ingest_embeddings / polygon_query /
-    # embedding_knn_quantized + its materialized-layout twin /
-    # embedding_knn_ivf_full / pii_scrub / winnow_fingerprint /
-    # winnow_pairs — the nine session-new ones displace dedup_embedding
-    # / decontaminate_hashed / dedup_embedding_lsh / asof_join /
-    # stream_asof / stream_sessionize / floor_lookup / index_inspect /
-    # index_build, r03 verdicts in untouched modules, to the r06
-    # front), corpus_budget (reworked:
-    # sharded two-phase prefix sum), ngram_jaccard (broadcast-estimate
-    # headroom), and corpus_shuffle — its OBSERVABLE OUTPUT changed this
-    # round (shard ids now from the hash's top bits): an r04 verdict on
-    # the old mapping proves nothing, so it displaces knn_3d (r03,
-    # module untouched, golden-vector + property tests) to the r06
-    # front. Then the stale cohort — bytes_concat (r02) and 33 of the 48
-    # keys whose latest verdict is r03. The 15 r03 keys left out to fit:
-    # the 9 displaced above, multimodal_features, frame_sample,
-    # approx_distinct, table_profile_approx (rows-only smokes — weakest
-    # driver signal; their real checks are the local
-    # determinism/CRC/error-bound tests) and sql_pricing_summary
-    # (oracle == the same SQL text on both engines: facade parity,
-    # lowest-information oracle). All of these lead the r06 rotation.
-    # Back = the r04-green keys in otherwise-untouched modules.
+    # Round-6 rotation (COVERAGE.md tracks per-key verdict ages) clears the
+    # entire never-driver-checked backlog: front = the 5 session-new keys
+    # (write_path_refresh — the real insert_append→incremental-refresh
+    # path against the index_build oracle; floor_lookup_batch — the r05
+    # prefix-equi-join rework, probes incl. the out-of-cover drop;
+    # dedup_minhash_vs_exact / dedup_simhash_band_exact /
+    # embedding_knn_ivf_kmeans_full — cross-form equivalence oracles that
+    # put the engine-specific JVM-hash / k-means variants under value
+    # checks), then ALL 28 keys that have never received a driver verdict
+    # (the r05 out-of-window additions: the corpus lifecycle set, scan
+    # keyword/BM25 forms, projections, clustered ANN, the time-series
+    # family — each locally oracle-verified twice in r05; funnel's module
+    # ALSO changed this round: stage caches now unpersist after an eager
+    # count pass), then the 15 r03-stale keys (displaced from the r05
+    # window; untouched modules). The final 2 slots go to bucket_route +
+    # insert_append (r04): both sit on the exact machinery the new
+    # write-path/floor-batch keys exercise, so their re-verdicts land in
+    # the same round as the rework's first verdicts.
+    # After the window: the r04 cohort (they lead the r07 rotation), then
+    # the r05-verdict keys (freshest) at the back.
     return {
-        # -- new / changed since their last verdict ------------------------
+        # -- session-new (r06) ---------------------------------------------
+        "write_path_refresh": _q_write_path_refresh,
+        "floor_lookup_batch": _q_floor_lookup_batch,
+        "dedup_minhash_vs_exact": _q_dedup_minhash_vs_exact,
+        "dedup_simhash_band_exact": _q_dedup_simhash_band_exact,
+        "embedding_knn_ivf_kmeans_full": _q_embedding_knn_ivf_kmeans_full,
+        # -- never driver-checked (added r05 out-of-window) ----------------
+        "corpus_diff": _q_corpus_diff,
+        "corpus_prepare": _q_corpus_prepare,
+        "media_dedup": _q_media_dedup,
+        "dedup_semantic": _q_dedup_semantic,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "keyword_search": _q_keyword_search,
+        "keyword_search_indexed": _q_keyword_search_indexed,
+        "lm_bigram_score": _q_lm_bigram_score,
+        "gopher_quality": _q_gopher_quality,
+        "corpus_split": _q_corpus_split,
+        "corpus_jsonl_roundtrip": _q_corpus_jsonl_roundtrip,
+        "dedup_incremental": _q_dedup_incremental,
+        "stream_dedup_docs": _q_stream_dedup_docs,
+        "anomaly_zscore": _q_anomaly_zscore,
+        "embedding_project": _q_embedding_project,
+        "embedding_knn_projected": _q_embedding_knn_projected,
+        "source_cap": _q_source_cap,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "centroid_assign": _q_centroid_assign,
+        "corpus_manifest": _q_corpus_manifest,
+        "sql_zcodec": _q_sql_zcodec,
+        "stream_manifest": _q_stream_manifest,
+        "embedding_knn_clustered": _q_embedding_knn_clustered,
+        "gap_fill": _q_gap_fill,
+        "rolling_stats": _q_rolling_stats,
+        "ohlc": _q_ohlc,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
+        # -- latest verdict r03 (stalest) ----------------------------------
+        "index_build": _q_index_build,
+        "index_inspect": _q_index_inspect,
+        "floor_lookup": _q_floor_lookup,
+        "asof_join": _q_asof_join,
+        "stream_asof": _q_stream_asof,
+        "stream_sessionize": _q_stream_sessionize,
+        "dedup_embedding": _q_dedup_embedding,
+        "decontaminate_hashed": _q_decontaminate_hashed,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "knn_3d": _q_knn_3d,
+        "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
+        "approx_distinct": _q_approx_distinct,
+        "table_profile_approx": _q_table_profile_approx,
+        "sql_pricing_summary": _q_sql_pricing_summary,
+        # -- r04 keys on the reworked machinery (fill the window) ----------
+        "bucket_route": _q_bucket_route,
+        "insert_append": _q_insert_append,
+        # ---- driver window ends here (first 50 keys) --------------------
+        # -- latest verdict r04 (lead the r07 rotation) --------------------
+        "resize_meta": _q_resize_meta,
+        "skew_join": _q_skew_join,
+        "running_total": _q_running_total,
+        "knn_indexed": _q_knn_indexed,
+        "stream_ingest_points": _q_stream_ingest_points,
+        "corpus_mix": _q_corpus_mix,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "full_scan": _q_full_scan,
+        "range_query": _q_range_query,
+        "range_query_cover": _q_range_query_cover,
+        "range_count": _q_range_count,
+        "point_get": _q_point_get,
+        "knn": _q_knn,
+        "distance_join": _q_distance_join,
+        "knn_join": _q_knn_join,
+        "zorder_encode": _q_zorder_encode,
+        "zorder_decode": _q_zorder_decode,
+        "prefix_render": _q_prefix_render,
+        "bucket_split": _q_bucket_split,
+        "prefix_match": _q_prefix_match,
+        "bit_spread": _q_bit_spread,
+        "make_mask": _q_make_mask,
+        "set_bit": _q_set_bit,
+        "byte_ops": _q_byte_ops,
+        "euclid_dist": _q_euclid_dist,
+        "interval_preds": _q_interval_preds,
+        "range_filter": _q_range_filter,
+        "id_gen": _q_id_gen,
+        "table_create": _q_table_create,
+        "table_drop": _q_table_drop,
+        "table_lifecycle": _q_table_lifecycle,
+        "compact_layout": _q_compact_layout,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_minhash_portable": _q_dedup_minhash_portable,
+        "dedup_simhash_portable": _q_dedup_simhash_portable,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_knn": _q_embedding_knn,
+        "embedding_knn_lsh": _q_embedding_knn_lsh,
+        "embedding_knn_ivf": _q_embedding_knn_ivf,
+        "text_stats": _q_text_stats,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint": _q_doc_fingerprint,
+        # -- latest verdict r05 (freshest, rotated to the back) ------------
         "keyword_search_bm25": _q_keyword_search_bm25,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
         "line_dedup": _q_line_dedup,
@@ -1747,9 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget": _q_corpus_budget,
         "ngram_jaccard": _q_ngram_jaccard,
         "corpus_shuffle": _q_corpus_shuffle,
-        # -- latest verdict r02 (stalest) ----------------------------------
         "bytes_concat": _q_bytes_concat,
-        # -- latest verdict r03, rotated back into the window --------------
         "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
         "stream_windowed": _q_stream_windowed,
         "sessionize": _q_sessionize,
@@ -1783,123 +1995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_rollup": _q_text_stats_rollup,
         "zorder3d_encode": _q_zorder3d_encode,
         "range_count_3d": _q_range_count_3d,
-        # ---- driver window ends here (first 50 keys) --------------------
-        # index_build / index_inspect / floor_lookup displaced by
-        # embedding_profile + stream_ingest_embeddings + polygon_query
-        # (new, in-window); r03 verdicts, index module untouched,
-        # oracle + unit tests local
-        "index_build": _q_index_build,
-        "index_inspect": _q_index_inspect,
-        "floor_lookup": _q_floor_lookup,
-        # displaced by the session-new in-window keys
-        # (keyword_search_bm25 + its indexed twin, line_dedup,
-        # quality_gate, embedding_knn_quantized + its stored twin): r03
-        # verdicts, modules untouched since, streaming-state /
-        # planted-pair / LSH-recall / asof tests keep them covered
-        # locally
-        "asof_join": _q_asof_join,
-        "stream_asof": _q_stream_asof,
-        "stream_sessionize": _q_stream_sessionize,
-        "dedup_embedding": _q_dedup_embedding,
-        "decontaminate_hashed": _q_decontaminate_hashed,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        # displaced for corpus_shuffle's changed output (see header note)
-        "knn_3d": _q_knn_3d,
-        # r03 rows-only smokes displaced to fit; r06 rotation front-runners
-        "multimodal_features": _q_multimodal_features,
-        "frame_sample": _q_frame_sample,
-        "approx_distinct": _q_approx_distinct,
-        "table_profile_approx": _q_table_profile_approx,
-        # r03 oracle key displaced for winnow_pairs: its check is the SAME
-        # SQL text on both engines (facade parity, not operator logic) —
-        # the lowest-information oracle in the cohort; r06 front-runner
-        "sql_pricing_summary": _q_sql_pricing_summary,
-        # new this round but out-of-window (window full of stale+new keys
-        # with strictly higher priority); all 23 below are locally
-        # oracle-verified (scripts/oracle_check.py ALL OK at sf0.01);
-        # first driver verdicts land with the r06 rotation, where they
-        # lead together with the 5 displaced r03 keys above. media_dedup
-        # is the one rows-only entry in this block (in-memory media
-        # table; planted-dup + determinism tests).
-        "corpus_diff": _q_corpus_diff,
-        "corpus_prepare": _q_corpus_prepare,
-        "media_dedup": _q_media_dedup,
-        "dedup_semantic": _q_dedup_semantic,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "keyword_search": _q_keyword_search,
-        "keyword_search_indexed": _q_keyword_search_indexed,
-        "lm_bigram_score": _q_lm_bigram_score,
-        "gopher_quality": _q_gopher_quality,
-        "corpus_split": _q_corpus_split,
-        "corpus_jsonl_roundtrip": _q_corpus_jsonl_roundtrip,
-        "dedup_incremental": _q_dedup_incremental,
-        "stream_dedup_docs": _q_stream_dedup_docs,
-        "anomaly_zscore": _q_anomaly_zscore,
-        "embedding_project": _q_embedding_project,
-        "embedding_knn_projected": _q_embedding_knn_projected,
-        "source_cap": _q_source_cap,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "centroid_assign": _q_centroid_assign,
-        "corpus_manifest": _q_corpus_manifest,
-        "sql_zcodec": _q_sql_zcodec,
-        "stream_manifest": _q_stream_manifest,
-        "embedding_knn_clustered": _q_embedding_knn_clustered,
-        # the time-series family (operators/timeseries.py) — session-new,
-        # same out-of-window staging as the block above; oracle-verified
-        # locally, first driver verdicts lead the r06 rotation
-        "gap_fill": _q_gap_fill,
-        "rolling_stats": _q_rolling_stats,
-        "ohlc": _q_ohlc,
-        "funnel": _q_funnel,
-        "retention": _q_retention,
-        # -- latest verdict r04 (freshest, rotated to the back) ------------
-        "resize_meta": _q_resize_meta,
-        "skew_join": _q_skew_join,
-        "running_total": _q_running_total,
-        "knn_indexed": _q_knn_indexed,
-        "stream_ingest_points": _q_stream_ingest_points,
-        "corpus_mix": _q_corpus_mix,
-        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
-        "full_scan": _q_full_scan,
-        "range_query": _q_range_query,
-        "range_query_cover": _q_range_query_cover,
-        "range_count": _q_range_count,
-        "point_get": _q_point_get,
-        "knn": _q_knn,
-        "distance_join": _q_distance_join,
-        "knn_join": _q_knn_join,
-        "zorder_encode": _q_zorder_encode,
-        "zorder_decode": _q_zorder_decode,
-        "prefix_render": _q_prefix_render,
-        "bucket_route": _q_bucket_route,
-        "insert_append": _q_insert_append,
-        "bucket_split": _q_bucket_split,
-        "prefix_match": _q_prefix_match,
-        "bit_spread": _q_bit_spread,
-        "make_mask": _q_make_mask,
-        "set_bit": _q_set_bit,
-        "byte_ops": _q_byte_ops,
-        "euclid_dist": _q_euclid_dist,
-        "interval_preds": _q_interval_preds,
-        "range_filter": _q_range_filter,
-        "id_gen": _q_id_gen,
-        "table_create": _q_table_create,
-        "table_drop": _q_table_drop,
-        "table_lifecycle": _q_table_lifecycle,
-        "compact_layout": _q_compact_layout,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_minhash_portable": _q_dedup_minhash_portable,
-        "dedup_simhash_portable": _q_dedup_simhash_portable,
-        "dedup_simhash": _q_dedup_simhash,
-        "embedding_knn": _q_embedding_knn,
-        "embedding_knn_lsh": _q_embedding_knn_lsh,
-        "embedding_knn_ivf": _q_embedding_knn_ivf,
-        "text_stats": _q_text_stats,
-        "token_count": _q_token_count,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "doc_fingerprint": _q_doc_fingerprint,
     }
 
 
@@ -2081,6 +2176,25 @@ def oracle_sql() -> dict[str, str]:
             "AS bucket_name FROM points"
         ),
         "index_build": f"{_index_cte()} SELECT bucket_z, pl, size FROM leafidx",
+        # append + incremental refresh must converge to the SAME canonical
+        # trie a from-scratch build produces: identical oracle text
+        "write_path_refresh": (
+            f"{_index_cte()} SELECT bucket_z, pl, size FROM leafidx"
+        ),
+        # owner of z on a prefix-free complete cover == the unique leaf
+        # with bucket_z = z & mask(pl); the out-of-cover probe (2^62) joins
+        # to nothing in both engines (the documented drop semantics)
+        "floor_lookup_batch": (
+            f"{_index_cte()}, probes(z) AS (VALUES "
+            + ", ".join(
+                f"(CAST({Z.zorder_encode_py(x, y)} AS BIGINT))"
+                for x, y in _FLB_COORDS
+            )
+            + f", (CAST({_FLB_OUT_OF_COVER} AS BIGINT))) "
+            "SELECT p.z, i.bucket_z, i.pl, i.size FROM probes p JOIN leafidx i "
+            "ON (p.z & (CASE WHEN i.pl >= 64 THEN CAST(-1 AS BIGINT) "
+            "ELSE -(CAST(1 AS BIGINT) << (64 - i.pl)) END)) = i.bucket_z"
+        ),
         "index_inspect": (
             f"{_index_cte()} SELECT rpad(substring(lpad(bin(bucket_z), 64, '0'), 1, pl), 64, '*') "
             "AS bucket_name, size FROM leafidx ORDER BY bucket_name"
@@ -2204,6 +2318,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash_portable": D.dedup_minhash_portable_sql(),
         "dedup_simhash_portable": D.dedup_simhash_portable_sql(),
+        # ground truth for the JVM minhash form: EXACT all-pairs shingle
+        # Jaccard, no banding/hashing — output ⊆ truth always (exact
+        # verify), equality == full banding recall on this fixture. The
+        # size-ratio prune is lossless (J >= t implies |A|/|B| >= t).
+        "dedup_minhash_vs_exact": (
+            f"WITH sh AS (SELECT doc_id, {_SHINGLES} AS s, "
+            f"len({_SHINGLES}) AS sz "
+            f"FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)) "
+            "SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ("
+            "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            "    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+            "      / (a.sz + b.sz - len(list_intersect(a.s, b.s))) AS jac"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            "    AND least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz)"
+            ") WHERE jac >= 0.8"
+        ),
+        # pigeonhole-losslessness invariant (see the query's docstring):
+        # the observable is exactly-zero missed/extra pairs
+        "dedup_simhash_band_exact": (
+            "SELECT CAST(0 AS BIGINT) AS n_missed, "
+            "CAST(0 AS BIGINT) AS n_extra"
+        ),
         "ngram_jaccard": (
             "WITH sh AS (SELECT doc_id, lang AS blk, "
             f"{_SHINGLES} AS s, len({_SHINGLES}) AS sz "
@@ -2272,6 +2408,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn": exact_knn_sql,
         # full-probe IVF must collapse to exact kNN: same oracle text
         "embedding_knn_ivf_full": exact_knn_sql,
+        # the k-means-trained form at full probe too — ANY centroid set
+        # collapses to exact when every cluster is scored
+        "embedding_knn_ivf_kmeans_full": exact_knn_sql,
         # full-probe over the cluster-partitioned LAYOUT == exact kNN
         "embedding_knn_clustered": exact_knn_sql,
         # streamed-in layout at full probe must also equal exact kNN

@@ -384,7 +384,13 @@ def test_rolling_stats_window_reuses_agg_partitioning(spark, sf_dir):
 
 
 def test_funnel_joins_stay_on_user_id(spark, sf_dir):
-    q = TS.funnel(load_table(spark, sf_dir, "events"))
+    # funnel() itself is eager (it counts + unpersists its stage caches
+    # before returning a literal result) — pin the plan contract on the
+    # lazy stage chain it is built from
+    stages = TS.funnel_stages(
+        load_table(spark, sf_dir, "events"), TS.FUNNEL_STEPS
+    )
+    q = stages[-1]
     plan = P.explain_str(q, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

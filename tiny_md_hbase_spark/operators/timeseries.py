@@ -340,16 +340,42 @@ def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
     collect_list of per-user event arrays (which would break on a
     100 TB power user).
 
-    Each stage table is ``cache()``d (lazy, MEMORY_AND_DISK): stage
-    *i* feeds BOTH its own count branch and stage *i+1*'s join, and
+    Each stage table is ``cache()``d (MEMORY_AND_DISK): stage *i*
+    feeds BOTH its own count branch and stage *i+1*'s join, and
     without the cache Spark re-executes the whole chain's lineage per
     consumer — O(steps²) scans of the event table for a k-step
     funnel.  The cached relations are per-user aggregates (bounded by
-    the user count, ~16 bytes/row), not raw events.
+    the user count, ~16 bytes/row), not raw events.  The per-stage
+    counts are materialized EAGERLY so every stage cache can be
+    unpersisted before returning — a long-lived session (a bench
+    driver, a notebook) must not accumulate one orphaned cached
+    relation per funnel call in the block manager.  The returned
+    DataFrame is the (steps)-row literal result.
     """
     steps = FUNNEL_STEPS if steps is None else steps
     if not steps:
         raise ValueError("funnel needs at least one step event type")
+    spark = events.sparkSession
+    stages = funnel_stages(events, steps)
+    for s in stages:
+        s.cache()
+    try:
+        rows = [
+            (i, name, stages[i - 1].count())
+            for i, name in enumerate(steps, start=1)
+        ]
+    finally:
+        for s in stages:
+            s.unpersist()
+    return spark.createDataFrame(rows, "step int, event_type string, users long")
+
+
+def funnel_stages(events: DataFrame, steps: list[str]) -> list[DataFrame]:
+    """The lazy per-stage building blocks of :func:`funnel`: stage *i* is
+    the per-user earliest time of a qualifying ``steps[i]`` event (strict
+    first-touch chain).  Exposed uncached so plan tests can pin the join
+    shape; :func:`funnel` caches each stage for the duration of its own
+    eager count pass and unpersists before returning."""
     ev = events.select(
         "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
     )
@@ -357,27 +383,18 @@ def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
         ev.filter(F.col("event_type") == steps[0])
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t"))
-        .cache()
     )
-    out = stage.agg(F.count("*").alias("users")).select(
-        F.lit(1).alias("step"), F.lit(steps[0]).alias("event_type"), "users"
-    )
-    for i, name in enumerate(steps[1:], start=2):
-        nxt = (
+    stages = [stage]
+    for name in steps[1:]:
+        stage = (
             ev.filter(F.col("event_type") == name)
             .join(stage.select("user_id", F.col("t").alias("_prev_t")), "user_id")
             .filter(F.col("ts_us") > F.col("_prev_t"))
             .groupBy("user_id")
             .agg(F.min("ts_us").alias("t"))
-            .cache()
         )
-        out = out.unionByName(
-            nxt.agg(F.count("*").alias("users")).select(
-                F.lit(i).alias("step"), F.lit(name).alias("event_type"), "users"
-            )
-        )
-        stage = nxt
-    return out
+        stages.append(stage)
+    return stages
 
 
 def funnel_sql(steps: list[str] | None = None) -> str:

@@ -31,6 +31,7 @@ __all__ = [
     "table_create",
     "table_drop",
     "insert_append",
+    "insert_append_incremental",
     "refresh_index",
     "refresh_index_incremental",
     "with_generated_ids",
@@ -79,6 +80,18 @@ def insert_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
     enc = with_zvalue(with_generated_ids(batch).select("id", "x", "y"))
     enc.sortWithinPartitions("zvalue").write.mode("append").parquet(f"{path}/points")
     refresh_index(spark, path)
+
+
+def insert_append_incremental(spark: SparkSession, path: str, batch: DataFrame) -> dict:
+    """:func:`insert_append` with O(batch) index maintenance: append the
+    z-sorted batch files, then :func:`refresh_index_incremental` instead
+    of the from-scratch rebuild — the steady-state ingest path (the
+    reference's insert→notifyInsertion→maySplit chain,
+    ``Client.java:55-59`` / ``Index.java:175-230``, amortized to one
+    batch job). Returns the incrementality stats dict."""
+    enc = with_zvalue(with_generated_ids(batch).select("id", "x", "y"))
+    enc.sortWithinPartitions("zvalue").write.mode("append").parquet(f"{path}/points")
+    return refresh_index_incremental(spark, path, batch)
 
 
 def refresh_index(
