@@ -88,11 +88,43 @@ def main() -> int:
                 diff_s = list((sm - om).items())[:3]
                 diff_o = list((om - sm).items())[:3]
                 print(f"    spark-only: {diff_s}\n    oracle-only: {diff_o}")
+    _print_ledger(qs, oracles)
     if failures:
         print("FAILURES:", failures)
         return 1
     print("ALL OK")
     return 0
+
+
+def _print_ledger(qs: dict, oracles: dict) -> None:
+    """Registry ledger + diff against the COVERAGE.md header — the header's
+    counts are load-bearing for the rotation bookkeeping, so they are
+    machine-checked here instead of trusted."""
+    import re
+
+    total, with_oracle = len(qs), sum(1 for k in qs if k in oracles)
+    rows_only = sorted(k for k in qs if k not in oracles)
+    dangling = sorted(k for k in oracles if k not in qs)
+    print(
+        f"LEDGER: {total} keys, {with_oracle} with oracles; "
+        f"rows-only ({len(rows_only)}): {', '.join(rows_only)}"
+    )
+    if dangling:
+        print(f"LEDGER WARNING: oracle_sql without queries() entry: {dangling}")
+    cov = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
+    if os.path.exists(cov):
+        with open(cov) as f:
+            head = f.read(600)
+        m = re.search(r"\((\d+) total, (\d+) with", head)
+        if not m:
+            print("LEDGER WARNING: COVERAGE.md header counts not found")
+        elif (int(m.group(1)), int(m.group(2))) != (total, with_oracle):
+            print(
+                f"LEDGER MISMATCH: COVERAGE.md says {m.group(1)}/{m.group(2)}, "
+                f"registry is {total}/{with_oracle}"
+            )
+        else:
+            print("LEDGER: COVERAGE.md header counts match")
 
 
 if __name__ == "__main__":
