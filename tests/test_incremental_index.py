@@ -69,6 +69,23 @@ def test_incremental_matches_full_rebuild(spark, sf_dir, tmp_table):
         assert _index_set(spark, path) == _full_set(spark, path)
 
 
+def test_insert_append_incremental_wrapper(spark, sf_dir, tmp_table):
+    """insert_append_incremental = z-sorted batch append + incremental
+    refresh in one call; the resulting table state and index must match
+    a from-scratch build over everything (the write_path_refresh
+    queries() entry drives the same chain under the DuckDB oracle)."""
+    path = f"{tmp_table}/t4"
+    pts = points(spark, sf_dir).limit(1500)
+    W.table_create(spark, path)
+    W.insert_append(spark, path, pts.filter(F.col("id") % 3 != 0))
+    stats = W.insert_append_incremental(
+        spark, path, pts.filter(F.col("id") % 3 == 0)
+    )
+    assert set(stats) == {"overflowed", "table_scanned"}
+    assert spark.read.parquet(f"{path}/points").count() == pts.count()
+    assert _index_set(spark, path) == _full_set(spark, path)
+
+
 def test_incremental_no_overflow_touches_nothing_heavy(spark, tmp_table):
     path = f"{tmp_table}/t2"
     W.table_create(spark, path)

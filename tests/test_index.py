@@ -105,6 +105,20 @@ def test_floor_lookup_batch(spark, built):
         assert bz == max(r.bucket_z for r in rows if r.bucket_z <= z)
 
 
+def test_floor_lookup_batch_drops_out_of_cover_probe(spark, built):
+    """A probe OUTSIDE the index's [00*] cover (impossible against a
+    complete index over real data, since x,y <= 4095 keeps every z below
+    2^24) is dropped, not floored to an unrelated preceding bucket — the
+    documented divergence from getRowOrBefore (Index.java:115-122)."""
+    _, idx, _ = built
+    probes = spark.createDataFrame(
+        [(zorder_encode_py(2048, 2048),), (1 << 62,)], "z long"
+    )
+    got = IX.floor_lookup_batch(idx, probes).collect()
+    assert len(got) == 1
+    assert got[0].z == zorder_encode_py(2048, 2048)
+
+
 def test_floor_lookup_batch_is_equi_join(spark, built):
     """The batch floor lookup must be the prefix equi-join, never the
     O(|probes| x |buckets|) inequality nested loop."""

@@ -399,6 +399,18 @@ def test_funnel_joins_stay_on_user_id(spark, sf_dir):
     assert "collect_list" not in plan
 
 
+def test_funnel_unpersists_stage_caches(spark, sf_dir):
+    """funnel() must leave the block manager exactly as it found it: the
+    per-stage caches exist only for the duration of its own eager count
+    pass (a long-lived session running funnel repeatedly must not
+    accumulate orphaned cached relations)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = TS.funnel(load_table(spark, sf_dir, "events"))
+    assert out.count() == len(TS.FUNNEL_STEPS)
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_retention_counts_without_distinct_recount(spark, sf_dir):
     q = TS.retention(load_table(spark, sf_dir, "events"))
     plan = P.explain_str(q, "simple")
