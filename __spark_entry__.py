@@ -1127,12 +1127,29 @@ def _q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-only resize planning over the synthetic media table —
-    pure JVM Column math; rows-only check (media table is synthetic,
-    not a parquet fixture the oracle can see)."""
+    """Metadata-only resize planning (operators/multimodal.py resize_meta)
+    — pure JVM Column math, now ORACLE-checked: the media metadata is
+    derived deterministically (dims 16+(i*7)%97 x 16+(i*13)%83, audio
+    NULLs) so DuckDB reproduces the same inputs from range(96), and the
+    varied dims exercise width-bound, height-bound, AND no-op
+    (both sides <= max_side, scale clamps to 1) branches of the
+    aspect-preserving floor arithmetic — the constant-dims synth_media
+    form checked none of them. synth_media's payload plumbing stays
+    covered by multimodal_features/frame_sample/media_dedup."""
     from tiny_md_hbase_spark.operators import multimodal as MM
 
-    return MM.resize_meta(MM.synth_media(spark, 96), max_side=32)
+    meta = spark.range(96).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("id") % 3).cast("int") + 1,
+        ).alias("kind"),
+        F.when(F.col("id") % 3 != 1, (16 + (F.col("id") * 7) % 97).cast("int"))
+        .alias("width"),
+        F.when(F.col("id") % 3 != 1, (16 + (F.col("id") * 13) % 83).cast("int"))
+        .alias("height"),
+    )
+    return MM.resize_meta(meta, max_side=32)
 
 
 # 3-D derived view (d-dimensional codec demo): 10-bit x/y + 3-bit slot
@@ -1894,12 +1911,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "table_profile_approx": _q_table_profile_approx,
         "sql_pricing_summary": _q_sql_pricing_summary,
-        # -- r04 keys on the reworked machinery (fill the window) ----------
+        # -- r04 keys whose machinery/entry changed (fill the window) ------
         "bucket_route": _q_bucket_route,
-        "insert_append": _q_insert_append,
+        "resize_meta": _q_resize_meta,  # entry reworked: now oracle-checked
         # ---- driver window ends here (first 50 keys) --------------------
         # -- latest verdict r04 (lead the r07 rotation) --------------------
-        "resize_meta": _q_resize_meta,
+        "insert_append": _q_insert_append,
         "skew_join": _q_skew_join,
         "running_total": _q_running_total,
         "knn_indexed": _q_knn_indexed,
@@ -2333,6 +2350,22 @@ def oracle_sql() -> dict[str, str]:
             "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
             "    AND least(a.sz, b.sz) >= 0.8 * greatest(a.sz, b.sz)"
             ") WHERE jac >= 0.8"
+        ),
+        # deterministic media metadata (range-derived dims mirror the
+        # Spark entry expression-for-expression); floor/least/fractional-
+        # division semantics agree across engines
+        "resize_meta": (
+            "WITH m AS (SELECT i AS media_id, "
+            "CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image' "
+            "WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "CASE WHEN i % 3 <> 1 THEN CAST(16 + (i * 7) % 97 AS INTEGER) END AS width, "
+            "CASE WHEN i % 3 <> 1 THEN CAST(16 + (i * 13) % 83 AS INTEGER) END AS height "
+            "FROM range(96) t(i)) "
+            "SELECT media_id, kind, width, height, "
+            "CAST(floor(width * least(32 / width, 32 / height, 1.0)) AS INTEGER) "
+            "AS target_width, "
+            "CAST(floor(height * least(32 / width, 32 / height, 1.0)) AS INTEGER) "
+            "AS target_height FROM m WHERE width IS NOT NULL"
         ),
         # pigeonhole-losslessness invariant (see the query's docstring):
         # the observable is exactly-zero missed/extra pairs

@@ -185,6 +185,14 @@ HEADLINE = [
     "line_dedup",
     "quality_gate",
     "sessionize",
+    # build/probe split entries (the amortized steady-state shape)
+    "inverted_index_build",
+    "keyword_search_indexed_probe",
+    "keyword_search_bm25_indexed_probe",
+    "embeddings_clustered_build",
+    "embedding_knn_clustered_probe",
+    "embeddings_quantized_build",
+    "embedding_knn_quantized_probe",
 ]
 
 
@@ -289,6 +297,71 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["zsorted_layout"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"bench: zsorted layout FAILED: {errors['zsorted_layout']}", file=sys.stderr)
+
+    # indexed-search + ANN layouts, build/probe SPLIT: the queries()
+    # entries for these keys deliberately rebuild their layout per run
+    # (the oracle needs the whole chain), which buries the steady-state
+    # query latency under the one-time build. Here each layout is
+    # materialized ONCE (timed as *_build) and the searches are timed
+    # separately (min of two passes — the first pays codegen) — the
+    # amortized shape a deployment actually sees.
+    from tiny_md_hbase_spark.sources import load_table
+    from tiny_md_hbase_spark.sources import writer as WR
+
+    def _probe(name: str, thunk) -> None:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            thunk().write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        results[name] = best
+
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        ipath = tempfile.mkdtemp(prefix="bench_ii_") + "/ii"
+        t0 = time.perf_counter()
+        WR.write_inverted_index(docs, ipath)
+        results["inverted_index_build"] = round(time.perf_counter() - t0, 3)
+        _probe(
+            "keyword_search_indexed_probe",
+            lambda: WR.keyword_search_indexed(spark, ipath),
+        )
+        _probe(
+            "keyword_search_bm25_indexed_probe",
+            lambda: WR.keyword_search_bm25_indexed(spark, ipath),
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        from pyspark.sql import functions as F
+
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 1)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .first()
+            .v
+        ]
+        cpath = tempfile.mkdtemp(prefix="bench_cl_") + "/emb"
+        t0 = time.perf_counter()
+        WR.write_embeddings_clustered(emb, cpath)
+        results["embeddings_clustered_build"] = round(time.perf_counter() - t0, 3)
+        _probe(
+            "embedding_knn_clustered_probe",
+            lambda: WR.embedding_knn_clustered(spark, cpath, qv, 10, n_probe=4),
+        )
+
+        qpath = tempfile.mkdtemp(prefix="bench_q8_") + "/emb"
+        t0 = time.perf_counter()
+        WR.write_embeddings_quantized(emb, qpath)
+        results["embeddings_quantized_build"] = round(time.perf_counter() - t0, 3)
+        _probe(
+            "embedding_knn_quantized_probe",
+            lambda: WR.embedding_knn_quantized_stored(spark, qpath, qv, 10),
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["layout_split"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"bench: layout split FAILED: {errors['layout_split']}", file=sys.stderr)
 
     total = round(sum(results.values()), 3)
 
