@@ -360,10 +360,18 @@ def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
     for s in stages:
         s.cache()
     try:
-        rows = [
-            (i, name, stages[i - 1].count())
-            for i, name in enumerate(steps, start=1)
-        ]
+        # ONE collect over the unioned per-stage count aggregates — the
+        # branches share the cached stage relations and run inside a
+        # single job (per-stage .count() calls would serialize k jobs)
+        counts = None
+        for i, (name, s) in enumerate(zip(steps, stages), start=1):
+            c = s.agg(F.count("*").alias("users")).select(
+                F.lit(i).alias("step"),
+                F.lit(name).alias("event_type"),
+                "users",
+            )
+            counts = c if counts is None else counts.unionByName(c)
+        rows = [(r.step, r.event_type, r.users) for r in counts.collect()]
     finally:
         for s in stages:
             s.unpersist()
