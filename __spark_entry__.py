@@ -968,6 +968,15 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.line_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (operators/text.py span_dedup):
+    8-token runs occurring in >= 2 distinct documents deleted from every
+    document — the ExactSubstr-style substring-level cleaning step that
+    line- and document-level dedup miss. The fixture's exact-duplicate
+    document groups guarantee non-vacuous span hits at every sf."""
+    return TX.span_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def _q_embedding_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized ANN (operators/similarity.py
     embedding_knn_quantized): corpus-wide max-abs scale → BIGINT dot
@@ -1911,11 +1920,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "table_profile_approx": _q_table_profile_approx,
         "sql_pricing_summary": _q_sql_pricing_summary,
-        # -- r04 keys whose machinery/entry changed (fill the window) ------
-        "bucket_route": _q_bucket_route,
+        # -- session-new + reworked entries (fill the window) --------------
+        # span_dedup displaces bucket_route (r04 verdict on an untouched
+        # module; its prefix-join machinery gets its first direct verdict
+        # via floor_lookup_batch above anyway) so the one other
+        # session-new key is not born out-of-window
+        "span_dedup": _q_span_dedup,
         "resize_meta": _q_resize_meta,  # entry reworked: now oracle-checked
         # ---- driver window ends here (first 50 keys) --------------------
         # -- latest verdict r04 (lead the r07 rotation) --------------------
+        "bucket_route": _q_bucket_route,
         "insert_append": _q_insert_append,
         "skew_join": _q_skew_join,
         "running_total": _q_running_total,
@@ -2407,6 +2421,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search_indexed": TX.keyword_search_sql(),
         "keyword_search_bm25": TX.keyword_search_bm25_sql(),
         "line_dedup": TX.line_dedup_sql(),
+        "span_dedup": TX.span_dedup_sql(),
         "embedding_knn_quantized": SIM.embedding_knn_quantized_sql(),
         # stored int8 layout must equal the scan form: same oracle text
         "embedding_knn_quantized_stored": SIM.embedding_knn_quantized_sql(),

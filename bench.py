@@ -143,6 +143,7 @@ BENCH_KEYS = [
     "embedding_knn_quantized",
     "embedding_knn_quantized_stored",
     "keyword_search_bm25_indexed",
+    "span_dedup",
     "quality_gate",
     "embedding_profile",
     "stream_ingest_embeddings",

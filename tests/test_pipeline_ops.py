@@ -1280,6 +1280,94 @@ def test_line_dedup_counts_distinct_docs_not_occurrences(spark):
     assert got[1] == "echo\necho\necho"
 
 
+# --- exact duplicated-span removal ----------------------------------------
+
+def test_span_dedup_removes_shared_span_everywhere(spark):
+    """A 4-token run shared by two docs is cut from BOTH; surrounding
+    unique tokens survive in order, and untouched docs come back
+    verbatim."""
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, f"intro words {shared} outro words"),
+        (2, f"{shared} completely different tail"),
+        (3, "entirely original text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.span_dedup(df, span_len=4, min_docs=2).collect()}
+    assert got[1].clean_text == "intro words outro words"
+    assert (got[1].n_tokens, got[1].n_kept) == (8, 4)
+    assert got[2].clean_text == "completely different tail"
+    assert got[3].clean_text == "entirely original text here"
+    assert got[3].n_kept == got[3].n_tokens == 4
+
+
+def test_span_dedup_cover_extends_over_overlapping_windows(spark):
+    """Two docs sharing a run LONGER than span_len: every token of the
+    run is covered by some duplicated window, so the whole run goes —
+    not just the first span_len tokens."""
+    run = "a b c d e f"  # 6 tokens, span_len=4 -> starts at 0,1,2
+    rows = [(1, f"x {run} y"), (2, f"p q {run}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.clean_text
+           for r in T.span_dedup(df, span_len=4, min_docs=2).collect()}
+    assert got[1] == "x y"
+    assert got[2] == "p q"
+
+
+def test_span_dedup_within_doc_repeat_not_removed(spark):
+    """Distinct-doc counting: a span repeated inside ONE doc survives."""
+    rows = [(1, "w x y z w x y z"), (2, "other stuff entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.clean_text
+           for r in T.span_dedup(df, span_len=4, min_docs=2).collect()}
+    assert got[1] == "w x y z w x y z"
+
+
+def test_span_dedup_short_and_empty_docs(spark):
+    """Docs shorter than span_len contribute no spans and survive
+    whole; empty/NULL text yields ('', 0, 0)."""
+    rows = [(1, "tiny doc"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.span_dedup(df, span_len=4, min_docs=2).collect()}
+    assert got[1].clean_text == "tiny doc" and got[1].n_kept == 2
+    assert got[2].clean_text == "" and got[2].n_tokens == 0
+    assert got[3].clean_text == "" and got[3].n_tokens == 0
+
+
+def test_span_dedup_matches_python_reference(spark, sf_dir):
+    """Independent O(n^2)-naive Python oracle over a small slice of the
+    real fixture (exact duplicate docs included): identical survivor
+    sets."""
+    sample = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(60)
+        .collect()
+    )
+    L, MIN = 5, 2
+    toks = {r.doc_id: (r.text or "").split() for r in sample}
+    toks = {k: [t for t in v if t] for k, v in toks.items()}
+    gram_docs: dict[tuple, set] = {}
+    for d, tv in toks.items():
+        for p in range(len(tv) - L + 1):
+            gram_docs.setdefault(tuple(tv[p : p + L]), set()).add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= MIN}
+    expect = {}
+    for d, tv in toks.items():
+        cov = [False] * len(tv)
+        for p in range(len(tv) - L + 1):
+            if tuple(tv[p : p + L]) in dup:
+                for q in range(p, p + L):
+                    cov[q] = True
+        expect[d] = " ".join(t for t, c in zip(tv, cov) if not c)
+    df = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in sample], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.clean_text
+           for r in T.span_dedup(df, span_len=L, min_docs=MIN).collect()}
+    assert got == expect
+
+
 # --- int8 scalar-quantized ANN --------------------------------------------
 
 def test_knn_quantized_recall_vs_exact(spark, sf_dir):

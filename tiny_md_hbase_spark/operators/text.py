@@ -1725,6 +1725,151 @@ def line_dedup_sql(min_docs: int = 2) -> str:
     )
 
 
+def span_dedup(
+    documents: DataFrame, span_len: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Exact duplicated-SPAN removal — the substring-level sibling of
+    :func:`line_dedup` (the ExactSubstr idea of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): any run of ``span_len``
+    consecutive tokens occurring in ``min_docs`` or more DISTINCT
+    documents (templated passages, quoted licenses, syndicated
+    paragraphs — duplication that line- and document-level dedup both
+    miss because the surrounding text differs) is deleted from every
+    document. A token is removed iff it is covered by at least one
+    duplicated span window. Returns one row per input document:
+    (doc_id, clean_text, n_tokens, n_kept) — surviving tokens re-joined
+    in original order.
+
+    100 TB shape: ONE tokenize pass; the span keys are md5 of the
+    joined token window (a 32-hex shuffle key the oracle can compute —
+    at production scale run the identical shape on a rolling polynomial
+    over per-token ``xxhash64`` so the shuffle carries 8-byte keys and
+    the window string is never materialized, exactly line_dedup's
+    md5-vs-xxhash64 note); duplicated spans come back as a left_semi
+    join (broadcast under AQE when the dup set is small); coverage is a
+    per-document ordered window over DENSE positions (``ROWS span_len-1
+    PRECEDING`` == the span-cover predicate because every position is
+    present), so the only data-sized exchanges are the span-key
+    aggregation and the doc_id-keyed rebuild. Within-doc repetition
+    alone never triggers removal (the count is DISTINCT doc_id) — that
+    is :func:`repetition_stats`' job."""
+    from pyspark.sql import Window
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    # spread the raw rows first (single-file sources), then pin the
+    # tokenized table: it feeds the span-key build, the position table,
+    # AND the rebuild — without materialization every consumer re-runs
+    # the tokenize pass (the same localCheckpoint pattern as the
+    # minhash/ngram shingle tables)
+    para = documents.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        documents.repartition(para, "doc_id")
+        .select("doc_id", tokens(txt).alias("toks"))
+        .localCheckpoint()
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    # span start positions: one gram per window-start; docs shorter than
+    # span_len contribute none (the sequence guard — an unguarded
+    # sequence(0, negative) would DESCEND and fabricate grams)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= span_len,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - span_len),
+                    lambda i: F.array_join(
+                        F.slice("toks", i + 1, span_len), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy(F.md5("gram").alias("h"))
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    starts = (
+        grams.withColumn("h", F.md5("gram"))
+        .join(dup, "h", "left_semi")
+        .select("doc_id", "pos", F.lit(1).alias("is_start"))
+    )
+    w_cov = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(span_len - 1), 0)
+    )
+    flagged = pos.join(starts, ["doc_id", "pos"], "left").withColumn(
+        "cov", F.max(F.coalesce("is_start", F.lit(0))).over(w_cov)
+    )
+    rebuilt = (
+        flagged.filter(F.col("cov") == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    n_tokens = pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        documents.select("doc_id")
+        .join(n_tokens, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )
+
+
+def span_dedup_sql(span_len: int = 8, min_docs: int = 2) -> str:
+    """DuckDB twin of :func:`span_dedup` (same md5 span keys, same dense
+    ROWS-frame cover, same position-ordered rebuild)."""
+    toks = tokens_sql("coalesce(text, '')")
+    return (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        "p AS (SELECT doc_id, u.i AS pos, toks[u.i + 1] AS tok "
+        "FROM t, unnest(range(len(toks))) AS u(i)), "
+        "g AS (SELECT doc_id, u.i AS pos, "
+        f"array_to_string(toks[u.i + 1 : u.i + {span_len}], ' ') AS gram "
+        f"FROM t, unnest(range(CASE WHEN len(toks) >= {span_len} "
+        f"THEN len(toks) - {span_len} + 1 ELSE 0 END)) AS u(i)), "
+        "d AS (SELECT md5(gram) AS h FROM g GROUP BY md5(gram) "
+        f"HAVING count(DISTINCT doc_id) >= {min_docs}), "
+        "s AS (SELECT doc_id, pos FROM g "
+        "WHERE md5(gram) IN (SELECT h FROM d)), "
+        "c AS (SELECT p.doc_id, p.pos, p.tok, "
+        "max(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END) OVER ("
+        "PARTITION BY p.doc_id ORDER BY p.pos "
+        f"ROWS BETWEEN {span_len - 1} PRECEDING AND CURRENT ROW) AS cov "
+        "FROM p LEFT JOIN s ON p.doc_id = s.doc_id AND p.pos = s.pos), "
+        "a AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) "
+        "AS clean_text, CAST(count(*) AS BIGINT) AS n_kept "
+        "FROM c WHERE cov = 0 GROUP BY doc_id), "
+        "n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens "
+        "FROM p GROUP BY doc_id) "
+        "SELECT d0.doc_id, coalesce(a.clean_text, '') AS clean_text, "
+        "coalesce(n.n_tokens, 0) AS n_tokens, "
+        "coalesce(a.n_kept, 0) AS n_kept "
+        "FROM documents d0 LEFT JOIN n USING (doc_id) "
+        "LEFT JOIN a USING (doc_id)"
+    )
+
+
 def lm_bigram_score(documents: DataFrame) -> DataFrame:
     """Corpus-trained bigram surprisal scoring — the perplexity-filter
     primitive (CCNet-style) without an external model: score each
