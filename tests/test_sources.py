@@ -16,7 +16,7 @@ EVENTS_DDL = (
 )
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json", "parquet"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "parquet", "orc"])
 def test_events_roundtrip(spark, sf_dir, fmt):
     tmp = tempfile.mkdtemp(prefix=f"src_{fmt}_")
     try:

@@ -74,10 +74,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def write_as(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
     """Materialize a table in another interchange format. Parquet is the
-    engine's native layout (columnar, stats, pruning); CSV/JSON are the
-    ingest/egress formats a pipeline meets at its edges. Timestamps are
-    already plain longs here (nanos), so they survive textual round
-    trips losslessly."""
+    engine's native layout (columnar, stats, pruning); ORC is the other
+    columnar warehouse format (built-in, carries min/max stats and
+    predicate pushdown just like parquet — the interchange a
+    Hive/Trino-era lake hands over); CSV/JSON are the ingest/egress
+    formats a pipeline meets at its edges. Timestamps are already plain
+    longs here (nanos), so they survive textual round trips losslessly.
+    (Avro is deliberately absent: it is an external Spark module, not
+    available in this environment.)"""
     w = df.write.mode(mode)
     if fmt == "csv":
         w.option("header", "true").csv(path)
@@ -85,6 +89,8 @@ def write_as(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> Non
         w.json(path)
     elif fmt == "parquet":
         w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
     else:
         raise ValueError(f"unsupported format: {fmt}")
 
@@ -101,6 +107,8 @@ def load_as(spark: SparkSession, path: str, fmt: str, schema: str) -> DataFrame:
         return r.json(path)
     if fmt == "parquet":
         return r.parquet(path)
+    if fmt == "orc":
+        return r.orc(path)
     raise ValueError(f"unsupported format: {fmt}")
 
 
