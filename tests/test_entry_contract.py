@@ -21,7 +21,6 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "frame_sample",
         "media_dedup",
         "multimodal_features",
-        "resize_meta",
         "table_lifecycle",
         "table_profile_approx",
     ]
