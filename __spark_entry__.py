@@ -1862,12 +1862,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family — each locally oracle-verified twice in r05; funnel's module
     # ALSO changed this round: stage caches now unpersist after an eager
     # count pass), then the 15 r03-stale keys (displaced from the r05
-    # window; untouched modules). The final 2 slots go to bucket_route +
-    # insert_append (r04): both sit on the exact machinery the new
-    # write-path/floor-batch keys exercise, so their re-verdicts land in
-    # the same round as the rework's first verdicts.
-    # After the window: the r04 cohort (they lead the r07 rotation), then
-    # the r05-verdict keys (freshest) at the back.
+    # window; untouched modules). The final 2 slots go to span_dedup
+    # (session-new: exact duplicated-span removal — in the window so no
+    # new key is born unverified) and resize_meta (r04, but its ENTRY was
+    # reworked into an oracle-checked form — changed observable output
+    # needs a fresh verdict). bucket_route keeps its r04 verdict just
+    # outside the window (its prefix-join machinery gets its first direct
+    # verdict via floor_lookup_batch in-window anyway).
+    # After the window: the r04 cohort, 46 keys (they lead the r07
+    # rotation), then the r05-verdict keys (freshest) at the back.
     return {
         # -- session-new (r06) ---------------------------------------------
         "write_path_refresh": _q_write_path_refresh,

@@ -26,6 +26,7 @@ compares. Override with SPARK_GRAFT_BENCH_SCRATCH=/path or set it to
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
@@ -36,10 +37,18 @@ import time
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO_DIR)
 
+_SCRATCH_DESC = "default"  # recorded verbatim in BENCH_DETAIL.json
+
 
 def _setup_scratch() -> str | None:
     """Route Spark local dirs + tempfile to tmpfs. Must run before the
-    JVM starts (SPARK_LOCAL_DIRS is read at session creation)."""
+    JVM starts (SPARK_LOCAL_DIRS is read at session creation). A
+    pre-set SPARK_LOCAL_DIRS is respected, not overridden — and the
+    recorded scratch description says so, so a noisy recording on a
+    slow preset dir is never mis-attributed to compute. Cleanup is an
+    atexit hook: RAM-backed spill must not stay pinned in /dev/shm when
+    the run dies mid-way (uncaught exception, Ctrl-C)."""
+    global _SCRATCH_DESC
     want = os.environ.get("SPARK_GRAFT_BENCH_SCRATCH")
     if want == "none":
         return None
@@ -47,10 +56,19 @@ def _setup_scratch() -> str | None:
     if base is None:
         return None
     scratch = tempfile.mkdtemp(prefix="bench_scratch_", dir=base)
-    local = os.path.join(scratch, "spark_local")
-    os.makedirs(local, exist_ok=True)
-    os.environ.setdefault("SPARK_LOCAL_DIRS", local)
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    parts = []
+    preset = os.environ.get("SPARK_LOCAL_DIRS")
+    if preset:
+        parts.append(f"spark_local_dirs=preset:{preset}")
+    else:
+        local = os.path.join(scratch, "spark_local")
+        os.makedirs(local, exist_ok=True)
+        os.environ["SPARK_LOCAL_DIRS"] = local
+        parts.append("spark_local_dirs=tmpfs")
     tempfile.tempdir = scratch  # mkdtemp() in benched queries lands on tmpfs
+    parts.append("tempfile=tmpfs")
+    _SCRATCH_DESC = ",".join(parts)
     return scratch
 
 
@@ -264,13 +282,22 @@ def main() -> None:
     # loop — single-shot layout timings flipped 4-6x between identical
     # plans on compile/GC windows (r06: range_query_zcover 0.15 vs 0.99)
     def _probe(name: str, thunk) -> None:
-        best = None
         for _ in range(2):
             t0 = time.perf_counter()
             thunk().write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            best = dt if best is None else min(best, dt)
-        results[name] = best
+            timings.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 3)
+            )
+        results[name] = min(timings[name])
+
+    def _timed(name: str, fn) -> None:
+        """Single-sample layout build, recorded in both maps (the detail
+        file's 'every timing sample' contract covers the layout entries
+        too)."""
+        t0 = time.perf_counter()
+        fn()
+        timings.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
+        results[name] = min(timings[name])
 
     # layout-aware path: materialize the z-clustered table once (timed as
     # the write/cluster cost), then run the pruned-scan variants — the
@@ -284,13 +311,14 @@ def main() -> None:
     )
 
     try:
-        zw = []
         for i in range(2):
             zdir = tempfile.mkdtemp(prefix=f"bench_zsorted{i}_") + "/points"
-            t0 = time.perf_counter()
-            write_points_zsorted(points(spark, sf_dir), zdir, num_partitions=cpus)
-            zw.append(round(time.perf_counter() - t0, 3))
-        results["zsort_write"] = min(zw)
+            _timed(
+                "zsort_write",
+                lambda zd=zdir: write_points_zsorted(
+                    points(spark, sf_dir), zd, num_partitions=cpus
+                ),
+            )
 
         zt = load_points_zsorted(spark, zdir)
         _probe(
@@ -324,9 +352,7 @@ def main() -> None:
     try:
         docs = load_table(spark, sf_dir, "documents")
         ipath = tempfile.mkdtemp(prefix="bench_ii_") + "/ii"
-        t0 = time.perf_counter()
-        WR.write_inverted_index(docs, ipath)
-        results["inverted_index_build"] = round(time.perf_counter() - t0, 3)
+        _timed("inverted_index_build", lambda: WR.write_inverted_index(docs, ipath))
         _probe(
             "keyword_search_indexed_probe",
             lambda: WR.keyword_search_indexed(spark, ipath),
@@ -347,18 +373,20 @@ def main() -> None:
             .v
         ]
         cpath = tempfile.mkdtemp(prefix="bench_cl_") + "/emb"
-        t0 = time.perf_counter()
-        WR.write_embeddings_clustered(emb, cpath)
-        results["embeddings_clustered_build"] = round(time.perf_counter() - t0, 3)
+        _timed(
+            "embeddings_clustered_build",
+            lambda: WR.write_embeddings_clustered(emb, cpath),
+        )
         _probe(
             "embedding_knn_clustered_probe",
             lambda: WR.embedding_knn_clustered(spark, cpath, qv, 10, n_probe=4),
         )
 
         qpath = tempfile.mkdtemp(prefix="bench_q8_") + "/emb"
-        t0 = time.perf_counter()
-        WR.write_embeddings_quantized(emb, qpath)
-        results["embeddings_quantized_build"] = round(time.perf_counter() - t0, 3)
+        _timed(
+            "embeddings_quantized_build",
+            lambda: WR.write_embeddings_quantized(emb, qpath),
+        )
         _probe(
             "embedding_knn_quantized_probe",
             lambda: WR.embedding_knn_quantized_stored(spark, qpath, qv, 10),
@@ -378,7 +406,7 @@ def main() -> None:
         "timings": timings,
         "sf": sf,
         "cpus": cpus,
-        "scratch": "tmpfs" if _SCRATCH else "default",
+        "scratch": _SCRATCH_DESC,
     }
     if errors:
         detail["partial_total_sec"] = total
@@ -407,9 +435,7 @@ def main() -> None:
     if len(line) > 1500:  # belt and braces: drop per-query before truncating
         out.pop("queries", None)
         line = json.dumps(out)
-    print(line)
-    if _SCRATCH:
-        shutil.rmtree(_SCRATCH, ignore_errors=True)
+    print(line)  # scratch cleanup happens in the atexit hook
 
 
 if __name__ == "__main__":

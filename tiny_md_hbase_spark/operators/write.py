@@ -69,28 +69,30 @@ def with_generated_ids(points: DataFrame) -> DataFrame:
     return points.withColumn("id", F.monotonically_increasing_id())
 
 
-def insert_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
-    """Append a batch of points and refresh the index.
-
-    Appended files are z-sorted *within the batch* (each new file carries
-    tight zvalue min/max stats, so scans keep pruning); global re-cluster
-    is a periodic compaction concern, exactly like HBase flushes +
-    compactions in the reference's storage layer.
-    """
+def _append_batch(path: str, batch: DataFrame) -> None:
+    """The ONE encoding of the physical append, shared by both refresh
+    strategies: ids filled, z-encoded, z-sorted *within the batch* (each
+    new file carries tight zvalue min/max stats, so scans keep pruning);
+    global re-cluster is a periodic compaction concern, exactly like
+    HBase flushes + compactions in the reference's storage layer."""
     enc = with_zvalue(with_generated_ids(batch).select("id", "x", "y"))
     enc.sortWithinPartitions("zvalue").write.mode("append").parquet(f"{path}/points")
+
+
+def insert_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
+    """Append a batch of points and refresh the index from scratch."""
+    _append_batch(path, batch)
     refresh_index(spark, path)
 
 
 def insert_append_incremental(spark: SparkSession, path: str, batch: DataFrame) -> dict:
-    """:func:`insert_append` with O(batch) index maintenance: append the
-    z-sorted batch files, then :func:`refresh_index_incremental` instead
-    of the from-scratch rebuild — the steady-state ingest path (the
+    """:func:`insert_append` with O(batch) index maintenance: the same
+    physical append, then :func:`refresh_index_incremental` instead of
+    the from-scratch rebuild — the steady-state ingest path (the
     reference's insert→notifyInsertion→maySplit chain,
     ``Client.java:55-59`` / ``Index.java:175-230``, amortized to one
     batch job). Returns the incrementality stats dict."""
-    enc = with_zvalue(with_generated_ids(batch).select("id", "x", "y"))
-    enc.sortWithinPartitions("zvalue").write.mode("append").parquet(f"{path}/points")
+    _append_batch(path, batch)
     return refresh_index_incremental(spark, path, batch)
 
 
