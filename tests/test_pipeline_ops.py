@@ -1368,6 +1368,43 @@ def test_span_dedup_matches_python_reference(spark, sf_dir):
     assert got == expect
 
 
+def test_span_dedup_equals_python_reference_randomized(spark):
+    """Property check on seeded pseudo-random corpora drawn from a TINY
+    vocabulary — small vocab + short spans force dense span collisions,
+    overlapping covers, and boundary cases (doc length == span_len,
+    length < span_len) far beyond what the fixture exhibits. Driven as
+    a seeded loop, not hypothesis @given (each Spark plan costs
+    seconds; see test_skew_safe_topk_equals_naive_window_randomized)."""
+    import random
+
+    L, MIN = 3, 2
+    vocab = ["a", "b", "c", "d"]
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))))
+            for i in range(80)
+        ]
+        toks = {d: t.split() for d, t in rows}
+        gram_docs: dict[tuple, set] = {}
+        for d, tv in toks.items():
+            for p in range(len(tv) - L + 1):
+                gram_docs.setdefault(tuple(tv[p : p + L]), set()).add(d)
+        dup = {g for g, ds in gram_docs.items() if len(ds) >= MIN}
+        expect = {}
+        for d, tv in toks.items():
+            cov = [False] * len(tv)
+            for p in range(len(tv) - L + 1):
+                if tuple(tv[p : p + L]) in dup:
+                    for q in range(p, p + L):
+                        cov[q] = True
+            expect[d] = " ".join(t for t, c in zip(tv, cov) if not c)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.clean_text
+               for r in T.span_dedup(df, span_len=L, min_docs=MIN).collect()}
+        assert got == expect
+
+
 # --- int8 scalar-quantized ANN --------------------------------------------
 
 def test_knn_quantized_recall_vs_exact(spark, sf_dir):
