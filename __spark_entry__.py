@@ -23,6 +23,7 @@ from tiny_md_hbase_spark import sql as _SQLF  # noqa: E402
 from tiny_md_hbase_spark import zorder as Z  # noqa: E402
 from tiny_md_hbase_spark import zorder_nd as ZND  # noqa: E402
 from tiny_md_hbase_spark.operators import analytics as AN  # noqa: E402
+from tiny_md_hbase_spark.operators import bpe as _BPE  # noqa: E402
 from tiny_md_hbase_spark.operators import dedup as D  # noqa: E402
 from tiny_md_hbase_spark.operators import index as IX  # noqa: E402
 from tiny_md_hbase_spark.operators import intervals as IV  # noqa: E402
@@ -966,6 +967,19 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Count-distinct on the line's md5, left_anti against the (small)
     boilerplate set, one groupBy(doc_id) rebuild."""
     return TX.line_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training pair statistics (operators/bpe.py
+    bpe_pair_counts): top-50 adjacent-symbol pair frequencies over the
+    corpus VOCABULARY (the one corpus-sized pass is the word count;
+    everything after is vocab-bounded — the 100 TB corpus and the 100 GB
+    corpus train on the same sized table). The iterative bpe_train loop
+    shares this aggregation and is pinned merge-for-merge against an
+    independent Python reference in tests/test_bpe.py."""
+    from tiny_md_hbase_spark.operators import bpe as B
+
+    return B.bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=50)
 
 
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1922,16 +1936,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "approx_distinct": _q_approx_distinct,
         "table_profile_approx": _q_table_profile_approx,
-        "sql_pricing_summary": _q_sql_pricing_summary,
         # -- session-new + reworked entries (fill the window) --------------
-        # span_dedup displaces bucket_route (r04 verdict on an untouched
-        # module; its prefix-join machinery gets its first direct verdict
-        # via floor_lookup_batch above anyway) so the one other
-        # session-new key is not born out-of-window
+        # span_dedup + bpe_pair_counts displace bucket_route (r04 verdict
+        # on an untouched module; its prefix-join machinery gets its first
+        # direct verdict via floor_lookup_batch above anyway) and
+        # sql_pricing_summary (r03, but its oracle is the SAME SQL text on
+        # both engines — facade parity, the lowest-information re-verdict
+        # in the stale cohort; a new key's FIRST verdict outranks it) so
+        # neither session-new key is born out-of-window
         "span_dedup": _q_span_dedup,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "resize_meta": _q_resize_meta,  # entry reworked: now oracle-checked
         # ---- driver window ends here (first 50 keys) --------------------
-        # -- latest verdict r04 (lead the r07 rotation) --------------------
+        # -- displaced r03/r04 keys (lead the r07 rotation) ----------------
+        "sql_pricing_summary": _q_sql_pricing_summary,
         "bucket_route": _q_bucket_route,
         "insert_append": _q_insert_append,
         "skew_join": _q_skew_join,
@@ -2425,6 +2443,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search_bm25": TX.keyword_search_bm25_sql(),
         "line_dedup": TX.line_dedup_sql(),
         "span_dedup": TX.span_dedup_sql(),
+        "bpe_pair_counts": _BPE.bpe_pair_counts_sql(k=50),
         "embedding_knn_quantized": SIM.embedding_knn_quantized_sql(),
         # stored int8 layout must equal the scan form: same oracle text
         "embedding_knn_quantized_stored": SIM.embedding_knn_quantized_sql(),

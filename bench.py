@@ -162,6 +162,7 @@ BENCH_KEYS = [
     "embedding_knn_quantized_stored",
     "keyword_search_bm25_indexed",
     "span_dedup",
+    "bpe_pair_counts",
     "quality_gate",
     "embedding_profile",
     "stream_ingest_embeddings",

@@ -1,0 +1,58 @@
+"""BPE tokenizer-training primitives: pair statistics + the iterative
+merge loop, pinned against an independent pure-Python reference."""
+
+from __future__ import annotations
+
+from tiny_md_hbase_spark.operators import bpe as B
+from tiny_md_hbase_spark.sources import load_table
+
+
+def test_pair_counts_simple_corpus(spark):
+    # "low" x2, "lower" x1 -> ('l','o')=3, ('o','w')=3, ('w','</w>')=2 ...
+    df = spark.createDataFrame(
+        [(1, "low low"), (2, "lower")], "doc_id long, text string"
+    )
+    got = {(r.left, r.right): r.cnt for r in B.bpe_pair_counts(df, 100).collect()}
+    assert got[("l", "o")] == 3
+    assert got[("o", "w")] == 3
+    assert got[("w", B.END)] == 2
+    assert got[("w", "e")] == 1
+    assert got[("e", "r")] == 1
+    assert got[("r", B.END)] == 1
+    # END terminates each word: no cross-word pair exists
+    assert (B.END, "l") not in got
+
+
+def test_pair_counts_weighted_by_word_frequency_not_occurrence(spark):
+    """The explode is over the VOCABULARY weighted by counts: a word
+    repeated 5x contributes 5x its pairs."""
+    df = spark.createDataFrame([(1, "ab " * 5)], "doc_id long, text string")
+    got = {(r.left, r.right): r.cnt for r in B.bpe_pair_counts(df, 10).collect()}
+    assert got[("a", "b")] == 5
+
+
+def test_train_matches_python_reference_on_fixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    wc = [(r.word, r.cnt) for r in B.word_counts(docs).collect()]
+    assert B.bpe_train(docs, n_merges=10) == B.bpe_train_py(wc, n_merges=10)
+
+
+def test_train_greedy_nonoverlapping_merge(spark):
+    """'aaaa': merging (a,a) greedily left-to-right gives
+    [aa, aa, </w>] — NOT three overlapping merges (which would leave
+    [aa, a, a, </w>]-style states where round 2's pair counts differ).
+    Round 2 then ties (aa,aa) with (aa,</w>) at count 1 and the
+    (cnt desc, left, right) tie-break picks (aa, </w>) ('<' sorts
+    before 'a'); round 3 proves the greedy state: (aa, aa</w>)."""
+    df = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    merges = B.bpe_train(df, n_merges=3)
+    assert merges == [("a", "a"), ("aa", B.END), ("aa", "aa" + B.END)]
+
+
+def test_train_stops_when_no_pairs_remain(spark):
+    """Single-char words collapse after one merge with END; the loop
+    must stop returning merges once every word is one symbol."""
+    df = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    merges = B.bpe_train(df, n_merges=10)
+    assert merges[0] == ("a", B.END)
+    assert len(merges) == 1

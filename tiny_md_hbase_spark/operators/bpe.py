@@ -1,0 +1,202 @@
+"""Byte-pair-encoding tokenizer-training primitives (beyond-reference,
+SURVEY.md §2.5 gap-fill: the tokenizer-prep step of an LLM data
+pipeline — classic Sennrich-style BPE over word frequencies).
+
+Scale shape: BPE never iterates over the corpus. ONE corpus pass
+aggregates whitespace words into a (word, count) vocabulary table —
+everything after is vocab-bounded (|vocab| ~ 10^5-10^7 regardless of
+corpus size; the 100 TB corpus and the 100 GB corpus train on the same
+sized table). Each merge round is a map-side array rewrite + one
+pair-count aggregation over that table, with only the single winning
+pair (one row) ever hitting the driver.
+
+No reference analog (the reference is a spatial store); cited here as
+the public algorithm: Sennrich, Haddow, Birch — "Neural Machine
+Translation of Rare Words with Subword Units" (ACL 2016).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tiny_md_hbase_spark.operators.text import tokens
+
+__all__ = ["word_counts", "bpe_pair_counts", "bpe_train", "bpe_train_py"]
+
+END = "</w>"  # end-of-word marker, the classic BPE word terminator
+
+
+def word_counts(documents: DataFrame) -> DataFrame:
+    """The one corpus-sized pass: whitespace-word frequencies.
+    (word, cnt) — map-side partial aggregation, one shuffle on the word."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    return (
+        documents.select(F.explode(tokens(txt)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _symbolized(documents: DataFrame) -> DataFrame:
+    """(syms, cnt): each distinct word as its character array + END
+    marker, weighted by corpus frequency — the vocab-bounded training
+    table every merge round rewrites."""
+    wc = word_counts(documents)
+    syms = F.concat(
+        F.filter(F.split("word", ""), lambda c: c != ""),
+        F.array(F.lit(END)),
+    )
+    return wc.select(syms.alias("syms"), "cnt")
+
+
+def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Adjacent-symbol pair frequencies at merge round 0 — the
+    aggregation at the heart of BPE training, exposed as a standalone
+    oracle-checkable query: top-``k`` (left, right, cnt) by
+    (cnt desc, left, right).
+
+    Pairs are drawn from each DISTINCT word's character sequence and
+    weighted by the word's corpus count, so the explode is over the
+    vocabulary, not the corpus; the final top-k is a
+    TakeOrderedAndProject over the pair aggregate."""
+    s = _symbolized(documents)
+    pair = s.select(
+        F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias("i", "left"),
+        F.col("syms"),
+        F.col("cnt"),
+    ).select(
+        "left",
+        F.element_at("syms", F.col("i") + 2).alias("right"),
+        "cnt",
+    )
+    return (
+        pair.groupBy("left", "right")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "left", "right")
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_sql(k: int = 50) -> str:
+    """DuckDB twin of :func:`bpe_pair_counts` (same END marker, same
+    (cnt desc, left, right) total order)."""
+    from tiny_md_hbase_spark.operators.text import tokens_sql
+
+    toks = tokens_sql("coalesce(text, '')")
+    return (
+        f"WITH w AS (SELECT u.word, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM documents, unnest({toks}) AS u(word) GROUP BY u.word), "
+        "s AS (SELECT list_append(list_filter(regexp_split_to_array(word, ''), "
+        f"c -> c != ''), '{END}') AS syms, cnt FROM w), "
+        "p AS (SELECT syms[u.i + 1] AS \"left\", syms[u.i + 2] AS \"right\", cnt "
+        "FROM s, unnest(range(len(syms) - 1)) AS u(i)) "
+        "SELECT \"left\", \"right\", CAST(sum(cnt) AS BIGINT) AS cnt FROM p "
+        "GROUP BY \"left\", \"right\" "
+        f"ORDER BY cnt DESC, \"left\", \"right\" LIMIT {k}"
+    )
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 20) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges over the corpus vocabulary.
+
+    Round structure: pair-count aggregation over the vocab-bounded
+    symbol table → the argmax pair (ONE row, tie-broken (cnt desc,
+    left, right) for cross-run determinism) to the driver → map-side
+    array rewrite replacing every non-overlapping left-to-right
+    occurrence of the pair (the classic greedy scan, implemented as an
+    ``aggregate`` fold so it stays a JVM expression) → next round. The
+    symbol table is localCheckpointed each round to cut the growing
+    lineage; nothing corpus-sized is ever touched after the first pass.
+    Returns the merge list — with the same tie-break, equal to
+    :func:`bpe_train_py` on the same word counts by construction."""
+    s = _symbolized(documents).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair = s.select(
+            F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias("i", "left"),
+            F.col("syms"),
+            F.col("cnt"),
+        ).select(
+            "left", F.element_at("syms", F.col("i") + 2).alias("right"), "cnt"
+        )
+        top = (
+            pair.groupBy("left", "right")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r = top[0].left, top[0].right
+        merges.append((l, r))
+        joined = l + r
+        # greedy non-overlapping left-to-right merge as a fold: carry
+        # (acc, pending) where pending is a possibly-merge-starting
+        # symbol; struct field 'p' uses '' as "nothing pending"
+        merged = F.aggregate(
+            "syms",
+            F.struct(
+                F.array().cast("array<string>").alias("acc"),
+                F.lit("").alias("p"),
+            ),
+            lambda st, x: F.when(
+                (st["p"] == F.lit(l)) & (x == F.lit(r)),
+                F.struct(
+                    F.concat(st["acc"], F.array(F.lit(joined))).alias("acc"),
+                    F.lit("").alias("p"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(
+                        st["p"] == F.lit(""), st["acc"]
+                    ).otherwise(F.concat(st["acc"], F.array(st["p"]))).alias("acc"),
+                    x.alias("p"),
+                )
+            ),
+            lambda st: F.when(
+                st["p"] == F.lit(""), st["acc"]
+            ).otherwise(F.concat(st["acc"], F.array(st["p"]))),
+        )
+        # prior rounds' checkpoint blocks are reclaimed by the
+        # ContextCleaner once the old DataFrame goes out of scope
+        s = s.select(merged.alias("syms"), "cnt").localCheckpoint()
+    return merges
+
+
+def bpe_train_py(
+    word_counts_rows: list[tuple[str, int]], n_merges: int = 20
+) -> list[tuple[str, str]]:
+    """Independent pure-Python BPE reference (same END marker, same
+    greedy non-overlapping scan, same (cnt desc, left, right)
+    tie-break) — the test oracle for :func:`bpe_train`."""
+    vocab: list[tuple[list[str], int]] = [
+        (list(w) + [END], c) for w, c in word_counts_rows
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append(best)
+        l, r = best
+        joined = l + r
+        new_vocab = []
+        for syms, c in vocab:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, c))
+        vocab = new_vocab
+    return merges
