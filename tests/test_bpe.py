@@ -49,6 +49,31 @@ def test_train_greedy_nonoverlapping_merge(spark):
     assert merges == [("a", "a"), ("aa", B.END), ("aa", "aa" + B.END)]
 
 
+def test_token_count_matches_python_encoder(spark, sf_dir):
+    """Train on a fixture slice, then count tokens under the trained
+    merges — per-doc totals must equal summing the pure-Python encoder
+    over each doc's words."""
+    docs = load_table(spark, sf_dir, "documents").limit(60).localCheckpoint()
+    merges = B.bpe_train(docs, n_merges=8)
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in B.bpe_token_count(docs, merges).collect()}
+    for row in docs.collect():
+        words = [w for w in (row.text or "").split() if w]
+        want = sum(len(B.bpe_encode_py(w, merges)) for w in words)
+        assert got[row.doc_id] == want
+
+
+def test_token_count_empty_docs_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    merges = [("l", "o"), ("lo", "w")]
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in B.bpe_token_count(df, merges).collect()}
+    # "low" -> [low, </w>] = 2; "lower" -> [low, e, r, </w>] = 4
+    assert got == {1: 6, 2: 0, 3: 0}
+
+
 def test_train_stops_when_no_pairs_remain(spark):
     """Single-char words collapse after one merge with END; the loop
     must stop returning merges once every word is one symbol."""

@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 
 from tiny_md_hbase_spark.operators.text import tokens
 
-__all__ = ["word_counts", "bpe_pair_counts", "bpe_train", "bpe_train_py"]
+__all__ = [
+    "word_counts",
+    "bpe_pair_counts",
+    "bpe_train",
+    "bpe_train_py",
+    "bpe_token_count",
+    "bpe_encode_py",
+]
 
 END = "</w>"  # end-of-word marker, the classic BPE word terminator
 
@@ -131,38 +138,110 @@ def bpe_train(documents: DataFrame, n_merges: int = 20) -> list[tuple[str, str]]
             break
         l, r = top[0].left, top[0].right
         merges.append((l, r))
-        joined = l + r
-        # greedy non-overlapping left-to-right merge as a fold: carry
-        # (acc, pending) where pending is a possibly-merge-starting
-        # symbol; struct field 'p' uses '' as "nothing pending"
-        merged = F.aggregate(
-            "syms",
-            F.struct(
-                F.array().cast("array<string>").alias("acc"),
-                F.lit("").alias("p"),
-            ),
-            lambda st, x: F.when(
-                (st["p"] == F.lit(l)) & (x == F.lit(r)),
-                F.struct(
-                    F.concat(st["acc"], F.array(F.lit(joined))).alias("acc"),
-                    F.lit("").alias("p"),
-                ),
-            ).otherwise(
-                F.struct(
-                    F.when(
-                        st["p"] == F.lit(""), st["acc"]
-                    ).otherwise(F.concat(st["acc"], F.array(st["p"]))).alias("acc"),
-                    x.alias("p"),
-                )
-            ),
-            lambda st: F.when(
-                st["p"] == F.lit(""), st["acc"]
-            ).otherwise(F.concat(st["acc"], F.array(st["p"]))),
-        )
         # prior rounds' checkpoint blocks are reclaimed by the
         # ContextCleaner once the old DataFrame goes out of scope
-        s = s.select(merged.alias("syms"), "cnt").localCheckpoint()
+        s = s.select(_merge_fold(l, r, "syms").alias("syms"), "cnt").localCheckpoint()
     return merges
+
+
+def _merge_fold(l: str, r: str, col):
+    """Greedy non-overlapping left-to-right application of ONE merge
+    (l, r) -> l+r over a symbol array, as a JVM ``aggregate`` fold:
+    carry (acc, pending) where pending is a possibly-merge-starting
+    symbol; struct field 'p' uses '' as "nothing pending". Shared by
+    the training loop and the encoder so both apply merges with
+    byte-identical greediness."""
+    joined = l + r
+    return F.aggregate(
+        col,
+        F.struct(
+            F.array().cast("array<string>").alias("acc"),
+            F.lit("").alias("p"),
+        ),
+        lambda st, x: F.when(
+            (st["p"] == F.lit(l)) & (x == F.lit(r)),
+            F.struct(
+                F.concat(st["acc"], F.array(F.lit(joined))).alias("acc"),
+                F.lit("").alias("p"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    st["p"] == F.lit(""), st["acc"]
+                ).otherwise(F.concat(st["acc"], F.array(st["p"]))).alias("acc"),
+                x.alias("p"),
+            )
+        ),
+        lambda st: F.when(
+            st["p"] == F.lit(""), st["acc"]
+        ).otherwise(F.concat(st["acc"], F.array(st["p"]))),
+    )
+
+
+def bpe_token_count(
+    documents: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Per-document token count under a TRAINED BPE vocabulary —
+    tokenizer-aware corpus accounting (token budgets, packing, cost
+    estimates are all denominated in tokenizer tokens, not words).
+
+    Scale shape: the merges apply over the DISTINCT-word table (one
+    chained vocab-bounded projection per merge — rank order is the BPE
+    application order), producing a (word -> n_pieces) mapping that
+    broadcast-joins back onto the corpus word stream; per-doc counts
+    are one map-side-partial aggregation. The corpus is scanned once;
+    no merge ever touches it. Returns (doc_id, n_bpe_tokens) — 0 for
+    empty/NULL docs.
+
+    Matches :func:`bpe_encode_py` piece-for-piece (same shared greedy
+    fold, tests pin it)."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    words = documents.select(
+        "doc_id", F.explode(tokens(txt)).alias("word")
+    )
+    vocab = words.select("word").distinct()
+    syms = F.concat(
+        F.filter(F.split("word", ""), lambda c: c != ""),
+        F.array(F.lit(END)),
+    )
+    enc = vocab.select("word", syms.alias("syms"))
+    for l, r in merges:
+        enc = enc.select("word", _merge_fold(l, r, "syms").alias("syms"))
+    mapping = enc.select("word", F.size("syms").alias("n_pieces"))
+    counted = (
+        words.join(F.broadcast(mapping), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("long").alias("n_bpe_tokens"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(counted, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+
+
+def bpe_encode_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python encoder reference: the same greedy non-overlapping
+    scan applied in merge-rank order."""
+    syms = list(word) + [END]
+    for l, r in merges:
+        joined = l + r
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(joined)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
 
 
 def bpe_train_py(
