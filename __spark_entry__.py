@@ -2090,7 +2090,7 @@ def _index_cte() -> str:
     )
 
 
-_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
+_TOKS = TX.tokens_sql("text")  # shared explicit whitespace class (text.py _WS)
 _SHINGLES = (
     "list_distinct(CASE WHEN len(toks) >= 3 THEN "
     "list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) "

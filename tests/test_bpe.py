@@ -32,7 +32,9 @@ def test_pair_counts_weighted_by_word_frequency_not_occurrence(spark):
 
 
 def test_train_matches_python_reference_on_fixture(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(120)
+    # localCheckpoint pins the unordered limit: without it the two
+    # independent actions below could sample different 120-row sets
+    docs = load_table(spark, sf_dir, "documents").limit(120).localCheckpoint()
     wc = [(r.word, r.cnt) for r in B.word_counts(docs).collect()]
     assert B.bpe_train(docs, n_merges=10) == B.bpe_train_py(wc, n_merges=10)
 
@@ -72,6 +74,27 @@ def test_token_count_empty_docs_zero(spark):
            for r in B.bpe_token_count(df, merges).collect()}
     # "low" -> [low, </w>] = 2; "lower" -> [low, e, r, </w>] = 4
     assert got == {1: 6, 2: 0, 3: 0}
+
+
+def test_pair_counts_cross_engine_on_vertical_tab(spark):
+    """Regression: Java regex \\s includes \\x0B, RE2's does not — the
+    shared explicit whitespace class (text.py _WS/_WS_SQL) must make
+    both engines tokenize a vertical-tab document identically."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, "low\x0Blow"), (2, "a\tb\nc d")], "doc_id long, text string"
+    )
+    got = sorted((r.left, r.right, r.cnt)
+                 for r in B.bpe_pair_counts(df, 100).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        "SELECT 1 AS doc_id, 'low' || chr(11) || 'low' AS text "
+        "UNION ALL SELECT 2, 'a' || chr(9) || 'b' || chr(10) || 'c d'"
+    )
+    want = sorted(tuple(r) for r in con.execute(B.bpe_pair_counts_sql(100)).fetchall())
+    assert got == want
 
 
 def test_train_stops_when_no_pairs_remain(spark):

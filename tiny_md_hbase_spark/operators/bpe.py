@@ -33,6 +33,11 @@ __all__ = [
 
 END = "</w>"  # end-of-word marker, the classic BPE word terminator
 
+# merges applied per chained projection before a lineage-truncating
+# checkpoint in the encoder (Catalyst analysis cost grows superlinearly
+# with nested aggregate folds; 64 stays comfortably inside it)
+_ENC_CHUNK = 64
+
 
 def word_counts(documents: DataFrame) -> DataFrame:
     """The one corpus-sized pass: whitespace-word frequencies.
@@ -45,29 +50,30 @@ def word_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def _syms_expr(word_col) -> F.Column:
+    """The ONE symbolization expression (character array + END marker);
+    shared by the training table and the encoder so a change to symbol
+    derivation can never diverge between them."""
+    return F.concat(
+        F.filter(F.split(word_col, ""), lambda c: c != ""),
+        F.array(F.lit(END)),
+    )
+
+
 def _symbolized(documents: DataFrame) -> DataFrame:
     """(syms, cnt): each distinct word as its character array + END
     marker, weighted by corpus frequency — the vocab-bounded training
     table every merge round rewrites."""
-    wc = word_counts(documents)
-    syms = F.concat(
-        F.filter(F.split("word", ""), lambda c: c != ""),
-        F.array(F.lit(END)),
+    return word_counts(documents).select(
+        _syms_expr(F.col("word")).alias("syms"), "cnt"
     )
-    return wc.select(syms.alias("syms"), "cnt")
 
 
-def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
-    """Adjacent-symbol pair frequencies at merge round 0 — the
-    aggregation at the heart of BPE training, exposed as a standalone
-    oracle-checkable query: top-``k`` (left, right, cnt) by
-    (cnt desc, left, right).
-
-    Pairs are drawn from each DISTINCT word's character sequence and
-    weighted by the word's corpus count, so the explode is over the
-    vocabulary, not the corpus; the final top-k is a
-    TakeOrderedAndProject over the pair aggregate."""
-    s = _symbolized(documents)
+def _pair_table(s: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over a (syms, cnt) symbol table —
+    the aggregation both :func:`bpe_pair_counts` and every
+    :func:`bpe_train` round run; ONE definition so the standalone query
+    and the training loop can never count pairs differently."""
     pair = s.select(
         F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias("i", "left"),
         F.col("syms"),
@@ -81,8 +87,20 @@ def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
         pair.groupBy("left", "right")
         .agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "left", "right")
-        .limit(k)
     )
+
+
+def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Adjacent-symbol pair frequencies at merge round 0 — the
+    aggregation at the heart of BPE training, exposed as a standalone
+    oracle-checkable query: top-``k`` (left, right, cnt) by
+    (cnt desc, left, right).
+
+    Pairs are drawn from each DISTINCT word's character sequence and
+    weighted by the word's corpus count, so the explode is over the
+    vocabulary, not the corpus; the final top-k is a
+    TakeOrderedAndProject over the pair aggregate."""
+    return _pair_table(_symbolized(documents)).limit(k)
 
 
 def bpe_pair_counts_sql(k: int = 50) -> str:
@@ -120,20 +138,7 @@ def bpe_train(documents: DataFrame, n_merges: int = 20) -> list[tuple[str, str]]
     s = _symbolized(documents).localCheckpoint()
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pair = s.select(
-            F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias("i", "left"),
-            F.col("syms"),
-            F.col("cnt"),
-        ).select(
-            "left", F.element_at("syms", F.col("i") + 2).alias("right"), "cnt"
-        )
-        top = (
-            pair.groupBy("left", "right")
-            .agg(F.sum("cnt").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "left", "right")
-            .limit(1)
-            .collect()
-        )
+        top = _pair_table(s).limit(1).collect()
         if not top:
             break
         l, r = top[0].left, top[0].right
@@ -185,31 +190,38 @@ def bpe_token_count(
     tokenizer-aware corpus accounting (token budgets, packing, cost
     estimates are all denominated in tokenizer tokens, not words).
 
-    Scale shape: the merges apply over the DISTINCT-word table (one
-    chained vocab-bounded projection per merge — rank order is the BPE
-    application order), producing a (word -> n_pieces) mapping that
-    broadcast-joins back onto the corpus word stream; per-doc counts
-    are one map-side-partial aggregation. The corpus is scanned once;
-    no merge ever touches it. Returns (doc_id, n_bpe_tokens) — 0 for
-    empty/NULL docs.
+    Scale shape: the merges apply over the DISTINCT-word table — in
+    CHUNKS of ``_ENC_CHUNK`` chained projections with a localCheckpoint
+    between chunks, because a real tokenizer's merge list is 10^4-10^5
+    entries and an unbroken chain of that many nested aggregate folds
+    would blow up Catalyst analysis (the training loop truncates its
+    lineage every round for the same reason). The resulting
+    (word -> n_pieces) mapping joins back onto the corpus word stream
+    (AQE broadcasts it when the vocabulary is small; huge vocabularies
+    fall back to an ordinary hash join on the word key); per-doc counts
+    are one map-side-partial aggregation. The exploded word stream is
+    materialized ONCE (localCheckpoint — it feeds the vocabulary
+    distinct and the count join) and the only other input touch is a
+    doc_id-pruned spine scan for empty/NULL docs, which count 0.
+    Returns (doc_id, n_bpe_tokens).
 
     Matches :func:`bpe_encode_py` piece-for-piece (same shared greedy
     fold, tests pin it)."""
     txt = F.coalesce(F.col("text"), F.lit(""))
     words = documents.select(
         "doc_id", F.explode(tokens(txt)).alias("word")
+    ).localCheckpoint()
+    enc = words.select("word").distinct().select(
+        "word", _syms_expr(F.col("word")).alias("syms")
     )
-    vocab = words.select("word").distinct()
-    syms = F.concat(
-        F.filter(F.split("word", ""), lambda c: c != ""),
-        F.array(F.lit(END)),
-    )
-    enc = vocab.select("word", syms.alias("syms"))
-    for l, r in merges:
-        enc = enc.select("word", _merge_fold(l, r, "syms").alias("syms"))
+    for i in range(0, len(merges), _ENC_CHUNK):
+        for l, r in merges[i : i + _ENC_CHUNK]:
+            enc = enc.select("word", _merge_fold(l, r, "syms").alias("syms"))
+        if i + _ENC_CHUNK < len(merges):
+            enc = enc.localCheckpoint()
     mapping = enc.select("word", F.size("syms").alias("n_pieces"))
     counted = (
-        words.join(F.broadcast(mapping), "word")
+        words.join(mapping, "word")
         .groupBy("doc_id")
         .agg(F.sum("n_pieces").cast("long").alias("n_bpe_tokens"))
     )
@@ -225,22 +237,27 @@ def bpe_token_count(
     )
 
 
+def _apply_merge_py(syms: list[str], l: str, r: str) -> list[str]:
+    """The ONE Python greedy non-overlapping left-to-right scan, shared
+    by the encoder and training references (mirrors ``_merge_fold``)."""
+    joined = l + r
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(joined)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def bpe_encode_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
-    """Pure-Python encoder reference: the same greedy non-overlapping
-    scan applied in merge-rank order."""
+    """Pure-Python encoder reference: merges applied in rank order."""
     syms = list(word) + [END]
     for l, r in merges:
-        joined = l + r
-        out: list[str] = []
-        i = 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
-                out.append(joined)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
+        syms = _apply_merge_py(syms, l, r)
     return syms
 
 
@@ -248,8 +265,9 @@ def bpe_train_py(
     word_counts_rows: list[tuple[str, int]], n_merges: int = 20
 ) -> list[tuple[str, str]]:
     """Independent pure-Python BPE reference (same END marker, same
-    greedy non-overlapping scan, same (cnt desc, left, right)
-    tie-break) — the test oracle for :func:`bpe_train`."""
+    greedy non-overlapping scan — via :func:`bpe_encode_py`'s single-merge
+    application — same (cnt desc, left, right) tie-break): the test
+    oracle for :func:`bpe_train`."""
     vocab: list[tuple[list[str], int]] = [
         (list(w) + [END], c) for w, c in word_counts_rows
     ]
@@ -263,19 +281,5 @@ def bpe_train_py(
             break
         best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
         merges.append(best)
-        l, r = best
-        joined = l + r
-        new_vocab = []
-        for syms, c in vocab:
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
-                    out.append(joined)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            new_vocab.append((out, c))
-        vocab = new_vocab
+        vocab = [(_apply_merge_py(syms, *best), c) for syms, c in vocab]
     return merges

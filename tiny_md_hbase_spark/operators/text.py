@@ -94,15 +94,28 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+# ONE whitespace class, spelled explicitly: Java regex \s (Spark) is
+# [ \t\n\x0B\f\r] while RE2 \s (DuckDB) EXCLUDES \x0B — a document
+# containing a vertical tab would tokenize differently per engine and
+# fail every tokenizer-derived oracle. The explicit class is identical
+# under both engines (both support \xhh escapes).
+_WS = r"[ \t\n\r\f\x0B]+"
+_WS_SQL = "[ \\t\\n\\r\\f\\x0B]+"
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens, empty strings dropped (leading/trailing space
-    safe). Same expression shape as the SQL twin."""
+    safe). Same expression shape as the SQL twin; the whitespace class
+    is shared and explicit (see ``_WS``) so both engines split
+    identically on every input."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    return F.filter(F.split(c, _WS), lambda t: t != "")
 
 
 def tokens_sql(expr: str) -> str:
-    return f"list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t != '')"
+    return (
+        f"list_filter(regexp_split_to_array({expr}, '{_WS_SQL}'), t -> t != '')"
+    )
 
 
 def skew_safe_topk(
