@@ -59,8 +59,14 @@ def test_token_count_matches_python_encoder(spark, sf_dir):
     merges = B.bpe_train(docs, n_merges=8)
     got = {r.doc_id: r.n_bpe_tokens
            for r in B.bpe_token_count(docs, merges).collect()}
+    import re
+
+    from tiny_md_hbase_spark.operators.text import _WS
+
     for row in docs.collect():
-        words = [w for w in (row.text or "").split() if w]
+        # split with the PRODUCT's whitespace class, not str.split()
+        # (Python's Unicode whitespace is a third, wider definition)
+        words = [w for w in re.split(_WS, row.text or "") if w]
         want = sum(len(B.bpe_encode_py(w, merges)) for w in words)
         assert got[row.doc_id] == want
 

@@ -208,9 +208,16 @@ def bpe_token_count(
     Matches :func:`bpe_encode_py` piece-for-piece (same shared greedy
     fold, tests pin it)."""
     txt = F.coalesce(F.col("text"), F.lit(""))
-    words = documents.select(
-        "doc_id", F.explode(tokens(txt)).alias("word")
-    ).localCheckpoint()
+    # pre-aggregate to (doc_id, word, c) BEFORE materializing: the
+    # checkpoint and the mapping join then carry one row per distinct
+    # word per doc, not one per token occurrence — within-doc repetition
+    # costs nothing downstream
+    words = (
+        documents.select("doc_id", F.explode(tokens(txt)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     enc = words.select("word").distinct().select(
         "word", _syms_expr(F.col("word")).alias("syms")
     )
@@ -223,7 +230,11 @@ def bpe_token_count(
     counted = (
         words.join(mapping, "word")
         .groupBy("doc_id")
-        .agg(F.sum("n_pieces").cast("long").alias("n_bpe_tokens"))
+        .agg(
+            F.sum(F.col("c") * F.col("n_pieces"))
+            .cast("long")
+            .alias("n_bpe_tokens")
+        )
     )
     return (
         documents.select("doc_id")

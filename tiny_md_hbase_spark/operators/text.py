@@ -100,7 +100,10 @@ LANG_MARKERS: dict[str, list[str]] = {
 # fail every tokenizer-derived oracle. The explicit class is identical
 # under both engines (both support \xhh escapes).
 _WS = r"[ \t\n\r\f\x0B]+"
-_WS_SQL = "[ \\t\\n\\r\\f\\x0B]+"
+# the SAME string works verbatim as the DuckDB pattern: SQL string
+# literals keep the backslashes, RE2 interprets the identical escapes —
+# aliased, not re-spelled, so the two engines cannot drift
+_WS_SQL = _WS
 
 
 def tokens(text: Column | str) -> Column:
