@@ -1,0 +1,101 @@
+"""Rotation audit: derive per-key driver-verdict ages from the
+CORRECTNESS_r*.json artifacts (the ground truth — no hand-maintained
+ledger) and check the current ``queries()`` window against them.
+
+Checks:
+  1. every never-driver-checked key sits INSIDE the first-50 window
+     (a new key must not be born unverified for a round);
+  2. the out-of-window keys are at least as fresh as the window's
+     stalest cohort would suggest (staleness inversions are listed —
+     they are legitimate only when the displaced key's module is
+     untouched and documented, so they WARN rather than fail);
+  3. prints the suggested next-round front: never-checked keys first,
+     then keys by ascending last-verdict round.
+
+Usage: PYTHONPATH=/root/repo python scripts/rotation_audit.py
+Exit 1 only on check (1) — the invariant the round owns completely.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+WINDOW = 50
+
+
+def verdict_ages(repo: str) -> dict[str, int]:
+    """key -> latest round with a driver verdict (any row counts as a
+    verdict; the driver writes a row per checked key)."""
+    ages: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for key in data:
+            ages[key] = max(ages.get(key, 0), rnd)
+    return ages
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ages = verdict_ages(repo)
+    keys = list(entrymod.queries())
+    window, rest = keys[:WINDOW], keys[WINDOW:]
+
+    never = [k for k in keys if k not in ages]
+    never_out = [k for k in never if k in rest]
+
+    print(f"registry: {len(keys)} keys; window: first {WINDOW}")
+    print(f"never driver-checked: {len(never)}")
+    for k in never:
+        mark = "  IN-WINDOW" if k in window else "  **OUT-OF-WINDOW**"
+        print(f"  {k}{mark}")
+
+    # staleness inversions: an out-of-window key older than the
+    # freshest in-window key (informational — module-change re-checks
+    # legitimately jump the queue)
+    in_ages = [ages[k] for k in window if k in ages]
+    if in_ages:
+        freshest_in = max(in_ages)
+        inversions = [
+            (k, ages[k]) for k in rest if k in ages and ages[k] < freshest_in
+        ]
+        stale_out = sorted(inversions, key=lambda kv: kv[1])[:10]
+        if stale_out:
+            print(
+                f"note: {len(inversions)} out-of-window keys older than the "
+                f"freshest in-window verdict (r{freshest_in}); oldest:"
+            )
+            for k, r in stale_out:
+                print(f"  {k} (r{r})")
+
+    print("\nsuggested next-round front (never-checked, then oldest):")
+    order = never + sorted(
+        (k for k in keys if k in ages), key=lambda k: (ages[k], keys.index(k))
+    )
+    for k in order[:WINDOW]:
+        print(f"  {k} ({'never' if k not in ages else f'r{ages[k]}'})")
+
+    if never_out:
+        print(f"\nFAIL: {len(never_out)} never-checked keys are out-of-window")
+        return 1
+    print("\nOK: every never-checked key is inside the window")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
