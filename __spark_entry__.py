@@ -24,6 +24,7 @@ from tiny_md_hbase_spark import zorder as Z  # noqa: E402
 from tiny_md_hbase_spark import zorder_nd as ZND  # noqa: E402
 from tiny_md_hbase_spark.operators import analytics as AN  # noqa: E402
 from tiny_md_hbase_spark.operators import bpe as _BPE  # noqa: E402
+from tiny_md_hbase_spark.operators import graph as _GR  # noqa: E402
 from tiny_md_hbase_spark.operators import dedup as D  # noqa: E402
 from tiny_md_hbase_spark.operators import index as IX  # noqa: E402
 from tiny_md_hbase_spark.operators import intervals as IV  # noqa: E402
@@ -967,6 +968,20 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Count-distinct on the line's md5, left_anti against the (small)
     boilerplate set, one groupBy(doc_id) rebuild."""
     return TX.line_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics (operators/graph.py pagerank): 5 rounds
+    of EXACT-integer PageRank over the bidirectional customer↔supplier
+    purchase graph, top-20 by (rank desc, kind, key). Integer micro-unit
+    semantics make the whole fixed-iteration recurrence bit-identical
+    across engines — floating-point PageRank could never hash-match."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    edges = G.purchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return G.pagerank(edges)
 
 
 def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1935,20 +1950,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
         "approx_distinct": _q_approx_distinct,
-        "table_profile_approx": _q_table_profile_approx,
         # -- session-new + reworked entries (fill the window) --------------
-        # span_dedup + bpe_pair_counts displace bucket_route (r04 verdict
-        # on an untouched module; its prefix-join machinery gets its first
-        # direct verdict via floor_lookup_batch above anyway) and
-        # sql_pricing_summary (r03, but its oracle is the SAME SQL text on
-        # both engines — facade parity, the lowest-information re-verdict
-        # in the stale cohort; a new key's FIRST verdict outranks it) so
-        # neither session-new key is born out-of-window
+        # span_dedup + bpe_pair_counts + pagerank displace bucket_route
+        # (r04 verdict on an untouched module; its prefix-join machinery
+        # gets its first direct verdict via floor_lookup_batch above
+        # anyway), sql_pricing_summary (r03, but its oracle is the SAME
+        # SQL text on both engines — facade parity, the lowest-information
+        # re-verdict in the stale cohort) and table_profile_approx (r03
+        # rows-only smoke; its real checks are the local error-bound
+        # tests) so no session-new key is born out-of-window —
+        # scripts/rotation_audit.py enforces exactly that invariant
         "span_dedup": _q_span_dedup,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "pagerank": _q_pagerank,
         "resize_meta": _q_resize_meta,  # entry reworked: now oracle-checked
         # ---- driver window ends here (first 50 keys) --------------------
         # -- displaced r03/r04 keys (lead the r07 rotation) ----------------
+        "table_profile_approx": _q_table_profile_approx,
         "sql_pricing_summary": _q_sql_pricing_summary,
         "bucket_route": _q_bucket_route,
         "insert_append": _q_insert_append,
@@ -2444,6 +2462,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": TX.line_dedup_sql(),
         "span_dedup": TX.span_dedup_sql(),
         "bpe_pair_counts": _BPE.bpe_pair_counts_sql(k=50),
+        "pagerank": _GR.pagerank_sql(),
         "embedding_knn_quantized": SIM.embedding_knn_quantized_sql(),
         # stored int8 layout must equal the scan form: same oracle text
         "embedding_knn_quantized_stored": SIM.embedding_knn_quantized_sql(),

@@ -163,6 +163,7 @@ BENCH_KEYS = [
     "keyword_search_bm25_indexed",
     "span_dedup",
     "bpe_pair_counts",
+    "pagerank",
     "quality_gate",
     "embedding_profile",
     "stream_ingest_embeddings",

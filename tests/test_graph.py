@@ -1,0 +1,77 @@
+"""Exact-integer PageRank: cross-checked against an independent Python
+reference, determinism and graph-shape invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiny_md_hbase_spark.operators import graph as G
+from tiny_md_hbase_spark.sources import load_table
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_matches_python_reference_small_graph(spark):
+    # a 4-node graph with asymmetric degrees (parity-disjoint ids so the
+    # kind mapping is exercised: 0,2 = customers; 1,3 = suppliers)
+    pairs = [(0, 1), (1, 0), (0, 3), (3, 0), (2, 1), (1, 2), (2, 3), (3, 2), (0, 2), (2, 0)]
+    ref = G.pagerank_py(pairs, n_iter=5)
+    got = {
+        (r.kind, r.key): r.rank
+        for r in G.pagerank(_edges_df(spark, pairs), n_iter=5, k=10).collect()
+    }
+    want = {
+        ("customer" if v % 2 == 0 else "supplier", v // 2): rk
+        for v, rk in ref.items()
+    }
+    assert got == want
+
+
+def test_pagerank_matches_python_reference_on_fixture(spark, sf_dir):
+    edges = G.purchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    ).localCheckpoint()
+    ref = G.pagerank_py([(r.src, r.dst) for r in edges.collect()], n_iter=5)
+    top = sorted(
+        (
+            (-rk, "customer" if v % 2 == 0 else "supplier", v // 2)
+            for v, rk in ref.items()
+        )
+    )[:20]
+    want = [(k, key, -neg) for neg, k, key in top]
+    got = [(r.kind, r.key, r.rank) for r in G.pagerank(edges, n_iter=5).collect()]
+    assert got == want
+
+
+def test_pagerank_deterministic_under_repartition(spark, sf_dir):
+    edges = G.purchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    ).localCheckpoint()
+    a = [tuple(r) for r in G.pagerank(edges, n_iter=3).collect()]
+    b = [tuple(r) for r in G.pagerank(edges.repartition(17), n_iter=3).collect()]
+    assert a == b  # integer arithmetic: no accumulation-order drift
+
+
+def test_purchase_edges_bidirectional_no_dangling(spark, sf_dir):
+    edges = G.purchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    ).localCheckpoint()
+    srcs = {r.src for r in edges.select("src").distinct().collect()}
+    dsts = {r.dst for r in edges.select("dst").distinct().collect()}
+    assert srcs == dsts  # every node has both in- and out-edges
+    # parity disjointness: edges only cross the bipartition
+    bad = edges.filter((F.col("src") % 2) == (F.col("dst") % 2)).count()
+    assert bad == 0
+
+
+def test_pagerank_mass_is_conserved_up_to_integer_truncation(spark):
+    """Each round's total mass is bounded by the previous total (integer
+    division only discards); with a regular graph it is exactly
+    preserved minus deterministic truncation."""
+    pairs = [(0, 1), (1, 0), (2, 1), (1, 2), (0, 3), (3, 0), (2, 3), (3, 2)]
+    ref0 = G.pagerank_py(pairs, n_iter=0)
+    ref5 = G.pagerank_py(pairs, n_iter=5)
+    assert sum(ref5.values()) <= sum(ref0.values())
+    assert min(ref5.values()) > 0

@@ -1,0 +1,168 @@
+"""Iterative graph analytics (beyond-reference, SURVEY.md §2.5
+gap-fill): PageRank over the customer↔supplier purchase graph in EXACT
+integer arithmetic, so the whole fixed-iteration computation sits under
+a chained-CTE DuckDB oracle (floating-point PageRank sums are
+accumulation-order dependent and can never hash-match cross-engine —
+the same reason the z-codec, corpus_budget, and the quantized ANN path
+use integer semantics).
+
+Semantics (micro-unit PageRank, damping 85/100, all ops integer):
+
+    N         = |nodes|;  init = SCALE div N
+    base      = (init * (100 - 85)) div 100          # teleport term
+    contrib_i = rank_i div out_degree_i
+    rank'_j   = base + (85 * sum_{i->j} contrib_i) div 100
+
+Fixed ``n_iter`` rounds (the bounded-iteration shape a batch pipeline
+schedules), deterministic for any engine that computes integer division
+identically — floor-toward-zero on non-negatives, which BIGINT ``div``
+(Spark) and ``//`` (DuckDB) both are.
+
+Scale shape: the rank/degree tables are NODE-sized (graph metadata);
+the one data-sized operation per round is the edges ⋈ contrib
+equi-join + map-side-partial sum on dst — the canonical distributed
+PageRank step. Each round ends in a localCheckpoint so the k-round
+loop never builds a k-deep join lineage. Dangling nodes cannot exist:
+edges are bidirectional (a purchase links both directions), so every
+node has out-degree ≥ 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["purchase_edges", "pagerank", "pagerank_py"]
+
+SCALE = 10**12  # rank micro-units
+DAMP = 85  # damping numerator (denominator 100)
+TOP_K = 20
+
+
+def purchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Bidirectional customer↔supplier purchase edges. Node ids are
+    parity-disjoint (customer c → 2c, supplier s → 2s+1) so the two key
+    spaces can share one graph. One distinct over the join output; the
+    reverse direction is a projection, not a second join."""
+    e = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp"),
+        )
+        .distinct()
+    )
+    return e.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
+        e.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5, k: int = TOP_K) -> DataFrame:
+    """Top-``k`` nodes by exact-integer PageRank after ``n_iter``
+    rounds: (kind, key, rank) ordered by (rank desc, kind, key) —
+    node ids map back to their entity (even → customer, odd →
+    supplier) so the result reads as a ranking, not as internal ids."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    n = deg.count()  # node count — graph metadata, not data
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "kind string, key long, rank long"
+        )
+    init = SCALE // n
+    base = (init * (100 - DAMP)) // 100
+    ranks = deg.select(F.col("src").alias("node"), F.lit(init).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        contrib = ranks.join(deg, ranks.node == deg.src).select(
+            F.col("node").alias("cnode"),
+            F.expr("rank div deg").alias("contrib"),
+        )
+        inc = (
+            edges.join(contrib, edges.src == F.col("cnode"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(inc, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({DAMP} * coalesce(inc, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("node div 2").cast("long").alias("key"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), "kind", "key")
+        .limit(k)
+    )
+
+
+def pagerank_sql(n_iter: int = 5, k: int = TOP_K) -> str:
+    """DuckDB twin: the same integer recurrence as ``n_iter`` chained
+    CTEs over the same parity-disjoint node ids."""
+    ctes = [
+        "e0 AS (SELECT DISTINCT o.o_custkey * 2 AS cust, "
+        "l.l_suppkey * 2 + 1 AS supp "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)",
+        "e AS (SELECT cust AS src, supp AS dst FROM e0 "
+        "UNION ALL SELECT supp, cust FROM e0)",
+        "d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)",
+        (
+            f"r0 AS (SELECT d.src AS node, {SCALE} // nn.n AS rank "
+            "FROM d, nn)"
+        ),
+    ]
+    base = f"(({SCALE} // nn.n) * {100 - DAMP}) // 100"
+    for i in range(n_iter):
+        ctes.append(
+            f"c{i} AS (SELECT r{i}.node, r{i}.rank // d.deg AS contrib "
+            f"FROM r{i} JOIN d ON r{i}.node = d.src)"
+        )
+        ctes.append(
+            f"i{i} AS (SELECT e.dst, CAST(sum(c{i}.contrib) AS BIGINT) AS inc "
+            f"FROM e JOIN c{i} ON e.src = c{i}.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT d.src AS node, "
+            f"CAST({base} + ({DAMP} * COALESCE(i{i}.inc, 0)) // 100 AS BIGINT) "
+            f"AS rank FROM d CROSS JOIN nn "
+            f"LEFT JOIN i{i} ON d.src = i{i}.dst)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END "
+        "AS kind, node // 2 AS key, rank "
+        f"FROM r{n_iter} ORDER BY rank DESC, kind, key LIMIT {k}"
+    )
+
+
+def pagerank_py(
+    edge_list: list[tuple[int, int]], n_iter: int = 5
+) -> dict[int, int]:
+    """Independent pure-Python reference of the integer recurrence —
+    the test oracle for :func:`pagerank` (full rank map, not top-k)."""
+    from collections import defaultdict
+
+    deg: dict[int, int] = defaultdict(int)
+    for s, _ in edge_list:
+        deg[s] += 1
+    n = len(deg)
+    init = SCALE // n
+    base = (init * (100 - DAMP)) // 100
+    rank = {v: init for v in deg}
+    for _ in range(n_iter):
+        inc: dict[int, int] = defaultdict(int)
+        for s, d in edge_list:
+            inc[d] += rank[s] // deg[s]
+        rank = {v: base + (DAMP * inc.get(v, 0)) // 100 for v in deg}
+    return rank
