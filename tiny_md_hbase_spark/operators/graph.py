@@ -62,7 +62,14 @@ def pagerank(edges: DataFrame, n_iter: int = 5, k: int = TOP_K) -> DataFrame:
     rounds: (kind, key, rank) ordered by (rank desc, kind, key) —
     node ids map back to their entity (even → customer, odd →
     supplier) so the result reads as a ranking, not as internal ids."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # pin the edge table before iterating: every round joins it, and an
+    # unmaterialized edge lineage (purchase_edges is a join + distinct)
+    # would re-execute its whole upstream 2x per round — the same move
+    # every iterative graph engine makes (GraphX caches the edge RDD)
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).localCheckpoint()
     n = deg.count()  # node count — graph metadata, not data
     if n == 0:
         return edges.sparkSession.createDataFrame(
