@@ -43,7 +43,12 @@ def verdict_ages(repo: str) -> dict[str, int]:
         try:
             with open(path) as f:
                 data = json.load(f)
-        except (OSError, json.JSONDecodeError):
+        except (OSError, json.JSONDecodeError) as exc:
+            # a silently-skipped artifact would distort every age below
+            print(
+                f"WARNING: skipping unreadable {os.path.basename(path)}: {exc}",
+                file=sys.stderr,
+            )
             continue
         for key in data:
             ages[key] = max(ages.get(key, 0), rnd)
@@ -65,20 +70,23 @@ def main() -> int:
         mark = "  IN-WINDOW" if k in window else "  **OUT-OF-WINDOW**"
         print(f"  {k}{mark}")
 
-    # staleness inversions: an out-of-window key older than the
-    # freshest in-window key (informational — module-change re-checks
-    # legitimately jump the queue)
+    # staleness inversions: an out-of-window key older than the STALEST
+    # in-window verdict — those keys had strictly higher claim on a slot
+    # (informational — module-change re-checks legitimately jump the
+    # queue). Comparing against min, not max: after a round's verdicts
+    # land, every queued-but-fresh key would otherwise read as an
+    # "inversion" and bury the genuine displaced-key signal.
     in_ages = [ages[k] for k in window if k in ages]
     if in_ages:
-        freshest_in = max(in_ages)
+        stalest_in = min(in_ages)
         inversions = [
-            (k, ages[k]) for k in rest if k in ages and ages[k] < freshest_in
+            (k, ages[k]) for k in rest if k in ages and ages[k] < stalest_in
         ]
         stale_out = sorted(inversions, key=lambda kv: kv[1])[:10]
         if stale_out:
             print(
                 f"note: {len(inversions)} out-of-window keys older than the "
-                f"freshest in-window verdict (r{freshest_in}); oldest:"
+                f"stalest in-window verdict (r{stalest_in}); oldest:"
             )
             for k, r in stale_out:
                 print(f"  {k} (r{r})")
