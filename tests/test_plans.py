@@ -475,3 +475,50 @@ def test_knn_quantized_broadcasts_scale_and_query(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # two scalar aggregates (scale, again under the query side) at most
     assert P.exchange_count(q) <= 2
+
+
+def test_span_dedup_no_cartesian_pruned_scan(spark, sf_dir):
+    """Span keys join as equi/anti joins (never a nested loop over
+    positions) and the scan reads only (doc_id, text)."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    spark.catalog.clearCache()
+    q = TX.span_dedup(load_table(spark, sf_dir, "documents"))
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert all("lang" not in s and "source" not in s for s in P.read_schemas(q))
+
+
+def test_bpe_pair_counts_vocab_bounded_topk(spark, sf_dir):
+    """The pair explode runs over the AGGREGATED vocabulary (word count
+    first — its exchange precedes the pair aggregate) and the final
+    top-k is TakeOrderedAndProject, never a global sort."""
+    from tiny_md_hbase_spark.operators import bpe as B
+
+    spark.catalog.clearCache()
+    q = B.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+    plan = P.explain_str(q, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # two keyed aggregations: (word) then (left, right)
+    assert P.exchange_count(q) == 2
+    assert all("lang" not in s for s in P.read_schemas(q))
+
+
+def test_purchase_edges_equi_join_only(spark, sf_dir):
+    """The graph build is one orderkey equi-join + distinct; the
+    reverse direction is a projection (union), not a second join."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    spark.catalog.clearCache()
+    q = G.purchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert plan.count("Join") >= 1
+    # scans read only the join/graph keys
+    assert all("o_totalprice" not in s and "l_quantity" not in s
+               for s in P.read_schemas(q))
