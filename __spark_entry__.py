@@ -984,6 +984,19 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank(edges)
 
 
+def _q_co_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (operators/graph.py co_purchase):
+    top-20 supplier pairs by distinct shared customers — the bipartite
+    projection every recommender/co-occurrence miner starts from. The
+    incidence list is distinct before the pair join, so the count is a
+    plain count(*); the (n_shared desc, supp_a, supp_b) order is total."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    return G.co_purchase(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training pair statistics (operators/bpe.py
     bpe_pair_counts): top-50 adjacent-symbol pair frequencies over the
@@ -1947,10 +1960,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_hashed": _q_decontaminate_hashed,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "knn_3d": _q_knn_3d,
-        "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
         "approx_distinct": _q_approx_distinct,
         # -- session-new + reworked entries (fill the window) --------------
+        # co_purchase additionally displaces multimodal_features (r03
+        # rows-only smoke, same class as table_profile_approx below)
         # span_dedup + bpe_pair_counts + pagerank displace bucket_route
         # (r04 verdict on an untouched module; its prefix-join machinery
         # gets its first direct verdict via floor_lookup_batch above
@@ -1963,9 +1977,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _q_span_dedup,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "pagerank": _q_pagerank,
+        "co_purchase": _q_co_purchase,
         "resize_meta": _q_resize_meta,  # entry reworked: now oracle-checked
         # ---- driver window ends here (first 50 keys) --------------------
         # -- displaced r03/r04 keys (lead the r07 rotation) ----------------
+        "multimodal_features": _q_multimodal_features,
         "table_profile_approx": _q_table_profile_approx,
         "sql_pricing_summary": _q_sql_pricing_summary,
         "bucket_route": _q_bucket_route,
@@ -2463,6 +2479,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": TX.span_dedup_sql(),
         "bpe_pair_counts": _BPE.bpe_pair_counts_sql(k=50),
         "pagerank": _GR.pagerank_sql(),
+        "co_purchase": _GR.co_purchase_sql(),
         "embedding_knn_quantized": SIM.embedding_knn_quantized_sql(),
         # stored int8 layout must equal the scan form: same oracle text
         "embedding_knn_quantized_stored": SIM.embedding_knn_quantized_sql(),

@@ -164,6 +164,7 @@ BENCH_KEYS = [
     "span_dedup",
     "bpe_pair_counts",
     "pagerank",
+    "co_purchase",
     "quality_gate",
     "embedding_profile",
     "stream_ingest_embeddings",

@@ -66,6 +66,84 @@ def test_purchase_edges_bidirectional_no_dangling(spark, sf_dir):
     assert bad == 0
 
 
+def _orders_lineitem(spark, rows):
+    """(custkey, suppkey) incidence pairs as minimal orders+lineitem
+    tables (one order per pair)."""
+    orders = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(rows)],
+        "o_orderkey long, o_custkey long",
+    )
+    lineitem = spark.createDataFrame(
+        [(i, s) for i, (_, s) in enumerate(rows)],
+        "l_orderkey long, l_suppkey long",
+    )
+    return orders, lineitem
+
+
+def test_co_purchase_counts_distinct_shared_customers(spark):
+    # customers 1,2 both buy from suppliers 10 and 20 (1 twice: dup
+    # incidence must not double-count); customer 3 only supplier 10
+    rows = [(1, 10), (1, 20), (1, 10), (2, 10), (2, 20), (3, 10)]
+    got = [
+        tuple(r)
+        for r in G.co_purchase(*_orders_lineitem(spark, rows), min_shared=1).collect()
+    ]
+    assert got == [(10, 20, 2)]
+
+
+def test_co_purchase_min_shared_threshold(spark):
+    rows = [(1, 10), (1, 20), (2, 10), (2, 30)]
+    got = G.co_purchase(*_orders_lineitem(spark, rows), min_shared=2).collect()
+    assert got == []  # each pair shares only one customer
+
+
+def test_co_purchase_degree_cap_drops_hub_customers(spark):
+    # customer 9 buys from everything (a hub) — with max_degree=2 it is
+    # dropped and contributes no pairs
+    rows = [(9, 10), (9, 20), (9, 30), (1, 10), (1, 20), (2, 10), (2, 20)]
+    capped = [
+        tuple(r)
+        for r in G.co_purchase(
+            *_orders_lineitem(spark, rows), min_shared=1, max_degree=2
+        ).collect()
+    ]
+    assert capped == [(10, 20, 2)]
+    uncapped = {
+        (r.supp_a, r.supp_b): r.n_shared
+        for r in G.co_purchase(*_orders_lineitem(spark, rows), min_shared=1).collect()
+    }
+    assert uncapped[(10, 20)] == 3 and (20, 30) in uncapped
+
+
+def test_co_purchase_matches_python_reference_on_fixture(spark, sf_dir):
+    from collections import Counter
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = {
+        (r.cust, r.supp)
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .collect()
+    }
+    by_cust: dict[int, list[int]] = {}
+    for c, s in inc:
+        by_cust.setdefault(c, []).append(s)
+    counts: Counter = Counter()
+    for supps in by_cust.values():
+        ss = sorted(supps)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                counts[(ss[i], ss[j])] += 1
+    want = sorted(
+        ((a, b, n) for (a, b), n in counts.items() if n >= 2),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:20]
+    got = [tuple(r) for r in G.co_purchase(orders, li).collect()]
+    assert got == want
+
+
 def test_pagerank_mass_is_conserved_up_to_integer_truncation(spark):
     """Each round's total mass is bounded by the previous total (integer
     division only discards); with a regular graph it is exactly

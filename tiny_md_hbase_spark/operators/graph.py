@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["purchase_edges", "pagerank", "pagerank_py"]
+__all__ = ["purchase_edges", "pagerank", "pagerank_py", "co_purchase"]
 
 SCALE = 10**12  # rank micro-units
 DAMP = 85  # damping numerator (denominator 100)
@@ -150,6 +150,76 @@ def pagerank_sql(n_iter: int = 5, k: int = TOP_K) -> str:
         "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END "
         "AS kind, node // 2 AS key, rank "
         f"FROM r{n_iter} ORDER BY rank DESC, kind, key LIMIT {k}"
+    )
+
+
+def co_purchase(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_shared: int = 2,
+    k: int = TOP_K,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Market-basket co-occurrence: top-``k`` supplier pairs by the
+    number of DISTINCT customers buying from both — the classic
+    "customers who bought from X also bought from Y" aggregation,
+    bipartite-projected onto the supplier side. Returns (supp_a,
+    supp_b, n_shared) with supp_a < supp_b, ordered (n_shared desc,
+    supp_a, supp_b).
+
+    Scale shape: the (customer, supplier) incidence list is distinct
+    BEFORE the pair join, so each shared customer contributes exactly
+    one row per pair and the count is a plain ``count(*)`` — no
+    count-distinct pass. The self-join is an equi-join on the customer
+    key; per-customer fan-out is d_c·(d_c-1)/2 where d_c is the
+    customer's distinct-supplier degree — the classic co-occurrence
+    quadratic term, bounded here by the supplier count. At web scale
+    the standard mitigation is ``max_degree``: customers above the
+    degree cap are DROPPED before pairing (hub entities — a customer
+    connected to everything — contribute no co-purchase signal while
+    dominating the join; every production co-occurrence miner applies
+    exactly this cap), which bounds the fan-out at max_degree²/2 per
+    customer. ``None`` keeps every customer (the fixture default, and
+    the form the oracle mirrors)."""
+    inc = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    if max_degree is not None:
+        deg = inc.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+        inc = inc.join(
+            deg.filter(F.col("d") <= max_degree).select("cust"), "cust"
+        )
+    a, b = inc.alias("a"), inc.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.supp") < F.col("b.supp")),
+        )
+        .select(F.col("a.supp").alias("supp_a"), F.col("b.supp").alias("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy(F.col("n_shared").desc(), "supp_a", "supp_b")
+        .limit(k)
+    )
+
+
+def co_purchase_sql(min_shared: int = 2, k: int = TOP_K) -> str:
+    """DuckDB twin of :func:`co_purchase` (no degree cap — the entry's
+    form)."""
+    return (
+        "WITH inc AS (SELECT DISTINCT o.o_custkey AS cust, "
+        "l.l_suppkey AS supp "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey) "
+        "SELECT a.supp AS supp_a, b.supp AS supp_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM inc a JOIN inc b ON a.cust = b.cust AND a.supp < b.supp "
+        "GROUP BY a.supp, b.supp "
+        f"HAVING count(*) >= {min_shared} "
+        f"ORDER BY n_shared DESC, supp_a, supp_b LIMIT {k}"
     )
 
 
