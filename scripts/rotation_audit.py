@@ -13,7 +13,11 @@ Checks:
      then keys by ascending last-verdict round.
 
 Usage: PYTHONPATH=/root/repo python scripts/rotation_audit.py
-Exit 1 only on check (1) — the invariant the round owns completely.
+Exit 1 on check (1) — the invariant the round owns completely.
+Exit 2 when a CORRECTNESS artifact is unreadable: the artifacts are the
+ground truth, so a corrupt one means every derived age (and therefore
+the verdict and the suggested front) is suspect — do not trust this
+run's output.
 """
 
 from __future__ import annotations
@@ -31,10 +35,14 @@ import __spark_entry__ as entrymod
 WINDOW = 50
 
 
-def verdict_ages(repo: str) -> dict[str, int]:
+def verdict_ages(repo: str) -> tuple[dict[str, int], list[str]]:
     """key -> latest round with a driver verdict (any row counts as a
-    verdict; the driver writes a row per checked key)."""
+    verdict; the driver writes a row per checked key), plus the list of
+    unreadable artifacts — a skipped artifact distorts every derived
+    age, so the caller must surface it in the exit code, not just a
+    warning a CI log can swallow."""
     ages: dict[str, int] = {}
+    bad: list[str] = []
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -44,20 +52,20 @@ def verdict_ages(repo: str) -> dict[str, int]:
             with open(path) as f:
                 data = json.load(f)
         except (OSError, json.JSONDecodeError) as exc:
-            # a silently-skipped artifact would distort every age below
             print(
-                f"WARNING: skipping unreadable {os.path.basename(path)}: {exc}",
+                f"WARNING: unreadable {os.path.basename(path)}: {exc}",
                 file=sys.stderr,
             )
+            bad.append(os.path.basename(path))
             continue
         for key in data:
             ages[key] = max(ages.get(key, 0), rnd)
-    return ages
+    return ages, bad
 
 
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ages = verdict_ages(repo)
+    ages, bad = verdict_ages(repo)
     keys = list(entrymod.queries())
     window, rest = keys[:WINDOW], keys[WINDOW:]
 
@@ -98,6 +106,12 @@ def main() -> int:
     for k in order[:WINDOW]:
         print(f"  {k} ({'never' if k not in ages else f'r{ages[k]}'})")
 
+    if bad:
+        print(
+            f"\nFAIL: {len(bad)} unreadable CORRECTNESS artifacts ({', '.join(bad)})"
+            " — every age above is suspect; fix the artifacts and re-run"
+        )
+        return 2
     if never_out:
         print(f"\nFAIL: {len(never_out)} never-checked keys are out-of-window")
         return 1

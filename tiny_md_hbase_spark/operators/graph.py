@@ -39,18 +39,29 @@ DAMP = 85  # damping numerator (denominator 100)
 TOP_K = 20
 
 
-def purchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """Bidirectional customer↔supplier purchase edges. Node ids are
-    parity-disjoint (customer c → 2c, supplier s → 2s+1) so the two key
-    spaces can share one graph. One distinct over the join output; the
-    reverse direction is a projection, not a second join."""
-    e = (
+def _incidence(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The ONE (customer, supplier) incidence build — distinct pairs via
+    the orderkey equi-join — shared by :func:`purchase_edges` and
+    :func:`co_purchase` so the incidence semantics can never diverge
+    between the two graph views."""
+    return (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
-            (F.col("o_custkey") * 2).alias("cust"),
-            (F.col("l_suppkey") * 2 + 1).alias("supp"),
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
         )
         .distinct()
+    )
+
+
+def purchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Bidirectional customer↔supplier purchase edges. Node ids are
+    parity-disjoint (customer c → 2c, supplier s → 2s+1 — an injective
+    map applied AFTER the shared distinct, so both graph views derive
+    from one incidence build) and the reverse direction is a
+    projection, not a second join."""
+    e = _incidence(orders, lineitem).select(
+        (F.col("cust") * 2).alias("cust"),
+        (F.col("supp") * 2 + 1).alias("supp"),
     )
     return e.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
         e.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
@@ -181,11 +192,7 @@ def co_purchase(
     exactly this cap), which bounds the fan-out at max_degree²/2 per
     customer. ``None`` keeps every customer (the fixture default, and
     the form the oracle mirrors)."""
-    inc = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
-    )
+    inc = _incidence(orders, lineitem)
     if max_degree is not None:
         deg = inc.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
         inc = inc.join(
