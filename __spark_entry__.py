@@ -1384,8 +1384,12 @@ def _q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection (operators/similarity.py
     embedding_project): 64-d → 16-d on a deterministic literal matrix —
     the dim-reduction preprocessing that cuts ANN dot-product and
-    shuffle cost 4x; row-local, no shuffle."""
-    return SIM.embedding_project(load_table(spark, sf_dir, "embeddings"))
+    shuffle cost 4x; row-local, no shuffle. Graded in the unpivoted
+    (vec_id, label, dim_idx, coord) form: the packed array<double>
+    output is unhashable in the driver's pandas canonicalization
+    (r06 ERR), and posexplode costs nothing — the generator runs in
+    the same row-local stage."""
+    return SIM.embedding_project_rows(load_table(spark, sf_dir, "embeddings"))
 
 
 def _q_embedding_knn_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2279,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
             + f", (CAST({_FLB_OUT_OF_COVER} AS BIGINT))) "
             "SELECT p.z, i.bucket_z, i.pl, i.size FROM probes p JOIN leafidx i "
             "ON (p.z & (CASE WHEN i.pl >= 64 THEN CAST(-1 AS BIGINT) "
+            "WHEN i.pl <= 0 THEN CAST(0 AS BIGINT) "
             "ELSE -(CAST(1 AS BIGINT) << (64 - i.pl)) END)) = i.bucket_z"
         ),
         "index_inspect": (
@@ -2509,7 +2514,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY lang ORDER BY lang"
         ),
         "anomaly_zscore": AN.anomaly_zscore_sql(),
-        "embedding_project": SIM.embedding_project_sql(),
+        "embedding_project": SIM.embedding_project_rows_sql(),
         "embedding_knn_projected": SIM.embedding_knn_projected_sql(),
         "embedding_knn": exact_knn_sql,
         # full-probe IVF must collapse to exact kNN: same oracle text

@@ -55,6 +55,28 @@ def _setup_scratch() -> str | None:
     base = want or ("/dev/shm" if os.path.isdir("/dev/shm") else None)
     if base is None:
         return None
+    if not want and base == "/dev/shm":
+        # size guard: the auto-chosen tmpfs must actually fit the scratch
+        # layouts the benched queries materialize (z-sorted points,
+        # inverted index, clustered/quantized embeddings, write-path
+        # tables — low single-digit GiB at sf0.1). On a memory-tight
+        # host, spilling to RAM would evict page cache or OOM rather
+        # than speed anything up, so fall back to the system default and
+        # record that. An EXPLICIT SPARK_GRAFT_BENCH_SCRATCH is always
+        # respected — the guard only gates the automatic choice.
+        try:
+            st = os.statvfs(base)
+            free_bytes = st.f_bavail * st.f_frsize
+        except OSError:
+            free_bytes = 0
+        min_free = int(
+            os.environ.get("SPARK_GRAFT_BENCH_SCRATCH_MIN_GB", "8")
+        ) * (1 << 30)
+        if free_bytes < min_free:
+            _SCRATCH_DESC = (
+                f"default(shm_too_small:{free_bytes >> 30}GiB_free)"
+            )
+            return None
     scratch = tempfile.mkdtemp(prefix="bench_scratch_", dir=base)
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     parts = []

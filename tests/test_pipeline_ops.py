@@ -3,6 +3,8 @@ similarity search recall, text analysis determinism."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1345,7 +1347,11 @@ def test_span_dedup_matches_python_reference(spark, sf_dir):
         .collect()
     )
     L, MIN = 5, 2
-    toks = {r.doc_id: (r.text or "").split() for r in sample}
+    # split on the product's explicit _WS class, NOT str.split(): Python's
+    # split covers all Unicode whitespace (\xa0, \u2028, ...), so a
+    # fixture doc containing one would make this reference diverge from
+    # the operator spuriously (same reason test_bpe.py splits via _WS)
+    toks = {r.doc_id: re.split(T._WS, r.text or "") for r in sample}
     toks = {k: [t for t in v if t] for k, v in toks.items()}
     gram_docs: dict[tuple, set] = {}
     for d, tv in toks.items():

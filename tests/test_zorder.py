@@ -48,6 +48,8 @@ def test_make_mask_golden(spark):
             Z.make_mask(8).alias("m8"),
             Z.make_mask(9).alias("m9"),
             Z.make_mask(64).alias("m64"),
+            Z.make_mask(0).alias("m0"),
+            Z.make_mask(-3).alias("mneg"),
         )
         .collect()[0]
     )
@@ -56,6 +58,10 @@ def test_make_mask_golden(spark):
     assert as_u64(rows.m8) == 0xFF00000000000000
     assert as_u64(rows.m9) == 0xFF80000000000000
     assert as_u64(rows.m64) == 0xFFFFFFFFFFFFFFFF
+    # out-of-domain guard: pl <= 0 is the empty prefix -> mask 0 (matches
+    # everything); without the guard shiftleft(-1, 64) wraps to -1 and a
+    # prefix equi-join would silently drop every probe
+    assert rows.m0 == 0 and rows.mneg == 0
 
 
 # --- python-twin properties ----------------------------------------------

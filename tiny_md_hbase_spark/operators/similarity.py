@@ -38,6 +38,8 @@ __all__ = [
     "embedding_knn_ivf_portable_sql",
     "embedding_project",
     "embedding_project_sql",
+    "embedding_project_rows",
+    "embedding_project_rows_sql",
     "embedding_knn_projected",
     "embedding_knn_projected_sql",
     "centroid_assign",
@@ -758,6 +760,43 @@ def embedding_project_sql(out_dim: int = 16, dim: int = 64) -> str:
         "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings) "
         f"SELECT vec_id, label, [{coords}] AS proj FROM e"
+    )
+
+
+def embedding_project_rows(
+    embeddings: DataFrame, out_dim: int = 16, dim: int = 64
+) -> DataFrame:
+    """:func:`embedding_project` with the projected vector unpivoted to
+    one scalar row per coordinate: (vec_id, label, dim_idx, coord).
+
+    This is the GRADED form of the projection — an ``array<double>``
+    column is unhashable in pandas-side canonicalization (a list-valued
+    cell breaks ``sort_values``), so the driver's oracle harness can
+    only value-check scalar columns; ``posexplode`` converts the array
+    to ``out_dim`` hashable rows at zero extra compute (the generator
+    runs inside the same projected stage — still no shuffle). Pipeline
+    consumers (:func:`embedding_knn_projected`) keep using the packed
+    array form."""
+    p = embedding_project(embeddings, out_dim=out_dim, dim=dim)
+    return p.select(
+        "vec_id", "label", F.posexplode("proj").alias("dim_idx", "coord")
+    )
+
+
+def embedding_project_rows_sql(out_dim: int = 16, dim: int = 64) -> str:
+    """DuckDB twin of :func:`embedding_project_rows` — the same
+    per-coordinate fold literals, unpivoted via a ``range(out_dim)``
+    lateral (DuckDB has no WITH ORDINALITY; 1-based list indexing)."""
+    rows = _projection_matrix(out_dim, dim)
+
+    coords = projection_coords_sql(rows)
+    return (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"p AS (SELECT vec_id, label, [{coords}] AS proj FROM e) "
+        "SELECT vec_id, label, CAST(t.i AS INT) AS dim_idx, "
+        "proj[t.i + 1] AS coord "
+        f"FROM p, range({out_dim}) t(i)"
     )
 
 

@@ -125,13 +125,20 @@ def make_mask(prefix_len: Column | int) -> Column:
 
     = ``Utils.makeMask`` (``Utils.java:107-120``); ``makeMask(8)`` ==
     0xFF00..00. pl is in [1, 64]; Spark's shiftleft on LongType uses the
-    low 6 bits of the shift amount, so pl == 64 must short-circuit to 0.
+    low 6 bits of the shift amount, so pl == 64 must short-circuit to -1
+    and pl <= 0 to 0 (a zero-length prefix matches everything — without
+    the guard, shiftleft(-1, 64) wraps to shift 0 and yields -1, which
+    would silently drop every probe in a prefix equi-join).
     """
     pl = F.lit(prefix_len) if isinstance(prefix_len, int) else prefix_len
     # call_function: the SQL shiftleft accepts a column shift amount (the
     # Python wrapper insists on an int literal)
-    return F.when(pl >= F.lit(64), F.lit(-1).cast("long")).otherwise(
-        F.call_function("shiftleft", F.lit(-1).cast("long"), F.lit(64) - pl)
+    return (
+        F.when(pl >= F.lit(64), F.lit(-1).cast("long"))
+        .when(pl <= F.lit(0), F.lit(0).cast("long"))
+        .otherwise(
+            F.call_function("shiftleft", F.lit(-1).cast("long"), F.lit(64) - pl)
+        )
     )
 
 
