@@ -1010,6 +1010,23 @@ def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=50)
 
 
+def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under a TRAINED BPE vocabulary
+    (operators/bpe.py bpe_token_count) — the trained-encode path the
+    round-0 pair stats don't reach. The merge list is FIXTURE_MERGES
+    (bpe_train on sf0.001, pinned as literals and re-trained in
+    tests/test_bpe.py), so both engines evaluate the same fixed
+    deterministic function: Spark applies the merges as chained JVM
+    aggregate folds over the distinct-word table; the DuckDB oracle
+    replays them as anchored string replaces — a cross-engine AND
+    cross-form equivalence on the greedy merge scan."""
+    from tiny_md_hbase_spark.operators import bpe as B
+
+    return B.bpe_token_count(
+        load_table(spark, sf_dir, "documents"), B.FIXTURE_MERGES
+    )
+
+
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span removal (operators/text.py span_dedup):
     8-token runs occurring in >= 2 distinct documents deleted from every
@@ -1317,7 +1334,13 @@ def _q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return AN.approx_distinct_users(load_table(spark, sf_dir, "events"))
+    """HLL++ distinct estimate under a value-checked bound
+    (operators/analytics.py approx_distinct_check): exact per-group
+    counts hash-checked against the oracle, the sketch asserted within
+    3·rsd of them via the TRUE-flag pattern — converts the formerly
+    rows-only key (engine-specific sketch values) into a real oracle.
+    The sketch-only production form stays approx_distinct_users."""
+    return AN.approx_distinct_check(load_table(spark, sf_dir, "events"))
 
 
 def _q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1360,10 +1383,13 @@ def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch profile — the 100 TB default path (no 4× row expand).
-    Sketch estimates are engine-specific: rows-only for the driver; the
-    local test bounds relative error against the exact profile."""
-    return AN.table_profile_approx(load_table(spark, sf_dir, "lineitem"))
+    """HLL++ sketch profile under a value-checked bound
+    (operators/analytics.py table_profile_approx_check): nulls / exact
+    distinct / min / max hash-checked against the oracle, the sketch
+    asserted within 3·rsd via the TRUE-flag pattern. The sketch-only
+    production form (no k× exact-distinct row expansion) stays
+    table_profile_approx."""
+    return AN.table_profile_approx_check(load_table(spark, sf_dir, "lineitem"))
 
 
 def _q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1979,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests) so no session-new key is born out-of-window —
         # scripts/rotation_audit.py enforces exactly that invariant
         "span_dedup": _q_span_dedup,
+        "bpe_token_count": _q_bpe_token_count,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "pagerank": _q_pagerank,
         "co_purchase": _q_co_purchase,
@@ -2483,6 +2510,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": TX.line_dedup_sql(),
         "span_dedup": TX.span_dedup_sql(),
         "bpe_pair_counts": _BPE.bpe_pair_counts_sql(k=50),
+        "bpe_token_count": _BPE.bpe_token_count_sql(_BPE.FIXTURE_MERGES),
         "pagerank": _GR.pagerank_sql(),
         "co_purchase": _GR.co_purchase_sql(),
         "embedding_knn_quantized": SIM.embedding_knn_quantized_sql(),
@@ -2676,6 +2704,12 @@ def oracle_sql() -> dict[str, str]:
         "running_total": AN.running_total_sql(),
         "sql_pricing_summary": _SQLF.PRICING_SUMMARY_SQL,
         "table_profile": AN.table_profile_sql(),
+        # bounds-checked sketch keys: exact aggregates value-checked, the
+        # HLL estimate asserted within 3·rsd via the TRUE-flag pattern
+        # (DuckDB's HLL differs register-for-register, so the sketch
+        # VALUE itself is never compared — its bound is)
+        "approx_distinct": AN.approx_distinct_check_sql(),
+        "table_profile_approx": AN.table_profile_approx_check_sql(),
         "chunk_documents": TX.chunk_documents_sql(),
         "decontaminate": TX.decontaminate_sql(),
         # identical output to the raw-string variant barring a 64-bit hash

@@ -110,3 +110,71 @@ def test_train_stops_when_no_pairs_remain(spark):
     merges = B.bpe_train(df, n_merges=10)
     assert merges[0] == ("a", B.END)
     assert len(merges) == 1
+
+
+def test_fixture_merges_pinned_to_sf0001_training():
+    """FIXTURE_MERGES (the literal merge list the driver-graded
+    bpe_token_count key and its DuckDB oracle both replay) must be
+    EXACTLY what bpe_train learns on /root/testdata/sf0.001 — pinned to
+    that path, not the env-overridable sf_dir, because the literals are
+    baked into the static oracle SQL. A tokenization or tie-break drift
+    shows up here, not as a silent oracle mismatch."""
+    from tiny_md_hbase_spark.session import get_spark
+
+    spark = get_spark("tiny-md-hbase-spark-tests", cpus=8)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert B.bpe_train(docs, n_merges=20) == B.FIXTURE_MERGES
+
+
+def test_token_count_sql_replace_chain_equals_python_encoder():
+    """Property check of the oracle's anchored-replace encoding (no
+    Spark): for adversarial + seeded-random words, the doubled-separator
+    replace chain in DuckDB must produce bpe_encode_py's pieces exactly
+    — sequence, not just count. Covers repeated-symbol greediness
+    (aaaa), merges whose output feeds later merges, and symbol-boundary
+    anchoring (no mid-symbol or prefix/suffix false matches)."""
+    import random
+
+    import duckdb
+
+    con = duckdb.connect()
+    sep = B._SEP
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    enc = "s"
+    for l, r in B.FIXTURE_MERGES:
+        pat, rep = sep + l + sep + sep + r + sep, sep + l + r + sep
+        enc = f"replace({enc}, '{esc(pat)}', '{esc(rep)}')"
+
+    rng = random.Random(7)
+    words = [
+        "lower", "newest", "error", "tower", "arrow", "a", "an", "at",
+        "ast", "rarer", "aaaa", "erer", "ererer", "stat", "paran", "wow",
+    ] + [
+        "".join(rng.choice("aberstonwluipg") for _ in range(rng.randrange(1, 12)))
+        for _ in range(200)
+    ]
+    for w in words:
+        base = sep * 2 + (sep * 2).join(list(w) + [B.END]) + sep * 2
+        s = con.execute(
+            f"SELECT {enc} FROM (SELECT '{esc(base)}' AS s)"
+        ).fetchone()[0]
+        pieces = [p for p in s.split(sep) if p]
+        assert pieces == B.bpe_encode_py(w, B.FIXTURE_MERGES), w
+
+
+def test_corpora_free_of_separator_byte():
+    """The oracle's \x1f separator scheme requires the byte never occur
+    inside a token; assert it over every documents fixture the driver
+    or bench can read."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('/root/testdata/sf{sf}/"
+            "documents.parquet') WHERE text LIKE '%' || chr(31) || '%'"
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf} contains \\x1f"

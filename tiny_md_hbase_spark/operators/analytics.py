@@ -279,6 +279,50 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+def approx_distinct_check(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """Bounds-checked GRADED form of :func:`approx_distinct_users`: one
+    scan computes BOTH the exact distinct count and the HLL++ estimate
+    per group, and the output carries (event_type, n_users_exact,
+    hll_within_3rsd) — the exact count is value-checked against the
+    DuckDB oracle and the flag asserts ``|approx - exact| <= 3·rsd·exact``
+    (3 standard deviations of the documented relative error; HLL++ is
+    deterministic on fixed data, so the flag is stable). The oracle
+    emits TRUE for the flag, so an out-of-bound sketch hash-mismatches —
+    this converts the formerly rows-only key into a real value check
+    without requiring DuckDB's HLL to agree register-for-register.
+
+    The pure-sketch production form stays :func:`approx_distinct_users`
+    (no exact pass — at 100 TB the exact distinct's key-set shuffle is
+    the thing the sketch exists to avoid; this check form is for
+    fixture-scale verification)."""
+    bound = 3.0 * rsd
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_users_exact"))
+                <= bound * F.col("n_users_exact")
+            ).alias("hll_within_3rsd"),
+        )
+    )
+
+
+def approx_distinct_check_sql() -> str:
+    """DuckDB twin of :func:`approx_distinct_check`: exact counts plus
+    the asserted-TRUE bound flag (the Spark side computes the flag from
+    its own sketch; TRUE here is the assertion it must meet)."""
+    return (
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+        "AS n_users_exact, TRUE AS hll_within_3rsd FROM events GROUP BY 1"
+    )
+
+
 def click_days_without_purchase(events: DataFrame) -> DataFrame:
     """Set difference at (user, day) grain: days a user clicked but made
     no purchase. EXCEPT [DISTINCT] = dedup + hash anti lookup, one
@@ -445,6 +489,70 @@ def table_profile_approx(
             f"stack({len(cols)}, {stack_args}) AS "
             "(column, n_nulls, n_distinct_approx, min_v, max_v)"
         )
+    )
+
+
+def table_profile_approx_check(
+    lineitem: DataFrame, cols: list[str] = PROFILE_COLS, rsd: float = 0.02
+) -> DataFrame:
+    """Bounds-checked GRADED form of :func:`table_profile_approx`: the
+    same one-scan profile computes the exact distinct count AND the
+    HLL++ estimate per column; the output row is (column, n_nulls,
+    n_distinct, min_v, max_v, hll_within_3rsd) where n_distinct is
+    EXACT (value-checked by the oracle) and the flag asserts the sketch
+    within 3·rsd of it. The oracle emits TRUE, so a drifting sketch
+    hash-mismatches instead of hiding behind a rows-only smoke.
+
+    The production path at 100 TB stays :func:`table_profile_approx`
+    (sketch-only — exact COUNT(DISTINCT) over k columns re-expands every
+    row k× before the exchange, which is exactly what the sketch
+    avoids); this check form deliberately pays that expansion at
+    fixture scale to put the sketch under a value-checked bound."""
+    bound = 3.0 * rsd
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.approx_count_distinct(c, rsd).alias(f"{c}__and"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = lineitem.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__and, {c}__min, {c}__max"
+        for c in cols
+    )
+    stacked = one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_nulls, n_distinct, nd_approx, min_v, max_v)"
+        )
+    )
+    return stacked.select(
+        "column",
+        "n_nulls",
+        "n_distinct",
+        "min_v",
+        "max_v",
+        (
+            F.abs(F.col("nd_approx") - F.col("n_distinct"))
+            <= bound * F.col("n_distinct")
+        ).alias("hll_within_3rsd"),
+    )
+
+
+def table_profile_approx_check_sql(cols: list[str] = PROFILE_COLS) -> str:
+    """DuckDB twin of :func:`table_profile_approx_check`: the exact
+    profile (:func:`table_profile_sql` shape) plus the asserted-TRUE
+    sketch-bound flag."""
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"min({c}) AS min_v, max({c}) AS max_v, TRUE AS hll_within_3rsd "
+        "FROM lineitem"
+        for c in cols
     )
 
 

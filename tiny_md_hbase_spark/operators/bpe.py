@@ -28,10 +28,25 @@ __all__ = [
     "bpe_train",
     "bpe_train_py",
     "bpe_token_count",
+    "bpe_token_count_sql",
     "bpe_encode_py",
+    "FIXTURE_MERGES",
 ]
 
 END = "</w>"  # end-of-word marker, the classic BPE word terminator
+
+# The 20 merges bpe_train learns on /root/testdata/sf0.001 documents,
+# PINNED as literals so the trained-encode path (bpe_token_count) is a
+# fixed deterministic function both engines can evaluate — the driver's
+# oracle SQL is a static string, so the merge list must be data-free at
+# query-build time. tests/test_bpe.py re-trains and asserts equality,
+# so a tokenization or tie-break drift breaks the test, not the oracle.
+FIXTURE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"), ("p", "ar"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"), ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
+]
 
 # merges applied per chained projection before a lineage-truncating
 # checkpoint in the encoder (Catalyst analysis cost grows superlinearly
@@ -245,6 +260,58 @@ def bpe_token_count(
                 "n_bpe_tokens"
             ),
         )
+    )
+
+
+_SEP = "\x1f"  # unit separator: absent from the corpora (tests assert it)
+
+
+def bpe_token_count_sql(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`bpe_token_count` under a FIXED merge list —
+    the greedy non-overlapping left-to-right merge scan re-expressed as
+    a chain of plain string ``replace`` calls, one per merge.
+
+    Encoding trick: a word's symbol sequence is rendered with DOUBLED
+    ``\\x1f`` separators at every boundary (``□□h□□i□□</w>□□``). The
+    pattern for merge (l, r) is ``□l□□r□`` — it consumes the full inner
+    boundary but only the inner half of each outer boundary, so (a) both
+    symbol edges are anchored (no mid-symbol or prefix/suffix false
+    matches), and (b) the replacement ``□lr□`` plus the leftover outer
+    halves reconstitutes doubled boundaries, keeping the invariant for
+    the next merge in the chain. SQL ``replace`` scans left-to-right
+    non-overlapping — exactly the classic BPE greedy application, so
+    this is piece-for-piece :func:`bpe_encode_py` (property-tested).
+    ``n_pieces`` falls out as separator-count/2 - 1; no recursion, no
+    UDFs — a cross-ENGINE and cross-FORM check of the `_merge_fold`
+    aggregate the Spark side uses."""
+    from tiny_md_hbase_spark.operators.text import tokens_sql
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    enc = "s"
+    for l, r in merges:
+        pat = _SEP + l + _SEP + _SEP + r + _SEP
+        rep = _SEP + l + r + _SEP
+        enc = f"replace({enc}, '{esc(pat)}', '{esc(rep)}')"
+
+    toks = tokens_sql("coalesce(text, '')")
+    sep2 = esc(_SEP + _SEP)
+    return (
+        "WITH w AS (SELECT doc_id, u.word AS word, "
+        f"CAST(count(*) AS BIGINT) AS c FROM documents, unnest({toks}) "
+        "AS u(word) GROUP BY doc_id, u.word), "
+        "v AS (SELECT DISTINCT word FROM w), "
+        f"base AS (SELECT word, '{sep2}' || array_to_string("
+        "list_append(list_filter(regexp_split_to_array(word, ''), "
+        f"c -> c != ''), '{esc(END)}'), '{sep2}') || '{sep2}' AS s FROM v), "
+        f"enc AS (SELECT word, {enc} AS s FROM base), "
+        "m AS (SELECT word, (length(s) - length(replace(s, "
+        f"'{esc(_SEP)}', ''))) // 2 - 1 AS n_pieces FROM enc), "
+        "counted AS (SELECT w.doc_id, CAST(sum(w.c * m.n_pieces) AS BIGINT) "
+        "AS n FROM w JOIN m USING (word) GROUP BY w.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(counted.n, 0) AS BIGINT) "
+        "AS n_bpe_tokens FROM documents d LEFT JOIN counted USING (doc_id)"
     )
 
 
