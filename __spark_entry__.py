@@ -1036,6 +1036,16 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.span_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _q_span_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production variant of span_dedup (operators/text.py
+    span_dedup_hashed): LongType span keys from xxhash64 over the
+    token-array window — 8-byte shuffle keys, window strings never
+    materialized. Oracle = the md5 SQL twin: identical output barring a
+    64-bit key collision (~1e-8 at 10^9 spans), the same cross-form
+    adjudication as decontaminate_hashed / dedup_minhash_vs_exact."""
+    return TX.span_dedup_hashed(load_table(spark, sf_dir, "documents"))
+
+
 def _q_embedding_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized ANN (operators/similarity.py
     embedding_knn_quantized): corpus-wide max-abs scale → BIGINT dot
@@ -2005,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests) so no session-new key is born out-of-window —
         # scripts/rotation_audit.py enforces exactly that invariant
         "span_dedup": _q_span_dedup,
+        "span_dedup_hashed": _q_span_dedup_hashed,
         "bpe_token_count": _q_bpe_token_count,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "pagerank": _q_pagerank,
@@ -2509,6 +2520,10 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search_bm25": TX.keyword_search_bm25_sql(),
         "line_dedup": TX.line_dedup_sql(),
         "span_dedup": TX.span_dedup_sql(),
+        # identical output to the md5-keyed form barring a 64-bit span-key
+        # collision: the md5 twin IS the oracle (decontaminate_hashed
+        # pattern)
+        "span_dedup_hashed": TX.span_dedup_sql(),
         "bpe_pair_counts": _BPE.bpe_pair_counts_sql(k=50),
         "bpe_token_count": _BPE.bpe_token_count_sql(_BPE.FIXTURE_MERGES),
         "pagerank": _GR.pagerank_sql(),

@@ -115,6 +115,55 @@ def test_co_purchase_degree_cap_drops_hub_customers(spark):
     assert uncapped[(10, 20)] == 3 and (20, 30) in uncapped
 
 
+def test_co_purchase_cap_bounds_fanout_on_hub_heavy_fixture(spark):
+    """Hub-heavy shape: ONE customer touching EVERY supplier (the
+    worst-case quadratic contributor — d·(d-1)/2 pairs from a single
+    key). With the cap, total candidate pairs are bounded by
+    n_capped_customers · C(max_degree, 2); the hub contributes zero.
+    This is the scale story of graph.py:co_purchase made executable:
+    50 suppliers → the hub alone would emit 1225 pairs, the capped run
+    emits at most 3 per surviving customer."""
+    n_supp = 50
+    hub = [(999, s) for s in range(n_supp)]  # degree 50 — over any cap
+    small = [(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (3, 7)]
+    rows = hub + small
+    capped = G.co_purchase(
+        *_orders_lineitem(spark, rows), min_shared=1, max_degree=3
+    ).collect()
+    # fan-out bound: customers 1 (deg 3), 2 (deg 2), 3 (deg 1) survive
+    # -> at most 3·C(3,2) = 9 candidate pairs ever exist, far below the
+    # hub's 1225; and no pair may touch a supplier only the hub buys
+    assert 0 < len(capped) <= 9
+    assert all(r.supp_a <= 7 and r.supp_b <= 7 for r in capped)
+    got = {(r.supp_a, r.supp_b): r.n_shared for r in capped}
+    assert got == {(0, 1): 2, (0, 2): 1, (1, 2): 1}
+    # uncapped control: the hub dominates — every supplier pair exists
+    uncapped = G.co_purchase(
+        *_orders_lineitem(spark, rows), min_shared=1, k=2000
+    ).collect()
+    assert len(uncapped) == n_supp * (n_supp - 1) // 2
+
+
+def test_co_purchase_cap_filters_before_pair_join_plan_contract(spark):
+    """Plan contract: the degree cap must drop hub customers BEFORE the
+    pair self-join — a post-join filter would still pay the quadratic
+    fan-out it exists to avoid. In the printed physical tree a node's
+    inputs appear BELOW it, so the degree filter (`Filter (d#.. <= N)`)
+    must appear AFTER the pair-join line (the only join carrying the
+    supp < supp non-equi condition) — i.e. inside its input subtree."""
+    from tiny_md_hbase_spark import plans as P
+
+    rows = [(9, 10), (9, 20), (9, 30), (1, 10), (1, 20), (2, 10), (2, 20)]
+    q = G.co_purchase(*_orders_lineitem(spark, rows), min_shared=1, max_degree=2)
+    plan = P.explain_str(q, "simple")
+    pair_join = plan.index(", Inner, (supp#")  # the supp<supp pair join
+    cap_filter = plan.index("Filter (d#")
+    assert cap_filter > pair_join, "degree cap applied after the pair join"
+    # and the uncapped form has no degree filter at all
+    q0 = G.co_purchase(*_orders_lineitem(spark, rows), min_shared=1)
+    assert "Filter (d#" not in P.explain_str(q0, "simple")
+
+
 def test_co_purchase_matches_python_reference_on_fixture(spark, sf_dir):
     from collections import Counter
 

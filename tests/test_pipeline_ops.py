@@ -1411,6 +1411,32 @@ def test_span_dedup_equals_python_reference_randomized(spark):
         assert got == expect
 
 
+def test_span_dedup_hashed_equals_md5_form(spark, sf_dir):
+    """Cross-form equivalence: the production xxhash64-keyed span
+    removal must produce row-for-row the md5-keyed form's output (the
+    two differ only in span-key representation; divergence would mean a
+    key collision or a windowing bug). Run on the real fixture (planted
+    exact-duplicate groups → non-vacuous span hits) AND on a dense
+    small-vocab corpus that forces overlapping covers."""
+    import random
+
+    docs = load_table(spark, sf_dir, "documents").limit(120).localCheckpoint()
+    md5_rows = {tuple(r) for r in T.span_dedup(docs, span_len=5).collect()}
+    hashed_rows = {tuple(r) for r in T.span_dedup_hashed(docs, span_len=5).collect()}
+    assert md5_rows == hashed_rows and md5_rows
+    rng = random.Random(3)
+    dense = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice("abcd") for _ in range(rng.randrange(0, 12))))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    a = {tuple(r) for r in T.span_dedup(dense, span_len=3).collect()}
+    b = {tuple(r) for r in T.span_dedup_hashed(dense, span_len=3).collect()}
+    assert a == b
+
+
 # --- int8 scalar-quantized ANN --------------------------------------------
 
 def test_knn_quantized_recall_vs_exact(spark, sf_dir):

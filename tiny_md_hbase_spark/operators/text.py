@@ -1742,7 +1742,10 @@ def line_dedup_sql(min_docs: int = 2) -> str:
 
 
 def span_dedup(
-    documents: DataFrame, span_len: int = 8, min_docs: int = 2
+    documents: DataFrame,
+    span_len: int = 8,
+    min_docs: int = 2,
+    key: str = "md5",
 ) -> DataFrame:
     """Exact duplicated-SPAN removal — the substring-level sibling of
     :func:`line_dedup` (the ExactSubstr idea of Lee et al., "Deduplicating
@@ -1757,11 +1760,14 @@ def span_dedup(
     in original order.
 
     100 TB shape: ONE tokenize pass; the span keys are md5 of the
-    joined token window (a 32-hex shuffle key the oracle can compute —
-    at production scale run the identical shape on a rolling polynomial
-    over per-token ``xxhash64`` so the shuffle carries 8-byte keys and
-    the window string is never materialized, exactly line_dedup's
-    md5-vs-xxhash64 note); duplicated spans come back as a left_semi
+    joined token window (a 32-hex shuffle key the oracle can compute) —
+    ``key="xxhash64"`` (:func:`span_dedup_hashed`) is the production
+    form: ``xxhash64`` over the token-array window (JVM-side element
+    fold) so the shuffle carries 8-byte keys and the window string is
+    never materialized, exactly line_dedup's md5-vs-xxhash64 note;
+    identical output barring a 64-bit collision, so the md5 SQL twin IS
+    its oracle (same adjudication as decontaminate_hashed). Duplicated
+    spans come back as a left_semi
     join (broadcast under AQE when the dup set is small); coverage is a
     per-document ordered window over DENSE positions (``ROWS span_len-1
     PRECEDING`` == the span-cover predicate because every position is
@@ -1786,32 +1792,57 @@ def span_dedup(
     pos = toks.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
     )
-    # span start positions: one gram per window-start; docs shorter than
-    # span_len contribute none (the sequence guard — an unguarded
+    # span start positions: one span KEY per window-start; docs shorter
+    # than span_len contribute none (the sequence guard — an unguarded
     # sequence(0, negative) would DESCEND and fabricate grams)
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.when(
-                F.size("toks") >= span_len,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - span_len),
-                    lambda i: F.array_join(
-                        F.slice("toks", i + 1, span_len), " "
+    if key == "md5":
+        # oracle-computable form: the window string is materialized and
+        # md5'd (a 32-hex shuffle key DuckDB can reproduce)
+        keyed = toks.select(
+            "doc_id",
+            F.posexplode(
+                F.when(
+                    F.size("toks") >= span_len,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - span_len),
+                        lambda i: F.md5(
+                            F.array_join(F.slice("toks", i + 1, span_len), " ")
+                        ),
                     ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "gram"),
-    )
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos", "h"),
+        )
+    elif key == "xxhash64":
+        # production form: each window key is xxhash64 over the token
+        # ARRAY slice — Spark's HashExpression folds the elements with
+        # seed chaining entirely JVM-side, so the shuffle carries
+        # LongType keys and the joined window string is NEVER
+        # materialized (at span_len 8 that is ~8x less shuffle payload
+        # than the md5-of-joined-string form, and no per-window concat).
+        # No wrapping arithmetic needed (ANSI mode forbids overflowing
+        # multiply, which rules out a hand-rolled polynomial fold).
+        keyed = toks.select(
+            "doc_id",
+            F.posexplode(
+                F.when(
+                    F.size("toks") >= span_len,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - span_len),
+                        lambda i: F.xxhash64(F.slice("toks", i + 1, span_len)),
+                    ),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("pos", "h"),
+        )
+    else:
+        raise ValueError(f"span_dedup key must be md5 or xxhash64, got {key!r}")
     dup = (
-        grams.groupBy(F.md5("gram").alias("h"))
+        keyed.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("h")
     )
     starts = (
-        grams.withColumn("h", F.md5("gram"))
-        .join(dup, "h", "left_semi")
+        keyed.join(dup, "h", "left_semi")
         .select("doc_id", "pos", F.lit(1).alias("is_start"))
     )
     w_cov = (
@@ -1850,6 +1881,17 @@ def span_dedup(
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         )
     )
+
+
+def span_dedup_hashed(
+    documents: DataFrame, span_len: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """PRODUCTION form of :func:`span_dedup`: LongType span keys from
+    xxhash64 over the token-array window — ~8x less shuffle payload
+    than the md5-of-joined-window form and no per-window string concat;
+    identical output barring a 64-bit key collision (~1e-8 at 10^9
+    spans), so :func:`span_dedup_sql` (the md5 twin) is its oracle."""
+    return span_dedup(documents, span_len=span_len, min_docs=min_docs, key="xxhash64")
 
 
 def span_dedup_sql(span_len: int = 8, min_docs: int = 2) -> str:
