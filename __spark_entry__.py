@@ -1930,102 +1930,39 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
-    # Round-6 rotation (COVERAGE.md tracks per-key verdict ages) clears the
-    # entire never-driver-checked backlog: front = the 5 session-new keys
-    # (write_path_refresh — the real insert_append→incremental-refresh
-    # path against the index_build oracle; floor_lookup_batch — the r05
-    # prefix-equi-join rework, probes incl. the out-of-cover drop;
-    # dedup_minhash_vs_exact / dedup_simhash_band_exact /
-    # embedding_knn_ivf_kmeans_full — cross-form equivalence oracles that
-    # put the engine-specific JVM-hash / k-means variants under value
-    # checks), then ALL 28 keys that have never received a driver verdict
-    # (the r05 out-of-window additions: the corpus lifecycle set, scan
-    # keyword/BM25 forms, projections, clustered ANN, the time-series
-    # family — each locally oracle-verified twice in r05; funnel's module
-    # ALSO changed this round: stage caches now unpersist after an eager
-    # count pass), then the 15 r03-stale keys (displaced from the r05
-    # window; untouched modules). The final 2 slots go to span_dedup
-    # (session-new: exact duplicated-span removal — in the window so no
-    # new key is born unverified) and resize_meta (r04, but its ENTRY was
-    # reworked into an oracle-checked form — changed observable output
-    # needs a fresh verdict). bucket_route keeps its r04 verdict just
-    # outside the window (its prefix-join machinery gets its first direct
-    # verdict via floor_lookup_batch in-window anyway).
-    # After the window: the r04 cohort, 46 keys (they lead the r07
-    # rotation), then the r05-verdict keys (freshest) at the back.
+    # Round-7 rotation (per-key verdict ages are DERIVED from the
+    # CORRECTNESS_r* artifacts by scripts/rotation_audit.py — run it when
+    # planning the next rotation). Front = the 2 session-new keys
+    # (span_dedup_hashed — production 8-byte xxhash64 span keys vs the
+    # md5 SQL twin; bpe_token_count — the trained-encode path under
+    # pinned FIXTURE_MERGES, anchored-replace DuckDB oracle), the 3
+    # changed-observable-output keys that need fresh verdicts
+    # (embedding_project — reshaped to scalar (vec_id, label, dim_idx,
+    # coord) rows after the r06 unhashable-array ERR; approx_distinct +
+    # table_profile_approx — converted from rows-only smokes to
+    # bounds-checked oracles: exact aggregates value-checked, sketch
+    # asserted within 3·rsd via the TRUE-flag pattern), the 2 remaining
+    # r03-stale keys (multimodal_features, sql_pricing_summary — the
+    # oldest verdicts in the ledger), and the first 43 of the 46-key
+    # r04 cohort in rotation_audit's suggested order — the whole §2
+    # spatial/codec/write core plus the dedup/ANN/text heads re-enter
+    # the window after three rounds out.
+    # Displaced (documented staleness inversion, untouched modules):
+    # lang_id, quality_score, doc_fingerprint (r04) — they lead the r08
+    # rotation, ahead of the r05 cohort, then the r06-verdict keys
+    # (freshest) at the back.
     return {
-        # -- session-new (r06) ---------------------------------------------
-        "write_path_refresh": _q_write_path_refresh,
-        "floor_lookup_batch": _q_floor_lookup_batch,
-        "dedup_minhash_vs_exact": _q_dedup_minhash_vs_exact,
-        "dedup_simhash_band_exact": _q_dedup_simhash_band_exact,
-        "embedding_knn_ivf_kmeans_full": _q_embedding_knn_ivf_kmeans_full,
-        # -- never driver-checked (added r05 out-of-window) ----------------
-        "corpus_diff": _q_corpus_diff,
-        "corpus_prepare": _q_corpus_prepare,
-        "media_dedup": _q_media_dedup,
-        "dedup_semantic": _q_dedup_semantic,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "keyword_search": _q_keyword_search,
-        "keyword_search_indexed": _q_keyword_search_indexed,
-        "lm_bigram_score": _q_lm_bigram_score,
-        "gopher_quality": _q_gopher_quality,
-        "corpus_split": _q_corpus_split,
-        "corpus_jsonl_roundtrip": _q_corpus_jsonl_roundtrip,
-        "dedup_incremental": _q_dedup_incremental,
-        "stream_dedup_docs": _q_stream_dedup_docs,
-        "anomaly_zscore": _q_anomaly_zscore,
-        "embedding_project": _q_embedding_project,
-        "embedding_knn_projected": _q_embedding_knn_projected,
-        "source_cap": _q_source_cap,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "centroid_assign": _q_centroid_assign,
-        "corpus_manifest": _q_corpus_manifest,
-        "sql_zcodec": _q_sql_zcodec,
-        "stream_manifest": _q_stream_manifest,
-        "embedding_knn_clustered": _q_embedding_knn_clustered,
-        "gap_fill": _q_gap_fill,
-        "rolling_stats": _q_rolling_stats,
-        "ohlc": _q_ohlc,
-        "funnel": _q_funnel,
-        "retention": _q_retention,
-        # -- latest verdict r03 (stalest) ----------------------------------
-        "index_build": _q_index_build,
-        "index_inspect": _q_index_inspect,
-        "floor_lookup": _q_floor_lookup,
-        "asof_join": _q_asof_join,
-        "stream_asof": _q_stream_asof,
-        "stream_sessionize": _q_stream_sessionize,
-        "dedup_embedding": _q_dedup_embedding,
-        "decontaminate_hashed": _q_decontaminate_hashed,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "knn_3d": _q_knn_3d,
-        "frame_sample": _q_frame_sample,
-        "approx_distinct": _q_approx_distinct,
-        # -- session-new + reworked entries (fill the window) --------------
-        # co_purchase additionally displaces multimodal_features (r03
-        # rows-only smoke, same class as table_profile_approx below)
-        # span_dedup + bpe_pair_counts + pagerank displace bucket_route
-        # (r04 verdict on an untouched module; its prefix-join machinery
-        # gets its first direct verdict via floor_lookup_batch above
-        # anyway), sql_pricing_summary (r03, but its oracle is the SAME
-        # SQL text on both engines — facade parity, the lowest-information
-        # re-verdict in the stale cohort) and table_profile_approx (r03
-        # rows-only smoke; its real checks are the local error-bound
-        # tests) so no session-new key is born out-of-window —
-        # scripts/rotation_audit.py enforces exactly that invariant
-        "span_dedup": _q_span_dedup,
+        # -- session-new (r07) ---------------------------------------------
         "span_dedup_hashed": _q_span_dedup_hashed,
         "bpe_token_count": _q_bpe_token_count,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "pagerank": _q_pagerank,
-        "co_purchase": _q_co_purchase,
-        "resize_meta": _q_resize_meta,  # entry reworked: now oracle-checked
-        # ---- driver window ends here (first 50 keys) --------------------
-        # -- displaced r03/r04 keys (lead the r07 rotation) ----------------
-        "multimodal_features": _q_multimodal_features,
+        # -- changed observable output this round (need fresh verdicts) ----
+        "embedding_project": _q_embedding_project,
+        "approx_distinct": _q_approx_distinct,
         "table_profile_approx": _q_table_profile_approx,
+        # -- latest verdict r03 (stalest) ----------------------------------
+        "multimodal_features": _q_multimodal_features,
         "sql_pricing_summary": _q_sql_pricing_summary,
+        # -- r04 cohort re-entering after three rounds out (43 of 46) ------
         "bucket_route": _q_bucket_route,
         "insert_append": _q_insert_append,
         "skew_join": _q_skew_join,
@@ -2069,10 +2006,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_ivf": _q_embedding_knn_ivf,
         "text_stats": _q_text_stats,
         "token_count": _q_token_count,
+        # ---- driver window ends here (first 50 keys) --------------------
+        # -- displaced r04 keys (lead the r08 rotation) --------------------
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_doc_fingerprint,
-        # -- latest verdict r05 (freshest, rotated to the back) ------------
+        # -- latest verdict r05 ---------------------------------------------
         "keyword_search_bm25": _q_keyword_search_bm25,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
         "line_dedup": _q_line_dedup,
@@ -2123,6 +2062,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_rollup": _q_text_stats_rollup,
         "zorder3d_encode": _q_zorder3d_encode,
         "range_count_3d": _q_range_count_3d,
+        # -- latest verdict r06 (freshest, rotated to the back) ------------
+        "write_path_refresh": _q_write_path_refresh,
+        "floor_lookup_batch": _q_floor_lookup_batch,
+        "dedup_minhash_vs_exact": _q_dedup_minhash_vs_exact,
+        "dedup_simhash_band_exact": _q_dedup_simhash_band_exact,
+        "embedding_knn_ivf_kmeans_full": _q_embedding_knn_ivf_kmeans_full,
+        "corpus_diff": _q_corpus_diff,
+        "corpus_prepare": _q_corpus_prepare,
+        "media_dedup": _q_media_dedup,
+        "dedup_semantic": _q_dedup_semantic,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "keyword_search": _q_keyword_search,
+        "keyword_search_indexed": _q_keyword_search_indexed,
+        "lm_bigram_score": _q_lm_bigram_score,
+        "gopher_quality": _q_gopher_quality,
+        "corpus_split": _q_corpus_split,
+        "corpus_jsonl_roundtrip": _q_corpus_jsonl_roundtrip,
+        "dedup_incremental": _q_dedup_incremental,
+        "stream_dedup_docs": _q_stream_dedup_docs,
+        "anomaly_zscore": _q_anomaly_zscore,
+        "embedding_knn_projected": _q_embedding_knn_projected,
+        "source_cap": _q_source_cap,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "centroid_assign": _q_centroid_assign,
+        "corpus_manifest": _q_corpus_manifest,
+        "sql_zcodec": _q_sql_zcodec,
+        "stream_manifest": _q_stream_manifest,
+        "embedding_knn_clustered": _q_embedding_knn_clustered,
+        "gap_fill": _q_gap_fill,
+        "rolling_stats": _q_rolling_stats,
+        "ohlc": _q_ohlc,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
+        "index_build": _q_index_build,
+        "index_inspect": _q_index_inspect,
+        "floor_lookup": _q_floor_lookup,
+        "asof_join": _q_asof_join,
+        "stream_asof": _q_stream_asof,
+        "stream_sessionize": _q_stream_sessionize,
+        "dedup_embedding": _q_dedup_embedding,
+        "decontaminate_hashed": _q_decontaminate_hashed,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "knn_3d": _q_knn_3d,
+        "frame_sample": _q_frame_sample,
+        "span_dedup": _q_span_dedup,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "pagerank": _q_pagerank,
+        "co_purchase": _q_co_purchase,
+        "resize_meta": _q_resize_meta,
     }
 
 

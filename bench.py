@@ -184,7 +184,9 @@ BENCH_KEYS = [
     "embedding_knn_quantized_stored",
     "keyword_search_bm25_indexed",
     "span_dedup",
+    "span_dedup_hashed",
     "bpe_pair_counts",
+    "bpe_token_count",
     "pagerank",
     "co_purchase",
     "quality_gate",

@@ -12,8 +12,9 @@ def test_every_oracle_key_has_a_query():
 
 def test_rows_only_set_is_exactly_the_documented_one():
     q, o = entry.queries(), entry.oracle_sql()
+    # r07: approx_distinct + table_profile_approx left this set (now
+    # bounds-checked oracles via the TRUE-flag pattern)
     assert sorted(set(q) - set(o)) == [
-        "approx_distinct",
         "compact_layout",
         "dedup_minhash",
         "dedup_simhash",
@@ -22,7 +23,6 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "media_dedup",
         "multimodal_features",
         "table_lifecycle",
-        "table_profile_approx",
     ]
 
 
