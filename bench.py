@@ -147,6 +147,7 @@ BENCH_KEYS = [
     "knn_3d",
     "text_stats_rollup",
     "dedup_clusters",
+    "dedup_clusters_distributed",
     "spatial_histogram",
     "embedding_knn_batch",
     "corpus_clean",

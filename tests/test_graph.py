@@ -202,3 +202,61 @@ def test_pagerank_mass_is_conserved_up_to_integer_truncation(spark):
     ref5 = G.pagerank_py(pairs, n_iter=5)
     assert sum(ref5.values()) <= sum(ref0.values())
     assert min(ref5.values()) > 0
+
+
+# --- connected components (distributed min-label propagation) --------------
+
+def _cc(spark, edge_pairs, nodes):
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "node long")
+    sym = edge_pairs + [(b, a) for a, b in edge_pairs]
+    edges_df = spark.createDataFrame(sym or [(0, 0)], "src long, dst long")
+    if not sym:
+        edges_df = edges_df.filter("src < 0")  # empty edge list, typed
+    return {
+        r.node: r.comp
+        for r in G.connected_components(nodes_df, edges_df).collect()
+    }
+
+
+def test_connected_components_chains_and_singletons(spark):
+    """Two chains (diameter forces multi-round propagation: labels walk
+    one hop per round) + an isolated node; comp = component minimum."""
+    chain_a = [(i, i + 1) for i in range(0, 6)]        # 0..6
+    chain_b = [(i, i + 1) for i in range(10, 14)]      # 10..14
+    got = _cc(spark, chain_a + chain_b, nodes=list(range(0, 7)) + list(range(10, 15)) + [99])
+    assert all(got[n] == 0 for n in range(0, 7))
+    assert all(got[n] == 10 for n in range(10, 15))
+    assert got[99] == 99
+
+
+def test_connected_components_empty_edges_all_singletons(spark):
+    got = _cc(spark, [], nodes=[1, 2, 3])
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_connected_components_max_iter_backstop_raises(spark):
+    import pytest
+
+    chain = [(i, i + 1) for i in range(0, 8)]
+    nodes_df = spark.createDataFrame([(n,) for n in range(9)], "node long")
+    sym = chain + [(b, a) for a, b in chain]
+    edges_df = spark.createDataFrame(sym, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        G.connected_components(nodes_df, edges_df, max_iter=2)
+
+
+def test_dedup_clusters_distributed_equals_union_find(spark, sf_dir):
+    """Cross-form: forcing the distributed min-label path
+    (collect_limit=0) must reproduce the driver union-find labeling
+    row-for-row — both converge to the component-minimum fixpoint."""
+    from tiny_md_hbase_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard(docs).localCheckpoint()
+    uf = {r.doc_id: r.cluster_id for r in D.dedup_clusters(docs, pairs).collect()}
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in D.dedup_clusters(docs, pairs, collect_limit=0).collect()
+    }
+    assert uf == dist
+    assert any(k != v for k, v in uf.items())  # non-vacuous: real clusters

@@ -490,6 +490,42 @@ def test_span_dedup_no_cartesian_pruned_scan(spark, sf_dir):
     assert all("lang" not in s and "source" not in s for s in P.read_schemas(q))
 
 
+def test_span_dedup_hashed_no_cartesian_no_string_keys(spark, sf_dir):
+    """The production form keeps span_dedup's join shape (equi/anti
+    only, pruned scan) and its span keys are LongType end to end: no
+    md5 call and no array_join window-string materialization anywhere
+    in the plan — the 8-byte-shuffle-key claim made executable."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    spark.catalog.clearCache()
+    q = TX.span_dedup_hashed(load_table(spark, sf_dir, "documents"))
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "md5" not in plan
+    assert "array_join" not in plan
+    assert "xxhash64" in plan
+    assert all("lang" not in s and "source" not in s for s in P.read_schemas(q))
+
+
+def test_bpe_token_count_vocab_bounded_encode(spark, sf_dir):
+    """The trained-encode path touches the corpus once (the word
+    explode feeding the (doc_id, word) aggregate); every merge fold
+    runs over the DISTINCT-word table, and the mapping joins back as an
+    equi-join — no cartesian, no nested loop, scan pruned to
+    (doc_id, text)."""
+    from tiny_md_hbase_spark.operators import bpe as B
+
+    spark.catalog.clearCache()
+    q = B.bpe_token_count(
+        load_table(spark, sf_dir, "documents"), B.FIXTURE_MERGES
+    )
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert all("lang" not in s and "source" not in s for s in P.read_schemas(q))
+
+
 def test_bpe_pair_counts_vocab_bounded_topk(spark, sf_dir):
     """The pair explode runs over the AGGREGATED vocabulary (word count
     first — its exchange precedes the pair aggregate) and the final

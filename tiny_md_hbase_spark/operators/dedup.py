@@ -952,32 +952,18 @@ def dedup_clusters(
             "doc_id", F.coalesce("cid", F.col("doc_id")).alias("cluster_id")
         )
 
-    labels = ids.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
-    while True:
-        nbr_min = (
-            edges.join(labels, edges["b"] == labels["doc_id"])
-            .groupBy("a")
-            .agg(F.min("cluster_id").alias("nbr"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
+    # distributed path: the general min-label-propagation operator
+    # (operators/graph.py connected_components — shared with the graph
+    # analytics surface so the fixpoint loop exists exactly once)
+    from tiny_md_hbase_spark.operators.graph import connected_components
+
+    comp = connected_components(
+        ids.select(F.col("doc_id").alias("node")),
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
 
 
 def dedup_embedding(

@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["purchase_edges", "pagerank", "pagerank_py", "co_purchase"]
+__all__ = [
+    "purchase_edges",
+    "pagerank",
+    "pagerank_py",
+    "co_purchase",
+    "connected_components",
+]
 
 SCALE = 10**12  # rank micro-units
 DAMP = 85  # damping numerator (denominator 100)
@@ -227,6 +233,70 @@ def co_purchase_sql(min_shared: int = 2, k: int = TOP_K) -> str:
         "GROUP BY a.supp, b.supp "
         f"HAVING count(*) >= {min_shared} "
         f"ORDER BY n_shared DESC, supp_a, supp_b LIMIT {k}"
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 64
+) -> DataFrame:
+    """Distributed connected components by min-label propagation to
+    fixpoint — the Pregel-style algorithm GraphX's
+    ``connectedComponents`` runs, as plain DataFrame ops.
+
+    ``nodes`` is one column ``node`` (LongType); ``edges`` is
+    (``src``, ``dst``) and is treated as DIRECTED — pass both
+    directions for an undirected graph (callers that own the edge
+    build, like :func:`tiny_md_hbase_spark.operators.dedup.
+    dedup_clusters`, already do). Returns (node, comp) where ``comp``
+    is the minimum node id reachable in the component — the unique
+    fixpoint, so the output is deterministic for ANY convergent
+    schedule and engine (which is what lets a recursive-CTE SQL twin
+    value-match it).
+
+    Scale shape: per round, ONE equi-join of the edge list against the
+    node-sized label table + a map-side-partial min aggregation on dst
+    — the same join-agg round as :func:`pagerank` — then a label-sized
+    comparison join for the convergence count (bounded driver scalar,
+    one per round, like bpe_train's argmax row). Labels and edges are
+    localCheckpointed so the k-round loop never builds a k-deep
+    lineage. Converges in O(component diameter) rounds: right for
+    dedup-cluster / entity-resolution graphs (dense, tiny diameter);
+    a pathological chain-of-millions graph wants the
+    large-star/small-star contraction (Kiveris et al. 2014) instead,
+    which trades ~2x work per round for O(log n) rounds. ``max_iter``
+    is a runaway backstop, far above any realistic diameter here."""
+    labels = nodes.select(
+        "node", F.col("node").alias("comp")
+    ).localCheckpoint()
+    edges = edges.select("src", "dst").localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds the backstop)"
     )
 
 
