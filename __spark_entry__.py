@@ -1392,6 +1392,15 @@ def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.table_profile(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK approximate quantiles under a value-checked rank bound
+    (operators/analytics.py approx_quantiles_check): quantile labels +
+    exact counts hash-checked, count(col <= v_q) asserted within
+    q·n ± 2n/accuracy via the TRUE-flag pattern. One-pass production
+    form stays approx_quantiles."""
+    return AN.approx_quantiles_check(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch profile under a value-checked bound
     (operators/analytics.py table_profile_approx_check): nulls / exact
@@ -1947,12 +1956,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-7 rotation (per-key verdict ages are DERIVED from the
     # CORRECTNESS_r* artifacts by scripts/rotation_audit.py — run it when
-    # planning the next rotation). Front = the 3 session-new keys
+    # planning the next rotation). Front = the 4 session-new keys
     # (span_dedup_hashed — production 8-byte xxhash64 span keys vs the
     # md5 SQL twin; bpe_token_count — the trained-encode path under
     # pinned FIXTURE_MERGES, anchored-replace DuckDB oracle;
     # dedup_clusters_distributed — the min-label-propagation clustering
-    # path under the union-find key's recursive-CTE closure oracle), the 3
+    # path under the union-find key's recursive-CTE closure oracle;
+    # approx_quantiles — GK sketch under a value-checked rank bound), the 3
     # changed-observable-output keys that need fresh verdicts
     # (embedding_project — reshaped to scalar (vec_id, label, dim_idx,
     # coord) rows after the r06 unhashable-array ERR; approx_distinct +
@@ -1960,12 +1970,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bounds-checked oracles: exact aggregates value-checked, sketch
     # asserted within 3·rsd via the TRUE-flag pattern), the 2 remaining
     # r03-stale keys (multimodal_features, sql_pricing_summary — the
-    # oldest verdicts in the ledger), and the first 42 of the 46-key
+    # oldest verdicts in the ledger), and the first 41 of the 46-key
     # r04 cohort in rotation_audit's suggested order — the whole §2
     # spatial/codec/write core plus the dedup/ANN/text heads re-enter
     # the window after three rounds out.
     # Displaced (documented staleness inversion, untouched modules):
-    # token_count, lang_id, quality_score, doc_fingerprint (r04) — they lead the r08
+    # text_stats, token_count, lang_id, quality_score, doc_fingerprint
+    # (r04) — they lead the r08
     # rotation, ahead of the r05 cohort, then the r06-verdict keys
     # (freshest) at the back.
     return {
@@ -1973,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_hashed": _q_span_dedup_hashed,
         "bpe_token_count": _q_bpe_token_count,
         "dedup_clusters_distributed": _q_dedup_clusters_distributed,
+        "approx_quantiles": _q_approx_quantiles,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2022,9 +2034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": _q_embedding_knn,
         "embedding_knn_lsh": _q_embedding_knn_lsh,
         "embedding_knn_ivf": _q_embedding_knn_ivf,
-        "text_stats": _q_text_stats,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- displaced r04 keys (lead the r08 rotation) --------------------
+        "text_stats": _q_text_stats,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
@@ -2731,6 +2743,7 @@ def oracle_sql() -> dict[str, str]:
         # VALUE itself is never compared — its bound is)
         "approx_distinct": AN.approx_distinct_check_sql(),
         "table_profile_approx": AN.table_profile_approx_check_sql(),
+        "approx_quantiles": AN.approx_quantiles_check_sql(),
         "chunk_documents": TX.chunk_documents_sql(),
         "decontaminate": TX.decontaminate_sql(),
         # identical output to the raw-string variant barring a 64-bit hash

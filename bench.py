@@ -141,6 +141,7 @@ BENCH_KEYS = [
     "decontaminate",
     "decontaminate_hashed",
     "table_profile_approx",
+    "approx_quantiles",
     "embedding_knn_ivf_portable",
     "dedup_embedding_lsh",
     "repetition_stats",

@@ -257,3 +257,51 @@ def test_anomaly_zscore_constant_type_yields_no_outliers(spark):
     out = AN.anomaly_zscore(ev, threshold=2.0).collect()
     assert all(r.event_type != "flat" for r in out)
     assert any(r.event_type == "varied" for r in out)
+
+
+def test_approx_quantiles_check_flags_true_and_counts_exact(spark, sf_dir):
+    """The graded TRUE-flag form: every rank_ok must hold on the real
+    fixture (the oracle asserts it), and n must equal the exact
+    non-null count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = AN.approx_quantiles_check(li).collect()
+    n_exact = li.filter(F.col("l_extendedprice").isNotNull()).count()
+    assert len(rows) == 4
+    assert all(r.rank_ok for r in rows)
+    assert all(r.n == n_exact for r in rows)
+    assert [r.q for r in rows] == [0.25, 0.5, 0.75, 0.95]
+
+
+def test_approx_quantiles_rank_error_vs_exact(spark, sf_dir):
+    """Independent check of the sketch against exact order statistics:
+    for each reported value v_q, the exact rank of v_q must be within
+    2n/accuracy of q·n (the bound the TRUE-flag form asserts
+    in-engine, recomputed here driver-side from sorted values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = sorted(
+        r.l_extendedprice
+        for r in li.select("l_extendedprice").collect()
+        if r.l_extendedprice is not None
+    )
+    n = len(vals)
+    import bisect
+
+    for r in AN.approx_quantiles(li).collect():
+        rank = bisect.bisect_right(vals, r.value)
+        assert abs(rank - r.q * n) <= 2.0 / 1000 * n + 1, (r.q, r.value)
+
+
+def test_approx_quantiles_layout_sensitivity_and_graded_robustness(spark, sf_dir):
+    """The GK sketch's merge is LAYOUT-sensitive: same input partitioning
+    gives identical values, but a re-layout may shift them (measured:
+    repartition(17) moves q25 by ~0.3%). This is exactly why the graded
+    key emits only (q, n, rank_ok) — every graded column is
+    layout-independent: n is exact, and rank_ok holds for ANY layout
+    because the rank bound is the sketch's guarantee, not a value pin.
+    Assert both halves of that story."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = [tuple(r) for r in AN.approx_quantiles(li).collect()]
+    assert a == [tuple(r) for r in AN.approx_quantiles(li).collect()]
+    for df in (li, li.repartition(17), li.repartition(3)):
+        rows = AN.approx_quantiles_check(df).collect()
+        assert all(r.rank_ok for r in rows), "rank bound must be layout-proof"

@@ -323,6 +323,87 @@ def approx_distinct_check_sql() -> str:
     )
 
 
+QUANTILES = [0.25, 0.5, 0.75, 0.95]
+
+
+def approx_quantiles(
+    lineitem: DataFrame,
+    col: str = "l_extendedprice",
+    qs: list[float] = QUANTILES,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles (``percentile_approx``) —
+    the 100 TB path for order statistics: one scan, a fixed-size sketch
+    per partition merged map-side, rank error bounded by
+    ``1/accuracy``. Exact percentiles need a full sort or a
+    per-group value shuffle; the sketch needs neither. Returns one row
+    per requested quantile: (q, value).
+
+    The reported VALUES are partition-layout-sensitive (the GK merge is
+    order-dependent; a repartition shifts q25 by ~0.3% on the fixture) —
+    which is why the graded form (:func:`approx_quantiles_check`) emits
+    only layout-independent columns: the exact count and the rank-bound
+    flag, never the sketch values themselves."""
+    ap = lineitem.agg(
+        F.percentile_approx(col, qs, accuracy).alias("ap")
+    )
+    stack = ", ".join(f"CAST({q}D AS DOUBLE), ap[{i}]" for i, q in enumerate(qs))
+    return ap.select(
+        F.expr(f"stack({len(qs)}, {stack}) AS (q, value)")
+    )
+
+
+def approx_quantiles_check(
+    lineitem: DataFrame,
+    col: str = "l_extendedprice",
+    qs: list[float] = QUANTILES,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Bounds-checked GRADED form of :func:`approx_quantiles`, the
+    TRUE-flag pattern (approx_distinct_check / table_profile_approx_check
+    family): the sketch's VALUES are engine-specific, but its rank-error
+    GUARANTEE is checkable in-engine — for each requested quantile q,
+    ``count(col <= v_q)`` must sit within ``q·n ± (2/accuracy)·n + 1``
+    (twice the documented GK bound, absorbing <=-vs-< rank ambiguity on
+    duplicate values). Output (q, n, rank_ok): q and the exact non-null
+    count are value-checked by the oracle; rank_ok is asserted TRUE.
+
+    Shape: pass 1 builds the sketch (one scan); the 1-row sketch result
+    broadcasts into pass 2's conditional rank aggregation (the
+    broadcast-1-row-stats idiom used by the BM25/tfidf scorers). The
+    one-pass production form stays :func:`approx_quantiles`."""
+    eps = 2.0 / accuracy
+    stats = lineitem.agg(
+        F.percentile_approx(col, qs, accuracy).alias("ap"),
+        F.count(col).alias("n"),
+    )
+    joined = lineitem.select(col).crossJoin(F.broadcast(stats))
+    aggs = [
+        F.sum((F.col(col) <= F.col("ap")[i]).cast("long")).alias(f"r{i}")
+        for i in range(len(qs))
+    ] + [F.first("n").alias("n")]
+    one = joined.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({q}D AS DOUBLE), n, "
+        f"(abs(r{i} - {q}D * n) <= {eps}D * n + 1D)"
+        for i, q in enumerate(qs)
+    )
+    return one.select(
+        F.expr(f"stack({len(qs)}, {stack}) AS (q, n, rank_ok)")
+    )
+
+
+def approx_quantiles_check_sql(qs: list[float] = QUANTILES) -> str:
+    """DuckDB twin of :func:`approx_quantiles_check`: the quantile
+    labels and exact counts, plus the asserted-TRUE rank-bound flag."""
+    return " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        "CAST(count(l_extendedprice) AS BIGINT) AS n, "
+        "TRUE AS rank_ok FROM lineitem"
+        for q in qs
+    )
+
+
 def click_days_without_purchase(events: DataFrame) -> DataFrame:
     """Set difference at (user, day) grain: days a user clicked but made
     no purchase. EXCEPT [DISTINCT] = dedup + hash anti lookup, one
