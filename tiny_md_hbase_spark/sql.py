@@ -24,6 +24,10 @@ __all__ = [
     "register_views",
     "pricing_summary",
     "PRICING_SUMMARY_SQL",
+    "shipping_priority",
+    "SHIPPING_PRIORITY_SQL",
+    "local_supplier_volume",
+    "LOCAL_SUPPLIER_VOLUME_SQL",
     "register_codec_functions",
     "zcodec_roundtrip",
     "ZCODEC_SQL",
@@ -53,6 +57,48 @@ PRICING_SUMMARY_SQL = (
 )
 
 
+# TPC-H Q3 shape (shipping priority): the canonical selective 3-way
+# join — two dimension filters (segment, order date) prune before the
+# fact join, revenue in exact integer micros, top-10 under a total
+# order (revenue desc, o_orderdate, l_orderkey). The fixture has no
+# o_shippriority column; o_orderpriority plays its role. Catalyst
+# broadcasts the filtered customer side (small dim) and the top-10 is
+# a TakeOrderedAndProject — no global sort.
+SHIPPING_PRIORITY_SQL = (
+    "SELECT l_orderkey, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) "
+    "AS BIGINT)) AS BIGINT) AS revenue_micro, "
+    "o_orderdate, o_orderpriority "
+    "FROM customer, orders, lineitem "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' "
+    "AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue_micro DESC, o_orderdate, l_orderkey LIMIT 10"
+)
+
+# TPC-H Q5 shape (local supplier volume): the 6-way snowflake join with
+# the co-location predicate (customer and supplier in the SAME nation)
+# that makes it the classic join-order stress test. Region + date
+# filters prune two dims before anything fact-sized joins; revenue is
+# exact integer micros; (revenue desc, n_name) is a total order.
+LOCAL_SUPPLIER_VOLUME_SQL = (
+    "SELECT n_name, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) "
+    "AS BIGINT)) AS BIGINT) AS revenue_micro "
+    "FROM customer, orders, lineitem, supplier, nation, region "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "AND r_name = 'ASIA' "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY n_name "
+    "ORDER BY revenue_micro DESC, n_name"
+)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view so users can address
     the engine with plain SQL. Temp views are lazy — no data is read
@@ -67,6 +113,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — one source of truth, two engines)."""
     register_views(spark, sf_dir)
     return spark.sql(PRICING_SUMMARY_SQL)
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape via the SQL surface (same-text oracle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(SHIPPING_PRIORITY_SQL)
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape via the SQL surface (same-text oracle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(LOCAL_SUPPLIER_VOLUME_SQL)
 
 
 # ---------------------------------------------------------------------------
