@@ -144,6 +144,7 @@ BENCH_KEYS = [
     "decontaminate_hashed",
     "table_profile_approx",
     "approx_quantiles",
+    "json_props_stats",
     "embedding_knn_ivf_portable",
     "dedup_embedding_lsh",
     "repetition_stats",

@@ -305,3 +305,31 @@ def test_approx_quantiles_layout_sensitivity_and_graded_robustness(spark, sf_dir
     for df in (li, li.repartition(17), li.repartition(3)):
         rows = AN.approx_quantiles_check(df).collect()
         assert all(r.rank_ok for r in rows), "rank bound must be layout-proof"
+
+
+def test_json_props_stats_permissive_on_garbage(spark):
+    """Malformed / missing / wrong-typed JSON must yield NULL k
+    (excluded from n_with_k and the k aggregates), never an error —
+    the PERMISSIVE semantics a 10^9-row semi-structured scan needs."""
+    rows = [
+        (1, "click", '{"k": 5}'),
+        (2, "click", '{"k": 7}'),
+        (3, "click", "not json"),
+        (4, "click", None),
+        (5, "click", '{"other": 1}'),
+        (6, "view", '{"k": 0}'),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    got = {r.event_type: r for r in AN.json_props_stats(ev).collect()}
+    c = got["click"]
+    assert (c.n_with_k, c.sum_k, c.min_k, c.max_k, c.nd_k) == (2, 12, 5, 7, 2)
+    v = got["view"]
+    assert (v.n_with_k, v.sum_k, v.min_k, v.max_k, v.nd_k) == (1, 0, 0, 0, 1)
+
+
+def test_json_props_stats_fixture_totals(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = AN.json_props_stats(ev).collect()
+    # the fixture's props are all valid {"k": 0..99}
+    assert sum(r.n_with_k for r in rows) == ev.count()
+    assert all(0 <= r.min_k <= r.max_k <= 99 for r in rows)

@@ -323,6 +323,45 @@ def approx_distinct_check_sql() -> str:
     )
 
 
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction + aggregation over the JSON ``props``
+    column: parse ONCE per row with ``from_json`` (a fixed schema — at
+    scale you never pay schema inference per batch, and Catalyst prunes
+    the parse to the single referenced field), then the usual map-side
+    partial aggregation per event_type. Returns (event_type, n_with_k,
+    sum_k, min_k, max_k, nd_k).
+
+    100 TB shape: JSON parsing is the CPU hot spot of semi-structured
+    scans — this plan parses each props string exactly once into a
+    typed column inside the scan stage (JVM Jackson, no Python), and
+    everything downstream is ordinary columnar aggregation. Malformed
+    or missing JSON yields NULL (counted out of n_with_k), never an
+    error — the PERMISSIVE semantics a pipeline needs when 1 row in
+    10^9 is garbage."""
+    k = F.from_json("props", "k long")["k"]
+    ev = events.select("event_type", k.alias("k"))
+    return ev.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("nd_k"),
+    )
+
+
+def json_props_stats_sql() -> str:
+    """DuckDB twin of :func:`json_props_stats` (``->>`` extraction +
+    identical aggregate list)."""
+    return (
+        "WITH ev AS (SELECT event_type, "
+        "CAST(props->>'k' AS BIGINT) AS k FROM events) "
+        "SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k, "
+        "CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, "
+        "max(k) AS max_k, CAST(count(DISTINCT k) AS BIGINT) AS nd_k "
+        "FROM ev GROUP BY event_type"
+    )
+
+
 QUANTILES = [0.25, 0.5, 0.75, 0.95]
 
 
