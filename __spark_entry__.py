@@ -1036,6 +1036,16 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.span_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (operators/text.py
+    source_overlap): distinct shared 8-gram counts per source pair —
+    distinct-before-pair incidence so the count is a plain count(*),
+    per-gram fan-out bounded by C(|sources|,2) (source count is
+    metadata, no hub cap needed). The fixture's cross-source duplicate
+    groups make the matrix non-vacuous at every sf."""
+    return TX.source_overlap(load_table(spark, sf_dir, "documents"))
+
+
 def _q_span_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production variant of span_dedup (operators/text.py
     span_dedup_hashed): LongType span keys from xxhash64 over the
@@ -1988,7 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-7 rotation (per-key verdict ages are DERIVED from the
     # CORRECTNESS_r* artifacts by scripts/rotation_audit.py — run it when
-    # planning the next rotation). Front = the 7 session-new keys
+    # planning the next rotation). Front = the 8 session-new keys
     # (span_dedup_hashed — production 8-byte xxhash64 span keys vs the
     # md5 SQL twin; bpe_token_count — the trained-encode path under
     # pinned FIXTURE_MERGES, anchored-replace DuckDB oracle;
@@ -1998,7 +2008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sql_shipping_priority / sql_supplier_volume — TPC-H Q3/Q5-shaped
     # multi-join facade queries under same-SQL-text oracles;
     # json_props_stats — semi-structured from_json extraction over the
-    # events JSON column), the 3
+    # events JSON column; source_overlap — cross-source contamination
+    # matrix), the 3
     # changed-observable-output keys that need fresh verdicts
     # (embedding_project — reshaped to scalar (vec_id, label, dim_idx,
     # coord) rows after the r06 unhashable-array ERR; approx_distinct +
@@ -2006,14 +2017,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bounds-checked oracles: exact aggregates value-checked, sketch
     # asserted within 3·rsd via the TRUE-flag pattern), the 2 remaining
     # r03-stale keys (multimodal_features, sql_pricing_summary — the
-    # oldest verdicts in the ledger), and the first 38 of the 46-key
+    # oldest verdicts in the ledger), and the first 37 of the 46-key
     # r04 cohort in rotation_audit's suggested order — the whole §2
     # spatial/codec/write core plus the dedup/ANN/text heads re-enter
     # the window after three rounds out.
     # Displaced (documented staleness inversion, untouched modules):
-    # embedding_knn, embedding_knn_lsh, embedding_knn_ivf, text_stats,
-    # token_count, lang_id, quality_score, doc_fingerprint (r04) — they
-    # lead the r08
+    # dedup_simhash, embedding_knn, embedding_knn_lsh,
+    # embedding_knn_ivf, text_stats, token_count, lang_id,
+    # quality_score, doc_fingerprint (r04) — they lead the r08
     # rotation, ahead of the r05 cohort, then the r06-verdict keys
     # (freshest) at the back.
     return {
@@ -2025,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_shipping_priority": _q_sql_shipping_priority,
         "sql_supplier_volume": _q_sql_supplier_volume,
         "json_props_stats": _q_json_props_stats,
+        "source_overlap": _q_source_overlap,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2070,8 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_portable": _q_dedup_minhash_portable,
         "dedup_simhash_portable": _q_dedup_simhash_portable,
-        "dedup_simhash": _q_dedup_simhash,
         # ---- driver window ends here (first 50 keys) --------------------
+        "dedup_simhash": _q_dedup_simhash,
         # -- displaced r04 keys (lead the r08 rotation) --------------------
         "embedding_knn": _q_embedding_knn,
         "embedding_knn_lsh": _q_embedding_knn_lsh,
@@ -2582,6 +2594,7 @@ def oracle_sql() -> dict[str, str]:
         # collision: the md5 twin IS the oracle (decontaminate_hashed
         # pattern)
         "span_dedup_hashed": TX.span_dedup_sql(),
+        "source_overlap": TX.source_overlap_sql(),
         "bpe_pair_counts": _BPE.bpe_pair_counts_sql(k=50),
         "bpe_token_count": _BPE.bpe_token_count_sql(_BPE.FIXTURE_MERGES),
         "pagerank": _GR.pagerank_sql(),

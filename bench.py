@@ -145,6 +145,7 @@ BENCH_KEYS = [
     "table_profile_approx",
     "approx_quantiles",
     "json_props_stats",
+    "source_overlap",
     "embedding_knn_ivf_portable",
     "dedup_embedding_lsh",
     "repetition_stats",

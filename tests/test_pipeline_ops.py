@@ -1661,3 +1661,52 @@ def test_quality_gate_matches_naive_ranking_random(spark, sf_dir):
             .collect()
         )
         assert got == want, (seed, frac)
+
+
+def test_source_overlap_planted_and_within_source_excluded(spark):
+    """Planted 5-gram shared across src_a/src_b counts once per pair;
+    a gram repeated WITHIN one source (two docs, same source) must not
+    create a pair; short docs contribute nothing."""
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{shared} one two", "src_a"),
+        (2, f"zero {shared}", "src_b"),
+        (3, f"{shared} again here", "src_a"),   # same source dup: no pair
+        (4, "tiny", "src_c"),
+        (5, "unrelated words entirely different content", "src_c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = [
+        (r.source_a, r.source_b, r.n_shared)
+        for r in T.source_overlap(df, gram_len=5).collect()
+    ]
+    assert got == [("src_a", "src_b", 1)]
+
+
+def test_source_overlap_matches_python_reference(spark, sf_dir):
+    """Independent Python recomputation on a fixture slice."""
+    sample = (
+        load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(100).collect()
+    )
+    L = 6
+    by_src: dict[str, set] = {}
+    for r in sample:
+        toks = [t for t in re.split(T._WS, r.text or "") if t]
+        for p in range(len(toks) - L + 1):
+            by_src.setdefault(r.source, set()).add(tuple(toks[p : p + L]))
+    want = {}
+    srcs = sorted(by_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            n = len(by_src[a] & by_src[b])
+            if n:
+                want[(a, b)] = n
+    df = spark.createDataFrame(
+        [(r.doc_id, r.text, r.source) for r in sample],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in T.source_overlap(df, gram_len=L, k=1000).collect()
+    }
+    assert got == want and want

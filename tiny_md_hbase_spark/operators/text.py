@@ -1928,6 +1928,82 @@ def span_dedup_sql(span_len: int = 8, min_docs: int = 2) -> str:
     )
 
 
+def source_overlap(
+    documents: DataFrame, gram_len: int = 8, k: int = 50
+) -> DataFrame:
+    """Cross-source contamination matrix: for each pair of corpus
+    sources, how many DISTINCT ``gram_len``-token windows they share —
+    the "how much does source A duplicate source B" audit that decides
+    which sources a training mix can include together (licensed text
+    syndicated into scrapes, mirrored sites, benchmark leakage between
+    collections). Returns top-``k`` (source_a, source_b, n_shared)
+    with source_a < source_b, ordered (n_shared desc, source_a,
+    source_b) — a total order.
+
+    Scale shape: the (gram-key, source) incidence list is DISTINCT
+    before the pair join (the co_purchase idiom — each shared gram
+    contributes exactly one row per source pair, so the count is a
+    plain ``count(*)``), and per-gram pair fan-out is bounded by
+    C(|sources|, 2) — source count is pipeline METADATA (tens to
+    hundreds), so no hub cap is needed where co_purchase needs one.
+    Gram keys are md5 strings so the DuckDB twin can compute them;
+    production swaps xxhash64 exactly as span_dedup_hashed does."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    para = documents.sparkSession.sparkContext.defaultParallelism
+    toks = documents.repartition(para, "doc_id").select(
+        "source", tokens(txt).alias("toks")
+    )
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("toks") >= gram_len,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - gram_len),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("toks", i + 1, gram_len), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    )
+    inc = grams.distinct()
+    a, b = inc.alias("a"), inc.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy(F.col("n_shared").desc(), "source_a", "source_b")
+        .limit(k)
+    )
+
+
+def source_overlap_sql(gram_len: int = 8, k: int = 50) -> str:
+    """DuckDB twin of :func:`source_overlap` (same md5 gram keys, same
+    distinct-before-pair incidence, same total order)."""
+    toks = tokens_sql("coalesce(text, '')")
+    return (
+        f"WITH t AS (SELECT source, {toks} AS toks FROM documents), "
+        "g AS (SELECT DISTINCT source, "
+        f"md5(array_to_string(toks[u.i + 1 : u.i + {gram_len}], ' ')) AS h "
+        f"FROM t, unnest(range(CASE WHEN len(toks) >= {gram_len} "
+        f"THEN len(toks) - {gram_len} + 1 ELSE 0 END)) AS u(i)) "
+        "SELECT a.source AS source_a, b.source AS source_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM g a JOIN g b ON a.h = b.h AND a.source < b.source "
+        "GROUP BY a.source, b.source "
+        f"ORDER BY n_shared DESC, source_a, source_b LIMIT {k}"
+    )
+
+
 def lm_bigram_score(documents: DataFrame) -> DataFrame:
     """Corpus-trained bigram surprisal scoring — the perplexity-filter
     primitive (CCNet-style) without an external model: score each
