@@ -1667,6 +1667,34 @@ def _q_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
     return D.dedup_clusters(docs, D.ngram_jaccard(docs), collect_limit=0)
 
 
+def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD clustering form under the one recursive-CTE closure
+    oracle: alternating star contraction (operators/graph.py
+    connected_components_star — Kiveris et al. 2014), the O(log n)-
+    round algorithm for pathological component diameters where
+    min-label propagation's O(diameter) rounds would dominate. All
+    three forms (driver union-find, min-label fixpoint, star
+    contraction) converge to the component-minimum labeling, so one
+    oracle text value-checks them all; the operator additionally
+    self-verifies with an endpoint-agreement post-condition over the
+    input edges."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard(docs)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    comp = G.connected_components_star(
+        docs.select(F.col("doc_id").alias("node")), edges
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
 def _q_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index/layout-accelerated exact kNN (the reference's best-first
     bucket expansion, Client.java:92-152, as an expanding z-window search,
@@ -1998,7 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-7 rotation (per-key verdict ages are DERIVED from the
     # CORRECTNESS_r* artifacts by scripts/rotation_audit.py — run it when
-    # planning the next rotation). Front = the 8 session-new keys
+    # planning the next rotation). Front = the 9 session-new keys
     # (span_dedup_hashed — production 8-byte xxhash64 span keys vs the
     # md5 SQL twin; bpe_token_count — the trained-encode path under
     # pinned FIXTURE_MERGES, anchored-replace DuckDB oracle;
@@ -2009,7 +2037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi-join facade queries under same-SQL-text oracles;
     # json_props_stats — semi-structured from_json extraction over the
     # events JSON column; source_overlap — cross-source contamination
-    # matrix), the 3
+    # matrix; dedup_clusters_star — O(log n) star-contraction clustering,
+    # the third form under the closure oracle), the 3
     # changed-observable-output keys that need fresh verdicts
     # (embedding_project — reshaped to scalar (vec_id, label, dim_idx,
     # coord) rows after the r06 unhashable-array ERR; approx_distinct +
@@ -2017,14 +2046,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bounds-checked oracles: exact aggregates value-checked, sketch
     # asserted within 3·rsd via the TRUE-flag pattern), the 2 remaining
     # r03-stale keys (multimodal_features, sql_pricing_summary — the
-    # oldest verdicts in the ledger), and the first 37 of the 46-key
+    # oldest verdicts in the ledger), and the first 36 of the 46-key
     # r04 cohort in rotation_audit's suggested order — the whole §2
     # spatial/codec/write core plus the dedup/ANN/text heads re-enter
     # the window after three rounds out.
     # Displaced (documented staleness inversion, untouched modules):
-    # dedup_simhash, embedding_knn, embedding_knn_lsh,
-    # embedding_knn_ivf, text_stats, token_count, lang_id,
-    # quality_score, doc_fingerprint (r04) — they lead the r08
+    # dedup_simhash_portable, dedup_simhash, embedding_knn,
+    # embedding_knn_lsh, embedding_knn_ivf, text_stats, token_count,
+    # lang_id, quality_score, doc_fingerprint (r04) — they lead the r08
     # rotation, ahead of the r05 cohort, then the r06-verdict keys
     # (freshest) at the back.
     return {
@@ -2037,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_supplier_volume": _q_sql_supplier_volume,
         "json_props_stats": _q_json_props_stats,
         "source_overlap": _q_source_overlap,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2081,8 +2111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_portable": _q_dedup_minhash_portable,
-        "dedup_simhash_portable": _q_dedup_simhash_portable,
         # ---- driver window ends here (first 50 keys) --------------------
+        "dedup_simhash_portable": _q_dedup_simhash_portable,
         "dedup_simhash": _q_dedup_simhash,
         # -- displaced r04 keys (lead the r08 rotation) --------------------
         "embedding_knn": _q_embedding_knn,
@@ -2833,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
         # key's recursive-CTE closure oracle applies verbatim to the
         # distributed min-label path
         "dedup_clusters_distributed": clusters_sql,
+        "dedup_clusters_star": clusters_sql,
         "source_cap": TX.source_cap_sql(),
         "centroid_assign": SIM.centroid_assign_sql(),
         "corpus_manifest": TX.corpus_manifest_sql(),

@@ -153,6 +153,7 @@ BENCH_KEYS = [
     "text_stats_rollup",
     "dedup_clusters",
     "dedup_clusters_distributed",
+    "dedup_clusters_star",
     "spatial_histogram",
     "embedding_knn_batch",
     "corpus_clean",

@@ -260,3 +260,52 @@ def test_dedup_clusters_distributed_equals_union_find(spark, sf_dir):
     }
     assert uf == dist
     assert any(k != v for k, v in uf.items())  # non-vacuous: real clusters
+
+
+# --- star-contraction connected components --------------------------------
+
+def _cc_star(spark, edge_pairs, nodes, max_iter=48):
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "node long")
+    sym = edge_pairs + [(b, a) for a, b in edge_pairs]
+    edges_df = spark.createDataFrame(sym or [(0, 0)], "src long, dst long")
+    if not sym:
+        edges_df = edges_df.filter("src < 0")
+    return {
+        r.node: r.comp
+        for r in G.connected_components_star(
+            nodes_df, edges_df, max_iter=max_iter
+        ).collect()
+    }
+
+
+def test_cc_star_equals_min_label_on_random_graphs(spark):
+    """Property: on seeded random graphs (varying density, with
+    singletons) the star-contraction labels must equal min-label
+    propagation's — both converge to the component-minimum fixpoint."""
+    import random
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.choice([20, 45, 90]))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = list(range(n))
+        assert _cc_star(spark, edges, nodes) == _cc(spark, edges, nodes), seed
+
+
+def test_cc_star_chain_converges_in_log_rounds(spark):
+    """The whole point of star contraction: a length-63 path graph
+    (diameter 63) must converge well inside 12 alternating rounds,
+    where min-label would need ~63 — and still label everything 0."""
+    chain = [(i, i + 1) for i in range(63)]
+    got = _cc_star(spark, chain, list(range(64)), max_iter=12)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_cc_star_singletons_and_empty(spark):
+    assert _cc_star(spark, [], [5, 9]) == {5: 5, 9: 9}
+    got = _cc_star(spark, [(3, 4)], [3, 4, 10])
+    assert got == {3: 3, 4: 3, 10: 10}

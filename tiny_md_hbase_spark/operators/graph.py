@@ -38,6 +38,7 @@ __all__ = [
     "pagerank_py",
     "co_purchase",
     "connected_components",
+    "connected_components_star",
 ]
 
 SCALE = 10**12  # rank micro-units
@@ -298,6 +299,138 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds the backstop)"
     )
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 48
+) -> DataFrame:
+    """Connected components by ALTERNATING star contraction (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+    in MapReduce and Beyond", SoCC 2014): the O(log n)-round
+    alternative to :func:`connected_components`' O(diameter) min-label
+    propagation. Same contract (``nodes`` one ``node`` column; edges
+    directed — pass both directions for undirected), same unique
+    fixpoint output (node, comp) with comp = the component minimum, so
+    the two forms and the recursive-CTE SQL oracle all value-match.
+
+    Per round, two operations over the (deduped, self-loop-free)
+    symmetric edge view, each ONE groupBy-min + ONE equi-join:
+
+    - large-star: every node u computes m_u = min(N(u) ∪ {u}) and
+      re-points each STRICTLY LARGER neighbor at m_u — long chains
+      fold toward minima from both ends at once;
+    - small-star: u re-points each neighbor ≤ u AND ITSELF at m_u —
+      collapsing the partial stars so the next large-star sees them as
+      single hops.
+
+    Convergence = the canonical (greater, smaller) edge multiset stops
+    changing; the surviving edges then form stars rooted at component
+    minima and the label read-off is one left join (singletons keep
+    their own id). On a length-n path graph min-label needs ~n rounds
+    while this needs ~log2(n) (tests pin the round counts); the price
+    is ~2 joins per round instead of 1 — the classic trade for
+    pathological diameters. Per-round localCheckpoint truncates
+    lineage exactly as the other iterative operators here."""
+    # canonical down-edges (big, small), deduped, self-loops dropped
+    canon = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("a").agg(
+            F.least(F.min("b"), F.col("a")).alias("m")
+        ).select(F.col("a").alias("mu_node"), "m")
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+
+    def _same(x: DataFrame, nx: int, y: DataFrame, ny: int) -> bool:
+        # cheap multiset equality on node-pair-sized relations: equal
+        # cardinality + empty one-sided anti-join (sets, so sufficient)
+        return nx == ny and x.join(y, ["u", "v"], "left_anti").count() == 0
+
+    n_edges = canon.count()
+    for _ in range(max_iter):
+        start, start_n = canon, n_edges
+        sym = _sym(canon)
+        mins = _mins(sym)
+        # large-star: (neighbor b > a) re-pointed at m(a)
+        canon = _canon(
+            sym.join(mins, sym["a"] == mins["mu_node"])
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        )
+        large_n = canon.count()
+        sym = _sym(canon)
+        mins = _mins(sym)
+        # small-star: (neighbor b < a) AND a itself re-pointed at m(a)
+        new_canon = _canon(
+            sym.join(mins, sym["a"] == mins["mu_node"])
+            .filter(F.col("b") < F.col("a"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                mins.select(F.col("mu_node").alias("u"), F.col("m").alias("v"))
+            )
+        )
+        new_n = new_canon.count()
+        # converged only when the FULL ROUND is a no-op: both the
+        # large-star and the small-star outputs equal the round-start
+        # set. Comparing small's output to large's alone stops a round
+        # early on partially-folded chains (e.g. a 4-path stabilizes at
+        # {(1,0),(2,0),(3,1)} under small∘large while large still has
+        # work) — the post-condition below would catch the under-merge,
+        # but the loop must not manufacture that state.
+        if _same(canon, large_n, start, start_n) and _same(
+            new_canon, new_n, start, start_n
+        ):
+            canon = new_canon
+            break
+        canon, n_edges = new_canon, new_n
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # stars rooted at minima: u -> v IS node -> component min
+    labels = canon.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    out = nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    ).localCheckpoint()
+    # post-condition (makes the operator self-verifying): every INPUT
+    # edge's endpoints must agree on comp. Over-merging is impossible by
+    # construction (every emitted edge joins nodes already connected
+    # through the pivot's neighborhood), so this one equi-join — the
+    # cost of a single extra round — rules out the only failure mode a
+    # subtle early-termination bug could cause (under-merging).
+    l1 = out.select(F.col("node").alias("src"), F.col("comp").alias("_c1"))
+    l2 = out.select(F.col("node").alias("dst"), F.col("comp").alias("_c2"))
+    bad = (
+        edges.join(l1, "src").join(l2, "dst")
+        .filter(F.col("_c1") != F.col("_c2"))
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"connected_components_star post-condition failed: {bad} input "
+            "edges cross component labels (under-merge)"
+        )
+    return out
 
 
 def pagerank_py(
