@@ -984,6 +984,22 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank(edges)
 
 
+def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional exact-integer PageRank (operators/graph.py
+    pagerank_weighted over purchase_edges_weighted): edge weight = the
+    number of distinct orders linking the customer↔supplier pair, rank
+    spread proportional to weights via per-edge integer division
+    ((rank·w) div W, floored per edge in both engines) — the
+    influence-with-volume ranking; reduces exactly to pagerank on
+    all-equal weights (pytest-pinned)."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    edges = G.purchase_edges_weighted(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return G.pagerank_weighted(edges)
+
+
 def _q_co_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence (operators/graph.py co_purchase):
     top-20 supplier pairs by distinct shared customers — the bipartite
@@ -2067,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": _q_json_props_stats,
         "source_overlap": _q_source_overlap,
         "dedup_clusters_star": _q_dedup_clusters_star,
+        "pagerank_weighted": _q_pagerank_weighted,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2110,8 +2127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_layout": _q_compact_layout,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
-        "dedup_minhash_portable": _q_dedup_minhash_portable,
         # ---- driver window ends here (first 50 keys) --------------------
+        "dedup_minhash_portable": _q_dedup_minhash_portable,
         "dedup_simhash_portable": _q_dedup_simhash_portable,
         "dedup_simhash": _q_dedup_simhash,
         # -- displaced r04 keys (lead the r08 rotation) --------------------
@@ -2628,6 +2645,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _BPE.bpe_pair_counts_sql(k=50),
         "bpe_token_count": _BPE.bpe_token_count_sql(_BPE.FIXTURE_MERGES),
         "pagerank": _GR.pagerank_sql(),
+        "pagerank_weighted": _GR.pagerank_weighted_sql(),
         "co_purchase": _GR.co_purchase_sql(),
         "embedding_knn_quantized": SIM.embedding_knn_quantized_sql(),
         # stored int8 layout must equal the scan form: same oracle text

@@ -195,6 +195,7 @@ BENCH_KEYS = [
     "bpe_pair_counts",
     "bpe_token_count",
     "pagerank",
+    "pagerank_weighted",
     "co_purchase",
     "quality_gate",
     "embedding_profile",

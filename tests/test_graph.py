@@ -309,3 +309,90 @@ def test_cc_star_singletons_and_empty(spark):
     assert _cc_star(spark, [], [5, 9]) == {5: 5, 9: 9}
     got = _cc_star(spark, [(3, 4)], [3, 4, 10])
     assert got == {3: 3, 4: 3, 10: 10}
+
+
+# ---- weighted PageRank ---------------------------------------------------
+
+
+def _wedges_df(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, w long")
+
+
+def test_pagerank_weighted_matches_python_reference_small_graph(spark):
+    # asymmetric weights so the proportional split actually differs from
+    # the uniform one (node 0 favors 3 over 1 by 4:1)
+    triples = [
+        (0, 1, 1), (1, 0, 1), (0, 3, 4), (3, 0, 4),
+        (2, 1, 2), (1, 2, 2), (2, 3, 1), (3, 2, 1), (0, 2, 3), (2, 0, 3),
+    ]
+    ref = G.pagerank_weighted_py(triples, n_iter=5)
+    got = {
+        (r.kind, r.key): r.rank
+        for r in G.pagerank_weighted(
+            _wedges_df(spark, triples), n_iter=5, k=10
+        ).collect()
+    }
+    want = {
+        ("customer" if v % 2 == 0 else "supplier", v // 2): rk
+        for v, rk in ref.items()
+    }
+    assert got == want
+
+
+def test_pagerank_weighted_reduces_to_pagerank_on_equal_weights(spark, sf_dir):
+    """With every weight forced to 1 the proportional split
+    (rank·1) div deg equals the uniform rank div deg edge-by-edge, so
+    the two operators must agree bit-for-bit."""
+    edges = G.purchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    ).localCheckpoint()
+    unit = edges.withColumn("w", F.lit(1).cast("long"))
+    a = [tuple(r) for r in G.pagerank(edges, n_iter=3).collect()]
+    b = [tuple(r) for r in G.pagerank_weighted(unit, n_iter=3).collect()]
+    assert a == b
+
+
+def test_pagerank_weighted_matches_python_reference_on_fixture(spark, sf_dir):
+    edges = G.purchase_edges_weighted(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    ).localCheckpoint()
+    ref = G.pagerank_weighted_py(
+        [(r.src, r.dst, r.w) for r in edges.collect()], n_iter=5
+    )
+    top = sorted(
+        (
+            (-rk, "customer" if v % 2 == 0 else "supplier", v // 2)
+            for v, rk in ref.items()
+        )
+    )[:20]
+    want = [(k, key, -neg) for neg, k, key in top]
+    got = [
+        (r.kind, r.key, r.rank)
+        for r in G.pagerank_weighted(edges, n_iter=5).collect()
+    ]
+    assert got == want
+
+
+def test_purchase_edges_weighted_symmetric_distinct_order_counts(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = G.purchase_edges_weighted(orders, lineitem).localCheckpoint()
+    # weight symmetry: reversing (src, dst) yields the identical multiset
+    fwd = {(r.src, r.dst): r.w for r in edges.collect()}
+    assert all(fwd[(d, s)] == w for (s, d), w in fwd.items())
+    # weight = DISTINCT orders, not line items: spot-check one pair
+    # against a direct count
+    some = next(iter(fwd.items()))
+    (s, d), w = some
+    cust, supp = (s, d) if s % 2 == 0 else (d, s)
+    direct = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .filter(
+            (F.col("o_custkey") == cust // 2)
+            & (F.col("l_suppkey") == supp // 2)
+        )
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    assert w == direct

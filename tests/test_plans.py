@@ -558,3 +558,22 @@ def test_purchase_edges_equi_join_only(spark, sf_dir):
     # scans read only the join/graph keys
     assert all("o_totalprice" not in s and "l_quantity" not in s
                for s in P.read_schemas(q))
+
+
+def test_purchase_edges_weighted_equi_join_only(spark, sf_dir):
+    """The weighted build adds only a (cust, supp, orderkey)-distinct +
+    keyed count on top of the same single orderkey equi-join; the
+    reverse direction stays a projection, never a second join."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    spark.catalog.clearCache()
+    q = G.purchase_edges_weighted(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert plan.count("Join") >= 1
+    # scans read only the join/graph keys
+    assert all("o_totalprice" not in s and "l_quantity" not in s
+               for s in P.read_schemas(q))

@@ -39,6 +39,9 @@ __all__ = [
     "co_purchase",
     "connected_components",
     "connected_components_star",
+    "purchase_edges_weighted",
+    "pagerank_weighted",
+    "pagerank_weighted_py",
 ]
 
 SCALE = 10**12  # rank micro-units
@@ -72,6 +75,142 @@ def purchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
     return e.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
         e.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+
+
+def purchase_edges_weighted(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Weighted bidirectional customer↔supplier edges: weight = the
+    number of DISTINCT orders linking the pair (how often the
+    relationship recurs, not how many line items one big order had).
+    Same parity-disjoint node ids as :func:`purchase_edges`; the
+    reverse direction is a projection, so the weight is symmetric by
+    construction. One orderkey equi-join + one (cust, supp)-keyed
+    count-distinct — the distinct runs on (cust, supp, orderkey)
+    triples, map-side-partial like every aggregation here."""
+    w = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp"),
+            F.col("o_orderkey").alias("ok"),
+        )
+        .distinct()
+        .groupBy("cust", "supp")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return w.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst"), "w"
+    ).unionByName(
+        w.select(F.col("supp").alias("src"), F.col("cust").alias("dst"), "w")
+    )
+
+
+def pagerank_weighted(
+    edges: DataFrame, n_iter: int = 5, k: int = TOP_K
+) -> DataFrame:
+    """Weight-proportional exact-integer PageRank: node i spreads its
+    rank over out-edges proportionally to integer edge weights —
+    ``contrib_ij = (rank_i * w_ij) div W_i`` with ``W_i = Σ_j w_ij`` —
+    instead of uniformly. Same micro-unit integer recurrence, damping,
+    and (rank desc, kind, key) order as :func:`pagerank`, so the whole
+    fixed-iteration computation stays bit-identical cross-engine and
+    sits under a chained-CTE DuckDB oracle. With all weights equal it
+    reduces exactly to :func:`pagerank` (tests pin that).
+
+    Scale shape: identical to the unweighted form — the rank/weight-sum
+    tables are node-sized, each round is one edges⋈ranks equi-join +
+    map-side-partial sum on dst, lineage truncated per round. The only
+    extra state is the per-edge weight column riding the checkpointed
+    edge table. ``rank_i * w_ij`` stays far inside int64: SCALE=10^12
+    micro-units times fixture weights (< 10^4) < 10^17."""
+    edges = edges.select("src", "dst", "w").localCheckpoint()
+    wsum = edges.groupBy("src").agg(
+        F.sum("w").cast("long").alias("wsum")
+    ).localCheckpoint()
+    n = wsum.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "kind string, key long, rank long"
+        )
+    init = SCALE // n
+    base = (init * (100 - DAMP)) // 100
+    ranks = wsum.select(
+        F.col("src").alias("node"), F.lit(init).cast("long").alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(wsum, "src")
+            .join(ranks, edges["src"] == ranks["node"])
+            .select(
+                "dst", F.expr("(rank * w) div wsum").alias("contrib")
+            )
+        )
+        inc = contrib.groupBy("dst").agg(F.sum("contrib").alias("inc"))
+        ranks = (
+            wsum.select(F.col("src").alias("node"))
+            .join(inc, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({DAMP} * coalesce(inc, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("node div 2").cast("long").alias("key"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), "kind", "key")
+        .limit(k)
+    )
+
+
+def pagerank_weighted_sql(n_iter: int = 5, k: int = TOP_K) -> str:
+    """DuckDB twin of :func:`pagerank_weighted` over
+    :func:`purchase_edges_weighted`'s edge build: the same integer
+    recurrence as ``n_iter`` chained CTEs."""
+    ctes = [
+        "ew0 AS (SELECT DISTINCT o.o_custkey * 2 AS cust, "
+        "l.l_suppkey * 2 + 1 AS supp, o.o_orderkey AS ok "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)",
+        "ew AS (SELECT cust, supp, CAST(count(*) AS BIGINT) AS w "
+        "FROM ew0 GROUP BY cust, supp)",
+        "e AS (SELECT cust AS src, supp AS dst, w FROM ew "
+        "UNION ALL SELECT supp, cust, w FROM ew)",
+        "d AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)",
+        (
+            f"r0 AS (SELECT d.src AS node, {SCALE} // nn.n AS rank "
+            "FROM d, nn)"
+        ),
+    ]
+    base = f"(({SCALE} // nn.n) * {100 - DAMP}) // 100"
+    for i in range(n_iter):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst, CAST(sum((r{i}.rank * e.w) // d.wsum) "
+            f"AS BIGINT) AS inc "
+            f"FROM e JOIN d ON e.src = d.src "
+            f"JOIN r{i} ON e.src = r{i}.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT d.src AS node, "
+            f"CAST({base} + ({DAMP} * COALESCE(c{i}.inc, 0)) // 100 AS BIGINT) "
+            f"AS rank FROM d CROSS JOIN nn "
+            f"LEFT JOIN c{i} ON d.src = c{i}.dst)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END "
+        "AS kind, node // 2 AS key, rank "
+        f"FROM r{n_iter} ORDER BY rank DESC, kind, key LIMIT {k}"
     )
 
 
@@ -431,6 +570,29 @@ def connected_components_star(
             "edges cross component labels (under-merge)"
         )
     return out
+
+
+def pagerank_weighted_py(
+    edge_list: list[tuple[int, int, int]], n_iter: int = 5
+) -> dict[int, int]:
+    """Independent pure-Python reference of the weighted integer
+    recurrence ((rank·w) div W per edge, floored per edge before the
+    sum) — the test oracle for :func:`pagerank_weighted`."""
+    from collections import defaultdict
+
+    wsum: dict[int, int] = defaultdict(int)
+    for s, _, w in edge_list:
+        wsum[s] += w
+    n = len(wsum)
+    init = SCALE // n
+    base = (init * (100 - DAMP)) // 100
+    rank = {v: init for v in wsum}
+    for _ in range(n_iter):
+        inc: dict[int, int] = defaultdict(int)
+        for s, d, w in edge_list:
+            inc[d] += (rank[s] * w) // wsum[s]
+        rank = {v: base + (DAMP * inc.get(v, 0)) // 100 for v in wsum}
+    return rank
 
 
 def pagerank_py(
