@@ -1000,6 +1000,21 @@ def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank_weighted(edges)
 
 
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the document near-duplicate graph
+    (operators/graph.py doc_overlap_edges → triangle_count): docs are
+    linked when they share ≥3 distinct 8-token windows; triangles
+    separate tight near-dup CLUSTERS from mere chains (A~B~C without
+    A~C), the signal that decides transitive-closure vs pairwise
+    dedup. Degree-oriented wedge closure (Suri–Vassilvitskii) on the
+    Spark side; the oracle enumerates the same triangle set under id
+    order."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    edges = G.doc_overlap_edges(load_table(spark, sf_dir, "documents"))
+    return G.triangle_count(edges)
+
+
 def _q_co_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence (operators/graph.py co_purchase):
     top-20 supplier pairs by distinct shared customers — the bipartite
@@ -2084,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "pagerank_weighted": _q_pagerank_weighted,
+        "triangle_count": _q_triangle_count,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2126,8 +2142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_lifecycle": _q_table_lifecycle,
         "compact_layout": _q_compact_layout,
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,
         # ---- driver window ends here (first 50 keys) --------------------
+        "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_portable": _q_dedup_minhash_portable,
         "dedup_simhash_portable": _q_dedup_simhash_portable,
         "dedup_simhash": _q_dedup_simhash,
@@ -2646,6 +2662,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _BPE.bpe_token_count_sql(_BPE.FIXTURE_MERGES),
         "pagerank": _GR.pagerank_sql(),
         "pagerank_weighted": _GR.pagerank_weighted_sql(),
+        "triangle_count": _GR.triangle_count_sql(),
         "co_purchase": _GR.co_purchase_sql(),
         "embedding_knn_quantized": SIM.embedding_knn_quantized_sql(),
         # stored int8 layout must equal the scan form: same oracle text

@@ -196,6 +196,7 @@ BENCH_KEYS = [
     "bpe_token_count",
     "pagerank",
     "pagerank_weighted",
+    "triangle_count",
     "co_purchase",
     "quality_gate",
     "embedding_profile",

@@ -396,3 +396,87 @@ def test_purchase_edges_weighted_symmetric_distinct_order_counts(spark, sf_dir):
         .count()
     )
     assert w == direct
+
+
+# ---- triangle counting ---------------------------------------------------
+
+
+def test_triangle_count_matches_bruteforce_on_random_graphs(spark):
+    """Degree-oriented wedge closure vs adjacency-set brute force on
+    seeded random graphs — hubs, ties in degree, and zero-triangle
+    nodes all present."""
+    import random
+
+    for seed in (2, 11, 29):
+        rng = random.Random(seed)
+        n = 40
+        pairs = list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(120)
+                )
+                if a != b
+            }
+        )
+        ref = G.triangle_count_py(pairs)
+        want = sorted(((-c, v) for v, c in ref.items()))[:50]
+        want = [(v, -negc) for negc, v in want]
+        got = [
+            (r.node, r.n_tri)
+            for r in G.triangle_count(
+                spark.createDataFrame(pairs, "u long, v long"), k=50
+            ).collect()
+        ]
+        assert got == want, seed
+
+
+def test_triangle_count_orientation_handles_hub(spark):
+    """A star K_{1,5} plus one closing edge: exactly one triangle; the
+    hub must not inflate anything (4 zero-count leaves reported)."""
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    got = {
+        (r.node, r.n_tri)
+        for r in G.triangle_count(
+            spark.createDataFrame(star, "u long, v long"), k=50
+        ).collect()
+    }
+    assert got == {(0, 1), (1, 1), (2, 1), (3, 0), (4, 0), (5, 0)}
+
+
+def test_triangle_count_dedupes_and_drops_self_loops(spark):
+    messy = [(1, 2), (2, 1), (1, 1), (2, 3), (3, 1), (3, 3)]
+    got = {
+        (r.node, r.n_tri)
+        for r in G.triangle_count(
+            spark.createDataFrame(messy, "u long, v long"), k=50
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_doc_overlap_edges_matches_bruteforce(spark, sf_dir):
+    """The edge build vs a driver-side recomputation from raw text
+    (same _WS tokenization, same 8-gram windows, distinct-gram
+    threshold)."""
+    import re
+
+    from tiny_md_hbase_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    grams: dict[int, set] = {}
+    for r in rows:
+        t = [x for x in re.split(T._WS, r.text or "") if x != ""]
+        grams[r.doc_id] = {
+            " ".join(t[i : i + 8]) for i in range(len(t) - 7)
+        }
+    ids = sorted(grams)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if len(grams[a] & grams[b]) >= 3
+    }
+    got = {(r.u, r.v) for r in G.doc_overlap_edges(docs).collect()}
+    assert got == want

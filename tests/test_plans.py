@@ -577,3 +577,22 @@ def test_purchase_edges_weighted_equi_join_only(spark, sf_dir):
     # scans read only the join/graph keys
     assert all("o_totalprice" not in s and "l_quantity" not in s
                for s in P.read_schemas(q))
+
+
+def test_triangle_count_no_cartesian_and_pruned_scan(spark, sf_dir):
+    """Both triangle joins are equi-joins (apex key; (src, dst) pair);
+    the gram incidence is distinct BEFORE the pair self-join; the
+    documents scan reads only (doc_id, text)."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    spark.catalog.clearCache()
+    q = G.triangle_count(
+        G.doc_overlap_edges(load_table(spark, sf_dir, "documents"))
+    )
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert all(
+        "lang" not in s and "source" not in s and "n_chars" not in s
+        for s in P.read_schemas(q)
+    )

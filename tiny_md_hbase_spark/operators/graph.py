@@ -42,6 +42,9 @@ __all__ = [
     "purchase_edges_weighted",
     "pagerank_weighted",
     "pagerank_weighted_py",
+    "doc_overlap_edges",
+    "triangle_count",
+    "triangle_count_py",
 ]
 
 SCALE = 10**12  # rank micro-units
@@ -615,3 +618,199 @@ def pagerank_py(
             inc[d] += rank[s] // deg[s]
         rank = {v: base + (DAMP * inc.get(v, 0)) // 100 for v in deg}
     return rank
+
+
+def doc_overlap_edges(
+    documents: DataFrame, gram_len: int = 8, min_shared: int = 3
+) -> DataFrame:
+    """Document near-duplicate graph: undirected (u, v) doc-id edges
+    (u < v) between documents sharing ≥ ``min_shared`` DISTINCT
+    ``gram_len``-token windows — the doc-level version of
+    :func:`~tiny_md_hbase_spark.operators.text.source_overlap`'s
+    contamination matrix, and the candidate graph every fuzzy-dedup
+    pass reasons about.
+
+    Scale shape: the (gram-md5, doc) incidence is DISTINCT before the
+    pair self-join (co_purchase idiom — plain ``count(*)``, no
+    count-distinct), and the per-gram fan-out is bounded by the gram's
+    doc-frequency: unlike the TPC-H bipartite projections (which are
+    complete graphs under uniform data), shared long n-grams are
+    intrinsically rare outside true near-dups, so the edge set is
+    sparse by construction. A production corpus adds the standard
+    hub-gram cap (drop grams above a doc-frequency ceiling —
+    boilerplate headers) exactly like co_purchase's ``max_degree``."""
+    from tiny_md_hbase_spark.operators.text import tokens
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    para = documents.sparkSession.sparkContext.defaultParallelism
+    toks = documents.repartition(para, "doc_id").select(
+        "doc_id", tokens(txt).alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= gram_len,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - gram_len),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("toks", i + 1, gram_len), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    )
+    inc = grams.distinct()
+    a, b = inc.alias("a"), inc.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("u", "v")
+    )
+
+
+def triangle_count(edges: DataFrame, k: int = 50) -> DataFrame:
+    """Per-node triangle counts by DEGREE-ORIENTED wedge closure — the
+    Suri–Vassilvitskii / Cohen MapReduce algorithm ("Counting triangles
+    and the curse of the last reducer", WWW'11): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one, enumerate wedges only at each edge pair's common LOW-rank
+    apex, and close them against the oriented edge set. Every triangle
+    is produced exactly once (its unique rank-minimal vertex is the
+    apex), and per-apex fan-out is bounded by the node's ORIENTED
+    out-degree ≤ O(√|E|) — the hub that breaks naive wedge counting
+    ("the last reducer") never enumerates its quadratic neighborhood.
+
+    ``edges`` is any (u, v) pair set; self-loops are dropped and each
+    undirected pair is normalized + deduped first. Returns
+    (node, n_tri) for EVERY node incident to an edge (0 for
+    triangle-free nodes), ordered (n_tri desc, node), top-``k``. The
+    triangle SET is orientation-invariant, so the DuckDB twin uses the
+    simpler id-ordering — value-identical output, which is exactly
+    what lets the oracle hash-match this.
+
+    Scale shape: two equi-joins (wedge build on the apex key, closure
+    on the (src, dst) edge key) + one map-side-partial count — no
+    cartesian, no driver-side state; the edge/degree tables are
+    checkpointed so the three passes share one materialized lineage."""
+    e = (
+        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lo_first = e.join(du, "u").join(dv, "v")
+    u_low = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        lo_first.select(
+            F.when(u_low, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_low, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_low, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+        )
+        .localCheckpoint()
+    )
+    x, y = o.alias("x"), o.alias("y")
+    rank_lt = (F.col("x.dd") < F.col("y.dd")) | (
+        (F.col("x.dd") == F.col("y.dd")) & (F.col("x.dst") < F.col("y.dst"))
+    )
+    wedges = x.join(y, (F.col("x.src") == F.col("y.src")) & rank_lt).select(
+        F.col("x.src").alias("a"),
+        F.col("x.dst").alias("b"),
+        F.col("y.dst").alias("c"),
+    )
+    z = o.alias("z")
+    tri = wedges.join(
+        z, (F.col("b") == F.col("z.src")) & (F.col("c") == F.col("z.dst"))
+    ).select("a", "b", "c")
+    pern = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        deg.select("node")
+        .join(pern, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
+        )
+        .orderBy(F.col("n_tri").desc(), "node")
+        .limit(k)
+    )
+
+
+def triangle_count_py(edge_list: list[tuple[int, int]]) -> dict[int, int]:
+    """Brute-force per-node triangle counts (adjacency-set
+    intersection) — the independent test oracle for
+    :func:`triangle_count`. Includes zero-count nodes."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    out = {v: 0 for v in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            out[a] += 1
+            out[b] += 1
+            out[c] += 1
+    return out
+
+
+def triangle_count_sql(
+    gram_len: int = 8, min_shared: int = 3, k: int = 50
+) -> str:
+    """DuckDB twin of :func:`triangle_count` over
+    :func:`doc_overlap_edges`: id-ordered triangle enumeration
+    (e1.u<e1.v, e1.v<e2.v chains) — a different orientation than the
+    Spark side's degree order, but the enumerated triangle SET is
+    identical, which is the point."""
+    from tiny_md_hbase_spark.operators.text import tokens_sql
+
+    toks = tokens_sql("coalesce(text, '')")
+    return (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        "g AS (SELECT DISTINCT doc_id, "
+        f"md5(array_to_string(toks[u.i + 1 : u.i + {gram_len}], ' ')) AS h "
+        f"FROM t, unnest(range(CASE WHEN len(toks) >= {gram_len} "
+        f"THEN len(toks) - {gram_len} + 1 ELSE 0 END)) AS u(i)), "
+        "e AS (SELECT a.doc_id AS u, b.doc_id AS v "
+        "FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id "
+        f"GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {min_shared}), "
+        "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+        "FROM e e1 JOIN e e2 ON e1.v = e2.u "
+        "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+        "nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e), "
+        "pern AS (SELECT node, CAST(count(*) AS BIGINT) AS c FROM ("
+        "SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+        "UNION ALL SELECT c FROM tri) GROUP BY node) "
+        "SELECT n.node, CAST(COALESCE(p.c, 0) AS BIGINT) AS n_tri "
+        "FROM nodes n LEFT JOIN pern p ON n.node = p.node "
+        f"ORDER BY n_tri DESC, n.node LIMIT {k}"
+    )
