@@ -549,6 +549,15 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (operators/dedup.py dedup_edit):
+    5-token-window blocked candidates verified by thresholded
+    levenshtein ≤ 30 — the character-level member of the dedup family
+    (catches intra-token typo edits token shingles miss); the blocking
+    genuinely filters here (sf0.1: 1460 candidates → 256 accepted)."""
+    return D.dedup_edit(load_table(spark, sf_dir, "documents"))
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_minhash(load_table(spark, sf_dir, "documents"))
 
@@ -2100,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": _q_dedup_clusters_star,
         "pagerank_weighted": _q_pagerank_weighted,
         "triangle_count": _q_triangle_count,
+        "dedup_edit": _q_dedup_edit,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2141,8 +2151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_drop": _q_table_drop,
         "table_lifecycle": _q_table_lifecycle,
         "compact_layout": _q_compact_layout,
-        "dedup_exact": _q_dedup_exact,
         # ---- driver window ends here (first 50 keys) --------------------
+        "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_portable": _q_dedup_minhash_portable,
         "dedup_simhash_portable": _q_dedup_simhash_portable,
@@ -2663,6 +2673,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _GR.pagerank_sql(),
         "pagerank_weighted": _GR.pagerank_weighted_sql(),
         "triangle_count": _GR.triangle_count_sql(),
+        "dedup_edit": D.dedup_edit_sql(),
         "co_purchase": _GR.co_purchase_sql(),
         "embedding_knn_quantized": SIM.embedding_knn_quantized_sql(),
         # stored int8 layout must equal the scan form: same oracle text

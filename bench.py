@@ -192,6 +192,7 @@ BENCH_KEYS = [
     "keyword_search_bm25_indexed",
     "span_dedup",
     "span_dedup_hashed",
+    "dedup_edit",
     "bpe_pair_counts",
     "bpe_token_count",
     "pagerank",

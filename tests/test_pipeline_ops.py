@@ -1710,3 +1710,66 @@ def test_source_overlap_matches_python_reference(spark, sf_dir):
         for r in T.source_overlap(df, gram_len=L, k=1000).collect()
     }
     assert got == want and want
+
+
+# ---- edit-distance dedup -------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    # classic DP reference, O(len(a)*len(b)) — fixture texts are small
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_dedup_edit_matches_python_reference(spark, sf_dir):
+    """Full output pinned against a driver-side recomputation: 5-gram
+    blocked candidates (same _WS tokenization) verified by a classic
+    DP levenshtein."""
+    import re
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    grams = {}
+    texts = {}
+    for r in rows:
+        t = [x for x in re.split(T._WS, r.text or "") if x != ""]
+        grams[r.doc_id] = {" ".join(t[i : i + 5]) for i in range(len(t) - 4)}
+        texts[r.doc_id] = r.text or ""
+    ids = sorted(grams)
+    want = sorted(
+        (d, a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if grams[a] & grams[b]
+        and (d := _lev(texts[a], texts[b])) <= 30
+    )[:500]
+    want = [(a, b, d) for d, a, b in want]
+    got = [
+        (r.doc_a, r.doc_b, r.dist) for r in D.dedup_edit(docs).collect()
+    ]
+    assert got == want
+    assert got, "fixture should contain at least one near-dup pair"
+
+
+def test_dedup_edit_rejects_blocked_but_distant_candidates(spark):
+    """Sharing a 5-token window generates the candidate; the
+    levenshtein gate must still reject distant texts, keep near ones,
+    and report the exact distance."""
+    common = "alpha beta gamma delta epsilon"
+    far = common + " " + " ".join(f"tail{i}" for i in range(40))
+    near = common + " zeta etaX"
+    base = common + " zeta eta"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.dist for r in D.dedup_edit(df).collect()}
+    assert (1, 2) in got and got[(1, 2)] == _lev(base, near)
+    assert all(3 not in pair and 4 not in pair for pair in got)

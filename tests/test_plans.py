@@ -596,3 +596,19 @@ def test_triangle_count_no_cartesian_and_pruned_scan(spark, sf_dir):
         "lang" not in s and "source" not in s and "n_chars" not in s
         for s in P.read_schemas(q)
     )
+
+
+def test_dedup_edit_blocked_join_pruned_scan(spark, sf_dir):
+    """Candidates come from the gram-key equi-join (no cartesian); full
+    texts re-join only on doc_id hash joins; scan reads (doc_id, text)
+    only."""
+    spark.catalog.clearCache()
+    from tiny_md_hbase_spark.operators import dedup as D
+
+    q = D.dedup_edit(load_table(spark, sf_dir, "documents"))
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert all(
+        "lang" not in s and "source" not in s for s in P.read_schemas(q)
+    )

@@ -44,6 +44,8 @@ __all__ = [
     "dedup_incremental",
     "dedup_incremental_sql",
     "dedup_keep_best",
+    "dedup_edit",
+    "dedup_edit_sql",
 ]
 
 # deterministic odd multipliers/offsets for the minhash permutation family
@@ -1397,4 +1399,104 @@ def dedup_keep_best(documents: DataFrame, clusters: DataFrame) -> DataFrame:
             F.count("*").alias("n_members"),
         )
         .select("cluster_id", "keep_id", "keep_chars", "n_members")
+    )
+
+
+def dedup_edit(
+    documents: DataFrame,
+    gram_len: int = 5,
+    max_dist: int = 30,
+    k: int = 500,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs: candidate generation by
+    shared ``gram_len``-token windows (blocked equi-join on md5 gram
+    keys — a document pair within edit distance ``d`` over ~L-char
+    texts MUST share long runs verbatim, so n-gram blocking has no
+    false negatives at these thresholds), then exact verification by
+    Levenshtein distance ≤ ``max_dist``. The edit-distance member of
+    the dedup family: character-level (catches intra-token typo edits
+    minhash token shingles miss), exact (no banding probability),
+    complementary to :func:`dedup_minhash`'s Jaccard regime.
+
+    Returns (doc_a, doc_b, dist) with doc_a < doc_b, ordered
+    (dist, doc_a, doc_b), top-``k`` — a total order.
+
+    Scale shape: the only all-to-all step is the gram-key equi-join
+    (signatures, not documents, shuffle); full texts are joined back
+    ONLY for verified candidate pairs (two hash joins on doc_id).
+    Verification uses Spark's thresholded ``levenshtein(a, b, max)``
+    — the banded O(max·L) DP, not the O(L²) full matrix; the oracle
+    side computes the full distance and applies the same ≤ filter,
+    which is value-identical on every accepted pair. Production adds
+    the hub-gram doc-frequency cap (boilerplate) as in co_purchase."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    para = documents.sparkSession.sparkContext.defaultParallelism
+    base = documents.repartition(para, "doc_id").select(
+        "doc_id", txt.alias("text"), tokens(txt).alias("toks")
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= gram_len,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - gram_len),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("toks", i + 1, gram_len), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    ).distinct()
+    a, b = grams.alias("a"), grams.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = base.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = base.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_tb", max_dist).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+        .orderBy("dist", "doc_a", "doc_b")
+        .limit(k)
+    )
+
+
+def dedup_edit_sql(
+    gram_len: int = 5, max_dist: int = 30, k: int = 500
+) -> str:
+    """DuckDB twin of :func:`dedup_edit` — same md5 gram blocking, full
+    (unbanded) levenshtein with the same ≤ filter."""
+    from tiny_md_hbase_spark.operators.text import tokens_sql
+
+    toks = tokens_sql("coalesce(text, '')")
+    return (
+        f"WITH t AS (SELECT doc_id, coalesce(text, '') AS text, "
+        f"{toks} AS toks FROM documents), "
+        "g AS (SELECT DISTINCT doc_id, "
+        f"md5(array_to_string(toks[u.i + 1 : u.i + {gram_len}], ' ')) AS h "
+        f"FROM t, unnest(range(CASE WHEN len(toks) >= {gram_len} "
+        f"THEN len(toks) - {gram_len} + 1 ELSE 0 END)) AS u(i)), "
+        "c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id) "
+        "SELECT c.doc_a, c.doc_b, "
+        "CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist "
+        "FROM c JOIN t ta ON c.doc_a = ta.doc_id "
+        "JOIN t tb ON c.doc_b = tb.doc_id "
+        f"WHERE levenshtein(ta.text, tb.text) <= {max_dist} "
+        f"ORDER BY dist, doc_a, doc_b LIMIT {k}"
     )
