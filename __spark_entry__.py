@@ -2027,6 +2027,16 @@ def _q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_manifest(load_table(spark, sf_dir, "documents"))
 
 
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 / CDC state-interval build (operators/timeseries.py
+    scd2_intervals): per-user event streams compact to effective-dated
+    (state, valid_from, valid_to) intervals via gaps-and-islands —
+    consecutive same-state events collapse, valid_to is the next
+    interval's start (NULL while current). One user_id shuffle; every
+    window and the island aggregation reuse it."""
+    return TS.scd2_intervals(load_table(spark, sf_dir, "events"))
+
+
 def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly grid per event type with zero-fill + forward-fill
     (operators/timeseries.py gap_fill): raw events collapse to the
@@ -2110,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "triangle_count": _q_triangle_count,
         "dedup_edit": _q_dedup_edit,
+        "scd2_intervals": _q_scd2_intervals,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2150,8 +2161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_create": _q_table_create,
         "table_drop": _q_table_drop,
         "table_lifecycle": _q_table_lifecycle,
-        "compact_layout": _q_compact_layout,
         # ---- driver window ends here (first 50 keys) --------------------
+        "compact_layout": _q_compact_layout,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_portable": _q_dedup_minhash_portable,
@@ -2934,6 +2945,7 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN documents d ON c.doc_id = d.doc_id"
             ") WHERE rn = 1"
         ),
+        "scd2_intervals": TS.scd2_intervals_sql(),
         "gap_fill": TS.gap_fill_sql(),
         "rolling_stats": TS.rolling_stats_sql(),
         "ohlc": TS.ohlc_sql(),

@@ -203,6 +203,7 @@ BENCH_KEYS = [
     "embedding_profile",
     "stream_ingest_embeddings",
     "polygon_query",
+    "scd2_intervals",
     "gap_fill",
     "rolling_stats",
     "ohlc",

@@ -612,3 +612,18 @@ def test_dedup_edit_blocked_join_pruned_scan(spark, sf_dir):
     assert all(
         "lang" not in s and "source" not in s for s in P.read_schemas(q)
     )
+
+
+def test_scd2_intervals_single_user_shuffle(spark, sf_dir):
+    """The lag/flag window, the island numbering, the (user_id, grp)
+    aggregation and the lead() stitch all reuse ONE user_id hash
+    exchange; the only other exchange is the presentation sort's range
+    partitioning. Scan reads only the four used columns."""
+    from tiny_md_hbase_spark.operators import timeseries as TS
+
+    spark.catalog.clearCache()
+    q = TS.scd2_intervals(load_table(spark, sf_dir, "events"))
+    assert P.exchange_count(q) <= 2
+    assert all(
+        "value" not in s and "props" not in s for s in P.read_schemas(q)
+    )

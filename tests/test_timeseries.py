@@ -441,3 +441,53 @@ def test_rolling_equals_gap_fill_cumulative_on_dense_series(spark):
     for idx, (bucket, _) in enumerate(dense):
         lo = max(0, idx - 23)
         assert roll[bucket] == sum(sums[lo : idx + 1])
+
+
+# ---- SCD2 interval build -------------------------------------------------
+
+
+def test_scd2_intervals_matches_python_reference(spark, sf_dir):
+    """Full output pinned against a driver-side gaps-and-islands
+    recomputation from the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("user_id", "event_id", "event_type", F.expr("ts div 1000").alias("ts_us")).collect()
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.ts_us, r.event_id, r.event_type))
+    want = []
+    for uid, evs in per_user.items():
+        evs.sort()
+        islands = []
+        for ts_us, _, state in evs:
+            if islands and islands[-1][0] == state:
+                islands[-1][2] += 1
+            else:
+                islands.append([state, ts_us, 1])
+        for i, (state, vf, n) in enumerate(islands):
+            vt = islands[i + 1][1] if i + 1 < len(islands) else None
+            want.append((uid, state, vf, vt, n))
+    want.sort(key=lambda t: (t[0], t[2]))
+    got = [
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.n_events)
+        for r in TS.scd2_intervals(ev).collect()
+    ]
+    assert got == want
+
+
+def test_scd2_intervals_contiguous_compacted_invariants(spark, sf_dir):
+    """Per user: intervals tile the stream (valid_to == next
+    valid_from), exactly one open interval, and no two consecutive
+    intervals share a state (compaction actually compacted)."""
+    out = TS.scd2_intervals(load_table(spark, sf_dir, "events")).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in ivs if r.valid_to is None) == 1
+        assert ivs[-1].valid_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, uid
+            assert a.state != b.state, uid
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in out) == total  # every event absorbed once

@@ -473,3 +473,81 @@ def retention_sql() -> str:
         "CAST(count(*) AS BIGINT) AS users "
         "FROM uw u JOIN cohort c USING (user_id) GROUP BY 1, 2"
     )
+
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """SCD2 / CDC state-interval build: compact each user's event
+    stream into effective-dated state intervals — (user_id, state,
+    valid_from, valid_to, n_events) where ``state`` is the
+    ``event_type``, consecutive repeats of the same state collapse
+    into one interval (the gaps-and-islands pattern), ``valid_to`` is
+    the next interval's start (NULL for the current state), and
+    ``n_events`` counts the raw events the interval absorbed. This is
+    the slowly-changing-dimension type-2 build every warehouse runs to
+    turn a change-data-capture log into an as-of-joinable dimension
+    (``latest_state`` is its last-row projection; asof_join probes it).
+
+    Times are integer epoch microseconds (the module idiom), ordering
+    is (ts, event_id) so ties are deterministic cross-engine.
+
+    Scale shape: ONE shuffle on user_id; the lag/flag window, the
+    running-sum island numbering, the (user_id, grp) aggregation
+    (user_id-partitioning satisfies the clustering — no second
+    exchange) and the lead() stitching all reuse that partitioning.
+    The sequential pass is per-user, bounded by per-entity event
+    counts, not data volume — the same two-phase contract as the rest
+    of this module."""
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    prev = F.lag("state").over(w_ord)
+    flagged = base.withColumn(
+        "chg",
+        F.when(prev.isNull() | (F.col("state") != prev), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    grp = flagged.withColumn(
+        "grp",
+        F.sum("chg").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = grp.groupBy("user_id", "grp").agg(
+        F.min("state").alias("state"),  # constant within an island
+        F.min("ts_us").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_g = Window.partitionBy("user_id").orderBy("grp")
+    return iv.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_g).alias("valid_to"),
+        "n_events",
+    ).orderBy("user_id", "valid_from")
+
+
+def scd2_intervals_sql() -> str:
+    """DuckDB twin of :func:`scd2_intervals` — same island numbering,
+    same (ts, event_id) tie order, same NULL open end."""
+    return (
+        "WITH b AS (SELECT user_id, event_id, event_type AS state, "
+        "epoch_us(ts) AS ts_us FROM events), "
+        "f AS (SELECT *, CASE WHEN lag(state) OVER w IS NULL "
+        "OR state <> lag(state) OVER w THEN 1 ELSE 0 END AS chg "
+        "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), "
+        "g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id "
+        "ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS grp FROM f), "
+        "iv AS (SELECT user_id, grp, min(state) AS state, "
+        "min(ts_us) AS valid_from, CAST(count(*) AS BIGINT) AS n_events "
+        "FROM g GROUP BY user_id, grp) "
+        "SELECT user_id, state, valid_from, "
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp) "
+        "AS valid_to, n_events "
+        "FROM iv ORDER BY user_id, valid_from"
+    )
