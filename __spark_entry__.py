@@ -1499,6 +1499,28 @@ def _q_sql_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQLF.local_supplier_volume(spark, sf_dir)
 
 
+def _q_sql_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape through the SQL facade (sql.py
+    returned_revenue): quarter + returnflag filters prune the fact
+    scan before the customer join; the nation lookup broadcasts;
+    top-20 is TakeOrderedAndProject. Oracle = the SAME SQL text on
+    DuckDB."""
+    from tiny_md_hbase_spark import sql as SQLF
+
+    return SQLF.returned_revenue(spark, sf_dir)
+
+
+def _q_sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape through the SQL facade (sql.py large_orders):
+    the HAVING-subquery → semi-join plan (aggregate lineitem once,
+    semi-join the qualifying orderkeys back) — the aggregate-subquery
+    planning shape Q3/Q5/Q10 don't cover. Oracle = the SAME SQL text
+    on DuckDB."""
+    from tiny_md_hbase_spark import sql as SQLF
+
+    return SQLF.large_orders(spark, sf_dir)
+
+
 def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.event_type_pivot(load_table(spark, sf_dir, "events"))
 
@@ -2121,6 +2143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "dedup_edit": _q_dedup_edit,
         "scd2_intervals": _q_scd2_intervals,
+        "sql_returned_revenue": _q_sql_returned_revenue,
+        "sql_large_orders": _q_sql_large_orders,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2159,9 +2183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_filter": _q_range_filter,
         "id_gen": _q_id_gen,
         "table_create": _q_table_create,
+        # ---- driver window ends here (first 50 keys) --------------------
         "table_drop": _q_table_drop,
         "table_lifecycle": _q_table_lifecycle,
-        # ---- driver window ends here (first 50 keys) --------------------
         "compact_layout": _q_compact_layout,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -2879,6 +2903,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_pricing_summary": _SQLF.PRICING_SUMMARY_SQL,
         "sql_shipping_priority": _SQLF.SHIPPING_PRIORITY_SQL,
         "sql_supplier_volume": _SQLF.LOCAL_SUPPLIER_VOLUME_SQL,
+        "sql_returned_revenue": _SQLF.RETURNED_REVENUE_SQL,
+        "sql_large_orders": _SQLF.LARGE_ORDERS_SQL,
         "table_profile": AN.table_profile_sql(),
         # bounds-checked sketch keys: exact aggregates value-checked, the
         # HLL estimate asserted within 3·rsd via the TRUE-flag pattern

@@ -138,6 +138,8 @@ BENCH_KEYS = [
     "sql_pricing_summary",
     "sql_shipping_priority",
     "sql_supplier_volume",
+    "sql_returned_revenue",
+    "sql_large_orders",
     "table_profile",
     "chunk_documents",
     "decontaminate",

@@ -132,3 +132,75 @@ def test_supplier_volume_q5_colocated_revenue(spark, sf_dir):
     # revenue must be positive and sorted desc with n_name tiebreak
     vals = [(r.revenue_micro, r.n_name) for r in rows]
     assert vals == sorted(vals, key=lambda t: (-t[0], t[1]))
+
+
+def test_returned_revenue_q10_shape_and_naive_reference(spark, sf_dir):
+    """Q10: quarter + returnflag predicates reach the scans, the
+    top-20 is TakeOrderedAndProject; the result matches a
+    DataFrame-API recomputation."""
+    q = SQLF.returned_revenue(spark, sf_dir)
+    plan = P.explain_str(q, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert any("l_returnflag" in p for p in P.pushed_filters(q))
+    assert any("o_orderdate" in p for p in P.pushed_filters(q))
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01")
+        & (F.col("o_orderdate") < "1997-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000)
+        .cast("long")
+    ).cast("long")
+    want = [
+        tuple(r)
+        for r in cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(rev.alias("revenue_micro"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue_micro",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+        .orderBy(F.col("revenue_micro").desc(), "c_custkey")
+        .limit(20)
+        .collect()
+    ]
+    assert [tuple(r) for r in q.collect()] == want and len(want) == 20
+
+
+def test_large_orders_q18_semi_join_and_threshold(spark, sf_dir):
+    """Q18: the IN-subquery plans as an aggregate + join (never a
+    cartesian); every output order's quantity clears the threshold and
+    equals a direct per-order recomputation."""
+    q = SQLF.large_orders(spark, sf_dir)
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan
+    rows = q.collect()
+    assert rows, "threshold should admit at least one order at fixture scale"
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = {
+        r.l_orderkey: r.s
+        for r in li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.sum_qty_cents == per_order[r.o_orderkey]
+        assert r.sum_qty_cents > 30000
+    vals = [(r.totalprice_cents, r.o_orderkey) for r in rows]
+    assert vals == sorted(vals, key=lambda t: (-t[0], t[1]))

@@ -28,6 +28,10 @@ __all__ = [
     "SHIPPING_PRIORITY_SQL",
     "local_supplier_volume",
     "LOCAL_SUPPLIER_VOLUME_SQL",
+    "returned_revenue",
+    "RETURNED_REVENUE_SQL",
+    "large_orders",
+    "LARGE_ORDERS_SQL",
     "register_codec_functions",
     "zcodec_roundtrip",
     "ZCODEC_SQL",
@@ -99,6 +103,47 @@ LOCAL_SUPPLIER_VOLUME_SQL = (
 )
 
 
+# TPC-H Q10 shape (returned-item report): which customers returned the
+# most revenue in a quarter — the classic "problem customers" report.
+# One quarter + returnflag filter prunes the fact scan; the customer →
+# nation lookup is a broadcast; revenue in exact integer micros;
+# (revenue desc, c_custkey) is a total order. Top-20.
+RETURNED_REVENUE_SQL = (
+    "SELECT c_custkey, c_name, n_name, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) "
+    "AS BIGINT)) AS BIGINT) AS revenue_micro, "
+    "CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents "
+    "FROM customer, orders, lineitem, nation "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_returnflag = 'R' "
+    "AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00' "
+    "AND c_nationkey = n_nationkey "
+    "GROUP BY c_custkey, c_name, n_name, c_acctbal "
+    "ORDER BY revenue_micro DESC, c_custkey LIMIT 20"
+)
+
+# TPC-H Q18 shape (large-volume orders): orders whose total quantity
+# clears a high threshold — the HAVING-subquery pattern that exercises
+# aggregate-then-semi-join planning. Quantity in exact integer cents;
+# the inner aggregate runs once and semi-joins the fact table (Spark
+# and DuckDB both plan the IN as a semi join on the aggregated keys).
+# (totalprice_cents desc, o_orderkey) is a total order. Top-20.
+LARGE_ORDERS_SQL = (
+    "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents, "
+    "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+    "AS sum_qty_cents "
+    "FROM customer, orders, lineitem "
+    "WHERE o_orderkey IN ("
+    "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+    "HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000) "
+    "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
+    "GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice "
+    "ORDER BY totalprice_cents DESC, o_orderkey LIMIT 20"
+)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view so users can address
     the engine with plain SQL. Temp views are lazy — no data is read
@@ -125,6 +170,18 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape via the SQL surface (same-text oracle)."""
     register_views(spark, sf_dir)
     return spark.sql(LOCAL_SUPPLIER_VOLUME_SQL)
+
+
+def returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape via the SQL surface (same-text oracle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(RETURNED_REVENUE_SQL)
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape via the SQL surface (same-text oracle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(LARGE_ORDERS_SQL)
 
 
 # ---------------------------------------------------------------------------
