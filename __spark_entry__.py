@@ -635,6 +635,18 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_embedding(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/similarity.py hybrid_search_rrf):
+    BM25 lexical top-50 ⊕ exact-cosine dense top-50, fused by integer
+    reciprocal-rank fusion (SCALE div (60 + rank)) on the shared doc
+    id — the calibration-free RAG combiner; everything after the two
+    top-n retrievers is rank metadata, bounded by n not corpus size."""
+    return SIM.hybrid_search_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
 def _q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_knn(load_table(spark, sf_dir, "embeddings"), 1, KNN_K)
 
@@ -2145,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": _q_scd2_intervals,
         "sql_returned_revenue": _q_sql_returned_revenue,
         "sql_large_orders": _q_sql_large_orders,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2182,8 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_preds": _q_interval_preds,
         "range_filter": _q_range_filter,
         "id_gen": _q_id_gen,
-        "table_create": _q_table_create,
         # ---- driver window ends here (first 50 keys) --------------------
+        "table_create": _q_table_create,
         "table_drop": _q_table_drop,
         "table_lifecycle": _q_table_lifecycle,
         "compact_layout": _q_compact_layout,
@@ -2742,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_project": SIM.embedding_project_rows_sql(),
         "embedding_knn_projected": SIM.embedding_knn_projected_sql(),
         "embedding_knn": exact_knn_sql,
+        "hybrid_search_rrf": SIM.hybrid_search_rrf_sql(),
         # full-probe IVF must collapse to exact kNN: same oracle text
         "embedding_knn_ivf_full": exact_knn_sql,
         # the k-means-trained form at full probe too — ANY centroid set

@@ -111,6 +111,7 @@ BENCH_KEYS = [
     "dedup_minhash",
     "ngram_jaccard",
     "embedding_knn",
+    "hybrid_search_rrf",
     "text_stats",
     "token_count",
     "lang_id",

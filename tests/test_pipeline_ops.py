@@ -1773,3 +1773,57 @@ def test_dedup_edit_rejects_blocked_but_distant_candidates(spark):
     got = {(r.doc_a, r.doc_b): r.dist for r in D.dedup_edit(df).collect()}
     assert (1, 2) in got and got[(1, 2)] == _lev(base, near)
     assert all(3 not in pair and 4 not in pair for pair in got)
+
+
+# ---- hybrid retrieval (RRF) ----------------------------------------------
+
+
+def test_hybrid_search_rrf_matches_fusion_of_sub_rankings(spark, sf_dir):
+    """The fused output must equal the integer RRF recurrence applied
+    to the two (independently oracle-checked) sub-rankings."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = T.keyword_search_bm25(docs, k=50).collect()
+    kn = S.embedding_knn(emb, 1, 50).collect()
+    scores: dict[int, int] = {}
+    lists: dict[int, int] = {}
+    for ranking, idcol in ((bm, "doc_id"), (kn, "vec_id")):
+        for r, row in enumerate(ranking, 1):
+            did = getattr(row, idcol)
+            scores[did] = scores.get(did, 0) + 10**9 // (60 + r)
+            lists[did] = lists.get(did, 0) + 1
+    want = sorted(((-s, d) for d, s in scores.items()))[:10]
+    want = [(d, -negs, lists[d]) for negs, d in want]
+    got = [
+        (r.doc_id, r.rrf_micro, r.n_lists)
+        for r in S.hybrid_search_rrf(docs, emb).collect()
+    ]
+    assert got == want
+    assert got, "fixture should produce hybrid hits"
+
+
+def test_hybrid_search_rrf_rewards_presence_in_both_lists(spark):
+    """Synthetic corpus where doc 1 is top of BOTH retrievers and doc
+    2/3 each top exactly one: doc 1 must fuse strictly first, and
+    n_lists must say who came from where."""
+    docs = spark.createDataFrame(
+        [
+            (1, "vector stream merge vector stream merge"),
+            (2, "vector vector vector stream stream merge merge"),
+            (3, "nothing relevant here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (3, [0.9, 0.1], 0),
+            (2, [-1.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = S.hybrid_search_rrf(docs, emb, query_vec_id=1, n=2, k=10).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[1].n_lists == 2
+    assert got[0].doc_id == 1  # in both lists => strictly top
+    assert by_id[2].n_lists == 1 and by_id[3].n_lists == 1

@@ -48,6 +48,8 @@ __all__ = [
     "embedding_knn_quantized_sql",
     "embedding_profile",
     "embedding_profile_sql",
+    "hybrid_search_rrf",
+    "hybrid_search_rrf_sql",
 ]
 
 
@@ -1031,4 +1033,117 @@ def embedding_profile_sql(dim: int = 64) -> str:
         "FROM embeddings), "
         f"w AS (SELECT count(*) AS n, {aggs} FROM e) "
         f"{arms}"
+    )
+
+
+RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
+RRF_SCALE = 10**9  # integer micro-units: contrib = SCALE div (C + rank)
+
+
+def hybrid_search_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    terms: tuple[str, ...] | None = None,
+    query_vec_id: int = 1,
+    n: int = 50,
+    k: int = 10,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: fuse the lexical
+    (Okapi BM25 over the text) and dense (exact cosine over the
+    embedding) rankings with ``score = Σ_lists SCALE div (c + rank)``
+    — the RRF combiner (Cormack/Clarke/Büttcher, SIGIR'09) that every
+    production RAG stack runs because it needs no score calibration
+    between the two retrievers, only their ranks. ``vec_id`` is the
+    corpus doc id, so the two lists fuse on a shared key.
+
+    Returns (doc_id, rrf_micro, n_lists) top-``k`` under the total
+    order (rrf_micro desc, doc_id); ``n_lists`` says whether a hit
+    came from one or both retrievers. Integer division keeps the
+    fused score exact, so cross-engine agreement needs no float
+    contract beyond what the two sub-rankings (rounded scores, id
+    tiebreaks) already guarantee.
+
+    Scale shape: both retrievers end in top-``n`` (TakeOrderedAndProject
+    / routed probes at scale); everything after operates on ≤ 2n rows
+    of (id, rank) METADATA — the global row_number windows and the
+    fuse aggregation are bounded by ``n``, never by corpus size."""
+    from pyspark.sql import Window
+
+    from tiny_md_hbase_spark.operators.text import (
+        SEARCH_TERMS,
+        keyword_search_bm25,
+    )
+
+    qs = SEARCH_TERMS if terms is None else terms
+    bm = keyword_search_bm25(documents, terms=qs, k=n)
+    kn = embedding_knn(embeddings, query_vec_id=query_vec_id, k=n)
+    rb = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r"),
+    )
+    re_ = kn.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
+        .alias("r"),
+    )
+    contrib = F.expr(f"{RRF_SCALE} div ({c} + r)").cast("long")
+    u = rb.select("doc_id", contrib.alias("contrib")).unionByName(
+        re_.select("doc_id", contrib.alias("contrib"))
+    )
+    return (
+        u.groupBy("doc_id")
+        .agg(
+            F.sum("contrib").cast("long").alias("rrf_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def hybrid_search_rrf_sql(
+    terms: tuple[str, ...] | None = None,
+    query_vec_id: int = 1,
+    n: int = 50,
+    k: int = 10,
+    c: int = RRF_C,
+) -> str:
+    """DuckDB twin of :func:`hybrid_search_rrf` — the two sub-rankings
+    are the existing oracle texts (BM25 twin verbatim as a subquery;
+    the exact-cosine form mirrored from the embedding_knn oracle),
+    fused with the same integer recurrence."""
+    from tiny_md_hbase_spark.operators.text import (
+        SEARCH_TERMS,
+        keyword_search_bm25_sql,
+    )
+
+    qs = SEARCH_TERMS if terms is None else terms
+    bm_sql = keyword_search_bm25_sql(terms=qs, k=n)
+    dotsim = (
+        "list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2])) "
+        "/ (norm * qnorm)"
+    )
+    return (
+        f"WITH rb AS (SELECT doc_id, row_number() OVER "
+        f"(ORDER BY bm25 DESC, doc_id) AS r FROM ({bm_sql})), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "nn AS (SELECT vec_id, v, "
+        "sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e), "
+        "q AS (SELECT v AS qv, norm AS qnorm FROM nn "
+        f"WHERE vec_id = {query_vec_id}), "
+        f"kn AS (SELECT vec_id, round({dotsim}, 6) AS cos_sim "
+        f"FROM nn CROSS JOIN q ORDER BY cos_sim DESC, vec_id LIMIT {n}), "
+        "re AS (SELECT vec_id AS doc_id, row_number() OVER "
+        "(ORDER BY cos_sim DESC, vec_id) AS r FROM kn), "
+        f"u AS (SELECT doc_id, {RRF_SCALE} // ({c} + r) AS contrib FROM rb "
+        f"UNION ALL SELECT doc_id, {RRF_SCALE} // ({c} + r) FROM re) "
+        "SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_micro, "
+        "CAST(count(*) AS BIGINT) AS n_lists "
+        "FROM u GROUP BY doc_id "
+        f"ORDER BY rrf_micro DESC, doc_id LIMIT {k}"
     )
