@@ -1366,6 +1366,15 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def _q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type paths across sessions (operators/sessions.py
+    session_paths): sessions cut exactly as sessionize, each session's
+    first-8 event types joined '>' and counted — the path-analysis
+    report behind funnel refinement. Path truncation bounds distinct
+    cardinality at |types|^8; one user_id shuffle end to end."""
+    return SES.session_paths(load_table(spark, sf_dir, "events"))
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.asof_join(load_table(spark, sf_dir, "events"))
 
@@ -2158,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_returned_revenue": _q_sql_returned_revenue,
         "sql_large_orders": _q_sql_large_orders,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "session_paths": _q_session_paths,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2194,8 +2204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "euclid_dist": _q_euclid_dist,
         "interval_preds": _q_interval_preds,
         "range_filter": _q_range_filter,
-        "id_gen": _q_id_gen,
         # ---- driver window ends here (first 50 keys) --------------------
+        "id_gen": _q_id_gen,
         "table_create": _q_table_create,
         "table_drop": _q_table_drop,
         "table_lifecycle": _q_table_lifecycle,
@@ -2887,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
             "AND t BETWEEN 1 AND 4"
         ),
         "sessionize": SES.sessionize_sql(),
+        "session_paths": SES.session_paths_sql(),
         "asof_join": SES.asof_join_sql(),
         "stream_asof": SES.asof_join_sql(),
         "stream_sessionize": SES.sessionize_sql(),

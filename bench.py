@@ -120,6 +120,7 @@ BENCH_KEYS = [
     "quality_score",
     "doc_fingerprint",
     "sessionize",
+    "session_paths",
     "windowed_counts",
     "interval_join",
     "time_band_join",

@@ -201,3 +201,67 @@ def test_asof_join_fixture_shape(spark, sf_dir):
     n_left = ev.filter(F.col("event_type") != "error").count()
     assert out.count() == n_left
     assert out.filter(F.col("lag_us") < 0).count() == 0
+
+
+# ---- session path mining -------------------------------------------------
+
+
+def test_session_paths_matches_python_reference(spark, sf_dir):
+    """Paths recomputed driver-side from the raw events with the same
+    gap rule, tie order, and truncation."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    ).collect()
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(
+            (r.ts_us, r.event_id, r.event_type)
+        )
+    from collections import Counter
+
+    paths: Counter = Counter()
+    for evs in per_user.values():
+        evs.sort()
+        cur: list[str] = []
+        prev_ts = None
+        for ts_us, _, et in evs:
+            if prev_ts is not None and ts_us - prev_ts > SES.SESSION_GAP_US:
+                paths[">".join(cur[:8])] += 1
+                cur = []
+            cur.append(et)
+            prev_ts = ts_us
+        if cur:
+            paths[">".join(cur[:8])] += 1
+    want = sorted(((-n, p) for p, n in paths.items()))[:20]
+    want = [(p, -negn) for negn, p in want]
+    got = [
+        (r.path, r.n_sessions)
+        for r in SES.session_paths(ev).collect()
+    ]
+    assert got == want and got
+
+
+def test_session_paths_truncates_and_orders_within_session(spark):
+    """A 10-event session truncates to its first 8 types in time
+    order; ties on ts break by event_id. ``ts`` is int64 nanoseconds,
+    exactly how Spark surfaces the fixture's TIMESTAMP(NANOS)."""
+    S = 1_000_000_000  # 1 second in ns
+    evs = [(i, i * S, 1, f"t{i}", 0.0, None) for i in range(10)]
+    # three events share one ts two days later; event_id decides order
+    day2 = 2 * 86400 * S
+    evs += [
+        (100, day2, 2, "a", 0.0, None),
+        (102, day2, 2, "c", 0.0, None),
+        (101, day2, 2, "b", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        evs,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.path: r.n_sessions for r in SES.session_paths(df).collect()}
+    assert got == {
+        ">".join(f"t{i}" for i in range(8)): 1,
+        "a>b>c": 1,
+    }

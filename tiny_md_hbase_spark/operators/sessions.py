@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "asof_join", "SESSION_GAP_US"]
+__all__ = ["sessionize", "asof_join", "session_paths", "SESSION_GAP_US"]
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
@@ -290,4 +290,95 @@ def windowed_counts_sql(window_us: int = HOUR_US) -> str:
         "CAST(count(*) AS BIGINT) AS n_events, "
         "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
         "AS sum_value_micros FROM e GROUP BY 1, 2"
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_us: int = SESSION_GAP_US,
+    max_len: int = 8,
+    k: int = 20,
+) -> DataFrame:
+    """Top event-type paths: the most common ordered event-type
+    sequences across sessions — the "what do users actually do"
+    path-analysis report behind every funnel refinement. Sessions are
+    cut exactly as :func:`sessionize` (same gap rule, same (ts,
+    event_id) tie order); a session's path is its first ``max_len``
+    event types joined with ``>``; paths are counted across all
+    sessions and the top-``k`` returned as (path, n_sessions) under
+    the total order (n_sessions desc, path). The truncation is the
+    standard path-mining cap — it bounds BOTH the path-string size and
+    the distinct-path cardinality (≤ |types|^max_len) regardless of
+    session length.
+
+    Scale shape: one user_id shuffle shared by the gap window and the
+    per-session collect; the per-session ordered list is built by
+    sort_array over (ts, event_id, type) structs — deterministic
+    without trusting collect_list order — and is bounded by session
+    length, while everything after (path counting) is map-side-partial
+    aggregation over ≤ |types|^max_len distinct keys ending in
+    TakeOrderedAndProject."""
+    ev = events.withColumn("ts_us", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_break = (
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1).otherwise(0)
+    )
+    with_sess = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        F.sum(gap_break)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    path = F.array_join(
+        F.slice(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts_us", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+            1,
+            max_len,
+        ),
+        ">",
+    )
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
+    )
+
+
+def session_paths_sql(
+    gap_us: int = SESSION_GAP_US, max_len: int = 8, k: int = 20
+) -> str:
+    """DuckDB twin of :func:`session_paths` — ordered list() aggregate
+    replaces the sort_array(collect_list(struct)) idiom; same gap rule,
+    slice bound, and total order."""
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, "
+        "event_type FROM events), "
+        "marked AS (SELECT user_id, ts_us, event_id, event_type, "
+        f"CASE WHEN ts_us - lag(ts_us) OVER w > {gap_us} "
+        "THEN 1 ELSE 0 END AS brk FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), "
+        "sess AS (SELECT user_id, ts_us, event_id, event_type, "
+        "sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
+        "FROM marked), "
+        "p AS (SELECT user_id, session_seq, "
+        "array_to_string(list(event_type ORDER BY ts_us, event_id)"
+        f"[1:{max_len}], '>') AS path "
+        "FROM sess GROUP BY user_id, session_seq) "
+        "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions "
+        "FROM p GROUP BY path "
+        f"ORDER BY n_sessions DESC, path LIMIT {k}"
     )
