@@ -208,6 +208,7 @@ BENCH_KEYS = [
     "stream_ingest_embeddings",
     "polygon_query",
     "scd2_intervals",
+    "stream_scd2",
     "gap_fill",
     "rolling_stats",
     "ohlc",

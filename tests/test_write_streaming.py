@@ -530,3 +530,54 @@ def test_multimodal_features_entry_golden(spark):
     assert cols == ["f0", "kind", "media_id", "n_bytes"]
     assert n == 64
     assert h == "1cf48a89def94737003784a4e456012cb044ac7eb85cf5e1a5f6fa7355c220d9"
+
+
+def test_stream_scd2_entry_matches_batch(spark, sf_dir):
+    """The graded streaming entry (sentinel close + NULL mapping) must
+    equal the batch scd2_intervals output exactly."""
+    import __spark_entry__ as entrymod
+    from tiny_md_hbase_spark.operators import timeseries as TS
+
+    got = entrymod.queries()["stream_scd2"](spark, sf_dir)
+    want = TS.scd2_intervals(load_table(spark, sf_dir, "events"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stream_scd2_state_carries_across_batches(spark, tmp_table):
+    """An interval spanning two micro-batches must emit once, with the
+    count including events from BOTH batches."""
+    src = f"{tmp_table}/scd2src"
+    ckpt = f"{tmp_table}/scd2ckpt"
+    out_dir = f"{tmp_table}/scd2out"
+    ns = 1_000_000_000
+    schema = ING.EVENTS_SCHEMA
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        q = (
+            ING.stream_scd2(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    write_batch([(1, 10 * ns, 1, "view", 0.0, ""), (2, 20 * ns, 1, "view", 0.0, "")])
+    assert drain().count() == 0  # interval still open
+    write_batch([(3, 30 * ns, 1, "view", 0.0, ""), (4, 40 * ns, 1, "click", 0.0, "")])
+    out = drain().collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.state, r.valid_from, r.valid_to, r.n_events) == (
+        1, "view", 10 * ns // 1000, 40 * ns // 1000, 3,
+    )

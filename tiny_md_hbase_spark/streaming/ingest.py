@@ -548,3 +548,68 @@ def stream_ingest_embeddings(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SCD2_OUT_SCHEMA = (
+    "user_id long, state string, valid_from long, valid_to long, "
+    "n_events long"
+)
+SCD2_STATE_SCHEMA = "state string, valid_from long, n long"
+
+
+def stream_scd2(
+    spark: SparkSession,
+    source_dir: str,
+) -> DataFrame:
+    """Streaming SCD2 / CDC interval build: the stateful twin of
+    :func:`~tiny_md_hbase_spark.operators.timeseries.scd2_intervals`
+    via ``applyInPandasWithState``.
+
+    State per user = the OPEN interval (state string, valid_from,
+    n_events) — O(active users), independent of stream length. A batch
+    emits an interval the moment a different state arrives (its
+    ``valid_to`` is exactly the arriving event's timestamp — the same
+    value the batch operator's lead() assigns); same-state repeats
+    just bump the count. The still-open interval per user stays in the
+    state store, which is precisely the batch output's NULL-``valid_to``
+    row — the entry closes it with a per-user disjoint-state sentinel
+    and maps the sentinel bound back to NULL, so the emitted rows equal
+    the batch operator (and its DuckDB oracle) exactly. In-order per
+    key across batches, as with the other stream twins."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        cur, vf, n = state.get if state.exists else (None, None, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        rows = []
+        for ts, et in zip(batch["ts_us"], batch["event_type"]):
+            ts = int(ts)
+            if cur is None:
+                cur, vf, n = et, ts, 1
+            elif et == cur:
+                n += 1
+            else:
+                rows.append((user_id, cur, vf, ts, n))
+                cur, vf, n = et, ts, 1
+        state.update((cur, vf, n))
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "state", "valid_from", "valid_to", "n_events"],
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(source_dir)
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .select("user_id", "ts_us", "event_id", "event_type")
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SCD2_OUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
