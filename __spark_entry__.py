@@ -1379,6 +1379,20 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SES.asof_join(load_table(spark, sf_dir, "events"))
 
 
+def _q_dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (operators/analytics.py dq_check):
+    completeness / uniqueness / referential-integrity / domain rules in
+    bulk — one fused conditional-aggregation pass per table plus
+    key-only anti-joins, one (rule, n_violations, n_checked) row each.
+    Three rules are deliberately violated by the fixture so the counts
+    are non-vacuous."""
+    return AN.dq_check(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.sales_rollup(
         load_table(spark, sf_dir, "lineitem"),
@@ -2227,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "session_paths": _q_session_paths,
         "stream_scd2": _q_stream_scd2,
+        "dq_check": _q_dq_check,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2261,8 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_bit": _q_set_bit,
         "byte_ops": _q_byte_ops,
         "euclid_dist": _q_euclid_dist,
-        "interval_preds": _q_interval_preds,
         # ---- driver window ends here (first 50 keys) --------------------
+        "interval_preds": _q_interval_preds,
         "range_filter": _q_range_filter,
         "id_gen": _q_id_gen,
         "table_create": _q_table_create,
@@ -2972,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
         "time_band_join": IV.time_band_join_sql(),
         "grouped_histogram": IV.grouped_histogram_sql(),
         "sales_rollup": AN.sales_rollup_sql(),
+        "dq_check": AN.dq_check_sql(),
         "topk_per_group": AN.topk_per_group_sql(),
         "skew_join": AN.event_type_deviation_sql(),
         "anti_join": AN.orders_without_lineitems_sql(),

@@ -126,6 +126,7 @@ BENCH_KEYS = [
     "time_band_join",
     "grouped_histogram",
     "sales_rollup",
+    "dq_check",
     "topk_per_group",
     "asof_join",
     "skew_join",

@@ -333,3 +333,65 @@ def test_json_props_stats_fixture_totals(spark, sf_dir):
     # the fixture's props are all valid {"k": 0..99}
     assert sum(r.n_with_k for r in rows) == ev.count()
     assert all(0 <= r.min_k <= r.max_k <= 99 for r in rows)
+
+
+# ---- data-quality audit --------------------------------------------------
+
+
+def test_dq_check_counts_match_direct_queries(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r.rule: (r.n_violations, r.n_checked)
+        for r in AN.dq_check(cust, orders, li).collect()
+    }
+    assert len(got) == 11
+    n_c, n_o, n_l = cust.count(), orders.count(), li.count()
+    # clean rules really are clean
+    for rule, n in [
+        ("customer.c_custkey.not_null", n_c),
+        ("customer.c_custkey.unique", n_c),
+        ("orders.o_custkey.not_null", n_o),
+        ("orders.o_orderkey.unique", n_o),
+        ("orders.o_custkey.ref_customer", n_o),
+        ("lineitem.l_orderkey.ref_orders", n_l),
+        ("lineitem.l_discount.in_0_0.1", n_l),
+        ("lineitem.l_quantity.in_1_50", n_l),
+    ]:
+        assert got[rule] == (0, n), rule
+    # the three deliberately-tight rules are non-vacuous
+    assert got["customer.c_acctbal.non_negative"] == (
+        cust.filter(F.col("c_acctbal") < 0).count(), n_c,
+    )
+    assert got["customer.c_acctbal.non_negative"][0] > 0
+    assert got["orders.o_orderstatus.in_O_F"] == (
+        orders.filter(F.col("o_orderstatus") == "P").count(), n_o,
+    )
+    assert got["lineitem.l_tax.at_most_0.05"] == (
+        li.filter(F.col("l_tax") > 0.05).count(), n_l,
+    )
+    assert got["lineitem.l_tax.at_most_0.05"][0] > 0
+
+
+def test_dq_check_detects_planted_violations(spark, sf_dir):
+    """Plant an orphan order, a duplicate key, and a NULL: every family
+    must catch its own corruption."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = spark.createDataFrame(
+        [
+            (10**12, 10**15, "O", 1.0, orders.select("o_orderdate").first()[0], "1-URGENT"),
+            (10**12, 5, "O", 1.0, orders.select("o_orderdate").first()[0], "1-URGENT"),
+            (10**12 + 1, None, "O", 1.0, None, "1-URGENT"),
+        ],
+        orders.schema,
+    )
+    got = {
+        r.rule: r.n_violations
+        for r in AN.dq_check(cust, orders.unionByName(bad), li).collect()
+    }
+    assert got["orders.o_orderkey.unique"] == 1  # 10**12 appears twice
+    assert got["orders.o_custkey.not_null"] == 1
+    assert got["orders.o_custkey.ref_customer"] >= 1  # the 10**15 orphan

@@ -54,6 +54,8 @@ __all__ = [
     "table_profile",
     "table_profile_approx",
     "table_profile_sql",
+    "dq_check",
+    "dq_check_sql",
 ]
 
 
@@ -775,3 +777,208 @@ def anomaly_zscore_sql(threshold: float = 3.0) -> str:
         f"WHERE abs((value_cents * n - s1) "
         f"/ NULLIF(sqrt(s2 * n - s1 * s1), 0)) >= {threshold}"
     )
+
+
+def dq_check(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Data-quality constraint audit (the Deequ/dbt-test shape): a
+    fixed rule set evaluated in bulk, returning one row per rule —
+    (rule, n_violations, n_checked) ordered by rule name. Rules cover
+    the four standard families: completeness (NOT NULL), uniqueness
+    (key duplication), referential integrity (orphan foreign keys),
+    and domain constraints (range / accepted values). The fixture
+    violates three rules on purpose (negative account balances, the
+    'P' order status, taxes above 5%) — an audit whose every count is
+    zero can't tell a working checker from a broken one.
+
+    Scale shape: ALL of a table's row-local rules fuse into ONE
+    conditional aggregation pass over that table (map-side partial,
+    1-row result, exploded into per-rule rows); each referential rule
+    is a key-only left-anti join (the dimension key side broadcasts at
+    these cardinalities, shuffles on the key at scale) counting
+    orphans. No rule ever shuffles full rows — violations are COUNTED
+    in place, with offending-row samples left to a drill-down query."""
+
+    def bundle(agg_row: DataFrame, rules: list[tuple[str, str, str]]):
+        # one fused agg row -> (rule, n_violations, n_checked) rows
+        return agg_row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("rule"),
+                            F.col(v).cast("long").alias("n_violations"),
+                            F.col(n).cast("long").alias("n_checked"),
+                        )
+                        for name, v, n in rules
+                    ]
+                )
+            ).alias("r")
+        ).select("r.rule", "r.n_violations", "r.n_checked")
+
+    cust_agg = customer.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_key"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("dup_key"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias(
+            "neg_bal"
+        ),
+    )
+    ord_agg = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_cust"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_key"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F"), 1).otherwise(0)
+        ).alias("bad_status"),
+    )
+    li_agg = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        ).alias("bad_disc"),
+        F.sum(F.when(F.col("l_tax") > 0.05, 1).otherwise(0)).alias(
+            "high_tax"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        ).alias("bad_qty"),
+    )
+    orphan_orders = (
+        orders.select("o_custkey")
+        .join(
+            F.broadcast(customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(F.broadcast(orders.agg(F.count(F.lit(1)).alias("n"))))
+    )
+    orphan_lineitem = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(F.broadcast(lineitem.agg(F.count(F.lit(1)).alias("n"))))
+    )
+    parts = [
+        bundle(
+            cust_agg,
+            [
+                ("customer.c_custkey.not_null", "null_key", "n"),
+                ("customer.c_custkey.unique", "dup_key", "n"),
+                ("customer.c_acctbal.non_negative", "neg_bal", "n"),
+            ],
+        ),
+        bundle(
+            ord_agg,
+            [
+                ("orders.o_custkey.not_null", "null_cust", "n"),
+                ("orders.o_orderkey.unique", "dup_key", "n"),
+                ("orders.o_orderstatus.in_O_F", "bad_status", "n"),
+            ],
+        ),
+        bundle(
+            li_agg,
+            [
+                ("lineitem.l_discount.in_0_0.1", "bad_disc", "n"),
+                ("lineitem.l_tax.at_most_0.05", "high_tax", "n"),
+                ("lineitem.l_quantity.in_1_50", "bad_qty", "n"),
+            ],
+        ),
+        bundle(
+            orphan_orders, [("orders.o_custkey.ref_customer", "v", "n")]
+        ),
+        bundle(
+            orphan_lineitem, [("lineitem.l_orderkey.ref_orders", "v", "n")]
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rule")
+
+
+def dq_check_sql() -> str:
+    """DuckDB twin of :func:`dq_check` — one scalar-subquery row per
+    rule, same names, same counting semantics."""
+    rows = [
+        (
+            "customer.c_acctbal.non_negative",
+            "SELECT count(*) FILTER (WHERE c_acctbal < 0) FROM customer",
+            "SELECT count(*) FROM customer",
+        ),
+        (
+            "customer.c_custkey.not_null",
+            "SELECT count(*) FILTER (WHERE c_custkey IS NULL) FROM customer",
+            "SELECT count(*) FROM customer",
+        ),
+        (
+            "customer.c_custkey.unique",
+            "SELECT count(*) - count(DISTINCT c_custkey) FROM customer",
+            "SELECT count(*) FROM customer",
+        ),
+        (
+            "lineitem.l_discount.in_0_0.1",
+            "SELECT count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) "
+            "FROM lineitem",
+            "SELECT count(*) FROM lineitem",
+        ),
+        (
+            "lineitem.l_orderkey.ref_orders",
+            "SELECT count(*) FROM lineitem l LEFT JOIN orders o "
+            "ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL",
+            "SELECT count(*) FROM lineitem",
+        ),
+        (
+            "lineitem.l_quantity.in_1_50",
+            "SELECT count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) "
+            "FROM lineitem",
+            "SELECT count(*) FROM lineitem",
+        ),
+        (
+            "lineitem.l_tax.at_most_0.05",
+            "SELECT count(*) FILTER (WHERE l_tax > 0.05) FROM lineitem",
+            "SELECT count(*) FROM lineitem",
+        ),
+        (
+            "orders.o_custkey.not_null",
+            "SELECT count(*) FILTER (WHERE o_custkey IS NULL) FROM orders",
+            "SELECT count(*) FROM orders",
+        ),
+        (
+            "orders.o_custkey.ref_customer",
+            "SELECT count(*) FROM orders o LEFT JOIN customer c "
+            "ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL",
+            "SELECT count(*) FROM orders",
+        ),
+        (
+            "orders.o_orderkey.unique",
+            "SELECT count(*) - count(DISTINCT o_orderkey) FROM orders",
+            "SELECT count(*) FROM orders",
+        ),
+        (
+            "orders.o_orderstatus.in_O_F",
+            "SELECT count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F')) "
+            "FROM orders",
+            "SELECT count(*) FROM orders",
+        ),
+    ]
+    selects = [
+        f"SELECT '{name}' AS rule, CAST(({v}) AS BIGINT) AS n_violations, "
+        f"CAST(({n}) AS BIGINT) AS n_checked"
+        for name, v, n in rows
+    ]
+    return " UNION ALL ".join(selects) + " ORDER BY rule"
