@@ -1036,6 +1036,19 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_count(edges)
 
 
+def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the document near-dup graph (operators/graph.py
+    k_core over doc_overlap_edges): iterative synchronous peeling
+    strips pendant chains, leaving only cyclically-connected dup
+    clusters — the density filter that separates transitive-closure
+    dedup targets from pairwise ones. The oracle replays the identical
+    fixed peel rounds; the operator refuses to return non-fixpoints."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    edges = G.doc_overlap_edges(load_table(spark, sf_dir, "documents"))
+    return G.k_core(edges)
+
+
 def _q_co_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence (operators/graph.py co_purchase):
     top-20 supplier pairs by distinct shared customers — the bipartite
@@ -2242,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": _q_session_paths,
         "stream_scd2": _q_stream_scd2,
         "dq_check": _q_dq_check,
+        "k_core": _q_k_core,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2275,8 +2289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "make_mask": _q_make_mask,
         "set_bit": _q_set_bit,
         "byte_ops": _q_byte_ops,
-        "euclid_dist": _q_euclid_dist,
         # ---- driver window ends here (first 50 keys) --------------------
+        "euclid_dist": _q_euclid_dist,
         "interval_preds": _q_interval_preds,
         "range_filter": _q_range_filter,
         "id_gen": _q_id_gen,
@@ -2805,6 +2819,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _GR.pagerank_sql(),
         "pagerank_weighted": _GR.pagerank_weighted_sql(),
         "triangle_count": _GR.triangle_count_sql(),
+        "k_core": _GR.k_core_sql(),
         "dedup_edit": D.dedup_edit_sql(),
         "co_purchase": _GR.co_purchase_sql(),
         "embedding_knn_quantized": SIM.embedding_knn_quantized_sql(),

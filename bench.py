@@ -203,6 +203,7 @@ BENCH_KEYS = [
     "pagerank",
     "pagerank_weighted",
     "triangle_count",
+    "k_core",
     "co_purchase",
     "quality_gate",
     "embedding_profile",

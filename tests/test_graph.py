@@ -480,3 +480,84 @@ def test_doc_overlap_edges_matches_bruteforce(spark, sf_dir):
     }
     got = {(r.u, r.v) for r in G.doc_overlap_edges(docs).collect()}
     assert got == want
+
+
+# ---- k-core --------------------------------------------------------------
+
+
+def _kcore_py(pairs, k=2):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    while True:
+        drop = [v for v, s in adj.items() if len(s) < k]
+        if not drop:
+            return {v: len(s) for v, s in adj.items()}
+        for v in drop:
+            for w in adj[v]:
+                adj[w].discard(v)
+            del adj[v]
+
+
+def test_k_core_matches_bruteforce_on_random_graphs(spark):
+    import random
+
+    for seed in (3, 17, 41):
+        rng = random.Random(seed)
+        n = 36
+        pairs = list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(80)
+                )
+                if a != b
+            }
+        )
+        want = _kcore_py(pairs, k=3)
+        got = {
+            (r.node): r.deg
+            for r in G.k_core(
+                spark.createDataFrame(pairs, "u long, v long"), k=3,
+                max_iter=36,
+            ).collect()
+        }
+        assert got == want, seed
+
+
+def test_k_core_peels_chain_keeps_cycle(spark):
+    """A triangle with a pendant 4-chain: the chain peels away round
+    by round, the triangle survives as the exact 2-core."""
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    got = {
+        r.node: r.deg
+        for r in G.k_core(
+            spark.createDataFrame(pairs, "u long, v long"), k=2, max_iter=8
+        ).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_k_core_empty_and_nonconvergence_guard(spark):
+    # a chain fully peels -> empty core (converged)
+    chain = [(i, i + 1) for i in range(5)]
+    assert (
+        G.k_core(
+            spark.createDataFrame(chain, "u long, v long"), k=2, max_iter=8
+        ).count()
+        == 0
+    )
+    # a long chain at max_iter=1 cannot converge -> must raise, not lie
+    import pytest as _pytest
+
+    long_chain = [(i, i + 1) for i in range(12)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        G.k_core(
+            spark.createDataFrame(long_chain, "u long, v long"),
+            k=2,
+            max_iter=1,
+        )

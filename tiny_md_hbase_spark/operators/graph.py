@@ -45,6 +45,7 @@ __all__ = [
     "doc_overlap_edges",
     "triangle_count",
     "triangle_count_py",
+    "k_core",
 ]
 
 SCALE = 10**12  # rank micro-units
@@ -813,4 +814,103 @@ def triangle_count_sql(
         "SELECT n.node, CAST(COALESCE(p.c, 0) AS BIGINT) AS n_tri "
         "FROM nodes n LEFT JOIN pern p ON n.node = p.node "
         f"ORDER BY n_tri DESC, n.node LIMIT {k}"
+    )
+
+
+def k_core(
+    edges: DataFrame, k: int = 2, max_iter: int = 8
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop every
+    node whose CURRENT degree is below ``k`` until none remains — the
+    maximal subgraph with minimum degree ≥ k, the standard
+    graph-density filter (a 2-core strips pendant chains off the
+    near-dup graph, leaving only cyclically-connected clusters).
+    Returns core members as (node, deg) — degree WITHIN the core —
+    ordered (deg desc, node); empty when the core is empty.
+
+    Rounds are synchronous (all sub-``k`` nodes drop together), so the
+    trajectory and the fixpoint are deterministic for any engine.
+    Raises after ``max_iter`` non-converged rounds rather than return a
+    non-core: the oracle replays exactly ``max_iter`` rounds, so the
+    operator refuses to claim a fixpoint the oracle can't reproduce
+    (components here are near-dup clusters — tiny diameters; peeling a
+    chain of length L needs ~L/2 rounds).
+
+    Scale shape: per round ONE map-side-partial degree aggregation +
+    two anti-joins of the edge list against the (node-sized, broadcast)
+    drop set; edges re-checkpoint per round so the loop never deepens
+    lineage. The convergence probe is a bounded driver scalar per
+    round (the pagerank/bpe_train pattern)."""
+    und = (
+        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    e = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        drop = deg.filter(F.col("d") < k).select(F.col("src").alias("bad"))
+        if drop.count() == 0:
+            return (
+                deg.select(F.col("src").alias("node"), F.col("d").alias("deg"))
+                .orderBy(F.col("d").desc(), "src")
+            )
+        e = (
+            e.join(
+                F.broadcast(drop), F.col("src") == F.col("bad"), "left_anti"
+            )
+            .join(F.broadcast(drop), F.col("dst") == F.col("bad"), "left_anti")
+            .localCheckpoint()
+        )
+    if e.limit(1).count() == 0:  # peeled to nothing: converged, empty core
+        return e.sparkSession.createDataFrame([], "node long, deg long")
+    raise RuntimeError(
+        f"k_core did not converge in {max_iter} rounds (k={k}) — raise "
+        "max_iter (and regenerate the oracle with the same round count)"
+    )
+
+
+def k_core_sql(
+    gram_len: int = 8, min_shared: int = 3, k: int = 2, max_iter: int = 8
+) -> str:
+    """DuckDB twin of :func:`k_core` over :func:`doc_overlap_edges`:
+    exactly ``max_iter`` chained peel rounds (no-ops after the
+    fixpoint), then the surviving degrees."""
+    from tiny_md_hbase_spark.operators.text import tokens_sql
+
+    toks = tokens_sql("coalesce(text, '')")
+    # every round CTE is MATERIALIZED: e_{i+1} references e_i three
+    # times (via d_i twice + directly); inlined CTEs would re-expand the
+    # whole chain 3^rounds times — materialization keeps it linear
+    ctes = [
+        f"t AS MATERIALIZED (SELECT doc_id, {toks} AS toks FROM documents)",
+        "g AS MATERIALIZED (SELECT DISTINCT doc_id, "
+        f"md5(array_to_string(toks[u.i + 1 : u.i + {gram_len}], ' ')) AS h "
+        f"FROM t, unnest(range(CASE WHEN len(toks) >= {gram_len} "
+        f"THEN len(toks) - {gram_len} + 1 ELSE 0 END)) AS u(i))",
+        "und AS MATERIALIZED (SELECT a.doc_id AS u, b.doc_id AS v "
+        "FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id "
+        f"GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {min_shared})",
+        "e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und "
+        "UNION ALL SELECT v, u FROM und)",
+    ]
+    for i in range(max_iter):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT src, "
+            f"CAST(count(*) AS BIGINT) AS d FROM e{i} GROUP BY src)"
+        )
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e "
+            f"WHERE e.src NOT IN (SELECT src FROM d{i} WHERE d < {k}) "
+            f"AND e.dst NOT IN (SELECT src FROM d{i} WHERE d < {k}))"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT src AS node, CAST(count(*) AS BIGINT) AS deg "
+        f"FROM e{max_iter} GROUP BY src ORDER BY deg DESC, node"
     )
