@@ -2204,36 +2204,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-7 rotation (per-key verdict ages are DERIVED from the
     # CORRECTNESS_r* artifacts by scripts/rotation_audit.py — run it when
-    # planning the next rotation). Front = the 9 session-new keys
-    # (span_dedup_hashed — production 8-byte xxhash64 span keys vs the
-    # md5 SQL twin; bpe_token_count — the trained-encode path under
-    # pinned FIXTURE_MERGES, anchored-replace DuckDB oracle;
-    # dedup_clusters_distributed — the min-label-propagation clustering
-    # path under the union-find key's recursive-CTE closure oracle;
-    # approx_quantiles — GK sketch under a value-checked rank bound;
-    # sql_shipping_priority / sql_supplier_volume — TPC-H Q3/Q5-shaped
-    # multi-join facade queries under same-SQL-text oracles;
-    # json_props_stats — semi-structured from_json extraction over the
-    # events JSON column; source_overlap — cross-source contamination
-    # matrix; dedup_clusters_star — O(log n) star-contraction clustering,
-    # the third form under the closure oracle), the 3
-    # changed-observable-output keys that need fresh verdicts
-    # (embedding_project — reshaped to scalar (vec_id, label, dim_idx,
-    # coord) rows after the r06 unhashable-array ERR; approx_distinct +
-    # table_profile_approx — converted from rows-only smokes to
-    # bounds-checked oracles: exact aggregates value-checked, sketch
-    # asserted within 3·rsd via the TRUE-flag pattern), the 2 remaining
-    # r03-stale keys (multimodal_features, sql_pricing_summary — the
-    # oldest verdicts in the ledger), and the first 36 of the 46-key
-    # r04 cohort in rotation_audit's suggested order — the whole §2
-    # spatial/codec/write core plus the dedup/ANN/text heads re-enter
-    # the window after three rounds out.
-    # Displaced (documented staleness inversion, untouched modules):
-    # dedup_simhash_portable, dedup_simhash, embedding_knn,
-    # embedding_knn_lsh, embedding_knn_ivf, text_stats, token_count,
-    # lang_id, quality_score, doc_fingerprint (r04) — they lead the r08
-    # rotation, ahead of the r05 cohort, then the r06-verdict keys
-    # (freshest) at the back.
+    # planning the next rotation). Front = the 21 session-new keys:
+    # the first stint's 9 (span_dedup_hashed, bpe_token_count,
+    # dedup_clusters_distributed, approx_quantiles,
+    # sql_shipping_priority / sql_supplier_volume, json_props_stats,
+    # source_overlap, dedup_clusters_star) plus the second stint's 12
+    # (pagerank_weighted — weight-proportional integer PageRank;
+    # triangle_count — degree-oriented wedge closure over the doc
+    # near-dup graph; dedup_edit — blocked levenshtein pairs;
+    # scd2_intervals + stream_scd2 — CDC gaps-and-islands build and its
+    # stateful streaming twin under ONE oracle; sql_returned_revenue /
+    # sql_large_orders — TPC-H Q10/Q18 facade shapes;
+    # hybrid_search_rrf — BM25 ⊕ cosine reciprocal-rank fusion;
+    # session_paths — top per-session event-type sequences; dq_check —
+    # bulk constraint audit; k_core — fixed-round peeling). Then the 3
+    # changed-observable-output keys needing fresh verdicts
+    # (embedding_project reshaped scalar; approx_distinct +
+    # table_profile_approx bounds-checked), the 2 r03-stale keys
+    # (multimodal_features, sql_pricing_summary), and the first ~24 of
+    # the 46-key r04 cohort in rotation_audit's suggested order.
+    # Displaced below the marker (documented staleness inversion,
+    # untouched modules): the r04 tail — codec/DDL singles (euclid_dist,
+    # interval_preds, range_filter, id_gen, table_create/drop/lifecycle,
+    # compact_layout, set_bit, byte_ops) and the dedup/ANN/text heads
+    # (dedup_exact, dedup_minhash(+portable), dedup_simhash(+portable),
+    # embedding_knn(+lsh/ivf), text_stats, token_count, lang_id,
+    # quality_score, doc_fingerprint) — they lead the r08 rotation,
+    # ahead of the r05 cohort, then the r06/r07-verdict keys (freshest)
+    # at the back.
     return {
         # -- session-new (r07) ---------------------------------------------
         "span_dedup_hashed": _q_span_dedup_hashed,
