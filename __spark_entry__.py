@@ -838,6 +838,20 @@ _PII_INJECT_CTE = (
 )
 
 
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve (operators/text.py
+    vocab_growth): new/cumulative distinct token types per document
+    prefix bucket — the saturation diagnostic for training-mix
+    construction. One corpus pass (first-occurrence doc per token),
+    cumulative window over the bucket-sized histogram only. Entry runs
+    bucket_docs=2: the synthetic fixture's 31-type vocabulary saturates
+    within the first handful of documents, so the default 50-doc
+    buckets would collapse the whole curve to one row (the
+    dedup_embedding threshold-0.35 pattern — fixture-scaled parameter,
+    same operator)."""
+    return TX.vocab_growth(load_table(spark, sf_dir, "documents"), bucket_docs=2)
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -2165,6 +2179,14 @@ def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.scd2_intervals(load_table(spark, sf_dir, "events"))
 
 
+def _q_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type (operators/timeseries.py
+    change_points): argmax of the all-integer scaled cumulative
+    deviation n·Σc − t·T over the hourly spine — detects sustained
+    level shifts where z-score flagging only sees isolated outliers."""
+    return TS.change_points(load_table(spark, sf_dir, "events"))
+
+
 def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly grid per event type with zero-fill + forward-fill
     (operators/timeseries.py gap_fill): raw events collapse to the
@@ -2254,6 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_scd2": _q_stream_scd2,
         "dq_check": _q_dq_check,
         "k_core": _q_k_core,
+        "change_points": _q_change_points,
+        "vocab_growth": _q_vocab_growth,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2285,9 +2309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_match": _q_prefix_match,
         "bit_spread": _q_bit_spread,
         "make_mask": _q_make_mask,
+        # ---- driver window ends here (first 50 keys) --------------------
         "set_bit": _q_set_bit,
         "byte_ops": _q_byte_ops,
-        # ---- driver window ends here (first 50 keys) --------------------
         "euclid_dist": _q_euclid_dist,
         "interval_preds": _q_interval_preds,
         "range_filter": _q_range_filter,
@@ -3088,6 +3112,8 @@ def oracle_sql() -> dict[str, str]:
         # streaming twin closes open intervals via sentinel and maps the
         # bound back to NULL: equals the batch operator => same oracle
         "stream_scd2": TS.scd2_intervals_sql(),
+        "change_points": TS.change_points_sql(),
+        "vocab_growth": TX.vocab_growth_sql(bucket_docs=2),
         "gap_fill": TS.gap_fill_sql(),
         "rolling_stats": TS.rolling_stats_sql(),
         "ohlc": TS.ohlc_sql(),

@@ -115,6 +115,7 @@ BENCH_KEYS = [
     "text_stats",
     "token_count",
     "lang_id",
+    "vocab_growth",
     "distance_join",
     "knn_join",
     "quality_score",
@@ -210,6 +211,7 @@ BENCH_KEYS = [
     "stream_ingest_embeddings",
     "polygon_query",
     "scd2_intervals",
+    "change_points",
     "stream_scd2",
     "gap_fill",
     "rolling_stats",

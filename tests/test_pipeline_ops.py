@@ -1827,3 +1827,49 @@ def test_hybrid_search_rrf_rewards_presence_in_both_lists(spark):
     assert by_id[1].n_lists == 2
     assert got[0].doc_id == 1  # in both lists => strictly top
     assert by_id[2].n_lists == 1 and by_id[3].n_lists == 1
+
+
+# ---- vocabulary growth ---------------------------------------------------
+
+
+def test_vocab_growth_matches_python_reference(spark, sf_dir):
+    import re as _re
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        (r.doc_id, r.text or "") for r in docs.select("doc_id", "text").collect()
+    )
+    first: dict[str, int] = {}
+    for did, text in rows:
+        for tok in _re.split(T._WS, text):
+            if tok and tok not in first:
+                first[tok] = did
+    from collections import Counter
+
+    hist = Counter(d // 2 for d in first.values())
+    want, cum = [], 0
+    for b in sorted(hist):
+        cum += hist[b]
+        want.append((b, b * 2, hist[b], cum))
+    got = [
+        (r.bucket, r.start_doc_id, r.new_types, r.cum_types)
+        for r in T.vocab_growth(docs, bucket_docs=2).collect()
+    ]
+    # sf0.001's 31-type vocab can saturate in bucket 0; the sf0.01
+    # oracle run shows the multi-row curve — here we pin exact equality
+    assert got == want and got
+
+
+def test_vocab_growth_monotone_and_total(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.vocab_growth(docs, bucket_docs=2).collect()
+    cums = [r.cum_types for r in out]
+    assert cums == sorted(cums)
+    total_types = (
+        docs.select(F.explode(T.tokens(F.coalesce(F.col("text"), F.lit(""))))
+                    .alias("t"))
+        .distinct()
+        .count()
+    )
+    assert cums[-1] == total_types
+    assert sum(r.new_types for r in out) == total_types

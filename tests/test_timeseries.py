@@ -491,3 +491,61 @@ def test_scd2_intervals_contiguous_compacted_invariants(spark, sf_dir):
             assert a.state != b.state, uid
     total = load_table(spark, sf_dir, "events").count()
     assert sum(r.n_events for r in out) == total  # every event absorbed once
+
+
+# ---- CUSUM change points -------------------------------------------------
+
+
+def test_change_points_matches_python_reference(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.select("event_type", F.expr("ts div 1000").alias("ts_us"))
+        .collect()
+    )
+    from collections import Counter
+
+    per_type: dict[str, Counter] = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, Counter())[
+            (r.ts_us // 3_600_000_000) * 3600
+        ] += 1
+    want = []
+    for et, c in per_type.items():
+        buckets = sorted(c)
+        n, total = len(buckets), sum(c.values())
+        cum, best = 0, None
+        for t, b in enumerate(buckets, 1):
+            cum += c[b]
+            s = abs(n * cum - t * total)
+            if best is None or s > best[0]:
+                best = (s, b)
+        want.append((et, best[1], best[0], n))
+    want.sort()
+    got = [
+        (r.event_type, r.change_bucket_s, r.s_abs_max, r.n_buckets)
+        for r in TS.change_points(ev).collect()
+    ]
+    assert got == want
+
+
+def test_change_points_finds_planted_level_shift(spark):
+    """A series at rate 2/bucket that jumps to 10/bucket at bucket 50:
+    the CUSUM argmax must land exactly on the last pre-shift bucket."""
+    ns_per_bucket = 3600 * 1_000_000_000
+    rows = []
+    eid = 0
+    for b in range(100):
+        rate = 2 if b < 50 else 10
+        for i in range(rate):
+            rows.append((eid, b * ns_per_bucket + i, 1, "x", 0.0, None))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = TS.change_points(df).collect()
+    assert len(out) == 1
+    # S_t = n*cum - t*total ramps most negative at the shift: bucket 49
+    assert out[0].change_bucket_s == 49 * 3600
+    assert out[0].n_buckets == 100

@@ -2370,3 +2370,61 @@ def corpus_manifest_sql(n_shards: int = SHUFFLE_SHARDS) -> str:
         f"CAST(sum(CAST(fp AS HUGEINT)) % {FINGERPRINT_MOD} AS BIGINT) "
         "AS checksum FROM s GROUP BY shard"
     )
+
+
+def vocab_growth(documents: DataFrame, bucket_docs: int = 50) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct token types seen
+    after each ``bucket_docs``-document prefix of the corpus (in doc_id
+    order) — the saturation diagnostic that tells a training-mix
+    whether more of a source still adds vocabulary or is re-treading
+    (near-dup-heavy corpora flatten early; the curve SHAPE is the
+    signal, which is why the classic Heaps exponent fit starts from
+    exactly this table). Returns (bucket, start_doc_id, new_types,
+    cum_types) ordered by bucket.
+
+    One pass, no per-prefix rescan: a token's contribution to the
+    curve is entirely determined by its FIRST-occurrence doc —
+    distinct (token, doc_id) incidence → min(doc_id) per token
+    (map-side partial) → bucket histogram → cumulative window over the
+    BUCKET table (corpus-size/bucket_docs rows — metadata, not data).
+    The naive form recounts distinct tokens once per prefix: O(n²/B)
+    scans; this is O(n) + a bounded window."""
+    from pyspark.sql import Window
+
+    if bucket_docs <= 0:
+        raise ValueError("bucket_docs must be positive")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    first = (
+        documents.select("doc_id", F.explode(tokens(txt)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    hist = first.groupBy(
+        F.expr(f"first_doc div {bucket_docs}").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "bucket",
+        (F.col("bucket") * bucket_docs).cast("long").alias("start_doc_id"),
+        "new_types",
+        F.sum("new_types").over(w).cast("long").alias("cum_types"),
+    ).orderBy("bucket")
+
+
+def vocab_growth_sql(bucket_docs: int = 50) -> str:
+    """DuckDB twin of :func:`vocab_growth`."""
+    toks = tokens_sql("coalesce(text, '')")
+    return (
+        f"WITH t AS (SELECT doc_id, unnest({toks}) AS tok FROM documents), "
+        "f AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok), "
+        f"h AS (SELECT first_doc // {bucket_docs} AS bucket, "
+        "CAST(count(*) AS BIGINT) AS new_types FROM f GROUP BY 1) "
+        f"SELECT bucket, CAST(bucket * {bucket_docs} AS BIGINT) "
+        "AS start_doc_id, new_types, "
+        "CAST(sum(new_types) OVER (ORDER BY bucket "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum_types "
+        "FROM h ORDER BY bucket"
+    )

@@ -551,3 +551,83 @@ def scd2_intervals_sql() -> str:
         "AS valid_to, n_events "
         "FROM iv ORDER BY user_id, valid_from"
     )
+
+
+def change_points(events: DataFrame, bucket_s: int = HOUR_S) -> DataFrame:
+    """CUSUM change-point estimation per event type: the bucket where
+    the cumulative deviation from the series mean peaks — the classic
+    argmax-CUSUM estimator for a sustained level shift (a mean SHIFT
+    builds a ramp in the cumulative deviation that peaks at the shift
+    point, where z-score anomaly flagging — `anomaly_zscore` — only
+    sees isolated outliers). Returns one row per event_type:
+    (event_type, change_bucket_s, s_abs_max, n_buckets), ordered by
+    event_type.
+
+    All-integer statistic: with per-bucket counts c_t, series total T
+    and length n, the scaled cumulative deviation is
+    ``S_t = n·Σ_{i≤t} c_i − t·T`` (= n·Σ(c_i − T/n) without the
+    division), so the argmax is exact — no float mean, no rounding
+    contract. Bounds: n ≤ calendar buckets (10^5 at a year of seconds),
+    Σc ≤ 10^12 at 100 TB → n·Σc ≤ 10^17 < int64.
+
+    Scale shape: phase 1 is the shared map-side-partial hourly
+    aggregation (spine-sized output); the windows (cumsum, row_number,
+    argmax) run per event_type over the calendar-bounded spine — the
+    module's two-phase contract."""
+    hourly = _hourly(events, bucket_s).select(
+        "event_type", "bucket_s", "n_events"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_s")
+    wall = Window.partitionBy("event_type")
+    scored = hourly.select(
+        "event_type",
+        "bucket_s",
+        F.sum("n_events")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.row_number().over(w).alias("t"),
+        F.sum("n_events").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).select(
+        "event_type",
+        "bucket_s",
+        "n",
+        F.abs(
+            F.col("n") * F.col("cum") - F.col("t") * F.col("total")
+        ).cast("long").alias("s_abs"),
+    )
+    best = Window.partitionBy("event_type").orderBy(
+        F.col("s_abs").desc(), "bucket_s"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("bucket_s").alias("change_bucket_s"),
+            F.col("s_abs").alias("s_abs_max"),
+            F.col("n").cast("long").alias("n_buckets"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def change_points_sql(bucket_s: int = HOUR_S) -> str:
+    """DuckDB twin of :func:`change_points` — same integer statistic,
+    same (s_abs desc, bucket_s) argmax tie rule."""
+    return (
+        f"WITH {_hourly_sql(bucket_s)}, "
+        "scored AS (SELECT event_type, bucket_s, "
+        "abs((count(*) OVER (PARTITION BY event_type)) * "
+        "(sum(n_events) OVER (PARTITION BY event_type ORDER BY bucket_s "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - "
+        "(row_number() OVER (PARTITION BY event_type ORDER BY bucket_s)) * "
+        "(sum(n_events) OVER (PARTITION BY event_type))) AS s_abs, "
+        "count(*) OVER (PARTITION BY event_type) AS n FROM hourly), "
+        "ranked AS (SELECT event_type, bucket_s, s_abs, n, "
+        "row_number() OVER (PARTITION BY event_type "
+        "ORDER BY s_abs DESC, bucket_s) AS rk FROM scored) "
+        "SELECT event_type, bucket_s AS change_bucket_s, "
+        "CAST(s_abs AS BIGINT) AS s_abs_max, CAST(n AS BIGINT) AS n_buckets "
+        "FROM ranked WHERE rk = 1 ORDER BY event_type"
+    )
