@@ -627,3 +627,81 @@ def test_scd2_intervals_single_user_shuffle(spark, sf_dir):
     assert all(
         "value" not in s and "props" not in s for s in P.read_schemas(q)
     )
+
+
+def test_session_paths_single_user_shuffle_pruned_scan(spark, sf_dir):
+    """Gap window + per-session collect reuse one user_id exchange;
+    the path-count aggregation and top-k add bounded-key work; scan
+    reads only the four used columns."""
+    from tiny_md_hbase_spark.operators import sessions as SES
+
+    spark.catalog.clearCache()
+    q = SES.session_paths(load_table(spark, sf_dir, "events"))
+    plan = P.explain_str(q, "simple")
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert all(
+        "value" not in s and "props" not in s for s in P.read_schemas(q)
+    )
+
+
+def test_change_points_two_phase_no_join(spark, sf_dir):
+    """Raw events collapse to the hourly spine first (map-side
+    partial); every window then runs over the spine — no join, no
+    cartesian anywhere."""
+    from tiny_md_hbase_spark.operators import timeseries as TS
+
+    spark.catalog.clearCache()
+    q = TS.change_points(load_table(spark, sf_dir, "events"))
+    plan = P.explain_str(q, "simple")
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert all("props" not in s for s in P.read_schemas(q))
+
+
+def test_vocab_growth_one_pass_pruned_scan(spark, sf_dir):
+    """One corpus pass: explode → min-per-token (map-side partial) →
+    bucket histogram; the cumulative window sees only the histogram.
+    Scan reads (doc_id, text) only."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    spark.catalog.clearCache()
+    q = TX.vocab_growth(load_table(spark, sf_dir, "documents"))
+    plan = P.explain_str(q, "simple")
+    assert "partial_min" in plan or "partial_" in plan
+    assert "Join" not in plan
+    assert all(
+        "lang" not in s and "source" not in s for s in P.read_schemas(q)
+    )
+
+
+def test_dq_check_fused_aggregates_key_only_anti_joins(spark, sf_dir):
+    """Row-local rules fuse into per-table single-pass aggregates; the
+    two referential rules appear as anti joins on key columns; no
+    cartesian beyond the 1-row bundle crossJoins."""
+    from tiny_md_hbase_spark.operators import analytics as AN
+
+    spark.catalog.clearCache()
+    q = AN.dq_check(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    plan = P.explain_str(q, "simple")
+    assert plan.count("LeftAnti") == 2
+    # the lineitem scans for rules read no money columns
+    assert all("l_extendedprice" not in s for s in P.read_schemas(q))
+
+
+def test_hybrid_search_rrf_rank_stage_is_metadata_sized(spark, sf_dir):
+    """Both retrievers end in TakeOrderedAndProject before the rank
+    windows — the fusion never sees corpus-sized data."""
+    from tiny_md_hbase_spark.operators import similarity as SIM
+
+    spark.catalog.clearCache()
+    q = SIM.hybrid_search_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+    plan = P.explain_str(q, "simple")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
