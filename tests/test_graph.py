@@ -561,3 +561,26 @@ def test_k_core_empty_and_nonconvergence_guard(spark):
             k=2,
             max_iter=1,
         )
+
+
+def test_pagerank_weighted_py_reduces_to_uniform_on_unit_weights():
+    """Pure-python algebraic identity under hypothesis (Spark plans use
+    seeded loops per the project convention; the references are cheap):
+    with all weights 1, (rank·1) div W equals rank div deg edge-by-edge,
+    so the weighted recurrence IS the uniform one."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 9), st.integers(0, 9))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=40))
+    def run(pairs):
+        # ensure every node has out-degree >= 1 by symmetrizing
+        sym = list({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+        unit = [(a, b, 1) for a, b in sym]
+        assert G.pagerank_weighted_py(unit, n_iter=4) == G.pagerank_py(
+            sym, n_iter=4
+        )
+
+    run()
