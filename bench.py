@@ -210,6 +210,7 @@ BENCH_KEYS = [
     "embedding_profile",
     "stream_ingest_embeddings",
     "polygon_query",
+    "skyline",
     "scd2_intervals",
     "change_points",
     "stream_scd2",

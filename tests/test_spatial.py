@@ -257,3 +257,52 @@ def test_polygon_query_rejects_cw_and_concave(spark, sf_dir):
     concave = [(0, 0), (100, 0), (50, 30), (100, 100), (0, 100)]
     with pytest.raises(ValueError, match="convex"):
         spatial.polygon_query(pts, concave)
+
+
+# ---- skyline -------------------------------------------------------------
+
+
+def test_skyline_matches_bruteforce_on_random_points(spark):
+    import random
+
+    from tiny_md_hbase_spark.operators import spatial as SP
+
+    for seed in (5, 19, 37):
+        rng = random.Random(seed)
+        pts = [
+            (i, rng.randrange(40), rng.randrange(40)) for i in range(150)
+        ]
+        # plant exact coordinate duplicates (both must survive together)
+        pts += [(1000, pts[0][1], pts[0][2]), (1001, 0, rng.randrange(40))]
+        want = sorted(
+            (x, y, i)
+            for i, x, y in pts
+            if not any(
+                (qx <= x and qy <= y and (qx < x or qy < y))
+                for _, qx, qy in pts
+            )
+        )
+        want = [(i, x, y) for x, y, i in want]
+        df = spark.createDataFrame(pts, "id long, x int, y int")
+        got = [(r.id, r.x, r.y) for r in SP.skyline(df).collect()]
+        assert got == want, seed
+
+
+def test_skyline_staircase_and_duplicates(spark):
+    """A strict staircase is entirely on the skyline; any point on or
+    above the staircase's dominated region is excluded; coordinate
+    duplicates of a skyline point all survive."""
+    from tiny_md_hbase_spark.operators import spatial as SP
+
+    stairs = [(1, 0, 30), (2, 10, 20), (3, 20, 10), (4, 30, 0)]
+    extra = [
+        (5, 10, 20),   # duplicate of (10, 20): survives
+        (6, 10, 21),   # same x, worse y: dominated
+        (7, 11, 20),   # worse x, same y: dominated
+        (8, 25, 25),   # interior: dominated
+    ]
+    df = spark.createDataFrame(stairs + extra, "id long, x int, y int")
+    got = [(r.id, r.x, r.y) for r in SP.skyline(df).collect()]
+    assert got == [
+        (1, 0, 30), (2, 10, 20), (5, 10, 20), (3, 20, 10), (4, 30, 0)
+    ]

@@ -39,6 +39,8 @@ __all__ = [
     "range_filter_stats",
     "polygon_query",
     "polygon_query_sql",
+    "skyline",
+    "skyline_sql",
 ]
 
 
@@ -532,4 +534,61 @@ def polygon_query_sql(
     return (
         f"WITH points AS ({points_sql}) "
         f"SELECT id, x, y FROM points WHERE {' AND '.join(conds)}"
+    )
+
+
+def skyline(pts: DataFrame) -> DataFrame:
+    """2D skyline (Pareto front, minimize both axes): every point not
+    dominated by another — q dominates p when q.x ≤ p.x ∧ q.y ≤ p.y
+    with at least one strict. The classic multi-criteria "best
+    tradeoffs" query (Börzsönyi/Kossmann/Stocker, ICDE'01), which no
+    single ORDER BY can express. Returns (id, x, y) ordered (x, y, id);
+    coordinate-duplicate skyline points all survive (identical points
+    never dominate each other — no strict coordinate).
+
+    Scale shape — the sort-free 2D rewrite: (1) per-x minima m(x) by
+    map-side-partial aggregation (the only data-sized pass; everything
+    dominated within its own x column dies here); (2) a strictly-
+    cumulative min window over the DISTINCT-x table — domain-bounded
+    metadata (≤ 4096 rows here), one tiny sort, never the data; (3) a
+    broadcastable x-keyed join filters survivors: on the skyline iff
+    y = m(x) and y < min over all smaller x (strictly smaller x makes
+    any ≤ tie a strict dominance). No quadratic pass anywhere — the
+    oracle keeps the raw NOT-EXISTS dominance predicate but probes it
+    against the per-x minima, so the two formulations stay
+    independent."""
+    from pyspark.sql import Window
+
+    p = pts.select("id", "x", "y")
+    mins = p.groupBy("x").agg(F.min("y").alias("my"))
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = mins.select(
+        "x", "my", F.min("my").over(w).alias("prev_min")
+    ).filter(F.col("prev_min").isNull() | (F.col("my") < F.col("prev_min")))
+    f2 = frontier.select(F.col("x").alias("fx"), F.col("my").alias("fy"))
+    return (
+        p.join(
+            F.broadcast(f2),
+            (F.col("x") == F.col("fx")) & (F.col("y") == F.col("fy")),
+        )
+        .select("id", "x", "y")
+        .orderBy("x", "y", "id")
+    )
+
+
+def skyline_sql(points_sql: str) -> str:
+    """DuckDB twin of :func:`skyline`: the RAW dominance predicate
+    (NOT EXISTS a dominating q), quadratic only against the per-x
+    minima — a different formulation from the Spark window rewrite,
+    which is the point of the oracle."""
+    return (
+        f"WITH points AS ({points_sql}), "
+        "mins AS (SELECT x, min(y) AS my FROM points GROUP BY x) "
+        "SELECT p.id, p.x, p.y FROM points p "
+        "WHERE NOT EXISTS (SELECT 1 FROM mins q "
+        "WHERE q.x <= p.x AND q.my <= p.y "
+        "AND (q.x < p.x OR q.my < p.y)) "
+        "ORDER BY p.x, p.y, p.id"
     )
