@@ -1833,6 +1833,16 @@ def _q_grouped_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IV.grouped_histogram(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_corpus_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified sample (operators/text.py
+    corpus_stratified): exactly 100 docs allocated across (lang,
+    source) strata by largest-remainder quotas, picked within each
+    stratum by (content-fingerprint, doc_id) order — count-exact where
+    corpus_sample is rate-stable; metadata-sized quota windows, one
+    stratum-partitioned pick window."""
+    return TX.corpus_stratified(load_table(spark, sf_dir, "documents"))
+
+
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_sample(load_table(spark, sf_dir, "documents"))
 
@@ -2291,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_points": _q_change_points,
         "vocab_growth": _q_vocab_growth,
         "skyline": _q_skyline,
+        "corpus_stratified": _q_corpus_stratified,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2319,9 +2330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_decode": _q_zorder_decode,
         "prefix_render": _q_prefix_render,
         "bucket_split": _q_bucket_split,
-        "prefix_match": _q_prefix_match,
         "make_mask": _q_make_mask,
         # ---- driver window ends here (first 50 keys) --------------------
+        "prefix_match": _q_prefix_match,
         "bit_spread": _q_bit_spread,
         "set_bit": _q_set_bit,
         "byte_ops": _q_byte_ops,
@@ -3070,6 +3081,7 @@ def oracle_sql() -> dict[str, str]:
         # collision (~1e-8 at 10^9 grams): the raw twin IS the oracle
         "decontaminate_hashed": TX.decontaminate_sql(),
         "repetition_stats": TX.repetition_stats_sql(),
+        "corpus_stratified": TX.corpus_stratified_sql(),
         "corpus_sample": (
             f"SELECT doc_id, lang, source, n_chars, {TX.doc_fingerprint_sql()} "
             "AS fingerprint FROM documents "

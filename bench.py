@@ -165,6 +165,7 @@ BENCH_KEYS = [
     "corpus_clean",
     "zorder3d_encode",
     "corpus_mix",
+    "corpus_stratified",
     "corpus_shuffle",
     "decontaminate_fuzzy",
     "corpus_budget",

@@ -1873,3 +1873,37 @@ def test_vocab_growth_monotone_and_total(spark, sf_dir):
     )
     assert cums[-1] == total_types
     assert sum(r.new_types for r in out) == total_types
+
+
+# ---- exact stratified sampling -------------------------------------------
+
+
+def test_corpus_stratified_exact_budget_and_hamilton_quotas(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.corpus_stratified(docs, budget=37).collect()
+    assert len(out) == 37  # exact count, not a rate
+    # quotas match a driver-side Hamilton allocation
+    from collections import Counter
+
+    strata = Counter(
+        (r.lang, r.source)
+        for r in docs.select("lang", "source").collect()
+    )
+    n_tot = sum(strata.values())
+    base = {s: (n * 37) // n_tot for s, n in strata.items()}
+    rems = {s: (n * 37) % n_tot for s, n in strata.items()}
+    leftover = 37 - sum(base.values())
+    for s in sorted(strata, key=lambda s: (-rems[s], s))[:leftover]:
+        base[s] += 1
+    got = Counter((r.lang, r.source) for r in out)
+    assert dict(got) == {s: q for s, q in base.items() if q > 0}
+
+
+def test_corpus_stratified_stable_under_repartition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = [tuple(r) for r in T.corpus_stratified(docs, budget=25).collect()]
+    b = [
+        tuple(r)
+        for r in T.corpus_stratified(docs.repartition(13), budget=25).collect()
+    ]
+    assert a == b  # pick order is a pure function of the data

@@ -2428,3 +2428,97 @@ def vocab_growth_sql(bucket_docs: int = 50) -> str:
         "AS cum_types "
         "FROM h ORDER BY bucket"
     )
+
+
+def corpus_stratified(documents: DataFrame, budget: int = 100) -> DataFrame:
+    """EXACT proportional stratified sample: select exactly ``budget``
+    documents with per-(lang, source) allocations by the
+    largest-remainder (Hamilton) method — quotas are
+    ``floor(n_s·B / N)`` plus one for the ``B − Σfloor`` strata with
+    the largest integer remainders (ties by stratum key). Within a
+    stratum, the picks are the first ``quota`` documents under
+    (content-fingerprint, doc_id) order — a pure function of the data,
+    so the sample is stable under repartitioning, re-runs, and
+    appends-elsewhere, which `df.sample()`'s per-partition RNG is not.
+    `corpus_sample` keeps a ~1/mod RATE per stratum; this keeps an
+    exact COUNT with the fairest integer split — the form a fixed
+    training-token budget actually needs. Returns (doc_id, lang,
+    source, fingerprint) ordered (lang, source, fingerprint, doc_id).
+
+    Scale shape: stratum counts and quotas are map-side aggregates over
+    METADATA-sized keys (the remainder ranking windows over the
+    stratum table, not documents); the only per-document work is the
+    fingerprint projection and ONE (lang, source)-partitioned
+    row_number window — same single-shuffle shape as `sessionize`, with
+    stratum skew the standard AQE case. No global sort, no driver
+    state."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    d = documents.select(
+        "doc_id", "lang", "source", fingerprint_col().alias("fingerprint")
+    )
+    counts = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    tot = counts.agg(F.sum("n_s").cast("long").alias("n_tot"))
+    w_rem = Window.orderBy(
+        F.col("rem").desc(), "lang", "source"
+    )
+    quotas = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.expr(f"(n_s * {budget}) div n_tot").alias("q"),
+            F.expr(f"(n_s * {budget}) % n_tot").alias("rem"),
+            F.expr(
+                f"{budget} - sum((n_s * {budget}) div n_tot) over ()"
+            ).alias("leftover"),
+        )
+        .withColumn("rk", F.row_number().over(w_rem))
+        .select(
+            "lang",
+            "source",
+            (F.col("q") + F.when(F.col("rk") <= F.col("leftover"), 1)
+             .otherwise(0)).cast("long").alias("quota"),
+        )
+    )
+    w_pick = Window.partitionBy("lang", "source").orderBy(
+        "fingerprint", "doc_id"
+    )
+    return (
+        d.join(F.broadcast(quotas), ["lang", "source"])
+        .withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") <= F.col("quota"))
+        .select("doc_id", "lang", "source", "fingerprint")
+        .orderBy("lang", "source", "fingerprint", "doc_id")
+    )
+
+
+def corpus_stratified_sql(budget: int = 100) -> str:
+    """DuckDB twin of :func:`corpus_stratified` — same Hamilton
+    quotas, same (fingerprint, doc_id) pick order."""
+    fp = doc_fingerprint_sql()
+    return (
+        f"WITH d AS (SELECT doc_id, lang, source, {fp} AS fingerprint "
+        "FROM documents), "
+        "c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_s "
+        "FROM d GROUP BY lang, source), "
+        "t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM c), "
+        "q0 AS (SELECT lang, source, "
+        f"(n_s * {budget}) // n_tot AS q, (n_s * {budget}) % n_tot AS rem, "
+        f"{budget} - sum((n_s * {budget}) // n_tot) OVER () AS leftover "
+        "FROM c CROSS JOIN t), "
+        "q1 AS (SELECT lang, source, q + CASE WHEN "
+        "row_number() OVER (ORDER BY rem DESC, lang, source) <= leftover "
+        "THEN 1 ELSE 0 END AS quota FROM q0), "
+        "p AS (SELECT d.doc_id, d.lang, d.source, d.fingerprint, q1.quota, "
+        "row_number() OVER (PARTITION BY d.lang, d.source "
+        "ORDER BY d.fingerprint, d.doc_id) AS pick "
+        "FROM d JOIN q1 ON d.lang = q1.lang AND d.source = q1.source) "
+        "SELECT doc_id, lang, source, fingerprint FROM p "
+        "WHERE pick <= quota "
+        "ORDER BY lang, source, fingerprint, doc_id"
+    )
