@@ -584,3 +584,19 @@ def test_pagerank_weighted_py_reduces_to_uniform_on_unit_weights():
         )
 
     run()
+
+
+def test_triangle_nodes_lie_in_the_2core(spark, sf_dir):
+    """Cross-operator invariant: every node of a triangle has degree
+    ≥ 2 within the triangle itself, so any node with n_tri > 0 must
+    survive 2-core peeling of the same graph."""
+    edges = G.doc_overlap_edges(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint()
+    tri_nodes = {
+        r.node
+        for r in G.triangle_count(edges, k=10**6).collect()
+        if r.n_tri > 0
+    }
+    core_nodes = {r.node for r in G.k_core(edges, k=2).collect()}
+    assert tri_nodes <= core_nodes
