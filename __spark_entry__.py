@@ -558,6 +558,14 @@ def _q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_edit(load_table(spark, sf_dir, "documents"))
 
 
+def _q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (operators/dedup.py
+    doc_containment): doc_a with ≥ 9/10 of its distinct 8-grams inside
+    doc_b — the quote/embedding relation symmetric Jaccard collapses
+    on; integer threshold den·n_shared ≥ num·n_a, no float ratio."""
+    return D.doc_containment(load_table(spark, sf_dir, "documents"))
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_minhash(load_table(spark, sf_dir, "documents"))
 
@@ -2307,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": _q_vocab_growth,
         "skyline": _q_skyline,
         "corpus_stratified": _q_corpus_stratified,
+        "doc_containment": _q_doc_containment,
         # -- changed observable output this round (need fresh verdicts) ----
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2334,9 +2343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_encode": _q_zorder_encode,
         "zorder_decode": _q_zorder_decode,
         "prefix_render": _q_prefix_render,
-        "bucket_split": _q_bucket_split,
         "make_mask": _q_make_mask,
         # ---- driver window ends here (first 50 keys) --------------------
+        "bucket_split": _q_bucket_split,
         "prefix_match": _q_prefix_match,
         "bit_spread": _q_bit_spread,
         "set_bit": _q_set_bit,
@@ -2787,6 +2796,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash_portable": D.dedup_minhash_portable_sql(),
         "dedup_simhash_portable": D.dedup_simhash_portable_sql(),
+        "doc_containment": D.doc_containment_sql(),
         # ground truth for the JVM minhash form: EXACT all-pairs shingle
         # Jaccard, no banding/hashing — output ⊆ truth always (exact
         # verify), equality == full banding recall on this fixture. The

@@ -200,6 +200,7 @@ BENCH_KEYS = [
     "span_dedup",
     "span_dedup_hashed",
     "dedup_edit",
+    "doc_containment",
     "bpe_pair_counts",
     "bpe_token_count",
     "pagerank",

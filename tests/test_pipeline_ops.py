@@ -1907,3 +1907,54 @@ def test_corpus_stratified_stable_under_repartition(spark, sf_dir):
         for r in T.corpus_stratified(docs.repartition(13), budget=25).collect()
     ]
     assert a == b  # pick order is a pure function of the data
+
+
+# ---- asymmetric containment ----------------------------------------------
+
+
+def test_doc_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully quoted inside a much larger one: containment
+    fires at 9/10 while the pair's Jaccard is far below any dedup
+    threshold — the asymmetric measure's whole reason to exist. The
+    reverse direction (big inside small) must NOT fire."""
+    quote = " ".join(f"q{i}" for i in range(20))
+    big = quote + " " + " ".join(f"pad{i}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, quote), (2, big), (3, "wholly unrelated text here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a)
+        for r in D.doc_containment(df).collect()
+    }
+    assert (1, 2) in got
+    n_shared, n_a = got[(1, 2)]
+    assert n_shared == n_a == 13  # all 13 of the quote's 8-grams
+    assert (2, 1) not in got  # asymmetric: big is not inside small
+    assert all(3 not in p for p in got)
+
+
+def test_doc_containment_matches_python_reference(spark, sf_dir):
+    import re as _re
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    grams = {}
+    for r in rows:
+        t = [x for x in _re.split(T._WS, r.text or "") if x != ""]
+        grams[r.doc_id] = {
+            " ".join(t[i : i + 8]) for i in range(len(t) - 7)
+        }
+    want = sorted(
+        (a, b, len(grams[a] & grams[b]), len(grams[a]))
+        for a in grams
+        for b in grams
+        if a != b
+        and grams[a] & grams[b]
+        and 10 * len(grams[a] & grams[b]) >= 9 * len(grams[a])
+    )[:2000]
+    got = [
+        (r.doc_a, r.doc_b, r.n_shared, r.n_a)
+        for r in D.doc_containment(docs).collect()
+    ]
+    assert got == want and got

@@ -46,6 +46,8 @@ __all__ = [
     "dedup_keep_best",
     "dedup_edit",
     "dedup_edit_sql",
+    "doc_containment",
+    "doc_containment_sql",
 ]
 
 # deterministic odd multipliers/offsets for the minhash permutation family
@@ -1499,4 +1501,105 @@ def dedup_edit_sql(
         "JOIN t tb ON c.doc_b = tb.doc_id "
         f"WHERE levenshtein(ta.text, tb.text) <= {max_dist} "
         f"ORDER BY dist, doc_a, doc_b LIMIT {k}"
+    )
+
+
+def doc_containment(
+    documents: DataFrame,
+    gram_len: int = 8,
+    num: int = 9,
+    den: int = 10,
+    k: int = 2000,
+) -> DataFrame:
+    """ASYMMETRIC containment detection: ordered pairs (doc_a, doc_b)
+    where at least ``num/den`` of doc_a's distinct ``gram_len``-token
+    windows also occur in doc_b — the "A is quoted/embedded inside B"
+    relation. Jaccard (``ngram_jaccard``) is symmetric and collapses
+    toward 0 when a small document sits inside a much larger one — the
+    exact case (boilerplate inclusion, quotation, concatenated dumps)
+    containment exists to catch; Broder's original resemblance paper
+    defines both measures for this reason. Returns (doc_a, doc_b,
+    n_shared, n_a) with the INTEGER threshold ``den·n_shared ≥
+    num·n_a`` (no float ratio anywhere), ordered (doc_a, doc_b),
+    top-``k``.
+
+    Scale shape: the (gram-md5, doc) incidence is distinct before the
+    pair equi-join (the co_purchase idiom — shared grams shuffle as
+    hashes, never text); per-doc gram counts are a map-side aggregate
+    broadcast back by doc id. Same no-false-negative blocking as
+    :func:`dedup_edit`: a pair at ≥ num/den containment shares grams
+    by definition."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    para = documents.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        documents.repartition(para, "doc_id")
+        .select("doc_id", tokens(txt).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= gram_len,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - gram_len),
+                        lambda i: F.md5(
+                            F.array_join(F.slice("toks", i + 1, gram_len), " ")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    n = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(n.select(F.col("doc_id").alias("doc_a"), "n_a")),
+            "doc_a",
+        )
+        .filter(F.col("n_shared") * den >= F.col("n_a") * num)
+        .select("doc_a", "doc_b", "n_shared", "n_a")
+        .orderBy("doc_a", "doc_b")
+        .limit(k)
+    )
+
+
+def doc_containment_sql(
+    gram_len: int = 8, num: int = 9, den: int = 10, k: int = 2000
+) -> str:
+    """DuckDB twin of :func:`doc_containment` — same md5 gram
+    incidence, same integer threshold."""
+    from tiny_md_hbase_spark.operators.text import tokens_sql
+
+    toks = tokens_sql("coalesce(text, '')")
+    return (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        "g AS (SELECT DISTINCT doc_id, "
+        f"md5(array_to_string(toks[u.i + 1 : u.i + {gram_len}], ' ')) AS h "
+        f"FROM t, unnest(range(CASE WHEN len(toks) >= {gram_len} "
+        f"THEN len(toks) - {gram_len} + 1 ELSE 0 END)) AS u(i)), "
+        "n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a "
+        "FROM g GROUP BY doc_id), "
+        "s AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM g a JOIN g b ON a.h = b.h AND a.doc_id <> b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT s.doc_a, s.doc_b, s.n_shared, n.n_a "
+        "FROM s JOIN n ON s.doc_a = n.doc_id "
+        f"WHERE s.n_shared * {den} >= n.n_a * {num} "
+        f"ORDER BY s.doc_a, s.doc_b LIMIT {k}"
     )
