@@ -2256,11 +2256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-7 rotation (per-key verdict ages are DERIVED from the
     # CORRECTNESS_r* artifacts by scripts/rotation_audit.py — run it when
-    # planning the next rotation). Front = the 24 session-new keys:
+    # planning the next rotation). Front = the 25 session-new keys:
     # the first stint's 9 (span_dedup_hashed, bpe_token_count,
     # dedup_clusters_distributed, approx_quantiles,
     # sql_shipping_priority / sql_supplier_volume, json_props_stats,
-    # source_overlap, dedup_clusters_star) plus the second stint's 15
+    # source_overlap, dedup_clusters_star) plus the second stint's 16
     # (pagerank_weighted — weight-proportional integer PageRank;
     # triangle_count — degree-oriented wedge closure over the doc
     # near-dup graph; dedup_edit — blocked levenshtein pairs;
@@ -2272,23 +2272,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bulk constraint audit; k_core — fixed-round peeling;
     # change_points — integer-CUSUM shift estimation; vocab_growth —
     # Heaps-law curve; skyline — 2D Pareto front; corpus_stratified —
-    # Hamilton-quota exact sampling). Then the 3
+    # Hamilton-quota exact sampling; doc_containment — asymmetric
+    # quote/embedding detection). Then the 3
     # changed-observable-output keys needing fresh verdicts
     # (embedding_project reshaped scalar; approx_distinct +
     # table_profile_approx bounds-checked), the 2 r03-stale keys
     # (multimodal_features, sql_pricing_summary), make_mask (changed:
-    # pl ≤ 0 guard), and the first ~20 of the 46-key r04 cohort in
+    # pl ≤ 0 guard), and the first 19 of the 46-key r04 cohort in
     # rotation_audit's suggested order.
     # Displaced below the marker (documented staleness inversion,
     # untouched modules): the r04 tail — codec/DDL singles
-    # (prefix_match, bit_spread, set_bit, byte_ops, euclid_dist,
-    # interval_preds, range_filter, id_gen, table_create/drop/lifecycle,
-    # compact_layout) and the dedup/ANN/text heads (dedup_exact,
-    # dedup_minhash(+portable), dedup_simhash(+portable),
-    # embedding_knn(+lsh/ivf), text_stats, token_count, lang_id,
-    # quality_score, doc_fingerprint) — they lead the r08 rotation,
-    # ahead of the r05 cohort, then the r06/r07-verdict keys (freshest)
-    # at the back.
+    # (bucket_split, prefix_match, bit_spread, set_bit, byte_ops,
+    # euclid_dist, interval_preds, range_filter, id_gen,
+    # table_create/drop/lifecycle, compact_layout) and the
+    # dedup/ANN/text heads (dedup_exact, dedup_minhash(+portable),
+    # dedup_simhash(+portable), embedding_knn(+lsh/ivf), text_stats,
+    # token_count, lang_id, quality_score, doc_fingerprint) — they
+    # lead the r08 rotation, ahead of the r05 cohort, then the
+    # r06/r07-verdict keys (freshest) at the back. Kept in-window
+    # deliberately: make_mask (pl ≤ 0 guard changed this round).
     return {
         # -- session-new (r07) ---------------------------------------------
         "span_dedup_hashed": _q_span_dedup_hashed,
