@@ -1934,6 +1934,41 @@ def test_doc_containment_catches_embedded_doc_jaccard_misses(spark):
     assert all(3 not in p for p in got)
 
 
+def test_gram_df_cap_bounds_boilerplate_fanout(spark):
+    """A planted boilerplate window shared by EVERY doc must not reach
+    the pair join once its df exceeds the cap: candidate fan-out stays
+    bounded by the rare grams, and genuinely near-dup pairs (which share
+    rare grams too) are still found. Without the cap the same corpus
+    pairs quadratically."""
+    boiler = " ".join(f"b{i}" for i in range(8))  # one shared 8-gram
+    n = 40
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}x{j}" for j in range(12)))
+        for i in range(n)
+    ]
+    # docs 0/1: identical unique tails -> a true containment pair via
+    # RARE grams (df=2), which must survive the cap
+    rows[1] = (1, rows[0][1])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.doc_containment(df, max_gram_df=2).collect()
+    got = {(r.doc_a, r.doc_b) for r in capped}
+    assert (0, 1) in got and (1, 0) in got
+    # boilerplate-only collisions are gone: no pair involving docs >= 2
+    assert all(a < 2 and b < 2 for a, b in got), got
+
+    # uncapped, every doc pairs with every other through the boiler gram
+    # (n_shared=1 vs n_a=13 -> below threshold, so containment OUTPUT is
+    # identical — the cap bounds the intermediate, not the answer)
+    uncapped = D.doc_containment(df, max_gram_df=None).collect()
+    assert {(r.doc_a, r.doc_b) for r in uncapped} == got
+
+    # same shape for dedup_edit: doc 0/1 identical (dist 0) found with a
+    # cap that kills the boiler gram
+    edits = D.dedup_edit(df, max_gram_df=2).collect()
+    assert [(r.doc_a, r.doc_b, r.dist) for r in edits] == [(0, 1, 0)]
+
+
 def test_doc_containment_matches_python_reference(spark, sf_dir):
     import re as _re
 

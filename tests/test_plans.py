@@ -614,6 +614,31 @@ def test_dedup_edit_blocked_join_pruned_scan(spark, sf_dir):
     )
 
 
+def test_doc_containment_broadcast_is_conditional(spark, sf_dir):
+    """The per-doc gram-count side is O(|docs|) — a driver/executor OOM
+    if force-broadcast at crawl scale. Above the broadcast budget the
+    plan must contain NO BroadcastExchange (AQE falls back to shuffle
+    joins); results are identical either way (execution-only rewrite)."""
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        (r.doc_a, r.doc_b, r.n_shared, r.n_a)
+        for r in D.doc_containment(docs).collect()
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        big = D.doc_containment(docs)
+        plan = P.explain_str(big, "simple")
+        assert "BroadcastExchange" not in plan, plan[:2000]
+        got = {
+            (r.doc_a, r.doc_b, r.n_shared, r.n_a) for r in big.collect()
+        }
+        assert got == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_scd2_intervals_single_user_shuffle(spark, sf_dir):
     """The lag/flag window, the island numbering, the (user_id, grp)
     aggregation and the lead() stitch all reuse ONE user_id hash

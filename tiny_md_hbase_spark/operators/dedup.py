@@ -1404,39 +1404,34 @@ def dedup_keep_best(documents: DataFrame, clusters: DataFrame) -> DataFrame:
     )
 
 
-def dedup_edit(
-    documents: DataFrame,
-    gram_len: int = 5,
-    max_dist: int = 30,
-    k: int = 500,
-) -> DataFrame:
-    """Edit-distance near-duplicate pairs: candidate generation by
-    shared ``gram_len``-token windows (blocked equi-join on md5 gram
-    keys — a document pair within edit distance ``d`` over ~L-char
-    texts MUST share long runs verbatim, so n-gram blocking has no
-    false negatives at these thresholds), then exact verification by
-    Levenshtein distance ≤ ``max_dist``. The edit-distance member of
-    the dedup family: character-level (catches intra-token typo edits
-    minhash token shingles miss), exact (no banding probability),
-    complementary to :func:`dedup_minhash`'s Jaccard regime.
-
-    Returns (doc_a, doc_b, dist) with doc_a < doc_b, ordered
-    (dist, doc_a, doc_b), top-``k`` — a total order.
-
-    Scale shape: the only all-to-all step is the gram-key equi-join
-    (signatures, not documents, shuffle); full texts are joined back
-    ONLY for verified candidate pairs (two hash joins on doc_id).
-    Verification uses Spark's thresholded ``levenshtein(a, b, max)``
-    — the banded O(max·L) DP, not the O(L²) full matrix; the oracle
-    side computes the full distance and applies the same ≤ filter,
-    which is value-identical on every accepted pair. Production adds
-    the hub-gram doc-frequency cap (boilerplate) as in co_purchase."""
-    txt = F.coalesce(F.col("text"), F.lit(""))
-    para = documents.sparkSession.sparkContext.defaultParallelism
-    base = documents.repartition(para, "doc_id").select(
-        "doc_id", txt.alias("text"), tokens(txt).alias("toks")
+def _cap_gram_df(grams: DataFrame, max_gram_df: int | None) -> DataFrame:
+    """Drop grams whose document frequency exceeds ``max_gram_df`` before
+    any pair join — the hub-gram cap (co_purchase's ``max_degree`` idiom,
+    graph.py). A gram appearing in ``d`` documents fans out to d·(d-1)/2
+    candidate pairs in a gram-blocked self-join; one boilerplate gram in
+    10⁶ docs of a crawl is 5·10¹¹ pairs. Capping df bounds the per-gram
+    fan-out at max_gram_df²/2. The df aggregation and the semi-join both
+    hash on ``h`` — the same partitioning the downstream pair join uses,
+    so the cap adds one co-partitioned exchange, not a new shuffle shape."""
+    if max_gram_df is None:
+        return grams
+    keep = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_gram_df)
+        .select("h")
     )
-    grams = base.select(
+    return grams.join(keep, "h").select("doc_id", "h")
+
+
+def _gram_incidence(
+    documents_toks: DataFrame, gram_len: int
+) -> DataFrame:
+    """Distinct (doc_id, md5-of-gram) incidence list from a (doc_id,
+    toks) projection — shared candidate-generation front end of
+    :func:`dedup_edit` / :func:`doc_containment`. Only 16-byte hashes
+    flow into downstream shuffles, never window strings or text."""
+    return documents_toks.select(
         "doc_id",
         F.explode(
             F.when(
@@ -1450,6 +1445,56 @@ def dedup_edit(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("h"),
     ).distinct()
+
+
+def dedup_edit(
+    documents: DataFrame,
+    gram_len: int = 5,
+    max_dist: int = 30,
+    k: int = 500,
+    max_gram_df: int | None = 1000,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs: candidate generation by
+    shared ``gram_len``-token windows (blocked equi-join on md5 gram
+    keys), then exact verification by Levenshtein distance ≤
+    ``max_dist``. The edit-distance member of the dedup family:
+    character-level (catches intra-token typo edits minhash token
+    shingles miss), deterministic (no banding probability),
+    complementary to :func:`dedup_minhash`'s Jaccard regime.
+
+    Blocking recall: a pair within edit distance ``d`` shares an
+    UNTOUCHED ``gram_len``-token window whenever the token count L
+    satisfies the pigeonhole bound L ≥ (d+1)·gram_len — d edits can
+    break at most d·gram_len of the L−gram_len+1 windows. With the
+    defaults (d=30, gram_len=5) that is L ≥ 155 tokens; SHORTER pairs
+    with edits spread more densely than one per ``gram_len`` tokens can
+    share no window and be missed. The DuckDB twin applies the same
+    blocking, so both engines agree on the same candidate universe.
+
+    Returns (doc_a, doc_b, dist) with doc_a < doc_b, ordered
+    (dist, doc_a, doc_b), top-``k`` — a total order.
+
+    Scale shape: the only all-to-all step is the gram-key equi-join
+    (hashes, not documents, shuffle); full texts are joined back ONLY
+    for verified candidate pairs (two hash joins on doc_id).
+    Verification uses Spark's thresholded ``levenshtein(a, b, max)``
+    — the banded O(max·L) DP, not the O(L²) full matrix; the oracle
+    side computes the full distance and applies the same ≤ filter,
+    which is value-identical on every accepted pair. ``max_gram_df``
+    (:func:`_cap_gram_df`) drops hub grams — boilerplate windows
+    shared by more than that many documents — before the pair join,
+    bounding per-gram fan-out at max_gram_df²/2. Near-dup pairs keep
+    their RARE shared windows (a true near-duplicate of a distinctive
+    document shares distinctive grams, not just boilerplate), so at a
+    sane cap the only pairs lost are boilerplate-only collisions that
+    verification would reject in bulk anyway; the oracle mirrors the
+    cap so both engines see the identical candidate set."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    para = documents.sparkSession.sparkContext.defaultParallelism
+    base = documents.repartition(para, "doc_id").select(
+        "doc_id", txt.alias("text"), tokens(txt).alias("toks")
+    )
+    grams = _cap_gram_df(_gram_incidence(base, gram_len), max_gram_df)
     a, b = grams.alias("a"), grams.alias("b")
     cands = (
         a.join(
@@ -1479,22 +1524,35 @@ def dedup_edit(
 
 
 def dedup_edit_sql(
-    gram_len: int = 5, max_dist: int = 30, k: int = 500
+    gram_len: int = 5,
+    max_dist: int = 30,
+    k: int = 500,
+    max_gram_df: int | None = 1000,
 ) -> str:
-    """DuckDB twin of :func:`dedup_edit` — same md5 gram blocking, full
-    (unbanded) levenshtein with the same ≤ filter."""
+    """DuckDB twin of :func:`dedup_edit` — same md5 gram blocking, same
+    hub-gram df cap, full (unbanded) levenshtein with the same ≤ filter."""
     from tiny_md_hbase_spark.operators.text import tokens_sql
 
     toks = tokens_sql("coalesce(text, '')")
+    cap = (
+        ""
+        if max_gram_df is None
+        else (
+            "g0 AS (SELECT doc_id, h FROM gall WHERE h IN "
+            f"(SELECT h FROM gall GROUP BY h HAVING count(*) <= {max_gram_df})), "
+        )
+    )
+    g_src = "gall" if max_gram_df is None else "g0"
     return (
         f"WITH t AS (SELECT doc_id, coalesce(text, '') AS text, "
         f"{toks} AS toks FROM documents), "
-        "g AS (SELECT DISTINCT doc_id, "
+        "gall AS (SELECT DISTINCT doc_id, "
         f"md5(array_to_string(toks[u.i + 1 : u.i + {gram_len}], ' ')) AS h "
         f"FROM t, unnest(range(CASE WHEN len(toks) >= {gram_len} "
         f"THEN len(toks) - {gram_len} + 1 ELSE 0 END)) AS u(i)), "
+        f"{cap}"
         "c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id) "
+        f"FROM {g_src} a JOIN {g_src} b ON a.h = b.h AND a.doc_id < b.doc_id) "
         "SELECT c.doc_a, c.doc_b, "
         "CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist "
         "FROM c JOIN t ta ON c.doc_a = ta.doc_id "
@@ -1510,6 +1568,7 @@ def doc_containment(
     num: int = 9,
     den: int = 10,
     k: int = 2000,
+    max_gram_df: int | None = 1000,
 ) -> DataFrame:
     """ASYMMETRIC containment detection: ordered pairs (doc_a, doc_b)
     where at least ``num/den`` of doc_a's distinct ``gram_len``-token
@@ -1525,30 +1584,30 @@ def doc_containment(
 
     Scale shape: the (gram-md5, doc) incidence is distinct before the
     pair equi-join (the co_purchase idiom — shared grams shuffle as
-    hashes, never text); per-doc gram counts are a map-side aggregate
-    broadcast back by doc id. Same no-false-negative blocking as
-    :func:`dedup_edit`: a pair at ≥ num/den containment shares grams
-    by definition."""
+    hashes, never text); ``max_gram_df`` (:func:`_cap_gram_df`) drops
+    hub grams before the pair join, bounding per-gram fan-out at
+    max_gram_df²/2 — without it one boilerplate gram in 10⁶ docs is
+    5·10¹¹ candidate pairs. The cap changes the MEASURE, not just the
+    candidates: containment is then computed over doc_a's *informative*
+    grams (n_a counts post-cap grams) — the stop-gram-removal semantic
+    every production containment detector applies, mirrored exactly in
+    the DuckDB twin so both engines agree at every scale. Per-doc gram
+    counts join back on doc_a as a PLAIN equi-join: ``n`` is O(|docs|)
+    — a "small side" that is nothing of the sort at crawl scale — so
+    the broadcast decision is left to AQE's runtime size estimate
+    rather than forced (at fixture scale AQE broadcasts it; above the
+    threshold it falls back to a shuffle join on doc_a, which the
+    already-aggregated ``shared`` side co-partitions with)."""
     txt = F.coalesce(F.col("text"), F.lit(""))
     para = documents.sparkSession.sparkContext.defaultParallelism
-    grams = (
-        documents.repartition(para, "doc_id")
-        .select("doc_id", tokens(txt).alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.size("toks") >= gram_len,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("toks") - gram_len),
-                        lambda i: F.md5(
-                            F.array_join(F.slice("toks", i + 1, gram_len), " ")
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("h"),
-        )
-        .distinct()
+    grams = _cap_gram_df(
+        _gram_incidence(
+            documents.repartition(para, "doc_id").select(
+                "doc_id", tokens(txt).alias("toks")
+            ),
+            gram_len,
+        ),
+        max_gram_df,
     )
     n = grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_a")
@@ -1567,10 +1626,7 @@ def doc_containment(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
     return (
-        shared.join(
-            F.broadcast(n.select(F.col("doc_id").alias("doc_a"), "n_a")),
-            "doc_a",
-        )
+        shared.join(n.select(F.col("doc_id").alias("doc_a"), "n_a"), "doc_a")
         .filter(F.col("n_shared") * den >= F.col("n_a") * num)
         .select("doc_a", "doc_b", "n_shared", "n_a")
         .orderBy("doc_a", "doc_b")
@@ -1579,24 +1635,39 @@ def doc_containment(
 
 
 def doc_containment_sql(
-    gram_len: int = 8, num: int = 9, den: int = 10, k: int = 2000
+    gram_len: int = 8,
+    num: int = 9,
+    den: int = 10,
+    k: int = 2000,
+    max_gram_df: int | None = 1000,
 ) -> str:
     """DuckDB twin of :func:`doc_containment` — same md5 gram
-    incidence, same integer threshold."""
+    incidence, same hub-gram df cap (n_a counts post-cap grams, as in
+    the Spark side), same integer threshold."""
     from tiny_md_hbase_spark.operators.text import tokens_sql
 
     toks = tokens_sql("coalesce(text, '')")
+    cap = (
+        ""
+        if max_gram_df is None
+        else (
+            "g AS (SELECT doc_id, h FROM gall WHERE h IN "
+            f"(SELECT h FROM gall GROUP BY h HAVING count(*) <= {max_gram_df})), "
+        )
+    )
+    g_src = "gall" if max_gram_df is None else "g"
     return (
         f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
-        "g AS (SELECT DISTINCT doc_id, "
+        "gall AS (SELECT DISTINCT doc_id, "
         f"md5(array_to_string(toks[u.i + 1 : u.i + {gram_len}], ' ')) AS h "
         f"FROM t, unnest(range(CASE WHEN len(toks) >= {gram_len} "
         f"THEN len(toks) - {gram_len} + 1 ELSE 0 END)) AS u(i)), "
+        f"{cap}"
         "n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a "
-        "FROM g GROUP BY doc_id), "
+        f"FROM {g_src} GROUP BY doc_id), "
         "s AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         "CAST(count(*) AS BIGINT) AS n_shared "
-        "FROM g a JOIN g b ON a.h = b.h AND a.doc_id <> b.doc_id "
+        f"FROM {g_src} a JOIN {g_src} b ON a.h = b.h AND a.doc_id <> b.doc_id "
         "GROUP BY a.doc_id, b.doc_id) "
         "SELECT s.doc_a, s.doc_b, s.n_shared, n.n_a "
         "FROM s JOIN n ON s.doc_a = n.doc_id "
