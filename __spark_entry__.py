@@ -902,47 +902,62 @@ def _q_text_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Committed parquet fixture shared by the multimodal queries AND their
+# DuckDB oracles (scripts/make_media_fixture.py): 96 deterministic synth
+# rows + 12 planted byte-identical duplicates (media_id+1000 for
+# media_id % 8 == 0). Opaque-binary plumbing needs both engines to see
+# the same bytes — the fixture file is that common ground.
+_MEDIA_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "media.parquet"
+)
+
+
 def _q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact payload dedup over the synthetic media table with planted
-    byte-identical duplicates (rows-only: the in-memory media table has
-    no DuckDB view; determinism + planted-dup invariants are asserted in
-    tests/test_write_streaming.py)."""
+    """Exact payload dedup over the media fixture's planted
+    byte-identical duplicates. The operator groups on the 8-byte JVM
+    xxhash64 (payload bytes never shuffle); the query projects the
+    engine-portable observables (kind, keep_id, n_copies, sum_bytes) so
+    the DuckDB twin can group on the payload bytes directly — identical
+    groups barring a 64-bit collision inside the fixture (none)."""
     from tiny_md_hbase_spark.operators import multimodal as MM
 
-    base = MM.synth_media(spark, 64)
-    dups = base.filter(F.col("media_id") % 8 == 0).select(
-        (F.col("media_id") + 1000).alias("media_id"),
-        "kind",
-        "payload",
-        "width",
-        "height",
-        "duration_ms",
-        "format",
-    )
-    return MM.media_dedup_exact(base.unionByName(dups)).filter(
-        F.col("n_copies") > 1
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    return (
+        MM.media_dedup_exact(media)
+        .filter(F.col("n_copies") > 1)
+        .select("kind", "keep_id", "n_copies", "sum_bytes")
     )
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing exercised through the driver contract: a
-    deterministic synthetic media table through the Arrow-batched decode
-    kernel (codec stubbed; rows-only check — no SQL analog of the
-    kernel)."""
+    """Arrow-batched decode kernel over the media fixture. The fake
+    codec's feature[0] is mean(payload[0::8])/255 stored as float32;
+    the query emits the exactly-recoverable integer observable
+    f0_sum = round(feature[0] · 255 · ceil(n_bytes/8)) — the stride-8
+    byte sum (< 2²⁴, so the float32 round-trip error ≪ 0.5 and the
+    round() is exact) — which the DuckDB twin recomputes from the raw
+    bytes via hex-string arithmetic."""
     from tiny_md_hbase_spark.operators import multimodal as MM
 
-    feats = MM.decode_features(MM.synth_media(spark, 64))
+    feats = MM.decode_features(spark.read.parquet(_MEDIA_FIXTURE))
+    cnt0 = F.floor((F.col("n_bytes") + F.lit(7)) / F.lit(8)).cast("long")
     return feats.select(
-        "media_id", "kind", "n_bytes", F.round(F.col("feature")[0], 6).alias("f0")
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(F.col("feature")[0].cast("double") * 255.0 * cnt0)
+        .cast("long")
+        .alias("f0_sum"),
     )
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling through the partitioned-media file path: the
-    synthetic table is written partitionBy(kind, size_bucket), read back
-    (the frame job prunes to kind=video files), then demuxed by the
-    Arrow-batched kernel. Deterministic payloads → deterministic frame
-    bytes; rows-only check (no SQL analog of the kernel)."""
+    fixture is written partitionBy(kind, size_bucket), read back (the
+    frame job prunes to kind=video files), then demuxed by the
+    Arrow-batched kernel. Frame identity crosses engines as
+    md5(uppercase-hex(frame bytes)): DuckDB 1.0 cannot md5 a BLOB, but
+    both engines agree on hex(payload) and its substrings."""
     import shutil
     import tempfile
 
@@ -950,14 +965,14 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tempfile.mkdtemp(prefix="media_q_")
     try:
-        MM.write_media_partitioned(MM.synth_media(spark, 96), f"{d}/media")
+        MM.write_media_partitioned(spark.read.parquet(_MEDIA_FIXTURE), f"{d}/media")
         media = MM.load_media_partitioned(spark, f"{d}/media")
         frames = MM.frame_sample(media, every_ms=250)
         return frames.select(
             "media_id",
             "frame_idx",
-            F.length("frame_payload").alias("n_bytes"),
-            F.crc32(F.col("frame_payload")).alias("payload_crc"),
+            F.length("frame_payload").cast("long").alias("n_bytes"),
+            F.md5(F.hex("frame_payload")).alias("frame_md5"),
         ).localCheckpoint()
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -2830,6 +2845,52 @@ def oracle_sql() -> dict[str, str]:
             "AS target_width, "
             "CAST(floor(height * least(32 / width, 32 / height, 1.0)) AS INTEGER) "
             "AS target_height FROM m WHERE width IS NOT NULL"
+        ),
+        # ---- multimodal oracles over the committed parquet fixture ------
+        # DuckDB sees the exact bytes Spark processes (read_parquet on the
+        # committed file); byte values come from hex-string arithmetic
+        # since DuckDB 1.0 has no BLOB substring/md5 — both engines agree
+        # on uppercase hex(payload)
+        "media_dedup": (
+            f"SELECT kind, min(media_id) AS keep_id, "
+            "CAST(count(*) AS BIGINT) AS n_copies, "
+            "CAST(sum(octet_length(payload)) AS BIGINT) AS sum_bytes "
+            f"FROM read_parquet('{_MEDIA_FIXTURE}') "
+            "GROUP BY kind, hex(payload) HAVING count(*) > 1"
+        ),
+        # f0_sum = sum of payload bytes at stride-8 offset 0 — the
+        # integer the Spark side recovers exactly from the float32
+        # feature (see _q_multimodal_features)
+        "multimodal_features": (
+            "WITH m AS (SELECT media_id, kind, hex(payload) AS hx, "
+            "octet_length(payload) AS nb "
+            f"FROM read_parquet('{_MEDIA_FIXTURE}')) "
+            "SELECT media_id, kind, CAST(nb AS BIGINT) AS n_bytes, "
+            "CAST(sum("
+            "(strpos('0123456789ABCDEF', substring(hx, u.i * 2 + 1, 1)) - 1) * 16 "
+            "+ (strpos('0123456789ABCDEF', substring(hx, u.i * 2 + 2, 1)) - 1)"
+            ") AS BIGINT) AS f0_sum "
+            "FROM m, unnest(range(0, nb, 8)) AS u(i) "
+            "GROUP BY media_id, kind, nb"
+        ),
+        # mirrors the fake demuxer exactly: n_frames = max(dur//250, 1),
+        # step = max(nb//n_frames, 1), frame i = payload[i*step:(i+1)*step]
+        # (hex substring beyond the payload end truncates exactly like the
+        # Python slice)
+        "frame_sample": (
+            "WITH v AS (SELECT media_id, hex(payload) AS hx, "
+            "CAST(octet_length(payload) AS BIGINT) AS nb, "
+            "CAST(duration_ms AS BIGINT) AS dur "
+            f"FROM read_parquet('{_MEDIA_FIXTURE}') "
+            "WHERE kind = 'video' AND duration_ms IS NOT NULL), "
+            "p AS (SELECT media_id, hx, nb, "
+            "greatest(dur // 250, 1) AS n_frames, "
+            "greatest(nb // greatest(dur // 250, 1), 1) AS step FROM v) "
+            "SELECT media_id, CAST(u.i AS INTEGER) AS frame_idx, "
+            "CAST(step AS BIGINT) AS n_bytes, "
+            "md5(substring(hx, CAST(u.i * step * 2 + 1 AS BIGINT), "
+            "CAST(step * 2 AS BIGINT))) AS frame_md5 "
+            "FROM p, unnest(range(n_frames)) AS u(i)"
         ),
         # pigeonhole-losslessness invariant (see the query's docstring):
         # the observable is exactly-zero missed/extra pairs

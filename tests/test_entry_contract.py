@@ -12,16 +12,14 @@ def test_every_oracle_key_has_a_query():
 
 def test_rows_only_set_is_exactly_the_documented_one():
     q, o = entry.queries(), entry.oracle_sql()
-    # r07: approx_distinct + table_profile_approx left this set (now
-    # bounds-checked oracles via the TRUE-flag pattern)
+    # r08: multimodal_features/media_dedup/frame_sample left this set —
+    # the committed media.parquet fixture gives DuckDB the same bytes,
+    # so the kernels' observables are now value-oracled
     assert sorted(set(q) - set(o)) == [
         "compact_layout",
         "dedup_minhash",
         "dedup_simhash",
         "embedding_knn_ivf",
-        "frame_sample",
-        "media_dedup",
-        "multimodal_features",
         "table_lifecycle",
     ]
 

@@ -480,13 +480,13 @@ def test_stream_ingest_embeddings_equals_batch_layout(spark, sf_dir, tmp_path):
     assert got == want
 
 
-# --- pinned-fixture goldens for the rows-only media keys -------------------
-# media_dedup / frame_sample / multimodal_features have no SQL analog of
-# their Arrow kernels, so the driver records rows-only verdicts. These
-# goldens are the compensating determinism oracle: the EXACT driver-graded
-# outputs (same entry functions the driver calls), canonicalized
-# (sorted columns, sorted rows, binary as hex) and sha256-pinned. Any
-# kernel, synth-fixture, or schema drift breaks the hash.
+# --- pinned goldens for the media keys -------------------------------------
+# media_dedup / frame_sample / multimodal_features are value-oracled in
+# DuckDB since r08 (committed media.parquet fixture), but the goldens stay
+# as a fast in-suite regression net: the EXACT driver-graded outputs (same
+# entry functions the driver calls), canonicalized (sorted columns, sorted
+# rows, binary as hex) and sha256-pinned. Any kernel, fixture, or schema
+# drift breaks the hash.
 
 def _golden_canon(df):
     import hashlib
@@ -509,27 +509,59 @@ def test_media_dedup_entry_golden(spark):
     import __spark_entry__ as e
 
     cols, n, h = _golden_canon(e.queries()["media_dedup"](spark, "unused"))
-    assert cols == ["keep_id", "kind", "n_copies", "payload_hash", "sum_bytes"]
-    assert n == 8
-    assert h == "ee755d548e8af15dba00f37a312ae3c21f514b2931aea706ba3d8a08b55966b6"
+    assert cols == ["keep_id", "kind", "n_copies", "sum_bytes"]
+    assert n == 12
+    assert h == "793b770efbdbe24c01ac23b5fb6e50e5d10c8e751bdff60527ca26ca3d312924"
 
 
 def test_frame_sample_entry_golden(spark):
     import __spark_entry__ as e
 
     cols, n, h = _golden_canon(e.queries()["frame_sample"](spark, "unused"))
-    assert cols == ["frame_idx", "media_id", "n_bytes", "payload_crc"]
-    assert n == 128
-    assert h == "7a3d7fb0e3b06053d876358e2bdd94d9fbfb17df8e964c5891214ad4cf2700c3"
+    assert cols == ["frame_idx", "frame_md5", "media_id", "n_bytes"]
+    assert n == 144
+    assert h == "a562f0bb7d82319943e80ef858287120c033401a2aaf94b67562313307efa299"
 
 
 def test_multimodal_features_entry_golden(spark):
     import __spark_entry__ as e
 
     cols, n, h = _golden_canon(e.queries()["multimodal_features"](spark, "unused"))
-    assert cols == ["f0", "kind", "media_id", "n_bytes"]
-    assert n == 64
-    assert h == "1cf48a89def94737003784a4e456012cb044ac7eb85cf5e1a5f6fa7355c220d9"
+    assert cols == ["f0_sum", "kind", "media_id", "n_bytes"]
+    assert n == 108
+    assert h == "53b7f5001b89478f5268402fb85fce7f74f7d05cf9f852a502af04f85e2095ff"
+
+
+def test_media_fixture_matches_generator():
+    """The committed media.parquet fixture must equal what
+    scripts/make_media_fixture.py would regenerate: 96 synth rows + the
+    12 planted duplicates (media_id+1000 for media_id % 8 == 0), byte
+    for byte — the DuckDB oracles read this file, so silent fixture
+    drift would invalidate three correctness verdicts."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tiny_md_hbase_spark.operators.multimodal import _synth_media_rows
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        "media.parquet",
+    )
+    want = _synth_media_rows(96)
+    want += [
+        (mid + 1000, kind, payload, w, h, dur, fmt)
+        for (mid, kind, payload, w, h, dur, fmt) in want
+        if mid % 8 == 0
+    ]
+    got = [
+        tuple(d[c] for c in ("media_id", "kind", "payload", "width",
+                             "height", "duration_ms", "format"))
+        for d in pq.read_table(path).to_pylist()
+    ]
+    assert got == want
 
 
 def test_stream_scd2_entry_matches_batch(spark, sf_dir):

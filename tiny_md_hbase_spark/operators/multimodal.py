@@ -75,9 +75,11 @@ FRAME_SCHEMA = T.StructType(
 _FEATURE_DIM = 8
 
 
-def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded pseudo-random
-    bytes) for exercising the plumbing without codec libraries."""
+def _synth_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
+    """Deterministic synthetic media rows (payload = seeded pseudo-random
+    bytes) — shared by :func:`synth_media` and the committed parquet
+    fixture (scripts/make_media_fixture.py) so the DuckDB oracles see the
+    exact bytes Spark processes."""
     import random
 
     rng = random.Random(seed)
@@ -98,7 +100,13 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
                 {"image": "png", "audio": "wav", "video": "mkv"}[kind],
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table for exercising the plumbing
+    without codec libraries."""
+    return spark.createDataFrame(_synth_media_rows(n, seed), MEDIA_SCHEMA)
 
 
 def media_dedup_exact(media: DataFrame) -> DataFrame:
