@@ -253,8 +253,10 @@ def _q_compact_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     HBase major-compaction analog behind the reference's store): two
     z-sorted batches appended (file z-spans overlap, pruning degrades),
     then one compaction rewrite (spans disjoint again). Returns the
-    layout observables per stage; rows-only check — physical layout has
-    no DuckDB analog."""
+    post-lifecycle layout observables, value-oracled: data-derived rows
+    (rows_total, z_min, z_max) recomputed by DuckDB from the points
+    view; layout-spec rows (file counts, disjointness) as pinned
+    invariants."""
     import shutil
     import tempfile
 
@@ -271,18 +273,22 @@ def _q_compact_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         before = WR.file_z_spans(spark, path).collect()
         WR.compact_points_table(spark, d, num_partitions=8)
         after = WR.file_z_spans(spark, path).collect()
-        rows_kept = int(
-            sum(r.n_rows for r in before)
-            == sum(r.n_rows for r in after)
-            == pts.count()
-        )
+        # value-level observables: file counts + post-compaction span
+        # disjointness are the layout SPEC (constant under the oracle's
+        # TRUE-flag pattern — the range-partitioner's exact cut points are
+        # sample-based, so the pre-compaction overlap COUNT is only
+        # guaranteed positive, not a stable number); rows_total and the
+        # global z extent tie the actual file-footer stats back to the
+        # data, which DuckDB recomputes from the points view
         return spark.createDataFrame(
             [
                 ("files_before", len(before)),
-                ("overlap_pairs_before", WR.overlapping_span_pairs(before)),
+                ("had_overlap_before", int(WR.overlapping_span_pairs(before) > 0)),
                 ("files_after", len(after)),
                 ("overlap_pairs_after", WR.overlapping_span_pairs(after)),
-                ("rows_preserved", rows_kept),
+                ("rows_total", sum(r.n_rows for r in after)),
+                ("z_min", min(r.min_z for r in after)),
+                ("z_max", max(r.max_z for r in after)),
             ],
             "metric string, value long",
         )
@@ -290,11 +296,22 @@ def _q_compact_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+# table_lifecycle's literal insert batch, shared with its oracle twin
+_LIFECYCLE_N = 40
+_LIFECYCLE_POINTS_SQL = (
+    "SELECT i AS id, CAST(i % 64 AS INTEGER) AS x, "
+    f"CAST((i * 5) % 64 AS INTEGER) AS y FROM range({_LIFECYCLE_N}) t(i)"
+)
+
+
 def _q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """table_create / insert_append / table_drop (Index.java:77-105,
-    Client.java:217-224) driven end-to-end against a scratch path;
-    returns the observable row/size counts per stage (rows-only check —
-    DDL has no DuckDB analog)."""
+    Client.java:217-224) driven end-to-end against a scratch path.
+    Value-oracled since r08: besides the lifecycle scalars, the query
+    emits ONE ROW PER POST-INSERT INDEX BUCKET — the actual on-disk
+    index state — which DuckDB recomputes by running the index_build
+    recursive-CTE twin over the same literal batch, so the whole
+    create→insert→refresh chain is hash-checked, not just smoked."""
     import tempfile
 
     from tiny_md_hbase_spark.operators import write as W
@@ -304,26 +321,25 @@ def _q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     W.table_create(spark, path)
     seeded = spark.read.parquet(f"{path}/index").count()
     batch = spark.createDataFrame(
-        [(i, i % 64, (i * 5) % 64) for i in range(40)], "id long, x int, y int"
+        [(i, i % 64, (i * 5) % 64) for i in range(_LIFECYCLE_N)],
+        "id long, x int, y int",
     )
     W.insert_append(spark, path, batch)
     n_rows = spark.read.parquet(f"{path}/points").count()
-    n_size = (
-        spark.read.parquet(f"{path}/index").agg(F.sum("size")).collect()[0][0]
-    )
+    idx = spark.read.parquet(f"{path}/index").collect()
     W.table_drop(path)
     import os
 
     dropped = 0 if os.path.exists(path) else 1
-    return spark.createDataFrame(
-        [
-            ("created_index_buckets", seeded),
-            ("inserted_rows", n_rows),
-            ("index_size_sum", n_size),
-            ("dropped", dropped),
-        ],
-        "stage string, value long",
-    )
+    rows = [
+        ("created_index_buckets", seeded),
+        ("inserted_rows", n_rows),
+        ("index_size_sum", sum(r.size for r in idx)),
+        ("dropped", dropped),
+    ] + [
+        (f"bucket_{r.bucket_z}_pl{r.pl}", r.size) for r in idx
+    ]
+    return spark.createDataFrame(rows, "stage string, value long")
 
 
 _INSERT_BATCH = [(900001, 513, 1025), (900002, 514, 1026), (900003, 515, 1027)]
@@ -2496,12 +2512,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql(): DuckDB ANSI twins over the pre-registered parquet views
 # ---------------------------------------------------------------------------
 
-def _index_cte() -> str:
+def _index_cte(points_sql: str = POINTS_SQL) -> str:
     """Recursive-CTE twin of index_build: one-bit-at-a-time splitting
     exactly as ``Index.splitBucket`` (``Index.java:183-230``), threshold 10,
     depth cap 64. ``leafidx`` holds (bucket_z, pl, size). DuckDB refuses to
     left-shift negative numbers, so the prefix mask uses the two's-
-    complement identity ``-1 << s == -(1 << s)``."""
+    complement identity ``-1 << s == -(1 << s)``. ``points_sql`` lets the
+    same trie twin check any (id, x, y) source — the sf view by default,
+    the table_lifecycle literal batch otherwise."""
     zsql = Z.zvalue_sql("x", "y")
     mask = "(CASE WHEN {pl} >= 64 THEN CAST(-1 AS BIGINT) ELSE -(CAST(1 AS BIGINT) << (64 - {pl})) END)"
     # CAST to BIGINT: DuckDB's sum(BIGINT) yields HUGEINT (int128), and the
@@ -2513,7 +2531,7 @@ def _index_cte() -> str:
     )
     t_size = size_of.format(pl="t.pl", bz="t.bucket_z")
     return (
-        f"WITH RECURSIVE points AS ({POINTS_SQL}), "
+        f"WITH RECURSIVE points AS ({points_sql}), "
         f"zcells AS (SELECT {zsql} AS z, CAST(count(*) AS BIGINT) AS c "
         "FROM points GROUP BY 1), "
         "tree(bucket_z, pl) AS ("
@@ -2845,6 +2863,36 @@ def oracle_sql() -> dict[str, str]:
             "AS target_width, "
             "CAST(floor(height * least(32 / width, 32 / height, 1.0)) AS INTEGER) "
             "AS target_height FROM m WHERE width IS NOT NULL"
+        ),
+        # the whole create -> insert -> refresh chain hash-checked: the
+        # post-insert on-disk index must equal the recursive-CTE trie over
+        # the same literal batch; lifecycle scalars ride along (bootstrap
+        # bucket count and drop success are the Index.java:96-99 /
+        # Client.java:217-224 contract)
+        "table_lifecycle": (
+            _index_cte(_LIFECYCLE_POINTS_SQL)
+            + " SELECT 'created_index_buckets' AS stage, "
+            "CAST(1 AS BIGINT) AS value"
+            " UNION ALL SELECT 'inserted_rows', "
+            "(SELECT CAST(count(*) AS BIGINT) FROM points)"
+            " UNION ALL SELECT 'index_size_sum', "
+            "(SELECT CAST(COALESCE(sum(size), 0) AS BIGINT) FROM leafidx)"
+            " UNION ALL SELECT 'dropped', CAST(1 AS BIGINT)"
+            " UNION ALL SELECT 'bucket_' || bucket_z || '_pl' || pl, size "
+            "FROM leafidx"
+        ),
+        # layout spec (file counts, post-compaction disjointness) as
+        # pinned invariants + the data-derived rows the file footers must
+        # reproduce (row total, global z extent)
+        "compact_layout": (
+            f"{_POINTS_CTE} "
+            "SELECT 'files_before' AS metric, CAST(8 AS BIGINT) AS value"
+            " UNION ALL SELECT 'had_overlap_before', 1"
+            " UNION ALL SELECT 'files_after', 8"
+            " UNION ALL SELECT 'overlap_pairs_after', 0"
+            " UNION ALL SELECT 'rows_total', (SELECT count(*) FROM points)"
+            f" UNION ALL SELECT 'z_min', (SELECT min({zsql}) FROM points)"
+            f" UNION ALL SELECT 'z_max', (SELECT max({zsql}) FROM points)"
         ),
         # ---- multimodal oracles over the committed parquet fixture ------
         # DuckDB sees the exact bytes Spark processes (read_parquet on the
