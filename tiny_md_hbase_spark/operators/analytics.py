@@ -53,7 +53,16 @@ __all__ = [
     "parts_with_shipments_sql",
     "table_profile",
     "table_profile_approx",
+    "table_profile_approx_check",
+    "table_profile_approx_check_sql",
     "table_profile_sql",
+    "approx_distinct_check",
+    "approx_distinct_check_sql",
+    "json_props_stats",
+    "json_props_stats_sql",
+    "approx_quantiles",
+    "approx_quantiles_check",
+    "approx_quantiles_check_sql",
     "dq_check",
     "dq_check_sql",
 ]
@@ -352,11 +361,16 @@ def json_props_stats(events: DataFrame) -> DataFrame:
 
 
 def json_props_stats_sql() -> str:
-    """DuckDB twin of :func:`json_props_stats` (``->>`` extraction +
-    identical aggregate list)."""
+    """DuckDB twin of :func:`json_props_stats`. NULL semantics must
+    match ``from_json``'s PERMISSIVE mode: malformed JSON or a
+    non-integer ``k`` yields NULL on the Spark side, so the twin guards
+    extraction with ``json_valid`` and uses ``TRY_CAST`` — DuckDB's
+    plain ``->>``/``CAST`` would hard-error on a garbage row instead of
+    matching the NULL."""
     return (
         "WITH ev AS (SELECT event_type, "
-        "CAST(props->>'k' AS BIGINT) AS k FROM events) "
+        "TRY_CAST((CASE WHEN json_valid(props) THEN props END)->>'k' "
+        "AS BIGINT) AS k FROM events) "
         "SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k, "
         "CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, "
         "max(k) AS max_k, CAST(count(DISTINCT k) AS BIGINT) AS nd_k "

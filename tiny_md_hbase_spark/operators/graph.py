@@ -46,6 +46,10 @@ __all__ = [
     "triangle_count",
     "triangle_count_py",
     "k_core",
+    "pagerank_sql",
+    "pagerank_weighted_sql",
+    "triangle_count_sql",
+    "k_core_sql",
 ]
 
 SCALE = 10**12  # rank micro-units

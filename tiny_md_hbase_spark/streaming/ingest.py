@@ -577,28 +577,60 @@ def stream_scd2(
     the batch operator (and its DuckDB oracle) exactly. In-order per
     key across batches, as with the other stream twins."""
 
+    _OUT_COLS = ["user_id", "state", "valid_from", "valid_to", "n_events"]
+
     def fn(key, pdfs, state):
+        # vectorized run-length encoding (shift/cumsum/groupby on the
+        # Arrow batch) instead of a per-event Python loop: a run is a
+        # maximal same-state stretch; every run but the last closes with
+        # valid_to = the next run's valid_from — exactly what the batch
+        # operator's lead() assigns
         import pandas as pd
 
         (user_id,) = key
-        cur, vf, n = state.get if state.exists else (None, None, 0)
+        cur, vf0, n0 = state.get if state.exists else (None, None, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts_us", "event_id"])
-        rows = []
-        for ts, et in zip(batch["ts_us"], batch["event_type"]):
-            ts = int(ts)
-            if cur is None:
-                cur, vf, n = et, ts, 1
-            elif et == cur:
-                n += 1
-            else:
-                rows.append((user_id, cur, vf, ts, n))
-                cur, vf, n = et, ts, 1
-        state.update((cur, vf, n))
-        yield pd.DataFrame(
-            rows,
-            columns=["user_id", "state", "valid_from", "valid_to", "n_events"],
+        et = batch["event_type"].reset_index(drop=True)
+        ts = batch["ts_us"].astype("int64").reset_index(drop=True)
+
+        run_id = et.ne(et.shift()).cumsum()
+        runs = (
+            pd.DataFrame({"et": et, "ts": ts, "run": run_id})
+            .groupby("run", sort=True)
+            .agg(st=("et", "first"), vf=("ts", "first"), n=("et", "size"))
         )
+        carry = []
+        if cur is not None:
+            first = runs.iloc[0]
+            if first["st"] == cur:
+                # the open interval continues through the first run
+                runs.iloc[0, runs.columns.get_loc("vf")] = vf0
+                runs.iloc[0, runs.columns.get_loc("n")] = first["n"] + n0
+            else:
+                # closed the moment the first (different) event arrives
+                carry = [(user_id, cur, vf0, int(first["vf"]), n0)]
+
+        last = runs.iloc[-1]
+        state.update((str(last["st"]), int(last["vf"]), int(last["n"])))
+
+        closed = runs.iloc[:-1].copy()
+        closed["vt"] = runs["vf"].shift(-1).iloc[:-1].astype("int64")
+        out = pd.DataFrame(
+            {
+                "user_id": user_id,
+                "state": closed["st"],
+                "valid_from": closed["vf"],
+                "valid_to": closed["vt"],
+                "n_events": closed["n"].astype("int64"),
+            }
+        )
+        if carry:
+            out = pd.concat(
+                [pd.DataFrame(carry, columns=_OUT_COLS), out],
+                ignore_index=True,
+            )
+        yield out
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)

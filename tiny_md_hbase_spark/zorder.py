@@ -129,6 +129,20 @@ def make_mask(prefix_len: Column | int) -> Column:
     and pl <= 0 to 0 (a zero-length prefix matches everything — without
     the guard, shiftleft(-1, 64) wraps to shift 0 and yields -1, which
     would silently drop every probe in a prefix equi-join).
+
+    DELIBERATE DIVERGENCE from the reference: ``Utils.makeMask`` rejects
+    ``prefixSize <= 0`` via ``checkArgument`` — a fail-fast contract a
+    scalar call can afford. Here the mask is a vectorized Column inside
+    whole-stage codegen over billions of rows, where a per-row throw is
+    not expressible without poisoning the codegen path; the engine
+    instead keeps the invariant at the source: every pl this expression
+    ever sees comes from the index table, whose builder only emits
+    pl >= ROOT_PL (= 2) — asserted structurally by the index tests — so
+    a pl <= 0 reaching this guard would mean index corruption upstream,
+    not a masked query bug. The 0 branch exists only to make the
+    wrap-around arithmetic total (an empty prefix genuinely means
+    match-everything on surfaces like prefix_render's don't-care
+    rendering).
     """
     pl = F.lit(prefix_len) if isinstance(prefix_len, int) else prefix_len
     # call_function: the SQL shiftleft accepts a column shift amount (the
