@@ -2285,99 +2285,25 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
-    # Round-7 rotation (per-key verdict ages are DERIVED from the
-    # CORRECTNESS_r* artifacts by scripts/rotation_audit.py — run it when
-    # planning the next rotation). Front = the 25 session-new keys:
-    # the first stint's 9 (span_dedup_hashed, bpe_token_count,
-    # dedup_clusters_distributed, approx_quantiles,
-    # sql_shipping_priority / sql_supplier_volume, json_props_stats,
-    # source_overlap, dedup_clusters_star) plus the second stint's 16
-    # (pagerank_weighted — weight-proportional integer PageRank;
-    # triangle_count — degree-oriented wedge closure over the doc
-    # near-dup graph; dedup_edit — blocked levenshtein pairs;
-    # scd2_intervals + stream_scd2 — CDC gaps-and-islands build and its
-    # stateful streaming twin under ONE oracle; sql_returned_revenue /
-    # sql_large_orders — TPC-H Q10/Q18 facade shapes;
-    # hybrid_search_rrf — BM25 ⊕ cosine reciprocal-rank fusion;
-    # session_paths — top per-session event-type sequences; dq_check —
-    # bulk constraint audit; k_core — fixed-round peeling;
-    # change_points — integer-CUSUM shift estimation; vocab_growth —
-    # Heaps-law curve; skyline — 2D Pareto front; corpus_stratified —
-    # Hamilton-quota exact sampling; doc_containment — asymmetric
-    # quote/embedding detection). Then the 3
-    # changed-observable-output keys needing fresh verdicts
-    # (embedding_project reshaped scalar; approx_distinct +
-    # table_profile_approx bounds-checked), the 2 r03-stale keys
-    # (multimodal_features, sql_pricing_summary), make_mask (changed:
-    # pl ≤ 0 guard), and the first 19 of the 46-key r04 cohort in
-    # rotation_audit's suggested order.
-    # Displaced below the marker (documented staleness inversion,
-    # untouched modules): the r04 tail — codec/DDL singles
-    # (bucket_split, prefix_match, bit_spread, set_bit, byte_ops,
-    # euclid_dist, interval_preds, range_filter, id_gen,
-    # table_create/drop/lifecycle, compact_layout) and the
-    # dedup/ANN/text heads (dedup_exact, dedup_minhash(+portable),
-    # dedup_simhash(+portable), embedding_knn(+lsh/ivf), text_stats,
-    # token_count, lang_id, quality_score, doc_fingerprint) — they
-    # lead the r08 rotation, ahead of the r05 cohort, then the
-    # r06/r07-verdict keys (freshest) at the back. Kept in-window
-    # deliberately: make_mask (pl ≤ 0 guard changed this round).
+    # Round-8 rotation (derived from CORRECTNESS_r01-r07 by
+    # scripts/rotation_audit.py — run it when planning the next one).
+    # Window composition:
+    #   1-26: the full r04-stale cohort (codec/DDL singles + the
+    #   dedup/ANN/text heads) — the oldest driver verdicts in the
+    #   registry; after r08 no key's latest verdict predates r05.
+    #   27-33: keys whose code or oracle changed THIS session and need
+    #   fresh verdicts: the three multimodal keys (new committed-fixture
+    #   DuckDB oracles), doc_containment (AQE-conditional join + hub-gram
+    #   cap), dedup_edit (hub-gram cap), stream_scd2 (vectorized state
+    #   kernel), json_props_stats (TRY_CAST twin). table_lifecycle /
+    #   compact_layout also changed (new value-level oracles) but already
+    #   sit in the r04 block above.
+    #   34-50: the oldest 17 of the r05 cohort.
+    # Below the marker: the r05 remainder (leads the r09 rotation), then
+    # the r06-verdict keys, then the r07-verdict keys (freshest) at the
+    # back, keeping verdict age monotone down the dict.
     return {
-        # -- session-new (r07) ---------------------------------------------
-        "span_dedup_hashed": _q_span_dedup_hashed,
-        "bpe_token_count": _q_bpe_token_count,
-        "dedup_clusters_distributed": _q_dedup_clusters_distributed,
-        "approx_quantiles": _q_approx_quantiles,
-        "sql_shipping_priority": _q_sql_shipping_priority,
-        "sql_supplier_volume": _q_sql_supplier_volume,
-        "json_props_stats": _q_json_props_stats,
-        "source_overlap": _q_source_overlap,
-        "dedup_clusters_star": _q_dedup_clusters_star,
-        "pagerank_weighted": _q_pagerank_weighted,
-        "triangle_count": _q_triangle_count,
-        "dedup_edit": _q_dedup_edit,
-        "scd2_intervals": _q_scd2_intervals,
-        "sql_returned_revenue": _q_sql_returned_revenue,
-        "sql_large_orders": _q_sql_large_orders,
-        "hybrid_search_rrf": _q_hybrid_search_rrf,
-        "session_paths": _q_session_paths,
-        "stream_scd2": _q_stream_scd2,
-        "dq_check": _q_dq_check,
-        "k_core": _q_k_core,
-        "change_points": _q_change_points,
-        "vocab_growth": _q_vocab_growth,
-        "skyline": _q_skyline,
-        "corpus_stratified": _q_corpus_stratified,
-        "doc_containment": _q_doc_containment,
-        # -- changed observable output this round (need fresh verdicts) ----
-        "embedding_project": _q_embedding_project,
-        "approx_distinct": _q_approx_distinct,
-        "table_profile_approx": _q_table_profile_approx,
-        # -- latest verdict r03 (stalest) ----------------------------------
-        "multimodal_features": _q_multimodal_features,
-        "sql_pricing_summary": _q_sql_pricing_summary,
-        # -- r04 cohort re-entering after three rounds out (43 of 46) ------
-        "bucket_route": _q_bucket_route,
-        "insert_append": _q_insert_append,
-        "skew_join": _q_skew_join,
-        "running_total": _q_running_total,
-        "knn_indexed": _q_knn_indexed,
-        "stream_ingest_points": _q_stream_ingest_points,
-        "corpus_mix": _q_corpus_mix,
-        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
-        "full_scan": _q_full_scan,
-        "range_query": _q_range_query,
-        "range_query_cover": _q_range_query_cover,
-        "range_count": _q_range_count,
-        "point_get": _q_point_get,
-        "knn": _q_knn,
-        "distance_join": _q_distance_join,
-        "knn_join": _q_knn_join,
-        "zorder_encode": _q_zorder_encode,
-        "zorder_decode": _q_zorder_decode,
-        "prefix_render": _q_prefix_render,
-        "make_mask": _q_make_mask,
-        # ---- driver window ends here (first 50 keys) --------------------
+        # -- r08 window: r04-stale cohort (26) -----------------------------
         "bucket_split": _q_bucket_split,
         "prefix_match": _q_prefix_match,
         "bit_spread": _q_bit_spread,
@@ -2396,7 +2322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_portable": _q_dedup_minhash_portable,
         "dedup_simhash_portable": _q_dedup_simhash_portable,
         "dedup_simhash": _q_dedup_simhash,
-        # -- displaced r04 keys (lead the r08 rotation) --------------------
         "embedding_knn": _q_embedding_knn,
         "embedding_knn_lsh": _q_embedding_knn_lsh,
         "embedding_knn_ivf": _q_embedding_knn_ivf,
@@ -2405,7 +2330,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_doc_fingerprint,
-        # -- latest verdict r05 ---------------------------------------------
+        # -- changed this session (need fresh verdicts) --------------------
+        "multimodal_features": _q_multimodal_features,
+        "media_dedup": _q_media_dedup,
+        "frame_sample": _q_frame_sample,
+        "doc_containment": _q_doc_containment,
+        "dedup_edit": _q_dedup_edit,
+        "stream_scd2": _q_stream_scd2,
+        "json_props_stats": _q_json_props_stats,
+        # -- oldest r05 cohort keys (17) -----------------------------------
         "keyword_search_bm25": _q_keyword_search_bm25,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
         "line_dedup": _q_line_dedup,
@@ -2423,6 +2356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "corpus_shuffle": _q_corpus_shuffle,
         "bytes_concat": _q_bytes_concat,
+        # ---- driver window ends here (first 50 keys) --------------------
+        # -- r05 remainder (leads the r09 rotation) ------------------------
         "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
         "stream_windowed": _q_stream_windowed,
         "sessionize": _q_sessionize,
@@ -2456,7 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_rollup": _q_text_stats_rollup,
         "zorder3d_encode": _q_zorder3d_encode,
         "range_count_3d": _q_range_count_3d,
-        # -- latest verdict r06 (freshest, rotated to the back) ------------
+        # -- latest verdict r06 --------------------------------------------
         "write_path_refresh": _q_write_path_refresh,
         "floor_lookup_batch": _q_floor_lookup_batch,
         "dedup_minhash_vs_exact": _q_dedup_minhash_vs_exact,
@@ -2464,7 +2399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_ivf_kmeans_full": _q_embedding_knn_ivf_kmeans_full,
         "corpus_diff": _q_corpus_diff,
         "corpus_prepare": _q_corpus_prepare,
-        "media_dedup": _q_media_dedup,
         "dedup_semantic": _q_dedup_semantic,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "keyword_search": _q_keyword_search,
@@ -2499,12 +2433,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_hashed": _q_decontaminate_hashed,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "knn_3d": _q_knn_3d,
-        "frame_sample": _q_frame_sample,
         "span_dedup": _q_span_dedup,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "pagerank": _q_pagerank,
         "co_purchase": _q_co_purchase,
         "resize_meta": _q_resize_meta,
+        # -- latest verdict r07 (freshest, rotated to the back) ------------
+        "span_dedup_hashed": _q_span_dedup_hashed,
+        "bpe_token_count": _q_bpe_token_count,
+        "dedup_clusters_distributed": _q_dedup_clusters_distributed,
+        "approx_quantiles": _q_approx_quantiles,
+        "sql_shipping_priority": _q_sql_shipping_priority,
+        "sql_supplier_volume": _q_sql_supplier_volume,
+        "source_overlap": _q_source_overlap,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "pagerank_weighted": _q_pagerank_weighted,
+        "triangle_count": _q_triangle_count,
+        "scd2_intervals": _q_scd2_intervals,
+        "sql_returned_revenue": _q_sql_returned_revenue,
+        "sql_large_orders": _q_sql_large_orders,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "session_paths": _q_session_paths,
+        "dq_check": _q_dq_check,
+        "k_core": _q_k_core,
+        "change_points": _q_change_points,
+        "vocab_growth": _q_vocab_growth,
+        "skyline": _q_skyline,
+        "corpus_stratified": _q_corpus_stratified,
+        "embedding_project": _q_embedding_project,
+        "approx_distinct": _q_approx_distinct,
+        "table_profile_approx": _q_table_profile_approx,
+        "sql_pricing_summary": _q_sql_pricing_summary,
+        "bucket_route": _q_bucket_route,
+        "insert_append": _q_insert_append,
+        "skew_join": _q_skew_join,
+        "running_total": _q_running_total,
+        "knn_indexed": _q_knn_indexed,
+        "stream_ingest_points": _q_stream_ingest_points,
+        "corpus_mix": _q_corpus_mix,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "full_scan": _q_full_scan,
+        "range_query": _q_range_query,
+        "range_query_cover": _q_range_query_cover,
+        "range_count": _q_range_count,
+        "point_get": _q_point_get,
+        "knn": _q_knn,
+        "distance_join": _q_distance_join,
+        "knn_join": _q_knn_join,
+        "zorder_encode": _q_zorder_encode,
+        "zorder_decode": _q_zorder_decode,
+        "prefix_render": _q_prefix_render,
+        "make_mask": _q_make_mask,
     }
 
 

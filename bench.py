@@ -284,15 +284,20 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # two passes per query, keep the min: the first execution of each plan
-    # pays one-time janino/JIT compilation, and concurrent compile storms
-    # make single-shot timings bimodal by multiples (a long-running
-    # cluster, like the steady-state pass, has every kernel compiled).
+    # N full sweeps (default 3), keep the per-key min: the first execution
+    # of each plan pays one-time janino/JIT compilation, and the host has
+    # documented multi-minute slow-I/O phases that inflate EVERYTHING
+    # uniformly (BENCH.md r07 notes: two same-code sweeps 60-90 min apart
+    # measured 170 vs 208-216 s) — sweeps are separated by the full sweep
+    # duration, so at least one sweep usually lands outside a bad window,
+    # and the recorded per-sweep durations make a degraded phase visible
+    # in the artifact itself instead of reading as a code regression.
     # one failing query must never zero out the whole benchmark run: record
     # the error per-key, keep timing everything else, still emit the JSON line
     results: dict[str, float] = {}
     timings: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    sweep_secs: list[float] = []
 
     def run_once(key: str) -> float | None:
         t0 = time.perf_counter()
@@ -304,7 +309,8 @@ def main() -> None:
             return None
         return round(time.perf_counter() - t0, 3)
 
-    for _pass in range(2):
+    for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "3"))):
+        s0 = time.perf_counter()
         for key in BENCH_KEYS:
             if key in errors:
                 continue
@@ -314,6 +320,7 @@ def main() -> None:
                 continue
             timings.setdefault(key, []).append(dt)
             results[key] = min(results.get(key, dt), dt)
+        sweep_secs.append(round(time.perf_counter() - s0, 3))
 
     # the host has degraded phases where identical code runs 2-8x slower
     # for a stretch; when even the min-of-two disagrees with itself by a
@@ -454,6 +461,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "timings": timings,
+        "sweep_secs": sweep_secs,
         "sf": sf,
         "cpus": cpus,
         "scratch": _SCRATCH_DESC,
@@ -474,6 +482,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "n_queries": len(results),
+        "sweep_secs": sweep_secs,
         "detail": "BENCH_DETAIL.json",
     }
     if errors:
