@@ -1,0 +1,192 @@
+"""Skew-planted scale probe for the gram-blocked pair operators.
+
+Plants ONE boilerplate sentence (a shared legal-disclaimer-style tail,
+longer than every gram window) into 10% of documents — the pathological
+corpus shape the hot-gram df cap (dedup._cap_gram_df) exists for: every
+window of the planted sentence becomes a hub gram with document
+frequency = 10% of the corpus, so an uncapped gram-blocked self-join
+fans out to ~n_hub_grams * C(0.1*N, 2) candidate pairs while the capped
+join drops those grams before the pair join and keeps only the rare
+(distinctive) windows.
+
+For dedup_edit and doc_containment at 1x (sf0.1 documents, ~5 K rows)
+and 10x (unioned with perturbed ids/suffixes, ~50 K rows), measures:
+
+  - candidate-pair count with the cap OFF vs ON (the fan-out bound), and
+  - wall time cap OFF vs ON (min of two passes),
+
+with cap OFF skipped at 10x if the projected uncapped candidate count
+exceeds a guard (the whole point is that it explodes; no need to burn
+an hour proving it). Results print as a markdown table for BENCH.md.
+
+Run: python scripts/scale_skew.py [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+BOILERPLATE = (
+    "this document is provided as is without warranty of any kind either "
+    "express or implied including but not limited to the implied warranties "
+    "of merchantability and fitness for a particular purpose"
+)  # 29 tokens -> 25 hub 5-grams / 22 hub 8-grams when planted verbatim
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-skew")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+
+
+def planted(spark, sf_dir: str, copies: int):
+    """sf documents, unioned `copies`x with perturbed ids and a per-copy
+    distinctive suffix (same construction as BENCH.md's 10x tables), then
+    the boilerplate tail appended to doc_id % 10 == 0 (10% of rows)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_ids = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for c in range(copies):
+        suffix = f" copyvar{c}" if c > 0 else ""
+        d = docs.select(
+            (F.col("doc_id") + F.lit(c * n_ids)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+            "source",
+        )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" " + BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    return out.localCheckpoint()  # pin the input; time operators only
+
+
+def candidate_count(docs, gram_len: int, max_gram_df):
+    """Candidate pairs the gram-blocked self-join would verify —
+    the fan-out metric the cap bounds."""
+    from pyspark.sql import functions as F
+
+    from tiny_md_hbase_spark.operators.dedup import (
+        _cap_gram_df,
+        _gram_incidence,
+    )
+
+    base = docs.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    from tiny_md_hbase_spark.operators.text import tokens
+
+    toks = base.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = _cap_gram_df(_gram_incidence(toks, gram_len), max_gram_df)
+    a, b = grams.alias("a"), grams.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+
+
+def timed(fn, passes: int = 2) -> float:
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--uncapped-guard", type=int, default=200_000_000)
+    args = ap.parse_args()
+
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tiny_md_hbase_spark.operators.dedup import dedup_edit, doc_containment
+
+    def run_noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    rows = []
+    for copies, label in ((1, "1x"), (10, "10x")):
+        docs = planted(spark, args.sf_dir, copies)
+        n = docs.count()
+        n_hub = (n + 9) // 10
+        # projected uncapped pairs if ONLY the boilerplate grams collided:
+        # 25 hub 5-grams x C(n/10, 2) (dedup_edit's gram_len=5)
+        projected = 25 * n_hub * (n_hub - 1) // 2
+        print(f"== {label}: {n} docs, {n_hub} planted, "
+              f"projected uncapped hub fan-out ~{projected:,}")
+
+        # sweep caps: None = uncapped (guard-skipped when the projection
+        # explodes); a cap ABOVE the planted df (no-op, measures the cap's
+        # own overhead); a cap BELOW the planted df (hub grams dropped).
+        caps = [None, 1000, 100] if projected <= args.uncapped_guard else [
+            1000,
+            100,
+        ]
+        for op_name, fn, gram_len in (
+            ("dedup_edit", lambda d, c: dedup_edit(d, max_gram_df=c), 5),
+            (
+                "doc_containment",
+                lambda d, c: doc_containment(d, max_gram_df=c),
+                8,
+            ),
+        ):
+            for cap in caps:
+                cand = candidate_count(docs, gram_len, cap)
+                t = timed(lambda: run_noop(fn(docs, cap)))
+                rows.append((label, op_name, n, cap, cand, t))
+                print(f"   {op_name} cap={cap}: cand={cand:,} time={t:.2f}")
+
+    print("\n| scale | operator | docs | cap | candidate pairs | time |")
+    print("|---|---|---|---|---|---|")
+    for label, op, n, cap, cand, t in rows:
+        cap_s = "uncapped" if cap is None else str(cap)
+        print(f"| {label} | {op} | {n:,} | {cap_s} | {cand:,} | {t:.2f} s |")
+    for label in ("1x", "10x"):
+        if not any(r[0] == label and r[3] is None for r in rows):
+            print(
+                f"\n(uncapped at {label} skipped: projected hub fan-out "
+                f"exceeds the {args.uncapped_guard:,}-pair guard — the "
+                "explosion the cap exists to prevent)"
+            )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
