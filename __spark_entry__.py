@@ -2283,6 +2283,33 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.retention(load_table(spark, sf_dir, "events"))
 
 
+def _q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances (operators/graph.py
+    shortest_path) over the bidirectional customer↔supplier purchase
+    graph, ≤3 hops from the lowest customer node. Frontier-style
+    Pregel BFS: one frontier⋈edges equi-join + one node-keyed
+    left-anti per round, distance table node-sized, lineage cut per
+    round; the DuckDB twin is a recursive CTE min-aggregated to hop
+    distance."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    edges = G.purchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return G.shortest_path(edges)
+
+
+def _q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional k-sample without replacement by DLT priority
+    sampling (operators/text.py corpus_weighted_sample): priority =
+    w·P/u with u an exact-integer per-doc uniform, top-k planned as
+    TakeOrderedAndProject (per-partition top-k, no full sort), plus the
+    DLT unbiased weight estimator max(w, τ). The single float division
+    has exact-in-double operands, so the DuckDB twin's top-k boundary
+    agrees bit-for-bit."""
+    return TX.corpus_weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
     # Round-8 rotation (derived from CORRECTNESS_r01-r07 by
@@ -2484,6 +2511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_decode": _q_zorder_decode,
         "prefix_render": _q_prefix_render,
         "make_mask": _q_make_mask,
+        # -- new in r08 (never driver-checked — these lead the r09 window) -
+        "shortest_path": _q_shortest_path,
+        "corpus_weighted_sample": _q_corpus_weighted_sample,
     }
 
 
@@ -2733,6 +2763,8 @@ def oracle_sql() -> dict[str, str]:
             "ELSE -(CAST(1 AS BIGINT) << CAST(64 - (id % 63 + 2) AS INTEGER)) "
             "END AS mask FROM points"
         ),
+        "shortest_path": _GR.shortest_path_sql(),
+        "corpus_weighted_sample": TX.corpus_weighted_sample_sql(),
         "set_bit": (
             f"{_POINTS_CTE} SELECT id, CAST(id % 62 + 1 AS INTEGER) AS pos, "
             f"({zsql}) | (CAST(1 AS BIGINT) "

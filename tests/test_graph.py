@@ -600,3 +600,72 @@ def test_triangle_nodes_lie_in_the_2core(spark, sf_dir):
     }
     core_nodes = {r.node for r in G.k_core(edges, k=2).collect()}
     assert tri_nodes <= core_nodes
+
+
+# ---------------------------------------------------------------------------
+# shortest_path (single-source BFS hop distances)
+# ---------------------------------------------------------------------------
+
+
+def test_shortest_path_small_graph_hop_distances(spark):
+    # chain 1-2-3-4 plus a branch 2-5; directed both ways
+    und = [(1, 2), (2, 3), (3, 4), (2, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        (r.node, r.dist)
+        for r in G.shortest_path(edges, source=1, max_hops=3).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2), (5, 2), (4, 3)}
+
+
+def test_shortest_path_hop_bound_truncates(spark):
+    und = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        (r.node, r.dist)
+        for r in G.shortest_path(edges, source=1, max_hops=1).collect()
+    }
+    assert got == {(1, 0), (2, 1)}
+
+
+def test_shortest_path_unreachable_component_excluded(spark):
+    und = [(1, 2), (10, 11)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = {
+        r.node for r in G.shortest_path(edges, source=1, max_hops=5).collect()
+    }
+    assert nodes == {1, 2}
+
+
+def test_shortest_path_takes_min_over_multiple_paths(spark):
+    # 1-2-4 (len 2) and 1-3-5-4 (len 3): node 4 must report dist 2
+    und = [(1, 2), (2, 4), (1, 3), (3, 5), (5, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    d = {
+        r.node: r.dist
+        for r in G.shortest_path(edges, source=1, max_hops=4).collect()
+    }
+    assert d[4] == 2
+
+
+def test_shortest_path_default_source_is_min_even_node(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = G.purchase_edges(orders, lineitem)
+    src = edges.agg(
+        F.min(F.when(F.col("src") % 2 == 0, F.col("src")))
+    ).collect()[0][0]
+    out = G.shortest_path(edges)
+    assert [r.node for r in out.filter("dist = 0").collect()] == [src]
+    # bipartite parity: even hops land on customers (even ids), odd on
+    # suppliers (odd ids) — the parity encoding makes this structural
+    viol = out.filter("(node % 2) != (dist % 2)").count()
+    assert viol == 0

@@ -1993,3 +1993,65 @@ def test_doc_containment_matches_python_reference(spark, sf_dir):
         for r in D.doc_containment(docs).collect()
     ]
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# corpus_weighted_sample (DLT priority sampling)
+# ---------------------------------------------------------------------------
+
+
+def _ws_uniform(doc_id: int) -> int:
+    p = 2_147_483_647
+    return ((((doc_id % p) * 48271 + 11) % p) * 69621 + 7919) % p + 1
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "n_chars").filter("n_chars > 0").collect()
+    p = 2_147_483_647.0
+    pri = sorted(
+        ((r.n_chars * p) / _ws_uniform(r.doc_id), -r.doc_id) for r in rows
+    )[::-1]
+    k = 50
+    want_ids = [-d for _, d in pri[:k]]
+    got = T.corpus_weighted_sample(docs, k=k).collect()
+    assert [r.doc_id for r in got] == want_ids
+    # DLT estimator: est = max(w, tau) with tau the (k+1)-th priority
+    tau = pri[k][0] if len(pri) > k else 0.0
+    for r in got:
+        assert r.est == round(max(float(r.weight), tau), 6)
+
+
+def test_weighted_sample_deterministic_under_repartition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = T.corpus_weighted_sample(docs, k=30).collect()
+    b = T.corpus_weighted_sample(docs.repartition(13), k=30).collect()
+    assert a == b
+
+
+def test_weighted_sample_k_larger_than_corpus_keeps_all_with_zero_tau(spark):
+    rows = [(i, f"s{i % 2}", 10 * (i + 1)) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = T.corpus_weighted_sample(docs, k=50).collect()
+    assert len(got) == 5
+    # tau = 0 when fewer than k+1 rows: est must equal the raw weight
+    assert all(r.est == float(r.weight) for r in got)
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    # one doc 10^6 times heavier than 999 light docs: it must be sampled
+    rows = [(0, "s", 1_000_000)] + [(i, "s", 1) for i in range(1, 1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.doc_id for r in T.corpus_weighted_sample(docs, k=10).collect()}
+    assert 0 in got
+
+
+def test_weighted_sample_plans_as_take_ordered(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        T.corpus_weighted_sample(docs, k=25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -50,6 +50,8 @@ __all__ = [
     "pagerank_weighted_sql",
     "triangle_count_sql",
     "k_core_sql",
+    "shortest_path",
+    "shortest_path_sql",
 ]
 
 SCALE = 10**12  # rank micro-units
@@ -917,4 +919,81 @@ def k_core_sql(
         "WITH " + ", ".join(ctes) + " "
         f"SELECT src AS node, CAST(count(*) AS BIGINT) AS deg "
         f"FROM e{max_iter} GROUP BY src ORDER BY deg DESC, node"
+    )
+
+
+def shortest_path(
+    edges: DataFrame, source: int | None = None, max_hops: int = 3
+) -> DataFrame:
+    """Single-source BFS hop distances over a (src, dst) edge table:
+    (node, dist) for every node reachable from ``source`` in at most
+    ``max_hops`` hops (dist 0 = the source itself). ``source=None``
+    picks the smallest even node id (= the lowest customer key in
+    :func:`purchase_edges`' parity encoding) so the default is a pure
+    function of the data.
+
+    The reference has no graph traversal (its scans stop at z-range
+    reads, `Index.java:144-230`); this is beyond-parity surface for the
+    entity graphs a training-data pipeline builds (doc-overlap,
+    co-purchase, citation).
+
+    Scale: frontier-style Pregel BFS as plain DataFrame ops. Each round
+    is ONE frontier⋈edges equi-join (shuffle keyed on node id — the
+    frontier is the only data-sized table in motion and it only ever
+    shrinks after the graph's expansion wave peaks) plus one
+    node-keyed left-anti against the settled distance table, both
+    hash-partitioned on the same key. The distance table is node-sized,
+    never edge-sized; ``localCheckpoint`` pins each round's result so
+    the plan does not re-expand the whole iteration chain (the same
+    lineage-cut idiom as :func:`pagerank`). The per-round ``isEmpty``
+    early-exit costs one bounded action on an already-checkpointed
+    frame. ``max_hops`` bounds the rounds, so the job count is fixed at
+    plan time — no data-dependent driver loops beyond it.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").localCheckpoint()
+    if source is None:
+        source = e.agg(
+            F.min(F.when(F.col("src") % 2 == 0, F.col("src")))
+        ).collect()[0][0]
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "node long, dist long"
+    ).localCheckpoint()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(hop).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
+def shortest_path_sql(max_hops: int = 3) -> str:
+    """DuckDB twin of :func:`shortest_path` over
+    :func:`purchase_edges`' edge build: a recursive CTE whose UNION
+    dedups (node, dist) pairs, min-aggregated to the hop distance.
+    The anchor's scalar subquery mirrors the ``source=None`` default
+    (smallest even node)."""
+    return (
+        "WITH RECURSIVE "
+        "inc AS (SELECT DISTINCT o.o_custkey * 2 AS cust, "
+        "l.l_suppkey * 2 + 1 AS supp "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), "
+        "e AS (SELECT cust AS src, supp AS dst FROM inc "
+        "UNION ALL SELECT supp, cust FROM inc), "
+        "bfs(node, dist) AS ("
+        "SELECT (SELECT MIN(src) FROM e WHERE src % 2 = 0), 0 "
+        "UNION "
+        "SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.node "
+        f"WHERE bfs.dist < {max_hops}) "
+        "SELECT CAST(node AS BIGINT) AS node, "
+        "CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY node"
     )

@@ -29,6 +29,8 @@ __all__ = [
     "text_stats",
     "doc_fingerprint",
     "corpus_sample",
+    "corpus_weighted_sample",
+    "corpus_weighted_sample_sql",
     "corpus_mix",
     "corpus_mix_sql",
     "corpus_shuffle",
@@ -2521,4 +2523,98 @@ def corpus_stratified_sql(budget: int = 100) -> str:
         "SELECT doc_id, lang, source, fingerprint FROM p "
         "WHERE pick <= quota "
         "ORDER BY lang, source, fingerprint, doc_id"
+    )
+
+
+WSAMPLE_K = 500  # default sample size
+_WS_P = 2_147_483_647  # Mersenne 2^31-1: the per-doc uniform's modulus
+
+
+def corpus_weighted_sample(documents: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
+    """Weight-proportional sample of ``k`` documents WITHOUT replacement
+    by priority sampling (Duffield-Lund-Thorup, JACM 2007): each doc
+    gets priority ``q_i = w_i / u_i`` with ``u_i`` uniform in (0, 1] and
+    ``w_i`` its weight (``n_chars`` — swap in a quality score in a real
+    pipeline); the sample is the top-``k`` priorities, and
+    ``est_i = max(w_i, tau)`` with ``tau`` the (k+1)-th priority is the
+    DLT unbiased weight estimator (sum(est) over the sample estimates
+    sum(w) over the corpus — subset-sum estimation from a fixed-size
+    sample, the property corpus-budget audits need).
+
+    ``u_i`` is derived from ``doc_id`` by two exact-integer MINSTD-style
+    modular steps (mod 2^31-1), so — like :func:`corpus_sample`'s
+    content-hash rule — the sample is a pure function of the data:
+    stable under repartitioning, re-runs, and engine choice. No float
+    enters until the single division w·P/u, whose operands are exact in
+    double (w·P < 2^53) and whose IEEE correctly-rounded quotient is
+    bit-identical on any engine — which is what lets a DuckDB twin
+    value-match a float-keyed top-k.
+
+    Scale: priorities are a narrow projection (no shuffle);
+    ``orderBy().limit(k+1)`` plans as TakeOrderedAndProject — each
+    partition keeps its local top-(k+1) and only k+1 rows per partition
+    ever move, so the cost is one scan + a k-sized merge, never a full
+    sort. The final tau/rank window runs on k+1 rows (driver-bounded by
+    construction). Returns (doc_id, source, weight, priority, est)
+    with floats rounded to 6dp, ordered by priority desc."""
+    from pyspark.sql import Window
+
+    p = F.lit(float(_WS_P))
+    h1 = (F.col("doc_id") % _WS_P) * 48271 + 11
+    u = ((h1 % _WS_P) * 69621 + 7919) % _WS_P + 1  # in [1, 2^31-1]
+    pri = (F.col("n_chars").cast("double") * p) / u.cast("double")
+    top = (
+        documents.filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", F.col("n_chars").alias("weight"), pri.alias("q"))
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .limit(k + 1)
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    worder = Window.orderBy(F.desc("q"), F.asc("doc_id"))
+    tau = F.when(
+        F.count(F.lit(1)).over(wall) == k + 1, F.min("q").over(wall)
+    ).otherwise(F.lit(0.0))
+    return (
+        top.select(
+            "doc_id",
+            "source",
+            "weight",
+            "q",
+            F.row_number().over(worder).alias("rn"),
+            tau.alias("tau"),
+        )
+        .filter(F.col("rn") <= k)
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            F.round("q", 6).alias("priority"),
+            F.round(
+                F.greatest(F.col("weight").cast("double"), F.col("tau")), 6
+            ).alias("est"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+    )
+
+
+def corpus_weighted_sample_sql(k: int = WSAMPLE_K) -> str:
+    """DuckDB twin of :func:`corpus_weighted_sample` — the identical
+    exact-integer uniform and the identical correctly-rounded priority
+    quotient, so the float top-k boundary agrees bit-for-bit."""
+    u = (
+        f"((((doc_id % {_WS_P}) * 48271 + 11) % {_WS_P}) * 69621 + 7919) "
+        f"% {_WS_P} + 1"
+    )
+    return (
+        "WITH p AS (SELECT doc_id, source, n_chars AS weight, "
+        f"(CAST(n_chars AS DOUBLE) * {_WS_P}.0) / CAST({u} AS DOUBLE) AS q "
+        "FROM documents WHERE n_chars > 0), "
+        f"top AS (SELECT * FROM p ORDER BY q DESC, doc_id LIMIT {k + 1}), "
+        "t AS (SELECT doc_id, source, weight, q, "
+        "row_number() OVER (ORDER BY q DESC, doc_id) AS rn, "
+        f"CASE WHEN count(*) OVER () = {k + 1} THEN min(q) OVER () "
+        "ELSE 0.0 END AS tau FROM top) "
+        "SELECT doc_id, source, weight, ROUND(q, 6) AS priority, "
+        "ROUND(GREATEST(CAST(weight AS DOUBLE), tau), 6) AS est "
+        f"FROM t WHERE rn <= {k} ORDER BY priority DESC, doc_id"
     )
