@@ -2325,7 +2325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   kernel), json_props_stats (TRY_CAST twin). table_lifecycle /
     #   compact_layout also changed (new value-level oracles) but already
     #   sit in the r04 block above.
-    #   34-50: the oldest 17 of the r05 cohort.
+    #   34-35: the round's two NEW keys (shortest_path,
+    #   corpus_weighted_sample) — first driver verdicts.
+    #   36-50: the oldest 15 of the r05 cohort (corpus_shuffle and
+    #   bytes_concat displaced to just below the marker; they lead r09).
     # Below the marker: the r05 remainder (leads the r09 rotation), then
     # the r06-verdict keys, then the r07-verdict keys (freshest) at the
     # back, keeping verdict age monotone down the dict.
@@ -2365,7 +2368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit": _q_dedup_edit,
         "stream_scd2": _q_stream_scd2,
         "json_props_stats": _q_json_props_stats,
-        # -- oldest r05 cohort keys (17) -----------------------------------
+        # -- NEW in r08 (first driver verdicts) ----------------------------
+        "shortest_path": _q_shortest_path,
+        "corpus_weighted_sample": _q_corpus_weighted_sample,
+        # -- oldest r05 cohort keys (15; corpus_shuffle + bytes_concat
+        # displaced below the marker by the two new keys, lead r09) --------
         "keyword_search_bm25": _q_keyword_search_bm25,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
         "line_dedup": _q_line_dedup,
@@ -2381,10 +2388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "corpus_budget": _q_corpus_budget,
         "ngram_jaccard": _q_ngram_jaccard,
-        "corpus_shuffle": _q_corpus_shuffle,
-        "bytes_concat": _q_bytes_concat,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- r05 remainder (leads the r09 rotation) ------------------------
+        "corpus_shuffle": _q_corpus_shuffle,
+        "bytes_concat": _q_bytes_concat,
         "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
         "stream_windowed": _q_stream_windowed,
         "sessionize": _q_sessionize,
@@ -2511,9 +2518,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_decode": _q_zorder_decode,
         "prefix_render": _q_prefix_render,
         "make_mask": _q_make_mask,
-        # -- new in r08 (never driver-checked — these lead the r09 window) -
-        "shortest_path": _q_shortest_path,
-        "corpus_weighted_sample": _q_corpus_weighted_sample,
     }
 
 

@@ -221,6 +221,8 @@ BENCH_KEYS = [
     "ohlc",
     "funnel",
     "retention",
+    "shortest_path",
+    "corpus_weighted_sample",
 ]
 
 # entries whose execution includes scratch-layout materialization get one
