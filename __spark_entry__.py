@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from tiny_md_hbase_spark import sql as _SQLF  # noqa: E402
+from tiny_md_hbase_spark import hilbert as HB  # noqa: E402
 from tiny_md_hbase_spark import zorder as Z  # noqa: E402
 from tiny_md_hbase_spark import zorder_nd as ZND  # noqa: E402
 from tiny_md_hbase_spark.operators import analytics as AN  # noqa: E402
@@ -2283,6 +2284,32 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.retention(load_table(spark, sf_dir, "events"))
 
 
+def _q_hilbert_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve encode (hilbert.py): the locality-preserving
+    alternative to the reference's Morton/Z keys (Utils.java:32-47) —
+    consecutive curve positions are always unit grid steps, so range
+    scans cross fewer partition boundaries (Moon et al., TKDE 2001).
+    ONE JVM aggregate fold over the 12 bit planes with a struct
+    accumulator: constant plan size, no UDF, no shuffle; the DuckDB
+    twin is the same transform as 12 chained CTE rounds with per-round
+    renamed state columns."""
+    return points(spark, sf_dir).select(
+        "id", HB.hilbert_encode("x", "y").alias("h")
+    )
+
+
+def _q_hilbert_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse Hilbert transform over an id-derived distance column
+    (independent of the encode path; the exact-roundtrip property is
+    pytest-pinned separately). Same fold shape, bit planes
+    lowest-first."""
+    ds = points(spark, sf_dir).select(
+        "id", (F.col("id") % (4096 * 4096)).alias("d")
+    )
+    dec = ds.select("id", HB.hilbert_decode("d").alias("p"))
+    return dec.select("id", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+
+
 def _q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS hop distances (operators/graph.py
     shortest_path) over the bidirectional customer↔supplier purchase
@@ -2325,10 +2352,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   kernel), json_props_stats (TRY_CAST twin). table_lifecycle /
     #   compact_layout also changed (new value-level oracles) but already
     #   sit in the r04 block above.
-    #   34-35: the round's two NEW keys (shortest_path,
-    #   corpus_weighted_sample) — first driver verdicts.
-    #   36-50: the oldest 15 of the r05 cohort (corpus_shuffle and
-    #   bytes_concat displaced to just below the marker; they lead r09).
+    #   34-37: the round's four NEW keys (shortest_path,
+    #   corpus_weighted_sample, hilbert_encode, hilbert_decode) — first
+    #   driver verdicts.
+    #   38-50: the oldest 13 of the r05 cohort (corpus_budget,
+    #   ngram_jaccard, corpus_shuffle and bytes_concat displaced to just
+    #   below the marker; they lead r09).
     # Below the marker: the r05 remainder (leads the r09 rotation), then
     # the r06-verdict keys, then the r07-verdict keys (freshest) at the
     # back, keeping verdict age monotone down the dict.
@@ -2371,8 +2400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in r08 (first driver verdicts) ----------------------------
         "shortest_path": _q_shortest_path,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
-        # -- oldest r05 cohort keys (15; corpus_shuffle + bytes_concat
-        # displaced below the marker by the two new keys, lead r09) --------
+        "hilbert_encode": _q_hilbert_encode,
+        "hilbert_decode": _q_hilbert_decode,
+        # -- oldest r05 cohort keys (13; corpus_shuffle, bytes_concat,
+        # corpus_budget + ngram_jaccard displaced below the marker by the
+        # four new keys, lead r09) -----------------------------------------
         "keyword_search_bm25": _q_keyword_search_bm25,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
         "line_dedup": _q_line_dedup,
@@ -2386,10 +2418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "winnow_pairs": _q_winnow_pairs,
-        "corpus_budget": _q_corpus_budget,
-        "ngram_jaccard": _q_ngram_jaccard,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- r05 remainder (leads the r09 rotation) ------------------------
+        "corpus_budget": _q_corpus_budget,
+        "ngram_jaccard": _q_ngram_jaccard,
         "corpus_shuffle": _q_corpus_shuffle,
         "bytes_concat": _q_bytes_concat,
         "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
@@ -2769,6 +2801,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "shortest_path": _GR.shortest_path_sql(),
         "corpus_weighted_sample": TX.corpus_weighted_sample_sql(),
+        "hilbert_encode": (
+            f"{_POINTS_CTE}, {HB.hilbert_encode_chain_sql()} "
+            "SELECT id, d12 AS h FROM he12"
+        ),
+        "hilbert_decode": (
+            f"{_POINTS_CTE}, ds AS (SELECT id, id % 16777216 AS d "
+            f"FROM points), {HB.hilbert_decode_chain_sql('ds')} "
+            "SELECT id, x12 AS x, y12 AS y FROM hd12"
+        ),
         "set_bit": (
             f"{_POINTS_CTE} SELECT id, CAST(id % 62 + 1 AS INTEGER) AS pos, "
             f"({zsql}) | (CAST(1 AS BIGINT) "

@@ -223,6 +223,8 @@ BENCH_KEYS = [
     "retention",
     "shortest_path",
     "corpus_weighted_sample",
+    "hilbert_encode",
+    "hilbert_decode",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

@@ -510,14 +510,25 @@ def connected_components_star(
             .localCheckpoint()
         )
 
-    def _same(x: DataFrame, nx: int, y: DataFrame, ny: int) -> bool:
-        # cheap multiset equality on node-pair-sized relations: equal
-        # cardinality + empty one-sided anti-join (sets, so sufficient)
-        return nx == ny and x.join(y, ["u", "v"], "left_anti").count() == 0
+    def _fp(e: DataFrame) -> tuple:
+        # set fingerprint in ONE action: cardinality + order-free XOR of
+        # per-row hashes (the relations are canonical SETS — _canon
+        # applies distinct — so set equality is what's being probed).
+        # XOR never overflows, unlike a sum under ANSI semantics. A
+        # fingerprint collision declaring a non-converged round
+        # "converged" is ~2^-64 AND would still be caught by the
+        # endpoint-agreement post-condition below, so the probabilistic
+        # test does not weaken the operator's exactness contract — it
+        # just halves the per-round action count vs the former
+        # count + one-sided anti-join pair.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
 
-    n_edges = canon.count()
+    fp_start = _fp(canon)
     for _ in range(max_iter):
-        start, start_n = canon, n_edges
         sym = _sym(canon)
         mins = _mins(sym)
         # large-star: (neighbor b > a) re-pointed at m(a)
@@ -526,7 +537,7 @@ def connected_components_star(
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
         )
-        large_n = canon.count()
+        fp_large = _fp(canon)
         sym = _sym(canon)
         mins = _mins(sym)
         # small-star: (neighbor b < a) AND a itself re-pointed at m(a)
@@ -538,7 +549,7 @@ def connected_components_star(
                 mins.select(F.col("mu_node").alias("u"), F.col("m").alias("v"))
             )
         )
-        new_n = new_canon.count()
+        fp_new = _fp(new_canon)
         # converged only when the FULL ROUND is a no-op: both the
         # large-star and the small-star outputs equal the round-start
         # set. Comparing small's output to large's alone stops a round
@@ -546,12 +557,10 @@ def connected_components_star(
         # {(1,0),(2,0),(3,1)} under small∘large while large still has
         # work) — the post-condition below would catch the under-merge,
         # but the loop must not manufacture that state.
-        if _same(canon, large_n, start, start_n) and _same(
-            new_canon, new_n, start, start_n
-        ):
+        if fp_large == fp_start and fp_new == fp_start:
             canon = new_canon
             break
-        canon, n_edges = new_canon, new_n
+        canon, fp_start = new_canon, fp_new
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
