@@ -2289,25 +2289,38 @@ def _q_hilbert_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative to the reference's Morton/Z keys (Utils.java:32-47) —
     consecutive curve positions are always unit grid steps, so range
     scans cross fewer partition boundaries (Moon et al., TKDE 2001).
-    ONE JVM aggregate fold over the 12 bit planes with a struct
-    accumulator: constant plan size, no UDF, no shuffle; the DuckDB
-    twin is the same transform as 12 chained CTE rounds with per-round
-    renamed state columns."""
-    return points(spark, sf_dir).select(
-        "id", HB.hilbert_encode("x", "y").alias("h")
-    )
+    12 chained codegen'd projections carrying (x, y, d) state columns
+    (Catalyst won't collapse them — each state column is multiply
+    referenced — so the pipeline stays native column arithmetic, ~12x
+    the fold form's throughput): no UDF, no shuffle; the DuckDB twin is
+    the same transform as 12 chained CTE rounds with per-round renamed
+    state columns."""
+    return HB.hilbert_encode(
+        points(spark, sf_dir).select("id", "x", "y")
+    ).select("id", "h")
 
 
 def _q_hilbert_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse Hilbert transform over an id-derived distance column
     (independent of the encode path; the exact-roundtrip property is
-    pytest-pinned separately). Same fold shape, bit planes
-    lowest-first."""
+    pytest-pinned separately). Same chained-projection shape, bit
+    planes lowest-first."""
     ds = points(spark, sf_dir).select(
         "id", (F.col("id") % (4096 * 4096)).alias("d")
     )
-    dec = ds.select("id", HB.hilbert_decode("d").alias("p"))
-    return dec.select("id", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    return HB.hilbert_decode(ds).select("id", "x", "y")
+
+
+def _q_sfc_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact space-filling-curve locality comparison (hilbert.py
+    sfc_locality): walk the dense order-6 grid in key order under each
+    codec and sum the Manhattan step between consecutive cells. Hilbert
+    = 4,095 total (every step exactly 1, max 1); Z-order = 8,064 with
+    max jump 64 — the quantified reason a Hilbert-clustered layout
+    touches fewer partition boundaries per rectangle (Moon et al.,
+    TKDE 2001). All-BIGINT output; grid is metadata-sized (4,096
+    cells), windows bounded by construction."""
+    return HB.sfc_locality(spark)
 
 
 def _q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2352,12 +2365,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   kernel), json_props_stats (TRY_CAST twin). table_lifecycle /
     #   compact_layout also changed (new value-level oracles) but already
     #   sit in the r04 block above.
-    #   34-37: the round's four NEW keys (shortest_path,
-    #   corpus_weighted_sample, hilbert_encode, hilbert_decode) — first
-    #   driver verdicts.
-    #   38-50: the oldest 13 of the r05 cohort (corpus_budget,
-    #   ngram_jaccard, corpus_shuffle and bytes_concat displaced to just
-    #   below the marker; they lead r09).
+    #   34-38: the round's five NEW keys (shortest_path,
+    #   corpus_weighted_sample, hilbert_encode, hilbert_decode,
+    #   sfc_locality) — first driver verdicts.
+    #   39-50: the oldest 12 of the r05 cohort (winnow_pairs,
+    #   corpus_budget, ngram_jaccard, corpus_shuffle and bytes_concat
+    #   displaced to just below the marker; they lead r09).
     # Below the marker: the r05 remainder (leads the r09 rotation), then
     # the r06-verdict keys, then the r07-verdict keys (freshest) at the
     # back, keeping verdict age monotone down the dict.
@@ -2402,9 +2415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_weighted_sample": _q_corpus_weighted_sample,
         "hilbert_encode": _q_hilbert_encode,
         "hilbert_decode": _q_hilbert_decode,
-        # -- oldest r05 cohort keys (13; corpus_shuffle, bytes_concat,
-        # corpus_budget + ngram_jaccard displaced below the marker by the
-        # four new keys, lead r09) -----------------------------------------
+        "sfc_locality": _q_sfc_locality,
+        # -- oldest r05 cohort keys (12; corpus_shuffle, bytes_concat,
+        # corpus_budget, ngram_jaccard + winnow_pairs displaced below the
+        # marker by the five new keys, lead r09) ----------------------------
         "keyword_search_bm25": _q_keyword_search_bm25,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
         "line_dedup": _q_line_dedup,
@@ -2417,9 +2431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
         "pii_scrub": _q_pii_scrub,
         "winnow_fingerprint": _q_winnow_fingerprint,
-        "winnow_pairs": _q_winnow_pairs,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- r05 remainder (leads the r09 rotation) ------------------------
+        "winnow_pairs": _q_winnow_pairs,
         "corpus_budget": _q_corpus_budget,
         "ngram_jaccard": _q_ngram_jaccard,
         "corpus_shuffle": _q_corpus_shuffle,
@@ -2810,6 +2824,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM points), {HB.hilbert_decode_chain_sql('ds')} "
             "SELECT id, x12 AS x, y12 AS y FROM hd12"
         ),
+        "sfc_locality": HB.sfc_locality_sql(),
         "set_bit": (
             f"{_POINTS_CTE} SELECT id, CAST(id % 62 + 1 AS INTEGER) AS pos, "
             f"({zsql}) | (CAST(1 AS BIGINT) "

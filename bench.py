@@ -225,6 +225,7 @@ BENCH_KEYS = [
     "corpus_weighted_sample",
     "hilbert_encode",
     "hilbert_decode",
+    "sfc_locality",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

@@ -1,11 +1,13 @@
-"""Hilbert codec: column forms vs the driver-side reference, exact
-roundtrip, unit-step adjacency (the locality property Z-order lacks),
-and plan shape (pure projection, no shuffle)."""
+"""Hilbert codec: production (chained-projection) and reference (fold)
+forms vs the driver-side python reference, their mutual equivalence,
+exact roundtrip, unit-step adjacency (the locality property Z-order
+lacks), bijection, and plan shape (pure projection, no shuffle)."""
 
 from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from tiny_md_hbase_spark import hilbert as H
@@ -14,9 +16,7 @@ from tiny_md_hbase_spark.sources.tables import points
 
 def test_hilbert_encode_matches_python_reference(spark, sf_dir):
     pts = points(spark, sf_dir).limit(2000)
-    rows = pts.select(
-        "id", "x", "y", H.hilbert_encode("x", "y").alias("h")
-    ).collect()
+    rows = H.hilbert_encode(pts).collect()
     assert rows
     for r in rows:
         assert r.h == H.hilbert_encode_py(r.x, r.y)
@@ -26,61 +26,80 @@ def test_hilbert_decode_matches_python_reference(spark):
     random.seed(11)
     ds = [(i, random.randrange(4096 * 4096)) for i in range(1500)]
     df = spark.createDataFrame(ds, "id long, d long")
-    rows = df.select("id", "d", H.hilbert_decode("d").alias("p")).collect()
-    for r in rows:
-        assert (r.p.x, r.p.y) == H.hilbert_decode_py(r.d)
+    for r in H.hilbert_decode(df).collect():
+        assert (r.x, r.y) == H.hilbert_decode_py(r.d)
+
+
+def test_hilbert_production_form_equals_fold_form(spark, sf_dir):
+    # the chained-projection hot path and the single-aggregate-fold
+    # reference are the same function — checked value-for-value
+    pts = points(spark, sf_dir).limit(3000)
+    prod = H.hilbert_encode(pts).select("id", "h")
+    fold = pts.select("id", H.hilbert_encode_col("x", "y").alias("h"))
+    assert prod.exceptAll(fold).isEmpty() and fold.exceptAll(prod).isEmpty()
+    ds = pts.select("id", (F.col("id") % (4096 * 4096)).alias("d"))
+    dprod = H.hilbert_decode(ds).select("id", "x", "y")
+    dfold = ds.select("id", H.hilbert_decode_col("d").alias("p")).select(
+        "id", F.col("p.x").alias("x"), F.col("p.y").alias("y")
+    )
+    assert dprod.exceptAll(dfold).isEmpty() and dfold.exceptAll(dprod).isEmpty()
 
 
 def test_hilbert_roundtrip_on_points(spark, sf_dir):
+    # set-compare via exceptAll, NOT a filter over the live chain — a
+    # predicate placed directly above the un-materialized 24-round
+    # encode∘decode chain trips Catalyst's guard-less predicate-pushdown
+    # substitution (~3^rounds growth; see the module docstring's usage
+    # contract). exceptAll exercises the same equality without it.
     pts = points(spark, sf_dir)
-    bad = (
-        pts.select("x", "y", H.hilbert_decode(H.hilbert_encode("x", "y")).alias("p"))
-        .filter((F.col("p.x") != F.col("x")) | (F.col("p.y") != F.col("y")))
-        .count()
-    )
-    assert bad == 0
+    enc = H.hilbert_encode(pts)  # keeps x, y, appends h
+    dec = H.hilbert_decode(enc.select("id", "h"), d="h")
+    orig = pts.select("id", F.col("x").cast("long").alias("x"),
+                      F.col("y").cast("long").alias("y"))
+    back = dec.select("id", "x", "y")
+    assert back.exceptAll(orig).isEmpty() and orig.exceptAll(back).isEmpty()
 
 
 def test_hilbert_unit_step_adjacency(spark):
     # consecutive curve positions are ALWAYS one grid step apart — the
     # defining locality property (Z-order violates it at every Z jump)
-    df = spark.range(0, 4096).select(F.col("id").alias("d"))
-    dec = df.select("d", H.hilbert_decode("d").alias("p"))
-    w_next = dec.select(
-        "d", F.col("p.x").alias("x"), F.col("p.y").alias("y")
-    )
-    a = w_next.alias("a")
-    b = w_next.alias("b")
-    steps = (
-        a.join(b, F.col("a.d") + 1 == F.col("b.d"))
-        .select(
-            (
-                F.abs(F.col("a.x") - F.col("b.x"))
-                + F.abs(F.col("a.y") - F.col("b.y"))
-            ).alias("step")
-        )
+    df = spark.range(0, 4096).select(F.col("id").alias("id"), F.col("id").alias("d"))
+    dec = H.hilbert_decode(df).select("d", "x", "y")
+    a, b = dec.alias("a"), dec.alias("b")
+    steps = a.join(b, F.col("a.d") + 1 == F.col("b.d")).select(
+        (
+            F.abs(F.col("a.x") - F.col("b.x"))
+            + F.abs(F.col("a.y") - F.col("b.y"))
+        ).alias("step")
     )
     assert steps.filter("step != 1").count() == 0
     assert steps.count() == 4095
 
 
 def test_hilbert_is_a_bijection_on_a_subgrid(spark):
-    # every d in [0, 64*64) maps to a distinct cell and back (order-6)
-    df = spark.range(0, 64 * 64).select(F.col("id").alias("d"))
-    dec = df.select("d", H.hilbert_decode("d", bits=6).alias("p"))
-    assert dec.select("p.x", "p.y").distinct().count() == 64 * 64
-    back = dec.select(
-        "d", H.hilbert_encode(F.col("p.x"), F.col("p.y"), bits=6).alias("h")
-    )
-    assert back.filter("d != h").count() == 0
+    # every d in [0, 64*64) maps to a distinct cell and back (order-6);
+    # the inverse check is an exceptAll set-compare, not a filter over
+    # the live chain (module docstring usage contract)
+    df = spark.range(0, 64 * 64).select(F.col("id").alias("id"), F.col("id").alias("d"))
+    dec = H.hilbert_decode(df, bits=6)
+    assert dec.select("x", "y").distinct().count() == 64 * 64
+    back = H.hilbert_encode(dec.select("id", "d", "x", "y"), bits=6)
+    got = back.select("id", F.col("h").alias("d"))
+    assert got.exceptAll(back.select("id", "d")).isEmpty()
 
 
 def test_hilbert_encode_plan_is_pure_projection(spark, sf_dir):
     pts = points(spark, sf_dir)
     plan = (
-        pts.select("id", H.hilbert_encode("x", "y").alias("h"))
+        H.hilbert_encode(pts)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan  # scalar fold: no shuffle, scan-fused
+    assert "Exchange" not in plan  # chained scalar projections: no shuffle
+
+
+def test_hilbert_rejects_internal_column_collision(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "x int, y int, _hilbert_x int")
+    with pytest.raises(ValueError, match="internal column"):
+        H.hilbert_encode(df)
