@@ -107,6 +107,24 @@ def _q_range_query_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.range_query(pts, RECT_X, RECT_Y, z_cover=16)
 
 
+def _q_range_query_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-guided rectangle query over the HILBERT key (hilbert.py
+    hilbert_cover_py): ≤16-interval cover + residual rect predicate —
+    the same index-scan shape as range_query_cover but on the
+    locality-preserving curve (quad cells are contiguous h-intervals,
+    so the cover needs no rotation bookkeeping). h is materialized
+    first (localCheckpoint) per the codec's usage contract; the oracle
+    is the plain rectangle query — a true equivalence check that the
+    cover is a lossless superset."""
+    from tiny_md_hbase_spark.hilbert import hilbert_cover_predicate
+
+    pts = HB.hilbert_encode(points(spark, sf_dir)).localCheckpoint()
+    pred = hilbert_cover_predicate(pts, RECT_X, RECT_Y, 16) & (
+        spatial.rect_predicate(RECT_X, RECT_Y)
+    )
+    return pts.filter(pred).select("id", "x", "y")
+
+
 POLY_V = [(512, 1024), (1536, 1024), (2048, 2048), (1024, 3072), (256, 2048)]
 
 
@@ -2365,12 +2383,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   kernel), json_props_stats (TRY_CAST twin). table_lifecycle /
     #   compact_layout also changed (new value-level oracles) but already
     #   sit in the r04 block above.
-    #   34-38: the round's five NEW keys (shortest_path,
+    #   34-39: the round's six NEW keys (shortest_path,
     #   corpus_weighted_sample, hilbert_encode, hilbert_decode,
-    #   sfc_locality) — first driver verdicts.
-    #   39-50: the oldest 12 of the r05 cohort (winnow_pairs,
-    #   corpus_budget, ngram_jaccard, corpus_shuffle and bytes_concat
-    #   displaced to just below the marker; they lead r09).
+    #   sfc_locality, range_query_hilbert) — first driver verdicts.
+    #   40-50: the oldest 11 of the r05 cohort (winnow_fingerprint,
+    #   winnow_pairs, corpus_budget, ngram_jaccard, corpus_shuffle and
+    #   bytes_concat displaced to just below the marker; they lead r09).
     # Below the marker: the r05 remainder (leads the r09 rotation), then
     # the r06-verdict keys, then the r07-verdict keys (freshest) at the
     # back, keeping verdict age monotone down the dict.
@@ -2416,9 +2434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_encode": _q_hilbert_encode,
         "hilbert_decode": _q_hilbert_decode,
         "sfc_locality": _q_sfc_locality,
-        # -- oldest r05 cohort keys (12; corpus_shuffle, bytes_concat,
-        # corpus_budget, ngram_jaccard + winnow_pairs displaced below the
-        # marker by the five new keys, lead r09) ----------------------------
+        "range_query_hilbert": _q_range_query_hilbert,
+        # -- oldest r05 cohort keys (11; corpus_shuffle, bytes_concat,
+        # corpus_budget, ngram_jaccard, winnow_pairs + winnow_fingerprint
+        # displaced below the marker by the six new keys, lead r09) ---------
         "keyword_search_bm25": _q_keyword_search_bm25,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
         "line_dedup": _q_line_dedup,
@@ -2430,9 +2449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
         "pii_scrub": _q_pii_scrub,
-        "winnow_fingerprint": _q_winnow_fingerprint,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- r05 remainder (leads the r09 rotation) ------------------------
+        "winnow_fingerprint": _q_winnow_fingerprint,
         "winnow_pairs": _q_winnow_pairs,
         "corpus_budget": _q_corpus_budget,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2825,6 +2844,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, x12 AS x, y12 AS y FROM hd12"
         ),
         "sfc_locality": HB.sfc_locality_sql(),
+        # the hilbert cover is a lossless superset prefilter; the residual
+        # rect predicate makes results identical to the plain rectangle
+        # query — same equivalence-oracle pattern as range_query_cover
+        "range_query_hilbert": (
+            f"{_POINTS_CTE} SELECT id, x, y FROM points WHERE "
+            f"x BETWEEN {RECT_X[0]} AND {RECT_X[1]} "
+            f"AND y BETWEEN {RECT_Y[0]} AND {RECT_Y[1]}"
+        ),
         "set_bit": (
             f"{_POINTS_CTE} SELECT id, CAST(id % 62 + 1 AS INTEGER) AS pos, "
             f"({zsql}) | (CAST(1 AS BIGINT) "

@@ -226,6 +226,7 @@ BENCH_KEYS = [
     "hilbert_encode",
     "hilbert_decode",
     "sfc_locality",
+    "range_query_hilbert",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

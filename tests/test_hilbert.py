@@ -103,3 +103,61 @@ def test_hilbert_rejects_internal_column_collision(spark):
     df = spark.createDataFrame([(1, 2, 3)], "x int, y int, _hilbert_x int")
     with pytest.raises(ValueError, match="internal column"):
         H.hilbert_encode(df)
+
+
+# ---------------------------------------------------------------------------
+# hilbert_cover_py / hilbert_cover_predicate (index-guided range scan)
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_cover_invariants_exhaustive_order5():
+    # for random rectangles on the 32x32 grid: intervals sorted and
+    # disjoint, count within budget, and EVERY in-rect cell's index
+    # falls inside some interval (the lossless-superset contract)
+    random.seed(3)
+    bits = 5
+    for _ in range(120):
+        x1, x2 = sorted(random.randrange(32) for _ in range(2))
+        y1, y2 = sorted(random.randrange(32) for _ in range(2))
+        for mi in (4, 8, 64):
+            cov = H.hilbert_cover_py((x1, x2), (y1, y2), mi, bits)
+            assert len(cov) <= mi
+            assert all(cov[i][0] > cov[i - 1][1] for i in range(1, len(cov)))
+            for x in range(x1, x2 + 1):
+                for y in range(y1, y2 + 1):
+                    h = H.hilbert_encode_py(x, y, bits)
+                    assert any(lo <= h <= hi for lo, hi in cov)
+
+
+def test_hilbert_cover_is_exact_at_full_budget():
+    # un-coalesced cover has ZERO false-positive cells: covered == area
+    bits = 5
+    cov = H.hilbert_cover_py((3, 17), (5, 22), 64, bits)
+    assert sum(hi - lo + 1 for lo, hi in cov) == 15 * 18
+
+
+def test_hilbert_cover_empty_and_degenerate():
+    assert H.hilbert_cover_py((5, 3), (0, 1), 16, 5) == []
+    cov = H.hilbert_cover_py((7, 7), (9, 9), 16, 5)  # single cell
+    h = H.hilbert_encode_py(7, 9, 5)
+    assert cov == [(h, h)]
+    full = H.hilbert_cover_py((0, 31), (0, 31), 16, 5)  # whole grid
+    assert full == [(0, 32 * 32 - 1)]
+
+
+def test_range_query_hilbert_equals_plain_rect(spark, sf_dir):
+    from tiny_md_hbase_spark.operators import spatial
+
+    pts = points(spark, sf_dir)
+    rx, ry = (512, 1535), (1024, 3071)
+    enc = H.hilbert_encode(pts).localCheckpoint()
+    pred = H.hilbert_cover_predicate(enc, rx, ry, 16) & spatial.rect_predicate(rx, ry)
+    got = enc.filter(pred).select("id", "x", "y")
+    want = spatial.range_query(pts, rx, ry)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_hilbert_cover_predicate_requires_materialized_column(spark, sf_dir):
+    pts = points(spark, sf_dir)
+    with pytest.raises(ValueError, match="materialized"):
+        H.hilbert_cover_predicate(pts, (0, 10), (0, 10))
