@@ -398,6 +398,26 @@ def main() -> None:
             "knn_indexed_zsorted",
             lambda: spatial.knn_indexed(zt, 2048, 2048, 10, domain_max=4095),
         )
+
+        # the Hilbert twin of the same layout/probe split
+        from tiny_md_hbase_spark import hilbert as HBN
+        from tiny_md_hbase_spark.sources.writer import write_points_hsorted
+
+        hdir = tempfile.mkdtemp(prefix="bench_hsorted_") + "/points"
+        _timed(
+            "hsort_write",
+            lambda: write_points_hsorted(
+                points(spark, sf_dir), hdir, num_partitions=cpus
+            ),
+        )
+        ht = spark.read.parquet(hdir)
+        _probe(
+            "range_query_hcover",
+            lambda: ht.filter(
+                HBN.hilbert_cover_predicate(ht, (512, 1535), (1024, 3071), 16)
+                & spatial.rect_predicate((512, 1535), (1024, 3071))
+            ).select("id", "x", "y"),
+        )
     except Exception as exc:  # noqa: BLE001
         errors["zsorted_layout"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"bench: zsorted layout FAILED: {errors['zsorted_layout']}", file=sys.stderr)

@@ -439,3 +439,50 @@ def test_clustered_append_equals_full_rebuild(spark, sf_dir):
         assert inc == full and len(inc) == 10
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# write_points_hsorted (Hilbert-clustered layout)
+# ---------------------------------------------------------------------------
+
+
+def test_hsorted_layout_disjoint_spans_and_pruned_probe(spark, sf_dir):
+    import tempfile
+
+    from tiny_md_hbase_spark import hilbert as H
+    from tiny_md_hbase_spark.operators import spatial
+    from tiny_md_hbase_spark.sources import points
+    from tiny_md_hbase_spark.sources.writer import (
+        file_h_spans,
+        overlapping_span_pairs,
+        write_points_hsorted,
+    )
+
+    pts = points(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="hsorted_") + "/points"
+    write_points_hsorted(pts, path, num_partitions=8)
+    ht = spark.read.parquet(path)
+
+    # roundtrip: same rows, h matches the reference encoder
+    assert ht.count() == pts.count()
+    sample = ht.limit(500).collect()
+    for r in sample:
+        assert r.h == H.hilbert_encode_py(r.x, r.y)
+
+    # fresh write: file h-spans pairwise disjoint (stats-prunable)
+    spans = file_h_spans(spark, path).collect()
+    assert len(spans) > 1
+    assert overlapping_span_pairs(spans) == 0
+
+    # cover-pruned probe over the STORED column equals the plain rect
+    rx, ry = (512, 1535), (1024, 3071)
+    pred = H.hilbert_cover_predicate(ht, rx, ry, 16) & spatial.rect_predicate(
+        rx, ry
+    )
+    got = ht.filter(pred).select("id", "x", "y")
+    want = spatial.range_query(pts, rx, ry)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    # the cover predicate reaches the parquet scan (pushed filter on h)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "h" in plan.split("PushedFilters")[1][:400]

@@ -47,6 +47,8 @@ __all__ = [
     "write_embeddings_quantized",
     "embedding_knn_quantized_stored",
     "keyword_search_bm25_indexed",
+    "write_points_hsorted",
+    "file_h_spans",
 ]
 
 
@@ -626,4 +628,48 @@ def keyword_search_bm25_indexed(
         joined.select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
+    )
+
+
+def write_points_hsorted(
+    points: DataFrame,
+    path: str,
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a points DataFrame as a HILBERT-clustered Parquet
+    table — :func:`write_points_zsorted`'s twin on the
+    locality-preserving curve (tiny_md_hbase_spark.hilbert). Same file
+    sizing and append semantics; the stored column is ``h``, computed
+    by the chained-projection encoder (pushdown-safe here by
+    construction: the write path puts no predicate above the chain, and
+    every later probe filters the MATERIALIZED column, which is the
+    codec's usage contract). Rectangle probes prune with
+    :func:`~tiny_md_hbase_spark.hilbert.hilbert_cover_predicate` —
+    fewer/longer index runs per rectangle than z (sfc_locality
+    quantifies the clustering advantage), so file/row-group min-max
+    stats skip more of the table for the same query."""
+    from tiny_md_hbase_spark.hilbert import hilbert_encode
+
+    enc = points if "h" in points.columns else hilbert_encode(points)
+    if num_partitions:
+        enc = enc.repartitionByRange(num_partitions, "h")
+    else:
+        enc = enc.repartitionByRange("h")
+    enc.sortWithinPartitions("h").write.mode(mode).parquet(path)
+
+
+def file_h_spans(spark: SparkSession, pts_path: str) -> DataFrame:
+    """Per-file Hilbert-span and row count of a stored h-clustered
+    table — :func:`file_z_spans`'s twin (columns named min_z/max_z so
+    :func:`overlapping_span_pairs` applies unchanged; the span values
+    are h)."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(pts_path).groupBy(
+        F.input_file_name().alias("file")
+    ).agg(
+        F.min("h").alias("min_z"),
+        F.max("h").alias("max_z"),
+        F.count("*").alias("n_rows"),
     )
