@@ -2329,6 +2329,17 @@ def _q_hilbert_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return HB.hilbert_decode(ds).select("id", "x", "y")
 
 
+def _q_corpus_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture spec (operators/text.py
+    corpus_temperature): per-source Hamilton quotas of a 1,000-doc
+    budget under w = sqrt(n) (T=2) — the multilingual-pretraining
+    mixture-flattening rule. sqrt is IEEE-correctly-rounded, so
+    shares/floors/remainder ranks are bit-identical cross-engine. All
+    arithmetic over the SOURCE-sized table; one map-side count is the
+    only per-document work."""
+    return TX.corpus_temperature(load_table(spark, sf_dir, "documents"))
+
+
 def _q_sfc_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact space-filling-curve locality comparison (hilbert.py
     sfc_locality): walk the dense order-6 grid in key order under each
@@ -2383,12 +2394,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   kernel), json_props_stats (TRY_CAST twin). table_lifecycle /
     #   compact_layout also changed (new value-level oracles) but already
     #   sit in the r04 block above.
-    #   34-39: the round's six NEW keys (shortest_path,
+    #   34-40: the round's seven NEW keys (shortest_path,
     #   corpus_weighted_sample, hilbert_encode, hilbert_decode,
-    #   sfc_locality, range_query_hilbert) — first driver verdicts.
-    #   40-50: the oldest 11 of the r05 cohort (winnow_fingerprint,
-    #   winnow_pairs, corpus_budget, ngram_jaccard, corpus_shuffle and
-    #   bytes_concat displaced to just below the marker; they lead r09).
+    #   sfc_locality, range_query_hilbert, corpus_temperature) — first
+    #   driver verdicts.
+    #   41-50: the oldest 10 of the r05 cohort (pii_scrub,
+    #   winnow_fingerprint, winnow_pairs, corpus_budget, ngram_jaccard,
+    #   corpus_shuffle and bytes_concat displaced to just below the
+    #   marker; they lead r09).
     # Below the marker: the r05 remainder (leads the r09 rotation), then
     # the r06-verdict keys, then the r07-verdict keys (freshest) at the
     # back, keeping verdict age monotone down the dict.
@@ -2435,9 +2448,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_decode": _q_hilbert_decode,
         "sfc_locality": _q_sfc_locality,
         "range_query_hilbert": _q_range_query_hilbert,
-        # -- oldest r05 cohort keys (11; corpus_shuffle, bytes_concat,
-        # corpus_budget, ngram_jaccard, winnow_pairs + winnow_fingerprint
-        # displaced below the marker by the six new keys, lead r09) ---------
+        "corpus_temperature": _q_corpus_temperature,
+        # -- oldest r05 cohort keys (10; corpus_shuffle, bytes_concat,
+        # corpus_budget, ngram_jaccard, winnow_pairs, winnow_fingerprint +
+        # pii_scrub displaced below the marker by the seven new keys,
+        # lead r09) ----------------------------------------------------------
         "keyword_search_bm25": _q_keyword_search_bm25,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
         "line_dedup": _q_line_dedup,
@@ -2448,9 +2463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_quantized": _q_embedding_knn_quantized,
         "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
-        "pii_scrub": _q_pii_scrub,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- r05 remainder (leads the r09 rotation) ------------------------
+        "pii_scrub": _q_pii_scrub,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "winnow_pairs": _q_winnow_pairs,
         "corpus_budget": _q_corpus_budget,
@@ -2852,6 +2867,7 @@ def oracle_sql() -> dict[str, str]:
             f"x BETWEEN {RECT_X[0]} AND {RECT_X[1]} "
             f"AND y BETWEEN {RECT_Y[0]} AND {RECT_Y[1]}"
         ),
+        "corpus_temperature": TX.corpus_temperature_sql(),
         "set_bit": (
             f"{_POINTS_CTE} SELECT id, CAST(id % 62 + 1 AS INTEGER) AS pos, "
             f"({zsql}) | (CAST(1 AS BIGINT) "

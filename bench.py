@@ -227,6 +227,7 @@ BENCH_KEYS = [
     "hilbert_decode",
     "sfc_locality",
     "range_query_hilbert",
+    "corpus_temperature",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

@@ -2055,3 +2055,55 @@ def test_weighted_sample_plans_as_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# corpus_temperature (temperature-scaled source mixture)
+# ---------------------------------------------------------------------------
+
+
+def _skewed_docs(spark):
+    rows = []
+    did = 0
+    for src, n in (("big", 900), ("mid", 90), ("tiny", 10)):
+        for _ in range(n):
+            rows.append((did, src))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_corpus_temperature_quotas_sum_to_budget(spark):
+    out = T.corpus_temperature(_skewed_docs(spark), budget=137).collect()
+    assert sum(r.quota for r in out) == 137
+
+
+def test_corpus_temperature_upsamples_the_tail(spark):
+    # at T=2 the sampling RATE must be strictly decreasing in source
+    # size: the tail is upsampled relative to proportional
+    out = {r.source: r for r in T.corpus_temperature(_skewed_docs(spark), budget=300).collect()}
+    assert out["tiny"].rate > out["mid"].rate > out["big"].rate
+    # and weights are sqrt(n)
+    assert out["big"].weight == 30.0 and out["tiny"].weight == round(10 ** 0.5, 9)
+
+
+def test_corpus_temperature_t1_is_proportional(spark):
+    # T=1: pow(n, 1.0) == n exactly, so quotas are the Hamilton split of
+    # raw counts — 900/90/10 of budget 1000 splits exactly proportionally
+    out = {r.source: r.quota for r in T.corpus_temperature(_skewed_docs(spark), budget=1000, temperature=1.0).collect()}
+    assert out == {"big": 900, "mid": 90, "tiny": 10}
+
+
+def test_corpus_temperature_rejects_bad_params(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        T.corpus_temperature(_skewed_docs(spark), budget=0)
+    with pytest.raises(ValueError, match="temperature"):
+        T.corpus_temperature(_skewed_docs(spark), temperature=0.0)
+
+
+def test_corpus_temperature_deterministic_under_repartition(spark):
+    d = _skewed_docs(spark)
+    a = T.corpus_temperature(d, budget=97).collect()
+    b = T.corpus_temperature(d.repartition(7), budget=97).collect()
+    assert a == b

@@ -31,6 +31,8 @@ __all__ = [
     "corpus_sample",
     "corpus_weighted_sample",
     "corpus_weighted_sample_sql",
+    "corpus_temperature",
+    "corpus_temperature_sql",
     "corpus_mix",
     "corpus_mix_sql",
     "corpus_shuffle",
@@ -2617,4 +2619,111 @@ def corpus_weighted_sample_sql(k: int = WSAMPLE_K) -> str:
         "SELECT doc_id, source, weight, ROUND(q, 6) AS priority, "
         "ROUND(GREATEST(CAST(weight AS DOUBLE), tau), 6) AS est "
         f"FROM t WHERE rn <= {k} ORDER BY priority DESC, doc_id"
+    )
+
+
+def corpus_temperature(
+    documents: DataFrame, budget: int = 1000, temperature: float = 2.0
+) -> DataFrame:
+    """Temperature-scaled source mixture: allocate a ``budget`` of
+    documents across sources with sampling weight ``w_s = n_s^(1/T)`` —
+    the standard multilingual/multi-source LLM recipe (T=1 is
+    proportional, T→∞ uniform; T≈2-5 upsamples the tail so small
+    sources aren't drowned, exactly the mixture-flattening rule of the
+    multilingual-pretraining literature). Quotas are exact Hamilton
+    (largest-remainder) integer splits of the weighted shares, so they
+    sum to ``budget`` by construction — the mixture SPEC a sampler
+    (e.g. :func:`corpus_stratified`'s pick stage) then executes.
+
+    Cross-engine exactness: at the default T=2 the weight is
+    ``sqrt(n_s)`` — IEEE-correctly-rounded in every engine, so shares,
+    floors and remainder ranks are bit-identical and a DuckDB twin
+    hash-matches (the fractional share is emitted rounded; for other T,
+    ``pow`` is faithful-but-not-correctly-rounded and quota boundaries
+    could differ by one in adversarial ties — the default keeps the
+    oracle contract exact).
+
+    Scale: ONE map-side-partial count per source, then all arithmetic
+    and both windows run over the SOURCE-sized table (dozens of rows at
+    any corpus scale) — metadata-sized like corpus_stratified's quota
+    stage, no per-document work at all. Returns (source, n_docs,
+    weight, quota, rate) ordered by source."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    counts = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    if temperature == 2.0:
+        w = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        w = F.pow(F.col("n_docs").cast("double"), F.lit(1.0 / temperature))
+    weighted = counts.select("source", "n_docs", w.alias("w"))
+    tot = weighted.agg(F.sum("w").alias("w_tot"))
+    w_rem = Window.orderBy(F.col("rem").desc(), "source")
+    share = F.col("w") * F.lit(float(budget)) / F.col("w_tot")
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round("w", 9).alias("weight"),
+            F.floor(share).cast("long").alias("q"),
+            (share - F.floor(share)).alias("rem"),
+        )
+        .withColumn(
+            "leftover",
+            F.lit(budget) - F.sum("q").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w_rem))
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            (
+                F.col("q")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+        .withColumn(
+            "rate",
+            F.round(F.col("quota") / F.col("n_docs").cast("double"), 9),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_temperature_sql(budget: int = 1000, temperature: float = 2.0) -> str:
+    """DuckDB twin of :func:`corpus_temperature` — identical weight,
+    share, floor, and remainder-rank arithmetic (sqrt at the default
+    T=2, bit-identical per IEEE)."""
+    if temperature == 2.0:
+        w = "sqrt(CAST(n_docs AS DOUBLE))"
+    else:
+        w = f"pow(CAST(n_docs AS DOUBLE), {1.0 / temperature!r})"
+    return (
+        "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY source), "
+        f"wt AS (SELECT source, n_docs, {w} AS w FROM c), "
+        "t AS (SELECT sum(w) AS w_tot FROM wt), "
+        f"sh AS (SELECT source, n_docs, w, w * {float(budget)!r} / t.w_tot "
+        "AS share FROM wt CROSS JOIN t), "
+        "q AS (SELECT source, n_docs, w, CAST(floor(share) AS BIGINT) AS q, "
+        "share - floor(share) AS rem, "
+        f"{budget} - sum(CAST(floor(share) AS BIGINT)) OVER () AS leftover, "
+        "row_number() OVER (ORDER BY share - floor(share) DESC, source) "
+        "AS rk FROM sh) "
+        "SELECT source, n_docs, ROUND(w, 9) AS weight, "
+        "CAST(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) "
+        "AS quota, "
+        "ROUND(CAST(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS DOUBLE) "
+        "/ CAST(n_docs AS DOUBLE), 9) AS rate "
+        "FROM q ORDER BY source"
     )
