@@ -2340,6 +2340,29 @@ def _q_corpus_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_temperature(load_table(spark, sf_dir, "documents"))
 
 
+def _q_corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the temperature mixture (operators/text.py
+    corpus_temperature_sample): exactly 300 documents with per-source
+    counts equal to the T=2 Hamilton quotas, picked within each source
+    by (content-fingerprint, doc_id) order — spec and execution share
+    one quota computation. Broadcast quota join + one source-partitioned
+    pick window; same single-shuffle shape as corpus_stratified."""
+    return TX.corpus_temperature_sample(
+        load_table(spark, sf_dir, "documents"), budget=300
+    )
+
+
+def _q_knn_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-square exact kNN over the Hilbert-keyed table
+    (operators/spatial.py knn_hilbert): each round's window is pruned
+    by the ≤16-interval Hilbert cover instead of knn_indexed's single
+    z-window — fewer, tighter BETWEENs when the square straddles key
+    splits. Exact: same rows and total order as `knn` (the knn SQL is
+    the oracle verbatim)."""
+    pts = HB.hilbert_encode(points(spark, sf_dir)).localCheckpoint()
+    return spatial.knn_hilbert(pts, *KNN_Q, KNN_K, domain_max=4095)
+
+
 def _q_sfc_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact space-filling-curve locality comparison (hilbert.py
     sfc_locality): walk the dense order-6 grid in key order under each
@@ -2394,14 +2417,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   kernel), json_props_stats (TRY_CAST twin). table_lifecycle /
     #   compact_layout also changed (new value-level oracles) but already
     #   sit in the r04 block above.
-    #   34-40: the round's seven NEW keys (shortest_path,
+    #   34-42: the round's nine NEW keys (shortest_path,
     #   corpus_weighted_sample, hilbert_encode, hilbert_decode,
-    #   sfc_locality, range_query_hilbert, corpus_temperature) — first
-    #   driver verdicts.
-    #   41-50: the oldest 10 of the r05 cohort (pii_scrub,
-    #   winnow_fingerprint, winnow_pairs, corpus_budget, ngram_jaccard,
-    #   corpus_shuffle and bytes_concat displaced to just below the
-    #   marker; they lead r09).
+    #   sfc_locality, range_query_hilbert, corpus_temperature,
+    #   corpus_temperature_sample, knn_hilbert) — first driver verdicts.
+    #   43-50: the oldest 8 of the r05 cohort (embedding_knn_quantized_
+    #   stored, embedding_knn_ivf_full, pii_scrub, winnow_fingerprint,
+    #   winnow_pairs, corpus_budget, ngram_jaccard, corpus_shuffle and
+    #   bytes_concat displaced to just below the marker; they lead r09).
     # Below the marker: the r05 remainder (leads the r09 rotation), then
     # the r06-verdict keys, then the r07-verdict keys (freshest) at the
     # back, keeping verdict age monotone down the dict.
@@ -2449,10 +2472,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sfc_locality": _q_sfc_locality,
         "range_query_hilbert": _q_range_query_hilbert,
         "corpus_temperature": _q_corpus_temperature,
-        # -- oldest r05 cohort keys (10; corpus_shuffle, bytes_concat,
-        # corpus_budget, ngram_jaccard, winnow_pairs, winnow_fingerprint +
-        # pii_scrub displaced below the marker by the seven new keys,
-        # lead r09) ----------------------------------------------------------
+        "corpus_temperature_sample": _q_corpus_temperature_sample,
+        "knn_hilbert": _q_knn_hilbert,
+        # -- oldest 8 of the r05 cohort (corpus_shuffle, bytes_concat,
+        # corpus_budget, ngram_jaccard, winnow_pairs, winnow_fingerprint,
+        # pii_scrub, embedding_knn_quantized_stored + embedding_knn_ivf_full
+        # displaced below the marker by the nine new keys, lead r09) ---------
         "keyword_search_bm25": _q_keyword_search_bm25,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
         "line_dedup": _q_line_dedup,
@@ -2461,10 +2486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_embeddings": _q_stream_ingest_embeddings,
         "polygon_query": _q_polygon_query,
         "embedding_knn_quantized": _q_embedding_knn_quantized,
-        "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
-        "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- r05 remainder (leads the r09 rotation) ------------------------
+        "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
+        "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
         "pii_scrub": _q_pii_scrub,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "winnow_pairs": _q_winnow_pairs,
@@ -2868,6 +2893,14 @@ def oracle_sql() -> dict[str, str]:
             f"AND y BETWEEN {RECT_Y[0]} AND {RECT_Y[1]}"
         ),
         "corpus_temperature": TX.corpus_temperature_sql(),
+        "corpus_temperature_sample": TX.corpus_temperature_sample_sql(budget=300),
+        # knn_hilbert is exact and totally ordered identically to knn —
+        # the same oracle applies verbatim (spatial.py knn_hilbert)
+        "knn_hilbert": (
+            f"{_POINTS_CTE} SELECT id, x, y, dist_sq, sqrt(dist_sq) AS dist "
+            f"FROM (SELECT id, x, y, CAST({dist_sq} AS BIGINT) AS dist_sq "
+            f"FROM points) ORDER BY dist_sq, id, x, y LIMIT {KNN_K}"
+        ),
         "set_bit": (
             f"{_POINTS_CTE} SELECT id, CAST(id % 62 + 1 AS INTEGER) AS pos, "
             f"({zsql}) | (CAST(1 AS BIGINT) "

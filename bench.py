@@ -228,6 +228,8 @@ BENCH_KEYS = [
     "sfc_locality",
     "range_query_hilbert",
     "corpus_temperature",
+    "corpus_temperature_sample",
+    "knn_hilbert",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

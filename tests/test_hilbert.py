@@ -161,3 +161,24 @@ def test_hilbert_cover_predicate_requires_materialized_column(spark, sf_dir):
     pts = points(spark, sf_dir)
     with pytest.raises(ValueError, match="materialized"):
         H.hilbert_cover_predicate(pts, (0, 10), (0, 10))
+
+
+def test_knn_hilbert_equals_plain_knn(spark, sf_dir):
+    from tiny_md_hbase_spark.operators import spatial
+
+    pts = points(spark, sf_dir)
+    enc = H.hilbert_encode(pts).localCheckpoint()
+    for q in ((2048, 2048), (10, 4090), (4095, 0)):
+        got = [tuple(r) for r in spatial.knn_hilbert(enc, *q, 7, domain_max=4095).collect()]
+        want = [tuple(r) for r in spatial.knn(pts, *q, 7).collect()]
+        assert got == want
+
+
+def test_knn_hilbert_exact_without_h_column(spark, sf_dir):
+    # falls back to the plain rectangle scan, still exact
+    from tiny_md_hbase_spark.operators import spatial
+
+    pts = points(spark, sf_dir)
+    got = [tuple(r) for r in spatial.knn_hilbert(pts, 100, 100, 5, domain_max=4095).collect()]
+    want = [tuple(r) for r in spatial.knn(pts, 100, 100, 5).collect()]
+    assert got == want

@@ -2107,3 +2107,25 @@ def test_corpus_temperature_deterministic_under_repartition(spark):
     a = T.corpus_temperature(d, budget=97).collect()
     b = T.corpus_temperature(d.repartition(7), budget=97).collect()
     assert a == b
+
+
+def test_corpus_temperature_sample_executes_the_spec(spark):
+    d = _skewed_docs(spark).withColumn(
+        "text", F.concat(F.lit("doc text nr "), F.col("doc_id").cast("string"))
+    )
+    spec = {r.source: r.quota for r in T.corpus_temperature(d, budget=250).collect()}
+    got = T.corpus_temperature_sample(d, budget=250).collect()
+    assert len(got) == 250  # exactly the budget, repetition included
+    from collections import Counter
+
+    by_src = Counter(r.source for r in got)
+    assert dict(by_src) == {k: v for k, v in spec.items() if v > 0}
+    # the tiny source's quota (18) exceeds its 10 docs: epoch-1 rows
+    # exist and repetition is cyclic (a doc repeats at most once more
+    # than any other)
+    tiny = [r for r in got if r.source == "tiny"]
+    assert any(r.epoch == 1 for r in tiny)
+    per_doc = Counter(r.doc_id for r in tiny)
+    assert max(per_doc.values()) - min(per_doc.values()) <= 1
+    # a quota <= n source stays epoch-0 only
+    assert all(r.epoch == 0 for r in got if r.source == "big")

@@ -29,6 +29,7 @@ __all__ = [
     "rect_predicate",
     "z_window",
     "z_cover_predicate",
+    "knn_hilbert",
     "range_query",
     "range_count",
     "point_get",
@@ -591,4 +592,53 @@ def skyline_sql(points_sql: str) -> str:
         "WHERE q.x <= p.x AND q.my <= p.y "
         "AND (q.x < p.x OR q.my < p.y)) "
         "ORDER BY p.x, p.y, p.id"
+    )
+
+
+def knn_hilbert(
+    points: DataFrame,
+    qx: int,
+    qy: int,
+    k: int,
+    initial_radius: int = 16,
+    domain_max: int = 2**31 - 1,
+    max_intervals: int = 16,
+) -> DataFrame:
+    """:func:`knn_indexed`'s twin over a HILBERT-clustered table: the
+    same expanding-square search, but each round's window is pruned by
+    the ≤``max_intervals`` Hilbert cover
+    (:func:`~tiny_md_hbase_spark.hilbert.hilbert_cover_predicate`)
+    instead of the single z-window.
+
+    Exactness is the identical argument: every unscanned point lies
+    outside the radius-r square, hence farther than r, and the cover is
+    a lossless superset of the square's index set so no in-square point
+    is ever missed; accept iff the k-th hit's distance ≤ r. The cover's
+    advantage over the z-window grows with how badly the square
+    straddles key splits — Hilbert's longer in-rectangle runs
+    (sfc_locality) mean fewer, tighter BETWEENs per round, i.e. fewer
+    row groups read on the h-sorted layout. Requires a materialized
+    ``h`` column for pruning (falls back to the plain rectangle scan
+    without one, still exact)."""
+    from tiny_md_hbase_spark.hilbert import hilbert_cover_predicate
+
+    r = initial_radius
+    while True:
+        rx = (max(qx - r, 0), min(qx + r, domain_max))
+        ry = (max(qy - r, 0), min(qy + r, domain_max))
+        pred = rect_predicate(rx, ry)
+        if "h" in points.columns:
+            pred = hilbert_cover_predicate(points, rx, ry, max_intervals) & pred
+        hits = knn(points.filter(pred), qx, qy, k).collect()
+        covered = (
+            qx - r <= 0 and qy - r <= 0 and qx + r >= domain_max and qy + r >= domain_max
+        )
+        if len(hits) == k and hits[-1].dist_sq <= r * r:
+            break
+        if covered:
+            break
+        r *= 2
+    spark = points.sparkSession
+    return spark.createDataFrame(
+        hits, "id long, x int, y int, dist_sq long, dist double"
     )

@@ -33,6 +33,8 @@ __all__ = [
     "corpus_weighted_sample_sql",
     "corpus_temperature",
     "corpus_temperature_sql",
+    "corpus_temperature_sample",
+    "corpus_temperature_sample_sql",
     "corpus_mix",
     "corpus_mix_sql",
     "corpus_shuffle",
@@ -2726,4 +2728,75 @@ def corpus_temperature_sql(budget: int = 1000, temperature: float = 2.0) -> str:
         "ROUND(CAST(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS DOUBLE) "
         "/ CAST(n_docs AS DOUBLE), 9) AS rate "
         "FROM q ORDER BY source"
+    )
+
+
+def corpus_temperature_sample(
+    documents: DataFrame, budget: int = 1000, temperature: float = 2.0
+) -> DataFrame:
+    """EXECUTE the :func:`corpus_temperature` mixture spec: emit exactly
+    ``budget`` training slots with per-source counts equal to the
+    temperature quotas. Within a source, docs are ranked by
+    (content-fingerprint, doc_id) — the same pure-function-of-the-data
+    rule as :func:`corpus_stratified` — and a quota LARGER than the
+    source (rate > 1, the whole point of temperature flattening) cycles
+    through the ranking again with ``epoch`` incremented: small sources
+    REPEAT across epochs, which is precisely how multilingual recipes
+    realize their upsampled mixtures (a quota ≤ n is epoch-0 only and
+    degenerates to the stratified pick). Spec and execution share one
+    quota computation, so they can never disagree.
+
+    Scale shape: the quota table is source-sized and broadcast; the
+    only per-document work is the fingerprint projection, ONE
+    source-partitioned rank window, and a per-row
+    ``explode(sequence())`` bounded by ceil(rate) — no shuffle beyond
+    the window's. Returns (doc_id, source, fingerprint, epoch) ordered
+    (source, epoch, fingerprint, doc_id); row count == budget."""
+    from pyspark.sql import Window
+
+    quotas = corpus_temperature(documents, budget, temperature).select(
+        "source", "quota", "n_docs"
+    )
+    d = documents.select(
+        "doc_id", "source", fingerprint_col().alias("fingerprint")
+    )
+    w_pick = Window.partitionBy("source").orderBy("fingerprint", "doc_id")
+    ranked = d.join(F.broadcast(quotas), "source").withColumn(
+        "rk", F.row_number().over(w_pick)
+    )
+    # rank r fills slots r, r+n, r+2n, … ≤ quota → repeats = (quota-r) div n + 1
+    reps = (F.col("quota") - F.col("rk")) / F.col("n_docs")
+    return (
+        ranked.filter(F.col("rk") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "source",
+            "fingerprint",
+            F.explode(
+                F.sequence(F.lit(0), F.floor(reps).cast("int"))
+            ).alias("epoch"),
+        )
+        .orderBy("source", "epoch", "fingerprint", "doc_id")
+    )
+
+
+def corpus_temperature_sample_sql(
+    budget: int = 1000, temperature: float = 2.0
+) -> str:
+    """DuckDB twin of :func:`corpus_temperature_sample` — the
+    temperature-quota CTE chain, the identical fingerprint-ordered rank
+    window, and the identical cyclic-epoch expansion."""
+    inner = corpus_temperature_sql(budget, temperature)
+    return (
+        f"WITH q AS ({inner}), "
+        f"d AS (SELECT doc_id, source, {doc_fingerprint_sql()} AS fingerprint "
+        "FROM documents), "
+        "p AS (SELECT d.doc_id, d.source, d.fingerprint, q.quota, q.n_docs, "
+        "row_number() OVER (PARTITION BY d.source "
+        "ORDER BY d.fingerprint, d.doc_id) AS rk "
+        "FROM d JOIN q ON d.source = q.source) "
+        "SELECT doc_id, source, fingerprint, CAST(u.e AS INTEGER) AS epoch "
+        "FROM p, unnest(range((quota - rk) // n_docs + 1)) AS u(e) "
+        "WHERE rk <= quota "
+        "ORDER BY source, epoch, fingerprint, doc_id"
     )
