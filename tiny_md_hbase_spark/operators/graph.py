@@ -980,7 +980,11 @@ def shortest_path(
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        # dist is a union of ALREADY-checkpointed frontiers: lineage
+        # depth = rounds (bounded by max_hops), so re-checkpointing the
+        # accumulated table would pay one extra materialization per
+        # round for nothing — only each round's frontier is pinned
+        dist = dist.unionByName(nxt)
         frontier = nxt
     return dist
 
