@@ -401,8 +401,14 @@ def main() -> None:
             "knn_indexed_zsorted",
             lambda: spatial.knn_indexed(zt, 2048, 2048, 10, domain_max=4095),
         )
+    except Exception as exc:  # noqa: BLE001
+        errors["zsorted_layout"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"bench: zsorted layout FAILED: {errors['zsorted_layout']}", file=sys.stderr)
 
-        # the Hilbert twin of the same layout/probe split
+    # the Hilbert twin of the same layout/probe split — its OWN guard, so
+    # a z-side failure never skips these and a failure here is never
+    # misattributed to the z layout
+    try:
         from tiny_md_hbase_spark import hilbert as HBN
         from tiny_md_hbase_spark.sources.writer import write_points_hsorted
 
@@ -421,9 +427,13 @@ def main() -> None:
                 & spatial.rect_predicate((512, 1535), (1024, 3071))
             ).select("id", "x", "y"),
         )
+        _probe(
+            "knn_hilbert_hsorted",
+            lambda: spatial.knn_hilbert(ht, 2048, 2048, 10, domain_max=4095),
+        )
     except Exception as exc:  # noqa: BLE001
-        errors["zsorted_layout"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(f"bench: zsorted layout FAILED: {errors['zsorted_layout']}", file=sys.stderr)
+        errors["hsorted_layout"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"bench: hsorted layout FAILED: {errors['hsorted_layout']}", file=sys.stderr)
 
     # indexed-search + ANN layouts, build/probe SPLIT: the queries()
     # entries for these keys deliberately rebuild their layout per run

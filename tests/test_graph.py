@@ -669,3 +669,11 @@ def test_shortest_path_default_source_is_min_even_node(spark, sf_dir):
     # suppliers (odd ids) — the parity encoding makes this structural
     viol = out.filter("(node % 2) != (dist % 2)").count()
     assert viol == 0
+
+
+def test_shortest_path_no_even_source_fails_fast(spark):
+    import pytest
+
+    edges = spark.createDataFrame([(1, 3), (3, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="no even source"):
+        G.shortest_path(edges)

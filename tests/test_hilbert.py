@@ -182,3 +182,20 @@ def test_knn_hilbert_exact_without_h_column(spark, sf_dir):
     got = [tuple(r) for r in spatial.knn_hilbert(pts, 100, 100, 5, domain_max=4095).collect()]
     want = [tuple(r) for r in spatial.knn(pts, 100, 100, 5).collect()]
     assert got == want
+
+
+def test_knn_hilbert_k_zero_returns_empty(spark, sf_dir):
+    from tiny_md_hbase_spark.operators import spatial
+
+    pts = points(spark, sf_dir)
+    assert spatial.knn_hilbert(pts, 100, 100, 0, domain_max=4095).count() == 0
+    assert spatial.knn_indexed(pts, 100, 100, 0, domain_max=4095).count() == 0
+
+
+def test_hilbert_rejects_output_column_collision(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "x int, y int, h long")
+    with pytest.raises(ValueError, match="output column"):
+        H.hilbert_encode(df)
+    dd = spark.createDataFrame([(7, 1)], "d long, x int")
+    with pytest.raises(ValueError, match="output column"):
+        H.hilbert_decode(dd)

@@ -95,6 +95,12 @@ def hilbert_encode(
     for c in (_HX, _HY, _HD):
         if c in keep:
             raise ValueError(f"input already has internal column {c}")
+    if out in keep:
+        raise ValueError(
+            f"output column {out!r} already exists — drop or rename it "
+            "(silently duplicating the name would make every downstream "
+            "reference ambiguous)"
+        )
     cur = df.select(
         *keep,
         F.col(x).cast("long").alias(_HX),
@@ -142,6 +148,11 @@ def hilbert_decode(
     for c in (_HX, _HY, _HD):
         if c in keep:
             raise ValueError(f"input already has internal column {c}")
+    for c in (x_out, y_out):
+        if c in keep:
+            raise ValueError(
+                f"output column {c!r} already exists — drop or rename it"
+            )
     cur = df.select(
         *keep,
         F.lit(0).cast("long").alias(_HX),

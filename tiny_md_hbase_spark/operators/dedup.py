@@ -1481,14 +1481,23 @@ def dedup_edit(
     — the banded O(max·L) DP, not the O(L²) full matrix; the oracle
     side computes the full distance and applies the same ≤ filter,
     which is value-identical on every accepted pair. ``max_gram_df``
-    (:func:`_cap_gram_df`) drops hub grams — boilerplate windows
-    shared by more than that many documents — before the pair join,
-    bounding per-gram fan-out at max_gram_df²/2. Near-dup pairs keep
-    their RARE shared windows (a true near-duplicate of a distinctive
-    document shares distinctive grams, not just boilerplate), so at a
-    sane cap the only pairs lost are boilerplate-only collisions that
-    verification would reject in bulk anyway; the oracle mirrors the
-    cap so both engines see the identical candidate set."""
+    (:func:`_cap_gram_df`) drops hub grams — windows shared by more
+    than that many documents — before the pair join, bounding per-gram
+    fan-out at max_gram_df²/2.
+
+    Cap recall caveat (know what the cap can lose): a document
+    replicated MORE than ``max_gram_df`` times has EVERY gram above the
+    cap, so pairs among those copies are dropped even though
+    verification would accept them — that regime is exact/near-exact
+    duplication, which :func:`dedup_exact` / :func:`line_dedup` handle
+    first in any sane pipeline (and at a fraction of the cost); run
+    them before this operator, or set ``max_gram_df`` above the
+    expected duplication (or ``None``) when edit-distance recall among
+    ultra-replicated documents matters. For a near-duplicate of a
+    DISTINCTIVE document (the regime this operator exists for) the
+    pair's rare shared windows survive any cap above its true copy
+    count. The oracle mirrors the cap so both engines see the
+    identical candidate set."""
     txt = F.coalesce(F.col("text"), F.lit(""))
     para = documents.sparkSession.sparkContext.defaultParallelism
     base = documents.repartition(para, "doc_id").select(
@@ -1591,7 +1600,12 @@ def doc_containment(
     candidates: containment is then computed over doc_a's *informative*
     grams (n_a counts post-cap grams) — the stop-gram-removal semantic
     every production containment detector applies, mirrored exactly in
-    the DuckDB twin so both engines agree at every scale. Per-doc gram
+    the DuckDB twin so both engines agree at every scale. The flip
+    side: a document whose grams ALL exceed the cap (replicated more
+    than ``max_gram_df`` times, or pure boilerplate) drops out of the
+    measure entirely — that regime belongs to :func:`dedup_exact` /
+    :func:`line_dedup` upstream; raise the cap (or pass ``None``) when
+    containment among ultra-replicated documents matters. Per-doc gram
     counts join back on doc_a as a PLAIN equi-join: ``n`` is O(|docs|)
     — a "small side" that is nothing of the sort at crawl scale — so
     the broadcast decision is left to AQE's runtime size estimate

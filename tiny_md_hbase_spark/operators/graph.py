@@ -965,6 +965,14 @@ def shortest_path(
         source = e.agg(
             F.min(F.when(F.col("src") % 2 == 0, F.col("src")))
         ).collect()[0][0]
+        if source is None:
+            # empty edge table / no even node: fail fast rather than
+            # crash on int(None) — callers own picking a real source
+            # on non-purchase_edges graphs
+            raise ValueError(
+                "shortest_path: no even source node in the edge table; "
+                "pass source= explicitly"
+            )
     dist = spark.createDataFrame(
         [(int(source), 0)], "node long, dist long"
     ).localCheckpoint()

@@ -423,6 +423,10 @@ def knn_indexed(
     layout exists (single scan); this variant wins when the table is
     z-sorted and far larger than the answer neighborhood.
     """
+    if k <= 0:  # hits[-1] below would IndexError on the k=0 vacuous accept
+        return points.sparkSession.createDataFrame(
+            [], "id long, x int, y int, dist_sq long, dist double"
+        )
     r = initial_radius
     while True:
         rx = (max(qx - r, 0), min(qx + r, domain_max))
@@ -622,6 +626,10 @@ def knn_hilbert(
     without one, still exact)."""
     from tiny_md_hbase_spark.hilbert import hilbert_cover_predicate
 
+    if k <= 0:  # hits[-1] below would IndexError on the k=0 vacuous accept
+        return points.sparkSession.createDataFrame(
+            [], "id long, x int, y int, dist_sq long, dist double"
+        )
     r = initial_radius
     while True:
         rx = (max(qx - r, 0), min(qx + r, domain_max))

@@ -2532,6 +2532,7 @@ def corpus_stratified_sql(budget: int = 100) -> str:
 
 WSAMPLE_K = 500  # default sample size
 _WS_P = 2_147_483_647  # Mersenne 2^31-1: the per-doc uniform's modulus
+_WS_SCALE = 1 << 20  # temperature weights -> scaled integers (order-free sums)
 
 
 def corpus_weighted_sample(documents: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
@@ -2637,13 +2638,22 @@ def corpus_temperature(
     sum to ``budget`` by construction — the mixture SPEC a sampler
     (e.g. :func:`corpus_stratified`'s pick stage) then executes.
 
-    Cross-engine exactness: at the default T=2 the weight is
-    ``sqrt(n_s)`` — IEEE-correctly-rounded in every engine, so shares,
-    floors and remainder ranks are bit-identical and a DuckDB twin
-    hash-matches (the fractional share is emitted rounded; for other T,
-    ``pow`` is faithful-but-not-correctly-rounded and quota boundaries
-    could differ by one in adversarial ties — the default keeps the
-    oracle contract exact).
+    Cross-engine exactness: the float weight is converted ONCE to a
+    scaled integer (``round(w · 2^20)``) and every share, floor, and
+    remainder rank is computed in exact 64-bit integer arithmetic from
+    there — integer sums are order-invariant, so the result cannot
+    depend on Spark's partial-aggregate merge order the way a raw
+    ``sum(double)`` could (an ULP of drift in w_tot would flip a
+    Hamilton boundary). At the default T=2 the weight is ``sqrt(n_s)``
+    — IEEE-correctly-rounded in every engine — so the scaled integers,
+    and hence the quotas, are bit-identical cross-engine; for other T,
+    ``pow`` is faithful-but-not-correctly-rounded, so a scaled weight
+    could differ by one unit in adversarial cases (documented caveat —
+    the default keeps the oracle contract exact). The 2^20 scale keeps
+    ``w_int · budget`` far below 2^63 for any real corpus
+    (w_int ≤ 2^20·sqrt(n); n = 10^12, budget = 10^9 → ~2^70 would
+    overflow, so cap budget·sqrt(n) < 2^43·2^20 — every practical
+    mixture spec is orders of magnitude inside this).
 
     Scale: ONE map-side-partial count per source, then all arithmetic
     and both windows run over the SOURCE-sized table (dozens of rows at
@@ -2663,18 +2673,24 @@ def corpus_temperature(
         w = F.sqrt(F.col("n_docs").cast("double"))
     else:
         w = F.pow(F.col("n_docs").cast("double"), F.lit(1.0 / temperature))
-    weighted = counts.select("source", "n_docs", w.alias("w"))
-    tot = weighted.agg(F.sum("w").alias("w_tot"))
+    weighted = counts.select(
+        "source",
+        "n_docs",
+        w.alias("w"),
+        F.round(w * F.lit(float(_WS_SCALE)), 0).cast("long").alias("w_int"),
+    )
+    tot = weighted.agg(F.sum("w_int").alias("tot_int"))  # exact, order-free
     w_rem = Window.orderBy(F.col("rem").desc(), "source")
-    share = F.col("w") * F.lit(float(budget)) / F.col("w_tot")
+    num = F.col("w_int") * F.lit(budget)
     return (
         weighted.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",
             F.round("w", 9).alias("weight"),
-            F.floor(share).cast("long").alias("q"),
-            (share - F.floor(share)).alias("rem"),
+            F.expr("w_int * CAST({} AS BIGINT) div tot_int".format(budget))
+            .cast("long").alias("q"),
+            (num % F.col("tot_int")).cast("long").alias("rem"),
         )
         .withColumn(
             "leftover",
@@ -2703,9 +2719,11 @@ def corpus_temperature(
 
 
 def corpus_temperature_sql(budget: int = 1000, temperature: float = 2.0) -> str:
-    """DuckDB twin of :func:`corpus_temperature` — identical weight,
-    share, floor, and remainder-rank arithmetic (sqrt at the default
-    T=2, bit-identical per IEEE)."""
+    """DuckDB twin of :func:`corpus_temperature` — the identical
+    scaled-integer Hamilton arithmetic (weights to ``round(w·2^20)``
+    once, then exact 64-bit shares/floors/remainder ranks; order-free
+    integer sums, so neither engine's aggregation order can move a
+    quota boundary)."""
     if temperature == 2.0:
         w = "sqrt(CAST(n_docs AS DOUBLE))"
     else:
@@ -2713,21 +2731,22 @@ def corpus_temperature_sql(budget: int = 1000, temperature: float = 2.0) -> str:
     return (
         "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
         "FROM documents GROUP BY source), "
-        f"wt AS (SELECT source, n_docs, {w} AS w FROM c), "
-        "t AS (SELECT sum(w) AS w_tot FROM wt), "
-        f"sh AS (SELECT source, n_docs, w, w * {float(budget)!r} / t.w_tot "
-        "AS share FROM wt CROSS JOIN t), "
-        "q AS (SELECT source, n_docs, w, CAST(floor(share) AS BIGINT) AS q, "
-        "share - floor(share) AS rem, "
-        f"{budget} - sum(CAST(floor(share) AS BIGINT)) OVER () AS leftover, "
-        "row_number() OVER (ORDER BY share - floor(share) DESC, source) "
-        "AS rk FROM sh) "
+        f"wt AS (SELECT source, n_docs, {w} AS w, "
+        f"CAST(round({w} * {_WS_SCALE}, 0) AS BIGINT) AS w_int FROM c), "
+        "t AS (SELECT sum(w_int) AS tot_int FROM wt), "
+        f"q AS (SELECT source, n_docs, w, "
+        f"(w_int * CAST({budget} AS BIGINT)) // t.tot_int AS q, "
+        f"(w_int * CAST({budget} AS BIGINT)) % t.tot_int AS rem "
+        "FROM wt CROSS JOIN t), "
+        "r AS (SELECT source, n_docs, w, q, rem, "
+        f"{budget} - sum(q) OVER () AS leftover, "
+        "row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q) "
         "SELECT source, n_docs, ROUND(w, 9) AS weight, "
         "CAST(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) "
         "AS quota, "
         "ROUND(CAST(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS DOUBLE) "
         "/ CAST(n_docs AS DOUBLE), 9) AS rate "
-        "FROM q ORDER BY source"
+        "FROM r ORDER BY source"
     )
 
 
