@@ -2363,6 +2363,22 @@ def _q_knn_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.knn_hilbert(pts, *KNN_Q, KNN_K, domain_max=4095)
 
 
+def _q_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded single-source MIN-COST paths (operators/graph.py
+    shortest_path_weighted): 3 Bellman-Ford relaxation rounds over the
+    weighted purchase graph (w = distinct linking orders) — exact
+    integer costs, early-exit via the count+XOR fingerprint idiom, one
+    node-keyed join + min-agg per round. The DuckDB twin enumerates all
+    ≤3-edge walks recursively and min-aggregates (equal by the BF
+    invariant)."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    edges = G.purchase_edges_weighted(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return G.shortest_path_weighted(edges)
+
+
 def _q_sfc_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact space-filling-curve locality comparison (hilbert.py
     sfc_locality): walk the dense order-6 grid in key order under each
@@ -2417,12 +2433,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   kernel), json_props_stats (TRY_CAST twin). table_lifecycle /
     #   compact_layout also changed (new value-level oracles) but already
     #   sit in the r04 block above.
-    #   34-42: the round's nine NEW keys (shortest_path,
+    #   34-43: the round's ten NEW keys (shortest_path,
     #   corpus_weighted_sample, hilbert_encode, hilbert_decode,
     #   sfc_locality, range_query_hilbert, corpus_temperature,
-    #   corpus_temperature_sample, knn_hilbert) — first driver verdicts.
-    #   43-50: the oldest 8 of the r05 cohort (embedding_knn_quantized_
-    #   stored, embedding_knn_ivf_full, pii_scrub, winnow_fingerprint,
+    #   corpus_temperature_sample, knn_hilbert, shortest_path_weighted)
+    #   — first driver verdicts.
+    #   44-50: the oldest 7 of the r05 cohort (embedding_knn_quantized
+    #   (+stored), embedding_knn_ivf_full, pii_scrub, winnow_fingerprint,
     #   winnow_pairs, corpus_budget, ngram_jaccard, corpus_shuffle and
     #   bytes_concat displaced to just below the marker; they lead r09).
     # Below the marker: the r05 remainder (leads the r09 rotation), then
@@ -2474,10 +2491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature": _q_corpus_temperature,
         "corpus_temperature_sample": _q_corpus_temperature_sample,
         "knn_hilbert": _q_knn_hilbert,
-        # -- oldest 8 of the r05 cohort (corpus_shuffle, bytes_concat,
-        # corpus_budget, ngram_jaccard, winnow_pairs, winnow_fingerprint,
-        # pii_scrub, embedding_knn_quantized_stored + embedding_knn_ivf_full
-        # displaced below the marker by the nine new keys, lead r09) ---------
+        "shortest_path_weighted": _q_shortest_path_weighted,
+        # -- oldest 7 of the r05 cohort (ten r05 keys displaced below the
+        # marker by the round's ten new keys, lead r09) ----------------------
         "keyword_search_bm25": _q_keyword_search_bm25,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
         "line_dedup": _q_line_dedup,
@@ -2485,9 +2501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_profile": _q_embedding_profile,
         "stream_ingest_embeddings": _q_stream_ingest_embeddings,
         "polygon_query": _q_polygon_query,
-        "embedding_knn_quantized": _q_embedding_knn_quantized,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- r05 remainder (leads the r09 rotation) ------------------------
+        "embedding_knn_quantized": _q_embedding_knn_quantized,
         "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
         "pii_scrub": _q_pii_scrub,
@@ -2894,6 +2910,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corpus_temperature": TX.corpus_temperature_sql(),
         "corpus_temperature_sample": TX.corpus_temperature_sample_sql(budget=300),
+        "shortest_path_weighted": _GR.shortest_path_weighted_sql(),
         # knn_hilbert is exact and totally ordered identically to knn —
         # the same oracle applies verbatim (spatial.py knn_hilbert)
         "knn_hilbert": (

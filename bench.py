@@ -230,6 +230,7 @@ BENCH_KEYS = [
     "corpus_temperature",
     "corpus_temperature_sample",
     "knn_hilbert",
+    "shortest_path_weighted",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

@@ -677,3 +677,65 @@ def test_shortest_path_no_even_source_fails_fast(spark):
     edges = spark.createDataFrame([(1, 3), (3, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="no even source"):
         G.shortest_path(edges)
+
+
+# ---------------------------------------------------------------------------
+# shortest_path_weighted (hop-bounded Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+
+def test_shortest_path_weighted_small_graph(spark):
+    # 0 -> 2 direct cost 9; 0 -> 1 -> 2 cost 3+4=7 (2 hops beats direct);
+    # 0 -> 1 -> 3 -> 2 cost 3+1+1=5 needs 3 hops
+    edges = spark.createDataFrame(
+        [(0, 2, 9), (0, 1, 3), (1, 2, 4), (1, 3, 1), (3, 2, 1)],
+        "src long, dst long, w long",
+    )
+    got2 = {r.node: r.min_cost for r in G.shortest_path_weighted(edges, source=0, max_hops=2).collect()}
+    assert got2[2] == 7 and got2[3] == 4 and got2[0] == 0
+    got3 = {r.node: r.min_cost for r in G.shortest_path_weighted(edges, source=0, max_hops=3).collect()}
+    assert got3[2] == 5
+
+
+def test_shortest_path_weighted_matches_walk_bruteforce(spark):
+    import itertools
+    import random
+
+    random.seed(17)
+    for _ in range(6):
+        edge_list = []
+        for u, v in itertools.permutations(range(7), 2):
+            if random.random() < 0.35:
+                edge_list.append((u, v, random.randint(1, 9)))
+        edge_list.append((0, 1, 5))  # ensure the source has an out-edge
+        df = spark.createDataFrame(edge_list, "src long, dst long, w long")
+        got = {
+            r.node: r.min_cost
+            for r in G.shortest_path_weighted(df, source=0, max_hops=3).collect()
+        }
+        # brute force: enumerate ALL walks of <= 3 edges
+        best = {0: 0}
+        cur = [(0, 0)]
+        for _ in range(3):
+            nxt = []
+            for node, cost in cur:
+                for u, v, w in edge_list:
+                    if u == node:
+                        c = cost + w
+                        nxt.append((v, c))
+                        if c < best.get(v, 1 << 60):
+                            best[v] = c
+            cur = nxt
+        assert got == best
+
+
+def test_shortest_path_weighted_early_exit_and_fail_fast(spark):
+    import pytest
+
+    # fixpoint before max_hops: a 2-node graph settles after 1 round
+    edges = spark.createDataFrame([(0, 1, 2), (1, 0, 2)], "src long, dst long, w long")
+    got = {r.node: r.min_cost for r in G.shortest_path_weighted(edges, source=0, max_hops=50).collect()}
+    assert got == {0: 0, 1: 2}
+    odd = spark.createDataFrame([(1, 3, 2)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="no even source"):
+        G.shortest_path_weighted(odd)

@@ -52,6 +52,8 @@ __all__ = [
     "k_core_sql",
     "shortest_path",
     "shortest_path_sql",
+    "shortest_path_weighted",
+    "shortest_path_weighted_sql",
 ]
 
 SCALE = 10**12  # rank micro-units
@@ -1017,4 +1019,96 @@ def shortest_path_sql(max_hops: int = 3) -> str:
         f"WHERE bfs.dist < {max_hops}) "
         "SELECT CAST(node AS BIGINT) AS node, "
         "CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY node"
+    )
+
+
+def shortest_path_weighted(
+    edges: DataFrame, source: int | None = None, max_hops: int = 3
+) -> DataFrame:
+    """Single-source MIN-COST paths over a weighted (src, dst, w) edge
+    table, bounded at ``max_hops`` edges: ``max_hops`` rounds of
+    Bellman-Ford relaxation, so row (node, min_cost) is the cheapest
+    walk from ``source`` to ``node`` using at most ``max_hops`` edges
+    (the standard invariant: dist_h(v) = min(dist_{h-1}(v),
+    min_u dist_{h-1}(u) + w(u,v))). Integer weights keep every cost
+    exact, so the recursive-CTE DuckDB twin — which enumerates ALL
+    ≤max_hops-edge walks and min-aggregates — hash-matches. Hop-bounded
+    by design: the fixed-round form a batch pipeline schedules, and the
+    bound is what makes the oracle's walk enumeration finite.
+
+    Scale: each round is ONE dist⋈edges equi-join (node-keyed shuffle;
+    dist is node-sized, never edge-sized) + one min-aggregation, with
+    per-round lineage cut — the same shape as :func:`pagerank`'s
+    round, with the early-exit fingerprint idiom of
+    :func:`connected_components_star` (count + order-free XOR hash,
+    one action) stopping as soon as a round changes nothing."""
+    e = edges.select("src", "dst", "w").localCheckpoint()
+    if source is None:
+        source = e.agg(
+            F.min(F.when(F.col("src") % 2 == 0, F.col("src")))
+        ).collect()[0][0]
+        if source is None:
+            raise ValueError(
+                "shortest_path_weighted: no even source node in the edge "
+                "table; pass source= explicitly"
+            )
+    spark = e.sparkSession
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "node long, min_cost long"
+    ).localCheckpoint()
+
+    def _fp(d: DataFrame) -> tuple:
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(node, min_cost))").alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    fp = _fp(dist)
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("min_cost") + F.col("w")).alias("min_cost"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("min_cost").cast("long").alias("min_cost"))
+            .localCheckpoint()
+        )
+        nfp = _fp(dist)
+        if nfp == fp:
+            break
+        fp = nfp
+    return dist
+
+
+def shortest_path_weighted_sql(max_hops: int = 3) -> str:
+    """DuckDB twin of :func:`shortest_path_weighted` over
+    :func:`purchase_edges_weighted`'s edge build: a recursive CTE
+    enumerating every ≤``max_hops``-edge walk (UNION-dedup'd
+    (node, cost, hops) triples — finite because hops is bounded and
+    costs are exact integers), min-aggregated per node. Equal to
+    ``max_hops`` Bellman-Ford rounds by the standard invariant."""
+    return (
+        "WITH RECURSIVE "
+        "ew0 AS (SELECT DISTINCT o.o_custkey * 2 AS cust, "
+        "l.l_suppkey * 2 + 1 AS supp, o.o_orderkey AS ok "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), "
+        "ew AS (SELECT cust, supp, CAST(count(*) AS BIGINT) AS w "
+        "FROM ew0 GROUP BY cust, supp), "
+        "e AS (SELECT cust AS src, supp AS dst, w FROM ew "
+        "UNION ALL SELECT supp, cust, w FROM ew), "
+        "walk(node, cost, hops) AS ("
+        "SELECT (SELECT MIN(src) FROM e WHERE src % 2 = 0), "
+        "CAST(0 AS BIGINT), 0 "
+        "UNION "
+        "SELECT e.dst, walk.cost + e.w, walk.hops + 1 "
+        "FROM walk JOIN e ON e.src = walk.node "
+        f"WHERE walk.hops < {max_hops}) "
+        "SELECT CAST(node AS BIGINT) AS node, "
+        "CAST(MIN(cost) AS BIGINT) AS min_cost FROM walk GROUP BY node"
     )
