@@ -2379,6 +2379,16 @@ def _q_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.shortest_path_weighted(edges)
 
 
+def _q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters under the TRUE-flag bound oracle
+    (operators/analytics.py heavy_hitters_cms): exact top-20 token
+    counts value-checked, sketch point estimates asserted against the
+    CMS guarantees (overcount-only; ≤ exact + eps·N) — the third sketch
+    family next to the HLL and GK checks, same check/production
+    split."""
+    return AN.heavy_hitters_cms(load_table(spark, sf_dir, "documents"))
+
+
 def _q_sfc_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact space-filling-curve locality comparison (hilbert.py
     sfc_locality): walk the dense order-6 grid in key order under each
@@ -2433,15 +2443,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   kernel), json_props_stats (TRY_CAST twin). table_lifecycle /
     #   compact_layout also changed (new value-level oracles) but already
     #   sit in the r04 block above.
-    #   34-43: the round's ten NEW keys (shortest_path,
+    #   34-44: the round's eleven NEW keys (shortest_path,
     #   corpus_weighted_sample, hilbert_encode, hilbert_decode,
     #   sfc_locality, range_query_hilbert, corpus_temperature,
-    #   corpus_temperature_sample, knn_hilbert, shortest_path_weighted)
-    #   — first driver verdicts.
-    #   44-50: the oldest 7 of the r05 cohort (embedding_knn_quantized
-    #   (+stored), embedding_knn_ivf_full, pii_scrub, winnow_fingerprint,
-    #   winnow_pairs, corpus_budget, ngram_jaccard, corpus_shuffle and
-    #   bytes_concat displaced to just below the marker; they lead r09).
+    #   corpus_temperature_sample, knn_hilbert, shortest_path_weighted,
+    #   heavy_hitters_cms) — first driver verdicts.
+    #   45-50: the oldest 6 of the r05 cohort (polygon_query,
+    #   embedding_knn_quantized(+stored), embedding_knn_ivf_full,
+    #   pii_scrub, winnow_fingerprint, winnow_pairs, corpus_budget,
+    #   ngram_jaccard, corpus_shuffle and bytes_concat displaced to just
+    #   below the marker; they lead r09).
     # Below the marker: the r05 remainder (leads the r09 rotation), then
     # the r06-verdict keys, then the r07-verdict keys (freshest) at the
     # back, keeping verdict age monotone down the dict.
@@ -2492,17 +2503,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_sample": _q_corpus_temperature_sample,
         "knn_hilbert": _q_knn_hilbert,
         "shortest_path_weighted": _q_shortest_path_weighted,
-        # -- oldest 7 of the r05 cohort (ten r05 keys displaced below the
-        # marker by the round's ten new keys, lead r09) ----------------------
+        "heavy_hitters_cms": _q_heavy_hitters_cms,
+        # -- oldest 6 of the r05 cohort (eleven r05 keys displaced below the
+        # marker by the round's eleven new keys, lead r09) --------------------
         "keyword_search_bm25": _q_keyword_search_bm25,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
         "line_dedup": _q_line_dedup,
         "quality_gate": _q_quality_gate,
         "embedding_profile": _q_embedding_profile,
         "stream_ingest_embeddings": _q_stream_ingest_embeddings,
-        "polygon_query": _q_polygon_query,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- r05 remainder (leads the r09 rotation) ------------------------
+        "polygon_query": _q_polygon_query,
         "embedding_knn_quantized": _q_embedding_knn_quantized,
         "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
         "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
@@ -2911,6 +2923,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_temperature": TX.corpus_temperature_sql(),
         "corpus_temperature_sample": TX.corpus_temperature_sample_sql(budget=300),
         "shortest_path_weighted": _GR.shortest_path_weighted_sql(),
+        "heavy_hitters_cms": AN.heavy_hitters_cms_sql(),
         # knn_hilbert is exact and totally ordered identically to knn —
         # the same oracle applies verbatim (spatial.py knn_hilbert)
         "knn_hilbert": (

@@ -231,6 +231,7 @@ BENCH_KEYS = [
     "corpus_temperature_sample",
     "knn_hilbert",
     "shortest_path_weighted",
+    "heavy_hitters_cms",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

@@ -395,3 +395,39 @@ def test_dq_check_detects_planted_violations(spark, sf_dir):
     assert got["orders.o_orderkey.unique"] == 1  # 10**12 appears twice
     assert got["orders.o_custkey.not_null"] == 1
     assert got["orders.o_custkey.ref_customer"] >= 1  # the 10**15 orphan
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_cms (Count-Min-Sketch bounds check)
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_cms_flags_and_exact_counts(spark, sf_dir):
+    from collections import Counter
+
+    from tiny_md_hbase_spark.operators.analytics import heavy_hitters_cms
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = heavy_hitters_cms(docs, k=10).collect()
+    assert len(out) == 10
+    assert all(r.cms_overcounts and r.cms_within_eps for r in out)
+    # exact counts really are the exact top-10 (python recount)
+    texts = [r.text or "" for r in docs.select("text").collect()]
+    cnt = Counter(tok for t in texts for tok in t.lower().split())
+    # tokenizer parity is pinned elsewhere; here check counts for the
+    # returned tokens and the descending order
+    ns = [r.n_exact for r in out]
+    assert ns == sorted(ns, reverse=True)
+    got_top = {r.tok: r.n_exact for r in out}
+    for tok, n in got_top.items():
+        assert cnt[tok] == n or cnt[tok.lower()] == n
+
+
+def test_heavy_hitters_cms_planted_hot_token(spark):
+    from tiny_md_hbase_spark.operators.analytics import heavy_hitters_cms
+
+    rows = [(i, "zzhot " * 50 + f"unique{i}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heavy_hitters_cms(docs, k=3).collect()
+    assert out[0].tok == "zzhot" and out[0].n_exact == 200 * 50
+    assert all(r.cms_overcounts and r.cms_within_eps for r in out)

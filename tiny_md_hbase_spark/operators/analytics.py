@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "heavy_hitters_cms",
+    "heavy_hitters_cms_sql",
     "sales_rollup",
     "sales_rollup_sql",
     "topk_per_group",
@@ -996,3 +998,74 @@ def dq_check_sql() -> str:
         for name, v, n in rows
     ]
     return " UNION ALL ".join(selects) + " ORDER BY rule"
+
+
+def heavy_hitters_cms(
+    documents: DataFrame,
+    k: int = 20,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 17,
+) -> DataFrame:
+    """Count-Min-Sketch heavy hitters, bounds-checked — the third sketch
+    family next to HLL (:func:`approx_distinct_check`) and GK
+    (:func:`approx_quantiles_check`), under the same TRUE-flag oracle
+    pattern: the top-``k`` token counts are computed EXACTLY
+    (value-checked against DuckDB) and the sketch's point estimates are
+    asserted against CMS's published guarantees —
+    ``cms_overcounts`` (estimate ≥ true count: structural, collisions
+    only ever ADD) and ``cms_within_eps`` (estimate ≤ true + eps·N with
+    probability ≥ ``confidence``; deterministic here because the seed
+    pins the hash family). An out-of-bound sketch hash-mismatches the
+    asserted-TRUE oracle columns.
+
+    Scale: the sketch is ONE scan aggregated into an eps×confidence-
+    sized table (width ⌈e/eps⌉ × depth ⌈ln(1/conf⁻¹)⌉ counters —
+    kilobytes, merged map-side; Spark's `stat.countMinSketch`), which
+    is the production path for "how often does token X occur in 100 TB"
+    without a full groupBy. The exact pass and the bounded top-``k``
+    collect exist only in this fixture-scale CHECK form — exactly the
+    split documented on the HLL check."""
+    from tiny_md_hbase_spark.operators.text import tokens
+
+    toks = documents.select(
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
+    ).localCheckpoint()  # three consumers: exact top-k, total, sketch
+    n_total = toks.count()
+    jcms = toks._jdf.stat().countMinSketch("tok", float(eps), float(confidence), int(seed))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "tok")
+        .limit(k)
+        .collect()  # bounded: k rows
+    )
+    rows = []
+    for r in top:
+        est = int(jcms.estimateCount(r.tok))
+        rows.append(
+            (
+                r.tok,
+                r.n_exact,
+                bool(est >= r.n_exact),
+                bool(est <= r.n_exact + eps * n_total),
+            )
+        )
+    return documents.sparkSession.createDataFrame(
+        rows, "tok string, n_exact long, cms_overcounts boolean, cms_within_eps boolean"
+    )
+
+
+def heavy_hitters_cms_sql(k: int = 20) -> str:
+    """DuckDB twin of :func:`heavy_hitters_cms`: the exact top-``k``
+    token counts plus the asserted-TRUE sketch-bound flags."""
+    from tiny_md_hbase_spark.operators.text import tokens_sql
+
+    toks = tokens_sql("coalesce(text, '')")
+    return (
+        f"WITH t AS (SELECT unnest({toks}) AS tok FROM documents) "
+        "SELECT tok, CAST(count(*) AS BIGINT) AS n_exact, "
+        "TRUE AS cms_overcounts, TRUE AS cms_within_eps "
+        "FROM t GROUP BY tok "
+        f"ORDER BY n_exact DESC, tok LIMIT {k}"
+    )
