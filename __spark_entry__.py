@@ -2448,11 +2448,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   sfc_locality, range_query_hilbert, corpus_temperature,
     #   corpus_temperature_sample, knn_hilbert, shortest_path_weighted,
     #   heavy_hitters_cms) — first driver verdicts.
-    #   45-50: the oldest 6 of the r05 cohort (polygon_query,
-    #   embedding_knn_quantized(+stored), embedding_knn_ivf_full,
-    #   pii_scrub, winnow_fingerprint, winnow_pairs, corpus_budget,
-    #   ngram_jaccard, corpus_shuffle and bytes_concat displaced to just
-    #   below the marker; they lead r09).
+    #   45-50: the oldest 6 of the r05 cohort (keyword_search_bm25
+    #   (+indexed), line_dedup, quality_gate, embedding_profile,
+    #   stream_ingest_embeddings). The eleven displaced r05 keys
+    #   (polygon_query, embedding_knn_quantized(+stored),
+    #   embedding_knn_ivf_full, pii_scrub, winnow_fingerprint,
+    #   winnow_pairs, corpus_budget, ngram_jaccard, corpus_shuffle,
+    #   bytes_concat) sit just below the marker and lead r09.
     # Below the marker: the r05 remainder (leads the r09 rotation), then
     # the r06-verdict keys, then the r07-verdict keys (freshest) at the
     # back, keeping verdict age monotone down the dict.
@@ -2723,6 +2725,14 @@ def oracle_sql() -> dict[str, str]:
         f"(CAST(x AS BIGINT) - {KNN_Q[0]}) * (CAST(x AS BIGINT) - {KNN_Q[0]}) "
         f"+ (CAST(y AS BIGINT) - {KNN_Q[1]}) * (CAST(y AS BIGINT) - {KNN_Q[1]})"
     )
+    # ONE knn oracle string: knn_indexed and knn_hilbert are exact and
+    # totally ordered identically to knn, so the same text applies
+    # verbatim — shared here so the three can never silently diverge
+    knn_oracle = (
+        f"{_POINTS_CTE} SELECT id, x, y, dist_sq, sqrt(dist_sq) AS dist "
+        f"FROM (SELECT id, x, y, CAST({dist_sq} AS BIGINT) AS dist_sq "
+        f"FROM points) ORDER BY dist_sq, id, x, y LIMIT {KNN_K}"
+    )
     clusters_sql = (
         "WITH RECURSIVE toks_t AS (SELECT doc_id, lang, "
         f"{_TOKS} AS toks FROM documents), "
@@ -2772,18 +2782,8 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT x, y FROM points ORDER BY id LIMIT 1) q "
             "USING (x, y)"
         ),
-        "knn": (
-            f"{_POINTS_CTE} SELECT id, x, y, dist_sq, sqrt(dist_sq) AS dist "
-            f"FROM (SELECT id, x, y, CAST({dist_sq} AS BIGINT) AS dist_sq "
-            f"FROM points) ORDER BY dist_sq, id, x, y LIMIT {KNN_K}"
-        ),
-        # knn_indexed is exact and totally ordered identically to knn —
-        # the same oracle applies verbatim (spatial.py knn_indexed)
-        "knn_indexed": (
-            f"{_POINTS_CTE} SELECT id, x, y, dist_sq, sqrt(dist_sq) AS dist "
-            f"FROM (SELECT id, x, y, CAST({dist_sq} AS BIGINT) AS dist_sq "
-            f"FROM points) ORDER BY dist_sq, id, x, y LIMIT {KNN_K}"
-        ),
+        "knn": knn_oracle,
+        "knn_indexed": knn_oracle,
         # the streamed z-table must answer the rectangle count the events
         # fixture itself answers (events_as_points projection inlined)
         "stream_ingest_points": (
@@ -2924,13 +2924,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_temperature_sample": TX.corpus_temperature_sample_sql(budget=300),
         "shortest_path_weighted": _GR.shortest_path_weighted_sql(),
         "heavy_hitters_cms": AN.heavy_hitters_cms_sql(),
-        # knn_hilbert is exact and totally ordered identically to knn —
-        # the same oracle applies verbatim (spatial.py knn_hilbert)
-        "knn_hilbert": (
-            f"{_POINTS_CTE} SELECT id, x, y, dist_sq, sqrt(dist_sq) AS dist "
-            f"FROM (SELECT id, x, y, CAST({dist_sq} AS BIGINT) AS dist_sq "
-            f"FROM points) ORDER BY dist_sq, id, x, y LIMIT {KNN_K}"
-        ),
+        "knn_hilbert": knn_oracle,
         "set_bit": (
             f"{_POINTS_CTE} SELECT id, CAST(id % 62 + 1 AS INTEGER) AS pos, "
             f"({zsql}) | (CAST(1 AS BIGINT) "

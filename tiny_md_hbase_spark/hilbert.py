@@ -148,6 +148,8 @@ def hilbert_decode(
     for c in (_HX, _HY, _HD):
         if c in keep:
             raise ValueError(f"input already has internal column {c}")
+    if x_out == y_out:
+        raise ValueError("x_out and y_out must differ")
     for c in (x_out, y_out):
         if c in keep:
             raise ValueError(

@@ -1030,9 +1030,9 @@ def heavy_hitters_cms(
 
     toks = documents.select(
         F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
-    ).localCheckpoint()  # three consumers: exact top-k, total, sketch
-    n_total = toks.count()
+    ).localCheckpoint()  # two consumers: the sketch and the exact top-k
     jcms = toks._jdf.stat().countMinSketch("tok", float(eps), float(confidence), int(seed))
+    n_total = int(jcms.totalCount())  # the sketch already carries N
     top = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))

@@ -423,6 +423,34 @@ def knn_indexed(
     layout exists (single scan); this variant wins when the table is
     z-sorted and far larger than the answer neighborhood.
     """
+
+    def _prune(rx: tuple[int, int], ry: tuple[int, int]) -> Column:
+        pred = rect_predicate(rx, ry)
+        if "zvalue" in points.columns:
+            zmin, zmax = z_window(rx, ry)
+            pred = F.col("zvalue").between(zmin, zmax) & pred
+        return pred
+
+    return _knn_expanding(points, qx, qy, k, initial_radius, domain_max, _prune)
+
+
+def _knn_expanding(
+    points: DataFrame,
+    qx: int,
+    qy: int,
+    k: int,
+    initial_radius: int,
+    domain_max: int,
+    prune,
+) -> DataFrame:
+    """The ONE expanding-square exact-kNN loop shared by
+    :func:`knn_indexed` (z-window prune) and :func:`knn_hilbert`
+    (Hilbert-cover prune) — the layouts differ only in how a round's
+    square is pruned (``prune(rx, ry) -> Column``), and sharing the
+    loop keeps the radius clip, the covered check, the k≤0 guard, and
+    the accept condition provably identical between the two "exact
+    twins" (this round patched the same k=0 defect in both copies —
+    the helper makes that class of divergence impossible)."""
     if k <= 0:  # hits[-1] below would IndexError on the k=0 vacuous accept
         return points.sparkSession.createDataFrame(
             [], "id long, x int, y int, dist_sq long, dist double"
@@ -431,13 +459,7 @@ def knn_indexed(
     while True:
         rx = (max(qx - r, 0), min(qx + r, domain_max))
         ry = (max(qy - r, 0), min(qy + r, domain_max))
-        window = points.filter(rect_predicate(rx, ry))
-        if "zvalue" in points.columns:
-            zmin, zmax = z_window(rx, ry)
-            window = points.filter(
-                F.col("zvalue").between(zmin, zmax) & rect_predicate(rx, ry)
-            )
-        hits = knn(window, qx, qy, k).collect()
+        hits = knn(points.filter(prune(rx, ry)), qx, qy, k).collect()
         covered = (
             qx - r <= 0 and qy - r <= 0 and qx + r >= domain_max and qy + r >= domain_max
         )
@@ -446,8 +468,7 @@ def knn_indexed(
         if covered:
             break
         r *= 2
-    spark = points.sparkSession
-    return spark.createDataFrame(
+    return points.sparkSession.createDataFrame(
         hits, "id long, x int, y int, dist_sq long, dist double"
     )
 
@@ -626,27 +647,10 @@ def knn_hilbert(
     without one, still exact)."""
     from tiny_md_hbase_spark.hilbert import hilbert_cover_predicate
 
-    if k <= 0:  # hits[-1] below would IndexError on the k=0 vacuous accept
-        return points.sparkSession.createDataFrame(
-            [], "id long, x int, y int, dist_sq long, dist double"
-        )
-    r = initial_radius
-    while True:
-        rx = (max(qx - r, 0), min(qx + r, domain_max))
-        ry = (max(qy - r, 0), min(qy + r, domain_max))
+    def _prune(rx: tuple[int, int], ry: tuple[int, int]) -> Column:
         pred = rect_predicate(rx, ry)
         if "h" in points.columns:
             pred = hilbert_cover_predicate(points, rx, ry, max_intervals) & pred
-        hits = knn(points.filter(pred), qx, qy, k).collect()
-        covered = (
-            qx - r <= 0 and qy - r <= 0 and qx + r >= domain_max and qy + r >= domain_max
-        )
-        if len(hits) == k and hits[-1].dist_sq <= r * r:
-            break
-        if covered:
-            break
-        r *= 2
-    spark = points.sparkSession
-    return spark.createDataFrame(
-        hits, "id long, x int, y int, dist_sq long, dist double"
-    )
+        return pred
+
+    return _knn_expanding(points, qx, qy, k, initial_radius, domain_max, _prune)

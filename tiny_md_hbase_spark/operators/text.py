@@ -2436,6 +2436,50 @@ def vocab_growth_sql(bucket_docs: int = 50) -> str:
     )
 
 
+def _hamilton_quotas(
+    weighted: DataFrame, key_cols: list[str], budget: int, weight_col: str
+) -> DataFrame:
+    """THE largest-remainder (Hamilton) integer split, shared by
+    :func:`corpus_stratified` (weights = raw stratum counts) and
+    :func:`corpus_temperature` (weights = temperature-scaled integers):
+    quota = floor(w·B / W) plus one for the B − Σfloor keys with the
+    largest integer remainders (ties by key). All arithmetic is exact
+    64-bit integers over the KEY-sized table (order-invariant sums —
+    no float total can move a boundary), so both call sites and their
+    SQL twins stay value-identical by construction. Returns
+    key_cols + (quota)."""
+    from pyspark.sql import Window
+
+    tot = weighted.agg(F.sum(weight_col).alias("_tot"))
+    w_rem = Window.orderBy(F.col("rem").desc(), *key_cols)
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            *key_cols,
+            F.expr(f"{weight_col} * CAST({budget} AS BIGINT) div _tot")
+            .cast("long").alias("q"),
+            (F.col(weight_col) * F.lit(budget) % F.col("_tot"))
+            .cast("long").alias("rem"),
+        )
+        .withColumn(
+            "leftover",
+            F.lit(budget) - F.sum("q").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w_rem))
+        .select(
+            *key_cols,
+            (
+                F.col("q")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )
+
+
 def corpus_stratified(documents: DataFrame, budget: int = 100) -> DataFrame:
     """EXACT proportional stratified sample: select exactly ``budget``
     documents with per-(lang, source) allocations by the
@@ -2468,29 +2512,7 @@ def corpus_stratified(documents: DataFrame, budget: int = 100) -> DataFrame:
     counts = d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_s")
     )
-    tot = counts.agg(F.sum("n_s").cast("long").alias("n_tot"))
-    w_rem = Window.orderBy(
-        F.col("rem").desc(), "lang", "source"
-    )
-    quotas = (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "lang",
-            "source",
-            F.expr(f"(n_s * {budget}) div n_tot").alias("q"),
-            F.expr(f"(n_s * {budget}) % n_tot").alias("rem"),
-            F.expr(
-                f"{budget} - sum((n_s * {budget}) div n_tot) over ()"
-            ).alias("leftover"),
-        )
-        .withColumn("rk", F.row_number().over(w_rem))
-        .select(
-            "lang",
-            "source",
-            (F.col("q") + F.when(F.col("rk") <= F.col("leftover"), 1)
-             .otherwise(0)).cast("long").alias("quota"),
-        )
-    )
+    quotas = _hamilton_quotas(counts, ["lang", "source"], budget, "n_s")
     w_pick = Window.partitionBy("lang", "source").orderBy(
         "fingerprint", "doc_id"
     )
@@ -2666,8 +2688,14 @@ def corpus_temperature(
         raise ValueError("budget must be positive")
     if temperature <= 0:
         raise ValueError("temperature must be positive")
-    counts = documents.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    # NULL sources are EXCLUDED up front (documented contract): Spark and
+    # DuckDB both keep a NULL group in GROUP BY but both DROP it in the
+    # sample's equi-join — allocating a quota that the join can never
+    # fill would silently break the row-count == budget invariant
+    counts = (
+        documents.filter(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     if temperature == 2.0:
         w = F.sqrt(F.col("n_docs").cast("double"))
@@ -2679,37 +2707,10 @@ def corpus_temperature(
         w.alias("w"),
         F.round(w * F.lit(float(_WS_SCALE)), 0).cast("long").alias("w_int"),
     )
-    tot = weighted.agg(F.sum("w_int").alias("tot_int"))  # exact, order-free
-    w_rem = Window.orderBy(F.col("rem").desc(), "source")
-    num = F.col("w_int") * F.lit(budget)
+    quotas = _hamilton_quotas(weighted, ["source"], budget, "w_int")
     return (
-        weighted.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_docs",
-            F.round("w", 9).alias("weight"),
-            F.expr("w_int * CAST({} AS BIGINT) div tot_int".format(budget))
-            .cast("long").alias("q"),
-            (num % F.col("tot_int")).cast("long").alias("rem"),
-        )
-        .withColumn(
-            "leftover",
-            F.lit(budget) - F.sum("q").over(
-                Window.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
-        .withColumn("rk", F.row_number().over(w_rem))
-        .select(
-            "source",
-            "n_docs",
-            "weight",
-            (
-                F.col("q")
-                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
-            ).cast("long").alias("quota"),
-        )
+        weighted.select("source", "n_docs", F.round("w", 9).alias("weight"))
+        .join(quotas, "source")
         .withColumn(
             "rate",
             F.round(F.col("quota") / F.col("n_docs").cast("double"), 9),
@@ -2730,7 +2731,7 @@ def corpus_temperature_sql(budget: int = 1000, temperature: float = 2.0) -> str:
         w = f"pow(CAST(n_docs AS DOUBLE), {1.0 / temperature!r})"
     return (
         "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
-        "FROM documents GROUP BY source), "
+        "FROM documents WHERE source IS NOT NULL GROUP BY source), "
         f"wt AS (SELECT source, n_docs, {w} AS w, "
         f"CAST(round({w} * {_WS_SCALE}, 0) AS BIGINT) AS w_int FROM c), "
         "t AS (SELECT sum(w_int) AS tot_int FROM wt), "
@@ -2784,16 +2785,16 @@ def corpus_temperature_sample(
         "rk", F.row_number().over(w_pick)
     )
     # rank r fills slots r, r+n, r+2n, … ≤ quota → repeats = (quota-r) div n + 1
-    reps = (F.col("quota") - F.col("rk")) / F.col("n_docs")
+    # (exact integer div, same as the twin's // — a double quotient could
+    # round across an integer boundary above 2^53)
+    reps = F.expr("(quota - rk) div n_docs")
     return (
         ranked.filter(F.col("rk") <= F.col("quota"))
         .select(
             "doc_id",
             "source",
             "fingerprint",
-            F.explode(
-                F.sequence(F.lit(0), F.floor(reps).cast("int"))
-            ).alias("epoch"),
+            F.explode(F.sequence(F.lit(0), reps.cast("int"))).alias("epoch"),
         )
         .orderBy("source", "epoch", "fingerprint", "doc_id")
     )
