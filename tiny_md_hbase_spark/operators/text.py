@@ -2682,8 +2682,6 @@ def corpus_temperature(
     any corpus scale) — metadata-sized like corpus_stratified's quota
     stage, no per-document work at all. Returns (source, n_docs,
     weight, quota, rate) ordered by source."""
-    from pyspark.sql import Window
-
     if budget <= 0:
         raise ValueError("budget must be positive")
     if temperature <= 0:
