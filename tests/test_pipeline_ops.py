@@ -2016,10 +2016,13 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
     want_ids = [-d for _, d in pri[:k]]
     got = T.corpus_weighted_sample(docs, k=k).collect()
     assert [r.doc_id for r in got] == want_ids
-    # DLT estimator: est = max(w, tau) with tau the (k+1)-th priority
+    # DLT estimator: est = max(w, tau) with tau the (k+1)-th priority.
+    # EXACT equality on the unrounded doubles: the Python reference runs
+    # the same exact-int division, so all three engines (Python, Spark,
+    # DuckDB) hold bit-identical values — no rounding tolerance needed.
     tau = pri[k][0] if len(pri) > k else 0.0
     for r in got:
-        assert r.est == round(max(float(r.weight), tau), 6)
+        assert r.est == max(float(r.weight), tau)
 
 
 def test_weighted_sample_deterministic_under_repartition(spark, sf_dir):

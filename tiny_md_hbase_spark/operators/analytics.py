@@ -1019,6 +1019,18 @@ def heavy_hitters_cms(
     pins the hash family). An out-of-bound sketch hash-mismatches the
     asserted-TRUE oracle columns.
 
+    ORACLE CAVEAT — ``cms_within_eps`` is probabilistic, not
+    structural: the eps bound holds with probability ≥ ``confidence``
+    PER QUERY (0.99 over ~20 queries here), so the DuckDB twin's
+    pinned-TRUE column is only guaranteed under THIS seed + fixture,
+    where it is deterministic and verified. Changing ``seed``,
+    ``eps``/``confidence``, or the documents fixture can legitimately
+    flip the flag without any bug — if that ever surfaces as an oracle
+    mismatch, re-verify the flag against the exact counts (the
+    ``n_exact`` column IS the ground truth) before treating it as a
+    regression. ``cms_overcounts`` carries no such caveat: ≥-true is
+    structural for every seed.
+
     Scale: the sketch is ONE scan aggregated into an eps×confidence-
     sized table (width ⌈e/eps⌉ × depth ⌈ln(1/conf⁻¹)⌉ counters —
     kilobytes, merged map-side; Spark's `stat.countMinSketch`), which

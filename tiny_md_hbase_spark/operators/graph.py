@@ -1041,7 +1041,13 @@ def shortest_path_weighted(
     per-round lineage cut — the same shape as :func:`pagerank`'s
     round, with the early-exit fingerprint idiom of
     :func:`connected_components_star` (count + order-free XOR hash,
-    one action) stopping as soon as a round changes nothing."""
+    one action) stopping as soon as a round changes nothing. Unlike
+    the hop-count loop, the exit is NOT trusted on the fingerprint
+    alone: a (~2⁻⁶⁴) XOR-hash collision would otherwise silently end
+    relaxation before the ``max_hops``-round contract is met, so a
+    matching fingerprint is confirmed with an exact ``exceptAll``
+    check on the node-sized dist table (one extra bounded action,
+    paid only at the exit round) before breaking."""
     e = edges.select("src", "dst", "w").localCheckpoint()
     if source is None:
         source = e.agg(
@@ -1066,6 +1072,7 @@ def shortest_path_weighted(
 
     fp = _fp(dist)
     for _ in range(max_hops):
+        prev = dist
         relaxed = (
             dist.join(e, dist["node"] == e["src"])
             .select(
@@ -1080,7 +1087,14 @@ def shortest_path_weighted(
             .localCheckpoint()
         )
         nfp = _fp(dist)
-        if nfp == fp:
+        # fingerprint equality is the cheap filter, never the verdict:
+        # confirm with an exact containment check before breaking. The
+        # fingerprint carries the EXACT row count, so count-equal plus
+        # new ⊆ prev (with multiplicities) ⇒ the tables are identical —
+        # a 2^-64 XOR collision can delay the exit by zero rounds but
+        # can never end relaxation early. Both tables are node-sized
+        # (bounded) and the check runs only on a fingerprint match.
+        if nfp == fp and dist.exceptAll(prev).limit(1).count() == 0:
             break
         fp = nfp
     return dist

@@ -626,7 +626,7 @@ def knn_hilbert(
     qy: int,
     k: int,
     initial_radius: int = 16,
-    domain_max: int = 2**31 - 1,
+    domain_max: int | None = None,
     max_intervals: int = 16,
 ) -> DataFrame:
     """:func:`knn_indexed`'s twin over a HILBERT-clustered table: the
@@ -644,8 +644,17 @@ def knn_hilbert(
     (sfc_locality) mean fewer, tighter BETWEENs per round, i.e. fewer
     row groups read on the h-sorted layout. Requires a materialized
     ``h`` column for pruning (falls back to the plain rectangle scan
-    without one, still exact)."""
-    from tiny_md_hbase_spark.hilbert import hilbert_cover_predicate
+    without one, still exact).
+
+    ``domain_max`` defaults to the Hilbert grid's own extent,
+    ``(1 << BITS) - 1`` (4095 at the pinned order-12 curve) — the curve
+    cannot index points beyond it, so a wider default would only buy
+    ~19 extra doubling rounds of empty scans when fewer than ``k``
+    points exist before the 'covered' exit triggers."""
+    from tiny_md_hbase_spark.hilbert import BITS, hilbert_cover_predicate
+
+    if domain_max is None:
+        domain_max = (1 << BITS) - 1
 
     def _prune(rx: tuple[int, int], ry: tuple[int, int]) -> Column:
         pred = rect_predicate(rx, ry)

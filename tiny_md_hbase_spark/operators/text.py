@@ -2575,7 +2575,12 @@ def corpus_weighted_sample(documents: DataFrame, k: int = WSAMPLE_K) -> DataFram
     enters until the single division w·P/u, whose operands are exact in
     double (w·P < 2^53) and whose IEEE correctly-rounded quotient is
     bit-identical on any engine — which is what lets a DuckDB twin
-    value-match a float-keyed top-k.
+    value-match a float-keyed top-k. Because the doubles are already
+    bit-identical, ``priority``/``est`` are emitted UNROUNDED: a
+    ``round(x, 6)`` would re-introduce the one cross-engine freedom we
+    eliminated (Spark's exact BigDecimal HALF_UP vs DuckDB's
+    double-path ROUND may differ by 1 ulp at the 6th decimal on
+    adversarial values).
 
     Scale: priorities are a narrow projection (no shuffle);
     ``orderBy().limit(k+1)`` plans as TakeOrderedAndProject — each
@@ -2583,7 +2588,7 @@ def corpus_weighted_sample(documents: DataFrame, k: int = WSAMPLE_K) -> DataFram
     ever move, so the cost is one scan + a k-sized merge, never a full
     sort. The final tau/rank window runs on k+1 rows (driver-bounded by
     construction). Returns (doc_id, source, weight, priority, est)
-    with floats rounded to 6dp, ordered by priority desc."""
+    with the exact unrounded doubles, ordered by priority desc."""
     from pyspark.sql import Window
 
     p = F.lit(float(_WS_P))
@@ -2615,10 +2620,10 @@ def corpus_weighted_sample(documents: DataFrame, k: int = WSAMPLE_K) -> DataFram
             "doc_id",
             "source",
             "weight",
-            F.round("q", 6).alias("priority"),
-            F.round(
-                F.greatest(F.col("weight").cast("double"), F.col("tau")), 6
-            ).alias("est"),
+            F.col("q").alias("priority"),
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "est"
+            ),
         )
         .orderBy(F.desc("priority"), F.asc("doc_id"))
     )
@@ -2627,7 +2632,9 @@ def corpus_weighted_sample(documents: DataFrame, k: int = WSAMPLE_K) -> DataFram
 def corpus_weighted_sample_sql(k: int = WSAMPLE_K) -> str:
     """DuckDB twin of :func:`corpus_weighted_sample` — the identical
     exact-integer uniform and the identical correctly-rounded priority
-    quotient, so the float top-k boundary agrees bit-for-bit."""
+    quotient, so the float top-k boundary agrees bit-for-bit; outputs
+    stay unrounded (the operands are exact, so both engines hold the
+    same doubles — ROUND would only add a 1-ulp divergence channel)."""
     u = (
         f"((((doc_id % {_WS_P}) * 48271 + 11) % {_WS_P}) * 69621 + 7919) "
         f"% {_WS_P} + 1"
@@ -2641,8 +2648,8 @@ def corpus_weighted_sample_sql(k: int = WSAMPLE_K) -> str:
         "row_number() OVER (ORDER BY q DESC, doc_id) AS rn, "
         f"CASE WHEN count(*) OVER () = {k + 1} THEN min(q) OVER () "
         "ELSE 0.0 END AS tau FROM top) "
-        "SELECT doc_id, source, weight, ROUND(q, 6) AS priority, "
-        "ROUND(GREATEST(CAST(weight AS DOUBLE), tau), 6) AS est "
+        "SELECT doc_id, source, weight, q AS priority, "
+        "GREATEST(CAST(weight AS DOUBLE), tau) AS est "
         f"FROM t WHERE rn <= {k} ORDER BY priority DESC, doc_id"
     )
 
