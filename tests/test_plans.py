@@ -730,3 +730,32 @@ def test_hybrid_search_rrf_rank_stage_is_metadata_sized(spark, sf_dir):
     plan = P.explain_str(q, "simple")
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_write_parallelism_exceeds_bucket_count(spark, sf_dir):
+    """The posting write must NOT collapse to ``num_buckets`` tasks: the
+    pre-write exchange hash-partitions on (bucket, crc32(term)) at
+    cluster width, so each bucket DIRECTORY is written by many tasks —
+    the 100 TB fix for the 16-task write ceiling a bare
+    ``repartition("bucket")`` imposes. Pruning semantics are untouched
+    (search-equivalence tests in test_writer.py); within a directory a
+    term's postings still share one file because they share one crc32."""
+    from pyspark.sql import functions as F
+
+    from tiny_md_hbase_spark.sources.writer import build_postings
+
+    pp = build_postings(load_table(spark, sf_dir, "documents"), num_buckets=4)
+    # the exchange is sized to the cluster (defaultParallelism=8 in the
+    # test session), never capped at the bucket count
+    assert pp.rdd.getNumPartitions() > 4
+    assert "crc32" in P.explain_str(pp, "simple")
+    # and the spread is real, not just nominal: rows of a single bucket
+    # land in more than one task
+    spread = (
+        pp.withColumn("pid", F.spark_partition_id())
+        .groupBy("bucket")
+        .agg(F.count_distinct("pid").alias("n_tasks"))
+        .agg(F.max("n_tasks").alias("mx"))
+        .first()
+    )
+    assert spread.mx > 1

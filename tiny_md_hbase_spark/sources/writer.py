@@ -39,6 +39,7 @@ __all__ = [
     "write_corpus_shards",
     "load_corpus_shard",
     "term_bucket",
+    "build_postings",
     "write_inverted_index",
     "keyword_search_indexed",
     "write_embeddings_clustered",
@@ -257,6 +258,26 @@ def _term_bucket_col(term, num_buckets: int):
     return F.pmod(h, F.lit(num_buckets)).cast("int")
 
 
+def build_postings(documents: DataFrame, num_buckets: int = 16) -> DataFrame:
+    """The pre-write posting table of :func:`write_inverted_index`,
+    already carrying the exchange the writer relies on — exposed so the
+    plan-contract test can assert the write parallelism (>1 partition
+    per bucket directory) on the exact DataFrame that gets written."""
+    from tiny_md_hbase_spark.operators.text import tokens
+
+    spark_parallelism = max(
+        documents.sparkSession.sparkContext.defaultParallelism, num_buckets
+    )
+    postings = (
+        documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", F.lower("tok").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("bucket", _term_bucket_col(F.col("term"), num_buckets))
+    )
+    return postings.repartition(spark_parallelism, "bucket", F.crc32("term"))
+
+
 def write_inverted_index(
     documents: DataFrame, path: str, num_buckets: int = 16
 ) -> None:
@@ -271,18 +292,19 @@ def write_inverted_index(
     explode + aggregate pass, then every search touches only
     ``len(terms)/num_buckets`` of the index files via partition pruning.
     Scale shape: explode → map-side partial count on (term, doc_id) →
-    one exchange on the bucket column so each partition directory is
-    written by its own tasks."""
+    one exchange on (bucket, crc32(term)) sized to the cluster, so each
+    bucket DIRECTORY is written by many tasks in parallel. Partitioning
+    on the bucket column alone would cap the write at ``num_buckets``
+    non-empty tasks (16 by default) — at 100 TB that one stage becomes
+    the pipeline's bottleneck by construction. Salting with the term
+    hash keeps write parallelism at cluster width while leaving pruning
+    semantics untouched, and because ALL postings of a term share a
+    crc32 they land in the same output file — the ``term IN (...)``
+    row-group stats inside a probed directory stay as tight as with the
+    single-task layout."""
     from tiny_md_hbase_spark.operators.text import tokens
 
-    postings = (
-        documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .select("doc_id", F.lower("tok").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .withColumn("bucket", _term_bucket_col(F.col("term"), num_buckets))
-    )
-    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+    build_postings(documents, num_buckets).write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(path)
     # persist the bucket modulus: a reader probing with a different
