@@ -759,3 +759,20 @@ def test_inverted_index_write_parallelism_exceeds_bucket_count(spark, sf_dir):
         .first()
     )
     assert spread.mx > 1
+
+
+def test_skyline_has_no_partitionless_window(spark, sf_dir):
+    """skyline's cumulative min must be the two-phase prefix form: every
+    WindowExec in the plan carries a partition spec (a bare
+    Window.orderBy would move the whole distinct-x table — data-sized
+    under SURVEY §1.1's [0, 2^31) domain — into one task). The
+    cross-partition carry is a P-row triangular join, so no operator in
+    the plan sorts unpartitioned data."""
+    q = spatial.skyline(points(spark, sf_dir))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    wlines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert wlines, plan  # the prefix window is still a window
+    for ln in wlines:
+        # with a partition spec a Window prints THREE bracket groups:
+        # Window [exprs], [partition cols], [order cols]
+        assert re.search(r"\], \[[^\]]+\], \[[^\]]+\]\s*$", ln), ln

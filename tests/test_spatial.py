@@ -306,3 +306,38 @@ def test_skyline_staircase_and_duplicates(spark):
     assert got == [
         (1, 0, 30), (2, 10, 20), (5, 10, 20), (3, 20, 10), (4, 30, 0)
     ]
+
+
+def test_skyline_wide_distinct_x_crosses_partition_boundaries(spark):
+    """Correctness of the two-phase prefix min when the distinct-x table
+    genuinely spans many range partitions: ~20k distinct x (≫ the 8
+    partitions of the test session), frontier points planted at
+    irregular positions so several fall in non-first partitions and the
+    cross-partition carry is load-bearing (a dropped or misaligned
+    carry would admit dominated points from later partitions)."""
+    import random
+
+    from tiny_md_hbase_spark.operators import spatial as SP
+
+    rng = random.Random(101)
+    n = 20_000
+    # strictly decreasing frontier y at irregular x, plus dominated noise
+    pts = []
+    for i in range(n):
+        x = i * 7 + rng.randrange(3)  # ~20k distinct x values
+        y = (n - i) * 5 + rng.randrange(2000)  # noisy, loosely decreasing
+        pts.append((i, x, y))
+    per_x_min: dict[int, int] = {}
+    for _, x, y in pts:
+        per_x_min[x] = min(y, per_x_min.get(x, y))
+    best = None
+    frontier = set()
+    for x in sorted(per_x_min):
+        if best is None or per_x_min[x] < best:
+            frontier.add((x, per_x_min[x]))
+            best = per_x_min[x]
+    want = sorted((x, y, i) for i, x, y in pts if (x, y) in frontier)
+    want = [(i, x, y) for x, y, i in want]
+    df = spark.createDataFrame(pts, "id long, x int, y int").repartition(16)
+    got = [(r.id, r.x, r.y) for r in SP.skyline(df).collect()]
+    assert got == want

@@ -574,25 +574,66 @@ def skyline(pts: DataFrame) -> DataFrame:
 
     Scale shape — the sort-free 2D rewrite: (1) per-x minima m(x) by
     map-side-partial aggregation (the only data-sized pass; everything
-    dominated within its own x column dies here); (2) a strictly-
-    cumulative min window over the DISTINCT-x table — domain-bounded
-    metadata (≤ 4096 rows here), one tiny sort, never the data; (3) a
-    broadcastable x-keyed join filters survivors: on the skyline iff
-    y = m(x) and y < min over all smaller x (strictly smaller x makes
-    any ≤ tie a strict dominance). No quadratic pass anywhere — the
-    oracle keeps the raw NOT-EXISTS dominance predicate but probes it
-    against the per-x minima, so the two formulations stay
-    independent."""
+    dominated within its own x column dies here); (2) the strictly-
+    cumulative min over the DISTINCT-x table as a TWO-PHASE prefix min
+    — distinct x is DATA-bounded (SURVEY §1.1's domain is [0, 2^31), so
+    it can reach corpus scale), and a bare ``Window.orderBy("x")``
+    would sort that whole table in one task. Instead: range-partition
+    the distinct-x table, run the strict prefix-min window WITHIN each
+    range partition (parallel — every WindowExec here has a partition
+    spec), reduce each partition to its single overall min (one row per
+    partition: bounded metadata), prefix-combine those P rows with a
+    tiny triangular self-join (no window, no single-partition sort),
+    and broadcast the per-partition carry back. ``prev_min`` =
+    least(within-partition prefix, carry from earlier partitions) —
+    identical to the global window by range-partition ordering (every
+    x in an earlier partition is strictly smaller, equal keys never
+    split across partitions); (3) a broadcastable x-keyed join filters
+    survivors: on the skyline iff y = m(x) and y < min over all
+    smaller x (strictly smaller x makes any ≤ tie a strict dominance).
+    No quadratic pass anywhere — the oracle keeps the raw NOT-EXISTS
+    dominance predicate but probes it against the per-x minima, so the
+    two formulations stay independent.
+
+    The distinct-x table is localCheckpoint-ed after the range exchange:
+    both phase consumers (the windowed prefix and the per-partition
+    reduction) must read the SAME partition assignment — relying on
+    ReuseExchange to keep two independent range-samplings consistent
+    would make correctness hang on an optimizer rule."""
     from pyspark.sql import Window
 
     p = pts.select("id", "x", "y")
     mins = p.groupBy("x").agg(F.min("y").alias("my"))
-    w = Window.orderBy("x").rowsBetween(
-        Window.unboundedPreceding, -1
+    npart = max(p.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = (
+        mins.repartitionByRange(npart, "x")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    frontier = mins.select(
-        "x", "my", F.min("my").over(w).alias("prev_min")
-    ).filter(F.col("prev_min").isNull() | (F.col("my") < F.col("prev_min")))
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.select(
+        "pid", "x", "my", F.min("my").over(wp).alias("local_prev")
+    )
+    pmins = ranged.groupBy("pid").agg(F.min("my").alias("pmin"))
+    carry = (
+        pmins.alias("b")
+        .join(pmins.alias("a"), F.col("a.pid") < F.col("b.pid"), "left")
+        .groupBy(F.col("b.pid").alias("pid"))
+        .agg(F.min("a.pmin").alias("carry"))
+    )
+    frontier = (
+        local.join(F.broadcast(carry), "pid")
+        .select(
+            "x",
+            "my",
+            F.least("local_prev", "carry").alias("prev_min"),
+        )
+        .filter(F.col("prev_min").isNull() | (F.col("my") < F.col("prev_min")))
+    )
     f2 = frontier.select(F.col("x").alias("fx"), F.col("my").alias("fy"))
     return (
         p.join(
