@@ -417,19 +417,39 @@ def _ivf_fixed_centroids(n_clusters: int, dim: int) -> list[list[float]]:
 
 
 def _unit_centroids(n_clusters: int, dim: int) -> list[list[float]]:
-    """:func:`_ivf_fixed_centroids` scaled to unit norm. The raw
-    Park-Miller centroids have norm ~sqrt(dim/3) (~4.6 at dim=64); against
-    unit-norm embeddings the one nearest the origin wins every argmin and
-    the quantizer degenerates to a single cell. On the unit sphere,
-    nearest-by-L2 equals max-cosine, so these spread unit-norm data across
-    all cells. Normalization happens here in Python — both engines consume
-    the exact same float literals, so cross-engine assignment stays
-    bit-identical."""
-    cents = _ivf_fixed_centroids(n_clusters, dim)
+    """Deterministic unit-norm coarse centroids — the centroid family
+    EVERY fixed-centroid IVF path uses (assignment, probe ranking, the
+    SQL twins, the cluster-partitioned layout, semantic dedup).
+
+    Two generation pitfalls this fixes, both measured on the fixture:
+    (1) the raw :func:`_ivf_fixed_centroids` have norm ~sqrt(dim/3)
+    (~4.6 at dim=64), so against unit-norm embeddings the one nearest
+    the origin wins every argmin and the quantizer collapses to a
+    single cell; (2) the affine form ``a·(c·dim+d)+b mod m`` makes each
+    centroid's components an ARITHMETIC PROGRESSION mod m (LCG lattice
+    structure) — even unit-normalized, those near-coplanar directions
+    left 14 of 16 cells empty. Here each component advances a genuine
+    Park-Miller ITERATION (x ← 48271·x mod 2^31-1, per-centroid seed
+    warmed 3 steps so nearby seeds decorrelate), then the vector is
+    normalized: near-uniform directions, and the fixture spreads across
+    every cell (16-way assignment counts 23..41 per cell).
+
+    Generation complexity is free cross-engine: the SQL twins inline
+    the OUTPUT floats as literals, so both engines consume the exact
+    same values and assignment stays bit-identical — no engine ever
+    re-runs this recurrence."""
+    m = (1 << 31) - 1
     out = []
-    for cent in cents:
-        nrm = sum(x * x for x in cent) ** 0.5
-        out.append([x / nrm for x in cent])
+    for c in range(n_clusters):
+        x = (c * 2654435761 + 905633) % m
+        for _ in range(3):
+            x = (48271 * x) % m
+        comps = []
+        for _ in range(dim):
+            x = (48271 * x) % m
+            comps.append(2.0 * x / m - 1.0)
+        nrm = sum(v * v for v in comps) ** 0.5
+        out.append([v / nrm for v in comps])
     return out
 
 
@@ -461,8 +481,12 @@ def assign_fixed_clusters(
     """Portable-centroid cluster assignment — the shared kernel of
     :func:`embedding_knn_ivf_portable` and the cluster-partitioned
     layout writer (sources/writer.py write_embeddings_clustered).
+    Uses the UNIT-normalized centroid family (:func:`_unit_centroids`):
+    the raw Park-Miller centroids degenerate to a single cell against
+    unit-norm embeddings (see that docstring), which would silently
+    void every probe-pruning claim downstream of this assignment.
     Returns (vec_id, label, v, ivf_cluster); row-local, zero shuffle."""
-    cents = _ivf_fixed_centroids(n_clusters, dim)
+    cents = _unit_centroids(n_clusters, dim)
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -509,8 +533,11 @@ def embedding_knn_ivf_portable(
 
     Scale shape is unchanged: ``ivf_cluster`` is an ordinary partitioning
     key, the probe prunes to n_probe/n_clusters of the data before any
-    dot product runs, and the final top-k is TakeOrderedAndProject."""
-    cents = _ivf_fixed_centroids(n_clusters, dim)
+    dot product runs, and the final top-k is TakeOrderedAndProject.
+
+    Probe ranking MUST use the same centroid family as the assignment
+    (:func:`_unit_centroids` — see :func:`assign_fixed_clusters`)."""
+    cents = _unit_centroids(n_clusters, dim)
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -542,10 +569,11 @@ def embedding_knn_ivf_portable_sql(
     dim: int = 64,
 ) -> str:
     """DuckDB twin of :func:`embedding_knn_ivf_portable`: centroids inline
-    as literal arrays; assignment is first-position argmin over the same
+    as literal arrays (the same :func:`_unit_centroids` floats the Spark
+    side consumes); assignment is first-position argmin over the same
     left-to-right double sums, probe selection ranks the query's centroid
     distances with the same (distance, index) tiebreak."""
-    cents = _ivf_fixed_centroids(n_clusters, dim)
+    cents = _unit_centroids(n_clusters, dim)
 
     lit, d2 = sql_lit, sql_d2
 

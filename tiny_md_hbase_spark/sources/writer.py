@@ -378,6 +378,13 @@ def keyword_search_indexed(
     )
 
 
+# the centroid family of the cluster-partitioned ANN layout: the
+# unit-normalized Park-Miller centroids (similarity._unit_centroids).
+# Recorded in _ivf_meta and verified by the probe path — assignment and
+# probe ranking must share one family or pruning silently misroutes.
+IVF_CENTROID_FAMILY = "unit-pm31"
+
+
 def write_embeddings_clustered(
     embeddings: DataFrame, path: str, n_clusters: int = 16, dim: int = 64
 ) -> None:
@@ -389,20 +396,35 @@ def write_embeddings_clustered(
     4-of-16 probe touches a quarter of the files before a single dot
     product runs.
 
-    The assignment (similarity.assign_fixed_clusters) is row-local —
-    the only exchange is the write's own ``repartition`` so each
-    cluster directory is produced by its own task instead of every
-    task writing a sliver of every cluster."""
+    The assignment (similarity.assign_fixed_clusters, under the
+    unit-normalized centroid family) is row-local; the pre-write
+    exchange hash-partitions on (ivf_cluster, crc32(vec_id)) at cluster
+    width — partitioning on the cluster column alone would cap the
+    whole build at ``n_clusters`` write tasks (the same 16-task ceiling
+    the inverted-index writer had), which at 10^9 vectors makes the
+    write the bottleneck by construction. Listing-level pruning is
+    untouched: probes prune on the ``ivf_cluster=N/`` directories, not
+    on file counts.
+
+    ``_ivf_meta`` records the centroid FAMILY beside (n_clusters, dim):
+    a probe ranking query-to-centroid distances under a different
+    family than the one that assigned the rows would silently prune to
+    the wrong directories, so the reader refuses a family it does not
+    recognize instead of returning confidently wrong results."""
     from tiny_md_hbase_spark.operators.similarity import assign_fixed_clusters
 
+    spark_parallelism = max(
+        embeddings.sparkSession.sparkContext.defaultParallelism, n_clusters
+    )
     assigned = assign_fixed_clusters(embeddings, n_clusters, dim).select(
         "vec_id", "label", F.col("v").alias("embedding"), "ivf_cluster"
     )
-    assigned.repartition("ivf_cluster").write.mode("overwrite").partitionBy(
-        "ivf_cluster"
-    ).parquet(path)
+    assigned.repartition(
+        spark_parallelism, "ivf_cluster", F.crc32(F.col("vec_id").cast("string"))
+    ).write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
     embeddings.sparkSession.createDataFrame(
-        [(n_clusters, dim)], "n_clusters int, dim int"
+        [(n_clusters, dim, IVF_CENTROID_FAMILY)],
+        "n_clusters int, dim int, family string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivf_meta")
 
 
@@ -433,11 +455,24 @@ def append_embeddings_clustered(
         spark = new_embeddings.sparkSession
         meta = spark.read.parquet(f"{path}/_ivf_meta").first()
         n_clusters, dim = int(meta.n_clusters), int(meta.dim)
+        family = meta.asDict().get("family")
+        if family != IVF_CENTROID_FAMILY:
+            # appending rows assigned under one centroid family into a
+            # layout built under another silently corrupts routing
+            raise ValueError(
+                f"clustered layout at {path} uses centroid family "
+                f"{family!r}; appends assign under "
+                f"{IVF_CENTROID_FAMILY!r} — rebuild the layout"
+            )
     assigned = assign_fixed_clusters(
         new_embeddings, n_clusters, dim
     ).select(
         "vec_id", "label", F.col("v").alias("embedding"), "ivf_cluster"
     )
+    # unlike the one-shot build, appends stay ONE task per touched
+    # cluster: a micro-batch is O(batch) rows, and salting it would
+    # multiply small files per trigger — the build-time parallelism
+    # concern does not apply to batch-sized increments
     assigned.repartition("ivf_cluster").write.mode("append").partitionBy(
         "ivf_cluster"
     ).parquet(path)
@@ -464,14 +499,24 @@ def embedding_knn_clustered(
     vector arrives as a literal (in production: from the embedding
     service), so nothing scans the table to locate it."""
     from tiny_md_hbase_spark.operators.similarity import (
-        _ivf_fixed_centroids,
+        _unit_centroids,
         cosine,
         probe_order,
     )
 
     meta = spark.read.parquet(f"{path}/_ivf_meta").first()
     n_clusters, dim = int(meta.n_clusters), int(meta.dim)
-    cents = _ivf_fixed_centroids(n_clusters, dim)
+    family = meta.asDict().get("family")
+    if family != IVF_CENTROID_FAMILY:
+        # a layout assigned under a different (or pre-family) centroid
+        # set would be probed against the WRONG directories — refuse
+        # loudly rather than return a confidently wrong top-k
+        raise ValueError(
+            f"clustered layout at {path} uses centroid family "
+            f"{family!r}; this reader expects {IVF_CENTROID_FAMILY!r} — "
+            "rebuild the layout with write_embeddings_clustered"
+        )
+    cents = _unit_centroids(n_clusters, dim)
     probe = probe_order(query_vec, cents, n_probe)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = F.round(cosine(F.col("embedding"), qv), 6)

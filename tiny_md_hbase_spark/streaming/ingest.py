@@ -528,9 +528,20 @@ def stream_ingest_embeddings(
     )
 
     # the layout meta is immutable while the stream runs: read it ONCE
-    # here, not once per micro-batch inside the sink
+    # here, not once per micro-batch inside the sink — including the
+    # centroid-family check (appending rows assigned under a different
+    # family than the layout's would silently corrupt routing)
+    from tiny_md_hbase_spark.sources.writer import IVF_CENTROID_FAMILY
+
     meta = spark.read.parquet(f"{layout_path}/_ivf_meta").first()
     n_clusters, dim = int(meta.n_clusters), int(meta.dim)
+    family = meta.asDict().get("family")
+    if family != IVF_CENTROID_FAMILY:
+        raise ValueError(
+            f"clustered layout at {layout_path} uses centroid family "
+            f"{family!r}; the ingest assigns under "
+            f"{IVF_CENTROID_FAMILY!r} — rebuild the layout first"
+        )
 
     reader = spark.readStream.schema(EMB_SCHEMA)
     if max_files_per_trigger:
