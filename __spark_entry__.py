@@ -602,11 +602,31 @@ def _q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.dedup_minhash(load_table(spark, sf_dir, "documents"))
+    """MinHash+LSH near-dup pairs at the production parameter point
+    (32 hashes × 8 bands), run on the PORTABLE polynomial hash family
+    so the whole banding pipeline sits under a value-level oracle
+    (dedup.py dedup_minhash_portable; the 16×4 point is the separate
+    dedup_minhash_portable key). The Spark-internal xxhash64 form
+    remains the non-registry production function, value-checked
+    against exact all-pairs Jaccard by dedup_minhash_vs_exact and
+    recall-pinned by the planted-pair tests."""
+    return D.dedup_minhash_portable(
+        load_table(spark, sf_dir, "documents"), num_hashes=32, bands=8
+    )
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.dedup_simhash(load_table(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs at a second banding point (hamming ≤ 5
+    under 8 × 7-bit bands — pigeonhole still lossless: 5 differing bits
+    cannot touch all 8 bands), on the PORTABLE dual-polynomial
+    fingerprint so the whole pipeline is value-oracled (dedup.py
+    dedup_simhash_portable; the ≤3 × 4-band point is the separate
+    dedup_simhash_portable key). The xxhash64 64-bit form remains the
+    non-registry production function, its banding losslessness pinned
+    by dedup_simhash_band_exact."""
+    return D.dedup_simhash_portable(
+        load_table(spark, sf_dir, "documents"), max_hamming=5, bands=8
+    )
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,7 +719,17 @@ def _q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.embedding_knn_ivf(load_table(spark, sf_dir, "embeddings"), 1, KNN_K)
+    """IVF-probed approximate top-k at a second quantizer point
+    (8 coarse cells, 2 probed) on the PORTABLE fixed-centroid family,
+    so the assign→probe→prune→score pipeline is value-oracled end to
+    end (similarity.py embedding_knn_ivf_portable; the 16×4 point is
+    the separate embedding_knn_ivf_portable key). The k-means-trained
+    production form remains a non-registry function whose machinery is
+    value-checked at the n_probe=n_clusters boundary by
+    embedding_knn_ivf_kmeans_full and recall-tested vs brute force."""
+    return SIM.embedding_knn_ivf_portable(
+        load_table(spark, sf_dir, "embeddings"), 1, KNN_K, n_clusters=8, n_probe=2
+    )
 
 
 def _q_embedding_knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3002,6 +3032,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash_portable": D.dedup_minhash_portable_sql(),
         "dedup_simhash_portable": D.dedup_simhash_portable_sql(),
+        # the default-named keys run the SAME portable hash families at
+        # a second parameter point each (production-shaped 32x8 bands /
+        # a wider 8x7-bit banding / an 8-cell 2-probe quantizer), so
+        # every registry key is value-oracled — the Spark-internal
+        # xxhash64 / k-means forms stay as non-registry functions
+        # pinned by dedup_minhash_vs_exact / dedup_simhash_band_exact /
+        # embedding_knn_ivf_kmeans_full + recall tests
+        "dedup_minhash": D.dedup_minhash_portable_sql(num_hashes=32, bands=8),
+        "dedup_simhash": D.dedup_simhash_portable_sql(max_hamming=5, bands=8),
+        "embedding_knn_ivf": SIM.embedding_knn_ivf_portable_sql(
+            1, KNN_K, n_clusters=8, n_probe=2
+        ),
         "doc_containment": D.doc_containment_sql(),
         # ground truth for the JVM minhash form: EXACT all-pairs shingle
         # Jaccard, no banding/hashing — output ⊆ truth always (exact

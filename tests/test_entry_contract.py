@@ -12,17 +12,14 @@ def test_every_oracle_key_has_a_query():
 
 def test_rows_only_set_is_exactly_the_documented_one():
     q, o = entry.queries(), entry.oracle_sql()
-    # r08: multimodal_features/media_dedup/frame_sample left this set
-    # (committed media.parquet fixture gives DuckDB the same bytes), and
-    # table_lifecycle/compact_layout left it (post-operation observable
-    # state — index buckets, row totals, z extents — is value-oracled;
-    # layout spec rows are pinned invariants). The 3 remaining are JVM-
-    # hash forms whose portable twins / equivalence oracles are green.
-    assert sorted(set(q) - set(o)) == [
-        "dedup_minhash",
-        "dedup_simhash",
-        "embedding_knn_ivf",
-    ]
+    # r09: the rows-only set is EMPTY. The last three JVM-hash keys
+    # (dedup_minhash, dedup_simhash, embedding_knn_ivf) were re-keyed
+    # onto the portable hash families at second parameter points; the
+    # Spark-internal xxhash64/k-means forms remain non-registry
+    # production functions pinned by dedup_minhash_vs_exact,
+    # dedup_simhash_band_exact, embedding_knn_ivf_kmeans_full and the
+    # planted-pair / recall tests.
+    assert sorted(set(q) - set(o)) == []
 
 
 def test_entry_runs_flagship(spark):
