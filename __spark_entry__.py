@@ -2419,6 +2419,30 @@ def _q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.heavy_hitters_cms(load_table(spark, sf_dir, "documents"))
 
 
+def _q_heavy_hitters_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist-and-merge form of the CMS family (operators/analytics.py
+    write_cms_shards + heavy_hitters_cms_merged): per-shard Count-Min
+    partials materialized as a parquet side table, merged driver-side
+    (counters are additive), answered top-k from the MERGED sketch.
+    The merge's exactness vs the one-scan sketch is a STRUCTURAL
+    output column (bit-for-bit counter equality, any seed) — unlike
+    cms_within_eps there is no probabilistic caveat, so the pinned-TRUE
+    oracle is unconditional."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="cms_shards_")
+    try:
+        AN.write_cms_shards(docs, f"{tmp}/shards")
+        out = AN.heavy_hitters_cms_merged(docs, f"{tmp}/shards")
+    finally:
+        # the sketch blobs are already merged driver-side and the output
+        # is a collected k-row local relation — the scratch table can go
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _q_sfc_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact space-filling-curve locality comparison (hilbert.py
     sfc_locality): walk the dense order-6 grid in key order under each
@@ -2460,96 +2484,53 @@ def _q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
-    # Round-8 rotation (derived from CORRECTNESS_r01-r07 by
+    # Round-9 rotation (derived from CORRECTNESS_r01-r08 by
     # scripts/rotation_audit.py — run it when planning the next one).
-    # Window composition:
-    #   1-26: the full r04-stale cohort (codec/DDL singles + the
-    #   dedup/ANN/text heads) — the oldest driver verdicts in the
-    #   registry; after r08 no key's latest verdict predates r05.
-    #   27-33: keys whose code or oracle changed THIS session and need
-    #   fresh verdicts: the three multimodal keys (new committed-fixture
-    #   DuckDB oracles), doc_containment (AQE-conditional join + hub-gram
-    #   cap), dedup_edit (hub-gram cap), stream_scd2 (vectorized state
-    #   kernel), json_props_stats (TRY_CAST twin). table_lifecycle /
-    #   compact_layout also changed (new value-level oracles) but already
-    #   sit in the r04 block above.
-    #   34-44: the round's eleven NEW keys (shortest_path,
-    #   corpus_weighted_sample, hilbert_encode, hilbert_decode,
-    #   sfc_locality, range_query_hilbert, corpus_temperature,
-    #   corpus_temperature_sample, knn_hilbert, shortest_path_weighted,
-    #   heavy_hitters_cms) — first driver verdicts.
-    #   45-50: the oldest 6 of the r05 cohort (keyword_search_bm25
-    #   (+indexed), line_dedup, quality_gate, embedding_profile,
-    #   stream_ingest_embeddings). The eleven displaced r05 keys
-    #   (polygon_query, embedding_knn_quantized(+stored),
-    #   embedding_knn_ivf_full, pii_scrub, winnow_fingerprint,
-    #   winnow_pairs, corpus_budget, ngram_jaccard, corpus_shuffle,
-    #   bytes_concat) sit just below the marker and lead r09.
-    # Below the marker: the r05 remainder (leads the r09 rotation), then
-    # the r06-verdict keys, then the r07-verdict keys (freshest) at the
-    # back, keeping verdict age monotone down the dict.
+    # Window composition (50):
+    #   1-15: keys whose code, parameters, or oracle changed THIS
+    #   session and need fresh verdicts: heavy_hitters_cms_merged (NEW
+    #   persist-and-merge sketch key), the three re-keyed former
+    #   rows-only keys (dedup_minhash 32x8 / dedup_simhash 5x8 /
+    #   embedding_knn_ivf 8x2, now on the portable hash families),
+    #   corpus_weighted_sample (unrounded-double output contract),
+    #   skyline (two-phase prefix min), shortest_path_weighted (exact
+    #   early-exit confirm), knn_hilbert (grid-extent domain default),
+    #   keyword_search_indexed + keyword_search_bm25_indexed (salted
+    #   posting write), and the five centroid-family keys
+    #   (embedding_knn_ivf_portable, embedding_knn_ivf_full,
+    #   dedup_semantic, embedding_knn_clustered,
+    #   stream_ingest_embeddings — unit-centroid generator fix).
+    #   16-25: the r05-displaced cohort the r08 verdict queued for this
+    #   round (polygon_query, embedding_knn_quantized(+stored),
+    #   pii_scrub, winnow_fingerprint, winnow_pairs, corpus_budget,
+    #   ngram_jaccard, corpus_shuffle, bytes_concat;
+    #   embedding_knn_ivf_full/_portable already sit in block 1).
+    #   26-50: the next 25 of the r05 remainder in rotation_audit's
+    #   suggested order (stream_windowed ... spatial_histogram).
+    # Below the marker: the last 7 r05 keys (lead the r10 rotation),
+    # then the r06 cohort, then r07, then the r08-verified previous
+    # window at the back — verdict age stays monotone down the dict.
     return {
-        # -- r08 window: r04-stale cohort (26) -----------------------------
-        "bucket_split": _q_bucket_split,
-        "prefix_match": _q_prefix_match,
-        "bit_spread": _q_bit_spread,
-        "set_bit": _q_set_bit,
-        "byte_ops": _q_byte_ops,
-        "euclid_dist": _q_euclid_dist,
-        "interval_preds": _q_interval_preds,
-        "range_filter": _q_range_filter,
-        "id_gen": _q_id_gen,
-        "table_create": _q_table_create,
-        "table_drop": _q_table_drop,
-        "table_lifecycle": _q_table_lifecycle,
-        "compact_layout": _q_compact_layout,
-        "dedup_exact": _q_dedup_exact,
+        # -- r09 window 1-15: changed/new this session ---------------------
+        "heavy_hitters_cms_merged": _q_heavy_hitters_cms_merged,
         "dedup_minhash": _q_dedup_minhash,
-        "dedup_minhash_portable": _q_dedup_minhash_portable,
-        "dedup_simhash_portable": _q_dedup_simhash_portable,
         "dedup_simhash": _q_dedup_simhash,
-        "embedding_knn": _q_embedding_knn,
-        "embedding_knn_lsh": _q_embedding_knn_lsh,
         "embedding_knn_ivf": _q_embedding_knn_ivf,
-        "text_stats": _q_text_stats,
-        "token_count": _q_token_count,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "doc_fingerprint": _q_doc_fingerprint,
-        # -- changed this session (need fresh verdicts) --------------------
-        "multimodal_features": _q_multimodal_features,
-        "media_dedup": _q_media_dedup,
-        "frame_sample": _q_frame_sample,
-        "doc_containment": _q_doc_containment,
-        "dedup_edit": _q_dedup_edit,
-        "stream_scd2": _q_stream_scd2,
-        "json_props_stats": _q_json_props_stats,
-        # -- NEW in r08 (first driver verdicts) ----------------------------
-        "shortest_path": _q_shortest_path,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
-        "hilbert_encode": _q_hilbert_encode,
-        "hilbert_decode": _q_hilbert_decode,
-        "sfc_locality": _q_sfc_locality,
-        "range_query_hilbert": _q_range_query_hilbert,
-        "corpus_temperature": _q_corpus_temperature,
-        "corpus_temperature_sample": _q_corpus_temperature_sample,
-        "knn_hilbert": _q_knn_hilbert,
+        "skyline": _q_skyline,
         "shortest_path_weighted": _q_shortest_path_weighted,
-        "heavy_hitters_cms": _q_heavy_hitters_cms,
-        # -- oldest 6 of the r05 cohort (eleven r05 keys displaced below the
-        # marker by the round's eleven new keys, lead r09) --------------------
-        "keyword_search_bm25": _q_keyword_search_bm25,
+        "knn_hilbert": _q_knn_hilbert,
+        "keyword_search_indexed": _q_keyword_search_indexed,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
-        "line_dedup": _q_line_dedup,
-        "quality_gate": _q_quality_gate,
-        "embedding_profile": _q_embedding_profile,
+        "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
+        "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
+        "dedup_semantic": _q_dedup_semantic,
+        "embedding_knn_clustered": _q_embedding_knn_clustered,
         "stream_ingest_embeddings": _q_stream_ingest_embeddings,
-        # ---- driver window ends here (first 50 keys) --------------------
-        # -- r05 remainder (leads the r09 rotation) ------------------------
+        # -- r09 window 16-25: the displaced r05 cohort --------------------
         "polygon_query": _q_polygon_query,
         "embedding_knn_quantized": _q_embedding_knn_quantized,
         "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
-        "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
         "pii_scrub": _q_pii_scrub,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "winnow_pairs": _q_winnow_pairs,
@@ -2557,7 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "corpus_shuffle": _q_corpus_shuffle,
         "bytes_concat": _q_bytes_concat,
-        "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
+        # -- r09 window 26-50: r05 remainder (rotation_audit order) --------
         "stream_windowed": _q_stream_windowed,
         "sessionize": _q_sessionize,
         "interval_join": _q_interval_join,
@@ -2583,6 +2564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "spatial_histogram": _q_spatial_histogram,
+        # ---- driver window ends here (first 50 keys) --------------------
+        # -- r05 leftovers (lead the r10 rotation) -------------------------
         "embedding_knn_batch": _q_embedding_knn_batch,
         "corpus_clean": _q_corpus_clean,
         "top_tokens": _q_top_tokens,
@@ -2590,7 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_rollup": _q_text_stats_rollup,
         "zorder3d_encode": _q_zorder3d_encode,
         "range_count_3d": _q_range_count_3d,
-        # -- latest verdict r06 --------------------------------------------
+        # -- r06/r07 cohorts (old relative order, age-monotone) ------------
         "write_path_refresh": _q_write_path_refresh,
         "floor_lookup_batch": _q_floor_lookup_batch,
         "dedup_minhash_vs_exact": _q_dedup_minhash_vs_exact,
@@ -2598,10 +2581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_ivf_kmeans_full": _q_embedding_knn_ivf_kmeans_full,
         "corpus_diff": _q_corpus_diff,
         "corpus_prepare": _q_corpus_prepare,
-        "dedup_semantic": _q_dedup_semantic,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "keyword_search": _q_keyword_search,
-        "keyword_search_indexed": _q_keyword_search_indexed,
         "lm_bigram_score": _q_lm_bigram_score,
         "gopher_quality": _q_gopher_quality,
         "corpus_split": _q_corpus_split,
@@ -2616,7 +2597,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest": _q_corpus_manifest,
         "sql_zcodec": _q_sql_zcodec,
         "stream_manifest": _q_stream_manifest,
-        "embedding_knn_clustered": _q_embedding_knn_clustered,
         "gap_fill": _q_gap_fill,
         "rolling_stats": _q_rolling_stats,
         "ohlc": _q_ohlc,
@@ -2637,7 +2617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "co_purchase": _q_co_purchase,
         "resize_meta": _q_resize_meta,
-        # -- latest verdict r07 (freshest, rotated to the back) ------------
         "span_dedup_hashed": _q_span_dedup_hashed,
         "bpe_token_count": _q_bpe_token_count,
         "dedup_clusters_distributed": _q_dedup_clusters_distributed,
@@ -2657,7 +2636,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": _q_k_core,
         "change_points": _q_change_points,
         "vocab_growth": _q_vocab_growth,
-        "skyline": _q_skyline,
         "corpus_stratified": _q_corpus_stratified,
         "embedding_project": _q_embedding_project,
         "approx_distinct": _q_approx_distinct,
@@ -2683,6 +2661,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_decode": _q_zorder_decode,
         "prefix_render": _q_prefix_render,
         "make_mask": _q_make_mask,
+        # -- r08-verified previous window (freshest verdicts) --------------
+        "bucket_split": _q_bucket_split,
+        "prefix_match": _q_prefix_match,
+        "bit_spread": _q_bit_spread,
+        "set_bit": _q_set_bit,
+        "byte_ops": _q_byte_ops,
+        "euclid_dist": _q_euclid_dist,
+        "interval_preds": _q_interval_preds,
+        "range_filter": _q_range_filter,
+        "id_gen": _q_id_gen,
+        "table_create": _q_table_create,
+        "table_drop": _q_table_drop,
+        "table_lifecycle": _q_table_lifecycle,
+        "compact_layout": _q_compact_layout,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_portable": _q_dedup_minhash_portable,
+        "dedup_simhash_portable": _q_dedup_simhash_portable,
+        "embedding_knn": _q_embedding_knn,
+        "embedding_knn_lsh": _q_embedding_knn_lsh,
+        "text_stats": _q_text_stats,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "multimodal_features": _q_multimodal_features,
+        "media_dedup": _q_media_dedup,
+        "frame_sample": _q_frame_sample,
+        "doc_containment": _q_doc_containment,
+        "dedup_edit": _q_dedup_edit,
+        "stream_scd2": _q_stream_scd2,
+        "json_props_stats": _q_json_props_stats,
+        "shortest_path": _q_shortest_path,
+        "hilbert_encode": _q_hilbert_encode,
+        "hilbert_decode": _q_hilbert_decode,
+        "sfc_locality": _q_sfc_locality,
+        "range_query_hilbert": _q_range_query_hilbert,
+        "corpus_temperature": _q_corpus_temperature,
+        "corpus_temperature_sample": _q_corpus_temperature_sample,
+        "heavy_hitters_cms": _q_heavy_hitters_cms,
+        "keyword_search_bm25": _q_keyword_search_bm25,
+        "line_dedup": _q_line_dedup,
+        "quality_gate": _q_quality_gate,
+        "embedding_profile": _q_embedding_profile,
     }
 
 
@@ -2954,6 +2975,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_temperature_sample": TX.corpus_temperature_sample_sql(budget=300),
         "shortest_path_weighted": _GR.shortest_path_weighted_sql(),
         "heavy_hitters_cms": AN.heavy_hitters_cms_sql(),
+        "heavy_hitters_cms_merged": AN.heavy_hitters_cms_merged_sql(),
         "knn_hilbert": knn_oracle,
         "set_bit": (
             f"{_POINTS_CTE} SELECT id, CAST(id % 62 + 1 AS INTEGER) AS pos, "

@@ -232,6 +232,7 @@ BENCH_KEYS = [
     "knn_hilbert",
     "shortest_path_weighted",
     "heavy_hitters_cms",
+    "heavy_hitters_cms_merged",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

@@ -431,3 +431,42 @@ def test_heavy_hitters_cms_planted_hot_token(spark):
     out = heavy_hitters_cms(docs, k=3).collect()
     assert out[0].tok == "zzhot" and out[0].n_exact == 200 * 50
     assert all(r.cms_overcounts and r.cms_within_eps for r in out)
+
+
+def test_cms_shard_merge_equals_scan_form_exactly(spark, sf_dir):
+    """The persist-and-merge contract: per-shard Count-Min partials
+    written as a side table and merged driver-side must reproduce the
+    one-scan sketch EXACTLY (counters are additive — bit-for-bit, any
+    seed), and the merged top-k must equal the scan form's output on
+    the shared columns."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from tiny_md_hbase_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="cms_merge_test_")
+    try:
+        AN.write_cms_shards(docs, f"{tmp}/shards")
+        # the side table really is shard-grained, kilobyte-blob rows
+        sh = spark.read.parquet(f"{tmp}/shards").collect()
+        assert len(sh) == 8
+        assert all(len(bytes(r.sketch)) > 0 for r in sh)
+        n_total = docs.select(
+            F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("t")
+        ).count()
+        assert sum(r.n_tokens for r in sh) == n_total
+
+        merged = AN.heavy_hitters_cms_merged(docs, f"{tmp}/shards").collect()
+        scan = AN.heavy_hitters_cms(docs).collect()
+        assert [(r.tok, r.n_exact) for r in merged] == [
+            (r.tok, r.n_exact) for r in scan
+        ]
+        # both STRUCTURAL flags hold on every row: estimates from the
+        # merged sketch over-count like any CMS, and the merge equals
+        # the one-scan sketch bit-for-bit
+        assert all(r.cms_overcounts for r in merged)
+        assert all(r.merged_equals_scan for r in merged)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "heavy_hitters_cms",
     "heavy_hitters_cms_sql",
+    "write_cms_shards",
+    "heavy_hitters_cms_merged",
+    "heavy_hitters_cms_merged_sql",
     "sales_rollup",
     "sales_rollup_sql",
     "topk_per_group",
@@ -1078,6 +1081,129 @@ def heavy_hitters_cms_sql(k: int = 20) -> str:
         f"WITH t AS (SELECT unnest({toks}) AS tok FROM documents) "
         "SELECT tok, CAST(count(*) AS BIGINT) AS n_exact, "
         "TRUE AS cms_overcounts, TRUE AS cms_within_eps "
+        "FROM t GROUP BY tok "
+        f"ORDER BY n_exact DESC, tok LIMIT {k}"
+    )
+
+
+def write_cms_shards(
+    documents: DataFrame,
+    path: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 17,
+    n_shards: int = 8,
+) -> None:
+    """Materialize PER-SHARD Count-Min partials as a side table — the
+    100 TB move the manifest family already has, applied to the sketch
+    family: CMS counters are additive, so each shard (here
+    ``doc_id mod n_shards``; in production a partition / ingest batch /
+    day) aggregates its own eps×confidence-sized counter table with
+    Spark's ``count_min_sketch`` aggregate, and ANY subset of shards
+    merges into the exact sketch a single scan over that subset would
+    have produced — no re-scan for incremental loads, retention
+    windows, or per-source slices. One row per shard:
+    (shard, n_tokens, sketch BLOB), kilobytes each.
+
+    The shard key is a pure function of the data (doc_id), so the
+    table is reproducible and replay-idempotent under overwrite."""
+    from tiny_md_hbase_spark.operators.text import tokens
+
+    toks = documents.select(
+        F.pmod("doc_id", F.lit(n_shards)).cast("int").alias("shard"),
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
+    )
+    (
+        toks.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.expr(
+                f"count_min_sketch(tok, {float(eps)}d, "
+                f"{float(confidence)}d, {int(seed)})"
+            ).alias("sketch"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def heavy_hitters_cms_merged(
+    documents: DataFrame,
+    shard_path: str,
+    k: int = 20,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 17,
+) -> DataFrame:
+    """Heavy hitters answered from the MERGED per-shard sketches of
+    :func:`write_cms_shards`, with the merge's exactness pinned as an
+    output column: CMS counter arrays are additive, so the driver-side
+    merge of the shard BLOBs (n_shards × kilobytes — bounded metadata,
+    never data) must equal the one-scan sketch BIT-FOR-BIT for any
+    seed — ``merged_equals_scan`` is STRUCTURAL, unlike the
+    probabilistic ``cms_within_eps`` flag documented on
+    :func:`heavy_hitters_cms`, so the oracle's pinned TRUE carries no
+    fixture/seed caveat. ``cms_overcounts`` (merged estimate ≥ exact
+    count) is likewise structural.
+
+    At 100 TB the scan-form twin sketch and the exact top-``k`` exist
+    only in this fixture-scale CHECK form — production reads ONLY the
+    side table: merge cost is O(n_shards · width · depth) counters on
+    the driver, independent of corpus size."""
+    from tiny_md_hbase_spark.operators.text import tokens
+
+    spark = documents.sparkSession
+    shard_rows = spark.read.parquet(shard_path).collect()  # n_shards rows
+    jcls = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = None
+    for r in shard_rows:
+        s = jcls.readFrom(bytes(r.sketch))
+        merged = s if merged is None else merged.mergeInPlace(s)
+
+    toks = documents.select(
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
+    ).localCheckpoint()  # two consumers: the scan-twin sketch + exact top-k
+    jscan = toks._jdf.stat().countMinSketch(
+        "tok", float(eps), float(confidence), int(seed)
+    )
+    sketches_equal = merged is not None and bool(merged.equals(jscan))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "tok")
+        .limit(k)
+        .collect()  # bounded: k rows
+    )
+    rows = []
+    for r in top:
+        est = int(merged.estimateCount(r.tok))
+        rows.append(
+            (
+                r.tok,
+                r.n_exact,
+                bool(est >= r.n_exact),
+                bool(sketches_equal and est == int(jscan.estimateCount(r.tok))),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "tok string, n_exact long, cms_overcounts boolean, "
+        "merged_equals_scan boolean",
+    )
+
+
+def heavy_hitters_cms_merged_sql(k: int = 20) -> str:
+    """DuckDB twin of :func:`heavy_hitters_cms_merged`: exact top-``k``
+    counts plus the two STRUCTURAL flags pinned TRUE (additive-counter
+    merge equality and estimate ≥ truth hold for every seed — no
+    probabilistic caveat)."""
+    from tiny_md_hbase_spark.operators.text import tokens_sql
+
+    toks = tokens_sql("coalesce(text, '')")
+    return (
+        f"WITH t AS (SELECT unnest({toks}) AS tok FROM documents) "
+        "SELECT tok, CAST(count(*) AS BIGINT) AS n_exact, "
+        "TRUE AS cms_overcounts, TRUE AS merged_equals_scan "
         "FROM t GROUP BY tok "
         f"ORDER BY n_exact DESC, tok LIMIT {k}"
     )
