@@ -22,6 +22,18 @@ as 2-4x run-to-run swings on the entries that materialize layouts
 RAM-backed scratch measures the compute, which is what the benchmark
 compares. Override with SPARK_GRAFT_BENCH_SCRATCH=/path or set it to
 "none" to keep the system default.
+
+Host-health gate: a fixed CPU+I/O micro-probe (_host_probe) brackets
+every sweep and the layout section. A sweep is healthy iff its worst
+probe is within 1.3x of the best probe seen AND under the absolute
+SPARK_GRAFT_BENCH_PROBE_REF ceiling (default 0.25 s, ~4x the idle-host
+value); unhealthy sweeps trigger extra sweeps (up to
+SPARK_GRAFT_BENCH_MAX_SWEEPS, default 6) and an unhealthy layout
+section re-runs once. All probe values land in the artifact, so a
+degraded host phase is readable in BENCH_r{N}.json itself instead of
+masquerading as a code regression (this retired the r08 adjudication,
+where three layout keys breached the 2x bar purely on degraded
+sweeps).
 """
 
 from __future__ import annotations
@@ -97,6 +109,42 @@ def _setup_scratch() -> str | None:
 _SCRATCH = _setup_scratch()
 
 from tiny_md_hbase_spark.session import get_spark  # noqa: E402
+
+
+def _host_probe() -> float:
+    """Fixed CPU + scratch-I/O micro-benchmark (~0.06 s on a healthy
+    idle host): a deterministic LCG chain over 2M int64 plus a 32 MiB
+    write+fsync+read on the same scratch path the benched layout
+    queries use. The host has documented multi-minute degraded phases
+    where identical code measures 1.5-8x slower (BENCH.md); this probe
+    is the phase detector — it runs before and after every sweep and
+    around the layout section, so a degraded window is visible IN THE
+    ARTIFACT and triggers extra sweeps instead of being recorded as a
+    code regression."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.arange(2_000_000, dtype=np.int64)
+    for _ in range(6):
+        a = a * np.int64(6364136223846793005) + np.int64(1442695040888963407)
+    s = int(a[::4096].sum())  # keep the chain live
+    d = tempfile.gettempdir()
+    p = os.path.join(d, f".bench_probe_{os.getpid()}")
+    buf = a.tobytes()[: 32 << 20]
+    try:
+        with open(p, "wb") as f:
+            f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        with open(p, "rb") as f:
+            n = len(f.read())
+        assert n == len(buf) and s is not None
+    finally:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    return time.perf_counter() - t0
 
 # the BASELINE.md bench set (spatial parity) + the north-star pipeline set
 BENCH_KEYS = [
@@ -296,20 +344,52 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # N full sweeps (default 3), keep the per-key min: the first execution
-    # of each plan pays one-time janino/JIT compilation, and the host has
-    # documented multi-minute slow-I/O phases that inflate EVERYTHING
-    # uniformly (BENCH.md r07 notes: two same-code sweeps 60-90 min apart
-    # measured 170 vs 208-216 s) — sweeps are separated by the full sweep
-    # duration, so at least one sweep usually lands outside a bad window,
-    # and the recorded per-sweep durations make a degraded phase visible
-    # in the artifact itself instead of reading as a code regression.
+    # N HEALTHY sweeps (default 3), keep the per-key min: the first
+    # execution of each plan pays one-time janino/JIT compilation, and
+    # the host has documented multi-minute slow-I/O phases that inflate
+    # EVERYTHING 1.5-8x (BENCH.md; the r08 artifact breached the 2x
+    # regression bar on three layout keys purely from degraded sweeps).
+    # The host-health gate: _host_probe runs before and after every
+    # sweep; a sweep is HEALTHY iff max(pre, post) <= 1.3x the best
+    # probe seen (and <= the absolute SPARK_GRAFT_BENCH_PROBE_REF
+    # ceiling, default 0.25 s ~ 4x the idle-host probe — catches a run
+    # that is degraded from its first minute, which a purely relative
+    # rule cannot see). Sweeps repeat until SWEEPS healthy ones landed
+    # or MAX_SWEEPS (default 6) ran; every probe value and each sweep's
+    # health verdict are recorded in the artifact.
     # one failing query must never zero out the whole benchmark run: record
     # the error per-key, keep timing everything else, still emit the JSON line
     results: dict[str, float] = {}
     timings: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     sweep_secs: list[float] = []
+    probe_secs: list[float] = []
+    sweep_probes: list[tuple[float, float]] = []
+
+    _host_probe()  # warm numpy + page cache outside any recorded probe
+    probe_ref = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_REF", "0.25"))
+
+    def probe() -> float:
+        # min of 3 back-to-back reps after a short settle: right after a
+        # sweep the JVM is still doing async cleanup/GC, which inflates a
+        # single rep 5-10x on a perfectly healthy host (measured: post-
+        # sweep 0.18-0.37 s vs 0.03 s pre-sweep). A genuine degraded
+        # phase lasts minutes and inflates all three reps; transient
+        # churn only the first.
+        time.sleep(0.3)
+        p = min(_host_probe() for _ in range(3))
+        probe_secs.append(round(p, 4))
+        return p
+
+    def healthy(pre: float, post: float) -> bool:
+        # absolute ceiling (a run degraded from minute one has no good
+        # "best" to compare against) + relative-to-best with a jitter
+        # floor at probe_ref/2 so sub-threshold absolute noise around a
+        # very fast best (0.03 vs 0.05 s) never flags a sweep
+        worst = max(pre, post)
+        return worst <= probe_ref and worst <= max(
+            1.3 * min(probe_secs), 0.5 * probe_ref
+        )
 
     def run_once(key: str) -> float | None:
         t0 = time.perf_counter()
@@ -321,7 +401,10 @@ def main() -> None:
             return None
         return round(time.perf_counter() - t0, 3)
 
-    for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "3"))):
+    target_sweeps = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "3"))
+    max_sweeps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_SWEEPS", "6"))
+    while len(sweep_secs) < max_sweeps:
+        pre = probe()
         s0 = time.perf_counter()
         for key in BENCH_KEYS:
             if key in errors:
@@ -333,6 +416,19 @@ def main() -> None:
             timings.setdefault(key, []).append(dt)
             results[key] = min(results.get(key, dt), dt)
         sweep_secs.append(round(time.perf_counter() - s0, 3))
+        post = probe()
+        sweep_probes.append((round(pre, 4), round(post, 4)))
+        # re-evaluate every sweep's health under the current best probe
+        # (the baseline improves as healthier phases are observed)
+        n_healthy = sum(1 for a, b in sweep_probes if healthy(a, b))
+        if n_healthy >= target_sweeps:
+            break
+        if len(sweep_secs) >= target_sweeps and n_healthy < len(sweep_secs):
+            print(
+                f"bench: sweep {len(sweep_secs)} done, only {n_healthy} "
+                f"healthy (probes {probe_secs}) — extending",
+                file=sys.stderr,
+            )
 
     # the host has degraded phases where identical code runs 2-8x slower
     # for a stretch; when even the min-of-two disagrees with itself by a
@@ -368,133 +464,163 @@ def main() -> None:
         timings.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
         results[name] = min(timings[name])
 
-    # layout-aware path: materialize the z-clustered table once (timed as
-    # the write/cluster cost), then run the pruned-scan variants — the
-    # 100 TB deployment shape, where the z-window skips row groups via
-    # parquet stats instead of re-encoding per row
-    from tiny_md_hbase_spark.operators import spatial
-    from tiny_md_hbase_spark.sources import points
-    from tiny_md_hbase_spark.sources.writer import (
-        load_points_zsorted,
-        write_points_zsorted,
-    )
+    def run_layout_section() -> None:
+        """The layout/probe split entries (z-sorted, Hilbert-sorted,
+        inverted-index and ANN layouts). Callable more than once: every
+        entry accumulates samples into `timings` and keeps the per-key
+        min, and a retry first clears the section's error markers so a
+        transient failure does not null the whole run."""
+        for ek in ("zsorted_layout", "hsorted_layout", "layout_split"):
+            errors.pop(ek, None)
 
-    try:
-        for i in range(2):
-            zdir = tempfile.mkdtemp(prefix=f"bench_zsorted{i}_") + "/points"
-            _timed(
-                "zsort_write",
-                lambda zd=zdir: write_points_zsorted(
-                    points(spark, sf_dir), zd, num_partitions=cpus
+        # layout-aware path: materialize the z-clustered table once (timed as
+        # the write/cluster cost), then run the pruned-scan variants — the
+        # 100 TB deployment shape, where the z-window skips row groups via
+        # parquet stats instead of re-encoding per row
+        from tiny_md_hbase_spark.operators import spatial
+        from tiny_md_hbase_spark.sources import points
+        from tiny_md_hbase_spark.sources.writer import (
+            load_points_zsorted,
+            write_points_zsorted,
+        )
+
+        try:
+            for i in range(2):
+                zdir = tempfile.mkdtemp(prefix=f"bench_zsorted{i}_") + "/points"
+                _timed(
+                    "zsort_write",
+                    lambda zd=zdir: write_points_zsorted(
+                        points(spark, sf_dir), zd, num_partitions=cpus
+                    ),
+                )
+
+            zt = load_points_zsorted(spark, zdir)
+            _probe(
+                "range_query_zsorted",
+                lambda: spatial.range_query(
+                    zt, (512, 1535), (1024, 3071), z_prefilter=True
                 ),
             )
+            _probe(
+                "range_query_zcover",
+                lambda: spatial.range_query(zt, (512, 1535), (1024, 3071), z_cover=16),
+            )
+            _probe(
+                "knn_indexed_zsorted",
+                lambda: spatial.knn_indexed(zt, 2048, 2048, 10, domain_max=4095),
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["zsorted_layout"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: zsorted layout FAILED: {errors['zsorted_layout']}", file=sys.stderr)
 
-        zt = load_points_zsorted(spark, zdir)
-        _probe(
-            "range_query_zsorted",
-            lambda: spatial.range_query(
-                zt, (512, 1535), (1024, 3071), z_prefilter=True
-            ),
-        )
-        _probe(
-            "range_query_zcover",
-            lambda: spatial.range_query(zt, (512, 1535), (1024, 3071), z_cover=16),
-        )
-        _probe(
-            "knn_indexed_zsorted",
-            lambda: spatial.knn_indexed(zt, 2048, 2048, 10, domain_max=4095),
-        )
-    except Exception as exc:  # noqa: BLE001
-        errors["zsorted_layout"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(f"bench: zsorted layout FAILED: {errors['zsorted_layout']}", file=sys.stderr)
+        # the Hilbert twin of the same layout/probe split — its OWN guard, so
+        # a z-side failure never skips these and a failure here is never
+        # misattributed to the z layout
+        try:
+            from tiny_md_hbase_spark import hilbert as HBN
+            from tiny_md_hbase_spark.sources.writer import write_points_hsorted
 
-    # the Hilbert twin of the same layout/probe split — its OWN guard, so
-    # a z-side failure never skips these and a failure here is never
-    # misattributed to the z layout
-    try:
-        from tiny_md_hbase_spark import hilbert as HBN
-        from tiny_md_hbase_spark.sources.writer import write_points_hsorted
+            hdir = tempfile.mkdtemp(prefix="bench_hsorted_") + "/points"
+            _timed(
+                "hsort_write",
+                lambda: write_points_hsorted(
+                    points(spark, sf_dir), hdir, num_partitions=cpus
+                ),
+            )
+            ht = spark.read.parquet(hdir)
+            _probe(
+                "range_query_hcover",
+                lambda: ht.filter(
+                    HBN.hilbert_cover_predicate(ht, (512, 1535), (1024, 3071), 16)
+                    & spatial.rect_predicate((512, 1535), (1024, 3071))
+                ).select("id", "x", "y"),
+            )
+            _probe(
+                "knn_hilbert_hsorted",
+                lambda: spatial.knn_hilbert(ht, 2048, 2048, 10, domain_max=4095),
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["hsorted_layout"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: hsorted layout FAILED: {errors['hsorted_layout']}", file=sys.stderr)
 
-        hdir = tempfile.mkdtemp(prefix="bench_hsorted_") + "/points"
-        _timed(
-            "hsort_write",
-            lambda: write_points_hsorted(
-                points(spark, sf_dir), hdir, num_partitions=cpus
-            ),
-        )
-        ht = spark.read.parquet(hdir)
-        _probe(
-            "range_query_hcover",
-            lambda: ht.filter(
-                HBN.hilbert_cover_predicate(ht, (512, 1535), (1024, 3071), 16)
-                & spatial.rect_predicate((512, 1535), (1024, 3071))
-            ).select("id", "x", "y"),
-        )
-        _probe(
-            "knn_hilbert_hsorted",
-            lambda: spatial.knn_hilbert(ht, 2048, 2048, 10, domain_max=4095),
-        )
-    except Exception as exc:  # noqa: BLE001
-        errors["hsorted_layout"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(f"bench: hsorted layout FAILED: {errors['hsorted_layout']}", file=sys.stderr)
+        # indexed-search + ANN layouts, build/probe SPLIT: the queries()
+        # entries for these keys deliberately rebuild their layout per run
+        # (the oracle needs the whole chain), which buries the steady-state
+        # query latency under the one-time build. Here each layout is
+        # materialized ONCE (timed as *_build) and the searches are timed
+        # separately (min of two passes — the first pays codegen) — the
+        # amortized shape a deployment actually sees.
+        from tiny_md_hbase_spark.sources import load_table
+        from tiny_md_hbase_spark.sources import writer as WR
 
-    # indexed-search + ANN layouts, build/probe SPLIT: the queries()
-    # entries for these keys deliberately rebuild their layout per run
-    # (the oracle needs the whole chain), which buries the steady-state
-    # query latency under the one-time build. Here each layout is
-    # materialized ONCE (timed as *_build) and the searches are timed
-    # separately (min of two passes — the first pays codegen) — the
-    # amortized shape a deployment actually sees.
-    from tiny_md_hbase_spark.sources import load_table
-    from tiny_md_hbase_spark.sources import writer as WR
+        try:
+            docs = load_table(spark, sf_dir, "documents")
+            ipath = tempfile.mkdtemp(prefix="bench_ii_") + "/ii"
+            _timed("inverted_index_build", lambda: WR.write_inverted_index(docs, ipath))
+            _probe(
+                "keyword_search_indexed_probe",
+                lambda: WR.keyword_search_indexed(spark, ipath),
+            )
+            _probe(
+                "keyword_search_bm25_indexed_probe",
+                lambda: WR.keyword_search_bm25_indexed(spark, ipath),
+            )
 
-    try:
-        docs = load_table(spark, sf_dir, "documents")
-        ipath = tempfile.mkdtemp(prefix="bench_ii_") + "/ii"
-        _timed("inverted_index_build", lambda: WR.write_inverted_index(docs, ipath))
-        _probe(
-            "keyword_search_indexed_probe",
-            lambda: WR.keyword_search_indexed(spark, ipath),
-        )
-        _probe(
-            "keyword_search_bm25_indexed_probe",
-            lambda: WR.keyword_search_bm25_indexed(spark, ipath),
-        )
+            emb = load_table(spark, sf_dir, "embeddings")
+            from pyspark.sql import functions as F
 
-        emb = load_table(spark, sf_dir, "embeddings")
-        from pyspark.sql import functions as F
+            qv = [
+                float(x)
+                for x in emb.filter(F.col("vec_id") == 1)
+                .select(F.col("embedding").cast("array<double>").alias("v"))
+                .first()
+                .v
+            ]
+            cpath = tempfile.mkdtemp(prefix="bench_cl_") + "/emb"
+            _timed(
+                "embeddings_clustered_build",
+                lambda: WR.write_embeddings_clustered(emb, cpath),
+            )
+            _probe(
+                "embedding_knn_clustered_probe",
+                lambda: WR.embedding_knn_clustered(spark, cpath, qv, 10, n_probe=4),
+            )
 
-        qv = [
-            float(x)
-            for x in emb.filter(F.col("vec_id") == 1)
-            .select(F.col("embedding").cast("array<double>").alias("v"))
-            .first()
-            .v
-        ]
-        cpath = tempfile.mkdtemp(prefix="bench_cl_") + "/emb"
-        _timed(
-            "embeddings_clustered_build",
-            lambda: WR.write_embeddings_clustered(emb, cpath),
-        )
-        _probe(
-            "embedding_knn_clustered_probe",
-            lambda: WR.embedding_knn_clustered(spark, cpath, qv, 10, n_probe=4),
-        )
+            qpath = tempfile.mkdtemp(prefix="bench_q8_") + "/emb"
+            _timed(
+                "embeddings_quantized_build",
+                lambda: WR.write_embeddings_quantized(emb, qpath),
+            )
+            _probe(
+                "embedding_knn_quantized_probe",
+                lambda: WR.embedding_knn_quantized_stored(spark, qpath, qv, 10),
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["layout_split"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: layout split FAILED: {errors['layout_split']}", file=sys.stderr)
 
-        qpath = tempfile.mkdtemp(prefix="bench_q8_") + "/emb"
-        _timed(
-            "embeddings_quantized_build",
-            lambda: WR.write_embeddings_quantized(emb, qpath),
-        )
-        _probe(
-            "embedding_knn_quantized_probe",
-            lambda: WR.embedding_knn_quantized_stored(spark, qpath, qv, 10),
-        )
-    except Exception as exc:  # noqa: BLE001
-        errors["layout_split"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(f"bench: layout split FAILED: {errors['layout_split']}", file=sys.stderr)
+    # the layout section is probe-gated like the sweeps: the three
+    # r08 keys that breached the 2x bar (range_query_zcover,
+    # knn_indexed_zsorted, range_query_zsorted) are exactly these
+    # scratch-I/O-coupled probes, measured ONCE after the sweeps —
+    # a degraded window here used to land straight in the artifact.
+    # On an unhealthy probe pair the whole section re-runs (once);
+    # minima accumulate, so a healthy retry wins.
+    for _attempt in range(2):
+        pre_l = probe()
+        run_layout_section()
+        post_l = probe()
+        if healthy(pre_l, post_l):
+            break
+        if _attempt == 0:
+            print(
+                f"bench: layout section probes ({pre_l:.3f}, {post_l:.3f}) "
+                "unhealthy - re-running the section",
+                file=sys.stderr,
+            )
 
     total = round(sum(results.values()), 3)
+    n_healthy_sweeps = sum(1 for a, b in sweep_probes if healthy(a, b))
 
     # full record -> file (every query, every timing sample, every error)
     detail = {
@@ -504,6 +630,10 @@ def main() -> None:
         "queries": results,
         "timings": timings,
         "sweep_secs": sweep_secs,
+        "probe_secs": probe_secs,
+        "sweep_probes": sweep_probes,
+        "healthy_sweeps": n_healthy_sweeps,
+        "probe_ref": probe_ref,
         "sf": sf,
         "cpus": cpus,
         "scratch": _SCRATCH_DESC,
@@ -525,6 +655,8 @@ def main() -> None:
         "cpus": cpus,
         "n_queries": len(results),
         "sweep_secs": sweep_secs,
+        "probe_secs": probe_secs,
+        "healthy_sweeps": n_healthy_sweeps,
         "detail": "BENCH_DETAIL.json",
     }
     if errors:
