@@ -26,8 +26,8 @@ compares. Override with SPARK_GRAFT_BENCH_SCRATCH=/path or set it to
 Host-health gate: a fixed CPU+I/O micro-probe (_host_probe) brackets
 every sweep and the layout section. A sweep is healthy iff its worst
 probe is within 1.3x of the best probe seen AND under the absolute
-SPARK_GRAFT_BENCH_PROBE_REF ceiling (default 0.25 s, ~4x the idle-host
-value); unhealthy sweeps trigger extra sweeps (up to
+SPARK_GRAFT_BENCH_PROBE_REF ceiling (default 0.25 s, ~5x the measured
+idle-host value of ~0.05 s); unhealthy sweeps trigger extra sweeps (up to
 SPARK_GRAFT_BENCH_MAX_SWEEPS, default 6) and an unhealthy layout
 section re-runs once. All probe values land in the artifact, so a
 degraded host phase is readable in BENCH_r{N}.json itself instead of
@@ -112,10 +112,10 @@ from tiny_md_hbase_spark.session import get_spark  # noqa: E402
 
 
 def _host_probe() -> float:
-    """Fixed CPU + scratch-I/O micro-benchmark (~0.06 s on a healthy
-    idle host): a deterministic LCG chain over 2M int64 plus a 32 MiB
-    write+fsync+read on the same scratch path the benched layout
-    queries use. The host has documented multi-minute degraded phases
+    """Fixed CPU + scratch-I/O micro-benchmark (~0.05 s on a healthy
+    idle host): a deterministic LCG chain over 2M int64 plus a 16 MB
+    write+fsync+read (the chain's own buffer) on the same scratch path
+    the benched layout queries use. The host has documented multi-minute degraded phases
     where identical code measures 1.5-8x slower (BENCH.md); this probe
     is the phase detector — it runs before and after every sweep and
     around the layout section, so a degraded window is visible IN THE
@@ -130,7 +130,7 @@ def _host_probe() -> float:
     s = int(a[::4096].sum())  # keep the chain live
     d = tempfile.gettempdir()
     p = os.path.join(d, f".bench_probe_{os.getpid()}")
-    buf = a.tobytes()[: 32 << 20]
+    buf = a.tobytes()  # 16,000,000 bytes — the whole chain buffer
     try:
         with open(p, "wb") as f:
             f.write(buf)
@@ -429,6 +429,13 @@ def main() -> None:
                 f"healthy (probes {probe_secs}) — extending",
                 file=sys.stderr,
             )
+    # freeze the health verdicts AT DECISION TIME: the layout-section
+    # probes below keep appending to probe_secs, which can move
+    # min(probe_secs) and silently rewrite what "healthy" meant when the
+    # sweep loop actually stopped — the artifact must record the verdict
+    # the gate acted on, not a retroactive one
+    sweep_health = [healthy(a, b) for a, b in sweep_probes]
+    n_healthy_sweeps = sum(sweep_health)
 
     # the host has degraded phases where identical code runs 2-8x slower
     # for a stretch; when even the min-of-two disagrees with itself by a
@@ -620,7 +627,6 @@ def main() -> None:
             )
 
     total = round(sum(results.values()), 3)
-    n_healthy_sweeps = sum(1 for a, b in sweep_probes if healthy(a, b))
 
     # full record -> file (every query, every timing sample, every error)
     detail = {
@@ -632,6 +638,7 @@ def main() -> None:
         "sweep_secs": sweep_secs,
         "probe_secs": probe_secs,
         "sweep_probes": sweep_probes,
+        "sweep_health": sweep_health,
         "healthy_sweeps": n_healthy_sweeps,
         "probe_ref": probe_ref,
         "sf": sf,

@@ -399,33 +399,21 @@ def embedding_knn_ivf(
     )
 
 
-def _ivf_fixed_centroids(n_clusters: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random coarse centroids (Park-Miller residues
-    over 2^31-1, scaled to [-1, 1)) shared by the Spark expression and the
-    SQL twin — the IVF analog of ``_lsh_coeffs``. A coarse quantizer only
-    needs to partition the space consistently; these constants inline as
-    SQL literals, so assignment, probe selection, and scoring are
-    bit-identical across engines."""
-    m = (1 << 31) - 1
-    return [
-        [
-            2.0 * ((48271 * (c * dim + d + 777) + 11) % m) / m - 1.0
-            for d in range(dim)
-        ]
-        for c in range(n_clusters)
-    ]
-
-
 def _unit_centroids(n_clusters: int, dim: int) -> list[list[float]]:
     """Deterministic unit-norm coarse centroids — the centroid family
     EVERY fixed-centroid IVF path uses (assignment, probe ranking, the
-    SQL twins, the cluster-partitioned layout, semantic dedup).
+    SQL twins, the cluster-partitioned layout, semantic dedup). The
+    IVF analog of ``_lsh_coeffs``: a coarse quantizer only needs to
+    partition the space consistently, and these floats inline as SQL
+    literals so both engines stay bit-identical.
 
-    Two generation pitfalls this fixes, both measured on the fixture:
-    (1) the raw :func:`_ivf_fixed_centroids` have norm ~sqrt(dim/3)
-    (~4.6 at dim=64), so against unit-norm embeddings the one nearest
-    the origin wins every argmin and the quantizer collapses to a
-    single cell; (2) the affine form ``a·(c·dim+d)+b mod m`` makes each
+    Two generation pitfalls this design avoids, both MEASURED on the
+    fixture with the r08-era generator (un-normalized affine residues
+    ``a·(c·dim+d)+b mod m``):
+    (1) raw residue vectors have norm ~sqrt(dim/3) (~4.6 at dim=64), so
+    against unit-norm embeddings the one nearest the origin wins every
+    argmin and the quantizer collapses to a single cell; (2) the affine
+    index form ``a·(c·dim+d)+b mod m`` makes each
     centroid's components an ARITHMETIC PROGRESSION mod m (LCG lattice
     structure) — even unit-normalized, those near-coplanar directions
     left 14 of 16 cells empty. Here each component advances a genuine
@@ -525,7 +513,7 @@ def embedding_knn_ivf_portable(
     :func:`embedding_knn_ivf` (assign every vector to its nearest coarse
     centroid, probe the ``n_probe`` centroids nearest the query, score
     only those clusters) but with the deterministic literal centroids of
-    :func:`_ivf_fixed_centroids` instead of Lloyd-iterated ones — k-means'
+    :func:`_unit_centroids` instead of Lloyd-iterated ones — k-means'
     float-avg centroids are accumulation-order dependent and can't be
     reproduced bit-for-bit in another engine, fixed constants can. The
     production k-means variant keeps the recall-vs-brute test; this twin

@@ -687,15 +687,21 @@ def knn_hilbert(
     ``h`` column for pruning (falls back to the plain rectangle scan
     without one, still exact).
 
-    ``domain_max`` defaults to the Hilbert grid's own extent,
-    ``(1 << BITS) - 1`` (4095 at the pinned order-12 curve) — the curve
-    cannot index points beyond it, so a wider default would only buy
-    ~19 extra doubling rounds of empty scans when fewer than ``k``
-    points exist before the 'covered' exit triggers."""
+    ``domain_max`` defaults by table shape: with a materialized ``h``
+    column the table is Hilbert-clustered, its points live on the
+    order-12 grid by the writer's contract, and the default is the
+    grid extent ``(1 << BITS) - 1`` (4095) — a wider default would
+    only buy ~19 extra doubling rounds of empty scans when fewer than
+    ``k`` points exist before the 'covered' exit triggers. WITHOUT an
+    ``h`` column the search is a plain rectangle scan that is exact
+    for ANY coordinate range, so the default stays the full domain
+    (2^31-1): clipping the expanding square at 4095 there would make
+    the 'covered' exit fire while true neighbors beyond the grid
+    remain unscanned — wrong answers, not just wasted rounds."""
     from tiny_md_hbase_spark.hilbert import BITS, hilbert_cover_predicate
 
     if domain_max is None:
-        domain_max = (1 << BITS) - 1
+        domain_max = (1 << BITS) - 1 if "h" in points.columns else 2**31 - 1
 
     def _prune(rx: tuple[int, int], ry: tuple[int, int]) -> Column:
         pred = rect_predicate(rx, ry)

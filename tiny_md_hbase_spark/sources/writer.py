@@ -433,6 +433,7 @@ def append_embeddings_clustered(
     path: str,
     n_clusters: int | None = None,
     dim: int | None = None,
+    family: str | None = None,
 ) -> None:
     """Incremental maintenance of the cluster-partitioned ANN layout:
     assign the NEW batch under the layout's STORED (n_clusters, dim)
@@ -451,19 +452,25 @@ def append_embeddings_clustered(
 
     if n_clusters is None or dim is None:
         # callers that append repeatedly (the streaming sink) pass the
-        # immutable meta through instead of re-reading it per batch
+        # immutable meta through instead of re-reading it per batch —
+        # INCLUDING the family they read, so the guard below applies to
+        # the pass-through path too instead of being bypassable by it
         spark = new_embeddings.sparkSession
         meta = spark.read.parquet(f"{path}/_ivf_meta").first()
         n_clusters, dim = int(meta.n_clusters), int(meta.dim)
         family = meta.asDict().get("family")
-        if family != IVF_CENTROID_FAMILY:
-            # appending rows assigned under one centroid family into a
-            # layout built under another silently corrupts routing
-            raise ValueError(
-                f"clustered layout at {path} uses centroid family "
-                f"{family!r}; appends assign under "
-                f"{IVF_CENTROID_FAMILY!r} — rebuild the layout"
-            )
+    if family != IVF_CENTROID_FAMILY:
+        # appending rows assigned under one centroid family into a
+        # layout built under another silently corrupts routing. A
+        # caller passing (n_clusters, dim) through MUST pass the family
+        # it read from _ivf_meta alongside them — omitting it fails
+        # here rather than silently mixing assignment families.
+        raise ValueError(
+            f"clustered layout at {path} declares centroid family "
+            f"{family!r}; appends assign under {IVF_CENTROID_FAMILY!r} "
+            "— rebuild the layout, or pass the family read from "
+            "_ivf_meta when passing (n_clusters, dim) through"
+        )
     assigned = assign_fixed_clusters(
         new_embeddings, n_clusters, dim
     ).select(

@@ -549,7 +549,9 @@ def stream_ingest_embeddings(
     stream = reader.parquet(source_dir)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        append_embeddings_clustered(batch, layout_path, n_clusters, dim)
+        # pass the family read above through with (n_clusters, dim) —
+        # the append's guard re-checks it on the fast path too
+        append_embeddings_clustered(batch, layout_path, n_clusters, dim, family)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
