@@ -224,7 +224,14 @@ def write_media_partitioned(media: DataFrame, path: str, mode: str = "overwrite"
     each file's rows similar-sized so one task never holds a partition of
     all-huge payloads. Within a file, rows sort by media_id for stable
     reads. The decode kernels then run on already-balanced inputs —
-    exercising against files what the in-memory tests assert."""
+    exercising against files what the in-memory tests assert.
+
+    The pre-write exchange salts (kind, size_bucket) with
+    crc32(media_id) at cluster width: the directory key space is only
+    ~kinds × buckets (~24) values, and hash-partitioning on it alone
+    would cap a petabyte media write at ~24 tasks — the same ceiling
+    the inverted-index writer had. Pruning is directory-level and
+    unaffected."""
     out = media.withColumn(
         "size_bucket",
         F.least(
@@ -232,8 +239,11 @@ def write_media_partitioned(media: DataFrame, path: str, mode: str = "overwrite"
             F.lit(SIZE_BUCKETS - 1),
         ),
     )
+    npart = max(media.sparkSession.sparkContext.defaultParallelism, 2)
     (
-        out.repartition("kind", "size_bucket")
+        out.repartition(
+            npart, "kind", "size_bucket", F.crc32(F.col("media_id").cast("string"))
+        )
         .sortWithinPartitions("media_id")
         .write.mode(mode)
         .partitionBy("kind", "size_bucket")

@@ -168,22 +168,31 @@ def write_corpus_shards(
     deterministic in-shard position ``pos`` — the write-training-data
     step a data loader consumes sequentially.
 
-    Scale shape: ONE exchange (`repartition` on the shard column — the
-    same shuffle corpus_shuffle already pays for its window) + an
-    in-partition sort; `partitionBy` on the write then splits files per
-    shard directory with no further movement. The layout is
-    reproducible: re-running over the same corpus yields byte-identical
+    Scale shape: ONE exchange — a RANGE partition on (shard, pos) sized
+    to the cluster — + an in-partition sort; `partitionBy` on the write
+    then splits files per shard directory with no further movement.
+    Hash-partitioning on the shard column alone would cap the whole
+    write at ``n_shards`` tasks (the inverted-index writer's old
+    16-task ceiling); range-partitioning on (shard, pos) keeps write
+    parallelism at cluster width while each output file holds a
+    CONTIGUOUS ``pos`` run of one shard — sequential-consumption
+    locality per file is preserved, not just per directory. The layout
+    is reproducible: re-running over the same corpus yields identical
     shard membership and order (pure function of doc_id), so a resumed
     or re-provisioned 100 TB write lands the same documents in the same
     shards."""
-    from tiny_md_hbase_spark.operators.text import corpus_shuffle
+    from tiny_md_hbase_spark.operators.text import SHUFFLE_SHARDS, corpus_shuffle
 
     manifest = corpus_shuffle(
         documents, n_shards=n_shards
     ) if n_shards else corpus_shuffle(documents)
+    npart = max(
+        documents.sparkSession.sparkContext.defaultParallelism,
+        n_shards or SHUFFLE_SHARDS,
+    )
     out = (
         documents.join(manifest.select("doc_id", "shard", "pos"), "doc_id")
-        .repartition("shard")
+        .repartitionByRange(npart, "shard", "pos")
         .sortWithinPartitions("shard", "pos")
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
