@@ -2487,7 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-9 rotation (derived from CORRECTNESS_r01-r08 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-15: keys whose code, parameters, or oracle changed THIS
+    #   1-17: keys whose code, parameters, or oracle changed THIS
     #   session and need fresh verdicts: heavy_hitters_cms_merged (NEW
     #   persist-and-merge sketch key), the three re-keyed former
     #   rows-only keys (dedup_minhash 32x8 / dedup_simhash 5x8 /
@@ -2496,18 +2496,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   skyline (two-phase prefix min), shortest_path_weighted (exact
     #   early-exit confirm), knn_hilbert (grid-extent domain default),
     #   keyword_search_indexed + keyword_search_bm25_indexed (salted
-    #   posting write), and the five centroid-family keys
+    #   posting write), the five centroid-family keys
     #   (embedding_knn_ivf_portable, embedding_knn_ivf_full,
     #   dedup_semantic, embedding_knn_clustered,
-    #   stream_ingest_embeddings — unit-centroid generator fix).
-    #   16-25: the r05-displaced cohort the r08 verdict queued for this
+    #   stream_ingest_embeddings — unit-centroid generator fix), and
+    #   the two sign-LSH keys (embedding_knn_lsh, dedup_embedding_lsh —
+    #   hyperplanes moved onto the avalanched _mix64 family).
+    #   18-27: the r05-displaced cohort the r08 verdict queued for this
     #   round (polygon_query, embedding_knn_quantized(+stored),
     #   pii_scrub, winnow_fingerprint, winnow_pairs, corpus_budget,
     #   ngram_jaccard, corpus_shuffle, bytes_concat;
     #   embedding_knn_ivf_full/_portable already sit in block 1).
-    #   26-50: the next 25 of the r05 remainder in rotation_audit's
-    #   suggested order (stream_windowed ... spatial_histogram).
-    # Below the marker: the last 7 r05 keys (lead the r10 rotation),
+    #   28-50: the next 23 of the r05 remainder in rotation_audit's
+    #   suggested order (stream_windowed ... stream_dedup).
+    # Below the marker: the last 9 r05 keys (lead the r10 rotation),
     # then the r06 cohort, then r07, then the r08-verified previous
     # window at the back — verdict age stays monotone down the dict.
     return {
@@ -2527,6 +2529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "embedding_knn_clustered": _q_embedding_knn_clustered,
         "stream_ingest_embeddings": _q_stream_ingest_embeddings,
+        "embedding_knn_lsh": _q_embedding_knn_lsh,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # -- r09 window 16-25: the displaced r05 cohort --------------------
         "polygon_query": _q_polygon_query,
         "embedding_knn_quantized": _q_embedding_knn_quantized,
@@ -2562,10 +2566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
         "stream_dedup": _q_stream_dedup,
-        "dedup_clusters": _q_dedup_clusters,
-        "spatial_histogram": _q_spatial_histogram,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- r05 leftovers (lead the r10 rotation) -------------------------
+        "dedup_clusters": _q_dedup_clusters,
+        "spatial_histogram": _q_spatial_histogram,
         "embedding_knn_batch": _q_embedding_knn_batch,
         "corpus_clean": _q_corpus_clean,
         "top_tokens": _q_top_tokens,
@@ -2610,7 +2614,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _q_stream_sessionize,
         "dedup_embedding": _q_dedup_embedding,
         "decontaminate_hashed": _q_decontaminate_hashed,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "knn_3d": _q_knn_3d,
         "span_dedup": _q_span_dedup,
         "bpe_pair_counts": _q_bpe_pair_counts,
@@ -2679,7 +2682,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_portable": _q_dedup_minhash_portable,
         "dedup_simhash_portable": _q_dedup_simhash_portable,
         "embedding_knn": _q_embedding_knn,
-        "embedding_knn_lsh": _q_embedding_knn_lsh,
         "text_stats": _q_text_stats,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
