@@ -126,10 +126,99 @@ def timed(fn, passes: int = 2) -> float:
     return best
 
 
+def planted_identical(spark, sf_dir: str, copies: int):
+    """sf documents scaled `copies`x, with doc_id % 10 == 0 (10% of rows)
+    REPLACED by one shared boilerplate text — a giant exact-dup family,
+    the worst case for MinHash banding (every member collides in every
+    band; uncollapsed fan-out is C(0.1*N, 2) candidate pairs)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_ids = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for c in range(copies):
+        suffix = f" copyvar{c}" if c > 0 else ""
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(c * n_ids)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(BOILERPLATE))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return out.localCheckpoint()
+
+
+def minhash_candidates(docs, collapse: bool, cap):
+    """Band-join candidate pairs on the exact tables dedup_minhash
+    joins, with the two r10 guards individually switchable."""
+    from pyspark.sql import functions as F
+
+    from tiny_md_hbase_spark.operators.dedup import (
+        _cap_band_buckets,
+        _collapse_exact,
+        _xxhash_banded,
+    )
+
+    if collapse:
+        _, docs = _collapse_exact(docs, F.xxhash64("text"))
+    _, banded = _xxhash_banded(docs, 32, 8, 3)
+    banded = _cap_band_buckets(banded, ["band", "bhash"], cap)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+
+
+def minhash_section(spark, args, run_noop) -> list[tuple]:
+    """Giant-exact-dup-family fan-out for dedup_minhash: candidate
+    counts with the r10 guards off (pre-r10 shape) vs on, and the full
+    operator's wall time, at 1x and 10x."""
+    from tiny_md_hbase_spark.operators.dedup import dedup_minhash
+
+    rows = []
+    for copies, label in ((1, "1x"), (10, "10x")):
+        docs = planted_identical(spark, args.sf_dir, copies)
+        n = docs.count()
+        g = (n + 9) // 10
+        projected = g * (g - 1) // 2
+        print(f"== minhash {label}: {n} docs, family g={g}, "
+              f"projected uncollapsed fan-out ~{projected:,}")
+        if projected <= args.uncapped_guard:
+            cand_old = minhash_candidates(docs, collapse=False, cap=None)
+        else:
+            cand_old = None  # the explosion the guards exist to prevent
+        cand_new = minhash_candidates(docs, collapse=True, cap=256)
+        t = timed(lambda: run_noop(dedup_minhash(docs)))
+        rows.append((label, "dedup_minhash", n, g, cand_old, cand_new, t))
+        print(f"   cand_old={cand_old} cand_new={cand_new:,} time={t:.2f}")
+    print("\n| scale | docs | family g | candidates pre-r10 "
+          "(no collapse/cap) | candidates r10 | dedup_minhash time |")
+    print("|---|---|---|---|---|---|")
+    for label, _, n, g, c_old, c_new, t in rows:
+        c_old_s = f"{c_old:,}" if c_old is not None else "guard-skipped"
+        print(f"| {label} | {n:,} | {g:,} | {c_old_s} | {c_new:,} | {t:.2f} s |")
+    return rows
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--uncapped-guard", type=int, default=200_000_000)
+    ap.add_argument(
+        "--section", choices=["grams", "minhash", "all"], default="all"
+    )
     args = ap.parse_args()
 
     spark = build_spark()
@@ -139,6 +228,12 @@ def main() -> int:
 
     def run_noop(df):
         df.write.format("noop").mode("overwrite").save()
+
+    if args.section in ("minhash", "all"):
+        minhash_section(spark, args, run_noop)
+    if args.section == "minhash":
+        spark.stop()
+        return 0
 
     rows = []
     for copies, label in ((1, "1x"), (10, "10x")):

@@ -118,3 +118,164 @@ def test_quality_gate_boundary_class_holds_90pct_mass(skewed_docs, frac):
     hist = scored.groupBy("quality").count().collect()
     top_c = max(r["count"] for r in hist)
     assert top_c >= SKEW_FRAC * n * 0.95
+
+
+# --- LSH giant-family guards (VERDICT r09 #1) -----------------------------
+# A family of g identical (or near-identical) documents collides in every
+# MinHash band: uncollapsed and uncapped, the band self-join materializes
+# O(g²·bands) candidate rows. Two guards keep the candidate stage linear:
+# _collapse_exact (identical texts enter banding as ONE representative;
+# pairs are reconstructed exactly afterwards) and _cap_band_buckets (a
+# residual bucket wider than the cap — a giant NEAR-dup family — is
+# skipped, the documented recall tradeoff).
+
+N_FAM = 120  # identical-text family size (pairs = C(120,2) = 7140)
+N_NEAR = 300  # near-identical family size, > the default cap of 256
+
+
+@pytest.fixture(scope="module")
+def giant_family_docs(spark):
+    """ids 0..N_FAM-1: IDENTICAL text (one exact-dup family); ids
+    1000/1001: a near-dup pair (one token changed); ids 2000..2019:
+    distinct filler."""
+    fam_text = "license header the same boilerplate paragraph repeated in every file"
+    rows = [(i, fam_text) for i in range(N_FAM)]
+    near_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "mu nu xi omicron pi rho sigma tau upsilon phi")
+    rows.append((1000, near_a))  # 20 tokens; one changed -> J = 17/19
+    rows.append((1001, near_a.rsplit(" ", 1)[0] + " chi"))
+    rows += [(2000 + i, f"totally unrelated document number {i} with words {i * 7}")
+             for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def near_family_docs(spark):
+    """ids 0..N_NEAR-1: texts DISTINCT as strings (trailing-whitespace
+    variants) but identical token sequences — identical shingle sets,
+    identical signatures, so all N_NEAR land in ONE bucket per band and
+    the exact-text collapse does NOT merge them. Ids 1000/1001: a small
+    near-dup pair that must survive the cap."""
+    base = "shared legal disclaimer text that differs only by invisible whitespace"
+    rows = [(i, base + " " * (i + 1)) for i in range(N_NEAR)]
+    near_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "mu nu xi omicron pi rho sigma tau upsilon phi")
+    rows.append((1000, near_a))  # 20 tokens; one changed -> J = 17/19
+    rows.append((1001, near_a.rsplit(" ", 1)[0] + " chi"))
+    return spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint()
+
+
+def test_minhash_identical_family_collapsed_not_capped(giant_family_docs):
+    """The exact-dup collapse must route a family LARGER than the bucket
+    cap around the band join entirely: all C(g,2) pairs appear at
+    jaccard 1.0 even under a cap far below g, because the family enters
+    banding as one representative."""
+    from tiny_md_hbase_spark.operators.dedup import dedup_minhash
+
+    out = dedup_minhash(giant_family_docs, max_bucket_width=8).cache()
+    fam = out.filter((F.col("doc_a") < N_FAM) & (F.col("doc_b") < N_FAM))
+    assert fam.count() == N_FAM * (N_FAM - 1) // 2
+    assert fam.filter(F.col("jaccard") != 1.0).count() == 0
+    # the unrelated near-dup pair is still found alongside the family
+    near = out.filter((F.col("doc_a") == 1000) & (F.col("doc_b") == 1001))
+    assert near.count() == 1 and near.collect()[0].jaccard >= 0.8
+    out.unpersist()
+
+
+def test_minhash_candidate_stage_bounded_by_collapse(giant_family_docs):
+    """Direct fan-out measurement on the exact tables the operator
+    joins: uncollapsed banding of the identical family yields
+    O(g²·bands) candidates; after _collapse_exact the same corpus
+    yields only the representative pairs."""
+    from pyspark.sql import functions as SF
+
+    from tiny_md_hbase_spark.operators.dedup import (
+        _collapse_exact,
+        _xxhash_banded,
+    )
+
+    def n_cand(docs):
+        _, banded = _xxhash_banded(docs, 32, 8, 3)
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(b, ["band", "bhash"])
+            .filter(SF.col("a.doc_id") < SF.col("b.doc_id"))
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    uncollapsed = n_cand(giant_family_docs)
+    _, reps = _collapse_exact(giant_family_docs, SF.xxhash64("text"))
+    collapsed = n_cand(reps)
+    assert uncollapsed >= N_FAM * (N_FAM - 1) // 2  # the quadratic blowup
+    assert collapsed <= 5  # reps: 1 family rep + near pair + filler
+
+
+def test_minhash_near_family_bucket_capped(near_family_docs):
+    """A NEAR-identical family (distinct strings, identical shingle
+    sets — the collapse cannot merge it) wider than max_bucket_width is
+    skipped by the cap: no pairs from the family, while the small
+    near-dup pair elsewhere is still found. Uncapped, the same corpus
+    emits all C(g,2) family pairs — the fan-out the cap bounds."""
+    from tiny_md_hbase_spark.operators.dedup import dedup_minhash
+
+    capped = dedup_minhash(near_family_docs).cache()  # default cap 256 < 300
+    fam = capped.filter((F.col("doc_a") < N_NEAR) & (F.col("doc_b") < N_NEAR))
+    assert fam.count() == 0
+    near = capped.filter((F.col("doc_a") == 1000) & (F.col("doc_b") == 1001))
+    assert near.count() == 1
+    capped.unpersist()
+
+    uncapped = dedup_minhash(near_family_docs, max_bucket_width=None)
+    fam_u = uncapped.filter((F.col("doc_a") < N_NEAR) & (F.col("doc_b") < N_NEAR))
+    assert fam_u.count() == N_NEAR * (N_NEAR - 1) // 2
+
+
+def test_minhash_portable_mirrors_collapse_and_cap(near_family_docs):
+    """The portable (oracle) twin applies the same two guards: capped it
+    drops the wide family, uncapped it emits all its pairs."""
+    from tiny_md_hbase_spark.operators.dedup import dedup_minhash_portable
+
+    capped = dedup_minhash_portable(near_family_docs)
+    assert (
+        capped.filter((F.col("doc_a") < N_NEAR) & (F.col("doc_b") < N_NEAR)).count()
+        == 0
+    )
+    uncapped = dedup_minhash_portable(near_family_docs, max_bucket_width=None)
+    assert (
+        uncapped.filter(
+            (F.col("doc_a") < N_NEAR) & (F.col("doc_b") < N_NEAR)
+        ).count()
+        == N_NEAR * (N_NEAR - 1) // 2
+    )
+
+
+def test_embedding_lsh_collapse_and_cap(spark):
+    """dedup_embedding_lsh: identical vectors collapse past the cap
+    (all pairs at cos 1.0); a near-identical DISTINCT family wider than
+    the cap is skipped; uncapped it is fully paired."""
+    from tiny_md_hbase_spark.operators.dedup import dedup_embedding_lsh
+
+    dim, n_id, n_near = 64, 25, 30
+    base = [((i * 37 + 11) % 97 - 48) / 7.0 for i in range(dim)]
+    rows = [(i, [float(x) for x in base]) for i in range(n_id)]  # identical
+    # near family: distinct tiny last-component perturbations (cos ~ 1,
+    # sign pattern unchanged — projections are far from every hyperplane)
+    rows += [
+        (1000 + j, [float(x) for x in base[:-1]] + [base[-1] + 1e-9 * (j + 1)])
+        for j in range(n_near)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = dedup_embedding_lsh(embs, max_bucket_width=8).cache()
+    fam = capped.filter((F.col("vec_a") < n_id) & (F.col("vec_b") < n_id))
+    assert fam.count() == n_id * (n_id - 1) // 2
+    assert fam.filter(F.col("cos_sim") != 1.0).count() == 0
+    near = capped.filter((F.col("vec_a") >= 1000) & (F.col("vec_b") >= 1000))
+    assert near.count() == 0  # 30 distinct near-dups > cap 8: skipped
+    capped.unpersist()
+
+    uncapped = dedup_embedding_lsh(embs, max_bucket_width=None)
+    near_u = uncapped.filter((F.col("vec_a") >= 1000) & (F.col("vec_b") >= 1000))
+    assert near_u.count() == n_near * (n_near - 1) // 2

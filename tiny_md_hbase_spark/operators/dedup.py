@@ -56,6 +56,108 @@ __all__ = [
 _MERSENNE31 = (1 << 31) - 1
 
 
+def _collapse_exact(
+    documents: DataFrame, fp: Column, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate collapse prepass for the LSH pair families:
+    group rows on a content fingerprint ``fp``, elect ``min(id)`` per
+    group as representative, and return ``(members, rep_rows)`` where
+    ``members`` is the bounded (id, rep) map (16-byte rows — the only
+    thing that shuffles) and ``rep_rows`` is the input restricted to
+    representatives.
+
+    Why this exists: a family of g IDENTICAL texts collides in every
+    LSH band and costs O(g²·bands) candidate rows in the band self-join
+    before verification ever runs. Collapsed, the family contributes
+    ONE representative to the banding pipeline; its pairs are
+    reconstructed exactly afterwards (:func:`_expand_pairs`) — identical
+    inputs have similarity exactly 1.0 and cross-group similarity
+    depends only on content, so the expansion is output-identical to
+    the uncollapsed pipeline, never an approximation. The output stays
+    quadratic in group size (inherent to the pairs contract); what the
+    prepass removes is the quadratic blowup inside the shuffle-heavy
+    candidate stage."""
+    from pyspark.sql import Window
+
+    g = documents.select(F.col(id_col).alias("mid"), fp.alias("_fp"))
+    members = g.select(
+        "mid", F.min("mid").over(Window.partitionBy("_fp")).alias("rep")
+    ).localCheckpoint()  # three consumers: rep filter, cross- and intra-expand
+    rep_rows = documents.join(
+        members.filter(F.col("mid") == F.col("rep")).select(
+            F.col("mid").alias(id_col)
+        ),
+        id_col,
+    )
+    return members, rep_rows
+
+
+def _expand_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    a_col: str,
+    b_col: str,
+    score_col: str,
+    exact_score: Column,
+) -> DataFrame:
+    """Re-expand representative pairs to member pairs after an
+    exact-dup collapse (:func:`_collapse_exact`): every (rep_a, rep_b,
+    score) becomes all member cross pairs at the SAME score (similarity
+    is a function of content only), and every multi-member group emits
+    its intra pairs at ``exact_score`` (identical content). Joins are on
+    the rep key; AQE broadcasts the rep-pair side when it is small."""
+    ma = members.select(F.col("rep").alias(a_col), F.col("mid").alias("_ma"))
+    mb = members.select(F.col("rep").alias(b_col), F.col("mid").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, a_col)
+        .join(mb, b_col)
+        .select(
+            F.least("_ma", "_mb").alias(a_col),
+            F.greatest("_ma", "_mb").alias(b_col),
+            score_col,
+        )
+    )
+    x = members.select(F.col("mid").alias("_xa"), "rep")
+    y = members.select(F.col("mid").alias("_xb"), "rep")
+    intra = (
+        x.join(y, "rep")
+        .filter(F.col("_xa") < F.col("_xb"))
+        .select(
+            F.col("_xa").alias(a_col),
+            F.col("_xb").alias(b_col),
+            exact_score.alias(score_col),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def _cap_band_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_width: int | None
+) -> DataFrame:
+    """Drop LSH band buckets wider than ``max_bucket_width`` rows before
+    the candidate stage. A bucket of width g yields O(g²) candidate
+    pairs in the band self-join; after the exact-dup collapse prepass a
+    wide bucket means a giant NEAR-dup (not identical) family, whose
+    pair set is quadratic by contract — past the cap the pairs form is
+    the wrong tool (use the clustering ops, ``dedup_clusters`` /
+    ``dedup_embedding_lsh`` + survivors) and the bucket is skipped.
+    This is the documented recall tradeoff, mirrored bucket-for-bucket
+    in the SQL twins (same count, same cap), so capped and uncapped
+    runs alike stay under the value oracle. The width count shuffles on
+    the same (band, key) hash partitioning the candidate join needs, so
+    the cap adds no extra exchange. ``None`` disables the cap."""
+    if max_bucket_width is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    return (
+        banded.withColumn("_bw", w)
+        .filter(F.col("_bw") <= max_bucket_width)
+        .drop("_bw")
+    )
+
+
 def dedup_exact(documents: DataFrame, key: str = "text") -> DataFrame:
     """Exact dedup: one survivor (min doc_id) per distinct ``key``, with
     the duplicate count. Oracle-checkable; groups by the raw key."""
@@ -112,32 +214,14 @@ def minhash_signature(text: Column | str, num_hashes: int = 32, n: int = 3) -> C
     )
 
 
-def dedup_minhash(
-    documents: DataFrame,
-    num_hashes: int = 32,
-    bands: int = 8,
-    n: int = 3,
-    jaccard_threshold: float = 0.8,
-) -> DataFrame:
-    """MinHash + LSH banding near-dup detection.
-
-    signature → split into ``bands`` bands of ``num_hashes/bands`` rows →
-    equi-join on (band index, band hash) → verify candidate pairs with
-    exact shingle Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard)
-    with doc_a < doc_b.
-
-    The band join is the scale move: ~O(n) signature rows shuffle on
-    short keys; only colliding pairs (expected: near-dups + few false
-    positives) reach the exact verifier.
-
-    The signature is computed as explode(shingles) → one hash column →
-    ``num_hashes`` min-aggregates per doc_id, NOT as per-row
-    ``transform``/``array_min`` array expressions: higher-order array
-    functions are CodegenFallback (interpreted), so 32 of them per row
-    was the dominant cost; min() over a codegen'd hash expression with
-    map-side partial aggregation does the same math JVM-compiled, and
-    the shuffle carries one 32-int row per (doc, partition).
-    """
+def _xxhash_banded(
+    documents: DataFrame, num_hashes: int, bands: int, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Production (xxhash64-based) MinHash front end: (hashed-shingle
+    table, banded-signature table) — the JVM-hash twin of
+    :func:`_portable_banded`, shared by :func:`dedup_minhash` and the
+    skew-scale probe (scripts/scale_skew.py) so candidate-stage fan-out
+    is measurable on the exact tables the operator joins."""
     rows_per_band = num_hashes // bands
     # spread the docs before the (expensive) shingle projection — a
     # single-file source would otherwise compute every shingle set on 1-2
@@ -147,8 +231,13 @@ def dedup_minhash(
     docs = documents.repartition(
         documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
-    sh_df = docs.select("doc_id", shingles("text", n).alias("sh")).localCheckpoint()
-    h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31))
+    sh_df = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles("text", n), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    ).localCheckpoint()
+    h = F.pmod(F.col("s"), F.lit(_MERSENNE31))
     sig_df = (
         sh_df.select("doc_id", F.explode("sh").alias("s"))
         .select("doc_id", h.alias("h"))
@@ -186,6 +275,55 @@ def dedup_minhash(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bhash")
+    return sh_df, banded
+
+
+def dedup_minhash(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_bucket_width: int | None = 256,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection.
+
+    exact-dup collapse → signature → split into ``bands`` bands of
+    ``num_hashes/bands`` rows → equi-join on (band index, band hash) →
+    verify candidate pairs with exact shingle Jaccard ≥ threshold →
+    re-expand collapsed groups. Returns (doc_a, doc_b, jaccard) with
+    doc_a < doc_b.
+
+    The band join is the scale move: ~O(n) signature rows shuffle on
+    short keys; only colliding pairs (expected: near-dups + few false
+    positives) reach the exact verifier. Two guards keep the candidate
+    stage linear at 100 TB: identical texts are collapsed to one
+    representative BEFORE banding (:func:`_collapse_exact` — boilerplate
+    families of g identical documents would otherwise emit O(g²·bands)
+    candidates; their pairs are reconstructed exactly afterwards), and
+    any residual band bucket wider than ``max_bucket_width`` — a giant
+    NEAR-dup family — is skipped (:func:`_cap_band_buckets`, the
+    documented recall tradeoff; the clustering ops are the right
+    contract for such families, not all-pairs).
+
+    The signature is computed as explode(shingles) → one hash column →
+    ``num_hashes`` min-aggregates per doc_id, NOT as per-row
+    ``transform``/``array_min`` array expressions: higher-order array
+    functions are CodegenFallback (interpreted), so 32 of them per row
+    was the dominant cost; min() over a codegen'd hash expression with
+    map-side partial aggregation does the same math JVM-compiled, and
+    the shuffle carries one 32-int row per (doc, partition).
+
+    The checkpointed shingle table stores xxhash64(shingle) longs, not
+    the shingle strings (~4× smaller through the checkpoint and both
+    verify-join sides); Jaccard over the hashed sets equals Jaccard
+    over the strings unless two distinct shingles collide at 64 bits
+    (~2⁻⁶⁴ per pair — the same accepted risk as ``ngram_jaccard``'s
+    hashed intersection and ``dedup_exact_hashed``).
+    """
+    members, rep_docs = _collapse_exact(documents, F.xxhash64("text"))
+    sh_df, banded = _xxhash_banded(rep_docs, num_hashes, bands, n)
+    banded = _cap_band_buckets(banded, ["band", "bhash"], max_bucket_width)
 
     cand = (
         banded.alias("a")
@@ -207,9 +345,11 @@ def dedup_minhash(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
-    return (
-        pairs.filter(jac >= jaccard_threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    rep_pairs = pairs.filter(jac >= jaccard_threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+    return _expand_pairs(
+        rep_pairs, members, "doc_a", "doc_b", "jaccard", F.lit(1.0)
     )
 
 
@@ -281,12 +421,14 @@ def dedup_minhash_portable(
     bands: int = 4,
     n: int = 3,
     jaccard_threshold: float = 0.8,
+    max_bucket_width: int | None = 256,
 ) -> DataFrame:
     """MinHash+LSH with a cross-engine-computable hash — the fully
     oracle-checked twin of :func:`dedup_minhash`.
 
-    Same pipeline (shingle → k min-hashes → band keys → equi-join →
-    exact Jaccard verify), but the base hash is the polynomial rolling
+    Same pipeline (exact-dup collapse → shingle → k min-hashes → band
+    keys → bucket-width cap → equi-join → exact Jaccard verify →
+    group re-expansion), but the base hash is the polynomial rolling
     hash ``(acc*31 + codepoint) mod 1e9+7`` over the shingle's
     characters (exact integer arithmetic any engine reproduces
     bit-for-bit) instead of Spark's xxhash64, and the band key folds the
@@ -295,9 +437,15 @@ def dedup_minhash_portable(
     set, final pairs — identical on Spark and DuckDB, so the WHOLE
     probabilistic pipeline is under the oracle, not just the exact
     verifier. The xxhash64 variant stays the production path (JVM-side
-    hash of the shingle string, no per-character fold).
+    hash of the shingle string, no per-character fold). The collapse
+    prepass groups on the raw text (SQL-expressible and exact; the
+    production form groups on xxhash64(text) so only 8-byte keys
+    shuffle), and both the cap and the expansion are mirrored
+    stage-for-stage in :func:`dedup_minhash_portable_sql`.
     """
-    sh_df, banded = _portable_banded(documents, num_hashes, bands, n)
+    members, rep_docs = _collapse_exact(documents, F.col("text"))
+    sh_df, banded = _portable_banded(rep_docs, num_hashes, bands, n)
+    banded = _cap_band_buckets(banded, ["band", "bhash"], max_bucket_width)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bhash"])
@@ -315,8 +463,11 @@ def dedup_minhash_portable(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
-    return pairs.filter(jac >= jaccard_threshold).select(
+    rep_pairs = pairs.filter(jac >= jaccard_threshold).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+    return _expand_pairs(
+        rep_pairs, members, "doc_a", "doc_b", "jaccard", F.lit(1.0)
     )
 
 
@@ -324,9 +475,12 @@ def dedup_minhash_portable_sql(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.8,
+    max_bucket_width: int | None = 256,
 ) -> str:
-    """DuckDB twin of :func:`dedup_minhash_portable` — same shingles,
-    same polynomial hashes, same band fold, same verify."""
+    """DuckDB twin of :func:`dedup_minhash_portable` — same exact-dup
+    collapse (min doc_id per identical text), same shingles, same
+    polynomial hashes, same band fold, same bucket-width cap (QUALIFY
+    over the identical count), same verify, same group re-expansion."""
     from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, tokens_sql
 
     rows_per_band = num_hashes // bands
@@ -352,23 +506,40 @@ def dedup_minhash_portable_sql(
         + f"]), (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) AS bhash FROM sig"
         for b in range(bands)
     )
+    cap_cte = (
+        "banded"
+        if max_bucket_width is None
+        else "(SELECT doc_id, band, bhash FROM banded QUALIFY "
+        f"count(*) OVER (PARTITION BY band, bhash) <= {max_bucket_width})"
+    )
     return (
-        f"WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents), "
+        "WITH grp AS (SELECT doc_id, "
+        "min(doc_id) OVER (PARTITION BY text) AS rep FROM documents), "
+        f"t AS (SELECT d.doc_id, {tokens_sql('text')} AS toks FROM documents d "
+        "JOIN grp ON d.doc_id = grp.doc_id AND grp.doc_id = grp.rep), "
         f"sh AS (SELECT doc_id, {shingles_sql} AS s FROM t), "
         f"hashed AS (SELECT doc_id, s, list_transform(s, g -> {char_hash}) AS hs "
         "FROM sh), "
         f"sig AS (SELECT doc_id, {mins} FROM hashed), "
         f"banded AS ({band_rows}), "
+        f"bandedc AS (SELECT * FROM {cap_cte}), "
         "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "FROM banded a JOIN banded b ON a.band = b.band AND a.bhash = b.bhash "
-        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-        "SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ("
+        "FROM bandedc a JOIN bandedc b ON a.band = b.band AND a.bhash = b.bhash "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "rp AS (SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ("
         "  SELECT doc_a, doc_b,"
         "    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)"
         "      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac"
         "  FROM cand JOIN sh sa ON sa.doc_id = doc_a "
         "  JOIN sh sb ON sb.doc_id = doc_b"
-        f") WHERE jac >= {jaccard_threshold}"
+        f") WHERE jac >= {jaccard_threshold}) "
+        "SELECT least(x.doc_id, y.doc_id) AS doc_a, "
+        "greatest(x.doc_id, y.doc_id) AS doc_b, jaccard "
+        "FROM rp JOIN grp x ON x.rep = rp.doc_a JOIN grp y ON y.rep = rp.doc_b "
+        "UNION ALL "
+        "SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "CAST(1.0 AS DOUBLE) AS jaccard "
+        "FROM grp x JOIN grp y ON x.rep = y.rep AND x.doc_id < y.doc_id"
     )
 
 
@@ -1025,6 +1196,7 @@ def dedup_embedding_lsh(
     planes: int = 16,
     bands: int = 4,
     dim: int = 64,
+    max_bucket_width: int | None = 4096,
 ) -> DataFrame:
     """Scale path for embedding near-dup: sign-LSH banded buckets,
     exact-cosine verified per bucket. This is the variant that must be
@@ -1054,12 +1226,29 @@ def dedup_embedding_lsh(
     ~1 ulp; only a cosine within ~1e-15 of the threshold (or of a
     round-6 boundary) could flip output, the documented boundary
     argument of the SQL twin.
+
+    Scale guards (same pair as :func:`dedup_minhash`): identical
+    vectors are collapsed to one representative before bucketing
+    (:func:`_collapse_exact` on the raw double array — cosine of
+    identical vectors is exactly 1.0, so the post-verify re-expansion
+    is output-identical), and any bucket wider than
+    ``max_bucket_width`` representatives is skipped
+    (:func:`_cap_band_buckets` — the documented recall tradeoff; with
+    fixed ``planes`` a bucket is a constant fraction of the corpus, so
+    at larger scale RAISE ``planes``/``bands`` to keep buckets under
+    the cap rather than raising the cap: the per-bucket gram verify is
+    O(width²) compute even when tiled).
     """
     from tiny_md_hbase_spark.operators.similarity import lsh_signature
 
     rpb = planes // bands
     mask = (1 << rpb) - 1
-    e = embeddings.select(
+    members, rep_vecs = _collapse_exact(
+        embeddings.select("vec_id", "embedding"),
+        F.col("embedding").cast("array<double>"),
+        id_col="vec_id",
+    )
+    e = rep_vecs.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("sig", lsh_signature(F.col("v"), planes, dim))
     bucketed = e.select(
@@ -1122,10 +1311,14 @@ def dedup_embedding_lsh(
             )
         return pd.concat(out, ignore_index=True)
 
-    return (
+    bucketed = _cap_band_buckets(bucketed, ["band", "band_bits"], max_bucket_width)
+    rep_pairs = (
         bucketed.groupBy("band", "band_bits")
         .applyInPandas(verify, "vec_a long, vec_b long, cos_sim double")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return _expand_pairs(
+        rep_pairs, members, "vec_a", "vec_b", "cos_sim", F.lit(1.0)
     )
 
 
@@ -1134,6 +1327,7 @@ def dedup_embedding_lsh_sql(
     planes: int = 16,
     bands: int = 4,
     dim: int = 64,
+    max_bucket_width: int | None = 4096,
 ) -> str:
     """DuckDB twin of :func:`dedup_embedding_lsh`: hyperplanes inline as
     literal arrays (same constants as the Spark expression), bands are the
@@ -1160,21 +1354,39 @@ def dedup_embedding_lsh_sql(
         f"SELECT vec_id, {b} AS band, sig & {mask << (b * rpb)} AS band_bits FROM s"
         for b in range(bands)
     )
+    cap_cte = (
+        "bk"
+        if max_bucket_width is None
+        else "(SELECT vec_id, band, band_bits FROM bk QUALIFY "
+        f"count(*) OVER (PARTITION BY band, band_bits) <= {max_bucket_width})"
+    )
     return (
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings), "
+        "grp AS (SELECT vec_id, min(vec_id) OVER (PARTITION BY v) AS rep "
+        "FROM e0), "
+        "e AS (SELECT e0.vec_id, v FROM e0 "
+        "JOIN grp ON e0.vec_id = grp.vec_id AND grp.vec_id = grp.rep), "
         f"s AS (SELECT vec_id, v, {sig} AS sig FROM e), "
         f"bk AS ({band_rows}), "
+        f"bkc AS (SELECT * FROM {cap_cte}), "
         "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
-        "FROM bk a JOIN bk b ON a.band = b.band AND a.band_bits = b.band_bits "
+        "FROM bkc a JOIN bkc b ON a.band = b.band AND a.band_bits = b.band_bits "
         "AND a.vec_id < b.vec_id), "
         "n AS (SELECT vec_id, v, "
-        "sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e) "
-        f"SELECT vec_a, vec_b, round({dot('va.v', 'vb.v')} / "
+        "sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e), "
+        f"rp AS (SELECT vec_a, vec_b, round({dot('va.v', 'vb.v')} / "
         "(va.norm * vb.norm), 6) AS cos_sim "
         "FROM cand JOIN n va ON cand.vec_a = va.vec_id "
         "JOIN n vb ON cand.vec_b = vb.vec_id "
-        f"WHERE {dot('va.v', 'vb.v')} / (va.norm * vb.norm) >= {threshold}"
+        f"WHERE {dot('va.v', 'vb.v')} / (va.norm * vb.norm) >= {threshold}) "
+        "SELECT least(x.vec_id, y.vec_id) AS vec_a, "
+        "greatest(x.vec_id, y.vec_id) AS vec_b, cos_sim "
+        "FROM rp JOIN grp x ON x.rep = rp.vec_a JOIN grp y ON y.rep = rp.vec_b "
+        "UNION ALL "
+        "SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, "
+        "CAST(1.0 AS DOUBLE) AS cos_sim "
+        "FROM grp x JOIN grp y ON x.rep = y.rep AND x.vec_id < y.vec_id"
     )
 
 
