@@ -761,6 +761,25 @@ def test_inverted_index_write_parallelism_exceeds_bucket_count(spark, sf_dir):
     assert spread.mx > 1
 
 
+def test_build_postings_fold_is_vocabulary_sided(spark, sf_dir):
+    """The portable term-bucket char fold (an ``F.aggregate``
+    higher-order lambda — CodegenFallback, interpreted) must be
+    evaluated once per DISTINCT term and joined back, never projected
+    per (term, doc_id) posting row: postings outnumber the vocabulary
+    by the average document frequency. Contract: the optimized plan
+    contains the fold exactly once, inside the vocabulary Aggregate
+    (grouping on term), with an equi-join on term carrying the bucket
+    back to the posting stream."""
+    from tiny_md_hbase_spark.sources.writer import build_postings
+
+    pp = build_postings(load_table(spark, sf_dir, "documents"), num_buckets=4)
+    lines = pp._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    fold_lines = [ln for ln in lines if "aggregate(transform(" in ln]
+    assert len(fold_lines) == 1, "\n".join(lines)
+    assert fold_lines[0].strip(" :+-").startswith("Aggregate [term"), fold_lines[0]
+    assert any("Join Inner, (term" in ln for ln in lines), "\n".join(lines)
+
+
 def test_skyline_has_no_partitionless_window(spark, sf_dir):
     """skyline's cumulative min must be the two-phase prefix form: every
     WindowExec in the plan carries a partition spec (a bare
@@ -776,3 +795,16 @@ def test_skyline_has_no_partitionless_window(spark, sf_dir):
         # with a partition spec a Window prints THREE bracket groups:
         # Window [exprs], [partition cols], [order cols]
         assert re.search(r"\], \[[^\]]+\], \[[^\]]+\]\s*$", ln), ln
+
+
+def test_skyline_frontier_join_is_not_force_broadcast(spark, sf_dir):
+    """The survivor filter must NOT force-broadcast the frontier: its
+    worst case is #distinct-x (corpus-sized on anti-correlated data),
+    so a broadcast hint there is an executor-OOM by construction. The
+    analyzed plan may carry exactly ONE broadcast hint — the
+    cross-partition carry, which is one row per range partition
+    (bounded metadata). AQE still broadcasts a small frontier at
+    runtime from MEASURED size, which is the correct gate."""
+    q = spatial.skyline(points(spark, sf_dir))
+    analyzed = q._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed

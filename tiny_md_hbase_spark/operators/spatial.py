@@ -634,10 +634,19 @@ def skyline(pts: DataFrame) -> DataFrame:
         )
         .filter(F.col("prev_min").isNull() | (F.col("my") < F.col("prev_min")))
     )
+    # the survivor filter joins the points against the frontier UNFORCED:
+    # the frontier's worst case is #distinct-x (anti-correlated data makes
+    # it corpus-sized — the same data-bounded cardinality that forced the
+    # two-phase prefix min above), so a forced F.broadcast here would be
+    # an executor-OOM by construction. AQE picks a broadcast join at
+    # runtime whenever the frontier is actually small (the benign case),
+    # from measured sizes rather than a hint; the carry join above stays
+    # forced because carry is one row per range partition — bounded
+    # metadata, never data.
     f2 = frontier.select(F.col("x").alias("fx"), F.col("my").alias("fy"))
     return (
         p.join(
-            F.broadcast(f2),
+            f2,
             (F.col("x") == F.col("fx")) & (F.col("y") == F.col("fy")),
         )
         .select("id", "x", "y")

@@ -271,7 +271,18 @@ def build_postings(documents: DataFrame, num_buckets: int = 16) -> DataFrame:
     """The pre-write posting table of :func:`write_inverted_index`,
     already carrying the exchange the writer relies on — exposed so the
     plan-contract test can assert the write parallelism (>1 partition
-    per bucket directory) on the exact DataFrame that gets written."""
+    per bucket directory) on the exact DataFrame that gets written.
+
+    The portable bucket hash (:func:`_term_bucket_col` — an
+    ``F.aggregate`` char fold, CodegenFallback/interpreted, kept
+    portable so the query side can compute bucket literals in plain
+    Python) is evaluated on ``SELECT DISTINCT term`` — vocabulary-sized
+    — and equi-joined back onto the posting stream, NOT projected per
+    (term, doc_id) row: postings outnumber the vocabulary by the
+    average document frequency (orders of magnitude at corpus scale),
+    so the interpreted fold must never sit on the posting-stream side
+    of the plan. Bucket assignment is byte-identical either way; the
+    join keys the vocabulary on term and AQE broadcasts it when small."""
     from tiny_md_hbase_spark.operators.text import tokens
 
     spark_parallelism = max(
@@ -282,8 +293,13 @@ def build_postings(documents: DataFrame, num_buckets: int = 16) -> DataFrame:
         .select("doc_id", F.lower("tok").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").cast("long").alias("tf"))
+    )
+    vocab = (
+        postings.select("term")
+        .distinct()
         .withColumn("bucket", _term_bucket_col(F.col("term"), num_buckets))
     )
+    postings = postings.join(vocab, "term")
     return postings.repartition(spark_parallelism, "bucket", F.crc32("term"))
 
 
