@@ -2412,10 +2412,14 @@ def _q_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min-Sketch heavy hitters under the TRUE-flag bound oracle
     (operators/analytics.py heavy_hitters_cms): exact top-20 token
-    counts value-checked, sketch point estimates asserted against the
-    CMS guarantees (overcount-only; ≤ exact + eps·N) — the third sketch
-    family next to the HLL and GK checks, same check/production
-    split."""
+    counts value-checked, the STRUCTURAL overcount guarantee
+    (estimate ≥ exact for every seed) a pinned-TRUE output column —
+    the third sketch family next to the HLL and GK checks, same
+    check/production split. The probabilistic eps bound is pinned by
+    tests (test_analytics.py::test_cms_eps_bound_from_exact_counts,
+    incl. a perturbed seed), NOT by the value oracle: no SQL engine
+    can recompute a sketch estimate, and a pinned probabilistic flag
+    could legitimately flip on a seed/fixture change (r09 #6)."""
     return AN.heavy_hitters_cms(load_table(spark, sf_dir, "documents"))
 
 
@@ -2425,9 +2429,10 @@ def _q_heavy_hitters_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials materialized as a parquet side table, merged driver-side
     (counters are additive), answered top-k from the MERGED sketch.
     The merge's exactness vs the one-scan sketch is a STRUCTURAL
-    output column (bit-for-bit counter equality, any seed) — unlike
-    cms_within_eps there is no probabilistic caveat, so the pinned-TRUE
-    oracle is unconditional."""
+    output column (bit-for-bit counter equality, any seed), so the
+    pinned-TRUE oracle is unconditional; a _cms_meta marker row pins
+    the sketch parameters beside the shards and the merge refuses a
+    mismatch loudly."""
     import shutil
     import tempfile
 

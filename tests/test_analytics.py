@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tiny_md_hbase_spark.operators import analytics as AN
@@ -410,7 +412,7 @@ def test_heavy_hitters_cms_flags_and_exact_counts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = heavy_hitters_cms(docs, k=10).collect()
     assert len(out) == 10
-    assert all(r.cms_overcounts and r.cms_within_eps for r in out)
+    assert all(r.cms_overcounts for r in out)
     # exact counts really are the exact top-10 (python recount)
     texts = [r.text or "" for r in docs.select("text").collect()]
     cnt = Counter(tok for t in texts for tok in t.lower().split())
@@ -430,7 +432,55 @@ def test_heavy_hitters_cms_planted_hot_token(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = heavy_hitters_cms(docs, k=3).collect()
     assert out[0].tok == "zzhot" and out[0].n_exact == 200 * 50
-    assert all(r.cms_overcounts and r.cms_within_eps for r in out)
+    assert all(r.cms_overcounts for r in out)
+
+
+@pytest.mark.parametrize("seed", [17, 12345])
+def test_cms_eps_bound_from_exact_counts(spark, sf_dir, seed):
+    """The probabilistic CMS guarantee — estimate ≤ true + eps·N with
+    probability ≥ confidence — evaluated per row FROM EXACT COUNTS, for
+    the default seed and a perturbed one. This is where the eps bound
+    lives now: it is deliberately not an output column, because no SQL
+    oracle can recompute a sketch estimate and a pinned-TRUE twin could
+    legitimately flip on a seed/fixture change (r09 verdict #6). Both
+    seeds are deterministic here; at 0.99 confidence over 20 rows a
+    violation would be a real (if unlucky) sketch property, so the
+    assertion allows at most one row at the bound's edge per seed."""
+    eps = 0.001
+    rows = AN.cms_estimates(
+        load_table(spark, sf_dir, "documents"), k=20, eps=eps, seed=seed
+    )
+    assert rows and all(est >= n for _, n, est, _ in rows)  # structural
+    violations = [r for r in rows if r[2] > r[1] + eps * r[3]]
+    assert len(violations) <= 1, violations
+
+
+def test_cms_merged_refuses_parameter_mismatch_and_stale_path(spark, sf_dir):
+    """_cms_meta guard: shards written under one (eps, confidence,
+    seed) must refuse a merge under another — counter arrays are only
+    additive parameter-for-parameter; and an empty/stale shard path
+    fails with a clear error instead of an AttributeError."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="cms_meta_test_")
+    try:
+        AN.write_cms_shards(docs, f"{tmp}/shards", seed=17)
+        with pytest.raises(ValueError, match="not additive"):
+            AN.heavy_hitters_cms_merged(docs, f"{tmp}/shards", seed=99)
+        with pytest.raises(ValueError, match="eps"):
+            AN.heavy_hitters_cms_merged(docs, f"{tmp}/shards", eps=0.01)
+        # matching parameters still merge
+        ok = AN.heavy_hitters_cms_merged(docs, f"{tmp}/shards", seed=17)
+        assert ok.count() == 20
+        # stale/empty path: loud ValueError, not AttributeError
+        empty = docs.filter("doc_id < 0")
+        AN.write_cms_shards(empty, f"{tmp}/empty_shards")
+        with pytest.raises(ValueError, match="stale"):
+            AN.heavy_hitters_cms_merged(docs, f"{tmp}/empty_shards")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_cms_shard_merge_equals_scan_form_exactly(spark, sf_dir):

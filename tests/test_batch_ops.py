@@ -43,3 +43,23 @@ def test_embedding_knn_batch_matches_single(spark, sf_dir):
         # the query itself is rank 1 with sim 1.0
         assert sorted(by_q[qid])[0][1] == qid
         assert sorted(by_q[qid])[0][2] == pytest.approx(1.0)
+
+
+def test_embedding_knn_batch_guards_corpus_sized_queries(spark, sf_dir):
+    """The broadcast-query design is contracted to |Q| << corpus; a
+    corpus-sized queries DF must raise a clear error naming the fix,
+    not collect itself onto the driver. The guard's probe is
+    limit(max+1), so the failure costs O(max_queries) rows however
+    large the input is."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        S.embedding_knn_batch(embs, queries, k=5, max_queries=100)
+    # raising the cap explicitly re-enables the same input
+    assert (
+        S.embedding_knn_batch(embs, queries.limit(3), k=5, max_queries=100)
+        .count()
+        == 15
+    )

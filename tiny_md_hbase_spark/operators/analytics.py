@@ -1015,24 +1015,20 @@ def heavy_hitters_cms(
     (:func:`approx_quantiles_check`), under the same TRUE-flag oracle
     pattern: the top-``k`` token counts are computed EXACTLY
     (value-checked against DuckDB) and the sketch's point estimates are
-    asserted against CMS's published guarantees —
-    ``cms_overcounts`` (estimate ≥ true count: structural, collisions
-    only ever ADD) and ``cms_within_eps`` (estimate ≤ true + eps·N with
-    probability ≥ ``confidence``; deterministic here because the seed
-    pins the hash family). An out-of-bound sketch hash-mismatches the
-    asserted-TRUE oracle columns.
-
-    ORACLE CAVEAT — ``cms_within_eps`` is probabilistic, not
-    structural: the eps bound holds with probability ≥ ``confidence``
-    PER QUERY (0.99 over ~20 queries here), so the DuckDB twin's
-    pinned-TRUE column is only guaranteed under THIS seed + fixture,
-    where it is deterministic and verified. Changing ``seed``,
-    ``eps``/``confidence``, or the documents fixture can legitimately
-    flip the flag without any bug — if that ever surfaces as an oracle
-    mismatch, re-verify the flag against the exact counts (the
-    ``n_exact`` column IS the ground truth) before treating it as a
-    regression. ``cms_overcounts`` carries no such caveat: ≥-true is
-    structural for every seed.
+    asserted against CMS's published guarantees. The OUTPUT carries only
+    the STRUCTURAL flag — ``cms_overcounts`` (estimate ≥ true count:
+    collisions only ever ADD, for every seed/eps/fixture) — so the
+    DuckDB twin's pinned TRUE holds under ANY seed or fixture change
+    and an oracle mismatch is always a real regression. The
+    PROBABILISTIC guarantee (estimate ≤ true + eps·N with probability
+    ≥ ``confidence`` per query) is deliberately NOT an output column:
+    no SQL engine can recompute the sketch estimate, so a pinned-TRUE
+    twin column could legitimately flip on a seed/fixture change and
+    masquerade as a correctness failure (the r09 verdict's #6). It is
+    pinned instead by tests/test_analytics.py::test_cms_eps_bound*,
+    which evaluate ``estimate ≤ n_exact + eps·N`` per row from exact
+    counts — including under perturbed seeds — via
+    :func:`cms_estimates`.
 
     Scale: the sketch is ONE scan aggregated into an eps×confidence-
     sized table (width ⌈e/eps⌉ × depth ⌈ln(1/conf⁻¹)⌉ counters —
@@ -1047,7 +1043,6 @@ def heavy_hitters_cms(
         F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
     ).localCheckpoint()  # two consumers: the sketch and the exact top-k
     jcms = toks._jdf.stat().countMinSketch("tok", float(eps), float(confidence), int(seed))
-    n_total = int(jcms.totalCount())  # the sketch already carries N
     top = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
@@ -1058,29 +1053,56 @@ def heavy_hitters_cms(
     rows = []
     for r in top:
         est = int(jcms.estimateCount(r.tok))
-        rows.append(
-            (
-                r.tok,
-                r.n_exact,
-                bool(est >= r.n_exact),
-                bool(est <= r.n_exact + eps * n_total),
-            )
-        )
+        rows.append((r.tok, r.n_exact, bool(est >= r.n_exact)))
     return documents.sparkSession.createDataFrame(
-        rows, "tok string, n_exact long, cms_overcounts boolean, cms_within_eps boolean"
+        rows, "tok string, n_exact long, cms_overcounts boolean"
     )
+
+
+def cms_estimates(
+    documents: DataFrame,
+    k: int = 20,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 17,
+) -> list[tuple[str, int, int, int]]:
+    """(tok, n_exact, estimate, N) for the exact top-``k`` tokens under
+    the given sketch parameters — the raw material the eps-bound tests
+    evaluate ``estimate ≤ n_exact + eps·N`` from, per row and per seed,
+    instead of pinning a probabilistic flag in the value oracle."""
+    from tiny_md_hbase_spark.operators.text import tokens
+
+    toks = documents.select(
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
+    ).localCheckpoint()
+    jcms = toks._jdf.stat().countMinSketch(
+        "tok", float(eps), float(confidence), int(seed)
+    )
+    n_total = int(jcms.totalCount())
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "tok")
+        .limit(k)
+        .collect()
+    )
+    return [
+        (r.tok, int(r.n_exact), int(jcms.estimateCount(r.tok)), n_total)
+        for r in top
+    ]
 
 
 def heavy_hitters_cms_sql(k: int = 20) -> str:
     """DuckDB twin of :func:`heavy_hitters_cms`: the exact top-``k``
-    token counts plus the asserted-TRUE sketch-bound flags."""
+    token counts plus the structural asserted-TRUE overcount flag
+    (≥-true holds for every seed — no probabilistic caveat)."""
     from tiny_md_hbase_spark.operators.text import tokens_sql
 
     toks = tokens_sql("coalesce(text, '')")
     return (
         f"WITH t AS (SELECT unnest({toks}) AS tok FROM documents) "
         "SELECT tok, CAST(count(*) AS BIGINT) AS n_exact, "
-        "TRUE AS cms_overcounts, TRUE AS cms_within_eps "
+        "TRUE AS cms_overcounts "
         "FROM t GROUP BY tok "
         f"ORDER BY n_exact DESC, tok LIMIT {k}"
     )
@@ -1106,7 +1128,15 @@ def write_cms_shards(
     (shard, n_tokens, sketch BLOB), kilobytes each.
 
     The shard key is a pure function of the data (doc_id), so the
-    table is reproducible and replay-idempotent under overwrite."""
+    table is reproducible and replay-idempotent under overwrite.
+
+    The sketch parameters are persisted beside the shard blobs as a
+    ``_cms_meta`` row (underscore-prefixed: invisible to the shard
+    read, the ``_index_meta``/``_ivf_meta`` pattern): counter arrays
+    written under different (eps, confidence, seed) are NOT additive —
+    without the marker a mixed-parameter merge only surfaces
+    indirectly (``merged_equals_scan`` false downstream) instead of
+    failing loudly at read time."""
     from tiny_md_hbase_spark.operators.text import tokens
 
     toks = documents.select(
@@ -1125,6 +1155,10 @@ def write_cms_shards(
         .write.mode("overwrite")
         .parquet(path)
     )
+    documents.sparkSession.createDataFrame(
+        [(float(eps), float(confidence), int(seed), int(n_shards))],
+        "eps double, confidence double, seed int, n_shards int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_cms_meta")
 
 
 def heavy_hitters_cms_merged(
@@ -1153,12 +1187,40 @@ def heavy_hitters_cms_merged(
     from tiny_md_hbase_spark.operators.text import tokens
 
     spark = documents.sparkSession
+    # refuse a parameter mismatch at read time: shards sketched under a
+    # different (eps, confidence, seed) are not additive with this
+    # query's scan twin — merging them would only surface indirectly as
+    # merged_equals_scan=false downstream
+    try:
+        meta = spark.read.parquet(f"{shard_path}/_cms_meta").collect()
+    except Exception:
+        meta = []  # pre-meta layouts stay readable
+    if meta:
+        m = meta[0]
+        if (
+            (float(m.eps), float(m.confidence), int(m.seed))
+            != (float(eps), float(confidence), int(seed))
+        ):
+            raise ValueError(
+                f"CMS shard table at {shard_path} was written with "
+                f"(eps={m.eps}, confidence={m.confidence}, seed={m.seed}) "
+                f"but the merge was asked for (eps={eps}, "
+                f"confidence={confidence}, seed={seed}); counter arrays "
+                f"under different parameters are not additive — rebuild "
+                f"the shards or query with the stored parameters."
+            )
     shard_rows = spark.read.parquet(shard_path).collect()  # n_shards rows
     jcls = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
     merged = None
     for r in shard_rows:
         s = jcls.readFrom(bytes(r.sketch))
         merged = s if merged is None else merged.mergeInPlace(s)
+    if merged is None and documents.limit(1).count() > 0:
+        raise ValueError(
+            f"CMS shard table at {shard_path} is empty but the documents "
+            f"table is not — wrong or stale shard_path? Run "
+            f"write_cms_shards(documents, shard_path) first."
+        )
 
     toks = documents.select(
         F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")

@@ -232,6 +232,7 @@ def embedding_knn_batch(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k for MANY query vectors at once — the shape real
     pipelines need (dedup a candidate set against a reference corpus,
@@ -254,7 +255,22 @@ def embedding_knn_batch(
     from pyspark.sql import Window
 
     spark = embeddings.sparkSession
-    qrows = queries.select("query_id", "qv").collect()
+    # the broadcast-query design is correct only under |Q| << corpus; the
+    # collect is guarded so a corpus-sized `queries` DF fails loudly with
+    # the right fix named instead of OOMing the driver. limit(max+1)
+    # never moves more than max_queries+1 rows driver-side regardless of
+    # the input's size.
+    qrows = queries.select("query_id", "qv").limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"embedding_knn_batch broadcasts the query matrix to every "
+            f"task: it is contracted to small query sets but got more "
+            f"than max_queries={max_queries} rows. Chunk the query set, "
+            f"raise max_queries explicitly if the matrix genuinely fits "
+            f"the driver and executors, or use the LSH/IVF-routed forms "
+            f"for corpus-vs-corpus scoring (dedup_embedding_lsh, "
+            f"embedding_knn_ivf)."
+        )
     qids = [int(r.query_id) for r in qrows]
     qmat_list = [[float(x) for x in r.qv] for r in qrows]
 
