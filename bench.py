@@ -437,6 +437,29 @@ def main() -> None:
     sweep_health = [healthy(a, b) for a, b in sweep_probes]
     n_healthy_sweeps = sum(sweep_health)
 
+    # streaming keys couple to checkpoint I/O — their scratch is already
+    # tempfile-routed onto the same tmpfs as every other benched query
+    # (see _setup_scratch: tempfile.tempdir), but they remain the most
+    # host-phase-sensitive entries (stream_scd2 has sampled 4x its record
+    # inside one run, BENCH.md). Record their per-sweep samples and the
+    # max/min spread OVER HEALTHY SWEEPS in the artifact, so checkpoint-
+    # phase noise is attributable without re-running. Captured before the
+    # tie-break pass appends out-of-sweep samples (sample i of a key maps
+    # to sweep i here: keys run once per sweep, errors excepted).
+    streaming_health = {}
+    for k in (k for k in BENCH_KEYS if k.startswith("stream_")):
+        ts = timings.get(k, [])
+        hs = [
+            t
+            for i, t in enumerate(ts)
+            if i < len(sweep_health) and sweep_health[i]
+        ] or ts
+        if hs:
+            streaming_health[k] = {
+                "healthy_samples": hs,
+                "spread": round(max(hs) / min(hs), 2) if min(hs) > 0 else None,
+            }
+
     # the host has degraded phases where identical code runs 2-8x slower
     # for a stretch; when even the min-of-two disagrees with itself by a
     # lot, take one tie-breaking third sample so a single bad window
@@ -641,6 +664,7 @@ def main() -> None:
         "sweep_health": sweep_health,
         "healthy_sweeps": n_healthy_sweeps,
         "probe_ref": probe_ref,
+        "streaming": streaming_health,
         "sf": sf,
         "cpus": cpus,
         "scratch": _SCRATCH_DESC,
