@@ -643,8 +643,14 @@ def _q_dedup_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥1 of 8 bands under both hash families). This converts dedup_minhash's
     engine-specific form from a rows-only smoke into a value-checked key;
     the probabilistic recall floor for unseen data stays pinned by the
-    planted-pair tests (tests/test_dedup.py)."""
-    return D.dedup_minhash(load_table(spark, sf_dir, "documents"))
+    planted-pair tests (tests/test_dedup.py). The bucket-width cap is
+    DISABLED here (``max_bucket_width=None``): this key's contract is
+    equality with uncapped ground truth, so a fixture that ever grows a
+    >cap near-dup family must not silently flip it — the cap's drop
+    semantics are pinned separately by dedup_minhash_capped."""
+    return D.dedup_minhash(
+        load_table(spark, sf_dir, "documents"), max_bucket_width=None
+    )
 
 
 def _q_dedup_simhash_band_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3096,10 +3102,15 @@ def oracle_sql() -> dict[str, str]:
         # Jaccard, no banding/hashing — output ⊆ truth always (exact
         # verify), equality == full banding recall on this fixture. The
         # size-ratio prune is lossless (J >= t implies |A|/|B| >= t).
+        # NULL text ≡ '' (empty content) — matches the production
+        # collapse's coalesce'd fingerprint, so NULL docs rate 1.0
+        # against each other and against empty docs on both engines
         "dedup_minhash_vs_exact": (
             f"WITH sh AS (SELECT doc_id, {_SHINGLES} AS s, "
             f"len({_SHINGLES}) AS sz "
-            f"FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)) "
+            "FROM (SELECT doc_id, "
+            f"""{TX.tokens_sql("coalesce(text, '')")} """
+            "AS toks FROM documents)) "
             "SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ("
             "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
             "    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"

@@ -479,6 +479,16 @@ def test_cms_merged_refuses_parameter_mismatch_and_stale_path(spark, sf_dir):
         AN.write_cms_shards(empty, f"{tmp}/empty_shards")
         with pytest.raises(ValueError, match="stale"):
             AN.heavy_hitters_cms_merged(docs, f"{tmp}/empty_shards")
+        # but a NON-empty corpus whose texts hold no tokens is a
+        # legitimately empty shard table, not a stale path: the guard
+        # keys on token emptiness and the merge returns an empty result
+        tokenless = docs.limit(5).withColumn("text", F.lit("   "))
+        AN.write_cms_shards(tokenless, f"{tmp}/tokenless_shards")
+        out = AN.heavy_hitters_cms_merged(tokenless, f"{tmp}/tokenless_shards")
+        assert out.count() == 0
+        assert out.columns == [
+            "tok", "n_exact", "cms_overcounts", "merged_equals_scan"
+        ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

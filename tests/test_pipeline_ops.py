@@ -65,6 +65,64 @@ def test_minhash_pairs_are_truly_similar(planted):
         assert r.jaccard >= 0.8
 
 
+def test_minhash_null_and_empty_text_cross_engine(spark):
+    """NULL text ≡ '' (empty content): NULL and empty docs collapse into
+    ONE exact-dup group on both engines, so the probe that used to split
+    7-vs-3 across Spark/DuckDB (NULL reps banding as [''] in Spark,
+    dropping from banding in SQL) now agrees — C(4,2)=6 intra pairs at
+    1.0 plus the one real near-dup pair, identically on both sides."""
+    import duckdb
+
+    rows = [
+        (0, None),
+        (1, None),
+        (2, ""),
+        (3, ""),
+        (4, "alpha beta gamma delta"),
+        (5, "alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (D.dedup_minhash, D.dedup_minhash_portable):
+        got = sorted(
+            (r.doc_a, r.doc_b, r.jaccard) for r in fn(docs).collect()
+        )
+        assert got == [
+            (0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0),
+            (1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0),
+            (4, 5, 1.0),
+        ], fn.__name__
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.sql(
+        D.dedup_minhash_portable_sql() + " ORDER BY 1, 2"
+    ).fetchall()))
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.dedup_minhash_portable(docs).collect()
+    )
+    assert got == want
+
+
+def test_embedding_lsh_zero_vector_exact_dup_convention(spark):
+    """Identical ZERO vectors: cosine is undefined, but byte-identical
+    content is an exact duplicate — the collapse reports the pair at
+    1.0 (documented convention, mirrored by the SQL twin's group
+    expansion); a zero vector never pairs with a nonzero one."""
+    vecs = [
+        (0, [0.0] * 8),
+        (1, [0.0] * 8),
+        (2, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in D.dedup_embedding_lsh(emb, dim=8).collect()
+    )
+    assert got == [(0, 1, 1.0), (2, 3, 1.0)]
+
+
 def test_minhash_portable_finds_planted_pairs(planted):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard

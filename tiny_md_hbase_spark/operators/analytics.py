@@ -1037,23 +1037,12 @@ def heavy_hitters_cms(
     without a full groupBy. The exact pass and the bounded top-``k``
     collect exist only in this fixture-scale CHECK form — exactly the
     split documented on the HLL check."""
-    from tiny_md_hbase_spark.operators.text import tokens
-
-    toks = documents.select(
-        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
-    ).localCheckpoint()  # two consumers: the sketch and the exact top-k
-    jcms = toks._jdf.stat().countMinSketch("tok", float(eps), float(confidence), int(seed))
-    top = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-        .orderBy(F.desc("n_exact"), "tok")
-        .limit(k)
-        .collect()  # bounded: k rows
-    )
-    rows = []
-    for r in top:
-        est = int(jcms.estimateCount(r.tok))
-        rows.append((r.tok, r.n_exact, bool(est >= r.n_exact)))
+    rows = [
+        (tok, n_exact, bool(est >= n_exact))
+        for tok, n_exact, est, _n in cms_estimates(
+            documents, k=k, eps=eps, confidence=confidence, seed=seed
+        )
+    ]
     return documents.sparkSession.createDataFrame(
         rows, "tok string, n_exact long, cms_overcounts boolean"
     )
@@ -1174,11 +1163,12 @@ def heavy_hitters_cms_merged(
     output column: CMS counter arrays are additive, so the driver-side
     merge of the shard BLOBs (n_shards × kilobytes — bounded metadata,
     never data) must equal the one-scan sketch BIT-FOR-BIT for any
-    seed — ``merged_equals_scan`` is STRUCTURAL, unlike the
-    probabilistic ``cms_within_eps`` flag documented on
-    :func:`heavy_hitters_cms`, so the oracle's pinned TRUE carries no
-    fixture/seed caveat. ``cms_overcounts`` (merged estimate ≥ exact
-    count) is likewise structural.
+    seed — ``merged_equals_scan`` is STRUCTURAL (true by the algebra of
+    the sketch, not by a probabilistic bound), so the oracle's pinned
+    TRUE carries no fixture/seed caveat. ``cms_overcounts`` (merged
+    estimate ≥ exact count) is likewise structural. The probabilistic
+    eps-bound is asserted only in tests, from exact counts, via
+    :func:`cms_estimates` — same split as :func:`heavy_hitters_cms`.
 
     At 100 TB the scan-form twin sketch and the exact top-``k`` exist
     only in this fixture-scale CHECK form — production reads ONLY the
@@ -1215,16 +1205,19 @@ def heavy_hitters_cms_merged(
     for r in shard_rows:
         s = jcls.readFrom(bytes(r.sketch))
         merged = s if merged is None else merged.mergeInPlace(s)
-    if merged is None and documents.limit(1).count() > 0:
-        raise ValueError(
-            f"CMS shard table at {shard_path} is empty but the documents "
-            f"table is not — wrong or stale shard_path? Run "
-            f"write_cms_shards(documents, shard_path) first."
-        )
-
     toks = documents.select(
         F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
     ).localCheckpoint()  # two consumers: the scan-twin sketch + exact top-k
+    # guard on TOKEN emptiness, not document emptiness: a non-empty
+    # corpus of empty/whitespace texts legitimately writes a 0-row shard
+    # table (write_cms_shards has nothing to sketch) — only "tokens
+    # exist but no shard rows do" indicates a wrong or stale path
+    if merged is None and toks.limit(1).count() > 0:
+        raise ValueError(
+            f"CMS shard table at {shard_path} is empty but the documents "
+            f"table has tokens — wrong or stale shard_path? Run "
+            f"write_cms_shards(documents, shard_path) first."
+        )
     jscan = toks._jdf.stat().countMinSketch(
         "tok", float(eps), float(confidence), int(seed)
     )

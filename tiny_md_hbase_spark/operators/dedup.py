@@ -73,7 +73,13 @@ def _collapse_exact(
     reconstructed exactly afterwards (:func:`_expand_pairs`) — identical
     inputs have similarity exactly 1.0 and cross-group similarity
     depends only on content, so the expansion is output-identical to
-    the uncollapsed pipeline, never an approximation. The output stays
+    the uncollapsed pipeline for every input whose similarity is
+    defined. The one degenerate exception: identical ZERO-NORM vectors
+    (cosine undefined) are reported as exact duplicates at score 1.0 by
+    the collapse's byte-identity convention, where the uncollapsed
+    cosine pipeline's NaN comparison emitted nothing — deliberate
+    (byte-identical content IS a duplicate) and mirrored by the SQL
+    twins' group expansion, so it is cross-engine consistent. The output stays
     quadratic in group size (inherent to the pairs contract); what the
     prepass removes is the quadratic blowup inside the shuffle-heavy
     candidate stage."""
@@ -321,7 +327,14 @@ def dedup_minhash(
     (~2⁻⁶⁴ per pair — the same accepted risk as ``ngram_jaccard``'s
     hashed intersection and ``dedup_exact_hashed``).
     """
-    members, rep_docs = _collapse_exact(documents, F.xxhash64("text"))
+    # NULL ≡ '' here: a NULL text and an empty text are the same (empty)
+    # content, so they collapse into ONE group — without the coalesce,
+    # Spark's shingle path bands the NULL rep as [''] while a SQL twin's
+    # NULL tokenization drops it, and the engines diverge on NULL-''
+    # cross pairs (the only NULL-sensitive spot in the pipeline)
+    members, rep_docs = _collapse_exact(
+        documents, F.xxhash64(F.coalesce(F.col("text"), F.lit("")))
+    )
     sh_df, banded = _xxhash_banded(rep_docs, num_hashes, bands, n)
     banded = _cap_band_buckets(banded, ["band", "bhash"], max_bucket_width)
 
@@ -443,7 +456,9 @@ def dedup_minhash_portable(
     shuffle), and both the cap and the expansion are mirrored
     stage-for-stage in :func:`dedup_minhash_portable_sql`.
     """
-    members, rep_docs = _collapse_exact(documents, F.col("text"))
+    members, rep_docs = _collapse_exact(
+        documents, F.coalesce(F.col("text"), F.lit(""))  # NULL ≡ '' (see dedup_minhash)
+    )
     sh_df, banded = _portable_banded(rep_docs, num_hashes, bands, n)
     banded = _cap_band_buckets(banded, ["band", "bhash"], max_bucket_width)
     cand = (
@@ -514,7 +529,8 @@ def dedup_minhash_portable_sql(
     )
     return (
         "WITH grp AS (SELECT doc_id, "
-        "min(doc_id) OVER (PARTITION BY text) AS rep FROM documents), "
+        "min(doc_id) OVER (PARTITION BY coalesce(text, '')) AS rep "
+        "FROM documents), "
         f"t AS (SELECT d.doc_id, {tokens_sql('text')} AS toks FROM documents d "
         "JOIN grp ON d.doc_id = grp.doc_id AND grp.doc_id = grp.rep), "
         f"sh AS (SELECT doc_id, {shingles_sql} AS s FROM t), "
@@ -1230,8 +1246,11 @@ def dedup_embedding_lsh(
     Scale guards (same pair as :func:`dedup_minhash`): identical
     vectors are collapsed to one representative before bucketing
     (:func:`_collapse_exact` on the raw double array — cosine of
-    identical vectors is exactly 1.0, so the post-verify re-expansion
-    is output-identical), and any bucket wider than
+    identical nonzero vectors is exactly 1.0, so the post-verify
+    re-expansion is output-identical; identical ZERO vectors are
+    reported as exact duplicates at 1.0 by the collapse's byte-identity
+    convention — see :func:`_collapse_exact` — where the uncollapsed
+    NaN-cosine path emitted nothing), and any bucket wider than
     ``max_bucket_width`` representatives is skipped
     (:func:`_cap_band_buckets` — the documented recall tradeoff; with
     fixed ``planes`` a bucket is a constant fraction of the corpus, so
