@@ -2783,13 +2783,17 @@ _TOKS = TX.tokens_sql("text")  # shared explicit whitespace class (text.py _WS)
 _SHINGLES = (
     "list_distinct(CASE WHEN len(toks) >= 3 THEN "
     "list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) "
-    "ELSE [array_to_string(toks, ' ')] END)"
+    "ELSE [coalesce(array_to_string(toks, ' '), '')] END)"
 )
 
 
 def _marker_sql(words: list[str]) -> str:
+    # coalesce: a NULL-text doc has NULL toks, and len(list_filter(NULL))
+    # is NULL — Spark's explode_outer + conditional sum yields 0 for the
+    # same doc, so an unguarded NULL here flips lang_id's argmax CASE
+    # (every comparison NULL -> falls through to 'es' vs Spark's 'en')
     lst = ", ".join(f"'{w}'" for w in words)
-    return f"len(list_filter(toks, t -> lower(t) IN ({lst})))"
+    return f"coalesce(len(list_filter(toks, t -> lower(t) IN ({lst}))), 0)"
 
 
 def oracle_sql() -> dict[str, str]:

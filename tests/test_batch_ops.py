@@ -63,3 +63,48 @@ def test_embedding_knn_batch_guards_corpus_sized_queries(spark, sf_dir):
         .count()
         == 15
     )
+
+
+def test_embedding_ops_reject_degenerate_vectors_loudly(spark, sf_dir):
+    """A NULL (or wrong-length) embedding must fail FAST with a
+    row-identifying message — without the validate_vectors guard it
+    surfaces minutes into an Arrow kernel as numpy's opaque
+    'inhomogeneous shape' ValueError (observed live on the r10 poisoned
+    probe), or as a silently-NULL JVM fold. Zero vectors stay allowed
+    where their semantics are pinned (dedup_embedding_lsh's exact-dup
+    convention)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from tiny_md_hbase_spark.operators import dedup as D
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    poisoned = embs.unionByName(
+        spark.createDataFrame(
+            [(900001, None, 0)], embs.schema
+        )
+    )
+    ragged = embs.unionByName(
+        spark.createDataFrame(
+            [(900002, [1.0, 2.0], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    for bad, pat in ((poisoned, "900001.*NULL"), (ragged, "900002.*length 2")):
+        with _pytest.raises(
+            (SparkRuntimeException, Py4JJavaError), match=pat
+        ):
+            S.embedding_knn_lsh(bad, query_vec_id=1, k=5).collect()
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError), match="NULL"):
+        D.dedup_embedding_lsh(poisoned).collect()
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError), match="NULL"):
+        S.embedding_knn(poisoned, query_vec_id=1, k=5).collect()
+    with _pytest.raises(ValueError, match="query_id=7.*NULL"):
+        S.embedding_knn_batch(
+            embs,
+            spark.createDataFrame(
+                [(7, None)], "query_id long, qv array<float>"
+            ),
+            k=3,
+        )

@@ -69,8 +69,11 @@ def test_minhash_null_and_empty_text_cross_engine(spark):
     """NULL text ≡ '' (empty content): NULL and empty docs collapse into
     ONE exact-dup group on both engines, so the probe that used to split
     7-vs-3 across Spark/DuckDB (NULL reps banding as [''] in Spark,
-    dropping from banding in SQL) now agrees — C(4,2)=6 intra pairs at
-    1.0 plus the one real near-dup pair, identically on both sides."""
+    dropping from banding in SQL) now agrees. A whitespace-only doc is
+    ALSO zero-token content — a different collapse group that must pair
+    with the empty family at 1.0 via banding (both reps shingle to
+    ['']), which requires the twin to tokenize coalesce(text, '') so
+    the NULL-text representative still bands."""
     import duckdb
 
     rows = [
@@ -78,30 +81,29 @@ def test_minhash_null_and_empty_text_cross_engine(spark):
         (1, None),
         (2, ""),
         (3, ""),
-        (4, "alpha beta gamma delta"),
+        (4, "   "),
         (5, "alpha beta gamma delta"),
+        (6, "alpha beta gamma delta"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # {0,1,2,3} collapse (NULL ≡ ''); {4} is its own group banding to
+    # the same [''] shingle set -> C(5,2) zero-token pairs + the dup
+    expect = sorted(
+        [(a, b, 1.0) for a in range(5) for b in range(a + 1, 5)]
+        + [(5, 6, 1.0)]
+    )
     for fn in (D.dedup_minhash, D.dedup_minhash_portable):
         got = sorted(
             (r.doc_a, r.doc_b, r.jaccard) for r in fn(docs).collect()
         )
-        assert got == [
-            (0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0),
-            (1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0),
-            (4, 5, 1.0),
-        ], fn.__name__
+        assert got == expect, fn.__name__
     con = duckdb.connect()
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     want = sorted(map(tuple, con.sql(
         D.dedup_minhash_portable_sql() + " ORDER BY 1, 2"
     ).fetchall()))
-    got = sorted(
-        (r.doc_a, r.doc_b, r.jaccard)
-        for r in D.dedup_minhash_portable(docs).collect()
-    )
-    assert got == want
+    assert want == expect
 
 
 def test_embedding_lsh_zero_vector_exact_dup_convention(spark):
@@ -549,6 +551,53 @@ def test_doc_fingerprint_matches_python(docs):
         for ch in r.text:
             h = (h * 31 + ord(ch)) % T.FINGERPRINT_MOD
         assert got[r.doc_id] == h
+
+def test_degenerate_content_conventions_cross_engine(spark):
+    """The corpus-wide degenerate-content convention, pinned on a tiny
+    probe against DuckDB: NULL text ≡ '' ≡ zero-token content. The
+    fingerprint of empty content is the seed 0 on both engines (DuckDB's
+    unguarded split would give -1 for '' via unicode('') and NULL for
+    NULL text), lang_id's marker sums are 0 (not NULL) so the argmax
+    answers 'en' identically, and winnow emits the single fp 0 instead
+    of dropping NULL docs. scripts/null_poison_check.py runs the whole
+    ledger under this probe; this test keeps the three sharpest edges
+    in the fast suite."""
+    import duckdb
+
+    rows = [
+        (1, None, "en", "web", 0),
+        (2, "", "en", "web", 0),
+        (3, "  \t", "en", "web", 3),
+        (4, "the quick brown fox and the dog", "en", "web", 31),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows)
+
+    fp_s = {r.doc_id: r.fingerprint for r in T.doc_fingerprint(docs).collect()}
+    fp_d = dict(con.sql(
+        f"SELECT doc_id, {T.doc_fingerprint_sql()} FROM documents"
+    ).fetchall())
+    assert fp_s == fp_d
+    # fingerprint is over CODEPOINTS: NULL ≡ '' hash to the seed 0;
+    # whitespace-only text has chars, so it hashes nonzero (while still
+    # being zero-TOKEN content for the token-based ops below)
+    assert fp_s[1] == fp_s[2] == 0 and fp_s[3] != 0 and fp_s[4] != 0
+
+    langs = {r.doc_id: r.lang_pred for r in T.lang_id(docs).collect()}
+    assert langs[1] == langs[2] == langs[3] == "en"
+
+    win_s = sorted((r.doc_id, r.fp) for r in T.winnow_fingerprint(docs).collect())
+    win_d = sorted(map(tuple, con.sql(T.winnow_fingerprint_sql()).fetchall()))
+    assert win_s == win_d
+    assert (1, 0) in win_s and (2, 0) in win_s and (3, 0) in win_s
+
 
 def test_top_tokens_counts_and_rank(spark):
     df = spark.createDataFrame(

@@ -499,11 +499,12 @@ def dedup_minhash_portable_sql(
     from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, tokens_sql
 
     rows_per_band = num_hashes // bands
+    toks_nn = tokens_sql("coalesce(text, '')")
     shingles_sql = (
         "list_distinct(CASE WHEN len(toks) >= 3 THEN "
         "list_transform(range(0, len(toks) - 2), "
         "i -> array_to_string(toks[i+1:i+3], ' ')) "
-        "ELSE [array_to_string(toks, ' ')] END)"
+        "ELSE [coalesce(array_to_string(toks, ' '), '')] END)"
     )
     char_hash = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -531,7 +532,11 @@ def dedup_minhash_portable_sql(
         "WITH grp AS (SELECT doc_id, "
         "min(doc_id) OVER (PARTITION BY coalesce(text, '')) AS rep "
         "FROM documents), "
-        f"t AS (SELECT d.doc_id, {tokens_sql('text')} AS toks FROM documents d "
+        # tokenize coalesce(text, '') so a NULL-text representative
+        # still bands: zero-token docs (NULL, '', whitespace-only) all
+        # shingle to [''] and must pair at 1.0 across collapse groups,
+        # exactly as the Spark side's shingles(NULL) = [''] does
+        f"t AS (SELECT d.doc_id, {toks_nn} AS toks FROM documents d "
         "JOIN grp ON d.doc_id = grp.doc_id AND grp.doc_id = grp.rep), "
         f"sh AS (SELECT doc_id, {shingles_sql} AS s FROM t), "
         f"hashed AS (SELECT doc_id, s, list_transform(s, g -> {char_hash}) AS hs "
@@ -632,7 +637,7 @@ def decontaminate_fuzzy_sql(
         "list_distinct(CASE WHEN len(toks) >= 3 THEN "
         "list_transform(range(0, len(toks) - 2), "
         "i -> array_to_string(toks[i+1:i+3], ' ')) "
-        "ELSE [array_to_string(toks, ' ')] END)"
+        "ELSE [coalesce(array_to_string(toks, ' '), '')] END)"
     )
     char_hash = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -1166,9 +1171,11 @@ def dedup_embedding(
     double-cast vectors, blocked to bound the pairwise term. Returns
     (vec_a, vec_b, cos_sim). The LSH route for unblocked data lives in
     operators/similarity.py."""
+    from tiny_md_hbase_spark.operators.similarity import validate_vectors
+
     para = embeddings.sparkSession.sparkContext.defaultParallelism
     e = (
-        embeddings.repartition(para, "vec_id")
+        validate_vectors(embeddings).repartition(para, "vec_id")
         .select(
             "vec_id",
             F.col(block_col).alias("blk"),
@@ -1258,12 +1265,15 @@ def dedup_embedding_lsh(
     the cap rather than raising the cap: the per-bucket gram verify is
     O(width²) compute even when tiled).
     """
-    from tiny_md_hbase_spark.operators.similarity import lsh_signature
+    from tiny_md_hbase_spark.operators.similarity import (
+        lsh_signature,
+        validate_vectors,
+    )
 
     rpb = planes // bands
     mask = (1 << rpb) - 1
     members, rep_vecs = _collapse_exact(
-        embeddings.select("vec_id", "embedding"),
+        validate_vectors(embeddings, dim).select("vec_id", "embedding"),
         F.col("embedding").cast("array<double>"),
         id_col="vec_id",
     )
@@ -1440,10 +1450,13 @@ def dedup_semantic(
     oracle's left-to-right fold by ~1 ulp; only a cosine within ~1e-15
     of ``threshold`` could flip a survivor, the same boundary argument
     ``dedup_embedding_lsh_sql`` documents for its band bits."""
-    from tiny_md_hbase_spark.operators.similarity import _unit_centroids
+    from tiny_md_hbase_spark.operators.similarity import (
+        _unit_centroids,
+        validate_vectors,
+    )
 
     cents = _unit_centroids(n_clusters, dim)
-    e = embeddings.select(
+    e = validate_vectors(embeddings, dim).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     dists = [

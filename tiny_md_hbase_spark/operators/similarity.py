@@ -104,6 +104,39 @@ def sql_d2(a: str, b: str) -> str:
     )
 
 
+def validate_vectors(
+    df: DataFrame,
+    dim: int | None = None,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Loud input validation for the embedding operators: replace
+    ``col`` with a guarded projection that raises a clear,
+    row-identifying error for a NULL (or, when ``dim`` is given,
+    wrong-length) vector. Without the guard a NULL embedding surfaces
+    minutes into an Arrow kernel as numpy's opaque "inhomogeneous
+    shape" ValueError inside a task retry loop — at 100 TB that is a
+    long job lost with no actionable row pointer. The guard is a
+    codegen'd ``when`` evaluated at the scan projection: zero cost on
+    valid rows, and it fails on the FIRST bad row with its id. SQL
+    twins carry no guard — the oracle contract (FIXTURES.md) is valid
+    input, and this guard is exactly what enforces that contract on
+    the Spark side."""
+    c = F.col(col)
+    bad = c.isNull() if dim is None else (c.isNull() | (F.size(c) != dim))
+    detail = F.when(c.isNull(), F.lit("NULL")).otherwise(
+        F.concat(F.lit("length "), F.size(c).cast("string"))
+    )
+    want = "a non-NULL array" if dim is None else f"a non-NULL array of length {dim}"
+    msg = F.concat(
+        F.lit(f"invalid vector in column '{col}' at {id_col}="),
+        F.col(id_col).cast("string"),
+        F.lit(f": expected {want}, got "),
+        detail,
+    )
+    return df.withColumn(col, F.when(bad, F.raise_error(msg)).otherwise(c))
+
+
 
 def embedding_knn(
     embeddings: DataFrame, query_vec_id: int = 1, k: int = 10
@@ -112,6 +145,7 @@ def embedding_knn(
     (FIXTURES.md pinned parameters). The 1-row query side is broadcast;
     ordering is (rounded sim desc, vec_id) for a deterministic k-boundary
     across engines."""
+    embeddings = validate_vectors(embeddings)
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -178,6 +212,7 @@ def embedding_knn_quantized(
 
     Ordering: (qscore desc, vec_id) — integer keys, deterministic
     k-boundary with no float ties possible."""
+    embeddings = validate_vectors(embeddings)
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -272,6 +307,12 @@ def embedding_knn_batch(
             f"embedding_knn_ivf)."
         )
     qids = [int(r.query_id) for r in qrows]
+    for r in qrows:  # driver-side rows: validate with the same loudness
+        if r.qv is None:
+            raise ValueError(
+                f"invalid vector in column 'qv' at query_id={r.query_id}: "
+                f"expected a non-NULL array, got NULL"
+            )
     qmat_list = [[float(x) for x in r.qv] for r in qrows]
 
     bc = spark.sparkContext.broadcast((qids, qmat_list))
@@ -305,7 +346,7 @@ def embedding_knn_batch(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    e = embeddings.select(
+    e = validate_vectors(embeddings).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     local_tops = e.mapInPandas(
@@ -339,7 +380,7 @@ def ivf_build(
     it and a probe reads only the probed clusters' files — embarrassingly
     scalable ANN, the same layout trick the z-order index plays for space.
     """
-    e = embeddings.select(
+    e = validate_vectors(embeddings).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     ).localCheckpoint()
     dim = len(e.first().v)
@@ -491,6 +532,7 @@ def assign_fixed_clusters(
     void every probe-pruning claim downstream of this assignment.
     Returns (vec_id, label, v, ivf_cluster); row-local, zero shuffle."""
     cents = _unit_centroids(n_clusters, dim)
+    embeddings = validate_vectors(embeddings, dim)
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -718,7 +760,7 @@ def embedding_knn_lsh(
     dot product is computed; on a signature-partitioned table the probe
     reads only matching partitions. Exactness is traded for scan volume —
     recall is tested against the brute-force baseline."""
-    e = embeddings.select(
+    e = validate_vectors(embeddings, dim).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("sig", lsh_signature(F.col("v"), planes, dim))
     q = e.filter(F.col("vec_id") == query_vec_id).select(
@@ -782,6 +824,7 @@ def embedding_project(
     coordinate — no shuffle, no Python), same determinism contract as
     ``lsh_signature``: fixed literal matrix, no RNG state."""
     rows = _projection_matrix(out_dim, dim)
+    embeddings = validate_vectors(embeddings, dim)
     v = F.col("embedding").cast("array<double>")
     coords = [
         F.round(
@@ -952,7 +995,7 @@ def centroid_assign(embeddings: DataFrame, n_clusters: int = 8) -> DataFrame:
     partitioning / pruning key for cluster-local downstream work
     (SemDeDup-style per-cluster dedup, IVF probes, balanced sampling).
     """
-    e = embeddings.select(
+    e = validate_vectors(embeddings).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     seeds = [

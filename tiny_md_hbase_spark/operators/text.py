@@ -338,8 +338,16 @@ def fingerprint_col(text: Column | str = "text") -> Column:
     polynomial rolling hash over the codepoints, ``h = (h*31 + cp) mod
     1e9+7``. Shared by :func:`doc_fingerprint` and
     :func:`corpus_manifest`; the DuckDB twin is
-    :func:`doc_fingerprint_sql`."""
-    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    :func:`doc_fingerprint_sql`. Empty content (NULL or '') fingerprints
+    to the seed 0 on BOTH engines — without the coalesce a NULL text
+    folds to NULL here, and without the twin's empty-string CASE
+    DuckDB's string_split('', '') yields [''] whose unicode('') is -1
+    (Spark's ascii('') is 0), shifting every downstream hash by one."""
+    col = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(
+        F.split(F.coalesce(col, F.lit("")), ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
     return F.aggregate(
         codes,
         F.lit(0).cast("long"),
@@ -465,7 +473,7 @@ def chunk_documents(
     with corpus bytes and parallelizes to however many partitions the
     scan produced. Columns: (doc_id, chunk_seq, chunk_start, n_chunk_
     tokens, chunk_text)."""
-    toks = tokens("text")
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))  # NULL ≡ ''
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
     ex = documents.select(
@@ -485,16 +493,20 @@ def chunk_documents_sql(
     chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
 ) -> str:
     """DuckDB twin of :func:`chunk_documents` (list slicing is 1-based
-    inclusive on both ends, hence the +1 / +chunk bounds)."""
+    inclusive on both ends, hence the +1 / +chunk bounds). NULL ≡ ''
+    at tokenization, and the empty chunk's text is '' as in Spark's
+    array_join (DuckDB's array_to_string of an empty slice is NULL)."""
+    toks_nn = tokens_sql("coalesce(text, '')")
     return (
-        f"WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents), "
+        f"WITH t AS (SELECT doc_id, {toks_nn} AS toks FROM documents), "
         "ex AS (SELECT doc_id, toks, unnest(range(0, "
         f"greatest(len(toks), 1), {stride})) AS chunk_start FROM t) "
         f"SELECT doc_id, chunk_start // {stride} AS chunk_seq, "
         "CAST(chunk_start AS BIGINT) AS chunk_start, "
         f"CAST(len(toks[chunk_start + 1 : chunk_start + {chunk_tokens}]) AS BIGINT) "
         "AS n_chunk_tokens, "
-        f"array_to_string(toks[chunk_start + 1 : chunk_start + {chunk_tokens}], ' ') "
+        "coalesce(array_to_string("
+        f"toks[chunk_start + 1 : chunk_start + {chunk_tokens}], ' '), '') "
         "AS chunk_text FROM ex"
     )
 
@@ -572,7 +584,7 @@ def decontaminate_sql(gram_n: int = DECON_GRAM, eval_mod: int = DECON_EVAL_MOD) 
         f"list_distinct(CASE WHEN len(toks) >= {gram_n} THEN "
         f"list_transform(range(0, len(toks) - {gram_n - 1}), "
         f"i -> array_to_string(toks[i+1:i+{gram_n}], ' ')) "
-        "ELSE [array_to_string(toks, ' ')] END)"
+        "ELSE [coalesce(array_to_string(toks, ' '), '')] END)"
     )
     return (
         f"WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents), "
@@ -598,12 +610,7 @@ def corpus_sample(documents: DataFrame, mod: int = SAMPLE_MOD, keep: int = 0) ->
     so every stratum is sampled at the same ~1/mod rate (stratified by
     construction). Embarrassingly parallel: no shuffle, filter pushes to
     the scan."""
-    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long"))
-    fp = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
-    )
+    fp = fingerprint_col()  # shared expr: NULL/'' content -> seed 0
     return (
         documents.select("doc_id", "lang", "source", "n_chars", fp.alias("fingerprint"))
         .filter(F.col("fingerprint") % mod == keep)
@@ -674,11 +681,14 @@ def pack_tokens_sql(budget: int = PACK_BUDGET, buckets: int = PACK_BUCKETS) -> s
 
 def doc_fingerprint_sql() -> str:
     """DuckDB twin of :func:`doc_fingerprint`'s hash expression
-    (list_reduce has no seed argument — prepend it)."""
+    (list_reduce has no seed argument — prepend it). Empty content
+    (NULL or '') is pinned to the seed 0 — see :func:`fingerprint_col`
+    for why the unguarded split diverges on it."""
     return (
+        "CASE WHEN coalesce(text, '') = '' THEN CAST(0 AS BIGINT) ELSE "
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))), "
-        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
+        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) END"
     )
 
 
@@ -889,7 +899,10 @@ def winnow_fingerprint(
     from pyspark.sql import Window
 
     M = F.lit(FINGERPRINT_MOD)
-    toks = tokens("text")
+    # NULL ≡ '' (the corpus-wide empty-content convention): a NULL-text
+    # doc must emit the same single fp 0 as an empty one, not vanish
+    # from the output while the SQL twin keeps it
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
     base = documents.select("doc_id", toks.alias("toks"))
 
     # -- long docs: per-token (h, p=31^len) in ONE fold ------------------
@@ -954,17 +967,21 @@ def winnow_fingerprint(
 
 
 def winnow_fingerprint_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    # the empty gram hashes to the seed 0, as in Spark (ascii('') = 0 →
+    # fold is a no-op) — DuckDB's string_split('', '') is [''] and
+    # unicode('') is -1, which would shift the zero-token fp to -1
     char_hash = (
+        "CASE WHEN g = '' THEN CAST(0 AS BIGINT) ELSE "
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))), "
-        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
+        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) END"
     )
     return (
         f"WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents), "
         f"gr AS (SELECT doc_id, CASE WHEN len(toks) >= {k} THEN "
         f"list_transform(range(0, len(toks) - {k} + 1), "
         f"i -> array_to_string(toks[i+1:i+{k}], ' ')) "
-        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), "
+        "ELSE [coalesce(array_to_string(toks, ' '), '')] END AS grams FROM t), "
         f"h AS (SELECT doc_id, list_transform(grams, g -> {char_hash}) AS gh "
         "FROM gr), "
         f"win AS (SELECT doc_id, CASE WHEN len(gh) >= {w} THEN "
