@@ -1144,10 +1144,18 @@ def write_cms_shards(
         .write.mode("overwrite")
         .parquet(path)
     )
-    documents.sparkSession.createDataFrame(
-        [(float(eps), float(confidence), int(seed), int(n_shards))],
-        "eps double, confidence double, seed int, n_shards int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_cms_meta")
+    from tiny_md_hbase_spark.sources.writer import write_meta_row
+
+    write_meta_row(
+        documents.sparkSession,
+        f"{path}/_cms_meta",
+        [
+            ("eps", float(eps), "double"),
+            ("confidence", float(confidence), "double"),
+            ("seed", int(seed), "int"),
+            ("n_shards", int(n_shards), "int"),
+        ],
+    )
 
 
 def heavy_hitters_cms_merged(

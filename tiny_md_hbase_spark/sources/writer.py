@@ -53,6 +53,21 @@ __all__ = [
 ]
 
 
+def write_meta_row(
+    spark: SparkSession, path: str, cols: list[tuple[str, object, str]]
+) -> None:
+    """Write a 1-row parquet marker (the ``_meta`` side-table pattern)
+    from pure JVM literals: ``spark.range(1).select(lit...)``. A
+    local-list ``createDataFrame([...]).coalesce(1).write`` runs the
+    write through the Python-RDD-backed path and costs SECONDS per
+    call (measured 5-7 s vs 0.3 s for the literal plan on the same
+    host) — it was the dominant cost of every layout build that
+    persists a parameter marker. ``cols`` is (name, value, sql_type)."""
+    spark.range(1).select(
+        *[F.lit(v).cast(t).alias(n) for n, v, t in cols]
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
 def write_day_partitioned(
     events: DataFrame, path: str, mode: str = "overwrite"
 ) -> None:
@@ -336,9 +351,11 @@ def write_inverted_index(
     # num_buckets computes bucket literals under the wrong modulus and
     # silently prunes to the wrong directories. The _meta prefix keeps
     # the marker invisible to the postings read (FileIndex hides _paths)
-    documents.sparkSession.createDataFrame(
-        [(num_buckets,)], "num_buckets int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_index_meta")
+    write_meta_row(
+        documents.sparkSession,
+        f"{path}/_index_meta",
+        [("num_buckets", num_buckets, "int")],
+    )
     # per-document token counts — the BM25 length-normalization side
     # table (underscore-prefixed: invisible to the postings read).
     # Written from `documents`, NOT derived from the postings, so
@@ -447,10 +464,15 @@ def write_embeddings_clustered(
     assigned.repartition(
         spark_parallelism, "ivf_cluster", F.crc32(F.col("vec_id").cast("string"))
     ).write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
-    embeddings.sparkSession.createDataFrame(
-        [(n_clusters, dim, IVF_CENTROID_FAMILY)],
-        "n_clusters int, dim int, family string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivf_meta")
+    write_meta_row(
+        embeddings.sparkSession,
+        f"{path}/_ivf_meta",
+        [
+            ("n_clusters", n_clusters, "int"),
+            ("dim", dim, "int"),
+            ("family", IVF_CENTROID_FAMILY, "string"),
+        ],
+    )
 
 
 def append_embeddings_clustered(
