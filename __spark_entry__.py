@@ -2780,11 +2780,7 @@ def _index_cte(points_sql: str = POINTS_SQL) -> str:
 
 
 _TOKS = TX.tokens_sql("text")  # shared explicit whitespace class (text.py _WS)
-_SHINGLES = (
-    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
-    "list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) "
-    "ELSE [coalesce(array_to_string(toks, ' '), '')] END)"
-)
+_SHINGLES = TX.shingles_sql(3)  # the ONE shared shingle formulation
 
 
 def _marker_sql(words: list[str]) -> str:

@@ -18,6 +18,15 @@ membership splits in the fingerprint-ordered samplers
 winnow_fingerprint, and chunk_documents. All are pinned green under
 the corpus-wide convention: NULL text ≡ '' ≡ zero-token content.
 
+Two conventions coexist, both enforced by this gate: content-identity
+ops (fingerprints, dedup, chunking, winnowing) treat NULL ≡ '' ≡
+zero-token content, while per-document STAT ops (token_count,
+quality_score's ratios, text_stats) keep NULL-propagating semantics —
+a NULL text yields NULL stats — because both engines agree on that
+natively (Spark size(NULL) and DuckDB len(NULL) are both NULL) and a
+curator wants "unknown", not "zero", for absent text. What this gate
+forbids is the third state: the engines DISAGREEING on the same row.
+
 Usage:
     PYTHONPATH=/root/repo python scripts/null_poison_check.py \
         [src_sf_dir] [key ...]
@@ -47,6 +56,14 @@ POISON_ROWS = [
     (900004, "", "en", "books", 0),
     (900006, "   ", "en", "web", 3),
     (900007, "\t\n", "en", "web", 2),
+    # NEGATIVE ids: the incremental/diff keys split the fixture into
+    # corpus (doc_id below the cut) and new batch (above) — high ids
+    # alone leave the corpus side degenerate-free, which is exactly how
+    # the r10 dedup_incremental NULL-fingerprint divergence hid from
+    # this gate's first version. Negative ids land corpus-side, are
+    # guaranteed unused, and negative-id hash parity has its own test.
+    (-3, None, "en", "web", 0),
+    (-7, "", "en", "web", 0),
 ]
 
 
@@ -62,9 +79,13 @@ def build_poisoned(src_sf_dir: str) -> str:
     con = duckdb.connect()
     con.execute("CREATE TABLE poison (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO poison VALUES (?, ?, ?, ?, ?)", POISON_ROWS)
+    # BY NAME: a positional UNION would silently misplant the poison
+    # values (text into lang, ...) if a fixture regeneration ever
+    # reordered the columns — the gate would then report green while
+    # probing nothing
     con.execute(
         f"COPY (SELECT * FROM read_parquet('{src_sf_dir}/documents.parquet') "
-        f"UNION ALL SELECT * FROM poison) "
+        f"UNION ALL BY NAME SELECT * FROM poison) "
         f"TO '{out}/documents.parquet' (FORMAT PARQUET)"
     )
     return out

@@ -498,14 +498,11 @@ def dedup_minhash_portable_sql(
     over the identical count), same verify, same group re-expansion."""
     from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, tokens_sql
 
+    from tiny_md_hbase_spark.operators.text import shingles_sql as _sh_sql
+
     rows_per_band = num_hashes // bands
     toks_nn = tokens_sql("coalesce(text, '')")
-    shingles_sql = (
-        "list_distinct(CASE WHEN len(toks) >= 3 THEN "
-        "list_transform(range(0, len(toks) - 2), "
-        "i -> array_to_string(toks[i+1:i+3], ' ')) "
-        "ELSE [coalesce(array_to_string(toks, ' '), '')] END)"
-    )
+    shingles_sql = _sh_sql(3)
     char_hash = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))), "
@@ -631,14 +628,10 @@ def decontaminate_fuzzy_sql(
     polynomial signature/band arithmetic, same split, same verify, so
     the whole probabilistic pipeline is under the oracle."""
     from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, tokens_sql
+    from tiny_md_hbase_spark.operators.text import shingles_sql as _sh_sql
 
     rows_per_band = num_hashes // bands
-    shingles_sql = (
-        "list_distinct(CASE WHEN len(toks) >= 3 THEN "
-        "list_transform(range(0, len(toks) - 2), "
-        "i -> array_to_string(toks[i+1:i+3], ' ')) "
-        "ELSE [coalesce(array_to_string(toks, ' '), '')] END)"
-    )
+    shingles_sql = _sh_sql(3)
     char_hash = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))), "
@@ -1549,14 +1542,15 @@ def dedup_semantic_sql(
 def _content_fp(text: Column | str) -> Column:
     """The portable polynomial content fingerprint (``doc_fingerprint``'s
     expression, reused as a join key): h = (h*31 + codepoint) mod 1e9+7 —
-    computable identically in DuckDB, unlike xxhash64."""
-    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
+    computable identically in DuckDB, unlike xxhash64. Delegates to
+    ``text.fingerprint_col`` so the empty-content convention (NULL ≡ ''
+    → seed 0) holds here too: an unshared copy once folded NULL text to
+    a NULL join key, which a left_anti join never matches — a NULL-text
+    doc slipped through as a fresh survivor on Spark while the SQL
+    twin's fingerprint dropped it."""
+    from tiny_md_hbase_spark.operators.text import fingerprint_col
 
-    c = F.col(text) if isinstance(text, str) else text
-    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
-    return F.aggregate(
-        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD
-    )
+    return fingerprint_col(text)
 
 
 def dedup_incremental(corpus: DataFrame, new_docs: DataFrame) -> DataFrame:
@@ -1588,28 +1582,21 @@ def dedup_incremental(corpus: DataFrame, new_docs: DataFrame) -> DataFrame:
 def dedup_incremental_sql(
     corpus_table: str = "documents", new_table: str = "new_docs"
 ) -> str:
-    """DuckDB twin of :func:`dedup_incremental` — the same polynomial
-    fingerprint as ``doc_fingerprint_sql``, the same anti-join +
-    keep-min."""
-    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
+    """DuckDB twin of :func:`dedup_incremental` — THE shared
+    ``doc_fingerprint_sql`` expression (empty-content-pinned, so
+    NULL/'' fingerprints agree with the Spark side and with every
+    other fingerprint consumer), the same anti-join + keep-min."""
+    from tiny_md_hbase_spark.operators.text import doc_fingerprint_sql
 
-    # same formulation as the oracle-green doc_fingerprint_sql
-    def fp(col: str) -> str:
-        return (
-            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(string_split({col}, ''), "
-            "c -> CAST(unicode(c) AS BIGINT))), "
-            f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
-        )
-
+    fp = doc_fingerprint_sql()
     # no leading WITH: the entry prepends its own CTE chain (the
     # corpus_diff_sql composition pattern), so this emits subqueries
     return (
         "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, "
         "count(*) AS n_copies FROM ("
-        f"SELECT doc_id, {fp('text')} AS h FROM {new_table}) nd "
+        f"SELECT doc_id, {fp} AS h FROM {new_table}) nd "
         "WHERE h NOT IN ("
-        f"SELECT DISTINCT {fp('text')} AS h FROM {corpus_table}) "
+        f"SELECT DISTINCT {fp} AS h FROM {corpus_table}) "
         "GROUP BY h"
     )
 

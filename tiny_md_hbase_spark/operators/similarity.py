@@ -313,6 +313,16 @@ def embedding_knn_batch(
                 f"invalid vector in column 'qv' at query_id={r.query_id}: "
                 f"expected a non-NULL array, got NULL"
             )
+    if qrows:  # ragged queries die as numpy shape errors in every task
+        d0 = len(qrows[0].qv)
+        for r in qrows:
+            if len(r.qv) != d0:
+                raise ValueError(
+                    f"invalid vector in column 'qv' at query_id="
+                    f"{r.query_id}: length {len(r.qv)} != length {d0} of "
+                    f"query_id={qrows[0].query_id} — the query matrix "
+                    f"must be rectangular"
+                )
     qmat_list = [[float(x) for x in r.qv] for r in qrows]
 
     bc = spark.sparkContext.broadcast((qids, qmat_list))
@@ -327,7 +337,21 @@ def embedding_knn_batch(
         for pdf in batches:
             if pdf.empty:
                 continue
-            vm = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # (B, D)
+            try:
+                vm = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # (B, D)
+            except ValueError:
+                # ragged corpus vectors: validate_vectors (NULL-only
+                # here — the op takes no dim param) can't catch a
+                # length mismatch, so turn numpy's opaque
+                # inhomogeneous-shape error into a row-identifying one
+                lens = pdf["v"].map(len)
+                bad = pdf.loc[lens != lens.iloc[0], "vec_id"].head(3).tolist()
+                raise ValueError(
+                    f"ragged corpus vectors in embedding_knn_batch: "
+                    f"vec_ids {bad} have lengths differing from "
+                    f"{int(lens.iloc[0])} within one batch — the "
+                    f"embedding column must be fixed-dimension"
+                )
             vn = np.linalg.norm(vm, axis=1)
             sims = (vm @ qm.T) / np.outer(vn, qn)  # (B, Q)
             out = []

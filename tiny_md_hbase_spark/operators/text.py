@@ -127,6 +127,26 @@ def tokens_sql(expr: str) -> str:
     )
 
 
+def shingles_sql(n: int = 3, distinct: bool = True) -> str:
+    """DuckDB twin of :func:`dedup.shingles` over a ``toks`` list
+    column: word ``n``-gram shingles; a document shorter than ``n``
+    tokens contributes its whole token string as one shingle. The ONE
+    shared formulation — the r10 degenerate-content fix (the ELSE
+    branch must coalesce: DuckDB's ``array_to_string([], ' ')`` is
+    NULL and ``list_distinct`` silently drops NULLs, vs Spark's
+    concat_ws '') had to be applied to five copy-pasted copies of this
+    expression; a convention change missing one copy silently diverges
+    that operator cross-engine. ``distinct=False`` keeps gram order
+    (the winnowing window form)."""
+    grams = (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(0, len(toks) - {n - 1}), "
+        f"i -> array_to_string(toks[i+1:i+{n}], ' ')) "
+        "ELSE [coalesce(array_to_string(toks, ' '), '')] END"
+    )
+    return f"list_distinct({grams})" if distinct else grams
+
+
 def skew_safe_topk(
     df: DataFrame,
     part_cols: list[str],
@@ -580,12 +600,7 @@ def decontaminate_hashed(
 
 def decontaminate_sql(gram_n: int = DECON_GRAM, eval_mod: int = DECON_EVAL_MOD) -> str:
     """DuckDB twin of :func:`decontaminate`."""
-    sh = (
-        f"list_distinct(CASE WHEN len(toks) >= {gram_n} THEN "
-        f"list_transform(range(0, len(toks) - {gram_n - 1}), "
-        f"i -> array_to_string(toks[i+1:i+{gram_n}], ' ')) "
-        "ELSE [coalesce(array_to_string(toks, ' '), '')] END)"
-    )
+    sh = shingles_sql(gram_n)
     return (
         f"WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents), "
         f"g AS (SELECT doc_id, unnest({sh}) AS g FROM t), "
@@ -978,10 +993,8 @@ def winnow_fingerprint_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     )
     return (
         f"WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents), "
-        f"gr AS (SELECT doc_id, CASE WHEN len(toks) >= {k} THEN "
-        f"list_transform(range(0, len(toks) - {k} + 1), "
-        f"i -> array_to_string(toks[i+1:i+{k}], ' ')) "
-        "ELSE [coalesce(array_to_string(toks, ' '), '')] END AS grams FROM t), "
+        f"gr AS (SELECT doc_id, {shingles_sql(k, distinct=False)} "
+        "AS grams FROM t), "
         f"h AS (SELECT doc_id, list_transform(grams, g -> {char_hash}) AS gh "
         "FROM gr), "
         f"win AS (SELECT doc_id, CASE WHEN len(gh) >= {w} THEN "

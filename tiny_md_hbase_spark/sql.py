@@ -256,9 +256,12 @@ def register_codec_functions(spark: SparkSession) -> None:
         "z_prefix_match(z BIGINT, pz BIGINT, pl INT) RETURNS BOOLEAN": (
             "(z & z_mask(pl)) = (pz & z_mask(pl))"
         ),
-        # portable rolling content fingerprint (text.fingerprint_col)
+        # portable rolling content fingerprint (text.fingerprint_col) —
+        # same empty-content convention: NULL ≡ '' fingerprints to the
+        # seed 0 (the coalesce keeps the SQL door equal to the
+        # DataFrame door for degenerate docs too)
         "doc_fp(t STRING) RETURNS BIGINT": (
-            "aggregate(transform(split(t, ''), "
+            "aggregate(transform(split(coalesce(t, ''), ''), "
             "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
             "(acc, x) -> (acc * 31 + x) % 1000000007)"
         ),
