@@ -198,7 +198,13 @@ def gap_fill_sql(bucket_s: int = HOUR_S) -> str:
         "COALESCE(h.sum_value_micros, 0) AS sum_value_micros, "
         "last_value(h.sum_value_micros IGNORE NULLS) OVER "
         "(PARTITION BY s.event_type ORDER BY s.bucket_s) AS ff_sum_value_micros "
-        "FROM spine s LEFT JOIN hourly h USING (event_type, bucket_s)"
+        # NULL-safe series key: a NULL event_type forms its own series in
+        # the Spark generate-based path (groupBy keeps NULL groups), but a
+        # plain equi-join would drop it from the spine match and zero the
+        # observed row — IS NOT DISTINCT FROM keeps the engines aligned
+        "FROM spine s LEFT JOIN hourly h "
+        "ON s.event_type IS NOT DISTINCT FROM h.event_type "
+        "AND s.bucket_s = h.bucket_s"
     )
 
 

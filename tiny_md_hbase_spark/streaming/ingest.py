@@ -154,6 +154,16 @@ def stream_sessionize(
             s = 0
         rows = []
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # event-time is the gap rule's input: NULL ts would die at
+        # int(NaN) mid-task — fail loudly with the row id instead.
+        # A NULL value, by contrast, contributes 0 to the session sum,
+        # matching the batch operator's SUM-skips-NULLs semantics.
+        if batch["ts_us"].isna().any():
+            bad = batch.loc[batch["ts_us"].isna(), "event_id"].head(3).tolist()
+            raise ValueError(
+                f"stream_sessionize requires a non-NULL event time: "
+                f"event_ids {bad} (user_id={user_id}) have NULL ts"
+            )
         batch = batch.sort_values(["ts_us", "event_id"])
         for ts, val in zip(batch["ts_us"], batch["value"]):
             ts = int(ts)
@@ -164,7 +174,7 @@ def stream_sessionize(
                 start = ts
             last = ts
             n += 1
-            s += int(round(val * 1_000_000))
+            s += 0 if pd.isna(val) else int(round(val * 1_000_000))
         state.update((start, last, n, s))
         yield pd.DataFrame(
             rows,
@@ -225,6 +235,17 @@ def stream_asof(
         (user_id,) = key
         r_eid, r_ts = state.get if state.exists else (None, None)
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # event-time is this operator's ordering key: a NULL ts reaches
+        # the kernel as NaN and would die at int(NaN) deep in the task
+        # retry loop — fail on the first bad row WITH its event_id
+        # instead (the validate_vectors loudness pattern)
+        if batch["ts_us"].isna().any():
+            bad = batch.loc[batch["ts_us"].isna(), "event_id"].head(3).tolist()
+            raise ValueError(
+                f"stream_asof requires a non-NULL event time: event_ids "
+                f"{bad} (user_id={user_id}) have NULL ts — filter or "
+                f"repair them upstream; an as-of join cannot order them"
+            )
         batch = batch.sort_values(["ts_us", "side", "event_id"])
         rows = []
         for eid, ts, etype, side in zip(
@@ -603,6 +624,14 @@ def stream_scd2(
         (user_id,) = key
         cur, vf0, n0 = state.get if state.exists else (None, None, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # same loud NULL-event-time contract as stream_asof/sessionize:
+        # astype(int64) on a NaN would throw a row-less pandas error
+        if batch["ts_us"].isna().any():
+            bad = batch.loc[batch["ts_us"].isna(), "event_id"].head(3).tolist()
+            raise ValueError(
+                f"stream_scd2 requires a non-NULL event time: event_ids "
+                f"{bad} (user_id={user_id}) have NULL ts"
+            )
         batch = batch.sort_values(["ts_us", "event_id"])
         et = batch["event_type"].reset_index(drop=True)
         ts = batch["ts_us"].astype("int64").reset_index(drop=True)
