@@ -92,6 +92,47 @@ def test_gap_fill_null_value_counts_as_zero(spark):
     assert rows[base + 7200]["ff_sum_value_micros"] == 500_000
 
 
+def test_gap_fill_null_event_type_series_cross_engine(spark):
+    """A NULL event_type forms its OWN series on both engines: Spark's
+    generate path keeps NULL groups natively, and the twin's spine join
+    is IS NOT DISTINCT FROM — a plain equi-join missed the NULL series'
+    observed row and zeroed it (found by the r10 events-poison probe)."""
+    import duckdb
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 1, None, 1.5),
+        (2, "2024-01-01 02:20:00", 1, None, 2.0),
+        (3, "2024-01-01 00:30:00", 2, "a", 0.25),
+    ]
+    ev = _events(spark, [(i, t.replace(" ", "T"), u, e, v) for i, t, u, e, v in rows])
+    key = lambda t: (t[0] or "", *t[1:])  # noqa: E731 — None sorts first
+    got = sorted(
+        (
+            (r.event_type, r.bucket_s, r.n_events, r.sum_value_micros,
+             r.ff_sum_value_micros)
+            for r in TS.gap_fill(ev).collect()
+        ),
+        key=key,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, TIMESTAMP '{t}', {u}, "
+            + ("NULL" if e is None else f"'{e}'")
+            + f", {v})"
+            for i, t, u, e, v in rows
+        )
+        + ") t(event_id, ts, user_id, event_type, value)"
+    )
+    want = sorted(map(tuple, con.sql(TS.gap_fill_sql()).fetchall()), key=key)
+    assert got == want
+    # the NULL series has its observed buckets + the gap between them
+    null_series = [g for g in got if g[0] is None]
+    assert len(null_series) == 3  # hour 0 observed, hour 1 gap, hour 2 observed
+    assert null_series[0][2] == 1 and null_series[1][2] == 0
+
+
 def test_gap_fill_spines_are_per_type(spark):
     ev = _events(
         spark,
