@@ -620,8 +620,10 @@ def test_streaming_kernels_reject_null_event_time_loudly(spark, tmp_table):
     stream_scd2) order on ts: a NULL ts used to die as int(NaN) /
     astype(int64) deep inside a task retry loop with no row pointer.
     They now fail the micro-batch with a ValueError naming the
-    offending event_ids. A NULL value, by contrast, contributes 0 to
-    the sessionize sum (batch SUM-skips-NULLs semantics)."""
+    offending event_ids. A NULL value, by contrast, is SKIPPED by the
+    sessionize sum exactly as batch SUM skips NULLs — including the
+    corner where every value in the session is NULL and the sum is
+    NULL, not 0."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     us = 1_000_000
@@ -688,3 +690,75 @@ def test_streaming_kernels_reject_null_event_time_loudly(spark, tmp_table):
     assert len(closed) == 1
     assert closed[0].n_events == 2
     assert closed[0].sum_value_micros == 2_500_000  # NULL skipped, 2.5 kept
+
+
+def test_stream_sessionize_all_null_value_session_sums_to_null(
+    spark, tmp_table
+):
+    """A session whose EVERY value is NULL must emit sum NULL (None) —
+    batch SUM over an all-NULL group is NULL, and the stream twin's
+    contract is exact closed-session equality with the batch operator."""
+    us = 1_000_000
+    src = f"{tmp_table}/allnull/src"
+    spark.createDataFrame(
+        [(1, 10 * us * 1000, 1, "click", None, ""),
+         (2, 11 * us * 1000, 1, "click", None, ""),
+         (3, 10_000 * us * 1000, 1, "click", 1.0, "")],  # closes it
+        ING.EVENTS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        ING.stream_sessionize(spark, src)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp_table}/allnull/out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_table}/allnull/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    closed = spark.read.parquet(f"{tmp_table}/allnull/out").collect()
+    assert len(closed) == 1
+    assert closed[0].n_events == 2
+    assert closed[0].sum_value_micros is None  # NULL, not 0
+
+
+def test_stream_scd2_null_event_type_matches_batch(spark, tmp_table):
+    """NULL event_type island parity with the batch chg rule (lag IS
+    NULL OR state <> lag): a NULL-state row is ABSORBED into the
+    previous island, and the row after it always STARTS a new island —
+    the old et.ne(et.shift()) run-split put the NULL row in its own
+    island, and str(None) poisoned the state store with 'None'."""
+    from tiny_md_hbase_spark.operators import timeseries as TS
+
+    us = 1_000_000
+    rows = [
+        (1, 10 * us * 1000, 1, "a", 0.0, ""),
+        (2, 20 * us * 1000, 1, None, 0.0, ""),
+        (3, 30 * us * 1000, 1, "a", 0.0, ""),
+        (4, 40 * us * 1000, 1, "b", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(rows, ING.EVENTS_SCHEMA)
+    want = sorted(
+        (r.state, r.valid_from, r.valid_to, r.n_events)
+        for r in TS.scd2_intervals(ev).filter("valid_to IS NOT NULL").collect()
+    )
+    src = f"{tmp_table}/scd2null/src"
+    ev.coalesce(1).write.mode("append").parquet(src)
+    q = (
+        ING.stream_scd2(spark, src)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp_table}/scd2null/out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_table}/scd2null/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r.state, r.valid_from, r.valid_to, r.n_events)
+        for r in spark.read.parquet(f"{tmp_table}/scd2null/out").collect()
+    )
+    assert got == want
+    # the absorbed NULL row: island 1 is ('a', n=2), then a NEW 'a'
+    # island (row after a NULL state always starts one), then 'b' opens
+    assert got == [("a", 10 * us, 30 * us, 2), ("a", 30 * us, 40 * us, 1)]

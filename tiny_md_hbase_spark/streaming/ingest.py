@@ -125,6 +125,22 @@ SESSION_STATE_SCHEMA = (
 )
 
 
+def _require_event_time(batch, op_name: str, user_id) -> None:
+    """Shared loud NULL-event-time contract of the stateful kernels
+    (stream_asof / stream_sessionize / stream_scd2): event-time is
+    their ordering key, and a NULL ts would otherwise die as
+    int(NaN) / astype(int64) deep in a task retry loop with no row
+    pointer. Fails the micro-batch naming the offending event_ids."""
+    mask = batch["ts_us"].isna()
+    if mask.any():
+        bad = batch.loc[mask, "event_id"].head(3).tolist()
+        raise ValueError(
+            f"{op_name} requires a non-NULL event time: event_ids "
+            f"{bad} (user_id={user_id}) have NULL ts — filter or "
+            f"repair them upstream"
+        )
+
+
 def stream_sessionize(
     spark: SparkSession,
     source_dir: str,
@@ -151,30 +167,27 @@ def stream_sessionize(
         else:
             start = last = None
             n = 0
-            s = 0
+            s = None
         rows = []
         batch = pd.concat(list(pdfs), ignore_index=True)
         # event-time is the gap rule's input: NULL ts would die at
-        # int(NaN) mid-task — fail loudly with the row id instead.
-        # A NULL value, by contrast, contributes 0 to the session sum,
-        # matching the batch operator's SUM-skips-NULLs semantics.
-        if batch["ts_us"].isna().any():
-            bad = batch.loc[batch["ts_us"].isna(), "event_id"].head(3).tolist()
-            raise ValueError(
-                f"stream_sessionize requires a non-NULL event time: "
-                f"event_ids {bad} (user_id={user_id}) have NULL ts"
-            )
+        # int(NaN) mid-task — fail loudly with the row id instead
+        _require_event_time(batch, "stream_sessionize", user_id)
         batch = batch.sort_values(["ts_us", "event_id"])
         for ts, val in zip(batch["ts_us"], batch["value"]):
             ts = int(ts)
             if last is not None and ts - last > gap_us:
                 rows.append((user_id, start, last, n, s))
-                start, n, s = None, 0, 0
+                start, n, s = None, 0, None
             if start is None:
                 start = ts
             last = ts
             n += 1
-            s += 0 if pd.isna(val) else int(round(val * 1_000_000))
+            # exact batch-SUM parity: NULL values are SKIPPED, so a
+            # session whose every value is NULL sums to NULL (None),
+            # not 0 — the batch operator and its oracle emit NULL there
+            if not pd.isna(val):
+                s = (0 if s is None else s) + int(round(val * 1_000_000))
         state.update((start, last, n, s))
         yield pd.DataFrame(
             rows,
@@ -235,17 +248,7 @@ def stream_asof(
         (user_id,) = key
         r_eid, r_ts = state.get if state.exists else (None, None)
         batch = pd.concat(list(pdfs), ignore_index=True)
-        # event-time is this operator's ordering key: a NULL ts reaches
-        # the kernel as NaN and would die at int(NaN) deep in the task
-        # retry loop — fail on the first bad row WITH its event_id
-        # instead (the validate_vectors loudness pattern)
-        if batch["ts_us"].isna().any():
-            bad = batch.loc[batch["ts_us"].isna(), "event_id"].head(3).tolist()
-            raise ValueError(
-                f"stream_asof requires a non-NULL event time: event_ids "
-                f"{bad} (user_id={user_id}) have NULL ts — filter or "
-                f"repair them upstream; an as-of join cannot order them"
-            )
+        _require_event_time(batch, "stream_asof", user_id)
         batch = batch.sort_values(["ts_us", "side", "event_id"])
         rows = []
         for eid, ts, etype, side in zip(
@@ -622,39 +625,51 @@ def stream_scd2(
         import pandas as pd
 
         (user_id,) = key
-        cur, vf0, n0 = state.get if state.exists else (None, None, 0)
+        has_state = state.exists
+        cur, vf0, n0 = state.get if has_state else (None, None, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
-        # same loud NULL-event-time contract as stream_asof/sessionize:
-        # astype(int64) on a NaN would throw a row-less pandas error
-        if batch["ts_us"].isna().any():
-            bad = batch.loc[batch["ts_us"].isna(), "event_id"].head(3).tolist()
-            raise ValueError(
-                f"stream_scd2 requires a non-NULL event time: event_ids "
-                f"{bad} (user_id={user_id}) have NULL ts"
-            )
+        _require_event_time(batch, "stream_scd2", user_id)
         batch = batch.sort_values(["ts_us", "event_id"])
         et = batch["event_type"].reset_index(drop=True)
         ts = batch["ts_us"].astype("int64").reset_index(drop=True)
 
-        run_id = et.ne(et.shift()).cumsum()
+        # island rule, EXACTLY the batch operator's chg
+        # (timeseries.scd2_intervals: 1 when lag(state) IS NULL OR
+        # state <> lag(state)): a row whose PREVIOUS state is NULL —
+        # stream start or a NULL-state predecessor — always starts a
+        # new island, while a NULL-state row after a non-NULL one is
+        # absorbed into it (state <> prev is three-valued NULL -> 0).
+        # A plain et.ne(et.shift()) run-split diverged on NULL states
+        # (pandas ne treats None as a change in BOTH directions) and
+        # str(None) poisoned the state store with the literal 'None'.
+        prev = et.shift()
+        chg = prev.isna() | (et.notna() & prev.notna() & et.ne(prev))
+        run_id = chg.cumsum()
         runs = (
             pd.DataFrame({"et": et, "ts": ts, "run": run_id})
             .groupby("run", sort=True)
             .agg(st=("et", "first"), vf=("ts", "first"), n=("et", "size"))
         )
         carry = []
-        if cur is not None:
+        if has_state:
             first = runs.iloc[0]
-            if first["st"] == cur:
-                # the open interval continues through the first run
+            first_st = None if pd.isna(first["st"]) else first["st"]
+            # boundary chg under the same rule, prev = the carried state
+            if cur is None or (first_st is not None and first_st != cur):
+                # closed the moment the island-starting event arrives
+                carry = [(user_id, cur, vf0, int(first["vf"]), n0)]
+            else:
+                # the open interval continues through the first run —
+                # its label is the island's FIRST row's state, i.e. the
+                # carried one (the batch run may begin with an absorbed
+                # NULL-state row whose 'first' et is NULL)
+                runs.iloc[0, runs.columns.get_loc("st")] = cur
                 runs.iloc[0, runs.columns.get_loc("vf")] = vf0
                 runs.iloc[0, runs.columns.get_loc("n")] = first["n"] + n0
-            else:
-                # closed the moment the first (different) event arrives
-                carry = [(user_id, cur, vf0, int(first["vf"]), n0)]
 
         last = runs.iloc[-1]
-        state.update((str(last["st"]), int(last["vf"]), int(last["n"])))
+        last_st = None if pd.isna(last["st"]) else str(last["st"])
+        state.update((last_st, int(last["vf"]), int(last["n"])))
 
         closed = runs.iloc[:-1].copy()
         closed["vt"] = runs["vf"].shift(-1).iloc[:-1].astype("int64")
