@@ -1072,6 +1072,32 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+# Committed WAV fixture for the REAL codec path (wav_decode): 48
+# deterministic 16-bit PCM RIFF/WAVE containers, a third with LIST
+# metadata chunks before data (some odd-length — word-alignment pad
+# coverage). data_off / n_samples columns are ORACLE-side keys only:
+# Spark must discover the PCM frames by parsing the chunk list.
+_WAV_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests",
+    "fixtures",
+    "media_wav.parquet",
+)
+
+
+def _q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one REAL (library-free) media decode: RIFF/WAVE chunk-walk +
+    16-bit PCM frame decode inside an Arrow-batched kernel
+    (operators/multimodal.py wav_decode), emitting exact integer audio
+    features. The DuckDB twin recomputes every column from
+    hex(payload) at the fixture's generator-known data offset — a
+    kernel that assumed the canonical 44-byte header instead of parsing
+    would mismatch on the 16 LIST-chunk rows."""
+    from tiny_md_hbase_spark.operators import multimodal as MM
+
+    return MM.wav_decode(spark.read.parquet(_WAV_FIXTURE))
+
+
 def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path embedding near-dup: sign-LSH banded candidates, exact
     cosine verify — whole pipeline under the oracle (deterministic
@@ -2518,84 +2544,41 @@ def _q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
-    # Round-10 rotation (derived from CORRECTNESS_r01-r09 by
+    # Round-11 rotation (derived from CORRECTNESS_r01-r10 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-12: keys whose code, parameters, or oracle changed THIS
-    #   session and need fresh verdicts: dedup_minhash_capped /
-    #   dedup_embedding_lsh_capped (NEW — the band-bucket width cap
-    #   FIRING under the value oracle), the four LSH-guard keys
-    #   (dedup_minhash, dedup_minhash_portable, dedup_minhash_vs_exact,
-    #   dedup_embedding_lsh — exact-dup collapse prepass + bucket cap +
-    #   hashed-shingle checkpoint), skyline (unforced frontier join),
-    #   keyword_search_indexed + keyword_search_bm25_indexed
-    #   (vocabulary-sided term-bucket fold), heavy_hitters_cms
-    #   (structural-only oracle columns) + heavy_hitters_cms_merged
-    #   (_cms_meta guard), embedding_knn_batch (driver-collect guard;
-    #   also the last r05 cohort member).
-    #   13-20: the remaining r05-stale cohort the r09 verdict queued
-    #   (dedup_clusters ... range_count_3d).
-    #   21-50: the next 30 of the r06 cohort in rotation_audit's
-    #   suggested order (write_path_refresh ... floor_lookup).
+    #   1-9: keys whose code, parameters, or oracle changed THIS
+    #   session and need fresh verdicts: wav_decode (NEW — the real
+    #   RIFF/WAVE 16-bit-PCM decode path, byte-level DuckDB oracle over
+    #   the committed media_wav fixture), the six _collapse_exact
+    #   consumers (dedup_minhash, dedup_minhash_portable,
+    #   dedup_minhash_vs_exact, dedup_minhash_capped,
+    #   dedup_embedding_lsh, dedup_embedding_lsh_capped — clean-corpus
+    #   fast path: the collapse window + checkpoint + re-expansion
+    #   joins are skipped when a precheck finds zero duplicate
+    #   fingerprints), embedding_knn_batch (kernel refactored into
+    #   _knn_batch_score + opt-in chunk_queries fallback + modal-length
+    #   ragged diagnostic), heavy_hitters_cms_merged (_cms_meta read
+    #   guard narrowed to PATH_NOT_FOUND).
+    #   10-20: the full r06-stale cohort (asof_join ... resize_meta) —
+    #   burning it lifts the staleness floor to r07.
+    #   21-50: the 30 oldest r07 keys in rotation_audit's suggested
+    #   order (span_dedup_hashed ... stream_ingest_points).
     # Below the marker: every remaining key by ascending last-verdict
-    # round (r06 remainder, then r07, r08, and the r09 window at the
+    # round (r07 remainder, then r08, r09, and the r10 window at the
     # back) — verdict age stays monotone down the dict.
     return {
-        # -- r10 window 1-12: changed/new this session ---------------------
-        "dedup_minhash_capped": _q_dedup_minhash_capped,
-        "dedup_embedding_lsh_capped": _q_dedup_embedding_lsh_capped,
+        # -- r11 window 1-9: changed/new this session ----------------------
+        "wav_decode": _q_wav_decode,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_portable": _q_dedup_minhash_portable,
         "dedup_minhash_vs_exact": _q_dedup_minhash_vs_exact,
+        "dedup_minhash_capped": _q_dedup_minhash_capped,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "skyline": _q_skyline,
-        "keyword_search_indexed": _q_keyword_search_indexed,
-        "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
-        "heavy_hitters_cms": _q_heavy_hitters_cms,
-        "heavy_hitters_cms_merged": _q_heavy_hitters_cms_merged,
+        "dedup_embedding_lsh_capped": _q_dedup_embedding_lsh_capped,
         "embedding_knn_batch": _q_embedding_knn_batch,
-        # -- r10 window 13-20: the r05-stale cohort ------------------------
-        "dedup_clusters": _q_dedup_clusters,
-        "spatial_histogram": _q_spatial_histogram,
-        "corpus_clean": _q_corpus_clean,
-        "top_tokens": _q_top_tokens,
-        "text_percentiles": _q_text_percentiles,
-        "text_stats_rollup": _q_text_stats_rollup,
-        "zorder3d_encode": _q_zorder3d_encode,
-        "range_count_3d": _q_range_count_3d,
-        # -- r10 window 21-50: r06 cohort (rotation_audit order) -----------
-        "write_path_refresh": _q_write_path_refresh,
-        "floor_lookup_batch": _q_floor_lookup_batch,
-        "dedup_simhash_band_exact": _q_dedup_simhash_band_exact,
-        "embedding_knn_ivf_kmeans_full": _q_embedding_knn_ivf_kmeans_full,
-        "corpus_diff": _q_corpus_diff,
-        "corpus_prepare": _q_corpus_prepare,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "keyword_search": _q_keyword_search,
-        "lm_bigram_score": _q_lm_bigram_score,
-        "gopher_quality": _q_gopher_quality,
-        "corpus_split": _q_corpus_split,
-        "corpus_jsonl_roundtrip": _q_corpus_jsonl_roundtrip,
-        "dedup_incremental": _q_dedup_incremental,
-        "stream_dedup_docs": _q_stream_dedup_docs,
-        "anomaly_zscore": _q_anomaly_zscore,
-        "embedding_knn_projected": _q_embedding_knn_projected,
-        "source_cap": _q_source_cap,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "centroid_assign": _q_centroid_assign,
-        "corpus_manifest": _q_corpus_manifest,
-        "sql_zcodec": _q_sql_zcodec,
-        "stream_manifest": _q_stream_manifest,
-        "gap_fill": _q_gap_fill,
-        "rolling_stats": _q_rolling_stats,
-        "ohlc": _q_ohlc,
-        "funnel": _q_funnel,
-        "retention": _q_retention,
-        "index_build": _q_index_build,
-        "index_inspect": _q_index_inspect,
-        "floor_lookup": _q_floor_lookup,
-        # ---- driver window ends here (first 50 keys) --------------------
-        # -- remaining keys, ascending verdict age (r06 -> r09) ------------
+        "heavy_hitters_cms_merged": _q_heavy_hitters_cms_merged,
+        # -- r11 window 10-20: the r06-stale cohort (floor -> r07) ---------
         "asof_join": _q_asof_join,
         "stream_asof": _q_stream_asof,
         "stream_sessionize": _q_stream_sessionize,
@@ -2607,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "co_purchase": _q_co_purchase,
         "resize_meta": _q_resize_meta,
+        # -- r11 window 21-50: 30 oldest r07 keys (rotation_audit order) ---
         "span_dedup_hashed": _q_span_dedup_hashed,
         "bpe_token_count": _q_bpe_token_count,
         "dedup_clusters_distributed": _q_dedup_clusters_distributed,
@@ -2637,6 +2621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": _q_running_total,
         "knn_indexed": _q_knn_indexed,
         "stream_ingest_points": _q_stream_ingest_points,
+        # ---- driver window ends here (first 50 keys) --------------------
+        # -- remaining keys, ascending verdict age (r07 -> r10) ------------
         "corpus_mix": _q_corpus_mix,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "full_scan": _q_full_scan,
@@ -2734,6 +2720,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
         "stream_dedup": _q_stream_dedup,
+        # -- r10-window keys not re-checked this round (youngest verdicts) -
+        "skyline": _q_skyline,
+        "keyword_search_indexed": _q_keyword_search_indexed,
+        "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
+        "heavy_hitters_cms": _q_heavy_hitters_cms,
+        "dedup_clusters": _q_dedup_clusters,
+        "spatial_histogram": _q_spatial_histogram,
+        "corpus_clean": _q_corpus_clean,
+        "top_tokens": _q_top_tokens,
+        "text_percentiles": _q_text_percentiles,
+        "text_stats_rollup": _q_text_stats_rollup,
+        "zorder3d_encode": _q_zorder3d_encode,
+        "range_count_3d": _q_range_count_3d,
+        "write_path_refresh": _q_write_path_refresh,
+        "floor_lookup_batch": _q_floor_lookup_batch,
+        "dedup_simhash_band_exact": _q_dedup_simhash_band_exact,
+        "embedding_knn_ivf_kmeans_full": _q_embedding_knn_ivf_kmeans_full,
+        "corpus_diff": _q_corpus_diff,
+        "corpus_prepare": _q_corpus_prepare,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "keyword_search": _q_keyword_search,
+        "lm_bigram_score": _q_lm_bigram_score,
+        "gopher_quality": _q_gopher_quality,
+        "corpus_split": _q_corpus_split,
+        "corpus_jsonl_roundtrip": _q_corpus_jsonl_roundtrip,
+        "dedup_incremental": _q_dedup_incremental,
+        "stream_dedup_docs": _q_stream_dedup_docs,
+        "anomaly_zscore": _q_anomaly_zscore,
+        "embedding_knn_projected": _q_embedding_knn_projected,
+        "source_cap": _q_source_cap,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "centroid_assign": _q_centroid_assign,
+        "corpus_manifest": _q_corpus_manifest,
+        "sql_zcodec": _q_sql_zcodec,
+        "stream_manifest": _q_stream_manifest,
+        "gap_fill": _q_gap_fill,
+        "rolling_stats": _q_rolling_stats,
+        "ohlc": _q_ohlc,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
+        "index_build": _q_index_build,
+        "index_inspect": _q_index_inspect,
+        "floor_lookup": _q_floor_lookup,
     }
 
 
@@ -3210,6 +3239,39 @@ def oracle_sql() -> dict[str, str]:
             "md5(substring(hx, CAST(u.i * step * 2 + 1 AS BIGINT), "
             "CAST(step * 2 AS BIGINT))) AS frame_md5 "
             "FROM p, unnest(range(n_frames)) AS u(i)"
+        ),
+        # byte-level re-decode of the PCM frames at the fixture's stored
+        # data_off (generator-known; Spark PARSES for it): int16 LE
+        # samples from hex-string arithmetic, then the same integer
+        # aggregates the kernel computes. Zero crossings = sign-class
+        # transitions (negative vs non-negative) between consecutive
+        # interleaved samples, exactly the kernel's
+        # (s[:-1] < 0) != (s[1:] < 0) count.
+        "wav_decode": (
+            "WITH w AS (SELECT media_id, hex(payload) AS hx, data_off, "
+            "n_samples AS ns, sample_rate, channels "
+            f"FROM read_parquet('{_WAV_FIXTURE}')), "
+            "b AS (SELECT media_id, CAST(u.i AS BIGINT) AS i, "
+            "(strpos('0123456789ABCDEF', substring(hx, (data_off + u.i*2)*2 + 1, 1)) - 1) * 16 "
+            "+ (strpos('0123456789ABCDEF', substring(hx, (data_off + u.i*2)*2 + 2, 1)) - 1) "
+            "+ 256 * ((strpos('0123456789ABCDEF', substring(hx, (data_off + u.i*2+1)*2 + 1, 1)) - 1) * 16 "
+            "+ (strpos('0123456789ABCDEF', substring(hx, (data_off + u.i*2+1)*2 + 2, 1)) - 1)) AS us "
+            "FROM w, unnest(range(ns)) AS u(i)), "
+            "s AS (SELECT media_id, i, "
+            "CASE WHEN us >= 32768 THEN us - 65536 ELSE us END AS smp FROM b), "
+            "z AS (SELECT media_id, smp, "
+            "lag(smp) OVER (PARTITION BY media_id ORDER BY i) AS prev FROM s), "
+            "agg AS (SELECT media_id, CAST(sum(smp) AS BIGINT) AS sum_samples, "
+            "CAST(min(smp) AS INTEGER) AS min_sample, "
+            "CAST(max(smp) AS INTEGER) AS max_sample FROM s GROUP BY media_id), "
+            "zc AS (SELECT media_id, CAST(coalesce(sum(CASE WHEN prev IS NOT NULL "
+            "AND ((prev < 0) <> (smp < 0)) THEN 1 ELSE 0 END), 0) AS BIGINT) "
+            "AS zero_crossings FROM z GROUP BY media_id) "
+            "SELECT w.media_id, CAST(w.sample_rate AS INTEGER) AS sample_rate, "
+            "CAST(w.channels AS INTEGER) AS channels, "
+            "CAST(w.ns AS BIGINT) AS n_samples, agg.sum_samples, "
+            "agg.min_sample, agg.max_sample, zc.zero_crossings "
+            "FROM w JOIN agg USING (media_id) JOIN zc USING (media_id)"
         ),
         # pigeonhole-losslessness invariant (see the query's docstring):
         # the observable is exactly-zero missed/extra pairs

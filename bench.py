@@ -325,6 +325,94 @@ HEADLINE = [
 ]
 
 
+def _warm_streaming(spark) -> None:
+    """One tiny end-to-end streaming query over a staged 64-row parquet
+    source through applyInPandasWithState and a memory sink — the same
+    machinery every stream_* bench key uses. Run once outside timing."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="bench_warm_stream_")
+    try:
+        spark.range(64).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        ).write.parquet(f"{d}/src")
+
+        def fn(key, pdfs, state):
+            import pandas as pd
+
+            n = sum(len(p) for p in pdfs)
+            state.update((n,))
+            yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        q = (
+            spark.readStream.schema("k long, v long")
+            .parquet(f"{d}/src")
+            .groupBy("k")
+            .applyInPandasWithState(
+                fn,
+                outputStructType="k long, n long",
+                stateStructType="n long",
+                outputMode="append",
+                timeoutConf="NoTimeout",
+            )
+            .writeStream.format("memory")
+            .queryName("bench_warm_stream_sink")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        spark.catalog.dropTempView("bench_warm_stream_sink")
+    except Exception as exc:  # noqa: BLE001 — warm-up must never kill the run
+        print(f"bench: streaming warm-up skipped: {exc}", file=sys.stderr)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_RECORDS_PATH = os.path.join(_REPO_DIR, "BENCH_RECORDS.json")
+
+
+def _load_records(sf: float, cpus: int) -> dict[str, float]:
+    """All-time per-key minima (sec) for THIS (sf, cpus) shape, from the
+    committed BENCH_RECORDS.json. Empty when absent or shape-mismatched
+    (records at sf0.1 say nothing about an sf0.01 run)."""
+    try:
+        with open(_RECORDS_PATH) as f:
+            d = json.load(f)
+        if d.get("sf") == sf and d.get("cpus") == cpus:
+            return {
+                k: float(v)
+                for k, v in d.get("records", {}).items()
+                if isinstance(v, (int, float))
+            }
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
+def _save_records(records: dict[str, float], sf: float, cpus: int) -> None:
+    with open(_RECORDS_PATH, "w") as f:
+        json.dump(
+            {
+                "sf": sf,
+                "cpus": cpus,
+                "note": (
+                    "all-time per-key minima (sec) at sf0.1 over committed "
+                    "BENCH_DETAIL.json history + BENCH_local_r05; "
+                    "maintained by bench.py (merge-on-better, healthy runs "
+                    "only)"
+                ),
+                "records": records,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -343,6 +431,12 @@ def main() -> None:
     spark.range(64).repartition(cpus).mapInPandas(lambda it: it, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    # warm the STREAMING machinery too (StreamExecution, state-store
+    # provider init, applyInPandasWithState workers, memory sink): the
+    # stream_* keys' first sweep otherwise pays this one-time cost and
+    # reads ~2x their steady state (r10 stream_scd2 healthy samples
+    # 5.97/3.68/2.95 — the spread was warm-up, not I/O phases)
+    _warm_streaming(spark)
 
     # N HEALTHY sweeps (default 3), keep the per-key min: the first
     # execution of each plan pays one-time janino/JIT compilation, and
@@ -658,6 +752,57 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # record-based re-sample discipline (the per-key form of the sweep
+    # gate): a key whose run minimum exceeds 2x its ALL-TIME record
+    # (BENCH_RECORDS.json) while the host probes read healthy gets up to
+    # two extra in-run samples before the reading is recorded — a brief
+    # host phase that hit exactly that key's slot in every sweep stops
+    # masquerading as a 2x code regression (r10: k_core read 2.44x its
+    # record in the artifact while the code was untouched). Keys with
+    # records under 0.15 s are exempt (2x of a 0.05 s reading is timer
+    # noise, not signal), as are keys the layout section owns.
+    records = _load_records(sf, cpus)
+    resampled: dict[str, dict] = {}
+    over = [
+        k
+        for k in BENCH_KEYS
+        if k in results
+        and k not in errors
+        and records.get(k, 0.0) >= 0.15
+        and results[k] > 2.0 * records[k]
+    ]
+    if over:
+        pre_r = probe()
+        if healthy(pre_r, pre_r):
+            for key in over[:16]:
+                before = results[key]
+                for _ in range(2):
+                    dt = run_once(key)
+                    if dt is None:
+                        break
+                    timings[key].append(dt)
+                    results[key] = min(results[key], dt)
+                    if results[key] <= 2.0 * records[key]:
+                        break
+                resampled[key] = {
+                    "record": records[key],
+                    "before": before,
+                    "after": results[key],
+                }
+                print(
+                    f"bench: {key} read {before:.3f}s vs record "
+                    f"{records[key]:.3f}s (>2x) — re-sampled to "
+                    f"{results[key]:.3f}s",
+                    file=sys.stderr,
+                )
+        else:
+            print(
+                f"bench: {len(over)} keys over 2x record but the probe is "
+                f"unhealthy ({pre_r:.3f}s) — skipping re-sample, the sweep "
+                "health flags already mark this run",
+                file=sys.stderr,
+            )
+
     total = round(sum(results.values()), 3)
 
     # full record -> file (every query, every timing sample, every error)
@@ -674,6 +819,7 @@ def main() -> None:
         "healthy_sweeps": n_healthy_sweeps,
         "probe_ref": probe_ref,
         "streaming": streaming_health,
+        "resampled": resampled,
         "sf": sf,
         "cpus": cpus,
         "scratch": _SCRATCH_DESC,
@@ -683,6 +829,24 @@ def main() -> None:
         detail["errors"] = errors
     with open(os.path.join(_REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+
+    # fold this run's minima back into the records file so the
+    # re-sample discipline keeps a live baseline — healthy runs only
+    # (a degraded run must not soften future records), matching shapes
+    # only (sf/cpus), and never above an existing record
+    if records and n_healthy_sweeps >= 1 and not errors:
+        improved = 0
+        for k, v in results.items():
+            if v < records.get(k, float("inf")):
+                records[k] = v
+                improved += 1
+        _save_records(records, sf, cpus)
+        if improved:
+            print(
+                f"bench: {improved} new per-key records folded into "
+                "BENCH_RECORDS.json",
+                file=sys.stderr,
+            )
 
     # compact summary -> LAST stdout line, <1.5 KB so a 2000-char stdout
     # tail always captures it whole

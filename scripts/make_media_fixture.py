@@ -1,4 +1,5 @@
-"""Write the committed media fixture: tests/fixtures/media.parquet.
+"""Write the committed media fixtures: tests/fixtures/media.parquet and
+tests/fixtures/media_wav.parquet.
 
 The multimodal operators exercise opaque-binary plumbing, so their
 DuckDB oracles need the SAME bytes visible to both engines. This script
@@ -7,6 +8,17 @@ planted byte-identical duplicates (media_id + 1000 for media_id % 8 == 0
 — the ``media_dedup`` worklist) as ONE pyarrow parquet file, committed
 to git so the oracle has no runtime ordering dependency on the Spark
 side writing it first.
+
+media_wav.parquet carries REAL RIFF/WAVE payloads for the wav_decode
+key: 48 deterministic 16-bit PCM files over varying sample rates,
+channel counts and sample lengths, a third of them with LIST metadata
+chunks (some odd-length, exercising word-alignment padding) inserted
+before the data chunk so the canonical 44-byte header assumption would
+be WRONG for them. The fixture stores, beside the payload, the
+generator-known ``data_off`` (byte offset of the PCM frames) and
+``n_samples`` — oracle-side keys only: the Spark kernel must DISCOVER
+the offset by walking the chunk list, and the oracle decoding at the
+stored offset is exactly what verifies the parse.
 
 Regenerate (idempotent, byte-stable) with:
     PYTHONPATH=/root/repo python scripts/make_media_fixture.py
@@ -32,7 +44,60 @@ OUT = os.path.join(
 )
 
 
+WAV_OUT = os.path.join(os.path.dirname(OUT), "media_wav.parquet")
+
+
+def _wav_rows(n: int = 48, seed: int = 1117) -> list[tuple]:
+    """Deterministic WAV fixture rows: (media_id, payload, sample_rate,
+    channels, data_off, n_samples). Sample values come from an iterated
+    LCG (full int16 range, sign changes guaranteed); every third row
+    gets LIST metadata chunks before data — odd bodies for rows % 6 == 2
+    so the word-alignment pad byte is load-bearing."""
+    import random
+
+    from tiny_md_hbase_spark.operators.multimodal import make_wav
+
+    rng = random.Random(seed)
+    rates = [8000, 16000, 22050, 44100]
+    rows = []
+    for i in range(n):
+        channels = 1 + (i % 3 == 1)  # every third row is stereo
+        frames = 32 + rng.randrange(120)
+        n_samples = frames * channels
+        samples = []
+        x = seed * 2654435761 + i
+        for _ in range(n_samples):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            samples.append((x % 65536) - 32768)
+        pre = None
+        if i % 3 == 2:
+            body = bytes(rng.randrange(256) for _ in range(13 if i % 6 == 2 else 16))
+            pre = [(b"LIST", body)]
+        payload = make_wav(samples, rates[i % 4], channels, pre)
+        data_off = payload.index(b"data", 12) + 8
+        rows.append((i, payload, rates[i % 4], channels, data_off, n_samples))
+    return rows
+
+
+def write_wav_fixture() -> None:
+    rows = _wav_rows()
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.int64()),
+            "payload": pa.array(cols[1], pa.binary()),
+            "sample_rate": pa.array(cols[2], pa.int32()),
+            "channels": pa.array(cols[3], pa.int32()),
+            "data_off": pa.array(cols[4], pa.int32()),
+            "n_samples": pa.array(cols[5], pa.int64()),
+        }
+    )
+    pq.write_table(table, WAV_OUT, compression="zstd")
+    print(f"wrote {WAV_OUT}: {table.num_rows} rows")
+
+
 def main() -> None:
+    write_wav_fixture()
     rows = _synth_media_rows(96)
     rows += [
         (mid + 1000, kind, payload, w, h, dur, fmt)

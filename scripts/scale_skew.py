@@ -168,7 +168,15 @@ def minhash_candidates(docs, collapse: bool, cap):
     )
 
     if collapse:
-        _, docs = _collapse_exact(docs, F.xxhash64("text"))
+        # coalesce matches _collapse_exact's production fingerprint in
+        # dedup_minhash (NULL ≡ ''): without it NULL-text rows hash to
+        # the seed constant and the probe's collapse grouping diverges
+        # from the operator it claims to measure
+        members, docs = _collapse_exact(
+            docs, F.xxhash64(F.coalesce(F.col("text"), F.lit("")))
+        )
+        if members is None:  # the clean-corpus fast path must not fire
+            raise AssertionError("planted fixture must contain duplicates")
     _, banded = _xxhash_banded(docs, 32, 8, 3)
     banded = _cap_band_buckets(banded, ["band", "bhash"], cap)
     a, b = banded.alias("a"), banded.alias("b")
@@ -212,12 +220,144 @@ def minhash_section(spark, args, run_noop) -> list[tuple]:
     return rows
 
 
+def planted_identical_vectors(spark, sf_dir: str, copies: int):
+    """sf embeddings scaled `copies`x (vec_ids offset; one component
+    perturbed per copy so non-planted cross-copy rows stay distinct),
+    with vec_id % 10 == 0 (10% of rows) REPLACED by one shared vector —
+    a giant exact-dup family, the worst case for sign-LSH bucketing
+    (every member lands in the same bucket of every band; uncollapsed
+    fan-out is C(0.1*N, 2) candidate pairs)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_ids = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = []
+    for c in range(copies):
+        v = F.col("embedding").cast("array<double>")
+        if c > 0:
+            # nudge component 0 by a copy-specific epsilon: distinct
+            # bytes (no accidental exact dups across copies) but nearly
+            # identical direction, like the text probes' suffix trick
+            v = F.concat(
+                F.array(F.element_at(v, 1) + F.lit(c * 1e-6)),
+                F.slice(v, 2, 63),
+            )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(c * n_ids)).alias("vec_id"),
+                v.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    shared = F.array(*[F.lit(float((i * 37 % 19) - 9)) for i in range(64)])
+    out = out.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 == 0, shared)
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    )
+    return out.localCheckpoint()
+
+
+def embedding_lsh_candidates(vecs, collapse: bool, cap):
+    """Bucket-join candidate pairs on the exact (band, band_bits)
+    buckets dedup_embedding_lsh verifies, with the two guards
+    individually switchable (mirrors minhash_candidates)."""
+    from pyspark.sql import functions as F
+
+    from tiny_md_hbase_spark.operators.dedup import (
+        _cap_band_buckets,
+        _collapse_exact,
+    )
+    from tiny_md_hbase_spark.operators.similarity import lsh_signature
+
+    planes, bands = 16, 4
+    rpb = planes // bands
+    mask = (1 << rpb) - 1
+    if collapse:
+        members, vecs = _collapse_exact(
+            vecs.select("vec_id", "embedding"),
+            F.col("embedding").cast("array<double>"),
+            id_col="vec_id",
+        )
+        if members is None:  # the clean-corpus fast path must not fire
+            raise AssertionError("planted fixture must contain duplicates")
+    e = vecs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("sig", lsh_signature(F.col("v"), planes, 64))
+    bucketed = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col("sig")
+                        .bitwiseAND(F.lit(mask << (b * rpb)))
+                        .alias("band_bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.band_bits")
+    bucketed = _cap_band_buckets(bucketed, ["band", "band_bits"], cap)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .count()
+    )
+
+
+def embedding_lsh_section(spark, args, run_noop) -> list[tuple]:
+    """Giant-identical-vector-family fan-out for dedup_embedding_lsh:
+    candidate counts with the guards off vs on, and the full operator's
+    wall time, at 1x and 10x — the embedding-side twin of
+    minhash_section (the guards live at dedup.py _collapse_exact /
+    _cap_band_buckets and are shared; this measures them firing on the
+    sign-LSH bucket shape)."""
+    from tiny_md_hbase_spark.operators.dedup import dedup_embedding_lsh
+
+    rows = []
+    for copies, label in ((1, "1x"), (10, "10x")):
+        vecs = planted_identical_vectors(spark, args.sf_dir, copies)
+        n = vecs.count()
+        g = (n + 9) // 10
+        projected = g * (g - 1) // 2
+        print(f"== embedding_lsh {label}: {n} vectors, family g={g}, "
+              f"projected uncollapsed fan-out ~{projected:,}")
+        if projected <= args.uncapped_guard:
+            cand_old = embedding_lsh_candidates(vecs, collapse=False, cap=None)
+        else:
+            cand_old = None
+        cand_new = embedding_lsh_candidates(vecs, collapse=True, cap=4096)
+        t = timed(lambda: run_noop(dedup_embedding_lsh(vecs)))
+        rows.append((label, "dedup_embedding_lsh", n, g, cand_old, cand_new, t))
+        print(f"   cand_old={cand_old} cand_new={cand_new:,} time={t:.2f}")
+    print("\n| scale | vectors | family g | candidates unguarded "
+          "(no collapse/cap) | candidates guarded | dedup_embedding_lsh time |")
+    print("|---|---|---|---|---|---|")
+    for label, _, n, g, c_old, c_new, t in rows:
+        c_old_s = f"{c_old:,}" if c_old is not None else "guard-skipped"
+        print(f"| {label} | {n:,} | {g:,} | {c_old_s} | {c_new:,} | {t:.2f} s |")
+    return rows
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--uncapped-guard", type=int, default=200_000_000)
     ap.add_argument(
-        "--section", choices=["grams", "minhash", "all"], default="all"
+        "--section",
+        choices=["grams", "minhash", "embedding", "all"],
+        default="all",
     )
     args = ap.parse_args()
 
@@ -231,7 +371,9 @@ def main() -> int:
 
     if args.section in ("minhash", "all"):
         minhash_section(spark, args, run_noop)
-    if args.section == "minhash":
+    if args.section in ("embedding", "all"):
+        embedding_lsh_section(spark, args, run_noop)
+    if args.section in ("minhash", "embedding"):
         spark.stop()
         return 0
 

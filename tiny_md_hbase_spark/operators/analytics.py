@@ -23,6 +23,7 @@ and would not hash-match across engines.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1191,7 +1192,13 @@ def heavy_hitters_cms_merged(
     # merged_equals_scan=false downstream
     try:
         meta = spark.read.parquet(f"{shard_path}/_cms_meta").collect()
-    except Exception:
+    except AnalysisException as e:
+        # ONLY a missing marker means a pre-meta layout; any other read
+        # failure (corrupt marker, permissions, transient FS error) must
+        # surface here, not later as merged_equals_scan=false
+        cond = getattr(e, "getCondition", lambda: None)() or ""
+        if "PATH_NOT_FOUND" not in cond and "Path does not exist" not in str(e):
+            raise
         meta = []  # pre-meta layouts stay readable
     if meta:
         m = meta[0]

@@ -12,12 +12,18 @@ Design (the part that must be right at 100 TB):
   so heavy rows spread evenly — never after, when rows are exploded
   frames/features.
 
-The actual image/audio codecs are NOT available in this environment, so
-the byte-interpreting step is stubbed: ``codec="fake"`` (default) derives
-deterministic pseudo-features from the payload bytes — the full Spark
-plumbing (schemas, Arrow batching, partition strategy, UDF signatures) is
-real and tested; ``codec="pil"``/``codec="ffmpeg"`` raise
-``NotImplementedError`` until the libraries exist on the cluster.
+External image/audio codec LIBRARIES are not available in this
+environment, so the library-backed byte-interpreting steps are stubbed:
+``codec="fake"`` (default) derives deterministic pseudo-features from
+the payload bytes — the full Spark plumbing (schemas, Arrow batching,
+partition strategy, UDF signatures) is real and tested;
+``codec="pil"``/``codec="ffmpeg"`` raise ``NotImplementedError`` until
+the libraries exist on the cluster. One REAL decode path needs no
+library at all and is implemented honestly: :func:`wav_decode` parses
+RIFF/WAVE containers (chunk walk, fmt validation, word-alignment
+padding) and decodes 16-bit PCM frames in pure Python inside the same
+Arrow-batched kernel shape, with integer audio features a DuckDB
+oracle recomputes byte-for-byte from ``hex(payload)``.
 """
 
 from __future__ import annotations
@@ -34,8 +40,11 @@ if TYPE_CHECKING:  # pandas imported lazily inside kernels
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "WAV_FEATURE_SCHEMA",
     "synth_media",
     "decode_features",
+    "wav_decode",
+    "make_wav",
     "frame_sample",
     "resize_meta",
     "media_dedup_exact",
@@ -158,7 +167,8 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     if codec != "fake":
         raise NotImplementedError(
             f"codec {codec!r}: image/audio libraries are not present in this "
-            "environment; plumbing is exercised with codec='fake'"
+            "environment; plumbing is exercised with codec='fake', and "
+            "library-free 16-bit PCM WAV decoding is real — see wav_decode"
         )
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -176,6 +186,158 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
 
     balanced = media.repartition(F.col("kind"), F.crc32(F.col("media_id").cast("string")))
     return balanced.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sum_samples", T.LongType(), False),
+        T.StructField("min_sample", T.IntegerType(), False),
+        T.StructField("max_sample", T.IntegerType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def make_wav(
+    samples: list[int],
+    sample_rate: int = 16_000,
+    channels: int = 1,
+    pre_data_chunks: list[tuple[bytes, bytes]] | None = None,
+) -> bytes:
+    """Serialize 16-bit PCM samples into a real RIFF/WAVE container —
+    the encode half of :func:`wav_decode`, used by the committed fixture
+    (scripts/make_media_fixture.py) and the tests. ``pre_data_chunks``
+    inserts extra (id, body) chunks between ``fmt `` and ``data`` (LIST
+    metadata, odd-length bodies for word-alignment coverage) so decode
+    must genuinely walk the chunk list rather than assume the canonical
+    44-byte header."""
+    import struct
+
+    body = b""
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    for cid, cbody in pre_data_chunks or []:
+        if len(cid) != 4:
+            raise ValueError(f"chunk id must be 4 bytes, got {cid!r}")
+        body += cid + struct.pack("<I", len(cbody)) + cbody
+        if len(cbody) % 2:  # RIFF chunks are word-aligned
+            body += b"\x00"
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a RIFF/WAVE container: validate magic, walk the chunk list
+    (word-aligned), validate the ``fmt `` chunk is 16-bit integer PCM,
+    and return (sample_rate, channels, pcm_bytes). Raises ValueError
+    with the structural reason on any malformed payload — the kernel
+    wraps it with the offending media_id."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csz = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + csz > len(payload):
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {csz} bytes but only "
+                f"{len(payload) - pos - 8} remain"
+            )
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            if csz < 16:
+                raise ValueError(f"fmt chunk too short ({csz} bytes)")
+            audio_fmt, channels, rate, _brate, _balign, bits = (
+                struct.unpack_from("<HHIIHH", body, 0)
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"not integer PCM (wFormatTag={audio_fmt})")
+            if bits != 16:
+                raise ValueError(f"only 16-bit PCM supported, got {bits}-bit")
+            if channels < 1:
+                raise ValueError("zero channels")
+            fmt = (rate, channels)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # skip the word-alignment pad byte
+    if fmt is None:
+        raise ValueError("missing fmt chunk")
+    if data is None:
+        raise ValueError("missing data chunk")
+    if len(data) % 2:
+        raise ValueError(f"data chunk is {len(data)} bytes — not int16-aligned")
+    return fmt[0], fmt[1], data
+
+
+def wav_decode(media: DataFrame) -> DataFrame:
+    """REAL audio decode — no external library: parse each payload as a
+    RIFF/WAVE container (chunk walk with word-alignment padding, fmt
+    validation) and decode the 16-bit little-endian PCM frames, emitting
+    exact INTEGER features per media row: sample_rate, channels, flat
+    interleaved sample count, sum / min / max of the signed samples, and
+    sign-change zero crossings. Integer outputs make the whole decode
+    byte-observable cross-engine: the DuckDB oracle recomputes every
+    column from ``hex(payload)`` at the fixture's known data offset,
+    while this kernel DISCOVERS the offset by parsing — fixture rows
+    carry pre-``data`` LIST chunks precisely so a parser that assumed
+    the canonical 44-byte header would mismatch the oracle.
+
+    Same 100 TB shape as :func:`decode_features`: repartition on cheap
+    metadata before the decode, Arrow-batched ``mapInPandas`` kernel,
+    one batch of payloads in memory per task. Malformed payloads fail
+    loudly with the media_id and the structural reason (the
+    row-identifying-error discipline of ``validate_vectors``)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "channels", "n_samples",
+                "sum_samples", "min_sample", "max_sample", "zero_crossings",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, channels, data = _parse_wav(bytes(payload))
+                except ValueError as e:
+                    raise ValueError(
+                        f"invalid WAV payload at media_id={mid}: {e}"
+                    ) from None
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["n_samples"].append(len(s))
+                out["sum_samples"].append(int(s.sum()) if len(s) else 0)
+                out["min_sample"].append(int(s.min()) if len(s) else 0)
+                out["max_sample"].append(int(s.max()) if len(s) else 0)
+                out["zero_crossings"].append(
+                    int(np.count_nonzero((s[:-1] < 0) != (s[1:] < 0)))
+                )
+            yield pd.DataFrame(out)
+
+    balanced = media.repartition(
+        F.crc32(F.col("media_id").cast("string"))
+    )
+    return balanced.select("media_id", "payload").mapInPandas(
+        kernel, WAV_FEATURE_SCHEMA
+    )
 
 
 def frame_sample(media: DataFrame, every_ms: int = 250, codec: str = "fake") -> DataFrame:

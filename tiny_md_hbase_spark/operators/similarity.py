@@ -263,49 +263,16 @@ def embedding_knn_quantized_sql(query_vec_id: int = 1, k: int = 10) -> str:
     )
 
 
-def embedding_knn_batch(
-    embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    max_queries: int = 10_000,
+def _knn_batch_score(
+    embeddings: DataFrame, qrows: list, k: int
 ) -> DataFrame:
-    """Exact cosine top-k for MANY query vectors at once — the shape real
-    pipelines need (dedup a candidate set against a reference corpus,
-    retrieval eval, hard-negative mining).
-
-    Implementation: the query matrix is broadcast to every task and each
-    Arrow batch of corpus vectors is scored against ALL queries with one
-    numpy matmul (``mapInPandas``) — turning |Q| × |corpus| scalar dot
-    products into BLAS calls. Each task emits only its local top-k per
-    query (partition-level pruning, the map-side combine of top-k), and a
-    single window ranks the ≤ k × partitions × |Q| survivors globally.
-    Shuffle volume is O(|Q| · k · partitions), never O(|Q| · corpus).
-
-    ``queries``: (query_id long, qv array<float|double>). Output:
-    (query_id, vec_id, label, cos_sim, rank). Cosine is computed in
-    float64; ``cos_sim`` is rounded to 6 decimals with (query_id,
-    -cos_sim, vec_id) total ordering.
-    """
-    import numpy as np  # noqa: F401 — used inside the kernel
+    """One broadcast-query scoring pass of :func:`embedding_knn_batch`:
+    validate the collected query rows, broadcast the (Q, D) matrix, score
+    every Arrow batch of corpus vectors with one numpy matmul, emit each
+    task's local top-k per query, and rank the survivors globally."""
     from pyspark.sql import Window
 
     spark = embeddings.sparkSession
-    # the broadcast-query design is correct only under |Q| << corpus; the
-    # collect is guarded so a corpus-sized `queries` DF fails loudly with
-    # the right fix named instead of OOMing the driver. limit(max+1)
-    # never moves more than max_queries+1 rows driver-side regardless of
-    # the input's size.
-    qrows = queries.select("query_id", "qv").limit(max_queries + 1).collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"embedding_knn_batch broadcasts the query matrix to every "
-            f"task: it is contracted to small query sets but got more "
-            f"than max_queries={max_queries} rows. Chunk the query set, "
-            f"raise max_queries explicitly if the matrix genuinely fits "
-            f"the driver and executors, or use the LSH/IVF-routed forms "
-            f"for corpus-vs-corpus scoring (dedup_embedding_lsh, "
-            f"embedding_knn_ivf)."
-        )
     qids = [int(r.query_id) for r in qrows]
     for r in qrows:  # driver-side rows: validate with the same loudness
         if r.qv is None:
@@ -337,21 +304,23 @@ def embedding_knn_batch(
         for pdf in batches:
             if pdf.empty:
                 continue
-            try:
-                vm = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # (B, D)
-            except ValueError:
-                # ragged corpus vectors: validate_vectors (NULL-only
-                # here — the op takes no dim param) can't catch a
-                # length mismatch, so turn numpy's opaque
-                # inhomogeneous-shape error into a row-identifying one
-                lens = pdf["v"].map(len)
-                bad = pdf.loc[lens != lens.iloc[0], "vec_id"].head(3).tolist()
+            # explicit rectangularity pre-check: validate_vectors
+            # (NULL-only here — the op takes no dim param) can't catch a
+            # length mismatch, and np.asarray's behavior on ragged input
+            # is numpy-version-dependent; name the MINORITY rows (those
+            # differing from the batch's modal length — the anomaly may
+            # sit at row 0) instead of numpy's opaque shape error
+            lens = pdf["v"].map(len)
+            if lens.nunique() > 1:
+                modal = int(lens.mode().iloc[0])
+                bad = pdf.loc[lens != modal, "vec_id"].head(3).tolist()
                 raise ValueError(
                     f"ragged corpus vectors in embedding_knn_batch: "
-                    f"vec_ids {bad} have lengths differing from "
-                    f"{int(lens.iloc[0])} within one batch — the "
-                    f"embedding column must be fixed-dimension"
+                    f"vec_ids {bad} have lengths differing from the "
+                    f"batch's modal length {modal} — the embedding "
+                    f"column must be fixed-dimension"
                 )
+            vm = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # (B, D)
             vn = np.linalg.norm(vm, axis=1)
             sims = (vm @ qm.T) / np.outer(vn, qn)  # (B, Q)
             out = []
@@ -382,6 +351,81 @@ def embedding_knn_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "label", "cos_sim", "rank")
     )
+
+
+def embedding_knn_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    max_queries: int = 10_000,
+    chunk_queries: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k for MANY query vectors at once — the shape real
+    pipelines need (dedup a candidate set against a reference corpus,
+    retrieval eval, hard-negative mining).
+
+    Implementation: the query matrix is broadcast to every task and each
+    Arrow batch of corpus vectors is scored against ALL queries with one
+    numpy matmul (``mapInPandas``) — turning |Q| × |corpus| scalar dot
+    products into BLAS calls. Each task emits only its local top-k per
+    query (partition-level pruning, the map-side combine of top-k), and a
+    single window ranks the ≤ k × partitions × |Q| survivors globally.
+    Shuffle volume is O(|Q| · k · partitions), never O(|Q| · corpus).
+
+    ``queries``: (query_id long, qv array<float|double>). Output:
+    (query_id, vec_id, label, cos_sim, rank). Cosine is computed in
+    float64; ``cos_sim`` is rounded to 6 decimals with (query_id,
+    -cos_sim, vec_id) total ordering.
+
+    Query sets past ``max_queries``: the default is a loud refusal (the
+    broadcast design is correct only under |Q| << corpus, and a
+    corpus-sized ``queries`` DF would OOM the driver). Opt-in
+    ``chunk_queries=True`` instead iterates the query set in
+    query_id-ordered chunks of ``max_queries``, each chunk collected,
+    broadcast, and scored as above — driver memory stays bounded at one
+    chunk, but EVERY chunk re-scans the full corpus, so the cost is
+    ceil(|Q|/max_queries) corpus scans. That tradeoff is acceptable for
+    10^5-query eval jobs; for corpus-vs-corpus scoring use the
+    LSH/IVF-routed forms (dedup_embedding_lsh, embedding_knn_ivf). Each
+    query's top-k is computed entirely within its own chunk's pass, so
+    the union over disjoint chunks equals the single-pass result
+    exactly (pinned by a test).
+    """
+    # limit(max+1) never moves more than max_queries+1 rows driver-side
+    # regardless of the input's size.
+    qrows = queries.select("query_id", "qv").limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        if not chunk_queries:
+            raise ValueError(
+                f"embedding_knn_batch broadcasts the query matrix to "
+                f"every task: it is contracted to small query sets but "
+                f"got more than max_queries={max_queries} rows. Pass "
+                f"chunk_queries=True to iterate bounded broadcast chunks "
+                f"(ceil(|Q|/max_queries) full corpus scans), raise "
+                f"max_queries explicitly if the matrix genuinely fits "
+                f"the driver and executors, or use the LSH/IVF-routed "
+                f"forms for corpus-vs-corpus scoring "
+                f"(dedup_embedding_lsh, embedding_knn_ivf)."
+            )
+        # checkpoint the ordered query set once so each offset/limit
+        # page reads materialized rows instead of re-running the input
+        # plan (and so the pagination is stable even for a
+        # nondeterministic source)
+        q_sorted = (
+            queries.select("query_id", "qv")
+            .orderBy("query_id")
+            .localCheckpoint()
+        )
+        total = q_sorted.count()
+        parts = []
+        for start in range(0, total, max_queries):
+            page = q_sorted.offset(start).limit(max_queries).collect()
+            parts.append(_knn_batch_score(embeddings, page, k))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    return _knn_batch_score(embeddings, qrows, k)
 
 
 def ivf_build(
