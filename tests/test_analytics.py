@@ -489,6 +489,20 @@ def test_cms_merged_refuses_parameter_mismatch_and_stale_path(spark, sf_dir):
         assert out.columns == [
             "tok", "n_exact", "cms_overcounts", "merged_equals_scan"
         ]
+        # a MISSING marker is a pre-meta layout (tolerated) but a
+        # CORRUPT one must re-raise — the ADVICE-r10 narrowed guard: a
+        # bare-Exception swallow would silently disable the parameter
+        # check and surface only as merged_equals_scan=false downstream
+        import os
+
+        shutil.rmtree(f"{tmp}/shards/_cms_meta")
+        ok2 = AN.heavy_hitters_cms_merged(docs, f"{tmp}/shards", seed=17)
+        assert ok2.count() == 20  # pre-meta layout stays readable
+        os.makedirs(f"{tmp}/shards/_cms_meta")
+        with open(f"{tmp}/shards/_cms_meta/part-corrupt.parquet", "wb") as f:
+            f.write(b"not a parquet file")
+        with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+            AN.heavy_hitters_cms_merged(docs, f"{tmp}/shards", seed=17)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

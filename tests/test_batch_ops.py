@@ -65,6 +65,32 @@ def test_embedding_knn_batch_guards_corpus_sized_queries(spark, sf_dir):
     )
 
 
+def test_embedding_knn_batch_chunked_equals_single(spark, sf_dir):
+    """chunk_queries=True past max_queries returns EXACTLY the
+    single-pass result: each query's top-k is computed fully inside its
+    own chunk's corpus scan, so the union over disjoint query_id chunks
+    is the same relation (r10 verdict #8). The default (no opt-in)
+    stays a loud refusal that now names chunk_queries."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    single = sorted(
+        map(tuple, S.embedding_knn_batch(embs, queries, k=7).collect())
+    )
+    chunked = sorted(
+        map(
+            tuple,
+            S.embedding_knn_batch(
+                embs, queries, k=7, max_queries=3, chunk_queries=True
+            ).collect(),
+        )
+    )
+    assert chunked == single and len(single) == 70
+    with pytest.raises(ValueError, match="chunk_queries"):
+        S.embedding_knn_batch(embs, queries, k=7, max_queries=3)
+
+
 def test_embedding_ops_reject_degenerate_vectors_loudly(spark, sf_dir):
     """A NULL (or wrong-length) embedding must fail FAST with a
     row-identifying message — without the validate_vectors guard it

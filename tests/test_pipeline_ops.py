@@ -106,6 +106,56 @@ def test_minhash_null_and_empty_text_cross_engine(spark):
     assert want == expect
 
 
+def test_collapse_fast_path_and_output_continuity(spark):
+    """The clean-corpus fast path (r10 verdict #5): when every
+    fingerprint is unique, _collapse_exact returns members=None (window,
+    checkpoint and re-expansion joins skipped) and the LSH output is
+    unchanged — the near-dup pair a clean corpus contains is found at
+    the same jaccard whether the fast or the slow path ran. Appending
+    one exact dup flips to the slow path and only ADDS the exact pair."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    clean_rows = [
+        (0, base + " mu"),
+        (1, base + " zzz"),  # near-dup of 0: 9/11 shared 3-shingles = 0.818
+        (2, "one two three four five six seven"),
+    ]
+    docs = spark.createDataFrame(clean_rows, "doc_id long, text string")
+    m, rep = D._collapse_exact(
+        docs, F.xxhash64(F.coalesce(F.col("text"), F.lit("")))
+    )
+    assert m is None and rep.count() == 3  # fast path: identity
+    clean_pairs = sorted(
+        (r.doc_a, r.doc_b, r.jaccard) for r in D.dedup_minhash(docs).collect()
+    )
+    assert [(a, b) for a, b, _ in clean_pairs] == [(0, 1)]
+
+    duped = docs.unionByName(
+        spark.createDataFrame(
+            [(3, clean_rows[2][1])], "doc_id long, text string"
+        )
+    )
+    m2, _ = D._collapse_exact(
+        duped, F.xxhash64(F.coalesce(F.col("text"), F.lit("")))
+    )
+    assert m2 is not None  # slow path: a duplicate fingerprint exists
+    duped_pairs = sorted(
+        (r.doc_a, r.doc_b, r.jaccard) for r in D.dedup_minhash(duped).collect()
+    )
+    assert duped_pairs == sorted(clean_pairs + [(2, 3, 1.0)])
+
+
+def test_collapse_null_fingerprint_forces_slow_path(spark):
+    """A NULL fingerprint is a potential dup group (the window groups
+    NULLs together) that count_distinct cannot see — the precheck must
+    fall back to the slow path rather than treat the corpus as clean.
+    (Production call sites coalesce, so this guards the raw-fp form.)"""
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "b")], "doc_id long, text string"
+    )
+    m, _ = D._collapse_exact(docs, F.col("text"))
+    assert m is not None
+
+
 def test_embedding_lsh_zero_vector_exact_dup_convention(spark):
     """Identical ZERO vectors: cosine is undefined, but byte-identical
     content is an exact duplicate — the collapse reports the pair at

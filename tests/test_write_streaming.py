@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import time
@@ -347,6 +348,142 @@ def test_media_partitioned_write_round_trip(spark, tmp_table):
         for r in MM.frame_sample(media, every_ms=250).collect()
     }
     assert from_files == in_mem
+
+
+# --- the REAL codec path: RIFF/WAVE 16-bit PCM -----------------------------
+
+_WAV_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "media_wav.parquet"
+)
+
+
+def test_make_wav_parse_roundtrip():
+    """Encode → parse is the identity on (rate, channels, samples),
+    including with pre-data chunks (even and odd bodies — the odd one
+    exercises the word-alignment pad byte)."""
+    import numpy as np
+
+    from tiny_md_hbase_spark.operators.multimodal import _parse_wav, make_wav
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345, 7]
+    for pre in (None, [(b"LIST", b"\x01" * 16)], [(b"LIST", b"\x02" * 13)]):
+        payload = make_wav(samples, 22050, 2, pre)
+        rate, ch, data = _parse_wav(payload)
+        assert (rate, ch) == (22050, 2)
+        assert np.frombuffer(data, dtype="<i2").tolist() == samples
+
+
+def test_parse_wav_rejects_malformed():
+    """Every structural failure mode raises with the reason — never
+    numpy garbage or a silent wrong decode."""
+    import struct
+
+    from tiny_md_hbase_spark.operators.multimodal import _parse_wav, make_wav
+
+    good = make_wav([1, 2, 3], 8000, 1)
+    cases = {
+        "not a RIFF/WAVE": b"JUNK" + good[4:],
+        "truncated": good[:-2],  # data chunk declares more than remains
+        "missing fmt": good[:12] + good[12 + 8 + 24 :],  # drop the fmt chunk
+        "missing data": good[: 12 + 8 + 16],  # fmt only
+    }
+    for label, payload in cases.items():
+        with pytest.raises(ValueError):
+            _parse_wav(payload)
+    # non-PCM format tag
+    bad_fmt = bytearray(good)
+    struct.pack_into("<H", bad_fmt, 20, 3)  # wFormatTag = IEEE float
+    with pytest.raises(ValueError, match="PCM"):
+        _parse_wav(bytes(bad_fmt))
+    # 8-bit depth
+    bad_bits = bytearray(good)
+    struct.pack_into("<H", bad_bits, 34, 8)
+    with pytest.raises(ValueError, match="16-bit"):
+        _parse_wav(bytes(bad_bits))
+
+
+def test_wav_decode_features_match_python(spark):
+    """The kernel's integer features equal a direct python decode of the
+    fixture payloads — including the LIST-chunk rows whose data offset
+    is NOT the canonical 44 (the parse is load-bearing)."""
+    import numpy as np
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT media_id, payload, sample_rate, channels, data_off, "
+        f"n_samples FROM read_parquet('{_WAV_FIXTURE}') ORDER BY media_id"
+    ).fetchall()
+    assert any(r[4] != 44 for r in rows)  # LIST-chunk rows present
+    expect = {}
+    for mid, payload, rate, ch, off, ns in rows:
+        s = np.frombuffer(bytes(payload)[off : off + 2 * ns], dtype="<i2").astype(
+            np.int64
+        )
+        expect[mid] = (
+            rate,
+            ch,
+            len(s),
+            int(s.sum()),
+            int(s.min()),
+            int(s.max()),
+            int(np.count_nonzero((s[:-1] < 0) != (s[1:] < 0))),
+        )
+    got = {
+        r.media_id: (
+            r.sample_rate,
+            r.channels,
+            r.n_samples,
+            r.sum_samples,
+            r.min_sample,
+            r.max_sample,
+            r.zero_crossings,
+        )
+        for r in MM.wav_decode(spark.read.parquet(_WAV_FIXTURE)).collect()
+    }
+    assert got == expect
+
+
+def test_wav_decode_names_bad_row(spark):
+    """A malformed payload in a batch fails with the offending media_id
+    and the structural reason, not an opaque kernel error."""
+    from tiny_md_hbase_spark.operators.multimodal import make_wav
+
+    rows = [
+        (1, bytearray(make_wav([5, -5, 9], 8000, 1))),
+        (2, bytearray(b"NOTAWAVE" + b"\x00" * 64)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    with pytest.raises(Exception, match="media_id=2"):
+        MM.wav_decode(df).collect()
+
+
+def test_wav_fixture_matches_generator():
+    """The committed media_wav.parquet is byte-identical to what the
+    generator would write today — fixture drift (vs the oracle's
+    assumptions about data_off/n_samples) fails here, not in the driver."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from make_media_fixture import _wav_rows
+
+    gen = _wav_rows()
+    rows = duckdb.sql(
+        f"SELECT media_id, payload, sample_rate, channels, data_off, "
+        f"n_samples FROM read_parquet('{_WAV_FIXTURE}') ORDER BY media_id"
+    ).fetchall()
+    assert len(rows) == len(gen) == 48
+    for (gmid, gpayload, grate, gch, goff, gns), r in zip(gen, rows):
+        assert (gmid, grate, gch, goff, gns) == (r[0], r[2], r[3], r[4], r[5])
+        assert gpayload == bytes(r[1])
 
 
 def test_stream_dedup_docs_keep_first_across_batches(spark):
