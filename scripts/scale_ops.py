@@ -1,0 +1,184 @@
+"""10x scale probe for the most expensive NON-build registry keys.
+
+scale_builds.py answers "does a layout build scale linearly?" and
+scale_skew.py answers "do the LSH guards keep a skewed corpus linear?";
+this script closes the remaining gap (r10 verdict #7): the five most
+expensive non-build keys in BENCH_DETAIL had no measured 10x row.
+
+Per key, the 10x fixture preserves the operator's OUTPUT CONTRACT so
+the ratio measures scaling, not output blowup:
+
+- quality_gate: 10 perturbed-id copies (per-doc scoring + histogram
+  threshold — output stays one row per kept doc, 10x rows in ≈ 10x out)
+- index_build: 10 perturbed-id point copies (the trie deepens where
+  buckets overflow — work O(n log n), the documented coarse-to-fine
+  recursion)
+- ngram_jaccard / dedup_clusters: 10 TOKEN-TAGGED copies — every token
+  is prefixed with a per-copy tag, so shingles NEVER match across
+  copies and the 10x corpus is 10 content-disjoint shards with the 1x
+  corpus's internal near-dup structure: output pairs scale exactly 10x.
+  A plain id-perturbed union would make every doc a 10-member exact-dup
+  family (45 cross pairs per doc — output blowup, not scaling), which is
+  scale_skew.py's subject, not this probe's.
+- pagerank: 10 node-offset copies of the purchase graph (offset keeps
+  parity, components stay disjoint) — same 5 iterations over 10x edges.
+
+Each timing is min of two passes; inputs are localCheckpoint-pinned
+outside timing. Prints a markdown table for BENCH.md.
+
+Run: python scripts/scale_ops.py [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from scale_builds import build_spark, widen  # noqa: E402
+
+
+def timed(fn, passes: int = 2) -> float:
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def tagged_copies(docs, copies: int):
+    """Union `copies` copies with perturbed ids AND per-copy token tags:
+    tag 'cN' prefixes every token, so no shingle matches across copies —
+    the 10x corpus is `copies` content-disjoint shards, each with the
+    original's internal near-dup structure."""
+    from pyspark.sql import functions as F
+
+    n_ids = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for c in range(copies):
+        tag = F.lit(f"c{c}")
+        retok = F.array_join(
+            F.transform(
+                F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                lambda t: F.concat(tag, t),
+            ),
+            " ",
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(c * n_ids)).alias("doc_id"),
+                retok.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from tiny_md_hbase_spark.operators import dedup as D
+    from tiny_md_hbase_spark.operators import graph as G
+    from tiny_md_hbase_spark.operators import index as IX
+    from tiny_md_hbase_spark.operators import text as TX
+    from tiny_md_hbase_spark.sources import load_table, points
+
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run_noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    rows: list[tuple[str, float, float, float, str]] = []
+
+    def bench(name: str, fn1, fn10, note: str) -> None:
+        t1, t10 = timed(fn1), timed(fn10)
+        rows.append((name, t1, t10, t10 / t1, note))
+        print(f"  {name}: 1x {t1:.2f}s 10x {t10:.2f}s ratio {t10 / t1:.2f}")
+
+    docs1 = load_table(spark, args.sf_dir, "documents").localCheckpoint()
+    docs10 = widen(docs1, 10, "doc_id").localCheckpoint()
+    docs10t = tagged_copies(
+        load_table(spark, args.sf_dir, "documents"), 10
+    ).localCheckpoint()
+    pts1 = points(spark, args.sf_dir).localCheckpoint()
+    pts10 = widen(pts1, 10, "id").localCheckpoint()
+
+    bench(
+        "quality_gate",
+        lambda: run_noop(TX.quality_gate(docs1)),
+        lambda: run_noop(TX.quality_gate(docs10)),
+        "histogram threshold; only the boundary class ranks",
+    )
+    bench(
+        "index_build",
+        lambda: run_noop(IX.index_build(pts1)),
+        lambda: run_noop(IX.index_build(pts10)),
+        "coarse-to-fine aggregation; per-tail recursion bounded",
+    )
+    bench(
+        "ngram_jaccard",
+        lambda: run_noop(D.ngram_jaccard(docs1)),
+        lambda: run_noop(D.ngram_jaccard(docs10t)),
+        "hub-capped gram blocking; 10x = token-tagged disjoint shards",
+    )
+    # pair counts confirm the tagged construction: output must be ~10x
+    p1 = D.ngram_jaccard(docs1).count()
+    p10 = D.ngram_jaccard(docs10t).count()
+    print(f"  ngram_jaccard pairs: 1x {p1} 10x {p10} (expect exactly 10x)")
+    bench(
+        "dedup_clusters",
+        lambda: run_noop(D.dedup_clusters(docs1, D.ngram_jaccard(docs1))),
+        lambda: run_noop(
+            D.dedup_clusters(docs10t, D.ngram_jaccard(docs10t))
+        ),
+        "union-find under collect_limit over the 10x-disjoint pair graph",
+    )
+
+    e1 = G.purchase_edges(
+        load_table(spark, args.sf_dir, "orders"),
+        load_table(spark, args.sf_dir, "lineitem"),
+    ).localCheckpoint()
+    n_off = (e1.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0] + 2) // 2 * 2
+    parts = [
+        e1.select(
+            (F.col("src") + F.lit(c * n_off)).alias("src"),
+            (F.col("dst") + F.lit(c * n_off)).alias("dst"),
+        )
+        for c in range(10)
+    ]
+    e10 = parts[0]
+    for p in parts[1:]:
+        e10 = e10.unionByName(p)
+    e10 = e10.localCheckpoint()
+    bench(
+        "pagerank",
+        lambda: run_noop(G.pagerank(e1)),
+        lambda: run_noop(G.pagerank(e10)),
+        "5 exact-integer rounds; 10 node-offset disjoint graph copies",
+    )
+
+    print("\n| key | 1x sec | 10x sec | ratio | 10x construction / scale note |")
+    print("|---|---|---|---|---|")
+    for name, a, b, r, note in rows:
+        print(f"| {name} | {a:.2f} | {b:.2f} | {r:.2f} | {note} |")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

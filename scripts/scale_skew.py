@@ -263,7 +263,7 @@ def planted_identical_vectors(spark, sf_dir: str, copies: int):
     return out.localCheckpoint()
 
 
-def embedding_lsh_candidates(vecs, collapse: bool, cap):
+def embedding_lsh_candidates(vecs, collapse: bool, cap, planes=16, bands=4):
     """Bucket-join candidate pairs on the exact (band, band_bits)
     buckets dedup_embedding_lsh verifies, with the two guards
     individually switchable (mirrors minhash_candidates)."""
@@ -275,7 +275,6 @@ def embedding_lsh_candidates(vecs, collapse: bool, cap):
     )
     from tiny_md_hbase_spark.operators.similarity import lsh_signature
 
-    planes, bands = 16, 4
     rpb = planes // bands
     mask = (1 << rpb) - 1
     if collapse:
@@ -322,31 +321,47 @@ def embedding_lsh_section(spark, args, run_noop) -> list[tuple]:
     wall time, at 1x and 10x — the embedding-side twin of
     minhash_section (the guards live at dedup.py _collapse_exact /
     _cap_band_buckets and are shared; this measures them firing on the
-    sign-LSH bucket shape)."""
+    sign-LSH bucket shape).
+
+    Unlike MinHash band keys (64-bit hashes — buckets collide only on
+    real similarity), a sign-LSH band key has 2^(planes/bands) values:
+    at the fixture-pinned (16, 4) a band has 16 buckets, so bucket
+    width — and hence the candidate count — is a CONSTANT FRACTION of
+    the corpus at any scale. That is exactly the docstring's scaling
+    rule ("at larger scale RAISE planes/bands to keep buckets under
+    the cap"), so the 10x row is measured twice: at the pinned (16, 4)
+    — quadratic by bucket density, the warning the docstring gives —
+    and at the documented scale move (32, 4) = 8-bit band keys, where
+    the guards + finer buckets keep the candidate stage near-linear."""
     from tiny_md_hbase_spark.operators.dedup import dedup_embedding_lsh
 
     rows = []
-    for copies, label in ((1, "1x"), (10, "10x")):
+    for copies, label, planes in ((1, "1x", 16), (10, "10x", 16), (10, "10x", 32)):
         vecs = planted_identical_vectors(spark, args.sf_dir, copies)
         n = vecs.count()
         g = (n + 9) // 10
         projected = g * (g - 1) // 2
-        print(f"== embedding_lsh {label}: {n} vectors, family g={g}, "
+        plabel = f"{label} (planes={planes})"
+        print(f"== embedding_lsh {plabel}: {n} vectors, family g={g}, "
               f"projected uncollapsed fan-out ~{projected:,}")
         if projected <= args.uncapped_guard:
-            cand_old = embedding_lsh_candidates(vecs, collapse=False, cap=None)
+            cand_old = embedding_lsh_candidates(
+                vecs, collapse=False, cap=None, planes=planes
+            )
         else:
             cand_old = None
-        cand_new = embedding_lsh_candidates(vecs, collapse=True, cap=4096)
-        t = timed(lambda: run_noop(dedup_embedding_lsh(vecs)))
-        rows.append((label, "dedup_embedding_lsh", n, g, cand_old, cand_new, t))
+        cand_new = embedding_lsh_candidates(
+            vecs, collapse=True, cap=4096, planes=planes
+        )
+        t = timed(lambda: run_noop(dedup_embedding_lsh(vecs, planes=planes)))
+        rows.append((plabel, "dedup_embedding_lsh", n, g, cand_old, cand_new, t))
         print(f"   cand_old={cand_old} cand_new={cand_new:,} time={t:.2f}")
     print("\n| scale | vectors | family g | candidates unguarded "
           "(no collapse/cap) | candidates guarded | dedup_embedding_lsh time |")
     print("|---|---|---|---|---|---|")
-    for label, _, n, g, c_old, c_new, t in rows:
+    for plabel, _, n, g, c_old, c_new, t in rows:
         c_old_s = f"{c_old:,}" if c_old is not None else "guard-skipped"
-        print(f"| {label} | {n:,} | {g:,} | {c_old_s} | {c_new:,} | {t:.2f} s |")
+        print(f"| {plabel} | {n:,} | {g:,} | {c_old_s} | {c_new:,} | {t:.2f} s |")
     return rows
 
 
