@@ -51,11 +51,16 @@ def timed(fn, passes: int = 2) -> float:
     return best
 
 
-def tagged_copies(docs, copies: int):
+def tagged_copies(docs, copies: int, tag_lang: bool = False):
     """Union `copies` copies with perturbed ids AND per-copy token tags:
     tag 'cN' prefixes every token, so no shingle matches across copies —
     the 10x corpus is `copies` content-disjoint shards, each with the
-    original's internal near-dup structure."""
+    original's internal near-dup structure. ``tag_lang`` additionally
+    tags the lang column, so BLOCK-blocked operators see 10x MANY
+    blocks of the original size instead of 10x-WIDER blocks — the
+    scaling axis the exact all-pairs-within-block operators are
+    contracted for (block width is quadratic by contract; the MinHash
+    family is the scale path for wide blocks)."""
     from pyspark.sql import functions as F
 
     n_ids = docs.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -73,7 +78,7 @@ def tagged_copies(docs, copies: int):
             docs.select(
                 (F.col("doc_id") + F.lit(c * n_ids)).alias("doc_id"),
                 retok.alias("text"),
-                "lang",
+                (F.concat(tag, F.col("lang")) if tag_lang else F.col("lang")).alias("lang"),
                 "source",
                 "n_chars",
             )
@@ -112,9 +117,6 @@ def main() -> int:
 
     docs1 = load_table(spark, args.sf_dir, "documents").localCheckpoint()
     docs10 = widen(docs1, 10, "doc_id").localCheckpoint()
-    docs10t = tagged_copies(
-        load_table(spark, args.sf_dir, "documents"), 10
-    ).localCheckpoint()
     pts1 = points(spark, args.sf_dir).localCheckpoint()
     pts10 = widen(pts1, 10, "id").localCheckpoint()
 
@@ -130,21 +132,32 @@ def main() -> int:
         lambda: run_noop(IX.index_build(pts10)),
         "coarse-to-fine aggregation; per-tail recursion bounded",
     )
+    docs10b = tagged_copies(
+        load_table(spark, args.sf_dir, "documents"), 10, tag_lang=True
+    ).localCheckpoint()
+    # ngram_jaccard is the EXACT all-pairs-within-(lang, length-bucket)
+    # variant — its docstring positions MinHash as the scale path, and
+    # its cost is quadratic in BLOCK WIDTH by contract. Two 10x axes:
+    # 10x MANY original-size blocks (the scaling axis a sharded corpus
+    # actually has — must be linear) and the same blocks 10x wider (the
+    # contract's quadratic axis — reported LAST, see below, to pin the
+    # documented positioning without its ~160 s run heating the host
+    # under the linear measurements).
     bench(
-        "ngram_jaccard",
+        "ngram_jaccard (10x block count)",
         lambda: run_noop(D.ngram_jaccard(docs1)),
-        lambda: run_noop(D.ngram_jaccard(docs10t)),
-        "hub-capped gram blocking; 10x = token-tagged disjoint shards",
+        lambda: run_noop(D.ngram_jaccard(docs10b)),
+        "10x original-size blocks: the sharded-corpus axis, linear",
     )
     # pair counts confirm the tagged construction: output must be ~10x
     p1 = D.ngram_jaccard(docs1).count()
-    p10 = D.ngram_jaccard(docs10t).count()
+    p10 = D.ngram_jaccard(docs10b).count()
     print(f"  ngram_jaccard pairs: 1x {p1} 10x {p10} (expect exactly 10x)")
     bench(
         "dedup_clusters",
         lambda: run_noop(D.dedup_clusters(docs1, D.ngram_jaccard(docs1))),
         lambda: run_noop(
-            D.dedup_clusters(docs10t, D.ngram_jaccard(docs10t))
+            D.dedup_clusters(docs10b, D.ngram_jaccard(docs10b))
         ),
         "union-find under collect_limit over the 10x-disjoint pair graph",
     )
@@ -170,6 +183,19 @@ def main() -> int:
         lambda: run_noop(G.pagerank(e1)),
         lambda: run_noop(G.pagerank(e10)),
         "5 exact-integer rounds; 10 node-offset disjoint graph copies",
+    )
+
+    # the contract's quadratic axis, measured LAST: ~160 s of all-pairs
+    # verify heats the host and its pinned 10x checkpoint competes for
+    # memory — running it earlier inflated the linear rows ~3x
+    docs10t = tagged_copies(
+        load_table(spark, args.sf_dir, "documents"), 10
+    ).localCheckpoint()
+    bench(
+        "ngram_jaccard (10x block width)",
+        lambda: run_noop(D.ngram_jaccard(docs1)),
+        lambda: run_noop(D.ngram_jaccard(docs10t)),
+        "all-pairs within block: quadratic in width BY CONTRACT (use minhash)",
     )
 
     print("\n| key | 1x sec | 10x sec | ratio | 10x construction / scale note |")
