@@ -1072,11 +1072,12 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
-# Committed WAV fixture for the REAL codec path (wav_decode): 48
-# deterministic 16-bit PCM RIFF/WAVE containers, a third with LIST
+# Committed WAV fixture for the REAL codec path (wav_decode): 49
+# deterministic 16-bit PCM RIFF/WAVE containers — a third with LIST
 # metadata chunks before data (some odd-length — word-alignment pad
-# coverage). data_off / n_samples columns are ORACLE-side keys only:
-# Spark must discover the PCM frames by parsing the chunk list.
+# coverage) and one zero-sample container (empty data chunk).
+# data_off / n_samples columns are ORACLE-side keys only: Spark must
+# discover the PCM frames by parsing the chunk list.
 _WAV_FIXTURE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "tests",
@@ -3267,11 +3268,19 @@ def oracle_sql() -> dict[str, str]:
             "zc AS (SELECT media_id, CAST(coalesce(sum(CASE WHEN prev IS NOT NULL "
             "AND ((prev < 0) <> (smp < 0)) THEN 1 ELSE 0 END), 0) AS BIGINT) "
             "AS zero_crossings FROM z GROUP BY media_id) "
+            # LEFT joins + coalesce: a zero-sample WAV (valid container,
+            # empty data chunk — fixture row 48 pins it) has no per-sample
+            # group, and an inner join would DROP it while the kernel
+            # emits its row with the same 0 stats
             "SELECT w.media_id, CAST(w.sample_rate AS INTEGER) AS sample_rate, "
             "CAST(w.channels AS INTEGER) AS channels, "
-            "CAST(w.ns AS BIGINT) AS n_samples, agg.sum_samples, "
-            "agg.min_sample, agg.max_sample, zc.zero_crossings "
-            "FROM w JOIN agg USING (media_id) JOIN zc USING (media_id)"
+            "CAST(w.ns AS BIGINT) AS n_samples, "
+            "coalesce(agg.sum_samples, 0) AS sum_samples, "
+            "coalesce(agg.min_sample, 0) AS min_sample, "
+            "coalesce(agg.max_sample, 0) AS max_sample, "
+            "coalesce(zc.zero_crossings, 0) AS zero_crossings "
+            "FROM w LEFT JOIN agg USING (media_id) "
+            "LEFT JOIN zc USING (media_id)"
         ),
         # pigeonhole-losslessness invariant (see the query's docstring):
         # the observable is exactly-zero missed/extra pairs

@@ -364,7 +364,15 @@ def _warm_streaming(spark) -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        try:
+            q.awaitTermination(120)
+        finally:
+            # a degraded-host timeout must not leave the stream running
+            # against a source/checkpoint the rmtree below deletes —
+            # that background failure churn is exactly what the warm-up
+            # exists to keep out of sweep 1
+            if q.isActive:
+                q.stop()
         spark.catalog.dropTempView("bench_warm_stream_sink")
     except Exception as exc:  # noqa: BLE001 — warm-up must never kill the run
         print(f"bench: streaming warm-up skipped: {exc}", file=sys.stderr)
@@ -375,22 +383,26 @@ def _warm_streaming(spark) -> None:
 _RECORDS_PATH = os.path.join(_REPO_DIR, "BENCH_RECORDS.json")
 
 
-def _load_records(sf: float, cpus: int) -> dict[str, float]:
+def _load_records(sf: float, cpus: int) -> dict[str, float] | None:
     """All-time per-key minima (sec) for THIS (sf, cpus) shape, from the
-    committed BENCH_RECORDS.json. Empty when absent or shape-mismatched
-    (records at sf0.1 say nothing about an sf0.01 run)."""
+    committed BENCH_RECORDS.json. Returns {} when the file is absent or
+    unreadable (a healthy run may BOOTSTRAP it), and None when a file
+    EXISTS for a different shape (records at sf0.1 say nothing about an
+    sf0.01 run — and must never be overwritten by one)."""
     try:
         with open(_RECORDS_PATH) as f:
             d = json.load(f)
-        if d.get("sf") == sf and d.get("cpus") == cpus:
-            return {
-                k: float(v)
-                for k, v in d.get("records", {}).items()
-                if isinstance(v, (int, float))
-            }
     except (OSError, ValueError):
-        pass
-    return {}
+        return {}
+    if not isinstance(d, dict):  # corrupt root: treat as absent
+        return {}
+    if d.get("sf") == sf and d.get("cpus") == cpus:
+        return {
+            k: float(v)
+            for k, v in d.get("records", {}).items()
+            if isinstance(v, (int, float))
+        }
+    return None  # other shape's records: read nothing, overwrite nothing
 
 
 def _save_records(records: dict[str, float], sf: float, cpus: int) -> None:
@@ -768,7 +780,7 @@ def main() -> None:
         for k in BENCH_KEYS
         if k in results
         and k not in errors
-        and records.get(k, 0.0) >= 0.15
+        and (records or {}).get(k, 0.0) >= 0.15
         and results[k] > 2.0 * records[k]
     ]
     if over:
@@ -779,6 +791,16 @@ def main() -> None:
                 for _ in range(2):
                     dt = run_once(key)
                     if dt is None:
+                        # the OPTIONAL extra sample failed; the key's
+                        # sweep samples are valid — a transient here
+                        # must not convert a benchmarked key into an
+                        # errored one (nor null the whole artifact)
+                        errors.pop(key, None)
+                        print(
+                            f"bench: re-sample of {key} failed "
+                            "transiently - keeping the sweep minimum",
+                            file=sys.stderr,
+                        )
                         break
                     timings[key].append(dt)
                     results[key] = min(results[key], dt)
@@ -832,16 +854,17 @@ def main() -> None:
 
     # fold this run's minima back into the records file so the
     # re-sample discipline keeps a live baseline — healthy runs only
-    # (a degraded run must not soften future records), matching shapes
-    # only (sf/cpus), and never above an existing record
-    if records and n_healthy_sweeps >= 1 and not errors:
+    # (a degraded run must not soften future records), never above an
+    # existing record. records is None when a DIFFERENT shape's file
+    # exists (never overwrite it); {} when absent (bootstrap it).
+    if records is not None and n_healthy_sweeps >= 1 and not errors:
         improved = 0
         for k, v in results.items():
             if v < records.get(k, float("inf")):
                 records[k] = v
                 improved += 1
-        _save_records(records, sf, cpus)
         if improved:
+            _save_records(records, sf, cpus)
             print(
                 f"bench: {improved} new per-key records folded into "
                 "BENCH_RECORDS.json",

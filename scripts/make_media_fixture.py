@@ -76,6 +76,11 @@ def _wav_rows(n: int = 48, seed: int = 1117) -> list[tuple]:
         payload = make_wav(samples, rates[i % 4], channels, pre)
         data_off = payload.index(b"data", 12) + 8
         rows.append((i, payload, rates[i % 4], channels, data_off, n_samples))
+    # one zero-sample WAV (valid container, empty data chunk): pins the
+    # kernel's 0-stat row AND the oracle's LEFT-join/coalesce — an inner
+    # join on per-sample aggregates would silently drop this media_id
+    empty = make_wav([], 16000, 1)
+    rows.append((n, empty, 16000, 1, empty.index(b"data", 12) + 8, 0))
     return rows
 
 

@@ -34,21 +34,11 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-from scale_builds import build_spark, widen  # noqa: E402
-
-
-def timed(fn, passes: int = 2) -> float:
-    best = float("inf")
-    for _ in range(passes):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+from scale_builds import build_spark, timed, widen  # noqa: E402
 
 
 def tagged_copies(docs, copies: int, tag_lang: bool = False):

@@ -415,6 +415,7 @@ def test_wav_decode_features_match_python(spark):
         f"n_samples FROM read_parquet('{_WAV_FIXTURE}') ORDER BY media_id"
     ).fetchall()
     assert any(r[4] != 44 for r in rows)  # LIST-chunk rows present
+    assert any(r[5] == 0 for r in rows)  # the zero-sample container row
     expect = {}
     for mid, payload, rate, ch, off, ns in rows:
         s = np.frombuffer(bytes(payload)[off : off + 2 * ns], dtype="<i2").astype(
@@ -424,9 +425,9 @@ def test_wav_decode_features_match_python(spark):
             rate,
             ch,
             len(s),
-            int(s.sum()),
-            int(s.min()),
-            int(s.max()),
+            int(s.sum()) if len(s) else 0,
+            int(s.min()) if len(s) else 0,
+            int(s.max()) if len(s) else 0,
             int(np.count_nonzero((s[:-1] < 0) != (s[1:] < 0))),
         )
     got = {
@@ -480,7 +481,7 @@ def test_wav_fixture_matches_generator():
         f"SELECT media_id, payload, sample_rate, channels, data_off, "
         f"n_samples FROM read_parquet('{_WAV_FIXTURE}') ORDER BY media_id"
     ).fetchall()
-    assert len(rows) == len(gen) == 48
+    assert len(rows) == len(gen) == 49
     for (gmid, gpayload, grate, gch, goff, gns), r in zip(gen, rows):
         assert (gmid, grate, gch, goff, gns) == (r[0], r[2], r[3], r[4], r[5])
         assert gpayload == bytes(r[1])

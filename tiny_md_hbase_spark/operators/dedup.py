@@ -93,7 +93,14 @@ def _collapse_exact(
     :func:`_expand_pairs` passes the rep pairs through unchanged. The
     precheck costs one extra scan of ``fp``; the window + checkpoint it
     replaces cost ~20-30% of the whole LSH key on duplicate-free
-    corpora (the common case for already-deduped shards)."""
+    corpora (the common case for already-deduped shards). Like the slow
+    path's two-action shape (the members checkpoint is a separate job
+    from the rep_rows join), the precheck assumes a DETERMINISTIC input
+    plan: an input that grows duplicates between actions would band the
+    fresh dups uncollapsed — they are still found (identical content is
+    trivially a near-dup in every band, emitted by the normal verify)
+    but without the quadratic-fan-out protection; pin nondeterministic
+    inputs with localCheckpoint before calling, as the fixtures do."""
     from pyspark.sql import Window
 
     g = documents.select(F.col(id_col).alias("mid"), fp.alias("_fp"))

@@ -274,6 +274,15 @@ def _knn_batch_score(
 
     spark = embeddings.sparkSession
     qids = [int(r.query_id) for r in qrows]
+    if len(qids) != len(set(qids)):
+        dup = sorted({q for q in qids if qids.count(q) > 1})[:3]
+        raise ValueError(
+            f"duplicate query_ids in embedding_knn_batch: {dup} — the "
+            f"rank window partitions on query_id, so two rows sharing an "
+            f"id would merge into one garbled top-k (and chunked "
+            f"pagination could split them across chunks); deduplicate "
+            f"the query set first"
+        )
     for r in qrows:  # driver-side rows: validate with the same loudness
         if r.qv is None:
             raise ValueError(
@@ -417,6 +426,23 @@ def embedding_knn_batch(
             .localCheckpoint()
         )
         total = q_sorted.count()
+        # chunk-global duplicate check: a duplicated query_id SPLIT at a
+        # chunk boundary would pass each chunk's local validation yet
+        # emit two k-row rank sequences for the same id in the union
+        dup = (
+            q_sorted.groupBy("query_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(3)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate query_ids in embedding_knn_batch: "
+                f"{sorted(int(r.query_id) for r in dup)} — chunked "
+                f"pagination would split them across chunks and emit "
+                f"doubled top-k rows; deduplicate the query set first"
+            )
         parts = []
         for start in range(0, total, max_queries):
             page = q_sorted.offset(start).limit(max_queries).collect()
