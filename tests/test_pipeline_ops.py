@@ -144,16 +144,24 @@ def test_collapse_fast_path_and_output_continuity(spark):
     assert duped_pairs == sorted(clean_pairs + [(2, 3, 1.0)])
 
 
-def test_collapse_null_fingerprint_forces_slow_path(spark):
-    """A NULL fingerprint is a potential dup group (the window groups
-    NULLs together) that count_distinct cannot see — the precheck must
-    fall back to the slow path rather than treat the corpus as clean.
-    (Production call sites coalesce, so this guards the raw-fp form.)"""
-    docs = spark.createDataFrame(
+def test_collapse_null_fingerprints_group_together(spark):
+    """NULL fingerprints form a dup group exactly as the r10 window
+    form did (groupBy groups NULLs): two NULL-fp rows collapse onto the
+    min id, while a SINGLE NULL row is unique content and takes the
+    fast path. (Production call sites coalesce, so this pins the
+    raw-fp form.)"""
+    dup = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, None)], "doc_id long, text string"
+    )
+    m, rep = D._collapse_exact(dup, F.col("text"))
+    assert m is not None
+    assert sorted((r.mid, r.rep) for r in m.collect()) == [(1, 1), (2, 1)]
+    assert sorted(r.doc_id for r in rep.collect()) == [0, 1]
+    single = spark.createDataFrame(
         [(0, "a"), (1, None), (2, "b")], "doc_id long, text string"
     )
-    m, _ = D._collapse_exact(docs, F.col("text"))
-    assert m is not None
+    m2, _ = D._collapse_exact(single, F.col("text"))
+    assert m2 is None  # one NULL row is unique content: fast path
 
 
 def test_embedding_lsh_zero_vector_exact_dup_convention(spark):

@@ -57,14 +57,18 @@ _MERSENNE31 = (1 << 31) - 1
 
 
 def _collapse_exact(
-    documents: DataFrame, fp: Column, id_col: str = "doc_id"
+    documents: DataFrame,
+    fp: Column,
+    id_col: str = "doc_id",
+    precheck: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact-duplicate collapse prepass for the LSH pair families:
     group rows on a content fingerprint ``fp``, elect ``min(id)`` per
-    group as representative, and return ``(members, rep_rows)`` where
-    ``members`` is the bounded (id, rep) map (16-byte rows — the only
-    thing that shuffles) and ``rep_rows`` is the input restricted to
-    representatives.
+    DUPLICATED group as representative, and return ``(members,
+    rep_rows)`` where ``members`` is the (id, rep) map restricted to
+    rows of duplicated groups — O(duplicate rows), usually tiny and
+    broadcastable — and ``rep_rows`` is the input minus the non-rep
+    duplicate members.
 
     Why this exists: a family of g IDENTICAL texts collides in every
     LSH band and costs O(g²·bands) candidate rows in the band self-join
@@ -84,39 +88,47 @@ def _collapse_exact(
     prepass removes is the quadratic blowup inside the shuffle-heavy
     candidate stage.
 
-    Clean-corpus fast path: one map-side-combined aggregate counts
-    rows vs distinct fingerprints first; when every fingerprint is
-    unique (and none is NULL — NULL fps group in the window, so any
-    NULL forces the slow path) the collapse is an identity map, so the
-    window, the localCheckpoint, and both re-expansion joins are
-    skipped entirely — ``members`` comes back as ``None`` and
-    :func:`_expand_pairs` passes the rep pairs through unchanged. The
-    precheck costs one extra scan of ``fp``; the window + checkpoint it
-    replaces cost ~20-30% of the whole LSH key on duplicate-free
-    corpora (the common case for already-deduped shards). Like the slow
-    path's two-action shape (the members checkpoint is a separate job
-    from the rep_rows join), the precheck assumes a DETERMINISTIC input
-    plan: an input that grows duplicates between actions would band the
-    fresh dups uncollapsed — they are still found (identical content is
-    trivially a near-dup in every band, emitted by the normal verify)
-    but without the quadratic-fan-out protection; pin nondeterministic
-    inputs with localCheckpoint before calling, as the fixtures do."""
-    from pyspark.sql import Window
-
+    Shape (r11): ONE map-side-combined groupBy on the fingerprint
+    elects reps and filters to groups with count > 1; only those
+    groups' rows are joined back and checkpointed, so the
+    materialization and every re-expansion join is bounded by the
+    DUPLICATE volume, not the corpus (the r10 form windowed and
+    checkpointed the full corpus-sized map). NULL fingerprints group
+    together exactly as the window did. On a duplicate-free corpus the
+    dup set is empty and ``members`` comes back as ``None`` —
+    :func:`_expand_pairs` passes the rep pairs through unchanged and
+    ``rep_rows`` is the input itself (``precheck=False`` keeps the
+    empty-members machinery for isolation runs and tests; the output
+    is identical either way). The prepass is a separate eager action
+    (the members checkpoint) from the pipeline that consumes it, so it
+    assumes a DETERMINISTIC input plan: an input that grows duplicates
+    between actions would band the fresh dups uncollapsed — they are
+    still found (identical content is trivially a near-dup in every
+    band, emitted by the normal verify) but without the quadratic
+    fan-out protection; pin nondeterministic inputs with
+    localCheckpoint before calling, as the fixtures do."""
     g = documents.select(F.col(id_col).alias("mid"), fp.alias("_fp"))
-    n_total, n_distinct = g.agg(
-        F.count(F.lit(1)), F.count_distinct("_fp")
-    ).first()
-    if n_total == n_distinct:  # all fps unique and non-NULL: identity map
+    dup_groups = (
+        g.groupBy("_fp")
+        .agg(F.min("mid").alias("rep"), F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .drop("_c")
+    )
+    members = (
+        # null-safe equality: a NULL-fp dup group must join its member
+        # rows back (an equi-join drops NULL keys; groupBy kept them)
+        g.join(dup_groups, g["_fp"].eqNullSafe(dup_groups["_fp"]))
+        .select("mid", "rep")
+        .localCheckpoint()
+    )  # three consumers: rep anti-filter, cross- and intra-expand
+    if precheck and members.isEmpty():
         return None, documents
-    members = g.select(
-        "mid", F.min("mid").over(Window.partitionBy("_fp")).alias("rep")
-    ).localCheckpoint()  # three consumers: rep filter, cross- and intra-expand
     rep_rows = documents.join(
-        members.filter(F.col("mid") == F.col("rep")).select(
+        members.filter(F.col("mid") != F.col("rep")).select(
             F.col("mid").alias(id_col)
         ),
         id_col,
+        "left_anti",
     )
     return members, rep_rows
 
@@ -133,21 +145,29 @@ def _expand_pairs(
     exact-dup collapse (:func:`_collapse_exact`): every (rep_a, rep_b,
     score) becomes all member cross pairs at the SAME score (similarity
     is a function of content only), and every multi-member group emits
-    its intra pairs at ``exact_score`` (identical content). Joins are on
-    the rep key; AQE broadcasts the rep-pair side when it is small.
-    ``members=None`` (the clean-corpus fast path — every fingerprint
-    unique, collapse skipped) is an identity expansion: the rep pairs
-    ARE the member pairs and there are no intra pairs."""
+    its intra pairs at ``exact_score`` (identical content).
+
+    ``members`` covers ONLY duplicated groups (r11 shape), so the cross
+    expansion is a LEFT join per side with identity fallback: a rep
+    with no members row is a singleton and stands for itself. The
+    joins touch a duplicate-volume-bounded table — AQE broadcasts it
+    from measured size. ``members=None`` (the duplicate-free fast
+    path) is a pure identity expansion: the rep pairs ARE the member
+    pairs and there are no intra pairs."""
     if members is None:
         return rep_pairs.select(a_col, b_col, score_col)
     ma = members.select(F.col("rep").alias(a_col), F.col("mid").alias("_ma"))
     mb = members.select(F.col("rep").alias(b_col), F.col("mid").alias("_mb"))
     cross = (
-        rep_pairs.join(ma, a_col)
-        .join(mb, b_col)
+        rep_pairs.join(ma, a_col, "left")
+        .join(mb, b_col, "left")
         .select(
-            F.least("_ma", "_mb").alias(a_col),
-            F.greatest("_ma", "_mb").alias(b_col),
+            F.least(
+                F.coalesce("_ma", a_col), F.coalesce("_mb", b_col)
+            ).alias(a_col),
+            F.greatest(
+                F.coalesce("_ma", a_col), F.coalesce("_mb", b_col)
+            ).alias(b_col),
             score_col,
         )
     )
