@@ -825,6 +825,37 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # the same discipline for the LAYOUT-section entries: they are
+    # measured once after the sweeps and their two-attempt probe gate
+    # can miss a degraded scratch phase that sits between its probe
+    # pairs (observed: all five layout keys 2-8x their records in one
+    # run, 30 minutes after a healthy run of identical code). When any
+    # layout key exceeds 2x its record under a healthy probe, the whole
+    # section re-runs once more — minima accumulate per key.
+    layout_over = [
+        k
+        for k, v in results.items()
+        if k not in BENCH_KEYS
+        and (records or {}).get(k, 0.0) >= 0.15
+        and v > 2.0 * records[k]
+    ]
+    if layout_over:
+        pre_l3 = probe()
+        if healthy(pre_l3, pre_l3):
+            before_vals = {k: results[k] for k in layout_over}
+            print(
+                f"bench: layout keys over 2x record ({sorted(layout_over)}) "
+                "with a healthy probe — re-running the layout section",
+                file=sys.stderr,
+            )
+            run_layout_section()
+            for k in layout_over:
+                resampled[k] = {
+                    "record": records[k],
+                    "before": before_vals[k],
+                    "after": results.get(k),
+                }
+
     total = round(sum(results.values()), 3)
 
     # full record -> file (every query, every timing sample, every error)
