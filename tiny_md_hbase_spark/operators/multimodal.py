@@ -18,12 +18,18 @@ environment, so the library-backed byte-interpreting steps are stubbed:
 the payload bytes — the full Spark plumbing (schemas, Arrow batching,
 partition strategy, UDF signatures) is real and tested;
 ``codec="pil"``/``codec="ffmpeg"`` raise ``NotImplementedError`` until
-the libraries exist on the cluster. One REAL decode path needs no
-library at all and is implemented honestly: :func:`wav_decode` parses
-RIFF/WAVE containers (chunk walk, fmt validation, word-alignment
-padding) and decodes 16-bit PCM frames in pure Python inside the same
-Arrow-batched kernel shape, with integer audio features a DuckDB
-oracle recomputes byte-for-byte from ``hex(payload)``.
+the libraries exist on the cluster. The REAL decode paths that need no
+library at all are implemented honestly, in the same Arrow-batched
+kernel shape, with integer / byte-exact outputs a DuckDB oracle
+recomputes byte-for-byte from ``hex(payload)``:
+- audio: :func:`wav_decode` parses RIFF/WAVE containers (chunk walk,
+  fmt validation, word-alignment padding) and decodes 16-bit PCM;
+- image: :func:`ppm_decode` tokenizes binary-PPM (P6) headers
+  (whitespace/comment walk) and decodes the RGB raster;
+  :func:`ppm_resize` nearest-neighbor-resamples and re-encodes the
+  container byte-for-byte;
+- video: :func:`ppm_stream_frames` demuxes concatenated-P6 frame
+  streams (ffmpeg's image2pipe raw format), sampling every k-th frame.
 """
 
 from __future__ import annotations
@@ -41,10 +47,17 @@ if TYPE_CHECKING:  # pandas imported lazily inside kernels
 __all__ = [
     "MEDIA_SCHEMA",
     "WAV_FEATURE_SCHEMA",
+    "PPM_FEATURE_SCHEMA",
+    "PPM_RESIZE_SCHEMA",
+    "PPM_FRAME_SCHEMA",
     "synth_media",
     "decode_features",
     "wav_decode",
     "make_wav",
+    "make_ppm",
+    "ppm_decode",
+    "ppm_resize",
+    "ppm_stream_frames",
     "frame_sample",
     "resize_meta",
     "media_dedup_exact",
@@ -167,8 +180,10 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     if codec != "fake":
         raise NotImplementedError(
             f"codec {codec!r}: image/audio libraries are not present in this "
-            "environment; plumbing is exercised with codec='fake', and "
-            "library-free 16-bit PCM WAV decoding is real — see wav_decode"
+            "environment; plumbing is exercised with codec='fake', and the "
+            "library-free decodes are real — see wav_decode (16-bit PCM "
+            "RIFF/WAVE), ppm_decode / ppm_resize (binary PPM), and "
+            "ppm_stream_frames (concatenated-P6 demux)"
         )
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -340,15 +355,336 @@ def wav_decode(media: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL image codec path: binary PPM (netpbm P6) — like wav_decode, no
+# external library is needed to parse this honestly, so the image side
+# of the codec gate gets a real decode, a real byte-level resize, and a
+# real multi-image stream demux, all inside the same Arrow-batched
+# kernel shape with integer / byte-exact outputs a DuckDB oracle can
+# recompute from hex(payload).
+# ---------------------------------------------------------------------------
+
+PPM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("min_byte", T.IntegerType(), False),
+        T.StructField("max_byte", T.IntegerType(), False),
+        T.StructField("even_row_luma", T.LongType(), False),
+    ]
+)
+
+PPM_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_w", T.IntegerType(), False),
+        T.StructField("src_h", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+PPM_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_w", T.IntegerType(), False),
+        T.StructField("frame_h", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+    ]
+)
+
+_PPM_WS = frozenset(b" \t\r\n\x0b\x0c")  # netpbm whitespace set
+
+
+def make_ppm(
+    width: int,
+    height: int,
+    rgb: bytes,
+    comments: list[bytes] | None = None,
+    ws: bytes = b"\n",
+) -> bytes:
+    """Serialize an RGB raster into a real binary PPM (netpbm P6)
+    container — the encode half of :func:`ppm_decode`, used by the
+    committed fixture (scripts/make_media_fixture.py) and the tests.
+
+    ``comments`` are inserted BETWEEN header tokens (after the magic,
+    between width and height, between height and maxval — cycling), and
+    ``ws`` picks the inter-token whitespace, so fixture payloads force a
+    decoder to tokenize the header for real: a parser that assumed
+    ``P6\\n<w> <h>\\n255\\n`` byte layout, or read the first digits it
+    saw (comments may contain digits), would compute a wrong raster
+    offset and mismatch the byte-level oracle."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"raster is {len(rgb)} bytes; {width}x{height} RGB needs "
+            f"{width * height * 3}"
+        )
+    toks = [str(width).encode(), str(height).encode(), b"255"]
+    out = b"P6"
+    cm = list(comments or [])
+    for i, tok in enumerate(toks):
+        out += ws
+        if i < len(cm):
+            out += b"#" + cm[i] + b"\n"
+        out += tok
+    return out + b"\n" + rgb
+
+
+def _ppm_int(payload: bytes, pos: int, what: str) -> tuple[int, int]:
+    """Read one decimal header token at/after ``pos``, skipping netpbm
+    whitespace and ``#``-to-end-of-line comments. Returns (value, pos
+    after the last digit)."""
+    n = len(payload)
+    while pos < n:
+        c = payload[pos]
+        if c in _PPM_WS:
+            pos += 1
+            continue
+        if c == 0x23:  # '#'
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError(f"unterminated header comment before {what}")
+            pos = nl + 1
+            continue
+        break
+    start = pos
+    while pos < n and 0x30 <= payload[pos] <= 0x39:
+        pos += 1
+    if pos == start:
+        raise ValueError(f"expected {what} digits at byte {start}")
+    return int(payload[start:pos]), pos
+
+
+def _parse_ppm_at(payload: bytes, pos: int) -> tuple[int, int, int, int]:
+    """Parse one P6 image starting at ``pos``: tokenize the header
+    (whitespace/comment walk), validate 8-bit maxval, and return
+    (width, height, raster_offset, end_offset). Raises ValueError with
+    the structural reason on any malformed container — kernels wrap it
+    with the offending media_id."""
+    if payload[pos : pos + 2] != b"P6":
+        raise ValueError(f"not a binary PPM (P6) at byte {pos}")
+    w, pos = _ppm_int(payload, pos + 2, "width")
+    h, pos = _ppm_int(payload, pos, "height")
+    maxval, pos = _ppm_int(payload, pos, "maxval")
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 (full-range 8-bit) supported, got {maxval}")
+    if pos >= len(payload) or payload[pos] not in _PPM_WS:
+        raise ValueError("missing single whitespace after maxval")
+    pos += 1  # exactly ONE whitespace byte, per the P6 spec
+    n_bytes = w * h * 3
+    if pos + n_bytes > len(payload):
+        raise ValueError(
+            f"truncated raster: {w}x{h} needs {n_bytes} bytes, "
+            f"{len(payload) - pos} remain"
+        )
+    return w, h, pos, pos + n_bytes
+
+
+def _parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a single-image P6 payload; trailing bytes are an error
+    (concatenated streams go through :func:`ppm_stream_frames`)."""
+    w, h, off, end = _parse_ppm_at(payload, 0)
+    if end != len(payload):
+        raise ValueError(
+            f"{len(payload) - end} trailing bytes after the raster "
+            "(multi-image stream? use ppm_stream_frames)"
+        )
+    return w, h, payload[off:end]
+
+
+def ppm_decode(media: DataFrame) -> DataFrame:
+    """REAL image decode — no external library: tokenize each payload's
+    P6 header (whitespace/comment walk, 8-bit maxval validation) and
+    decode the RGB raster, emitting exact INTEGER features per image:
+    dimensions, pixel count, per-channel byte sums, min/max byte, and
+    ``even_row_luma`` (the byte sum over pixels in even rows) — that
+    last one is wrong unless WIDTH was decoded correctly, so the oracle
+    checks the 2-D layout, not just the flat raster. The DuckDB twin
+    recomputes every column from ``hex(payload)`` at the fixture's
+    generator-known raster offset while this kernel DISCOVERS the offset
+    by parsing; fixture headers carry digit-bearing comments and varied
+    whitespace precisely so a byte-layout assumption would mismatch.
+
+    Same 100 TB shape as :func:`wav_decode`: repartition on cheap
+    metadata before decode, Arrow-batched ``mapInPandas``, one batch of
+    payloads per task, malformed rows fail loudly with the media_id."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        cols = (
+            "media_id", "width", "height", "n_pixels", "sum_r", "sum_g",
+            "sum_b", "min_byte", "max_byte", "even_row_luma",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, raster = _parse_ppm(bytes(payload))
+                except ValueError as e:
+                    raise ValueError(
+                        f"invalid PPM payload at media_id={mid}: {e}"
+                    ) from None
+                a = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(a[0::3].sum()))
+                out["sum_g"].append(int(a[1::3].sum()))
+                out["sum_b"].append(int(a[2::3].sum()))
+                out["min_byte"].append(int(a.min()) if a.size else 0)
+                out["max_byte"].append(int(a.max()) if a.size else 0)
+                out["even_row_luma"].append(
+                    int(a.reshape(h, w * 3)[0::2].sum()) if a.size else 0
+                )
+            yield pd.DataFrame(out)
+
+    balanced = media.repartition(F.crc32(F.col("media_id").cast("string")))
+    return balanced.select("media_id", "payload").mapInPandas(
+        kernel, PPM_FEATURE_SCHEMA
+    )
+
+
+def _resize_target(sw: int, sh: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving nearest-neighbor target in EXACT integer math
+    (no float scale — both engines reproduce it bit-for-bit): shrink the
+    longer side to ``max_side``, never upscale, never round a nonzero
+    side to zero. Zero-area sources (0xN / Nx0 headers are legal P6)
+    resize to 0x0."""
+    if sw == 0 or sh == 0:
+        return 0, 0
+    m = max(sw, sh)
+    if m <= max_side:
+        return sw, sh
+    return max(1, sw * max_side // m), max(1, sh * max_side // m)
+
+
+def ppm_resize(media: DataFrame, max_side: int = 12) -> DataFrame:
+    """REAL byte-level image resize (the kernel :func:`resize_meta` plans
+    for): decode each P6 payload, nearest-neighbor-resample the RGB
+    raster to the aspect-preserving target (exact integer source mapping
+    ``sx = tx*sw // tw``), and re-encode a canonical ``P6\\n<w> <h>\\n255\\n``
+    container. Output payload bytes are deterministic, so the DuckDB
+    oracle rebuilds the ENTIRE resized file hex-for-hex from the source
+    payload's hex — header included — and any off-by-one in the sampling
+    grid or the re-encode mismatches.
+
+    1 row in → 1 smaller row out: unlike frame sampling there is no
+    explosion, so the metadata repartition before the kernel is the only
+    exchange this plan needs."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "src_w", "src_h", "out_w", "out_h", "payload",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    sw, sh, raster = _parse_ppm(bytes(payload))
+                except ValueError as e:
+                    raise ValueError(
+                        f"invalid PPM payload at media_id={mid}: {e}"
+                    ) from None
+                tw, th = _resize_target(sw, sh, max_side)
+                if tw * th == 0:
+                    body = b""
+                else:
+                    img = np.frombuffer(raster, dtype=np.uint8).reshape(sh, sw, 3)
+                    sy = (np.arange(th, dtype=np.int64) * sh) // th
+                    sx = (np.arange(tw, dtype=np.int64) * sw) // tw
+                    body = img[sy][:, sx].tobytes()
+                out["media_id"].append(int(mid))
+                out["src_w"].append(sw)
+                out["src_h"].append(sh)
+                out["out_w"].append(tw)
+                out["out_h"].append(th)
+                out["payload"].append(b"P6\n%d %d\n255\n" % (tw, th) + body)
+            yield pd.DataFrame(out)
+
+    balanced = media.repartition(F.crc32(F.col("media_id").cast("string")))
+    return balanced.select("media_id", "payload").mapInPandas(
+        kernel, PPM_RESIZE_SCHEMA
+    )
+
+
+def ppm_stream_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL container demux — the honest form of :func:`frame_sample`:
+    netpbm files may hold a SEQUENCE of concatenated images (the raw
+    frame format ffmpeg's image2pipe produces), so each payload is
+    walked image-by-image — every frame's header is tokenized for its
+    own dimensions (frames may differ in size), the raster is skipped
+    exactly, and every ``every``-th frame is emitted as its raw byte
+    slice. The offsets are DISCOVERED by parsing; the fixture stores the
+    generator-known per-frame offset/length lists oracle-side only, so
+    the DuckDB twin slicing ``hex(payload)`` at the stored offsets
+    verifies the walk byte-for-byte.
+
+    Output explodes (1 row in → N frame rows out): downstream shuffles
+    key on (media_id, frame_idx) — never repartition after this step."""
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "frame_w", "frame_h", "frame_payload",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                pos = 0
+                idx = 0
+                while pos < len(buf):
+                    try:
+                        w, h, _off, end = _parse_ppm_at(buf, pos)
+                    except ValueError as e:
+                        raise ValueError(
+                            f"invalid PPM stream at media_id={mid}, "
+                            f"frame {idx} (byte {pos}): {e}"
+                        ) from None
+                    if idx % every == 0:
+                        out["media_id"].append(int(mid))
+                        out["frame_idx"].append(idx)
+                        out["frame_w"].append(w)
+                        out["frame_h"].append(h)
+                        out["frame_payload"].append(buf[pos:end])
+                    pos = end
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    balanced = media.repartition(F.crc32(F.col("media_id").cast("string")))
+    return balanced.select("media_id", "payload").mapInPandas(
+        kernel, PPM_FRAME_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 250, codec: str = "fake") -> DataFrame:
     """Sample frames from video payloads (1 row in → N frame rows out).
 
-    The fake codec slices the payload deterministically; a real one would
-    seek the container. Output explodes, so any downstream shuffle keys
-    on (media_id, frame_idx) — never repartition after this step.
+    The fake codec slices the payload deterministically; real demuxing
+    of a library-free container exists — see :func:`ppm_stream_frames`
+    (concatenated-P6 streams). Output explodes, so any downstream
+    shuffle keys on (media_id, frame_idx) — never repartition after
+    this step.
     """
     if codec != "fake":
-        raise NotImplementedError("real container demuxing unavailable here")
+        raise NotImplementedError(
+            "library-backed container demuxing unavailable here; "
+            "library-free P6 stream demux is real — see ppm_stream_frames"
+        )
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -425,8 +761,8 @@ def load_media_partitioned(spark: SparkSession, path: str) -> DataFrame:
 def resize_meta(media: DataFrame, max_side: int = 32) -> DataFrame:
     """Metadata-only resize planning (no byte interpretation needed):
     target dimensions preserving aspect ratio — pure Column math, stays
-    JVM-side; the byte-level resample would be another mapInPandas kernel
-    behind the codec gate."""
+    JVM-side. The byte-level resample it plans for exists for real on
+    the library-free path: see :func:`ppm_resize`."""
     scale = F.least(
         F.lit(max_side) / F.col("width"), F.lit(max_side) / F.col("height"), F.lit(1.0)
     )
