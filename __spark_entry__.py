@@ -2257,6 +2257,43 @@ def _q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup detection end-to-end (streaming/ingest.py
+    stream_dedup_near): the corpus staged as doc_id-ordered arriving
+    files, drained through the route-on-arrival MinHash-LSH sink
+    (portable hashed-shingle sketches + band-bucket state + exact
+    hashed-set Jaccard verify), then the accumulated PAIRS table read
+    back. Uncapped here so the drained pair set is arrival-order-free
+    and equals the batch twin exactly (dedup.stream_dedup_near_sql);
+    the keep-first bucket cap is pinned by tests instead."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming.ingest import stream_dedup_near
+
+    d = tempfile.mkdtemp(prefix="sneardup_q_")
+    try:
+        base = load_table(spark, sf_dir, "documents")
+        base.repartitionByRange(4, "doc_id").write.parquet(f"{d}/src")
+        q = stream_dedup_near(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            max_bucket_width=None,
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        _await_drained(q)
+        return (
+            spark.read.parquet(f"{d}/table/pairs")
+            .orderBy("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted data-mixture sampling (operators/text.py
     corpus_mix): keep each doc with its language's target rate, decided
@@ -2618,12 +2655,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-11 rotation (derived from CORRECTNESS_r01-r10 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-12: keys whose code, parameters, or oracle changed THIS
+    #   1-13: keys whose code, parameters, or oracle changed THIS
     #   round and need fresh verdicts: ppm_decode / ppm_resize /
     #   ppm_frames (NEW — the real image codec paths: P6 header
     #   tokenization, byte-exact nearest-neighbor resize, concatenated
     #   frame-stream demux, byte-level DuckDB oracles over the committed
-    #   media_ppm fixtures), wav_decode (NEW — the real
+    #   media_ppm fixtures), stream_dedup_near (NEW — route-on-arrival
+    #   MinHash-LSH near-dup with band-bucket state, whole drained pair
+    #   set under the portable batch-twin oracle), wav_decode (NEW — the real
     #   RIFF/WAVE 16-bit-PCM decode path, byte-level DuckDB oracle over
     #   the committed media_wav fixture), the six _collapse_exact
     #   consumers (dedup_minhash, dedup_minhash_portable,
@@ -2635,16 +2674,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   _knn_batch_score + opt-in chunk_queries fallback + modal-length
     #   ragged diagnostic), heavy_hitters_cms_merged (_cms_meta read
     #   guard narrowed to PATH_NOT_FOUND).
-    #   13-23: the full r06-stale cohort (asof_join ... resize_meta) —
+    #   14-24: the full r06-stale cohort (asof_join ... resize_meta) —
     #   burning it lifts the staleness floor to r07.
-    #   24-50: the 27 oldest r07 keys in rotation_audit's suggested
-    #   order (span_dedup_hashed ... skew_join; the 3 displaced by the
-    #   new ppm keys lead the next rotation).
+    #   25-50: the 26 oldest r07 keys in rotation_audit's suggested
+    #   order (span_dedup_hashed ... sql_pricing_summary + bucket_route,
+    #   insert_append; the 4 displaced by the new keys lead the next
+    #   rotation).
     # Below the marker: every remaining key by ascending last-verdict
     # round (r07 remainder, then r08, r09, and the r10 window at the
     # back) — verdict age stays monotone down the dict.
     return {
-        # -- r11 window 1-12: changed/new this session ---------------------
+        # -- r11 window 1-13: changed/new this session ---------------------
         # ppm_decode / ppm_resize / ppm_frames are NEW (the real image
         # codec paths — P6 header tokenization, byte-level resize,
         # concatenated-stream demux); inserting them displaces the last
@@ -2654,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_decode": _q_ppm_decode,
         "ppm_resize": _q_ppm_resize,
         "ppm_frames": _q_ppm_frames,
+        "stream_dedup_near": _q_stream_dedup_near,
         "wav_decode": _q_wav_decode,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_portable": _q_dedup_minhash_portable,
@@ -2663,7 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh_capped": _q_dedup_embedding_lsh_capped,
         "embedding_knn_batch": _q_embedding_knn_batch,
         "heavy_hitters_cms_merged": _q_heavy_hitters_cms_merged,
-        # -- r11 window 13-23: the r06-stale cohort (floor -> r07) ---------
+        # -- r11 window 14-24: the r06-stale cohort (floor -> r07) ---------
         "asof_join": _q_asof_join,
         "stream_asof": _q_stream_asof,
         "stream_sessionize": _q_stream_sessionize,
@@ -2675,7 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "co_purchase": _q_co_purchase,
         "resize_meta": _q_resize_meta,
-        # -- r11 window 24-50: 27 oldest r07 keys (rotation_audit order) ---
+        # -- r11 window 25-50: 26 oldest r07 keys (rotation_audit order) ---
         "span_dedup_hashed": _q_span_dedup_hashed,
         "bpe_token_count": _q_bpe_token_count,
         "dedup_clusters_distributed": _q_dedup_clusters_distributed,
@@ -2702,12 +2743,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pricing_summary": _q_sql_pricing_summary,
         "bucket_route": _q_bucket_route,
         "insert_append": _q_insert_append,
-        "skew_join": _q_skew_join,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- remaining keys, ascending verdict age (r07 -> r10) ------------
-        # (running_total / knn_indexed / stream_ingest_points were
-        # displaced from the window by the 3 new ppm keys — front of the
+        # (skew_join / running_total / knn_indexed / stream_ingest_points
+        # were displaced from the window by the 4 new keys — front of the
         # next rotation)
+        "skew_join": _q_skew_join,
         "running_total": _q_running_total,
         "knn_indexed": _q_knn_indexed,
         "stream_ingest_points": _q_stream_ingest_points,
@@ -3485,6 +3526,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_knn_lsh": SIM.embedding_knn_lsh_sql(),
         "embedding_knn_ivf_portable": SIM.embedding_knn_ivf_portable_sql(),
+        # the streaming near-dup's drained pair set equals the batch
+        # twin exactly when uncapped (the registry staging): same
+        # portable hashes, same bands, same hashed-set Jaccard
+        "stream_dedup_near": D.stream_dedup_near_sql(),
         "dedup_embedding_lsh": D.dedup_embedding_lsh_sql(),
         "dedup_embedding_lsh_capped": D.dedup_embedding_lsh_sql(
             max_bucket_width=40

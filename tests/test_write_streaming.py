@@ -900,3 +900,159 @@ def test_stream_scd2_null_event_type_matches_batch(spark, tmp_table):
     # the absorbed NULL row: island 1 is ('a', n=2), then a NEW 'a'
     # island (row after a NULL state always starts one), then 'b' opens
     assert got == [("a", 10 * us, 30 * us, 2), ("a", 30 * us, 40 * us, 1)]
+
+
+# --- streaming NEAR-dup: route-on-arrival MinHash-LSH ----------------------
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _near_doc(i: int, text: str | None) -> tuple:
+    return (i, text, "en", "s", len(text) if text is not None else 0)
+
+
+def test_stream_dedup_near_matches_batch_sql(spark):
+    """The WHOLE drained multi-batch pair set equals the batch-form
+    DuckDB twin (dedup.stream_dedup_near_sql) on a corpus with exact
+    dups, a near-dup pair, and unrelated docs — the cross-engine check
+    the registry oracle runs at sf0.01, pinned here at unit scale with
+    explicit batch boundaries."""
+    import duckdb
+
+    from tiny_md_hbase_spark.operators.dedup import stream_dedup_near_sql
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")  # one token differs -> jac > 0.8
+    rows1 = [
+        _near_doc(1, base),
+        _near_doc(2, base),  # exact dup of 1
+        _near_doc(5, "completely different words about spark streaming state"),
+    ]
+    rows2 = [
+        _near_doc(3, near),  # near-dup of 1/2, arrives a batch later
+        _near_doc(7, "yet another unrelated document body with fresh tokens"),
+    ]
+    d = tempfile.mkdtemp(prefix="sneart_")
+    try:
+        spark.createDataFrame(rows1, _DOCS_SCHEMA).coalesce(1).write.parquet(
+            f"{d}/src"
+        )
+        time.sleep(1.1)
+        spark.createDataFrame(rows2, _DOCS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/src")
+        q = ING.stream_dedup_near(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            max_bucket_width=None,
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(300)
+        got = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in spark.read.parquet(f"{d}/table/pairs").collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                    "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows1 + rows2
+        )
+        want = sorted(con.execute(stream_dedup_near_sql()).fetchall())
+        assert got == want
+        assert (1, 2, 1.0) in [(a, b, j) for a, b, j in got]  # the exact dup
+        assert any(b == 3 for _, b, _j in got)  # the cross-batch near-dup
+        # state is hashes, not text: the hs table has one row per arrival
+        assert spark.read.parquet(f"{d}/table/hs").count() == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_near_cap_keep_first(spark):
+    """Bucket-cap semantics pinned: with max_bucket_width=2 and four
+    identical docs (1,2 in batch 1; 3 same batch; 4 a batch later),
+    enrollment is keep-FIRST (docs 1,2) — later arrivals still PROBE
+    the full bucket (pairs to 1 and 2 found) but never enroll, so
+    (3,4) is not emitted. Equal to the row_number-capped SQL form."""
+    import duckdb
+
+    from tiny_md_hbase_spark.operators.dedup import stream_dedup_near_sql
+
+    text = "same identical content repeated across many arriving documents here"
+    rows1 = [_near_doc(1, text), _near_doc(2, text), _near_doc(3, text)]
+    rows2 = [_near_doc(4, text)]
+    d = tempfile.mkdtemp(prefix="sneartc_")
+    try:
+        spark.createDataFrame(rows1, _DOCS_SCHEMA).coalesce(1).write.parquet(
+            f"{d}/src"
+        )
+        time.sleep(1.1)
+        spark.createDataFrame(rows2, _DOCS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/src")
+        q = ING.stream_dedup_near(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            max_bucket_width=2,
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(300)
+        got = sorted(
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(f"{d}/table/pairs").collect()
+        )
+        assert got == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+        # enrollment stopped at width 2: the band state holds docs 1,2 only
+        enrolled = {
+            r.doc_id for r in spark.read.parquet(f"{d}/table/bands").collect()
+        }
+        assert enrolled == {1, 2}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                    "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows1 + rows2
+        )
+        want = sorted(
+            (a, b)
+            for a, b, _j in con.execute(
+                stream_dedup_near_sql(max_bucket_width=2)
+            ).fetchall()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_near_degenerate_text(spark):
+    """NULL / empty / whitespace-only texts all sketch to the same
+    [''-shingle] set (the corpus-wide NULL ≡ '' convention) and pair at
+    1.0 with each other — and never with a real document."""
+    rows = [
+        _near_doc(1, None),
+        _near_doc(2, ""),
+        _near_doc(3, "   "),
+        _near_doc(4, "a real document with plenty of ordinary text tokens"),
+    ]
+    d = tempfile.mkdtemp(prefix="sneartn_")
+    try:
+        spark.createDataFrame(rows, _DOCS_SCHEMA).coalesce(1).write.parquet(
+            f"{d}/src"
+        )
+        q = ING.stream_dedup_near(
+            spark, f"{d}/src", f"{d}/table", f"{d}/ckpt", available_now=True
+        )
+        assert q.awaitTermination(300)
+        got = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in spark.read.parquet(f"{d}/table/pairs").collect()
+        )
+        assert got == [(1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -43,6 +43,7 @@ __all__ = [
     "dedup_semantic_sql",
     "dedup_incremental",
     "dedup_incremental_sql",
+    "stream_dedup_near_sql",
     "dedup_keep_best",
     "dedup_edit",
     "dedup_edit_sql",
@@ -606,6 +607,148 @@ def dedup_minhash_portable_sql(
         "SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, "
         "CAST(1.0 AS DOUBLE) AS jaccard "
         "FROM grp x JOIN grp y ON x.rep = y.rep AND x.doc_id < y.doc_id"
+    )
+
+
+def _portable_hashed(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, hs): each document's DISTINCT shingle set as SORTED
+    polynomial hashes — the 8-byte-per-shingle sketch the streaming
+    near-dup keeps as state instead of text (at 100 TB the state is
+    hashes, never re-readable text). Same tokenization (NULL ≡ ''),
+    same shingles, same per-character fold as :func:`_portable_banded`,
+    so the streaming twin's whole pipeline stays cross-engine exact."""
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
+
+    fold = lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD  # noqa: E731
+    codes = F.transform(F.split("s", ""), lambda c: F.ascii(c).cast("long"))
+    h = F.aggregate(codes, F.lit(0).cast("long"), fold)
+    return (
+        documents.select(
+            "doc_id",
+            F.explode(
+                shingles(F.coalesce(F.col("text"), F.lit("")), n)
+            ).alias("s"),
+        )
+        .select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("h")).alias("hs"))
+    )
+
+
+def _banded_from_hs(
+    hs_df: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, band, bhash) band keys derived from a (doc_id, hs)
+    hashed-shingle table: k min-hash permutations as array_min over a
+    map-side transform (min over the DISTINCT set equals min over the
+    shingle bag — duplicates never change a minimum), band keys folding
+    each band's mins with the shared polynomial. No explode, no
+    shuffle: one projection per row."""
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
+
+    rows_per_band = num_hashes // bands
+    fold = lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD  # noqa: E731
+
+    def _perm(i: int):
+        # a single-arg closure: a two-arg lambda would hit F.transform's
+        # (element, index) calling convention and silently replace the
+        # permutation number with the array index
+        a, b = 2 * i + 1, 7919 * (i + 1)
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)
+
+    mins = [
+        F.array_min(F.transform("hs", _perm(i))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = hs_df.select("doc_id", *mins)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.aggregate(
+                            F.array(
+                                *[
+                                    F.col(f"m{j}")
+                                    for j in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ]
+                            ),
+                            F.lit(0).cast("long"),
+                            fold,
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bhash")
+
+
+def stream_dedup_near_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_bucket_width: int | None = None,
+) -> str:
+    """DuckDB twin of ``streaming.ingest.stream_dedup_near``'s drained
+    pair set: the same portable front end over the WHOLE corpus at
+    once — hashed-shingle sets, min-hash bands, banded candidates,
+    hashed-set Jaccard verify. Under a ``max_bucket_width`` the stored
+    side is the FIRST ``W`` doc_ids per bucket (row_number by doc_id —
+    equal to the streaming keep-first cap exactly when arrival order is
+    doc_id order, which the registry staging guarantees); the arriving
+    side is never capped, mirroring the sink's stored x arriving join."""
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, tokens_sql
+    from tiny_md_hbase_spark.operators.text import shingles_sql as _sh_sql
+
+    rows_per_band = num_hashes // bands
+    toks_nn = tokens_sql("coalesce(text, '')")
+    char_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {2 * i + 1} + {7919 * (i + 1)}) "
+        f"% {_MERSENNE31})) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, list_reduce(list_prepend(CAST(0 AS BIGINT), ["
+        + ", ".join(f"m{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band))
+        + f"]), (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) AS bhash FROM sig"
+        for b in range(bands)
+    )
+    stored = (
+        "banded"
+        if max_bucket_width is None
+        else "(SELECT doc_id, band, bhash FROM banded QUALIFY "
+        "row_number() OVER (PARTITION BY band, bhash ORDER BY doc_id) "
+        f"<= {max_bucket_width})"
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {toks_nn} AS toks FROM documents), "
+        f"sh AS (SELECT doc_id, {_sh_sql(n)} AS s FROM t), "
+        "hset AS (SELECT doc_id, list_sort(list_distinct("
+        f"list_transform(s, g -> {char_hash}))) AS hs FROM sh), "
+        f"sig AS (SELECT doc_id, hs, {mins} FROM hset), "
+        f"banded AS ({band_rows}), "
+        f"stored AS (SELECT * FROM {stored}), "
+        "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM stored a JOIN banded b ON a.band = b.band AND a.bhash = b.bhash "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ("
+        "  SELECT doc_a, doc_b,"
+        "    CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)"
+        "      / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS jac"
+        "  FROM cand JOIN hset ha ON ha.doc_id = doc_a "
+        "  JOIN hset hb ON hb.doc_id = doc_b"
+        f") WHERE jac >= {jaccard_threshold}"
     )
 
 

@@ -39,6 +39,7 @@ __all__ = [
     "stream_asof",
     "stream_dedup_events",
     "stream_dedup_docs",
+    "stream_dedup_near",
     "stream_ingest_embeddings",
     "stream_manifest",
     "merge_manifest_batch",
@@ -418,6 +419,143 @@ def stream_dedup_docs(
             "doc_id", "text", "lang", "source", "n_chars"
         ).write.mode("append").parquet(f"{table_path}/docs")
         surv.select("h").write.mode("append").parquet(f"{table_path}/seen")
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_dedup_near(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_bucket_width: int | None = 64,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming NEAR-duplicate detection — the streaming twin of
+    ``dedup.dedup_minhash_portable``: route-on-arrival MinHash-LSH.
+    Each micro-batch computes the portable hashed-shingle sketch and
+    min-hash band keys for the arriving documents, joins the arrivals
+    against the persisted band-bucket state (plus each other), verifies
+    candidates with the exact hashed-set Jaccard, appends surviving
+    pairs to ``{table_path}/pairs``, and extends the state tables.
+
+    State = ``{table_path}/bands`` (band, bhash, doc_id — the LSH
+    routing table) and ``{table_path}/hs`` (doc_id, hs — the 8-byte-
+    per-shingle sketch used for verification). Arriving TEXT is read
+    once, ever: per batch the work is O(batch x colliding-state), and
+    what persists is hashes, never text — at 100 TB the state is a few
+    % of corpus bytes and the candidate join touches only the buckets
+    the batch lands in.
+
+    ``max_bucket_width`` caps state growth per band bucket: a bucket
+    already holding ``W`` stored docs accepts no more (keep-FIRST in
+    arrival order — the streaming analog of the batch cap; arriving
+    docs still probe full buckets, they just stop enrolling). This
+    bounds the giant-family quadratic hazard exactly like the batch
+    guards: a pathological all-identical stream emits at most
+    ``W x arrivals`` pairs, not arrivals². With doc_id-ordered arrival
+    the drained pair set equals ``dedup.stream_dedup_near_sql``'s
+    row_number-capped batch form (oracle-checked); under unordered
+    arrival the PAIR SET for uncapped runs is still arrival-order-free
+    (every pair is found when its later side arrives), only WHICH docs
+    enroll in a full bucket varies.
+
+    Same at-least-once caveat as :func:`stream_dedup_docs`: the three
+    appends are not atomic; production closes the replay window with a
+    transactional table format or batch_id stamps."""
+    from tiny_md_hbase_spark.operators.dedup import (
+        _banded_from_hs,
+        _portable_hashed,
+    )
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        ss = batch.sparkSession
+        hs_new = _portable_hashed(batch, n).localCheckpoint()
+        banded_new = _banded_from_hs(hs_new, num_hashes, bands)
+        bands_path = f"{table_path}/bands"
+        hs_path = f"{table_path}/hs"
+        state_bands = (
+            ss.read.parquet(bands_path) if os.path.exists(bands_path) else None
+        )
+        state_hs = ss.read.parquet(hs_path) if os.path.exists(hs_path) else None
+
+        # enrollment: new rows rank behind the bucket's current
+        # occupancy (within-batch ties ordered by doc_id) and enroll
+        # only while the bucket has room
+        if max_bucket_width is None:
+            stored_new = banded_new
+        else:
+            w = Window.partitionBy("band", "bhash").orderBy("doc_id")
+            rn = banded_new.withColumn("rn", F.row_number().over(w))
+            if state_bands is not None:
+                occ = state_bands.groupBy("band", "bhash").agg(
+                    F.count(F.lit(1)).alias("occ")
+                )
+                rn = rn.join(occ, ["band", "bhash"], "left").withColumn(
+                    "rn", F.col("rn") + F.coalesce("occ", F.lit(0))
+                )
+            stored_new = rn.filter(F.col("rn") <= max_bucket_width).select(
+                "doc_id", "band", "bhash"
+            )
+        stored = (
+            stored_new
+            if state_bands is None
+            else state_bands.unionByName(stored_new)
+        )
+
+        # candidates: stored x ARRIVING on the band key (the arriving
+        # side probes even when its own enrollment was capped), then
+        # cross-band dedup; least/greatest so a pair is one row no
+        # matter which side arrived later
+        cand = (
+            stored.alias("a")
+            .join(banded_new.alias("b"), ["band", "bhash"])
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        hs_all = hs_new if state_hs is None else state_hs.unionByName(hs_new)
+        pairs = cand.join(
+            hs_all.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+            "doc_a",
+        ).join(
+            hs_all.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+            "doc_b",
+        )
+        inter = F.size(F.array_intersect("hs_a", "hs_b"))
+        union = F.size("hs_a") + F.size("hs_b") - inter
+        jac = inter / union
+        out = (
+            pairs.filter(jac >= jaccard_threshold)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .localCheckpoint()  # materialize BEFORE the state appends
+        )
+        stored_new = stored_new.localCheckpoint()
+        out.write.mode("append").parquet(f"{table_path}/pairs")
+        stored_new.write.mode("append").parquet(bands_path)
+        hs_new.write.mode("append").parquet(hs_path)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
