@@ -1056,3 +1056,53 @@ def test_stream_dedup_near_degenerate_text(spark):
         assert got == [(1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_near_production_family_agrees(spark):
+    """The production hash family (xxhash64 — one JVM hash per shingle)
+    drains the same pair set WITH the same jaccard values as the
+    portable batch-form SQL: both families' jaccards are set-Jaccard
+    over (distinct) hashed shingles, which equals string-set Jaccard
+    under either injective-enough hash — so the values, not just the
+    pair ids, must agree."""
+    import duckdb
+
+    from tiny_md_hbase_spark.operators.dedup import stream_dedup_near_sql
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        _near_doc(1, base),
+        _near_doc(2, base),
+        _near_doc(3, base.replace("today", "tonight")),
+        _near_doc(5, "completely different words about spark streaming state"),
+    ]
+    d = tempfile.mkdtemp(prefix="sneartx_")
+    try:
+        spark.createDataFrame(rows, _DOCS_SCHEMA).coalesce(1).write.parquet(
+            f"{d}/src"
+        )
+        q = ING.stream_dedup_near(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            max_bucket_width=None,
+            hash_family="xxhash64",
+            available_now=True,
+        )
+        assert q.awaitTermination(300)
+        got = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in spark.read.parquet(f"{d}/table/pairs").collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                    "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows)
+        want = sorted(con.execute(stream_dedup_near_sql()).fetchall())
+        assert got == want
+        with pytest.raises(ValueError, match="hash_family"):
+            from tiny_md_hbase_spark.operators.dedup import _hashed_shingles
+            _hashed_shingles(spark.createDataFrame(rows, _DOCS_SCHEMA), 3, "md5")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

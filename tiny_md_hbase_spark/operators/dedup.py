@@ -610,20 +610,42 @@ def dedup_minhash_portable_sql(
     )
 
 
-def _portable_hashed(documents: DataFrame, n: int = 3) -> DataFrame:
+def _hashed_shingles(
+    documents: DataFrame, n: int = 3, hash_family: str = "portable"
+) -> DataFrame:
     """(doc_id, hs): each document's DISTINCT shingle set as SORTED
-    polynomial hashes — the 8-byte-per-shingle sketch the streaming
-    near-dup keeps as state instead of text (at 100 TB the state is
-    hashes, never re-readable text). Same tokenization (NULL ≡ ''),
-    same shingles, same per-character fold as :func:`_portable_banded`,
-    so the streaming twin's whole pipeline stays cross-engine exact."""
+    hashes — the 8-byte-per-shingle sketch the streaming near-dup keeps
+    as state instead of text (at 100 TB the state is hashes, never
+    re-readable text). Same tokenization (NULL ≡ ''), same shingles as
+    :func:`_portable_banded`.
+
+    ``hash_family='portable'`` uses the per-character polynomial fold
+    any engine reproduces bit-for-bit (the oracle-checkable form);
+    ``'xxhash64'`` is the production path — one JVM hash call per
+    shingle instead of an interpreted fold over every character, the
+    same split :func:`dedup_minhash` vs :func:`dedup_minhash_portable`
+    make. Both reduce into the Mersenne-31 domain the permutation
+    family expects."""
     from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
 
-    fold = lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD  # noqa: E731
-    codes = F.transform(F.split("s", ""), lambda c: F.ascii(c).cast("long"))
-    h = F.aggregate(codes, F.lit(0).cast("long"), fold)
+    if hash_family == "portable":
+        fold = lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD  # noqa: E731
+        codes = F.transform(F.split("s", ""), lambda c: F.ascii(c).cast("long"))
+        h = F.aggregate(codes, F.lit(0).cast("long"), fold)
+    elif hash_family == "xxhash64":
+        h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31))
+    else:
+        raise ValueError(
+            f"unknown hash_family {hash_family!r}: use 'portable' or 'xxhash64'"
+        )
+    # spread the shingle/hash projection BEFORE the heavy work: a
+    # streaming micro-batch arrives with the file source's partitioning
+    # (often ONE file -> one task would do all the hashing)
+    docs = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     return (
-        documents.select(
+        docs.select(
             "doc_id",
             F.explode(
                 shingles(F.coalesce(F.col("text"), F.lit("")), n)

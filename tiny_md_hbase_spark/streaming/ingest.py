@@ -440,6 +440,7 @@ def stream_dedup_near(
     n: int = 3,
     jaccard_threshold: float = 0.8,
     max_bucket_width: int | None = 64,
+    hash_family: str = "portable",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
@@ -472,12 +473,19 @@ def stream_dedup_near(
     (every pair is found when its later side arrives), only WHICH docs
     enroll in a full bucket varies.
 
+    ``hash_family`` picks the shingle hash: ``'portable'`` (default)
+    is the per-character polynomial fold the DuckDB twin reproduces
+    bit-for-bit — the oracle-checkable form; ``'xxhash64'`` is the
+    production path (one JVM hash per shingle, no interpreted fold) —
+    the same split ``dedup_minhash`` vs ``dedup_minhash_portable``
+    make, with a cross-family recall test pinning their agreement.
+
     Same at-least-once caveat as :func:`stream_dedup_docs`: the three
     appends are not atomic; production closes the replay window with a
     transactional table format or batch_id stamps."""
     from tiny_md_hbase_spark.operators.dedup import (
         _banded_from_hs,
-        _portable_hashed,
+        _hashed_shingles,
     )
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
@@ -489,8 +497,10 @@ def stream_dedup_near(
         from pyspark.sql.window import Window
 
         ss = batch.sparkSession
-        hs_new = _portable_hashed(batch, n).localCheckpoint()
-        banded_new = _banded_from_hs(hs_new, num_hashes, bands)
+        hs_new = _hashed_shingles(batch, n, hash_family).localCheckpoint()
+        # banded_new feeds the enrollment write AND the candidate join —
+        # checkpoint so the 16-permutation band projection runs once
+        banded_new = _banded_from_hs(hs_new, num_hashes, bands).localCheckpoint()
         bands_path = f"{table_path}/bands"
         hs_path = f"{table_path}/hs"
         state_bands = (
@@ -513,9 +523,11 @@ def stream_dedup_near(
                 rn = rn.join(occ, ["band", "bhash"], "left").withColumn(
                     "rn", F.col("rn") + F.coalesce("occ", F.lit(0))
                 )
+            # materialized: its plan reads bands_path (the occupancy
+            # join), which the sink appends to below
             stored_new = rn.filter(F.col("rn") <= max_bucket_width).select(
                 "doc_id", "band", "bhash"
-            )
+            ).localCheckpoint()
         stored = (
             stored_new
             if state_bands is None
@@ -552,7 +564,6 @@ def stream_dedup_near(
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
             .localCheckpoint()  # materialize BEFORE the state appends
         )
-        stored_new = stored_new.localCheckpoint()
         out.write.mode("append").parquet(f"{table_path}/pairs")
         stored_new.write.mode("append").parquet(bands_path)
         hs_new.write.mode("append").parquet(hs_path)
