@@ -365,13 +365,73 @@ def embedding_lsh_section(spark, args, run_noop) -> list[tuple]:
     return rows
 
 
+def stream_section(spark, args) -> list[tuple]:
+    """Giant-exact-dup-family fan-out for stream_dedup_near: the pair
+    EMISSION bound is the streaming-specific hazard — an uncapped drain
+    of a g-member identical family appends C(g,2) verified pairs (the
+    batch guards cut candidates; a stream also has to not EMIT them),
+    while the keep-first enrollment cap bounds the family's output to
+    ~W*g (each arrival pairs with at most W stored members). Measures
+    drained pair counts uncapped (guard-skipped at 10x) vs capped
+    (W=64) and the capped drain's wall time, production hash family."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiny_md_hbase_spark.streaming.ingest import stream_dedup_near
+
+    rows = []
+    for copies, label in ((1, "1x"), (10, "10x")):
+        docs = planted_identical(spark, args.sf_dir, copies)
+        n = docs.count()
+        g = (n + 9) // 10
+        projected = g * (g - 1) // 2
+        print(f"== stream {label}: {n} docs, family g={g}, "
+              f"uncapped family emission C(g,2) = {projected:,}")
+        docs5 = docs.select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("s").alias("source"), F.length("text").alias("n_chars"),
+        )
+        res = {}
+        for cap in (None, 64):
+            if cap is None and projected > args.uncapped_guard // 100:
+                res["uncapped"] = None  # the emission the cap exists to bound
+                continue
+            d = tempfile.mkdtemp(prefix=f"skewstream_{label}_")
+            try:
+                docs5.repartitionByRange(4, "doc_id").write.parquet(f"{d}/src")
+                t0 = time.perf_counter()
+                q = stream_dedup_near(
+                    spark, f"{d}/src", f"{d}/table", f"{d}/ckpt",
+                    max_bucket_width=cap, hash_family="xxhash64",
+                    available_now=True, max_files_per_trigger=1,
+                )
+                q.awaitTermination()
+                dt = time.perf_counter() - t0
+                n_pairs = spark.read.parquet(f"{d}/table/pairs").count()
+                res["uncapped" if cap is None else "capped"] = (n_pairs, dt)
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        rows.append((label, n, g, res.get("uncapped"), res["capped"]))
+        print(f"   uncapped={res.get('uncapped')} capped={res['capped']}")
+    print("\n| scale | docs | family g | pairs uncapped (drain s) | "
+          "pairs capped W=64 (drain s) |")
+    print("|---|---|---|---|---|")
+    for label, n, g, unc, capd in rows:
+        unc_s = f"{unc[0]:,} ({unc[1]:.1f} s)" if unc else "guard-skipped"
+        print(f"| {label} | {n:,} | {g:,} | {unc_s} | "
+              f"{capd[0]:,} ({capd[1]:.1f} s) |")
+    return rows
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--uncapped-guard", type=int, default=200_000_000)
     ap.add_argument(
         "--section",
-        choices=["grams", "minhash", "embedding", "all"],
+        choices=["grams", "minhash", "embedding", "stream", "all"],
         default="all",
     )
     args = ap.parse_args()
@@ -388,7 +448,9 @@ def main() -> int:
         minhash_section(spark, args, run_noop)
     if args.section in ("embedding", "all"):
         embedding_lsh_section(spark, args, run_noop)
-    if args.section in ("minhash", "embedding"):
+    if args.section in ("stream", "all"):
+        stream_section(spark, args)
+    if args.section in ("minhash", "embedding", "stream"):
         spark.stop()
         return 0
 
