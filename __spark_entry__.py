@@ -3529,7 +3529,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming near-dup's drained pair set equals the batch
         # twin exactly when uncapped (the registry staging): same
         # portable hashes, same bands, same hashed-set Jaccard
-        "stream_dedup_near": D.stream_dedup_near_sql(),
+        "stream_dedup_near": D.stream_dedup_near_sql(max_bucket_width=None),
         "dedup_embedding_lsh": D.dedup_embedding_lsh_sql(),
         "dedup_embedding_lsh_capped": D.dedup_embedding_lsh_sql(
             max_bucket_width=40

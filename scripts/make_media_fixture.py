@@ -109,11 +109,18 @@ def _ppm_rows(n: int = 46, seed: int = 2311) -> list[tuple]:
         w = 3 + rng.randrange(28)
         h = 2 + rng.randrange(23)
         comments = None
+        comment_end = b"\n"
         if i % 3 == 2:
             # digits in comments are load-bearing: a naive digit grab
             # would read 9999 as the width
             comments = [b" width 9999", b"h=1234 trailer"][: 1 + (i % 2)]
-        payload = make_ppm(w, h, _rgb(rng, w * h), comments, seps[i % 4])
+            if i % 6 == 5:
+                # CR-terminated comments are legal netpbm: a parser that
+                # scans only for \n swallows the tokens after the comment
+                comment_end = b"\r"
+        payload = make_ppm(
+            w, h, _rgb(rng, w * h), comments, seps[i % 4], comment_end
+        )
         rows.append((i, payload, w, h, len(payload) - w * h * 3))
     # degenerates: 1x1 (smallest real raster), 0x5 and 5x0 (legal P6
     # headers, empty raster — pin the kernel's 0-stat row AND the

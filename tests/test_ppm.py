@@ -79,6 +79,26 @@ def test_parse_ppm_comment_digits_not_dims():
     assert _parse_ppm(payload)[:2] == (4, 3)
 
 
+def test_parse_ppm_cr_terminated_comment():
+    """netpbm comments end at CR OR LF: a parser scanning only for \\n
+    would swallow the tokens after a CR-terminated comment and silently
+    mis-parse the dimensions (reading maxval as width)."""
+    rgb = _raster(12, 7)
+    payload = make_ppm(12, 7, rgb, [b" c"], b"\n", comment_end=b"\r")
+    assert payload.startswith(b"P6\n# c\r12")  # CR, no LF, then width
+    assert _parse_ppm(payload) == (12, 7, rgb)
+    # and the hand-built spec example from the review
+    manual = b"P6\n# c\r12 7\n255\n" + rgb
+    assert _parse_ppm(manual) == (12, 7, rgb)
+
+
+def test_make_ppm_rejects_bad_args():
+    with pytest.raises(ValueError, match="at most 3"):
+        make_ppm(1, 1, _raster(1, 1), [b"a", b"b", b"c", b"d"])
+    with pytest.raises(ValueError, match="LF or CR"):
+        make_ppm(1, 1, _raster(1, 1), [b"a"], comment_end=b";")
+
+
 def test_resize_target_exact_integer_rules():
     # no upscale; aspect preserved via the longer side; never 0 for
     # a nonzero source side; zero-area sources go to 0x0

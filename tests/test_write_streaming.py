@@ -1013,6 +1013,11 @@ def test_stream_dedup_near_cap_keep_first(spark):
             r.doc_id for r in spark.read.parquet(f"{d}/table/bands").collect()
         }
         assert enrolled == {1, 2}
+        # sketches persist only for ENROLLED docs: a doc capped out of
+        # every bucket can never be the stored side of a future pair
+        assert {
+            r.doc_id for r in spark.read.parquet(f"{d}/table/hs").collect()
+        } == {1, 2}
         con = duckdb.connect()
         con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
                     "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
@@ -1104,5 +1109,40 @@ def test_stream_dedup_near_production_family_agrees(spark):
         with pytest.raises(ValueError, match="hash_family"):
             from tiny_md_hbase_spark.operators.dedup import _hashed_shingles
             _hashed_shingles(spark.createDataFrame(rows, _DOCS_SCHEMA), 3, "md5")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_near_param_marker_guards_state(spark):
+    """Re-draining into an existing state directory with different LSH
+    parameters raises loudly (mixing hash domains would silently miss
+    pairs); the original parameters keep working."""
+    rows = [_near_doc(1, "some ordinary document text tokens here")]
+    d = tempfile.mkdtemp(prefix="sneartp_")
+    try:
+        spark.createDataFrame(rows, _DOCS_SCHEMA).coalesce(1).write.parquet(
+            f"{d}/src1"
+        )
+        q = ING.stream_dedup_near(
+            spark, f"{d}/src1", f"{d}/table", f"{d}/ckpt1", available_now=True
+        )
+        assert q.awaitTermination(300)
+        assert spark.read.parquet(f"{d}/table/_params").collect()[0].bands == 4
+
+        spark.createDataFrame(
+            [_near_doc(2, "more text")], _DOCS_SCHEMA
+        ).coalesce(1).write.parquet(f"{d}/src2")
+        q2 = ING.stream_dedup_near(
+            spark, f"{d}/src2", f"{d}/table", f"{d}/ckpt2",
+            hash_family="xxhash64", available_now=True,
+        )
+        with pytest.raises(Exception, match="hash_family|mixing hash domains"):
+            q2.awaitTermination(300)
+            raise AssertionError("drain with mismatched params must fail")
+        # the original parameters still drain fine
+        q3 = ING.stream_dedup_near(
+            spark, f"{d}/src2", f"{d}/table", f"{d}/ckpt3", available_now=True
+        )
+        assert q3.awaitTermination(300)
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -415,6 +415,46 @@ def dedup_minhash(
     )
 
 
+def _portable_char_hash_sql() -> str:
+    """The ONE DuckDB rendering of the portable per-character polynomial
+    shingle hash (over a shingle string bound as ``g``). text.py's
+    shingles_sql docstring records what happens when this fragment is
+    copy-pasted instead: the r10 degenerate-content fix had to chase
+    five copies — every portable-SQL builder must call this."""
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
+
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
+    )
+
+
+def _portable_mins_sql(num_hashes: int) -> str:
+    """The ONE DuckDB rendering of the min-hash permutation family
+    (over a per-doc hash list bound as ``hs``): ``m0..m{k-1}`` select
+    items."""
+    return ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {2 * i + 1} + {7919 * (i + 1)}) "
+        f"% {_MERSENNE31})) AS m{i}"
+        for i in range(num_hashes)
+    )
+
+
+def _portable_band_rows_sql(num_hashes: int, bands: int) -> str:
+    """The ONE DuckDB rendering of the band-key fold (reading a ``sig``
+    CTE with ``m0..m{k-1}`` columns): UNION ALL of one SELECT per band."""
+    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD
+
+    rows_per_band = num_hashes // bands
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, list_reduce(list_prepend(CAST(0 AS BIGINT), ["
+        + ", ".join(f"m{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band))
+        + f"]), (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) AS bhash FROM sig"
+        for b in range(bands)
+    )
+
+
 def _portable_banded(
     documents: DataFrame, num_hashes: int, bands: int, n: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -545,29 +585,14 @@ def dedup_minhash_portable_sql(
     collapse (min doc_id per identical text), same shingles, same
     polynomial hashes, same band fold, same bucket-width cap (QUALIFY
     over the identical count), same verify, same group re-expansion."""
-    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, tokens_sql
-
+    from tiny_md_hbase_spark.operators.text import tokens_sql
     from tiny_md_hbase_spark.operators.text import shingles_sql as _sh_sql
 
-    rows_per_band = num_hashes // bands
     toks_nn = tokens_sql("coalesce(text, '')")
     shingles_sql = _sh_sql(3)
-    char_hash = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))), "
-        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
-    )
-    mins = ", ".join(
-        f"list_min(list_transform(hs, h -> (h * {2 * i + 1} + {7919 * (i + 1)}) "
-        f"% {_MERSENNE31})) AS m{i}"
-        for i in range(num_hashes)
-    )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, list_reduce(list_prepend(CAST(0 AS BIGINT), ["
-        + ", ".join(f"m{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band))
-        + f"]), (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) AS bhash FROM sig"
-        for b in range(bands)
-    )
+    char_hash = _portable_char_hash_sql()
+    mins = _portable_mins_sql(num_hashes)
+    band_rows = _portable_band_rows_sql(num_hashes, bands)
     cap_cte = (
         "banded"
         if max_bucket_width is None
@@ -715,37 +740,26 @@ def stream_dedup_near_sql(
     bands: int = 4,
     n: int = 3,
     jaccard_threshold: float = 0.8,
-    max_bucket_width: int | None = None,
+    max_bucket_width: int | None = 64,
 ) -> str:
     """DuckDB twin of ``streaming.ingest.stream_dedup_near``'s drained
     pair set: the same portable front end over the WHOLE corpus at
     once — hashed-shingle sets, min-hash bands, banded candidates,
-    hashed-set Jaccard verify. Under a ``max_bucket_width`` the stored
+    hashed-set Jaccard verify. Defaults mirror the streaming operator's
+    (including the cap) so default-to-default cross-checks agree; the
+    registry key passes ``max_bucket_width=None`` on BOTH sides. Under
+    a ``max_bucket_width`` the stored
     side is the FIRST ``W`` doc_ids per bucket (row_number by doc_id —
     equal to the streaming keep-first cap exactly when arrival order is
     doc_id order, which the registry staging guarantees); the arriving
     side is never capped, mirroring the sink's stored x arriving join."""
-    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, tokens_sql
+    from tiny_md_hbase_spark.operators.text import tokens_sql
     from tiny_md_hbase_spark.operators.text import shingles_sql as _sh_sql
 
-    rows_per_band = num_hashes // bands
     toks_nn = tokens_sql("coalesce(text, '')")
-    char_hash = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))), "
-        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
-    )
-    mins = ", ".join(
-        f"list_min(list_transform(hs, h -> (h * {2 * i + 1} + {7919 * (i + 1)}) "
-        f"% {_MERSENNE31})) AS m{i}"
-        for i in range(num_hashes)
-    )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, list_reduce(list_prepend(CAST(0 AS BIGINT), ["
-        + ", ".join(f"m{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band))
-        + f"]), (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) AS bhash FROM sig"
-        for b in range(bands)
-    )
+    char_hash = _portable_char_hash_sql()
+    mins = _portable_mins_sql(num_hashes)
+    band_rows = _portable_band_rows_sql(num_hashes, bands)
     stored = (
         "banded"
         if max_bucket_width is None
@@ -840,27 +854,13 @@ def decontaminate_fuzzy_sql(
     """DuckDB twin of :func:`decontaminate_fuzzy` — same shingles, same
     polynomial signature/band arithmetic, same split, same verify, so
     the whole probabilistic pipeline is under the oracle."""
-    from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, tokens_sql
+    from tiny_md_hbase_spark.operators.text import tokens_sql
     from tiny_md_hbase_spark.operators.text import shingles_sql as _sh_sql
 
-    rows_per_band = num_hashes // bands
     shingles_sql = _sh_sql(3)
-    char_hash = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))), "
-        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
-    )
-    mins = ", ".join(
-        f"list_min(list_transform(hs, h -> (h * {2 * i + 1} + {7919 * (i + 1)}) "
-        f"% {_MERSENNE31})) AS m{i}"
-        for i in range(num_hashes)
-    )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, list_reduce(list_prepend(CAST(0 AS BIGINT), ["
-        + ", ".join(f"m{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band))
-        + f"]), (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) AS bhash FROM sig"
-        for b in range(bands)
-    )
+    char_hash = _portable_char_hash_sql()
+    mins = _portable_mins_sql(num_hashes)
+    band_rows = _portable_band_rows_sql(num_hashes, bands)
     return (
         f"WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents), "
         f"sh AS (SELECT doc_id, {shingles_sql} AS s FROM t), "

@@ -409,30 +409,37 @@ def make_ppm(
     rgb: bytes,
     comments: list[bytes] | None = None,
     ws: bytes = b"\n",
+    comment_end: bytes = b"\n",
 ) -> bytes:
     """Serialize an RGB raster into a real binary PPM (netpbm P6)
     container — the encode half of :func:`ppm_decode`, used by the
     committed fixture (scripts/make_media_fixture.py) and the tests.
 
-    ``comments`` are inserted BETWEEN header tokens (after the magic,
-    between width and height, between height and maxval — cycling), and
-    ``ws`` picks the inter-token whitespace, so fixture payloads force a
-    decoder to tokenize the header for real: a parser that assumed
-    ``P6\\n<w> <h>\\n255\\n`` byte layout, or read the first digits it
-    saw (comments may contain digits), would compute a wrong raster
-    offset and mismatch the byte-level oracle."""
+    ``comments`` are inserted BETWEEN header tokens (at most three —
+    one per gap: after the magic, between width and height, between
+    height and maxval), and ``ws`` picks the inter-token whitespace, so
+    fixture payloads force a decoder to tokenize the header for real: a
+    parser that assumed ``P6\\n<w> <h>\\n255\\n`` byte layout, or read
+    the first digits it saw (comments may contain digits), would
+    compute a wrong raster offset and mismatch the byte-level oracle."""
     if len(rgb) != width * height * 3:
         raise ValueError(
             f"raster is {len(rgb)} bytes; {width}x{height} RGB needs "
             f"{width * height * 3}"
         )
+    if comments is not None and len(comments) > 3:
+        raise ValueError(
+            f"at most 3 header comments (one per token gap), got {len(comments)}"
+        )
+    if comment_end not in (b"\n", b"\r"):
+        raise ValueError("comments end at LF or CR per the netpbm spec")
     toks = [str(width).encode(), str(height).encode(), b"255"]
     out = b"P6"
     cm = list(comments or [])
     for i, tok in enumerate(toks):
         out += ws
         if i < len(cm):
-            out += b"#" + cm[i] + b"\n"
+            out += b"#" + cm[i] + comment_end
         out += tok
     return out + b"\n" + rgb
 
@@ -448,7 +455,12 @@ def _ppm_int(payload: bytes, pos: int, what: str) -> tuple[int, int]:
             pos += 1
             continue
         if c == 0x23:  # '#'
-            nl = payload.find(b"\n", pos)
+            # netpbm comments end at CR **or** LF — scanning only for
+            # \n would swallow the header tokens after a CR-terminated
+            # comment and silently mis-parse the dimensions
+            lf = payload.find(b"\n", pos)
+            cr = payload.find(b"\r", pos)
+            nl = min(x for x in (lf, cr) if x >= 0) if max(lf, cr) >= 0 else -1
             if nl < 0:
                 raise ValueError(f"unterminated header comment before {what}")
             pos = nl + 1

@@ -480,6 +480,14 @@ def stream_dedup_near(
     the same split ``dedup_minhash`` vs ``dedup_minhash_portable``
     make, with a cross-family recall test pinning their agreement.
 
+    The persisted state carries a ``_params`` marker (num_hashes,
+    bands, n, jaccard_threshold, hash_family): a later drain into the
+    same ``table_path`` with different parameters would silently mix
+    incompatible hash domains (old bhash values never matching the new
+    family's keys — pairs just missing, no error), so a mismatch raises
+    loudly instead. The bucket cap is deliberately NOT in the marker:
+    it bounds state growth and may be tuned between runs.
+
     Same at-least-once caveat as :func:`stream_dedup_docs`: the three
     appends are not atomic; production closes the replay window with a
     transactional table format or batch_id stamps."""
@@ -487,16 +495,42 @@ def stream_dedup_near(
         _banded_from_hs,
         _hashed_shingles,
     )
+    from tiny_md_hbase_spark.sources.writer import write_meta_row
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
 
+    params = [
+        ("num_hashes", num_hashes, "int"),
+        ("bands", bands, "int"),
+        ("n", n, "int"),
+        ("jaccard_threshold", float(jaccard_threshold), "double"),
+        ("hash_family", hash_family, "string"),
+    ]
+
+    def _check_params(ss: SparkSession) -> None:
+        ppath = f"{table_path}/_params"
+        if not os.path.exists(ppath):
+            write_meta_row(ss, ppath, params)
+            return
+        meta = ss.read.parquet(ppath).collect()[0]
+        got = [(nm, meta[nm]) for nm, _v, _t in params]
+        want = [(nm, v) for nm, v, _t in params]
+        if got != want:
+            raise ValueError(
+                f"stream_dedup_near state at {table_path} was built with "
+                f"{got}; this drain passed {want} — mixing hash domains "
+                "would silently miss pairs. Use a fresh table_path or the "
+                "original parameters."
+            )
+
     def _sink(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
         ss = batch.sparkSession
+        _check_params(ss)
         hs_new = _hashed_shingles(batch, n, hash_family).localCheckpoint()
         # banded_new feeds the enrollment write AND the candidate join —
         # checkpoint so the 16-permutation band projection runs once
@@ -517,7 +551,17 @@ def stream_dedup_near(
             w = Window.partitionBy("band", "bhash").orderBy("doc_id")
             rn = banded_new.withColumn("rn", F.row_number().over(w))
             if state_bands is not None:
-                occ = state_bands.groupBy("band", "bhash").agg(
+                # count occupancy ONLY for buckets this batch lands in (a
+                # left-semi prune before the aggregate): counting the whole
+                # state every batch would make each micro-batch pay a
+                # full-state shuffle — the O(batch x colliding-state)
+                # claim, kept honest
+                touched = state_bands.join(
+                    banded_new.select("band", "bhash").distinct(),
+                    ["band", "bhash"],
+                    "left_semi",
+                )
+                occ = touched.groupBy("band", "bhash").agg(
                     F.count(F.lit(1)).alias("occ")
                 )
                 rn = rn.join(occ, ["band", "bhash"], "left").withColumn(
@@ -566,7 +610,14 @@ def stream_dedup_near(
         )
         out.write.mode("append").parquet(f"{table_path}/pairs")
         stored_new.write.mode("append").parquet(bands_path)
-        hs_new.write.mode("append").parquet(hs_path)
+        # persist sketches only for docs that ENROLLED in >= 1 bucket: a
+        # doc capped out of every band can never be the stored side of a
+        # future pair, so its hs row would be dead state the hs_all
+        # union re-reads every batch (this batch's verification used the
+        # in-memory hs_new either way)
+        hs_new.join(
+            stored_new.select("doc_id").distinct(), "doc_id", "left_semi"
+        ).write.mode("append").parquet(hs_path)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
