@@ -97,6 +97,24 @@ FRAME_SCHEMA = T.StructType(
 _FEATURE_DIM = 8
 
 
+def _spread(media: DataFrame, *extra_cols) -> DataFrame:
+    """Metadata repartition BEFORE a CPU-bound decode kernel, at an
+    EXPLICIT width: ``repartition(crc32(...))`` without a partition
+    count lets AQE size the exchange for ~64 MB of shuffle bytes —
+    right for I/O-bound plans, wrong for a Python kernel, where it
+    squashed a 32-core decode onto 3 tasks (measured 19x at 10x volume
+    in scripts/scale_codecs.py before this rule). Width = at least the
+    cluster's core count, and never fewer tasks than the source had
+    splits (so huge inputs keep ~maxPartitionBytes-sized tasks)."""
+    npart = max(
+        media.sparkSession.sparkContext.defaultParallelism,
+        media.rdd.getNumPartitions(),
+    )
+    return media.repartition(
+        npart, *extra_cols, F.crc32(F.col("media_id").cast("string"))
+    )
+
+
 def _synth_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     """Deterministic synthetic media rows (payload = seeded pseudo-random
     bytes) — shared by :func:`synth_media` and the committed parquet
@@ -199,7 +217,7 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
                 }
             )
 
-    balanced = media.repartition(F.col("kind"), F.crc32(F.col("media_id").cast("string")))
+    balanced = _spread(media, F.col("kind"))
     return balanced.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
@@ -347,9 +365,7 @@ def wav_decode(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    balanced = media.repartition(
-        F.crc32(F.col("media_id").cast("string"))
-    )
+    balanced = _spread(media)
     return balanced.select("media_id", "payload").mapInPandas(
         kernel, WAV_FEATURE_SCHEMA
     )
@@ -560,7 +576,7 @@ def ppm_decode(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    balanced = media.repartition(F.crc32(F.col("media_id").cast("string")))
+    balanced = _spread(media)
     return balanced.select("media_id", "payload").mapInPandas(
         kernel, PPM_FEATURE_SCHEMA
     )
@@ -625,7 +641,7 @@ def ppm_resize(media: DataFrame, max_side: int = 12) -> DataFrame:
                 out["payload"].append(b"P6\n%d %d\n255\n" % (tw, th) + body)
             yield pd.DataFrame(out)
 
-    balanced = media.repartition(F.crc32(F.col("media_id").cast("string")))
+    balanced = _spread(media)
     return balanced.select("media_id", "payload").mapInPandas(
         kernel, PPM_RESIZE_SCHEMA
     )
@@ -677,7 +693,7 @@ def ppm_stream_frames(media: DataFrame, every: int = 2) -> DataFrame:
                     idx += 1
             yield pd.DataFrame(out)
 
-    balanced = media.repartition(F.crc32(F.col("media_id").cast("string")))
+    balanced = _spread(media)
     return balanced.select("media_id", "payload").mapInPandas(
         kernel, PPM_FRAME_SCHEMA
     )
