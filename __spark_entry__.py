@@ -2287,6 +2287,7 @@ def _q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await_drained(q)
         return (
             spark.read.parquet(f"{d}/table/pairs")
+            .select("doc_a", "doc_b", "jaccard")  # drop the batch partition col
             .orderBy("doc_a", "doc_b")
             .localCheckpoint()
         )

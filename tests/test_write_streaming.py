@@ -967,6 +967,13 @@ def test_stream_dedup_near_matches_batch_sql(spark):
         assert any(b == 3 for _, b, _j in got)  # the cross-batch near-dup
         # state is hashes, not text: the hs table has one row per arrival
         assert spark.read.parquet(f"{d}/table/hs").count() == 5
+        # exactly-once layout: every state/output table is a batch=<id>
+        # partition tree each batch OVERWRITES (idempotent replay)
+        for t in ("pairs", "bands", "hs"):
+            subdirs = [
+                x for x in os.listdir(f"{d}/table/{t}") if x.startswith("batch=")
+            ]
+            assert len(subdirs) >= 2, (t, subdirs)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

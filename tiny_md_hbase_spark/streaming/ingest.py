@@ -488,9 +488,13 @@ def stream_dedup_near(
     loudly instead. The bucket cap is deliberately NOT in the marker:
     it bounds state growth and may be tuned between runs.
 
-    Same at-least-once caveat as :func:`stream_dedup_docs`: the three
-    appends are not atomic; production closes the replay window with a
-    transactional table format or batch_id stamps."""
+    Replay semantics: EXACTLY-ONCE on plain parquet. The pairs/bands/hs
+    tables are ``batch=<id>`` partition trees and every batch writes by
+    OVERWRITING its own partition directory, so foreachBatch's replay
+    of the last uncommitted batch recomputes from the same pre-batch
+    state and rewrites identical content instead of appending
+    duplicates — the at-least-once window :func:`stream_dedup_docs`
+    documents is closed here structurally."""
     from tiny_md_hbase_spark.operators.dedup import (
         _banded_from_hs,
         _hashed_shingles,
@@ -537,10 +541,18 @@ def stream_dedup_near(
         banded_new = _banded_from_hs(hs_new, num_hashes, bands).localCheckpoint()
         bands_path = f"{table_path}/bands"
         hs_path = f"{table_path}/hs"
+        # state tables are batch=<id> partition trees (see the write
+        # side); drop the discovered partition column on read
         state_bands = (
-            ss.read.parquet(bands_path) if os.path.exists(bands_path) else None
+            ss.read.parquet(bands_path).select("doc_id", "band", "bhash")
+            if os.path.exists(bands_path)
+            else None
         )
-        state_hs = ss.read.parquet(hs_path) if os.path.exists(hs_path) else None
+        state_hs = (
+            ss.read.parquet(hs_path).select("doc_id", "hs")
+            if os.path.exists(hs_path)
+            else None
+        )
 
         # enrollment: new rows rank behind the bucket's current
         # occupancy (within-batch ties ordered by doc_id) and enroll
@@ -608,8 +620,20 @@ def stream_dedup_near(
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
             .localCheckpoint()  # materialize BEFORE the state appends
         )
-        out.write.mode("append").parquet(f"{table_path}/pairs")
-        stored_new.write.mode("append").parquet(bands_path)
+        # EXACTLY-ONCE state on plain parquet: each table is laid out as
+        # batch=<id> partition directories and every write is an
+        # OVERWRITE of this batch's own directory — foreachBatch's
+        # replay of the last uncommitted batch then recomputes from the
+        # same pre-batch state (the directories it would have written
+        # are the only ones it touches) and overwrites identical
+        # content, instead of appending duplicates. This closes the
+        # at-least-once window stream_dedup_docs documents.
+        out.write.mode("overwrite").parquet(
+            f"{table_path}/pairs/batch={batch_id}"
+        )
+        stored_new.write.mode("overwrite").parquet(
+            f"{bands_path}/batch={batch_id}"
+        )
         # persist sketches only for docs that ENROLLED in >= 1 bucket: a
         # doc capped out of every band can never be the stored side of a
         # future pair, so its hs row would be dead state the hs_all
@@ -617,7 +641,7 @@ def stream_dedup_near(
         # in-memory hs_new either way)
         hs_new.join(
             stored_new.select("doc_id").distinct(), "doc_id", "left_semi"
-        ).write.mode("append").parquet(hs_path)
+        ).write.mode("overwrite").parquet(f"{hs_path}/batch={batch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
