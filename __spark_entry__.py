@@ -2656,7 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-11 rotation (derived from CORRECTNESS_r01-r10 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-13: keys whose code, parameters, or oracle changed THIS
+    #   1-14: keys whose code, parameters, or oracle changed THIS
     #   round and need fresh verdicts: ppm_decode / ppm_resize /
     #   ppm_frames (NEW — the real image codec paths: P6 header
     #   tokenization, byte-exact nearest-neighbor resize, concatenated
@@ -2675,17 +2675,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   _knn_batch_score + opt-in chunk_queries fallback + modal-length
     #   ragged diagnostic), heavy_hitters_cms_merged (_cms_meta read
     #   guard narrowed to PATH_NOT_FOUND).
-    #   14-24: the full r06-stale cohort (asof_join ... resize_meta) —
+    #   15-25: the full r06-stale cohort (asof_join ... resize_meta) —
     #   burning it lifts the staleness floor to r07.
-    #   25-50: the 26 oldest r07 keys in rotation_audit's suggested
-    #   order (span_dedup_hashed ... sql_pricing_summary + bucket_route,
-    #   insert_append; the 4 displaced by the new keys lead the next
-    #   rotation).
+    #   26-50: the 25 oldest r07 keys in rotation_audit's suggested
+    #   order (span_dedup_hashed ... sql_pricing_summary, bucket_route;
+    #   the 5 displaced by the new keys + the stream_dedup_docs
+    #   re-verdict lead the next rotation).
     # Below the marker: every remaining key by ascending last-verdict
     # round (r07 remainder, then r08, r09, and the r10 window at the
     # back) — verdict age stays monotone down the dict.
     return {
-        # -- r11 window 1-13: changed/new this session ---------------------
+        # -- r11 window 1-14: changed/new this session ---------------------
         # ppm_decode / ppm_resize / ppm_frames are NEW (the real image
         # codec paths — P6 header tokenization, byte-level resize,
         # concatenated-stream demux); inserting them displaces the last
@@ -2696,6 +2696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_resize": _q_ppm_resize,
         "ppm_frames": _q_ppm_frames,
         "stream_dedup_near": _q_stream_dedup_near,
+        # exactly-once rewrite landed on stream_dedup_docs too -> fresh verdict
+        "stream_dedup_docs": _q_stream_dedup_docs,
         "wav_decode": _q_wav_decode,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_portable": _q_dedup_minhash_portable,
@@ -2705,7 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh_capped": _q_dedup_embedding_lsh_capped,
         "embedding_knn_batch": _q_embedding_knn_batch,
         "heavy_hitters_cms_merged": _q_heavy_hitters_cms_merged,
-        # -- r11 window 14-24: the r06-stale cohort (floor -> r07) ---------
+        # -- r11 window 15-25: the r06-stale cohort (floor -> r07) ---------
         "asof_join": _q_asof_join,
         "stream_asof": _q_stream_asof,
         "stream_sessionize": _q_stream_sessionize,
@@ -2717,7 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "co_purchase": _q_co_purchase,
         "resize_meta": _q_resize_meta,
-        # -- r11 window 25-50: 26 oldest r07 keys (rotation_audit order) ---
+        # -- r11 window 26-50: 25 oldest r07 keys (rotation_audit order) ---
         "span_dedup_hashed": _q_span_dedup_hashed,
         "bpe_token_count": _q_bpe_token_count,
         "dedup_clusters_distributed": _q_dedup_clusters_distributed,
@@ -2743,12 +2745,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile_approx": _q_table_profile_approx,
         "sql_pricing_summary": _q_sql_pricing_summary,
         "bucket_route": _q_bucket_route,
-        "insert_append": _q_insert_append,
         # ---- driver window ends here (first 50 keys) --------------------
         # -- remaining keys, ascending verdict age (r07 -> r10) ------------
-        # (skew_join / running_total / knn_indexed / stream_ingest_points
-        # were displaced from the window by the 4 new keys — front of the
-        # next rotation)
+        # (insert_append / skew_join / running_total / knn_indexed /
+        # stream_ingest_points were displaced from the window by the 4 new
+        # keys + the stream_dedup_docs re-verdict — front of the next
+        # rotation)
+        "insert_append": _q_insert_append,
         "skew_join": _q_skew_join,
         "running_total": _q_running_total,
         "knn_indexed": _q_knn_indexed,
@@ -2876,7 +2879,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "corpus_jsonl_roundtrip": _q_corpus_jsonl_roundtrip,
         "dedup_incremental": _q_dedup_incremental,
-        "stream_dedup_docs": _q_stream_dedup_docs,
         "anomaly_zscore": _q_anomaly_zscore,
         "embedding_knn_projected": _q_embedding_knn_projected,
         "source_cap": _q_source_cap,

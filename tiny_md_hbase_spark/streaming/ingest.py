@@ -392,14 +392,13 @@ def stream_dedup_docs(
     ordered staging — set-level invariants (one-per-content, per-lang
     counts) hold under any order.
 
-    Failure semantics: ``foreachBatch`` replays the last uncommitted
-    batch on restart, and the two appends here are not atomic — a crash
-    between them can re-ingest that batch's survivors on replay
-    (at-least-once). Production closes this by writing both sinks
-    through a transactional table format, or by stamping ``batch_id``
-    into the appends and dropping replayed duplicates at read time;
-    plain parquet keeps this function dependency-free for the fixture
-    environment."""
+    Failure semantics: EXACTLY-ONCE on plain parquet. ``docs`` and
+    ``seen`` are ``batch=<id>`` partition trees and each micro-batch
+    OVERWRITES its own directory, so ``foreachBatch``'s replay of the
+    last uncommitted batch recomputes against the same pre-batch
+    seen-set and rewrites identical content instead of re-appending
+    its survivors (the same structural close as
+    :func:`stream_dedup_near`)."""
     from tiny_md_hbase_spark.operators.dedup import _content_fp
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
@@ -412,13 +411,22 @@ def stream_dedup_docs(
         keep = b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
         surv = b.join(keep, ["h", "doc_id"])
         if os.path.exists(f"{table_path}/seen"):
-            seen = batch.sparkSession.read.parquet(f"{table_path}/seen")
+            seen = batch.sparkSession.read.parquet(
+                f"{table_path}/seen"
+            ).select("h")
             surv = surv.join(seen, "h", "left_anti")
-        surv = surv.localCheckpoint()  # read seen BEFORE appending to it
+        surv = surv.localCheckpoint()  # read seen BEFORE writing to it
+        # EXACTLY-ONCE on plain parquet (the stream_dedup_near pattern):
+        # batch=<id> partition trees, each batch OVERWRITES its own
+        # directory — a replayed batch recomputes against the same
+        # pre-batch seen-set and rewrites identical content instead of
+        # appending duplicate survivors
         surv.select(
             "doc_id", "text", "lang", "source", "n_chars"
-        ).write.mode("append").parquet(f"{table_path}/docs")
-        surv.select("h").write.mode("append").parquet(f"{table_path}/seen")
+        ).write.mode("overwrite").parquet(f"{table_path}/docs/batch={batch_id}")
+        surv.select("h").write.mode("overwrite").parquet(
+            f"{table_path}/seen/batch={batch_id}"
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
