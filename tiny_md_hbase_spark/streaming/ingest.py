@@ -86,7 +86,14 @@ def stream_ingest_points(
     after the first batch). ``availableNow`` drains the current backlog
     and stops (used by tests/backfills); leave it False for a continuous
     ingest. ``max_files_per_trigger`` bounds batch size (and makes
-    availableNow produce several micro-batches)."""
+    availableNow produce several micro-batches).
+
+    Replay semantics: at-least-once — a crash between the points append
+    and the index refresh re-appends the batch's points on replay.
+    The dedup sinks close this window with batch=<id> overwrite
+    partitions (:func:`stream_dedup_docs` / :func:`stream_dedup_near`);
+    here the z-clustered layout's directory shape is itself the product,
+    so production closes it with a transactional table format instead."""
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -501,8 +508,8 @@ def stream_dedup_near(
     OVERWRITING its own partition directory, so foreachBatch's replay
     of the last uncommitted batch recomputes from the same pre-batch
     state and rewrites identical content instead of appending
-    duplicates — the at-least-once window :func:`stream_dedup_docs`
-    documents is closed here structurally."""
+    duplicates — the at-least-once window a naive append sink carries
+    is closed structurally (same pattern as :func:`stream_dedup_docs`)."""
     from tiny_md_hbase_spark.operators.dedup import (
         _banded_from_hs,
         _hashed_shingles,
@@ -634,8 +641,7 @@ def stream_dedup_near(
         # replay of the last uncommitted batch then recomputes from the
         # same pre-batch state (the directories it would have written
         # are the only ones it touches) and overwrites identical
-        # content, instead of appending duplicates. This closes the
-        # at-least-once window stream_dedup_docs documents.
+        # content, instead of appending duplicates.
         out.write.mode("overwrite").parquet(
             f"{table_path}/pairs/batch={batch_id}"
         )
