@@ -783,8 +783,10 @@ def stream_ingest_embeddings(
     empty relation). Failure semantics: one idempotency gap —
     ``foreachBatch`` replays the last uncommitted batch, and a crash
     mid-append can duplicate its rows (at-least-once); production
-    closes this with a transactional table format, as in
-    :func:`stream_dedup_docs`."""
+    closes this with a transactional table format (the dedup sinks
+    close it with batch=<id> overwrite partitions — see
+    :func:`stream_dedup_docs` — but here the cluster-partitioned
+    directory shape is itself the layout)."""
     from tiny_md_hbase_spark.sources.writer import (
         append_embeddings_clustered,
     )
