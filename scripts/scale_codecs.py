@@ -36,8 +36,6 @@ FRAMES_PER_STREAM = 8             # 8 x (64x48) frames per video stream
 
 
 def _gen_ppm(spark, n_rows: int):
-    from pyspark.sql import functions as F
-
     def kernel(batches):
         import numpy as np
         import pandas as pd
@@ -65,10 +63,10 @@ def _gen_ppm(spark, n_rows: int):
 
 def _gen_wav(spark, n_rows: int):
     def kernel(batches):
-        import struct
-
         import numpy as np
         import pandas as pd
+
+        from tiny_md_hbase_spark.operators.multimodal import make_wav
 
         for pdf in batches:
             payloads = []
@@ -78,12 +76,8 @@ def _gen_wav(spark, n_rows: int):
                     % 65536
                     - 32768
                 ).astype("<i2").tobytes()
-                fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
-                body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
-                body += b"data" + struct.pack("<I", len(pcm)) + pcm
-                payloads.append(
-                    b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
-                )
+                # raw-PCM fast path of the SAME encoder the fixtures use
+                payloads.append(make_wav(pcm, 16000, 1))
             yield pd.DataFrame({"media_id": pdf["id"], "payload": payloads})
 
     npart = spark.sparkContext.defaultParallelism

@@ -1153,3 +1153,84 @@ def test_stream_dedup_near_param_marker_guards_state(spark):
         assert q3.awaitTermination(300)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_docs_batch_replay_idempotent(spark):
+    """The exactly-once claim, exercised directly: re-running a batch
+    (foreachBatch replay after a crash-before-checkpoint) rewrites
+    IDENTICAL state — in particular the seen-set read must exclude the
+    batch's own prior partition, or the anti-join would erase the
+    batch's survivors (data loss, the inverse of the duplicate-append
+    this layout replaced)."""
+    d = tempfile.mkdtemp(prefix="sdedupr_")
+    try:
+        b0 = spark.createDataFrame(
+            [_near_doc(10, "alpha content"), _near_doc(11, "beta content")],
+            _DOCS_SCHEMA,
+        )
+        b1 = spark.createDataFrame(
+            [_near_doc(1, "alpha content"), _near_doc(13, "gamma content")],
+            _DOCS_SCHEMA,
+        )
+        ING.dedup_docs_batch(b0, 0, f"{d}/t")
+        once = sorted(
+            r.doc_id for r in spark.read.parquet(f"{d}/t/docs").collect()
+        )
+        ING.dedup_docs_batch(b0, 0, f"{d}/t")  # replay batch 0
+        replayed = sorted(
+            r.doc_id for r in spark.read.parquet(f"{d}/t/docs").collect()
+        )
+        assert replayed == once == [10, 11]  # NOT empty, NOT doubled
+        ING.dedup_docs_batch(b1, 1, f"{d}/t")
+        ING.dedup_docs_batch(b1, 1, f"{d}/t")  # replay batch 1 too
+        final = sorted(
+            r.doc_id for r in spark.read.parquet(f"{d}/t/docs").collect()
+        )
+        assert final == [10, 11, 13]  # doc 1's content was seen in batch 0
+        assert spark.read.parquet(f"{d}/t/seen").count() == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_near_batch_replay_idempotent(spark):
+    """Replaying a capped near-dup batch rewrites identical pairs AND
+    identical enrollment: the state reads exclude the batch's own prior
+    partitions, so the occupancy count doesn't double (which would
+    evict enrolled docs) and the verify union doesn't duplicate
+    sketches (which would duplicate pair rows)."""
+    text = "same identical content repeated across many arriving documents here"
+    b0 = spark.createDataFrame(
+        [_near_doc(1, text), _near_doc(2, text), _near_doc(3, text)],
+        _DOCS_SCHEMA,
+    )
+    b1 = spark.createDataFrame([_near_doc(4, text)], _DOCS_SCHEMA)
+    d = tempfile.mkdtemp(prefix="sdednr_")
+    try:
+        kw = dict(max_bucket_width=2)
+        ING.dedup_near_batch(b0, 0, f"{d}/t", **kw)
+        once = sorted(
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(f"{d}/t/pairs").collect()
+        )
+        ING.dedup_near_batch(b0, 0, f"{d}/t", **kw)  # replay batch 0
+        replayed = sorted(
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(f"{d}/t/pairs").collect()
+        )
+        assert replayed == once == [(1, 2), (1, 3), (2, 3)]
+        enrolled = {
+            r.doc_id for r in spark.read.parquet(f"{d}/t/bands").collect()
+        }
+        assert enrolled == {1, 2}  # replay didn't double-count occupancy
+        ING.dedup_near_batch(b1, 1, f"{d}/t", **kw)
+        ING.dedup_near_batch(b1, 1, f"{d}/t", **kw)  # replay batch 1
+        final = sorted(
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(f"{d}/t/pairs").collect()
+        )
+        assert final == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+        assert {
+            r.doc_id for r in spark.read.parquet(f"{d}/t/hs").collect()
+        } == {1, 2}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -104,11 +104,15 @@ def _spread(media: DataFrame, *extra_cols) -> DataFrame:
     right for I/O-bound plans, wrong for a Python kernel, where it
     squashed a 32-core decode onto 3 tasks (measured 19x at 10x volume
     in scripts/scale_codecs.py before this rule). Width = at least the
-    cluster's core count, and never fewer tasks than the source had
-    splits (so huge inputs keep ~maxPartitionBytes-sized tasks)."""
+    cluster's core count, and never fewer tasks than the source has
+    FILES (so huge file-backed inputs keep ~storage-split-sized tasks).
+    inputFiles() resolves from the plan's file indexes without running
+    anything — ``.rdd.getNumPartitions()`` here would force AQE to
+    execute every upstream shuffle stage just to count partitions (and
+    then run them again in the real query)."""
     npart = max(
         media.sparkSession.sparkContext.defaultParallelism,
-        media.rdd.getNumPartitions(),
+        len(media.inputFiles()),
     )
     return media.repartition(
         npart, *extra_cols, F.crc32(F.col("media_id").cast("string"))
@@ -236,7 +240,7 @@ WAV_FEATURE_SCHEMA = T.StructType(
 
 
 def make_wav(
-    samples: list[int],
+    samples: list[int] | bytes,
     sample_rate: int = 16_000,
     channels: int = 1,
     pre_data_chunks: list[tuple[bytes, bytes]] | None = None,
@@ -247,7 +251,9 @@ def make_wav(
     inserts extra (id, body) chunks between ``fmt `` and ``data`` (LIST
     metadata, odd-length bodies for word-alignment coverage) so decode
     must genuinely walk the chunk list rather than assume the canonical
-    44-byte header."""
+    44-byte header. ``samples`` may alternatively be raw little-endian
+    int16 PCM ``bytes`` (the bulk-generation path scale_codecs.py uses —
+    per-sample struct.pack would dominate its measurement)."""
     import struct
 
     body = b""
@@ -263,7 +269,12 @@ def make_wav(
         body += cid + struct.pack("<I", len(cbody)) + cbody
         if len(cbody) % 2:  # RIFF chunks are word-aligned
             body += b"\x00"
-    data = b"".join(struct.pack("<h", s) for s in samples)
+    if isinstance(samples, (bytes, bytearray)):
+        if len(samples) % 2:
+            raise ValueError("raw PCM bytes must be int16-aligned")
+        data = bytes(samples)
+    else:
+        data = b"".join(struct.pack("<h", s) for s in samples)
     body += b"data" + struct.pack("<I", len(data)) + data
     if len(data) % 2:
         body += b"\x00"

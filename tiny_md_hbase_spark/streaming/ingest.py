@@ -374,6 +374,39 @@ DOCS_SCHEMA = (
 )
 
 
+def dedup_docs_batch(batch: DataFrame, batch_id: int, table_path: str) -> None:
+    """One micro-batch of :func:`stream_dedup_docs` (module-level so the
+    replay path is directly testable, like merge_manifest_batch):
+    keep-min within the batch, anti-join the persisted seen-set, then
+    OVERWRITE this batch's own docs/seen partition directories.
+
+    Replay correctness hinges on ONE filter: the seen-set read excludes
+    ``batch=<this batch_id>``. A replayed batch's prior attempt already
+    wrote its survivors' fingerprints; anti-joining against them would
+    erase the batch's own survivors (data LOSS, the inverse failure of
+    the duplicate-append it replaced), while excluding them recomputes
+    the batch against exactly the pre-batch state."""
+    from tiny_md_hbase_spark.operators.dedup import _content_fp
+
+    b = batch.withColumn("h", _content_fp("text"))
+    keep = b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    surv = b.join(keep, ["h", "doc_id"])
+    if os.path.exists(f"{table_path}/seen"):
+        seen = (
+            batch.sparkSession.read.parquet(f"{table_path}/seen")
+            .filter(F.col("batch") != batch_id)  # never our own prior attempt
+            .select("h")
+        )
+        surv = surv.join(seen, "h", "left_anti")
+    surv = surv.localCheckpoint()  # read seen BEFORE writing to it
+    surv.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).write.mode("overwrite").parquet(f"{table_path}/docs/batch={batch_id}")
+    surv.select("h").write.mode("overwrite").parquet(
+        f"{table_path}/seen/batch={batch_id}"
+    )
+
+
 def stream_dedup_docs(
     spark: SparkSession,
     source_dir: str,
@@ -406,34 +439,13 @@ def stream_dedup_docs(
     seen-set and rewrites identical content instead of re-appending
     its survivors (the same structural close as
     :func:`stream_dedup_near`)."""
-    from tiny_md_hbase_spark.operators.dedup import _content_fp
-
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        b = batch.withColumn("h", _content_fp("text"))
-        keep = b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-        surv = b.join(keep, ["h", "doc_id"])
-        if os.path.exists(f"{table_path}/seen"):
-            seen = batch.sparkSession.read.parquet(
-                f"{table_path}/seen"
-            ).select("h")
-            surv = surv.join(seen, "h", "left_anti")
-        surv = surv.localCheckpoint()  # read seen BEFORE writing to it
-        # EXACTLY-ONCE on plain parquet (the stream_dedup_near pattern):
-        # batch=<id> partition trees, each batch OVERWRITES its own
-        # directory — a replayed batch recomputes against the same
-        # pre-batch seen-set and rewrites identical content instead of
-        # appending duplicate survivors
-        surv.select(
-            "doc_id", "text", "lang", "source", "n_chars"
-        ).write.mode("overwrite").parquet(f"{table_path}/docs/batch={batch_id}")
-        surv.select("h").write.mode("overwrite").parquet(
-            f"{table_path}/seen/batch={batch_id}"
-        )
+        dedup_docs_batch(batch, batch_id, table_path)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
@@ -443,6 +455,141 @@ def stream_dedup_docs(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_near_batch(
+    batch: DataFrame,
+    batch_id: int,
+    table_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_bucket_width: int | None = 64,
+    hash_family: str = "portable",
+) -> None:
+    """One micro-batch of :func:`stream_dedup_near` (module-level so
+    the replay path is directly testable, like merge_manifest_batch).
+    Every state read excludes ``batch=<this batch_id>``: a replayed
+    batch's prior attempt already wrote its own partitions, and reading
+    them back would double the batch's sketches in the verify union
+    (duplicate pair rows) and double-count its enrollment into the
+    bucket occupancy (evicting already-enrolled docs under the cap) —
+    the exclusion makes the recompute run against exactly the
+    pre-batch state, so the overwrite is idempotent."""
+    from pyspark.sql.window import Window
+
+    from tiny_md_hbase_spark.operators.dedup import (
+        _banded_from_hs,
+        _hashed_shingles,
+    )
+
+    ss = batch.sparkSession
+    hs_new = _hashed_shingles(batch, n, hash_family).localCheckpoint()
+    # banded_new feeds the enrollment write AND the candidate join —
+    # checkpoint so the 16-permutation band projection runs once
+    banded_new = _banded_from_hs(hs_new, num_hashes, bands).localCheckpoint()
+    bands_path = f"{table_path}/bands"
+    hs_path = f"{table_path}/hs"
+    # state tables are batch=<id> partition trees (see the write side);
+    # drop the discovered partition column — after excluding our own
+    # prior attempt (replay idempotence, see docstring)
+    state_bands = (
+        ss.read.parquet(bands_path)
+        .filter(F.col("batch") != batch_id)
+        .select("doc_id", "band", "bhash")
+        if os.path.exists(bands_path)
+        else None
+    )
+    state_hs = (
+        ss.read.parquet(hs_path)
+        .filter(F.col("batch") != batch_id)
+        .select("doc_id", "hs")
+        if os.path.exists(hs_path)
+        else None
+    )
+
+    # enrollment: new rows rank behind the bucket's current occupancy
+    # (within-batch ties ordered by doc_id) and enroll only while the
+    # bucket has room
+    if max_bucket_width is None:
+        stored_new = banded_new
+    else:
+        w = Window.partitionBy("band", "bhash").orderBy("doc_id")
+        rn = banded_new.withColumn("rn", F.row_number().over(w))
+        if state_bands is not None:
+            # count occupancy ONLY for buckets this batch lands in (a
+            # left-semi prune before the aggregate): counting the whole
+            # state every batch would make each micro-batch pay a
+            # full-state shuffle — the O(batch x colliding-state)
+            # claim, kept honest
+            touched = state_bands.join(
+                banded_new.select("band", "bhash").distinct(),
+                ["band", "bhash"],
+                "left_semi",
+            )
+            occ = touched.groupBy("band", "bhash").agg(
+                F.count(F.lit(1)).alias("occ")
+            )
+            rn = rn.join(occ, ["band", "bhash"], "left").withColumn(
+                "rn", F.col("rn") + F.coalesce("occ", F.lit(0))
+            )
+        # materialized: its plan reads bands_path (the occupancy
+        # join), which the sink overwrites below
+        stored_new = rn.filter(F.col("rn") <= max_bucket_width).select(
+            "doc_id", "band", "bhash"
+        ).localCheckpoint()
+    stored = (
+        stored_new
+        if state_bands is None
+        else state_bands.unionByName(stored_new)
+    )
+
+    # candidates: stored x ARRIVING on the band key (the arriving side
+    # probes even when its own enrollment was capped), then cross-band
+    # dedup; least/greatest so a pair is one row no matter which side
+    # arrived later
+    cand = (
+        stored.alias("a")
+        .join(banded_new.alias("b"), ["band", "bhash"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hs_all = hs_new if state_hs is None else state_hs.unionByName(hs_new)
+    pairs = cand.join(
+        hs_all.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+        "doc_a",
+    ).join(
+        hs_all.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    jac = inter / union
+    out = (
+        pairs.filter(jac >= jaccard_threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .localCheckpoint()  # materialize BEFORE the state writes
+    )
+    # EXACTLY-ONCE state on plain parquet: each table is a batch=<id>
+    # partition tree and every write OVERWRITES this batch's own
+    # directory — combined with the own-batch exclusion above, a
+    # replayed batch rewrites identical content instead of appending
+    # duplicates
+    out.write.mode("overwrite").parquet(f"{table_path}/pairs/batch={batch_id}")
+    stored_new.write.mode("overwrite").parquet(f"{bands_path}/batch={batch_id}")
+    # persist sketches only for docs that ENROLLED in >= 1 bucket: a
+    # doc capped out of every band can never be the stored side of a
+    # future pair, so its hs row would be dead state the hs_all union
+    # re-reads every batch (this batch's verification used the
+    # in-memory hs_new either way)
+    hs_new.join(
+        stored_new.select("doc_id").distinct(), "doc_id", "left_semi"
+    ).write.mode("overwrite").parquet(f"{hs_path}/batch={batch_id}")
 
 
 def stream_dedup_near(
@@ -510,10 +657,6 @@ def stream_dedup_near(
     state and rewrites identical content instead of appending
     duplicates — the at-least-once window a naive append sink carries
     is closed structurally (same pattern as :func:`stream_dedup_docs`)."""
-    from tiny_md_hbase_spark.operators.dedup import (
-        _banded_from_hs,
-        _hashed_shingles,
-    )
     from tiny_md_hbase_spark.sources.writer import write_meta_row
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
@@ -546,116 +689,18 @@ def stream_dedup_near(
             )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql.window import Window
-
-        ss = batch.sparkSession
-        _check_params(ss)
-        hs_new = _hashed_shingles(batch, n, hash_family).localCheckpoint()
-        # banded_new feeds the enrollment write AND the candidate join —
-        # checkpoint so the 16-permutation band projection runs once
-        banded_new = _banded_from_hs(hs_new, num_hashes, bands).localCheckpoint()
-        bands_path = f"{table_path}/bands"
-        hs_path = f"{table_path}/hs"
-        # state tables are batch=<id> partition trees (see the write
-        # side); drop the discovered partition column on read
-        state_bands = (
-            ss.read.parquet(bands_path).select("doc_id", "band", "bhash")
-            if os.path.exists(bands_path)
-            else None
+        _check_params(batch.sparkSession)
+        dedup_near_batch(
+            batch,
+            batch_id,
+            table_path,
+            num_hashes=num_hashes,
+            bands=bands,
+            n=n,
+            jaccard_threshold=jaccard_threshold,
+            max_bucket_width=max_bucket_width,
+            hash_family=hash_family,
         )
-        state_hs = (
-            ss.read.parquet(hs_path).select("doc_id", "hs")
-            if os.path.exists(hs_path)
-            else None
-        )
-
-        # enrollment: new rows rank behind the bucket's current
-        # occupancy (within-batch ties ordered by doc_id) and enroll
-        # only while the bucket has room
-        if max_bucket_width is None:
-            stored_new = banded_new
-        else:
-            w = Window.partitionBy("band", "bhash").orderBy("doc_id")
-            rn = banded_new.withColumn("rn", F.row_number().over(w))
-            if state_bands is not None:
-                # count occupancy ONLY for buckets this batch lands in (a
-                # left-semi prune before the aggregate): counting the whole
-                # state every batch would make each micro-batch pay a
-                # full-state shuffle — the O(batch x colliding-state)
-                # claim, kept honest
-                touched = state_bands.join(
-                    banded_new.select("band", "bhash").distinct(),
-                    ["band", "bhash"],
-                    "left_semi",
-                )
-                occ = touched.groupBy("band", "bhash").agg(
-                    F.count(F.lit(1)).alias("occ")
-                )
-                rn = rn.join(occ, ["band", "bhash"], "left").withColumn(
-                    "rn", F.col("rn") + F.coalesce("occ", F.lit(0))
-                )
-            # materialized: its plan reads bands_path (the occupancy
-            # join), which the sink appends to below
-            stored_new = rn.filter(F.col("rn") <= max_bucket_width).select(
-                "doc_id", "band", "bhash"
-            ).localCheckpoint()
-        stored = (
-            stored_new
-            if state_bands is None
-            else state_bands.unionByName(stored_new)
-        )
-
-        # candidates: stored x ARRIVING on the band key (the arriving
-        # side probes even when its own enrollment was capped), then
-        # cross-band dedup; least/greatest so a pair is one row no
-        # matter which side arrived later
-        cand = (
-            stored.alias("a")
-            .join(banded_new.alias("b"), ["band", "bhash"])
-            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-            .select(
-                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
-        hs_all = hs_new if state_hs is None else state_hs.unionByName(hs_new)
-        pairs = cand.join(
-            hs_all.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
-            "doc_a",
-        ).join(
-            hs_all.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
-            "doc_b",
-        )
-        inter = F.size(F.array_intersect("hs_a", "hs_b"))
-        union = F.size("hs_a") + F.size("hs_b") - inter
-        jac = inter / union
-        out = (
-            pairs.filter(jac >= jaccard_threshold)
-            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-            .localCheckpoint()  # materialize BEFORE the state appends
-        )
-        # EXACTLY-ONCE state on plain parquet: each table is laid out as
-        # batch=<id> partition directories and every write is an
-        # OVERWRITE of this batch's own directory — foreachBatch's
-        # replay of the last uncommitted batch then recomputes from the
-        # same pre-batch state (the directories it would have written
-        # are the only ones it touches) and overwrites identical
-        # content, instead of appending duplicates.
-        out.write.mode("overwrite").parquet(
-            f"{table_path}/pairs/batch={batch_id}"
-        )
-        stored_new.write.mode("overwrite").parquet(
-            f"{bands_path}/batch={batch_id}"
-        )
-        # persist sketches only for docs that ENROLLED in >= 1 bucket: a
-        # doc capped out of every band can never be the stored side of a
-        # future pair, so its hs row would be dead state the hs_all
-        # union re-reads every batch (this batch's verification used the
-        # in-memory hs_new either way)
-        hs_new.join(
-            stored_new.select("doc_id").distinct(), "doc_id", "left_semi"
-        ).write.mode("overwrite").parquet(f"{hs_path}/batch={batch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
