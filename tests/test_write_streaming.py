@@ -1234,3 +1234,50 @@ def test_dedup_near_batch_replay_idempotent(spark):
         } == {1, 2}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_near_restart_continues_state(spark):
+    """A SECOND drain on the same checkpoint + table continues where
+    the first stopped: already-processed files are not re-read (the
+    pairs/bands/hs batch directories from run 1 are untouched), and
+    newly arrived files pair against run 1's persisted state."""
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    d = tempfile.mkdtemp(prefix="sneartr_")
+    try:
+        spark.createDataFrame(
+            [_near_doc(1, text)], _DOCS_SCHEMA
+        ).coalesce(1).write.parquet(f"{d}/src")
+        q = ING.stream_dedup_near(
+            spark, f"{d}/src", f"{d}/t", f"{d}/ckpt", available_now=True
+        )
+        assert q.awaitTermination(300)
+        assert spark.read.parquet(f"{d}/t/pairs").count() == 0
+        bands_run1 = spark.read.parquet(f"{d}/t/bands").count()
+
+        # more files arrive; a NEW query on the SAME checkpoint drains
+        # only them (batch ids continue, state accumulates)
+        time.sleep(1.1)
+        spark.createDataFrame(
+            [_near_doc(2, text), _near_doc(3, text.replace("today", "tonight"))],
+            _DOCS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(f"{d}/src")
+        q2 = ING.stream_dedup_near(
+            spark, f"{d}/src", f"{d}/t", f"{d}/ckpt", available_now=True
+        )
+        assert q2.awaitTermination(300)
+        got = sorted(
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(f"{d}/t/pairs").collect()
+        )
+        # doc 2 paired against run 1's PERSISTED doc-1 state; doc 3 is a
+        # near-dup of both
+        assert got == [(1, 2), (1, 3), (2, 3)]
+        # run 1's enrollment was continued, not recomputed: its batch=0
+        # rows are still there and run 2 added its own batch dirs
+        assert spark.read.parquet(f"{d}/t/bands").count() > bands_run1
+        batches = {
+            x for x in os.listdir(f"{d}/t/bands") if x.startswith("batch=")
+        }
+        assert "batch=0" in batches and len(batches) >= 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
