@@ -2295,6 +2295,40 @@ def _q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weight-proportional corpus sampling end-to-end
+    (streaming/ingest.py stream_sample): the corpus staged as arriving
+    files, drained through the k-bounded DLT top-(k+1) state, then the
+    sample read back. The drained result is EXACTLY the batch
+    corpus_weighted_sample over everything that arrived — the oracle
+    is literally corpus_weighted_sample_sql (same priorities, same tau,
+    same unbiased estimator, unrounded doubles and all)."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming.ingest import (
+        read_stream_sample,
+        stream_sample,
+    )
+
+    d = tempfile.mkdtemp(prefix="ssample_q_")
+    try:
+        base = load_table(spark, sf_dir, "documents")
+        base.repartitionByRange(4, "doc_id").write.parquet(f"{d}/src")
+        q = stream_sample(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        _await_drained(q)
+        return read_stream_sample(spark, f"{d}/table").localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted data-mixture sampling (operators/text.py
     corpus_mix): keep each doc with its language's target rate, decided
@@ -2656,7 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-11 rotation (derived from CORRECTNESS_r01-r10 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-14: keys whose code, parameters, or oracle changed THIS
+    #   1-15: keys whose code, parameters, or oracle changed THIS
     #   round and need fresh verdicts: ppm_decode / ppm_resize /
     #   ppm_frames (NEW — the real image codec paths: P6 header
     #   tokenization, byte-exact nearest-neighbor resize, concatenated
@@ -2675,17 +2709,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   _knn_batch_score + opt-in chunk_queries fallback + modal-length
     #   ragged diagnostic), heavy_hitters_cms_merged (_cms_meta read
     #   guard narrowed to PATH_NOT_FOUND).
-    #   15-25: the full r06-stale cohort (asof_join ... resize_meta) —
+    #   16-26: the full r06-stale cohort (asof_join ... resize_meta) —
     #   burning it lifts the staleness floor to r07.
-    #   26-50: the 25 oldest r07 keys in rotation_audit's suggested
-    #   order (span_dedup_hashed ... sql_pricing_summary, bucket_route;
-    #   the 5 displaced by the new keys + the stream_dedup_docs
-    #   re-verdict lead the next rotation).
+    #   27-50: the 24 oldest r07 keys in rotation_audit's suggested
+    #   order (span_dedup_hashed ... sql_pricing_summary; the 6
+    #   displaced by the new keys + the stream_dedup_docs re-verdict
+    #   lead the next rotation).
     # Below the marker: every remaining key by ascending last-verdict
     # round (r07 remainder, then r08, r09, and the r10 window at the
     # back) — verdict age stays monotone down the dict.
     return {
-        # -- r11 window 1-14: changed/new this session ---------------------
+        # -- r11 window 1-15: changed/new this session ---------------------
         # ppm_decode / ppm_resize / ppm_frames are NEW (the real image
         # codec paths — P6 header tokenization, byte-level resize,
         # concatenated-stream demux); inserting them displaces the last
@@ -2696,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_resize": _q_ppm_resize,
         "ppm_frames": _q_ppm_frames,
         "stream_dedup_near": _q_stream_dedup_near,
+        "stream_sample": _q_stream_sample,
         # exactly-once rewrite landed on stream_dedup_docs too -> fresh verdict
         "stream_dedup_docs": _q_stream_dedup_docs,
         "wav_decode": _q_wav_decode,
@@ -2707,7 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh_capped": _q_dedup_embedding_lsh_capped,
         "embedding_knn_batch": _q_embedding_knn_batch,
         "heavy_hitters_cms_merged": _q_heavy_hitters_cms_merged,
-        # -- r11 window 15-25: the r06-stale cohort (floor -> r07) ---------
+        # -- r11 window 16-26: the r06-stale cohort (floor -> r07) ---------
         "asof_join": _q_asof_join,
         "stream_asof": _q_stream_asof,
         "stream_sessionize": _q_stream_sessionize,
@@ -2719,7 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "co_purchase": _q_co_purchase,
         "resize_meta": _q_resize_meta,
-        # -- r11 window 26-50: 25 oldest r07 keys (rotation_audit order) ---
+        # -- r11 window 27-50: 24 oldest r07 keys (rotation_audit order) ---
         "span_dedup_hashed": _q_span_dedup_hashed,
         "bpe_token_count": _q_bpe_token_count,
         "dedup_clusters_distributed": _q_dedup_clusters_distributed,
@@ -2744,13 +2779,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "table_profile_approx": _q_table_profile_approx,
         "sql_pricing_summary": _q_sql_pricing_summary,
-        "bucket_route": _q_bucket_route,
         # ---- driver window ends here (first 50 keys) --------------------
+        "bucket_route": _q_bucket_route,
         # -- remaining keys, ascending verdict age (r07 -> r10) ------------
-        # (insert_append / skew_join / running_total / knn_indexed /
-        # stream_ingest_points were displaced from the window by the 4 new
-        # keys + the stream_dedup_docs re-verdict — front of the next
-        # rotation)
+        # (bucket_route / insert_append / skew_join / running_total /
+        # knn_indexed / stream_ingest_points were displaced from the window
+        # by the 5 new keys + the stream_dedup_docs re-verdict — front of
+        # the next rotation)
         "insert_append": _q_insert_append,
         "skew_join": _q_skew_join,
         "running_total": _q_running_total,
@@ -3533,6 +3568,9 @@ def oracle_sql() -> dict[str, str]:
         # twin exactly when uncapped (the registry staging): same
         # portable hashes, same bands, same hashed-set Jaccard
         "stream_dedup_near": D.stream_dedup_near_sql(max_bucket_width=None),
+        # the streaming sampler's drained state re-tops to EXACTLY the
+        # batch DLT sample: the oracle IS the batch twin's SQL
+        "stream_sample": TX.corpus_weighted_sample_sql(),
         "dedup_embedding_lsh": D.dedup_embedding_lsh_sql(),
         "dedup_embedding_lsh_capped": D.dedup_embedding_lsh_sql(
             max_bucket_width=40

@@ -1281,3 +1281,87 @@ def test_stream_dedup_near_restart_continues_state(spark):
         assert "batch=0" in batches and len(batches) >= 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_sample_equals_batch_sampler(spark):
+    """The drained k-bounded state re-tops to EXACTLY the batch DLT
+    sample — same rows, same unrounded priority/est doubles — across
+    multiple batches, with the strongest doc arriving FIRST so it
+    persists in every per-batch state directory (the distinct() guard:
+    without it the union of states would hold one copy per directory
+    and crowd the top)."""
+    from tiny_md_hbase_spark.operators.text import corpus_weighted_sample
+
+    rows = [
+        _near_doc(i, "x " * (10 + 7 * i)) for i in range(1, 10)
+    ]  # varying n_chars -> varying weights
+    d = tempfile.mkdtemp(prefix="ssamp_")
+    try:
+        all_docs = spark.createDataFrame(rows, _DOCS_SCHEMA)
+        # three ordered arrival files
+        for i, sl in enumerate((rows[:3], rows[3:6], rows[6:])):
+            spark.createDataFrame(sl, _DOCS_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{d}/src")
+            time.sleep(1.1)
+        q = ING.stream_sample(
+            spark, f"{d}/src", f"{d}/t", f"{d}/ckpt",
+            k=3, available_now=True, max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(300)
+        got = [
+            (r.doc_id, r.source, r.weight, r.priority, r.est)
+            for r in ING.read_stream_sample(spark, f"{d}/t", k=3).collect()
+        ]
+        want = [
+            (r.doc_id, r.source, r.weight, r.priority, r.est)
+            for r in corpus_weighted_sample(all_docs, k=3).collect()
+        ]
+        assert got == want and len(got) == 3
+        # state stayed k-bounded per directory
+        for b in os.listdir(f"{d}/t/state"):
+            assert spark.read.parquet(f"{d}/t/state/{b}").count() <= 4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sample_topk_batch_replay_idempotent(spark):
+    """Replaying a sampler batch rewrites identical state: the state
+    read excludes the batch's own prior partition, so the merge runs
+    against the same pre-batch top."""
+    from tiny_md_hbase_spark.operators.text import corpus_weighted_sample
+
+    b0 = spark.createDataFrame(
+        [_near_doc(i, "y " * (5 + 3 * i)) for i in range(1, 5)], _DOCS_SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [_near_doc(i, "y " * (5 + 3 * i)) for i in range(5, 8)], _DOCS_SCHEMA
+    )
+    d = tempfile.mkdtemp(prefix="ssampr_")
+    try:
+        ING.sample_topk_batch(b0, 0, f"{d}/t", k=2)
+        once = sorted(
+            (r.doc_id, r.q)
+            for r in spark.read.parquet(f"{d}/t/state/batch=0").collect()
+        )
+        ING.sample_topk_batch(b0, 0, f"{d}/t", k=2)  # replay
+        again = sorted(
+            (r.doc_id, r.q)
+            for r in spark.read.parquet(f"{d}/t/state/batch=0").collect()
+        )
+        assert again == once and len(once) == 3  # k+1
+        ING.sample_topk_batch(b1, 1, f"{d}/t", k=2)
+        ING.sample_topk_batch(b1, 1, f"{d}/t", k=2)  # replay batch 1
+        got = [
+            (r.doc_id, r.priority)
+            for r in ING.read_stream_sample(spark, f"{d}/t", k=2).collect()
+        ]
+        want = [
+            (r.doc_id, r.priority)
+            for r in corpus_weighted_sample(
+                b0.unionByName(b1), k=2
+            ).collect()
+        ]
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

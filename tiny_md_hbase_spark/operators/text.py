@@ -31,6 +31,9 @@ __all__ = [
     "corpus_sample",
     "corpus_weighted_sample",
     "corpus_weighted_sample_sql",
+    "dlt_priorities",
+    "dlt_top_priorities",
+    "dlt_finish",
     "corpus_temperature",
     "corpus_temperature_sql",
     "corpus_temperature_sample",
@@ -2619,18 +2622,39 @@ def corpus_weighted_sample(documents: DataFrame, k: int = WSAMPLE_K) -> DataFram
     sort. The final tau/rank window runs on k+1 rows (driver-bounded by
     construction). Returns (doc_id, source, weight, priority, est)
     with the exact unrounded doubles, ordered by priority desc."""
-    from pyspark.sql import Window
+    return dlt_finish(dlt_top_priorities(documents, k), k)
 
+
+def dlt_priorities(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, weight, q): the DLT priority projection —
+    shared by the batch sampler and the streaming sampler so the two
+    forms can never derive priorities differently (they must: the
+    streaming drain's contract is exact equality with the batch op)."""
     p = F.lit(float(_WS_P))
     h1 = (F.col("doc_id") % _WS_P) * 48271 + 11
     u = ((h1 % _WS_P) * 69621 + 7919) % _WS_P + 1  # in [1, 2^31-1]
     pri = (F.col("n_chars").cast("double") * p) / u.cast("double")
-    top = (
-        documents.filter(F.col("n_chars") > 0)
-        .select("doc_id", "source", F.col("n_chars").alias("weight"), pri.alias("q"))
+    return documents.filter(F.col("n_chars") > 0).select(
+        "doc_id", "source", F.col("n_chars").alias("weight"), pri.alias("q")
+    )
+
+
+def dlt_top_priorities(documents: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
+    """Top-(k+1) priorities (TakeOrderedAndProject — local top per
+    partition, k+1 rows move)."""
+    return (
+        dlt_priorities(documents)
         .orderBy(F.desc("q"), F.asc("doc_id"))
         .limit(k + 1)
     )
+
+
+def dlt_finish(top: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
+    """The tau/estimator tail over a ≤(k+1)-row top-priorities relation
+    (driver-bounded by construction): tau = the (k+1)-th priority when
+    present, est = max(weight, tau) — the DLT unbiased estimator."""
+    from pyspark.sql import Window
+
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     worder = Window.orderBy(F.desc("q"), F.asc("doc_id"))
     tau = F.when(

@@ -40,6 +40,9 @@ __all__ = [
     "stream_dedup_events",
     "stream_dedup_docs",
     "stream_dedup_near",
+    "stream_sample",
+    "read_stream_sample",
+    "sample_topk_batch",
     "stream_ingest_embeddings",
     "stream_manifest",
     "merge_manifest_batch",
@@ -710,6 +713,111 @@ def stream_dedup_near(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sample_topk_batch(
+    batch: DataFrame, batch_id: int, table_path: str, k: int = 500
+) -> None:
+    """One micro-batch of :func:`stream_sample` (module-level for
+    direct replay testing): the batch's DLT top-(k+1) priorities merge
+    with the persisted state and the new top-(k+1) OVERWRITES this
+    batch's own ``state/batch=<id>`` directory.
+
+    Replay-safe by the same two rules as the dedup sinks (own-batch
+    exclusion + per-batch overwrite), and CORRECT against the union of
+    ALL prior state directories because top-k under inserts is
+    monotone: any row in the true top-(k+1) of everything seen so far
+    survived every intermediate top-(k+1), so re-topping the union of
+    all prior states plus this batch equals topping all arrivals —
+    no state compaction step is ever needed for correctness (each
+    directory is ≤ k+1 rows; a long-running stream can compact old
+    directories as pure housekeeping)."""
+    from tiny_md_hbase_spark.operators.text import dlt_top_priorities
+
+    ss = batch.sparkSession
+    cand = dlt_top_priorities(batch, k)
+    spath = f"{table_path}/state"
+    if os.path.exists(spath):
+        prior = (
+            ss.read.parquet(spath)
+            .filter(F.col("batch") != batch_id)  # never our own prior attempt
+            .select("doc_id", "source", "weight", "q")
+            # a doc surviving many states appears once per directory —
+            # without distinct the top-(k+1) could fill with copies of
+            # one strong doc and crowd out true members
+            .distinct()
+        )
+        cand = (
+            prior.unionByName(cand)
+            .orderBy(F.desc("q"), F.asc("doc_id"))
+            .limit(k + 1)
+        )
+    cand = cand.localCheckpoint()  # read state BEFORE overwriting into it
+    cand.write.mode("overwrite").parquet(f"{spath}/batch={batch_id}")
+
+
+def stream_sample(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    k: int = 500,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming weight-proportional corpus sampling — the
+    route-on-arrival twin of ``text.corpus_weighted_sample`` (DLT
+    priority sampling): maintain the top-(k+1) DLT priorities across
+    arriving document batches with k-BOUNDED state, so after any drain
+    :func:`read_stream_sample` returns EXACTLY what the batch sampler
+    would return over everything that arrived (same priorities, same
+    tau, same unbiased estimator — the driver oracle is literally
+    ``corpus_weighted_sample_sql``).
+
+    Scale shape: per batch ONE narrow projection over the arrivals
+    (TakeOrderedAndProject keeps k+1 rows per partition) merged with a
+    ≤(k+1)-row state — the 100 TB stream is sampled with state
+    independent of stream length, and arriving text is never read at
+    all (priorities derive from doc_id and n_chars). Exactly-once by
+    the dedup sinks' pattern: per-batch overwrite partitions +
+    own-batch exclusion on the state read."""
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        sample_topk_batch(batch, batch_id, table_path, k)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_sample(
+    spark: SparkSession, table_path: str, k: int = 500
+) -> DataFrame:
+    """The drained sample: re-top the union of all state directories
+    (monotone top-k makes this exact — see :func:`sample_topk_batch`)
+    and apply the batch sampler's tau/estimator tail, yielding the
+    identical (doc_id, source, weight, priority, est) relation
+    ``corpus_weighted_sample`` computes in one shot."""
+    from tiny_md_hbase_spark.operators.text import dlt_finish
+
+    top = (
+        spark.read.parquet(f"{table_path}/state")
+        .select("doc_id", "source", "weight", "q")
+        .distinct()  # one row per doc across the per-batch directories
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .limit(k + 1)
+    )
+    return dlt_finish(top, k)
 
 
 def stream_manifest(
