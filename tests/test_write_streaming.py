@@ -1286,10 +1286,10 @@ def test_stream_dedup_near_restart_continues_state(spark):
 def test_stream_sample_equals_batch_sampler(spark):
     """The drained k-bounded state re-tops to EXACTLY the batch DLT
     sample — same rows, same unrounded priority/est doubles — across
-    multiple batches, with the strongest doc arriving FIRST so it
-    persists in every per-batch state directory (the distinct() guard:
-    without it the union of states would hold one copy per directory
-    and crowd the top)."""
+    multiple batches. Doc 2 (second-strongest priority, FIRST arrival
+    file) persists through every subsequent state top, pinning that the
+    latest-directory read carries early arrivals forward; the strongest
+    doc (9) arrives last and must displace correctly."""
     from tiny_md_hbase_spark.operators.text import corpus_weighted_sample
 
     rows = [
@@ -1321,6 +1321,9 @@ def test_stream_sample_equals_batch_sampler(spark):
         # state stayed k-bounded per directory
         for b in os.listdir(f"{d}/t/state"):
             assert spark.read.parquet(f"{d}/t/state/{b}").count() <= 4
+        # k is pinned in the _params marker: a mismatched read refuses
+        with pytest.raises(ValueError, match="k=3"):
+            ING.read_stream_sample(spark, f"{d}/t", k=10)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -1363,5 +1366,40 @@ def test_sample_topk_batch_replay_idempotent(spark):
             ).collect()
         ]
         assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_sample_empty_and_duplicate_rows(spark):
+    """Contract edges: (a) a never-drained table reads back as the
+    EMPTY relation (like the batch op on an empty corpus), not a
+    PATH_NOT_FOUND crash; (b) re-delivered identical rows inside one
+    batch are absorbed exactly — they must not burn top-(k+1) slots and
+    evict a true member."""
+    d = tempfile.mkdtemp(prefix="ssampe_")
+    try:
+        out = ING.read_stream_sample(spark, f"{d}/never_drained", k=5)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "doc_id", "source", "weight", "priority", "est",
+        ]
+
+        from tiny_md_hbase_spark.operators.text import corpus_weighted_sample
+
+        rows = [_near_doc(i, "z " * (4 + 3 * i)) for i in range(1, 6)]
+        # doc 5 (strong) re-delivered twice in the same batch
+        dup_batch = spark.createDataFrame(rows + [rows[-1]], _DOCS_SCHEMA)
+        ING.sample_topk_batch(dup_batch, 0, f"{d}/t", k=2)
+        got = [
+            (r.doc_id, r.priority)
+            for r in ING.read_stream_sample(spark, f"{d}/t", k=2).collect()
+        ]
+        want = [
+            (r.doc_id, r.priority)
+            for r in corpus_weighted_sample(
+                spark.createDataFrame(rows, _DOCS_SCHEMA), k=2
+            ).collect()
+        ]
+        assert got == want  # the duplicate copy burned no slot
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -715,37 +715,67 @@ def stream_dedup_near(
     return writer.start()
 
 
+def _latest_state_dir(spath: str, exclude_batch: int | None = None) -> str | None:
+    """The highest-numbered ``batch=<id>`` directory under a sampler
+    state path, optionally excluding one id (a replayed batch must not
+    read its own prior attempt). Monotone top-k makes the latest prior
+    directory EXACTLY the top-(k+1) of all prior arrivals, so nothing
+    ever needs to read (or keep) more than one directory — per-batch
+    work stays O(k) regardless of stream length, and old directories
+    are deletable housekeeping (never consulted again except as the
+    replay fallback one step back)."""
+    if not os.path.exists(spath):
+        return None
+    ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(spath)
+        if d.startswith("batch=") and d.split("=", 1)[1].lstrip("-").isdigit()
+    )
+    if exclude_batch is not None:
+        ids = [i for i in ids if i != exclude_batch]
+    return f"{spath}/batch={ids[-1]}" if ids else None
+
+
 def sample_topk_batch(
     batch: DataFrame, batch_id: int, table_path: str, k: int = 500
 ) -> None:
     """One micro-batch of :func:`stream_sample` (module-level for
-    direct replay testing): the batch's DLT top-(k+1) priorities merge
-    with the persisted state and the new top-(k+1) OVERWRITES this
-    batch's own ``state/batch=<id>`` directory.
+    direct replay testing): the batch's DLT priorities (DISTINCT — an
+    at-least-once source may re-deliver identical rows, and two copies
+    inside one batch would burn two of the k+1 slots and permanently
+    evict a true member) merge with the LATEST prior state directory
+    and the new top-(k+1) OVERWRITES this batch's own
+    ``state/batch=<id>`` directory.
 
     Replay-safe by the same two rules as the dedup sinks (own-batch
-    exclusion + per-batch overwrite), and CORRECT against the union of
-    ALL prior state directories because top-k under inserts is
-    monotone: any row in the true top-(k+1) of everything seen so far
-    survived every intermediate top-(k+1), so re-topping the union of
-    all prior states plus this batch equals topping all arrivals —
-    no state compaction step is ever needed for correctness (each
-    directory is ≤ k+1 rows; a long-running stream can compact old
-    directories as pure housekeeping)."""
-    from tiny_md_hbase_spark.operators.text import dlt_top_priorities
+    exclusion + per-batch overwrite), and reading only the latest prior
+    directory is EXACT because top-k under inserts is monotone: any row
+    of the true top-(k+1) of all arrivals so far survived every
+    intermediate top-(k+1), so the latest prior state already holds the
+    full top-(k+1) of everything before this batch.
+
+    Contract: ``doc_id`` is the corpus primary key. Re-delivered
+    IDENTICAL rows are absorbed exactly (distinct); two different
+    documents sharing a doc_id are upstream corruption this sampler
+    (like the batch op) cannot detect. A ``_params`` marker stores k;
+    a re-drain or read with a different k fails loudly instead of
+    silently returning a sample computed under another k."""
+    from tiny_md_hbase_spark.operators.text import dlt_priorities
+    from tiny_md_hbase_spark.sources.writer import write_meta_row
 
     ss = batch.sparkSession
-    cand = dlt_top_priorities(batch, k)
+    _check_sample_k(ss, table_path, k, write_meta_row)
     spath = f"{table_path}/state"
-    if os.path.exists(spath):
-        prior = (
-            ss.read.parquet(spath)
-            .filter(F.col("batch") != batch_id)  # never our own prior attempt
-            .select("doc_id", "source", "weight", "q")
-            # a doc surviving many states appears once per directory —
-            # without distinct the top-(k+1) could fill with copies of
-            # one strong doc and crowd out true members
-            .distinct()
+    cand = (
+        dlt_priorities(batch)
+        .distinct()
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .limit(k + 1)
+    )
+    prior_dir = _latest_state_dir(spath, exclude_batch=batch_id)
+    if prior_dir is not None:
+        prior = ss.read.parquet(prior_dir).select(
+            "doc_id", "source", "weight", "q"
         )
         cand = (
             prior.unionByName(cand)
@@ -754,6 +784,20 @@ def sample_topk_batch(
         )
     cand = cand.localCheckpoint()  # read state BEFORE overwriting into it
     cand.write.mode("overwrite").parquet(f"{spath}/batch={batch_id}")
+
+
+def _check_sample_k(ss: SparkSession, table_path: str, k: int, write_meta_row) -> None:
+    ppath = f"{table_path}/_params"
+    if not os.path.exists(ppath):
+        write_meta_row(ss, ppath, [("k", k, "int")])
+        return
+    stored = ss.read.parquet(ppath).collect()[0]["k"]
+    if stored != k:
+        raise ValueError(
+            f"stream_sample state at {table_path} was built with k={stored}; "
+            f"this call passed k={k} — a top-({stored}+1) state cannot answer "
+            f"a k={k} sample. Use a fresh table_path or k={stored}."
+        )
 
 
 def stream_sample(
@@ -803,20 +847,28 @@ def stream_sample(
 def read_stream_sample(
     spark: SparkSession, table_path: str, k: int = 500
 ) -> DataFrame:
-    """The drained sample: re-top the union of all state directories
-    (monotone top-k makes this exact — see :func:`sample_topk_batch`)
-    and apply the batch sampler's tau/estimator tail, yielding the
-    identical (doc_id, source, weight, priority, est) relation
-    ``corpus_weighted_sample`` computes in one shot."""
+    """The drained sample: the LATEST state directory already IS the
+    top-(k+1) of everything that arrived (monotone top-k — see
+    :func:`sample_topk_batch`); apply the batch sampler's
+    tau/estimator tail to it, yielding the identical (doc_id, source,
+    weight, priority, est) relation ``corpus_weighted_sample`` computes
+    in one shot. A never-drained (or empty-source) table returns the
+    empty relation, exactly like the batch op on an empty corpus; a k
+    differing from the drain's stored k fails loudly."""
     from tiny_md_hbase_spark.operators.text import dlt_finish
+    from tiny_md_hbase_spark.sources.writer import write_meta_row
 
-    top = (
-        spark.read.parquet(f"{table_path}/state")
-        .select("doc_id", "source", "weight", "q")
-        .distinct()  # one row per doc across the per-batch directories
-        .orderBy(F.desc("q"), F.asc("doc_id"))
-        .limit(k + 1)
-    )
+    if os.path.exists(f"{table_path}/_params"):
+        _check_sample_k(spark, table_path, k, write_meta_row)
+    latest = _latest_state_dir(f"{table_path}/state")
+    if latest is None:
+        top = spark.createDataFrame(
+            [], "doc_id long, source string, weight long, q double"
+        )
+    else:
+        top = spark.read.parquet(latest).select(
+            "doc_id", "source", "weight", "q"
+        )
     return dlt_finish(top, k)
 
 
