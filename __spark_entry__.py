@@ -2687,105 +2687,31 @@ def _q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
-    # Round-11 rotation (derived from CORRECTNESS_r01-r10 by
+    # Round-12 rotation (derived from CORRECTNESS_r01-r11 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-15: keys whose code, parameters, or oracle changed THIS
-    #   round and need fresh verdicts: ppm_decode / ppm_resize /
-    #   ppm_frames (NEW — the real image codec paths: P6 header
-    #   tokenization, byte-exact nearest-neighbor resize, concatenated
-    #   frame-stream demux, byte-level DuckDB oracles over the committed
-    #   media_ppm fixtures), stream_dedup_near (NEW — route-on-arrival
-    #   MinHash-LSH near-dup with band-bucket state, whole drained pair
-    #   set under the portable batch-twin oracle), wav_decode (NEW — the real
-    #   RIFF/WAVE 16-bit-PCM decode path, byte-level DuckDB oracle over
-    #   the committed media_wav fixture), the six _collapse_exact
-    #   consumers (dedup_minhash, dedup_minhash_portable,
-    #   dedup_minhash_vs_exact, dedup_minhash_capped,
-    #   dedup_embedding_lsh, dedup_embedding_lsh_capped — clean-corpus
-    #   fast path: the collapse window + checkpoint + re-expansion
-    #   joins are skipped when a precheck finds zero duplicate
-    #   fingerprints), embedding_knn_batch (kernel refactored into
-    #   _knn_batch_score + opt-in chunk_queries fallback + modal-length
-    #   ragged diagnostic), heavy_hitters_cms_merged (_cms_meta read
-    #   guard narrowed to PATH_NOT_FOUND).
-    #   16-26: the full r06-stale cohort (asof_join ... resize_meta) —
-    #   burning it lifts the staleness floor to r07.
-    #   27-50: the 24 oldest r07 keys in rotation_audit's suggested
-    #   order (span_dedup_hashed ... sql_pricing_summary; the 6
-    #   displaced by the new keys + the stream_dedup_docs re-verdict
-    #   lead the next rotation).
+    #   1-3: the keys whose CODE changed this session and need fresh
+    #   verdicts: stream_dedup_near / stream_dedup_docs (state trees now
+    #   snapshot-compact every compact_every batches; the bands routing
+    #   table is bucket=<b>/-partitioned and read by touched-bucket path
+    #   selection) and stream_sample (cross-batch redelivery dedup after
+    #   the prior-union merge). Their drained RESULTS are
+    #   oracle-identical; the fresh verdict pins that.
+    #   4-23: the full 20-key r07 staleness cohort, in rotation_audit's
+    #   suggested order (bucket_route ... make_mask) — burning it lifts
+    #   the out-of-window staleness floor to r08 (the r11 verdict's
+    #   Next-round #3).
+    #   24-50: the 27 oldest r08 keys (bucket_split ... stream_scd2).
     # Below the marker: every remaining key by ascending last-verdict
-    # round (r07 remainder, then r08, r09, and the r10 window at the
-    # back) — verdict age stays monotone down the dict.
+    # round (r08 remainder, r09, r10, and the r11 window at the back) —
+    # verdict age stays monotone down the dict.
     return {
-        # -- r11 window 1-15: changed/new this session ---------------------
-        # ppm_decode / ppm_resize / ppm_frames are NEW (the real image
-        # codec paths — P6 header tokenization, byte-level resize,
-        # concatenated-stream demux); inserting them displaces the last
-        # 3 r07 keys (skew_join, running_total... see the window-end
-        # marker) to the next rotation — they stay r07-verified, not
-        # never-checked, so rotation_audit stays green.
-        "ppm_decode": _q_ppm_decode,
-        "ppm_resize": _q_ppm_resize,
-        "ppm_frames": _q_ppm_frames,
+        # -- r12 window 1-3: streaming-state machinery changed this session
         "stream_dedup_near": _q_stream_dedup_near,
-        "stream_sample": _q_stream_sample,
-        # exactly-once rewrite landed on stream_dedup_docs too -> fresh verdict
         "stream_dedup_docs": _q_stream_dedup_docs,
-        "wav_decode": _q_wav_decode,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_minhash_portable": _q_dedup_minhash_portable,
-        "dedup_minhash_vs_exact": _q_dedup_minhash_vs_exact,
-        "dedup_minhash_capped": _q_dedup_minhash_capped,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "dedup_embedding_lsh_capped": _q_dedup_embedding_lsh_capped,
-        "embedding_knn_batch": _q_embedding_knn_batch,
-        "heavy_hitters_cms_merged": _q_heavy_hitters_cms_merged,
-        # -- r11 window 16-26: the r06-stale cohort (floor -> r07) ---------
-        "asof_join": _q_asof_join,
-        "stream_asof": _q_stream_asof,
-        "stream_sessionize": _q_stream_sessionize,
-        "dedup_embedding": _q_dedup_embedding,
-        "decontaminate_hashed": _q_decontaminate_hashed,
-        "knn_3d": _q_knn_3d,
-        "span_dedup": _q_span_dedup,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "pagerank": _q_pagerank,
-        "co_purchase": _q_co_purchase,
-        "resize_meta": _q_resize_meta,
-        # -- r11 window 27-50: 24 oldest r07 keys (rotation_audit order) ---
-        "span_dedup_hashed": _q_span_dedup_hashed,
-        "bpe_token_count": _q_bpe_token_count,
-        "dedup_clusters_distributed": _q_dedup_clusters_distributed,
-        "approx_quantiles": _q_approx_quantiles,
-        "sql_shipping_priority": _q_sql_shipping_priority,
-        "sql_supplier_volume": _q_sql_supplier_volume,
-        "source_overlap": _q_source_overlap,
-        "dedup_clusters_star": _q_dedup_clusters_star,
-        "pagerank_weighted": _q_pagerank_weighted,
-        "triangle_count": _q_triangle_count,
-        "scd2_intervals": _q_scd2_intervals,
-        "sql_returned_revenue": _q_sql_returned_revenue,
-        "sql_large_orders": _q_sql_large_orders,
-        "hybrid_search_rrf": _q_hybrid_search_rrf,
-        "session_paths": _q_session_paths,
-        "dq_check": _q_dq_check,
-        "k_core": _q_k_core,
-        "change_points": _q_change_points,
-        "vocab_growth": _q_vocab_growth,
-        "corpus_stratified": _q_corpus_stratified,
-        "embedding_project": _q_embedding_project,
-        "approx_distinct": _q_approx_distinct,
-        "table_profile_approx": _q_table_profile_approx,
-        "sql_pricing_summary": _q_sql_pricing_summary,
-        # ---- driver window ends here (first 50 keys) --------------------
+        "stream_sample": _q_stream_sample,
+        # -- r12 window 4-23: the r07 staleness cohort (floor -> r08) ----
         "bucket_route": _q_bucket_route,
-        # -- remaining keys, ascending verdict age (r07 -> r10) ------------
-        # (bucket_route / insert_append / skew_join / running_total /
-        # knn_indexed / stream_ingest_points were displaced from the window
-        # by the 5 new keys + the stream_dedup_docs re-verdict — front of
-        # the next rotation)
         "insert_append": _q_insert_append,
         "skew_join": _q_skew_join,
         "running_total": _q_running_total,
@@ -2805,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_decode": _q_zorder_decode,
         "prefix_render": _q_prefix_render,
         "make_mask": _q_make_mask,
+        # -- r12 window 24-50: the 27 oldest r08 keys --------------------
         "bucket_split": _q_bucket_split,
         "prefix_match": _q_prefix_match,
         "bit_spread": _q_bit_spread,
@@ -2832,6 +2759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment": _q_doc_containment,
         "dedup_edit": _q_dedup_edit,
         "stream_scd2": _q_stream_scd2,
+        # ---- driver window ends here (first 50 keys) -------------------
+        # -- remaining keys, ascending verdict age (r08 -> r10) ----------
         "json_props_stats": _q_json_props_stats,
         "shortest_path": _q_shortest_path,
         "hilbert_encode": _q_hilbert_encode,
@@ -2888,7 +2817,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
         "stream_dedup": _q_stream_dedup,
-        # -- r10-window keys not re-checked this round (youngest verdicts) -
         "skyline": _q_skyline,
         "keyword_search_indexed": _q_keyword_search_indexed,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
@@ -2930,6 +2858,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_build": _q_index_build,
         "index_inspect": _q_index_inspect,
         "floor_lookup": _q_floor_lookup,
+        # -- the r11 window (youngest verdicts) --------------------------
+        "ppm_decode": _q_ppm_decode,
+        "ppm_resize": _q_ppm_resize,
+        "ppm_frames": _q_ppm_frames,
+        "wav_decode": _q_wav_decode,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_minhash_portable": _q_dedup_minhash_portable,
+        "dedup_minhash_vs_exact": _q_dedup_minhash_vs_exact,
+        "dedup_minhash_capped": _q_dedup_minhash_capped,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "dedup_embedding_lsh_capped": _q_dedup_embedding_lsh_capped,
+        "embedding_knn_batch": _q_embedding_knn_batch,
+        "heavy_hitters_cms_merged": _q_heavy_hitters_cms_merged,
+        "asof_join": _q_asof_join,
+        "stream_asof": _q_stream_asof,
+        "stream_sessionize": _q_stream_sessionize,
+        "dedup_embedding": _q_dedup_embedding,
+        "decontaminate_hashed": _q_decontaminate_hashed,
+        "knn_3d": _q_knn_3d,
+        "span_dedup": _q_span_dedup,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "pagerank": _q_pagerank,
+        "co_purchase": _q_co_purchase,
+        "resize_meta": _q_resize_meta,
+        "span_dedup_hashed": _q_span_dedup_hashed,
+        "bpe_token_count": _q_bpe_token_count,
+        "dedup_clusters_distributed": _q_dedup_clusters_distributed,
+        "approx_quantiles": _q_approx_quantiles,
+        "sql_shipping_priority": _q_sql_shipping_priority,
+        "sql_supplier_volume": _q_sql_supplier_volume,
+        "source_overlap": _q_source_overlap,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "pagerank_weighted": _q_pagerank_weighted,
+        "triangle_count": _q_triangle_count,
+        "scd2_intervals": _q_scd2_intervals,
+        "sql_returned_revenue": _q_sql_returned_revenue,
+        "sql_large_orders": _q_sql_large_orders,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "session_paths": _q_session_paths,
+        "dq_check": _q_dq_check,
+        "k_core": _q_k_core,
+        "change_points": _q_change_points,
+        "vocab_growth": _q_vocab_growth,
+        "corpus_stratified": _q_corpus_stratified,
+        "embedding_project": _q_embedding_project,
+        "approx_distinct": _q_approx_distinct,
+        "table_profile_approx": _q_table_profile_approx,
+        "sql_pricing_summary": _q_sql_pricing_summary,
     }
 
 

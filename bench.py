@@ -23,6 +23,16 @@ RAM-backed scratch measures the compute, which is what the benchmark
 compares. Override with SPARK_GRAFT_BENCH_SCRATCH=/path or set it to
 "none" to keep the system default.
 
+Warm-up: one UNTIMED full sweep runs before the timed ones (disable
+with SPARK_GRAFT_BENCH_WARM_SWEEP=0) so no timed sweep pays the
+one-time Catalyst/janino/JIT/listing costs — the r11 driver artifact's
+sweep 1 ran 1.9x its siblings on a healthy host purely from first-run
+compile, blowing the streaming spread metric. Dead per-query scratch
+dirs are reclaimed at every sweep boundary (_clean_scratch) so tmpfs
+garbage from layout-materializing entries never pressures the RAM the
+later sweeps and the layout section need; free-space samples are
+recorded in the artifact (scratch_free_gb).
+
 Host-health gate: a fixed CPU+I/O micro-probe (_host_probe) brackets
 every sweep and the layout section. A sweep is healthy iff its worst
 probe is within 1.3x of the best probe seen AND under the absolute
@@ -380,6 +390,60 @@ def _warm_streaming(spark) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+_SCRATCH_FREE_GB: list[float] = []  # free-space samples at cleanup points
+
+
+def _clean_scratch() -> None:
+    """Remove dead per-query scratch directories between sweeps.
+
+    Every layout-materializing queries() entry mkdtemps under the tmpfs
+    scratch and nothing reclaimed them until atexit — after three+
+    sweeps the scratch holds many GiB of dead layout trees (z-sorted
+    tables, inverted indexes, clustered/quantized embeddings, jsonl
+    round-trips), and tmpfs pages count against the same RAM the JVM
+    heap and page cache need. That pressure lands exactly on the layout
+    section, which runs LAST and writes GiBs of its own — the prime
+    suspect for the r11 driver artifact's block-wide layout elevation
+    (embeddings_clustered_build 2.63x its record with healthy CPU/fsync
+    probes; scripts/isolate_layout.py measured a fresh idle host at
+    ~1.2x, exonerating the code and BLAS oversubscription). Cleanup is
+    safe at sweep boundaries: every timed entry fully materializes
+    through the noop sink before the next starts, so no lazy plan holds
+    a reference into a dead dir. Spark's own local dirs (shuffle,
+    localCheckpoint blocks) are kept — live RDD blocks reference them.
+    Free-space samples land in the artifact (scratch_free_gb) so a
+    pressured run is readable in BENCH_r{N}.json itself.
+
+    Only ever touches the private bench_scratch_* dir this process
+    created — when scratch routing is off (system /tmp), nothing is
+    deleted (other processes own entries there) and only the free-space
+    sample is taken."""
+    d = tempfile.gettempdir()
+    if _SCRATCH is None or os.path.realpath(d) != os.path.realpath(_SCRATCH):
+        try:
+            st = os.statvfs(d)
+            _SCRATCH_FREE_GB.append(
+                round(st.f_bavail * st.f_frsize / (1 << 30), 1)
+            )
+        except OSError:
+            pass
+        return
+    for name in os.listdir(d):
+        if name == "spark_local":
+            continue
+        p = os.path.join(d, name)
+        try:
+            if os.path.isdir(p) and not os.path.islink(p):
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    try:
+        st = os.statvfs(d)
+        _SCRATCH_FREE_GB.append(round(st.f_bavail * st.f_frsize / (1 << 30), 1))
+    except OSError:
+        pass
+
+
 _RECORDS_PATH = os.path.join(_REPO_DIR, "BENCH_RECORDS.json")
 
 
@@ -509,6 +573,32 @@ def main() -> None:
 
     target_sweeps = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "3"))
     max_sweeps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_SWEEPS", "6"))
+
+    # one UNTIMED warm sweep before the timed ones (r11 verdict #2): the
+    # first execution of each of the 134 plans pays one-time Catalyst
+    # analysis + janino compile + JIT + source-listing costs that belong
+    # to no steady state. The boundary host-probes cannot see that phase
+    # (it is Spark-internal CPU, not host degradation) — the r11 driver
+    # artifact's sweep 1 ran 328 s vs 177/173 while ALL THREE sweeps
+    # passed their probes, blowing the streaming spread metric (3.26) on
+    # a healthy host. Billing no sweep-1 compile makes every timed sweep
+    # steady-state. Errors here are ignored: a key that genuinely fails
+    # will fail identically inside the timed sweeps, where it is
+    # recorded per-key.
+    warm_sweep_sec = None
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM_SWEEP", "1") != "0":
+        w0 = time.perf_counter()
+        for key in BENCH_KEYS:
+            try:
+                qs[key](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — timed sweeps record it per-key
+                pass
+        warm_sweep_sec = round(time.perf_counter() - w0, 3)
+        print(f"bench: warm sweep done in {warm_sweep_sec}s", file=sys.stderr)
+        _clean_scratch()
+
     while len(sweep_secs) < max_sweeps:
         pre = probe()
         s0 = time.perf_counter()
@@ -522,6 +612,7 @@ def main() -> None:
             timings.setdefault(key, []).append(dt)
             results[key] = min(results.get(key, dt), dt)
         sweep_secs.append(round(time.perf_counter() - s0, 3))
+        _clean_scratch()  # reclaim this sweep's dead layout tempdirs
         post = probe()
         sweep_probes.append((round(pre, 4), round(post, 4)))
         # re-evaluate every sweep's health under the current best probe
@@ -752,6 +843,7 @@ def main() -> None:
     # On an unhealthy probe pair the whole section re-runs (once);
     # minima accumulate, so a healthy retry wins.
     for _attempt in range(2):
+        _clean_scratch()  # the section writes GiBs; start it unpressured
         pre_l = probe()
         run_layout_section()
         post_l = probe()
@@ -832,29 +924,46 @@ def main() -> None:
     # run, 30 minutes after a healthy run of identical code). When any
     # layout key exceeds 2x its record under a healthy probe, the whole
     # section re-runs once more — minima accumulate per key.
-    layout_over = [
-        k
-        for k, v in results.items()
-        if k not in BENCH_KEYS
-        and (records or {}).get(k, 0.0) >= 0.15
-        and v > 2.0 * records[k]
-    ]
-    if layout_over:
+    # escalation (r12): the r11 driver artifact showed one full-section
+    # re-run was not always enough (embeddings_clustered_build stayed at
+    # 2.63x through a healthy-probed retry) — keep re-running, with a
+    # scratch cleanup before each attempt, until every layout key is
+    # under 2x or two extra attempts are spent; minima accumulate.
+    for _retry in range(2):
+        layout_over = [
+            k
+            for k, v in results.items()
+            if k not in BENCH_KEYS
+            and (records or {}).get(k, 0.0) >= 0.15
+            and v > 2.0 * records[k]
+        ]
+        if not layout_over:
+            break
         pre_l3 = probe()
-        if healthy(pre_l3, pre_l3):
-            before_vals = {k: results[k] for k in layout_over}
+        if not healthy(pre_l3, pre_l3):
             print(
                 f"bench: layout keys over 2x record ({sorted(layout_over)}) "
-                "with a healthy probe — re-running the layout section",
+                f"but the probe is unhealthy ({pre_l3:.3f}s) — stopping the "
+                "section retries, the health flags mark this run",
                 file=sys.stderr,
             )
-            run_layout_section()
-            for k in layout_over:
-                resampled[k] = {
-                    "record": records[k],
-                    "before": before_vals[k],
-                    "after": results.get(k),
-                }
+            break
+        print(
+            f"bench: layout keys over 2x record ({sorted(layout_over)}) "
+            f"with a healthy probe — re-running the layout section "
+            f"(attempt {_retry + 1}/2)",
+            file=sys.stderr,
+        )
+        _clean_scratch()
+        before_vals = {k: results[k] for k in layout_over}
+        run_layout_section()
+        for k in layout_over:
+            prior = resampled.get(k, {})
+            resampled[k] = {
+                "record": records[k],
+                "before": prior.get("before", before_vals[k]),
+                "after": results.get(k),
+            }
 
     total = round(sum(results.values()), 3)
 
@@ -873,6 +982,8 @@ def main() -> None:
         "probe_ref": probe_ref,
         "streaming": streaming_health,
         "resampled": resampled,
+        "warm_sweep_sec": warm_sweep_sec,
+        "scratch_free_gb": _SCRATCH_FREE_GB,
         "sf": sf,
         "cpus": cpus,
         "scratch": _SCRATCH_DESC,

@@ -8,6 +8,9 @@ import re
 import shutil
 import tempfile
 
+import pytest
+from pyspark.sql import functions as F
+
 from tiny_md_hbase_spark import plans as P
 from tiny_md_hbase_spark.operators import analytics as AN
 from tiny_md_hbase_spark.operators import dedup as D
@@ -808,3 +811,51 @@ def test_skyline_frontier_join_is_not_force_broadcast(spark, sf_dir):
     q = spatial.skyline(points(spark, sf_dir))
     analyzed = q._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
+@pytest.mark.parametrize(
+    "opname",
+    ["decode_features", "wav_decode", "ppm_decode", "ppm_resize", "ppm_stream_frames"],
+)
+def test_codec_kernel_exchange_width_is_explicit(spark, opname):
+    """The `_spread` contract (multimodal.py): every CPU-bound decode
+    kernel sits behind an exchange with an EXPLICIT partition count >=
+    defaultParallelism. A bare ``repartition(crc32(...))`` (no count)
+    lets AQE size the exchange for ~64 MB shuffle blocks and squash a
+    32-core Python decode onto 3 tasks — the 19x-at-10x-volume scale
+    bug scripts/scale_codecs.py caught in r11; this pins the fix so a
+    future AQE/config change cannot silently reintroduce it. Explicit
+    counts plan as REPARTITION_BY_NUM (AQE may not coalesce them);
+    column-only repartitions plan as REPARTITION_BY_COL (it may)."""
+    import os
+
+    from tiny_md_hbase_spark.operators import multimodal as MM
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    if opname == "decode_features":
+        media, q = MM.synth_media(spark, n=49), None
+        q = MM.decode_features(media)
+    elif opname == "wav_decode":
+        media = spark.read.parquet(os.path.join(fix, "media_wav.parquet"))
+        q = MM.wav_decode(media)
+    elif opname == "ppm_stream_frames":
+        media = spark.read.parquet(os.path.join(fix, "media_ppm_stream.parquet"))
+        q = MM.ppm_stream_frames(media)
+    else:
+        media = spark.read.parquet(os.path.join(fix, "media_ppm.parquet"))
+        q = getattr(MM, opname)(media)
+
+    plan = P.explain_str(q, "simple")
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "REPARTITION_BY_COL" not in plan, plan
+
+    # the width is real, not just nominal: the kernel (mapInPandas
+    # preserves its input partitioning) ran across many tasks — with a
+    # bare AQE-sized exchange these tiny fixtures collapse to ONE task
+    pids = (
+        q.withColumn("pid", F.spark_partition_id())
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert pids >= 4, f"{opname} kernel ran on only {pids} task(s)"
