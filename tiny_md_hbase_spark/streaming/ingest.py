@@ -1044,6 +1044,23 @@ def sample_topk_batch(
         )
     cand = cand.localCheckpoint()  # read state BEFORE overwriting into it
     cand.write.mode("overwrite").parquet(f"{spath}/batch={batch_id}")
+    # housekeeping the docstring promised: monotone top-k means only the
+    # LATEST directory is ever consulted (plus one step back as the
+    # replay fallback) — everything older is dead state. Keep this batch
+    # and the newest prior directory; delete the rest, so the tree stays
+    # O(1) directories over stream lifetime instead of one per batch.
+    import shutil
+
+    ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(spath)
+        if d.startswith("batch=") and d.split("=", 1)[1].lstrip("-").isdigit()
+    )
+    prior = sorted(i for i in ids if i != batch_id)[-1:]
+    keep = {batch_id, *prior}
+    for i in ids:
+        if i not in keep:
+            shutil.rmtree(f"{spath}/batch={i}", ignore_errors=True)
 
 
 def _check_sample_k(ss: SparkSession, table_path: str, k: int, write_meta_row) -> None:
