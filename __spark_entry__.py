@@ -2213,7 +2213,9 @@ def _q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink, then counted per language FROM THE INGESTED TABLE. Exactly
     one survivor per distinct content must remain regardless of batch
     order, so the oracle is count(DISTINCT text) per lang over the same
-    staged set."""
+    staged set. compact_every=2 so the 4-batch drain folds the seen-set
+    into a snapshot MID-DRAIN — the driver's oracle covers the
+    compaction read path, not just the per-batch one."""
     import shutil
     import tempfile
 
@@ -2244,6 +2246,7 @@ def _q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{d}/ckpt",
             available_now=True,
             max_files_per_trigger=1,
+            compact_every=2,
         )
         _await_drained(q)
         docs = spark.read.parquet(f"{d}/table/docs")
@@ -2265,7 +2268,11 @@ def _q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-set Jaccard verify), then the accumulated PAIRS table read
     back. Uncapped here so the drained pair set is arrival-order-free
     and equals the batch twin exactly (dedup.stream_dedup_near_sql);
-    the keep-first bucket cap is pinned by tests instead."""
+    the keep-first bucket cap is pinned by tests instead.
+    compact_every=2 so the 4-batch drain folds the bands/hs state into
+    snapshots MID-DRAIN — the driver's oracle covers the compaction
+    read path (and the bucket-pruned band reads), not just the
+    per-batch one."""
     import shutil
     import tempfile
 
@@ -2283,6 +2290,7 @@ def _q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_bucket_width=None,
             available_now=True,
             max_files_per_trigger=1,
+            compact_every=2,
         )
         _await_drained(q)
         return (
