@@ -2337,6 +2337,90 @@ def _q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_corpus_stratified_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DLT priority sampling (operators/text.py
+    corpus_stratified_weighted): an independent weight-proportional
+    k-sample per source with per-source tau/estimator — the
+    per-stratum form of corpus_weighted_sample a multi-source
+    pretraining budget needs. Skew-safe per-source top-(k+1)."""
+    return TX.corpus_stratified_weighted(load_table(spark, sf_dir, "documents"))
+
+
+def _q_stream_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source weighted sampling end-to-end
+    (streaming/ingest.py stream_sample_stratified): the corpus staged
+    as arriving files, drained through the per-source top-(k+1) DLT
+    state (bounded by n_sources x (k+1), latest-directory reads), then
+    the per-source sample read back — EXACTLY the batch
+    corpus_stratified_weighted over everything that arrived, so the
+    oracle is corpus_stratified_weighted_sql verbatim."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming.ingest import (
+        read_stream_sample_stratified,
+        stream_sample_stratified,
+    )
+
+    d = tempfile.mkdtemp(prefix="ssamps_q_")
+    try:
+        base = load_table(spark, sf_dir, "documents")
+        base.repartitionByRange(4, "doc_id").write.parquet(f"{d}/src")
+        q = stream_sample_stratified(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        _await_drained(q)
+        return read_stream_sample_stratified(spark, f"{d}/table").localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark decontamination end-to-end
+    (streaming/ingest.py stream_decontaminate): the TRAIN side of the
+    corpus staged as arriving files, the eval side (doc_id % 50 == 0,
+    the batch operator's split) materialized once as the broadcast
+    eval-gram table, every arrival checked at ingest time. The drained
+    hits table equals the batch decontaminate over the whole corpus,
+    so the oracle is decontaminate_sql verbatim. Stateless across
+    batches; exactly-once via hits/batch=<id> overwrite."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.operators.text import DECON_EVAL_MOD
+    from tiny_md_hbase_spark.streaming.ingest import stream_decontaminate
+
+    d = tempfile.mkdtemp(prefix="sdecon_q_")
+    try:
+        base = load_table(spark, sf_dir, "documents")
+        train = base.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        eval_docs = base.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        train.repartitionByRange(4, "doc_id").write.parquet(f"{d}/src")
+        q = stream_decontaminate(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            eval_docs=eval_docs,
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        _await_drained(q)
+        return (
+            spark.read.parquet(f"{d}/table/hits")
+            .select("train_doc_id", "eval_doc_id", "n_shared_grams")
+            .orderBy("train_doc_id", "eval_doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted data-mixture sampling (operators/text.py
     corpus_mix): keep each doc with its language's target rate, decided
@@ -2698,23 +2782,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-12 rotation (derived from CORRECTNESS_r01-r11 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-3: the keys whose CODE changed this session and need fresh
-    #   verdicts: stream_dedup_near / stream_dedup_docs (state trees now
-    #   snapshot-compact every compact_every batches; the bands routing
-    #   table is bucket=<b>/-partitioned and read by touched-bucket path
-    #   selection) and stream_sample (cross-batch redelivery dedup after
-    #   the prior-union merge). Their drained RESULTS are
-    #   oracle-identical; the fresh verdict pins that.
-    #   4-23: the full 20-key r07 staleness cohort, in rotation_audit's
+    #   1-6: three NEW keys needing first verdicts —
+    #   corpus_stratified_weighted (per-source DLT priority sampling,
+    #   skew-safe top-(k+1) per stratum), stream_sample_stratified (its
+    #   route-on-arrival twin, state bounded by n_sources x (k+1)), and
+    #   stream_decontaminate (ingest-time eval-set n-gram hygiene,
+    #   stateless broadcast join) — then the three keys whose CODE
+    #   changed this session: stream_dedup_near / stream_dedup_docs
+    #   (state trees now snapshot-compact every compact_every batches;
+    #   the bands routing table is bucket=<b>/-partitioned and read by
+    #   touched-bucket path selection; the entry drains pass
+    #   compact_every=2 so the oracle covers the fold mid-drain) and
+    #   stream_sample (cross-batch redelivery dedup after the
+    #   prior-union merge).
+    #   7-26: the full 20-key r07 staleness cohort, in rotation_audit's
     #   suggested order (bucket_route ... make_mask) — burning it lifts
     #   the out-of-window staleness floor to r08 (the r11 verdict's
     #   Next-round #3).
-    #   24-50: the 27 oldest r08 keys (bucket_split ... stream_scd2).
+    #   27-50: the 24 oldest r08 keys (bucket_split ... dedup_exact ...
+    #   frame_sample; doc_containment / dedup_edit / stream_scd2 were
+    #   displaced by the new keys and lead the next rotation).
     # Below the marker: every remaining key by ascending last-verdict
     # round (r08 remainder, r09, r10, and the r11 window at the back) —
     # verdict age stays monotone down the dict.
     return {
-        # -- r12 window 1-3: streaming-state machinery changed this session
+        # -- r12 window 1-6: NEW keys + streaming-state machinery changed
+        # this session. corpus_stratified_weighted / stream_sample_
+        # stratified / stream_decontaminate are NEW (per-source DLT
+        # sampling, its route-on-arrival twin, and ingest-time
+        # decontamination); inserting them displaces the last 3 r08 keys
+        # (doc_containment, dedup_edit, stream_scd2) to the next
+        # rotation — they stay r08-verified, not never-checked, so
+        # rotation_audit stays green.
+        "corpus_stratified_weighted": _q_corpus_stratified_weighted,
+        "stream_sample_stratified": _q_stream_sample_stratified,
+        "stream_decontaminate": _q_stream_decontaminate,
         "stream_dedup_near": _q_stream_dedup_near,
         "stream_dedup_docs": _q_stream_dedup_docs,
         "stream_sample": _q_stream_sample,
@@ -2764,10 +2866,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "media_dedup": _q_media_dedup,
         "frame_sample": _q_frame_sample,
+        # ---- driver window ends here (first 50 keys) -------------------
+        # (doc_containment / dedup_edit / stream_scd2 were displaced from
+        # the window tail by the 3 new keys — they stay r08-verified and
+        # lead the next rotation)
         "doc_containment": _q_doc_containment,
         "dedup_edit": _q_dedup_edit,
         "stream_scd2": _q_stream_scd2,
-        # ---- driver window ends here (first 50 keys) -------------------
         # -- remaining keys, ascending verdict age (r08 -> r10) ----------
         "json_props_stats": _q_json_props_stats,
         "shortest_path": _q_shortest_path,
@@ -3555,6 +3660,13 @@ def oracle_sql() -> dict[str, str]:
         # the streaming sampler's drained state re-tops to EXACTLY the
         # batch DLT sample: the oracle IS the batch twin's SQL
         "stream_sample": TX.corpus_weighted_sample_sql(),
+        # the stratified pair share one twin — the streaming drain's
+        # contract is exact equality with the batch operator
+        "corpus_stratified_weighted": TX.corpus_stratified_weighted_sql(),
+        "stream_sample_stratified": TX.corpus_stratified_weighted_sql(),
+        # the streaming decontaminator's drained hits equal the batch
+        # operator over the whole corpus — the raw-string twin verbatim
+        "stream_decontaminate": TX.decontaminate_sql(),
         "dedup_embedding_lsh": D.dedup_embedding_lsh_sql(),
         "dedup_embedding_lsh_capped": D.dedup_embedding_lsh_sql(
             max_bucket_width=40

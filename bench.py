@@ -291,6 +291,9 @@ BENCH_KEYS = [
     "shortest_path_weighted",
     "heavy_hitters_cms",
     "heavy_hitters_cms_merged",
+    "corpus_stratified_weighted",
+    "stream_sample_stratified",
+    "stream_decontaminate",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

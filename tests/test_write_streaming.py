@@ -1666,3 +1666,141 @@ def test_stream_sample_cross_batch_redelivery_absorbed(spark):
         assert state.count() == state.select("doc_id").distinct().count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- r12 new operators: stratified sampling + streaming decontamination ----
+
+def test_corpus_stratified_weighted_per_source_semantics(spark, sf_dir):
+    """Each source yields an INDEPENDENT DLT sample: per-source row
+    count == min(k, source size), and a source's rows equal the global
+    sampler run on that source alone (same priorities, same per-source
+    tau) — the defining property of stratification."""
+    from tiny_md_hbase_spark.operators.text import (
+        corpus_stratified_weighted,
+        corpus_weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = corpus_stratified_weighted(docs, k=10)
+    rows = got.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    sizes = {
+        r.source: r.n
+        for r in docs.filter(F.col("n_chars") > 0)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_src) == set(sizes)
+    for src, srows in per_src.items():
+        assert len(srows) == min(10, sizes[src])
+        solo = corpus_weighted_sample(
+            docs.filter(F.col("source") == src), k=10
+        ).collect()
+        assert [(r.doc_id, r.priority, r.est) for r in sorted(srows, key=lambda r: (-r.priority, r.doc_id))] == [
+            (r.doc_id, r.priority, r.est) for r in solo
+        ]
+
+
+def test_stream_sample_stratified_equals_batch(spark):
+    """Multi-batch drain == the batch operator over everything arrived,
+    with redelivered rows absorbed across batches and the state bounded
+    per source."""
+    from tiny_md_hbase_spark.operators.text import corpus_stratified_weighted
+    from tiny_md_hbase_spark.streaming.ingest import (
+        read_stream_sample_stratified,
+        sample_stratified_batch,
+    )
+
+    rows = [
+        (100 * s + i, f"doc {s} {i} " * (3 + i), "en", f"s{s}", 10 + 7 * i + s)
+        for s in range(3)
+        for i in range(6)
+    ]
+    d = tempfile.mkdtemp(prefix="sstrat_")
+    try:
+        all_docs = spark.createDataFrame(rows, _DOCS_SCHEMA)
+        b0 = spark.createDataFrame(rows[:7], _DOCS_SCHEMA)
+        # batch 1 redelivers two of batch 0's rows and adds the rest
+        b1 = spark.createDataFrame(rows[5:] + rows[:2], _DOCS_SCHEMA)
+        sample_stratified_batch(b0, 0, f"{d}/t", k=3)
+        sample_stratified_batch(b1, 1, f"{d}/t", k=3)
+        got = [
+            (r.source, r.doc_id, r.priority, r.est)
+            for r in read_stream_sample_stratified(spark, f"{d}/t", k=3).collect()
+        ]
+        want = [
+            (r.source, r.doc_id, r.priority, r.est)
+            for r in corpus_stratified_weighted(all_docs, k=3).collect()
+        ]
+        assert got == want and len(got) == 9  # 3 sources x k=3
+        # state bounded: latest dir holds <= n_sources x (k+1) rows
+        state = spark.read.parquet(f"{d}/t/state/batch=1")
+        assert state.count() <= 3 * 4
+        # replay of batch 1 rewrites identical state
+        sample_stratified_batch(b1, 1, f"{d}/t", k=3)
+        again = [
+            (r.source, r.doc_id, r.priority, r.est)
+            for r in read_stream_sample_stratified(spark, f"{d}/t", k=3).collect()
+        ]
+        assert again == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_decontaminate_planted_hits_and_replay(spark):
+    """Planted contamination is caught at arrival across batches (the
+    eval table is computed once and hit by every later batch), clean
+    docs produce no hits, and replaying a batch rewrites identical
+    hits (stateless + per-batch overwrite = exactly-once)."""
+    from tiny_md_hbase_spark.streaming.ingest import (
+        decontaminate_batch_hits,
+        stream_decontaminate,
+    )
+
+    contaminated = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = tempfile.mkdtemp(prefix="sdecont_")
+    try:
+        eval_docs = spark.createDataFrame(
+            [(50, contaminated, "en", "eval", len(contaminated))], _DOCS_SCHEMA
+        )
+        # batch 0: one clean doc; batch 1: one contaminated (shares the
+        # full 8-gram prefix) + one clean
+        b0 = spark.createDataFrame(
+            [(1, "totally unrelated words here about something else entirely now", "en", "s", 60)],
+            _DOCS_SCHEMA,
+        )
+        b1 = spark.createDataFrame(
+            [
+                (2, "alpha beta gamma delta epsilon zeta eta theta extra tail", "en", "s", 57),
+                (3, "another clean document with no overlap at all present here", "en", "s", 58),
+            ],
+            _DOCS_SCHEMA,
+        )
+        b0.coalesce(1).write.parquet(f"{d}/src")
+        time.sleep(1.1)
+        b1.coalesce(1).write.mode("append").parquet(f"{d}/src")
+        q = stream_decontaminate(
+            spark,
+            f"{d}/src",
+            f"{d}/t",
+            f"{d}/ckpt",
+            eval_docs=eval_docs,
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(300)
+        got = [
+            (r.train_doc_id, r.eval_doc_id, r.n_shared_grams)
+            for r in spark.read.parquet(f"{d}/t/hits").collect()
+        ]
+        assert got == [(2, 50, 1)]  # one shared 8-gram: the common prefix
+        # replay the contaminated batch body directly: identical hits
+        decontaminate_batch_hits(b1, 1, f"{d}/t", gram_n=8)
+        again = [
+            (r.train_doc_id, r.eval_doc_id, r.n_shared_grams)
+            for r in spark.read.parquet(f"{d}/t/hits").collect()
+        ]
+        assert again == got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

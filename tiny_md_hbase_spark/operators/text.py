@@ -29,6 +29,8 @@ __all__ = [
     "text_stats",
     "doc_fingerprint",
     "corpus_sample",
+    "corpus_stratified_weighted",
+    "corpus_stratified_weighted_sql",
     "corpus_weighted_sample",
     "corpus_weighted_sample_sql",
     "dlt_priorities",
@@ -2705,6 +2707,92 @@ def corpus_weighted_sample_sql(k: int = WSAMPLE_K) -> str:
         "SELECT doc_id, source, weight, q AS priority, "
         "GREATEST(CAST(weight AS DOUBLE), tau) AS est "
         f"FROM t WHERE rn <= {k} ORDER BY priority DESC, doc_id"
+    )
+
+
+STRAT_WSAMPLE_K = 10  # default per-source sample size
+
+
+def corpus_stratified_weighted(
+    documents: DataFrame, k: int = STRAT_WSAMPLE_K
+) -> DataFrame:
+    """Per-source weight-proportional sampling WITHOUT replacement: an
+    independent DLT priority sample of ``k`` documents from EACH source
+    — the per-stratum form of :func:`corpus_weighted_sample`, the shape
+    a multi-source pretraining budget actually needs (every source gets
+    its own quota and its own unbiased weight estimator, so per-source
+    token budgets can be audited from the sample alone; pairs with
+    :func:`corpus_temperature` which decides the quotas).
+
+    Identical priority algebra to the global sampler (the shared
+    :func:`dlt_priorities` projection — exact-integer uniform, one
+    correctly-rounded double division), but the top-(k+1) and the tau
+    threshold are computed PER SOURCE: ``tau_s`` = the (k+1)-th priority
+    of source ``s`` when the source holds that many docs, else 0, and
+    ``est = max(weight, tau_s)`` estimates per-source weight totals.
+
+    Scale shape: the per-source top-(k+1) goes through
+    :func:`skew_safe_topk` (local rank within a doc_id-hash shard, then
+    a re-rank whose per-source input is bounded by the constant
+    (k+1) x n_shards) — a bare ``row_number() OVER (PARTITION BY
+    source)`` would funnel a dominant source's entire relation through
+    one task, the classic skew killer on real web corpora where one
+    crawl dwarfs every other source. The tau window then runs on
+    ≤ n_sources x (k+1) survivor rows — bounded by parameters, not
+    data. Returns (doc_id, source, weight, priority, est); unrounded
+    doubles for the same 1-ulp-freedom reason as the global sampler."""
+    from pyspark.sql import Window
+
+    top = skew_safe_topk(
+        dlt_priorities(documents),
+        ["source"],
+        [F.desc("q"), F.asc("doc_id")],
+        k + 1,
+        F.pmod(F.xxhash64("doc_id"), F.lit(8)),
+        rank_name="_rn",
+    )
+    wsrc = Window.partitionBy("source")
+    tau = F.when(
+        F.max("_rn").over(wsrc) == k + 1, F.min("q").over(wsrc)
+    ).otherwise(F.lit(0.0))
+    return (
+        top.withColumn("_tau", tau)
+        .filter(F.col("_rn") <= k)
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            F.col("q").alias("priority"),
+            F.greatest(F.col("weight").cast("double"), F.col("_tau")).alias(
+                "est"
+            ),
+        )
+        .orderBy("source", F.desc("priority"), F.asc("doc_id"))
+    )
+
+
+def corpus_stratified_weighted_sql(k: int = STRAT_WSAMPLE_K) -> str:
+    """DuckDB twin of :func:`corpus_stratified_weighted`: the global
+    sampler's exact-integer uniform with the top-(k+1)/tau/estimator
+    chain re-scoped to PARTITION BY source windows."""
+    u = (
+        f"((((doc_id % {_WS_P}) * 48271 + 11) % {_WS_P}) * 69621 + 7919) "
+        f"% {_WS_P} + 1"
+    )
+    return (
+        "WITH p AS (SELECT doc_id, source, n_chars AS weight, "
+        f"(CAST(n_chars AS DOUBLE) * {_WS_P}.0) / CAST({u} AS DOUBLE) AS q "
+        "FROM documents WHERE n_chars > 0), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source "
+        "ORDER BY q DESC, doc_id) AS rn FROM p), "
+        f"top AS (SELECT * FROM r WHERE rn <= {k + 1}), "
+        "t AS (SELECT doc_id, source, weight, q, rn, "
+        f"CASE WHEN max(rn) OVER (PARTITION BY source) = {k + 1} "
+        "THEN min(q) OVER (PARTITION BY source) ELSE 0.0 END AS tau "
+        "FROM top) "
+        "SELECT doc_id, source, weight, q AS priority, "
+        "GREATEST(CAST(weight AS DOUBLE), tau) AS est "
+        f"FROM t WHERE rn <= {k} ORDER BY source, priority DESC, doc_id"
     )
 
 

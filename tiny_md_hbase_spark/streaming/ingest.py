@@ -53,6 +53,11 @@ __all__ = [
     "stream_sample",
     "read_stream_sample",
     "sample_topk_batch",
+    "stream_sample_stratified",
+    "read_stream_sample_stratified",
+    "sample_stratified_batch",
+    "stream_decontaminate",
+    "decontaminate_batch_hits",
     "stream_ingest_embeddings",
     "stream_manifest",
     "merge_manifest_batch",
@@ -1148,6 +1153,252 @@ def read_stream_sample(
             "doc_id", "source", "weight", "q"
         )
     return dlt_finish(top, k)
+
+
+def sample_stratified_batch(
+    batch: DataFrame, batch_id: int, table_path: str, k: int = 10
+) -> None:
+    """One micro-batch of :func:`stream_sample_stratified`: the batch's
+    per-source top-(k+1) DLT priorities (distinct — redelivery absorbs
+    within AND across batches, as in :func:`sample_topk_batch`) merge
+    with the latest prior state directory and the new per-source
+    top-(k+1) overwrites ``state/batch=<id>``.
+
+    The monotonicity argument is :func:`sample_topk_batch`'s, applied
+    per stratum: any row of source ``s``'s true top-(k+1) over all
+    arrivals survived every intermediate per-source top-(k+1), so the
+    latest prior directory already holds the full per-source state —
+    one directory read per batch, state ≤ n_sources x (k+1) rows,
+    independent of stream length. The batch-side top goes through
+    skew_safe_topk (a giant single-source batch must not funnel through
+    one window task); the merge window's input is state-bounded."""
+    from pyspark.sql.window import Window
+
+    from tiny_md_hbase_spark.operators.text import (
+        dlt_priorities,
+        skew_safe_topk,
+    )
+    from tiny_md_hbase_spark.sources.writer import write_meta_row
+
+    ss = batch.sparkSession
+    _require_local_path(table_path, "stream_sample_stratified")
+    _check_sample_k(ss, table_path, k, write_meta_row)
+    spath = f"{table_path}/state"
+    cand = skew_safe_topk(
+        dlt_priorities(batch).distinct(),
+        ["source"],
+        [F.desc("q"), F.asc("doc_id")],
+        k + 1,
+        F.pmod(F.xxhash64("doc_id"), F.lit(8)),
+        rank_name="_rn",
+    ).drop("_rn")
+    prior_dir = _latest_state_dir(spath, exclude_batch=batch_id)
+    if prior_dir is not None:
+        prior = ss.read.parquet(prior_dir).select(
+            "doc_id", "source", "weight", "q"
+        )
+        cand = prior.unionByName(cand).distinct()
+    # re-top per source over the bounded merge (≤ 2 x n_sources x (k+1)
+    # rows by construction — a plain per-source window is fine here)
+    worder = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+    cand = (
+        cand.withColumn("_rn", F.row_number().over(worder))
+        .filter(F.col("_rn") <= k + 1)
+        .drop("_rn")
+    )
+    cand = cand.localCheckpoint()  # read state BEFORE overwriting into it
+    cand.write.mode("overwrite").parquet(f"{spath}/batch={batch_id}")
+    # same housekeeping as the global sampler: only the latest directory
+    # (plus one step back for replay) is ever consulted again
+    import shutil
+
+    ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(spath)
+        if d.startswith("batch=") and d.split("=", 1)[1].lstrip("-").isdigit()
+    )
+    prior_ids = sorted(i for i in ids if i != batch_id)[-1:]
+    keep = {batch_id, *prior_ids}
+    for i in ids:
+        if i not in keep:
+            shutil.rmtree(f"{spath}/batch={i}", ignore_errors=True)
+
+
+def stream_sample_stratified(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming PER-SOURCE weight-proportional sampling — the
+    route-on-arrival twin of ``text.corpus_stratified_weighted``: an
+    independent k-document DLT priority sample per source, maintained
+    across arriving batches with state bounded by n_sources x (k+1)
+    rows. After any drain :func:`read_stream_sample_stratified` equals
+    the batch operator over everything that arrived (same per-source
+    priorities, taus, estimators — the driver oracle is
+    ``corpus_stratified_weighted_sql`` verbatim). Exactly-once by the
+    sampler pattern: per-batch overwrite + own-batch exclusion +
+    latest-directory monotone state."""
+    _require_local_path(table_path, "stream_sample_stratified")
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        sample_stratified_batch(batch, batch_id, table_path, k)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_sample_stratified(
+    spark: SparkSession, table_path: str, k: int = 10
+) -> DataFrame:
+    """The drained per-source sample: apply the batch operator's
+    per-source tau/estimator tail to the latest state directory (which
+    IS the per-source top-(k+1) of everything arrived — monotone per
+    stratum). Empty relation when never drained; a mismatched k fails
+    loudly via the stored ``_params`` marker."""
+    from pyspark.sql.window import Window
+
+    from tiny_md_hbase_spark.sources.writer import write_meta_row
+
+    _require_local_path(table_path, "read_stream_sample_stratified")
+    if os.path.exists(f"{table_path}/_params"):
+        _check_sample_k(spark, table_path, k, write_meta_row)
+    latest = _latest_state_dir(f"{table_path}/state")
+    if latest is None:
+        top = spark.createDataFrame(
+            [], "doc_id long, source string, weight long, q double"
+        )
+    else:
+        top = spark.read.parquet(latest).select(
+            "doc_id", "source", "weight", "q"
+        )
+    wsrc = Window.partitionBy("source")
+    worder = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+    tau = F.when(
+        F.count(F.lit(1)).over(wsrc) == k + 1, F.min("q").over(wsrc)
+    ).otherwise(F.lit(0.0))
+    return (
+        top.select(
+            "doc_id",
+            "source",
+            "weight",
+            "q",
+            F.row_number().over(worder).alias("_rn"),
+            tau.alias("_tau"),
+        )
+        .filter(F.col("_rn") <= k)
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            F.col("q").alias("priority"),
+            F.greatest(F.col("weight").cast("double"), F.col("_tau")).alias(
+                "est"
+            ),
+        )
+        .orderBy("source", F.desc("priority"), F.asc("doc_id"))
+    )
+
+
+def decontaminate_batch_hits(
+    batch: DataFrame,
+    batch_id: int,
+    table_path: str,
+    gram_n: int = 8,
+) -> None:
+    """One micro-batch of :func:`stream_decontaminate`: explode the
+    arrivals' distinct ``gram_n``-token n-grams, broadcast-join the
+    persisted eval-gram table, count shared grams per (train, eval)
+    pair, and OVERWRITE ``hits/batch=<id>``. STATELESS across batches
+    (the eval set is fixed for the stream's lifetime), so replay
+    idempotence needs only the per-batch overwrite — there is no state
+    read to exclude."""
+    from tiny_md_hbase_spark.operators.dedup import shingles
+
+    ss = batch.sparkSession
+    _require_local_path(table_path, "stream_decontaminate")
+    eval_g = ss.read.parquet(f"{table_path}/_eval_grams")
+    hits = (
+        batch.select("doc_id", F.explode(shingles("text", gram_n)).alias("g"))
+        .join(F.broadcast(eval_g), "g")
+        .groupBy(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    hits.write.mode("overwrite").parquet(f"{table_path}/hits/batch={batch_id}")
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    eval_docs: DataFrame,
+    gram_n: int = 8,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming benchmark decontamination — the route-on-arrival twin
+    of ``text.decontaminate``: every arriving training document is
+    checked against a FIXED held-out eval set (``eval_docs``) for any
+    shared ``gram_n``-token n-gram, the canonical pre-training hygiene
+    pass applied at ingest time instead of as a post-hoc sweep (a hit
+    found at arrival can quarantine the document before it ever lands
+    in the training mix).
+
+    The eval side is materialized ONCE at stream start —
+    ``{table_path}/_eval_grams`` holds (eval_doc_id, g) for the eval
+    set's distinct grams — and broadcast-joined per batch: the
+    arriving corpus never shuffles, per-batch work is O(batch grams),
+    and there is NO cross-batch state at all (the eval set is static;
+    a changed eval set is a new stream). At 100 TB that is exactly the
+    batch operator's scale story, amortized per arrival. Hits append as
+    exactly-once ``hits/batch=<id>`` overwrite partitions; the drained
+    hit set over a staged corpus equals the batch operator (and
+    ``decontaminate_sql``) verbatim."""
+    from tiny_md_hbase_spark.operators.dedup import shingles
+
+    _require_local_path(table_path, "stream_decontaminate")
+    eval_path = f"{table_path}/_eval_grams"
+    if not os.path.exists(eval_path):
+        (
+            eval_docs.select(
+                F.col("doc_id").alias("eval_doc_id"),
+                F.explode(shingles("text", gram_n)).alias("g"),
+            )
+            .distinct()
+            .write.parquet(eval_path)
+        )
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        decontaminate_batch_hits(batch, batch_id, table_path, gram_n)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_manifest(
