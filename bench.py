@@ -33,6 +33,14 @@ garbage from layout-materializing entries never pressures the RAM the
 later sweeps and the layout section need; free-space samples are
 recorded in the artifact (scratch_free_gb).
 
+Streaming spread: stream_* keys take TWO back-to-back samples per sweep
+(per-sweep min = the steady-state sample), and the spread metric reads
+only SPREAD-ELIGIBLE sweeps — healthy-probed AND total duration within
+1.4x of the fastest healthy sweep (a sweep-wide slow phase shows in the
+sweep's own duration even when both boundary probes read healthy;
+observed 325 s vs 191/211 post-warm-sweep). Minima still use every
+sample.
+
 Host-health gate: a fixed CPU+I/O micro-probe (_host_probe) brackets
 every sweep and the layout section. A sweep is healthy iff its worst
 probe is within 1.3x of the best probe seen AND under the absolute
@@ -602,6 +610,13 @@ def main() -> None:
         print(f"bench: warm sweep done in {warm_sweep_sec}s", file=sys.stderr)
         _clean_scratch()
 
+    # streaming keys couple to checkpoint/state I/O and StreamExecution
+    # startup — a SINGLE sample per sweep bounces 1-2.6x on phase noise
+    # that no boundary signal can exclude (observed across three r12
+    # runs). They get two back-to-back samples per sweep; the per-sweep
+    # MIN is the steady-state sample the spread metric reads.
+    stream_sweep_min: dict[str, list[float]] = {}
+
     while len(sweep_secs) < max_sweeps:
         pre = probe()
         s0 = time.perf_counter()
@@ -613,6 +628,12 @@ def main() -> None:
                 results.pop(key, None)
                 continue
             timings.setdefault(key, []).append(dt)
+            if key.startswith("stream_"):
+                dt2 = run_once(key)
+                if dt2 is not None:
+                    timings[key].append(dt2)
+                    dt = min(dt, dt2)
+                stream_sweep_min.setdefault(key, []).append(dt)
             results[key] = min(results.get(key, dt), dt)
         sweep_secs.append(round(time.perf_counter() - s0, 3))
         _clean_scratch()  # reclaim this sweep's dead layout tempdirs
@@ -641,18 +662,36 @@ def main() -> None:
     # tempfile-routed onto the same tmpfs as every other benched query
     # (see _setup_scratch: tempfile.tempdir), but they remain the most
     # host-phase-sensitive entries (stream_scd2 has sampled 4x its record
-    # inside one run, BENCH.md). Record their per-sweep samples and the
-    # max/min spread OVER HEALTHY SWEEPS in the artifact, so checkpoint-
-    # phase noise is attributable without re-running. Captured before the
-    # tie-break pass appends out-of-sweep samples (sample i of a key maps
-    # to sweep i here: keys run once per sweep, errors excepted).
-    streaming_health = {}
+    # inside one run, BENCH.md). Record their per-sweep steady-state
+    # samples (min of the two back-to-back runs — see stream_sweep_min)
+    # and the max/min spread over SPREAD-ELIGIBLE sweeps in the
+    # artifact, so checkpoint-phase noise is attributable without
+    # re-running.
+    # a sweep can run 1.5-2x its siblings while BOTH its boundary probes
+    # read healthy (observed: 325 s vs 191/211 post-warm-sweep — the
+    # slow phase is sweep-wide and Spark-internal or host-I/O the
+    # CPU+fsync probe misses). The sweep's own duration is the one
+    # signal that always sees it: a healthy sweep whose total exceeds
+    # 1.4x the fastest healthy sweep is excluded from the streaming
+    # SPREAD metric (its per-key samples still count toward minima —
+    # they are valid lower-bound observations, just not spread
+    # evidence). Exclusions are recorded in the artifact.
+    healthy_totals = [
+        s for i, s in enumerate(sweep_secs) if i < len(sweep_health) and sweep_health[i]
+    ]
+    spread_ok = [
+        i < len(sweep_health)
+        and sweep_health[i]
+        and (not healthy_totals or s <= 1.4 * min(healthy_totals))
+        for i, s in enumerate(sweep_secs)
+    ]
+    streaming_health = {"_spread_sweeps": spread_ok}
     for k in (k for k in BENCH_KEYS if k.startswith("stream_")):
-        ts = timings.get(k, [])
+        ts = stream_sweep_min.get(k, [])  # per-sweep min of two samples
         hs = [
             t
             for i, t in enumerate(ts)
-            if i < len(sweep_health) and sweep_health[i]
+            if i < len(spread_ok) and spread_ok[i]
         ]
         if hs:
             streaming_health[k] = {

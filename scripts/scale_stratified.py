@@ -111,7 +111,6 @@ def main() -> None:
                     F.col("id") % 100 == 0,
                     F.lit("alpha beta gamma delta epsilon zeta eta theta planted tail "),
                 ).otherwise(F.lit("clean words "))
-                .alias("prefix")
                 .alias("prefix"),
             ).select(
                 "doc_id",
