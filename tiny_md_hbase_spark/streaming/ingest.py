@@ -992,6 +992,27 @@ def _latest_state_dir(spath: str, exclude_batch: int | None = None) -> str | Non
     return f"{spath}/batch={ids[-1]}" if ids else None
 
 
+def _prune_sampler_state(spath: str, batch_id: int) -> None:
+    """Sampler-state housekeeping shared by the global and stratified
+    samplers: monotone top-k means only the LATEST directory is ever
+    consulted again (plus one step back as the replay fallback), so
+    keep this batch and the newest prior directory and delete the rest
+    — the tree stays O(1) directories over stream lifetime instead of
+    one per batch."""
+    import shutil
+
+    ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(spath)
+        if d.startswith("batch=") and d.split("=", 1)[1].lstrip("-").isdigit()
+    )
+    prior_ids = sorted(i for i in ids if i != batch_id)[-1:]
+    keep = {batch_id, *prior_ids}
+    for i in ids:
+        if i not in keep:
+            shutil.rmtree(f"{spath}/batch={i}", ignore_errors=True)
+
+
 def sample_topk_batch(
     batch: DataFrame, batch_id: int, table_path: str, k: int = 500
 ) -> None:
@@ -1049,23 +1070,7 @@ def sample_topk_batch(
         )
     cand = cand.localCheckpoint()  # read state BEFORE overwriting into it
     cand.write.mode("overwrite").parquet(f"{spath}/batch={batch_id}")
-    # housekeeping the docstring promised: monotone top-k means only the
-    # LATEST directory is ever consulted (plus one step back as the
-    # replay fallback) — everything older is dead state. Keep this batch
-    # and the newest prior directory; delete the rest, so the tree stays
-    # O(1) directories over stream lifetime instead of one per batch.
-    import shutil
-
-    ids = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(spath)
-        if d.startswith("batch=") and d.split("=", 1)[1].lstrip("-").isdigit()
-    )
-    prior = sorted(i for i in ids if i != batch_id)[-1:]
-    keep = {batch_id, *prior}
-    for i in ids:
-        if i not in keep:
-            shutil.rmtree(f"{spath}/batch={i}", ignore_errors=True)
+    _prune_sampler_state(spath, batch_id)
 
 
 def _check_sample_k(ss: SparkSession, table_path: str, k: int, write_meta_row) -> None:
@@ -1208,20 +1213,7 @@ def sample_stratified_batch(
     )
     cand = cand.localCheckpoint()  # read state BEFORE overwriting into it
     cand.write.mode("overwrite").parquet(f"{spath}/batch={batch_id}")
-    # same housekeeping as the global sampler: only the latest directory
-    # (plus one step back for replay) is ever consulted again
-    import shutil
-
-    ids = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(spath)
-        if d.startswith("batch=") and d.split("=", 1)[1].lstrip("-").isdigit()
-    )
-    prior_ids = sorted(i for i in ids if i != batch_id)[-1:]
-    keep = {batch_id, *prior_ids}
-    for i in ids:
-        if i not in keep:
-            shutil.rmtree(f"{spath}/batch={i}", ignore_errors=True)
+    _prune_sampler_state(spath, batch_id)
 
 
 def stream_sample_stratified(
