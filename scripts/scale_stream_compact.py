@@ -87,7 +87,7 @@ def main() -> None:
         # bucket-pruning observable on the compacted tree: bytes handed to
         # the scan for ONE touched bucket vs the whole bands state
         t_path = f"{base}/compacted"
-        snap, cutoff, live = ING._state_layout(f"{t_path}/bands")
+        snap, cutoff, live = ING._state_layout(spark, f"{t_path}/bands")
         some_dir = snap or next(iter(live.values()))
         bucket = int(
             next(

@@ -1519,7 +1519,7 @@ def test_state_layout_crash_windows_read_exactly_once(spark):
         # an uncommitted snapshot must be invisible
         w([7, 8, 9], "snapshot=4")
         os.remove(f"{spath}/snapshot=4/_SUCCESS")
-        snap, cutoff, live = ING._state_layout(spath)
+        snap, cutoff, live = ING._state_layout(spark, spath)
         assert cutoff == 2 and snap.endswith("snapshot=2")
         assert sorted(live) == [3, 4]
 
@@ -1612,19 +1612,158 @@ def test_bands_state_read_prunes_to_touched_buckets(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def test_state_paths_require_local_fs(spark):
-    """Driver-local state discovery fails LOUDLY on URI-scheme paths
-    (os.listdir would silently see no state and recompute from empty —
-    the r11 advisor finding)."""
-    df = spark.createDataFrame([_near_doc(1, "abc")], _DOCS_SCHEMA)
-    for fn in (
-        lambda: ING.dedup_docs_batch(df, 0, "s3a://bucket/t"),
-        lambda: ING.dedup_near_batch(df, 0, "hdfs://nn/t"),
-        lambda: ING.sample_topk_batch(df, 0, "s3a://bucket/t"),
-        lambda: ING.read_stream_sample(spark, "s3a://bucket/t"),
-    ):
-        with pytest.raises(ValueError, match="driver-local"):
-            fn()
+# --- r13: state discovery on URI-scheme paths (Hadoop FileSystem API) ------
+#
+# Every sink family's state machinery must work when table_path carries a
+# URI scheme — file:///… here exercises exactly the spark._jvm FileSystem
+# call path that hdfs:// and s3a:// resolve through (only the FS impl
+# differs), where the old driver-local os.listdir port raised.
+
+
+def test_fs_helpers_uri_and_local_agree(spark):
+    """fs_exists/fs_listdir/fs_rmtree/fs_du give identical answers for a
+    bare local path and its file:// URI twin."""
+    d = tempfile.mkdtemp(prefix="fsuri_")
+    try:
+        spark.range(5).coalesce(1).write.parquet(f"{d}/t/batch=0")
+        uri = f"file://{d}/t"
+        assert ING.fs_exists(spark, f"{d}/t") and ING.fs_exists(spark, uri)
+        assert sorted(ING.fs_listdir(spark, uri)) == sorted(
+            ING.fs_listdir(spark, f"{d}/t")
+        )
+        assert "batch=0" in ING.fs_listdir(spark, uri)
+        assert ING.fs_du(spark, uri) == ING.fs_du(spark, f"{d}/t") > 0
+        # missing paths: exists False, listdir [], du 0, rmtree no-op
+        assert not ING.fs_exists(spark, f"{uri}/nope")
+        assert ING.fs_listdir(spark, f"{uri}/nope") == []
+        assert ING.fs_du(spark, f"{uri}/nope") == 0
+        ING.fs_rmtree(spark, f"{uri}/nope")
+        ING.fs_rmtree(spark, f"{uri}/batch=0")
+        assert not os.path.exists(f"{d}/t/batch=0")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_docs_uri_table_path_compacts(spark):
+    """stream_dedup_docs' batch body over a file:// table_path: cross-
+    batch dedup, snapshot compaction (fs_rmtree of folded dirs), and
+    replay idempotence all run through the FS API."""
+    d = tempfile.mkdtemp(prefix="uridocs_")
+    uri = f"file://{d}/t"
+    try:
+        batches = [
+            [(1, "shared content one", "en", "s", 18), (2, "unique two", "en", "s", 10)],
+            [(3, "shared content one", "en", "s", 18), (4, "unique four", "en", "s", 11)],
+            [(5, "unique five", "en", "s", 11)],
+        ]
+        for i, rows in enumerate(batches):
+            ING.dedup_docs_batch(
+                spark.createDataFrame(rows, _DOCS_SCHEMA), i, uri, compact_every=2
+            )
+        ids = sorted(r.doc_id for r in spark.read.parquet(f"{uri}/docs").collect())
+        assert ids == [1, 2, 4, 5]  # doc 3's content already seen
+        # compaction folded batches 0-1 into a snapshot and deleted them
+        seen_dirs = sorted(os.listdir(f"{d}/t/seen"))
+        assert "snapshot=1" in seen_dirs and "batch=0" not in seen_dirs
+        # replay the last batch: identical result (own-batch exclusion)
+        ING.dedup_docs_batch(
+            spark.createDataFrame(batches[2], _DOCS_SCHEMA), 2, uri, compact_every=2
+        )
+        again = sorted(r.doc_id for r in spark.read.parquet(f"{uri}/docs").collect())
+        assert again == ids
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_near_uri_table_path(spark):
+    """stream_dedup_near's batch body over a file:// table_path: the
+    bucket-partitioned bands state (fs_exists path selection) finds the
+    cross-batch pair."""
+    text = "the same near duplicate content shared by both documents here now"
+    d = tempfile.mkdtemp(prefix="urinear_")
+    uri = f"file://{d}/t"
+    try:
+        ING.dedup_near_batch(
+            spark.createDataFrame([_near_doc(1, text)], _DOCS_SCHEMA), 0, uri
+        )
+        ING.dedup_near_batch(
+            spark.createDataFrame([_near_doc(2, text)], _DOCS_SCHEMA), 1, uri
+        )
+        pairs = [
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(f"{uri}/pairs").collect()
+        ]
+        assert pairs == [(1, 2)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sampler_uri_table_path(spark):
+    """Both samplers (global + stratified) over a file:// table_path:
+    _params marker, latest-dir state, pruning, and the drained read all
+    run through the FS API and equal the batch operators."""
+    from tiny_md_hbase_spark.operators.text import (
+        corpus_stratified_weighted,
+        corpus_weighted_sample,
+    )
+
+    rows = [
+        (10 * s + i, f"w {s} {i} " * (2 + i), "en", f"s{s}", 5 + 3 * i + s)
+        for s in range(2)
+        for i in range(4)
+    ]
+    d = tempfile.mkdtemp(prefix="urisamp_")
+    try:
+        all_docs = spark.createDataFrame(rows, _DOCS_SCHEMA)
+        uri_g, uri_s = f"file://{d}/g", f"file://{d}/s"
+        for b, chunk in enumerate([rows[:5], rows[5:]]):
+            bdf = spark.createDataFrame(chunk, _DOCS_SCHEMA)
+            ING.sample_topk_batch(bdf, b, uri_g, k=3)
+            ING.sample_stratified_batch(bdf, b, uri_s, k=2)
+        got_g = [
+            (r.doc_id, r.priority)
+            for r in ING.read_stream_sample(spark, uri_g, k=3).collect()
+        ]
+        want_g = [
+            (r.doc_id, r.priority)
+            for r in corpus_weighted_sample(all_docs, k=3).collect()
+        ]
+        assert got_g == want_g
+        got_s = [
+            (r.source, r.doc_id, r.priority)
+            for r in ING.read_stream_sample_stratified(spark, uri_s, k=2).collect()
+        ]
+        want_s = [
+            (r.source, r.doc_id, r.priority)
+            for r in corpus_stratified_weighted(all_docs, k=2).collect()
+        ]
+        assert got_s == want_s
+        # pruning kept <= 2 state dirs, through fs_rmtree
+        assert len(os.listdir(f"{d}/g/state")) <= 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_manifest_uri_table_path(spark):
+    """merge_manifest_batch's existence check over a file:// path: the
+    second batch MERGES (sees the first) instead of overwriting from
+    scratch, and the replay stamp still guards."""
+    d = tempfile.mkdtemp(prefix="urimani_")
+    uri = f"file://{d}/t/manifest"
+    try:
+        b0 = spark.createDataFrame(
+            [(1, "alpha words here", "en", "s", 16)], _DOCS_SCHEMA
+        )
+        b1 = spark.createDataFrame(
+            [(2, "beta words there", "en", "s", 16)], _DOCS_SCHEMA
+        )
+        assert ING.merge_manifest_batch(b0, 0, uri, shards=4)
+        assert ING.merge_manifest_batch(b1, 1, uri, shards=4)
+        total = spark.read.parquet(uri).agg(F.sum("n_docs")).first()[0]
+        assert total == 2  # second batch merged, not re-bootstrapped
+        assert not ING.merge_manifest_batch(b1, 1, uri, shards=4)  # replay
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_stream_sample_cross_batch_redelivery_absorbed(spark):
@@ -1802,5 +1941,99 @@ def test_stream_decontaminate_planted_hits_and_replay(spark):
             for r in spark.read.parquet(f"{d}/t/hits").collect()
         ]
         assert again == got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_decontaminate_redoes_partial_eval_grams(spark):
+    """A crash mid-materialization leaves _eval_grams without _SUCCESS;
+    restart must REDO it (mode=overwrite) instead of silently reusing
+    the partial gram table and missing contamination — the r12 advisor
+    finding. Staged here by writing a DECOY gram table and deleting its
+    _SUCCESS: if the bootstrap skipped, the planted hit would be missed."""
+    from tiny_md_hbase_spark.streaming.ingest import stream_decontaminate
+
+    contaminated = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = tempfile.mkdtemp(prefix="sdecontp_")
+    try:
+        # partial (uncommitted) eval grams: WRONG content, no _SUCCESS
+        spark.createDataFrame(
+            [(999, "nomatch")], "eval_doc_id long, g string"
+        ).coalesce(1).write.parquet(f"{d}/t/_eval_grams")
+        os.remove(f"{d}/t/_eval_grams/_SUCCESS")
+
+        eval_docs = spark.createDataFrame(
+            [(50, contaminated, "en", "eval", len(contaminated))], _DOCS_SCHEMA
+        )
+        spark.createDataFrame(
+            [(2, contaminated + " extra tail", "en", "s", 70)], _DOCS_SCHEMA
+        ).coalesce(1).write.parquet(f"{d}/src")
+        q = stream_decontaminate(
+            spark, f"{d}/src", f"{d}/t", f"{d}/ckpt", eval_docs=eval_docs
+        )
+        assert q.awaitTermination(300)
+        got = [
+            (r.train_doc_id, r.eval_doc_id)
+            for r in spark.read.parquet(f"{d}/t/hits").collect()
+        ]
+        assert got == [(2, 50)]  # the decoy table was redone, hit found
+        assert os.path.exists(f"{d}/t/_eval_grams/_SUCCESS")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_decontaminate_oversized_eval_falls_back_to_shuffle(spark):
+    """The broadcast contract (r12 verdict #5): above
+    eval_broadcast_max_bytes the per-batch join degrades to a shuffle
+    join instead of OOMing the executors — same hits either way. Staged
+    by forcing the threshold to 0 so the measured gram table is always
+    'oversized'; the direct batch body pins that broadcast_eval=False
+    produces the identical hit set."""
+    from tiny_md_hbase_spark.streaming.ingest import (
+        decontaminate_batch_hits,
+        stream_decontaminate,
+    )
+
+    contaminated = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = tempfile.mkdtemp(prefix="sdeconts_")
+    try:
+        eval_docs = spark.createDataFrame(
+            [(50, contaminated, "en", "eval", len(contaminated))], _DOCS_SCHEMA
+        )
+        b = spark.createDataFrame(
+            [
+                # shares exactly the first 8-gram with the eval doc
+                (2, "alpha beta gamma delta epsilon zeta eta theta extra tail", "en", "s", 57),
+                (3, "clean words entirely unrelated to anything held out here", "en", "s", 57),
+            ],
+            _DOCS_SCHEMA,
+        )
+        b.coalesce(1).write.parquet(f"{d}/src")
+        q = stream_decontaminate(
+            spark,
+            f"{d}/src",
+            f"{d}/t",
+            f"{d}/ckpt",
+            eval_docs=eval_docs,
+            eval_broadcast_max_bytes=0,  # every real table is 'oversized'
+        )
+        assert q.awaitTermination(300)
+        got = [
+            (r.train_doc_id, r.eval_doc_id, r.n_shared_grams)
+            for r in spark.read.parquet(f"{d}/t/hits").collect()
+        ]
+        assert got == [(2, 50, 1)]
+        # the two join strategies agree row-for-row on the same batch
+        decontaminate_batch_hits(b, 0, f"{d}/t", broadcast_eval=True)
+        bc = sorted(
+            (r.train_doc_id, r.eval_doc_id, r.n_shared_grams)
+            for r in spark.read.parquet(f"{d}/t/hits").collect()
+        )
+        decontaminate_batch_hits(b, 0, f"{d}/t", broadcast_eval=False)
+        sh = sorted(
+            (r.train_doc_id, r.eval_doc_id, r.n_shared_grams)
+            for r in spark.read.parquet(f"{d}/t/hits").collect()
+        )
+        assert bc == sh == [(2, 50, 1)]
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -15,14 +15,20 @@ fixture — the streaming analog of ``range_count`` for time ranges — to
 exercise late-data handling.
 
 State-directory discovery (the ``batch=<id>`` / ``snapshot=<cutoff>``
-trees of the dedup and sampler sinks) runs on the DRIVER-LOCAL
-filesystem (``os.listdir`` / ``os.path.exists``): ``table_path`` must be
-a path the driver can list (local disk, NFS). A URI scheme
-(``hdfs://``, ``s3a://``) fails loudly in :func:`_require_local_path`
-instead of silently recomputing against empty state — porting to object
-storage means routing these listings through the Hadoop FileSystem API
-(``spark._jvm``) and swapping the directory-rename/delete steps for a
-transactional table format.
+trees of the dedup and sampler sinks) routes through the Hadoop
+FileSystem API (:func:`fs_exists` / :func:`fs_listdir` /
+:func:`fs_rmtree`), so ``table_path`` may live on ANY scheme Spark can
+write — ``file://``, ``hdfs://``, ``s3a://`` — and the compaction /
+bucket-pruning / exactly-once-replay machinery is identical everywhere.
+Bare local paths (no ``://``) take an ``os``-module fast path: the
+listings run several times per micro-batch and a py4j round-trip per
+call is measurable at local bench scale, while the semantics (names of
+children, recursive delete, existence) are the same. One caveat stays:
+on S3A the snapshot commit is write-then-delete of plain directories,
+not an atomic rename — the ``_SUCCESS``-gated selection rule keeps every
+crash window read-exactly-once, but a production deployment on object
+storage may still prefer a transactional table format for the OUTPUT
+tables (the state trees are small and self-healing).
 """
 
 from __future__ import annotations
@@ -61,6 +67,10 @@ __all__ = [
     "stream_ingest_embeddings",
     "stream_manifest",
     "merge_manifest_batch",
+    "fs_exists",
+    "fs_listdir",
+    "fs_rmtree",
+    "fs_du",
 ]
 
 # ts arrives as TIMESTAMP(NANOS) in the fixtures, surfaced as nanos-long
@@ -120,7 +130,7 @@ def stream_ingest_points(
     def _sink(batch: DataFrame, batch_id: int) -> None:
         pts = with_generated_ids(events_as_points(batch))
         enc = with_zvalue(pts)
-        had_index = os.path.exists(f"{table_path}/index")
+        had_index = fs_exists(spark, f"{table_path}/index")
         (
             enc.sortWithinPartitions("zvalue")
             .write.mode("append")
@@ -437,34 +447,87 @@ def _band_bucket() -> Column:
     return F.pmod(F.xxhash64("band", "bhash"), F.lit(STATE_BUCKETS)).cast("int")
 
 
-def _require_local_path(path: str, op: str) -> None:
-    """State discovery walks the driver-local filesystem (os.listdir);
-    a URI-scheme path would silently list nothing and recompute against
-    empty state — fail loudly instead (module docstring)."""
-    if "://" in path:
-        raise ValueError(
-            f"{op} keeps its state via driver-local directory listing; "
-            f"{path!r} has a URI scheme. Use a driver-visible filesystem "
-            "path, or port the listing to the Hadoop FileSystem API."
-        )
+def _is_uri(path: str) -> bool:
+    return "://" in path
 
 
-def _state_layout(spath: str) -> tuple[str | None, int, dict[int, str]]:
+def _fs_api(ss: SparkSession, path: str):
+    """(FileSystem, Path) for a URI-scheme path, resolved through the
+    session's Hadoop configuration — the same resolution Spark's own
+    readers/writers use, so whatever scheme the executors can write
+    (hdfs://, s3a://, file://) the state discovery can list."""
+    jvm = ss._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(ss._jsc.hadoopConfiguration()), jpath
+
+
+def fs_exists(ss: SparkSession, path: str) -> bool:
+    """Existence on any scheme; bare local paths skip the JVM."""
+    if not _is_uri(path):
+        return os.path.exists(path)
+    fs, jp = _fs_api(ss, path)
+    return fs.exists(jp)
+
+
+def fs_listdir(ss: SparkSession, path: str) -> list[str]:
+    """Child BASENAMES of a directory on any scheme ([] when the
+    directory doesn't exist — callers treat missing state as empty)."""
+    if not _is_uri(path):
+        return os.listdir(path) if os.path.exists(path) else []
+    fs, jp = _fs_api(ss, path)
+    if not fs.exists(jp):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jp)]
+
+
+def fs_rmtree(ss: SparkSession, path: str) -> None:
+    """Recursive delete on any scheme; missing paths are a no-op (the
+    compaction sweeps call this on leftovers that may already be gone)."""
+    if not _is_uri(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    fs, jp = _fs_api(ss, path)
+    fs.delete(jp, True)
+
+
+def fs_du(ss: SparkSession, path: str) -> int:
+    """Total bytes under a path (0 when missing) — the size probe behind
+    :func:`stream_decontaminate`'s broadcast-vs-shuffle decision."""
+    if not _is_uri(path):
+        if not os.path.exists(path):
+            return 0
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                # skip local checksum files (.part-*.crc): Hadoop's
+                # LocalFileSystem hides them too, keeping the two code
+                # paths' byte counts identical
+                if not f.startswith("."):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+    fs, jp = _fs_api(ss, path)
+    if not fs.exists(jp):
+        return 0
+    return fs.getContentSummary(jp).getLength()
+
+
+def _state_layout(
+    ss: SparkSession, spath: str
+) -> tuple[str | None, int, dict[int, str]]:
     """(snapshot_dir, cutoff, live_batch_dirs) for one state tree:
     the highest _SUCCESS-committed ``snapshot=<cutoff>`` directory (None /
     -1 when no snapshot exists) and the ``batch=<id>`` directories with
     id > cutoff (ids at or below it are already folded in — leftovers
     from a crash-interrupted fold, ignored and swept later)."""
-    _require_local_path(spath, "streaming state")
-    if not os.path.exists(spath):
-        return None, -1, {}
     snaps: list[int] = []
     batches: dict[int, str] = {}
-    for d in os.listdir(spath):
+    for d in fs_listdir(ss, spath):
         kind, _, val = d.partition("=")
         if not val.lstrip("-").isdigit():
             continue
-        if kind == "snapshot" and os.path.exists(f"{spath}/{d}/_SUCCESS"):
+        if kind == "snapshot" and fs_exists(ss, f"{spath}/{d}/_SUCCESS"):
             snaps.append(int(val))
         elif kind == "batch":
             batches[int(val)] = f"{spath}/{d}"
@@ -491,7 +554,7 @@ def _read_state(
     are never listed, let alone scanned (stronger than a partition
     filter, which still lists every leaf to build the file index).
     Returns None when no state exists yet."""
-    snap, _cutoff, live = _state_layout(spath)
+    snap, _cutoff, live = _state_layout(ss, spath)
     dirs = ([snap] if snap else []) + [
         p for i, p in sorted(live.items()) if i != exclude_batch
     ]
@@ -500,7 +563,7 @@ def _read_state(
             sub
             for p in dirs
             for b in bucket_in
-            if os.path.exists(sub := f"{p}/bucket={b}")
+            if fs_exists(ss, sub := f"{p}/bucket={b}")
         ]
     if not dirs:
         return None
@@ -527,22 +590,19 @@ def _maybe_compact(
     window leaves a tree the selection rule in :func:`_state_layout`
     reads exactly once. Also sweeps leftovers a previous interrupted
     fold left at or below the committed cutoff."""
-    import shutil
-
-    snap, cutoff, live = _state_layout(spath)
-    if os.path.exists(spath):
-        # opportunistic sweep of crash leftovers the selection rule
-        # already ignores: batch dirs <= cutoff, snapshots < cutoff, and
-        # uncommitted snapshot dirs below the committed one
-        for d in os.listdir(spath):
-            kind, _, val = d.partition("=")
-            if not val.lstrip("-").isdigit():
-                continue
-            v = int(val)
-            if (kind == "batch" and v <= cutoff) or (
-                kind == "snapshot" and v < cutoff
-            ):
-                shutil.rmtree(f"{spath}/{d}", ignore_errors=True)
+    snap, cutoff, live = _state_layout(ss, spath)
+    # opportunistic sweep of crash leftovers the selection rule
+    # already ignores: batch dirs <= cutoff, snapshots < cutoff, and
+    # uncommitted snapshot dirs below the committed one
+    for d in fs_listdir(ss, spath):
+        kind, _, val = d.partition("=")
+        if not val.lstrip("-").isdigit():
+            continue
+        v = int(val)
+        if (kind == "batch" and v <= cutoff) or (
+            kind == "snapshot" and v < cutoff
+        ):
+            fs_rmtree(ss, f"{spath}/{d}")
     foldable = {i: p for i, p in live.items() if i < batch_id}
     if len(foldable) < every:
         return False
@@ -563,9 +623,9 @@ def _maybe_compact(
         ).partitionBy(partition_col)
     writer.parquet(f"{spath}/snapshot={new_cutoff}")
     for p in foldable.values():
-        shutil.rmtree(p, ignore_errors=True)
+        fs_rmtree(ss, p)
     if snap:
-        shutil.rmtree(snap, ignore_errors=True)
+        fs_rmtree(ss, snap)
     return True
 
 
@@ -602,7 +662,6 @@ def dedup_docs_batch(
     from tiny_md_hbase_spark.operators.dedup import _content_fp
 
     ss = batch.sparkSession
-    _require_local_path(table_path, "stream_dedup_docs")
     b = batch.withColumn("h", _content_fp("text"))
     keep = b.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     surv = b.join(keep, ["h", "doc_id"])
@@ -656,7 +715,6 @@ def stream_dedup_docs(
     seen-set and rewrites identical content instead of re-appending
     its survivors (the same structural close as
     :func:`stream_dedup_near`)."""
-    _require_local_path(table_path, "stream_dedup_docs")
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -713,7 +771,6 @@ def dedup_near_batch(
     )
 
     ss = batch.sparkSession
-    _require_local_path(table_path, "stream_dedup_near")
     hs_new = _hashed_shingles(batch, n, hash_family).localCheckpoint()
     # banded_new feeds the enrollment write AND the candidate join —
     # checkpoint so the 16-permutation band projection runs once
@@ -756,12 +813,12 @@ def dedup_near_batch(
             # state every batch would make each micro-batch pay a
             # full-state shuffle — the O(batch x colliding-state)
             # claim, kept honest
-            touched = state_bands.join(
+            touched_state = state_bands.join(
                 banded_new.select("band", "bhash").distinct(),
                 ["band", "bhash"],
                 "left_semi",
             )
-            occ = touched.groupBy("band", "bhash").agg(
+            occ = touched_state.groupBy("band", "bhash").agg(
                 F.count(F.lit(1)).alias("occ")
             )
             rn = rn.join(occ, ["band", "bhash"], "left").withColumn(
@@ -914,7 +971,6 @@ def stream_dedup_near(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
 
-    _require_local_path(table_path, "stream_dedup_near")
     params = [
         ("num_hashes", num_hashes, "int"),
         ("bands", bands, "int"),
@@ -929,7 +985,7 @@ def stream_dedup_near(
 
     def _check_params(ss: SparkSession) -> None:
         ppath = f"{table_path}/_params"
-        if not os.path.exists(ppath):
+        if not fs_exists(ss, ppath):
             write_meta_row(ss, ppath, params)
             return
         meta = ss.read.parquet(ppath).collect()[0]
@@ -968,7 +1024,9 @@ def stream_dedup_near(
     return writer.start()
 
 
-def _latest_state_dir(spath: str, exclude_batch: int | None = None) -> str | None:
+def _latest_state_dir(
+    ss: SparkSession, spath: str, exclude_batch: int | None = None
+) -> str | None:
     """The highest-numbered ``batch=<id>`` directory under a sampler
     state path, optionally excluding one id (a replayed batch must not
     read its own prior attempt). Monotone top-k makes the latest prior
@@ -976,15 +1034,11 @@ def _latest_state_dir(spath: str, exclude_batch: int | None = None) -> str | Non
     ever needs to read (or keep) more than one directory — per-batch
     work stays O(k) regardless of stream length, and old directories
     are deletable housekeeping (never consulted again except as the
-    replay fallback one step back). Driver-local listing only (module
-    docstring): a URI-scheme path fails loudly instead of silently
-    reading no state."""
-    _require_local_path(spath, "stream_sample state")
-    if not os.path.exists(spath):
-        return None
+    replay fallback one step back). Listing runs through the Hadoop
+    FileSystem API (module docstring), so any scheme works."""
     ids = sorted(
         int(d.split("=", 1)[1])
-        for d in os.listdir(spath)
+        for d in fs_listdir(ss, spath)
         if d.startswith("batch=") and d.split("=", 1)[1].lstrip("-").isdigit()
     )
     if exclude_batch is not None:
@@ -992,25 +1046,23 @@ def _latest_state_dir(spath: str, exclude_batch: int | None = None) -> str | Non
     return f"{spath}/batch={ids[-1]}" if ids else None
 
 
-def _prune_sampler_state(spath: str, batch_id: int) -> None:
+def _prune_sampler_state(ss: SparkSession, spath: str, batch_id: int) -> None:
     """Sampler-state housekeeping shared by the global and stratified
     samplers: monotone top-k means only the LATEST directory is ever
     consulted again (plus one step back as the replay fallback), so
     keep this batch and the newest prior directory and delete the rest
     — the tree stays O(1) directories over stream lifetime instead of
     one per batch."""
-    import shutil
-
     ids = sorted(
         int(d.split("=", 1)[1])
-        for d in os.listdir(spath)
+        for d in fs_listdir(ss, spath)
         if d.startswith("batch=") and d.split("=", 1)[1].lstrip("-").isdigit()
     )
     prior_ids = sorted(i for i in ids if i != batch_id)[-1:]
     keep = {batch_id, *prior_ids}
     for i in ids:
         if i not in keep:
-            shutil.rmtree(f"{spath}/batch={i}", ignore_errors=True)
+            fs_rmtree(ss, f"{spath}/batch={i}")
 
 
 def sample_topk_batch(
@@ -1041,9 +1093,6 @@ def sample_topk_batch(
     from tiny_md_hbase_spark.sources.writer import write_meta_row
 
     ss = batch.sparkSession
-    # before the _params marker write: os.path.exists on a URI-scheme
-    # path is silently False and would "bootstrap" a marker elsewhere
-    _require_local_path(table_path, "stream_sample")
     _check_sample_k(ss, table_path, k, write_meta_row)
     spath = f"{table_path}/state"
     cand = (
@@ -1052,7 +1101,7 @@ def sample_topk_batch(
         .orderBy(F.desc("q"), F.asc("doc_id"))
         .limit(k + 1)
     )
-    prior_dir = _latest_state_dir(spath, exclude_batch=batch_id)
+    prior_dir = _latest_state_dir(ss, spath, exclude_batch=batch_id)
     if prior_dir is not None:
         prior = ss.read.parquet(prior_dir).select(
             "doc_id", "source", "weight", "q"
@@ -1070,12 +1119,12 @@ def sample_topk_batch(
         )
     cand = cand.localCheckpoint()  # read state BEFORE overwriting into it
     cand.write.mode("overwrite").parquet(f"{spath}/batch={batch_id}")
-    _prune_sampler_state(spath, batch_id)
+    _prune_sampler_state(ss, spath, batch_id)
 
 
 def _check_sample_k(ss: SparkSession, table_path: str, k: int, write_meta_row) -> None:
     ppath = f"{table_path}/_params"
-    if not os.path.exists(ppath):
+    if not fs_exists(ss, ppath):
         write_meta_row(ss, ppath, [("k", k, "int")])
         return
     stored = ss.read.parquet(ppath).collect()[0]["k"]
@@ -1112,7 +1161,6 @@ def stream_sample(
     all (priorities derive from doc_id and n_chars). Exactly-once by
     the dedup sinks' pattern: per-batch overwrite partitions +
     own-batch exclusion on the state read."""
-    _require_local_path(table_path, "stream_sample")
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -1145,10 +1193,9 @@ def read_stream_sample(
     from tiny_md_hbase_spark.operators.text import dlt_finish
     from tiny_md_hbase_spark.sources.writer import write_meta_row
 
-    _require_local_path(table_path, "read_stream_sample")
-    if os.path.exists(f"{table_path}/_params"):
+    if fs_exists(spark, f"{table_path}/_params"):
         _check_sample_k(spark, table_path, k, write_meta_row)
-    latest = _latest_state_dir(f"{table_path}/state")
+    latest = _latest_state_dir(spark, f"{table_path}/state")
     if latest is None:
         top = spark.createDataFrame(
             [], "doc_id long, source string, weight long, q double"
@@ -1186,7 +1233,6 @@ def sample_stratified_batch(
     from tiny_md_hbase_spark.sources.writer import write_meta_row
 
     ss = batch.sparkSession
-    _require_local_path(table_path, "stream_sample_stratified")
     _check_sample_k(ss, table_path, k, write_meta_row)
     spath = f"{table_path}/state"
     cand = skew_safe_topk(
@@ -1197,7 +1243,7 @@ def sample_stratified_batch(
         F.pmod(F.xxhash64("doc_id"), F.lit(8)),
         rank_name="_rn",
     ).drop("_rn")
-    prior_dir = _latest_state_dir(spath, exclude_batch=batch_id)
+    prior_dir = _latest_state_dir(ss, spath, exclude_batch=batch_id)
     if prior_dir is not None:
         prior = ss.read.parquet(prior_dir).select(
             "doc_id", "source", "weight", "q"
@@ -1213,7 +1259,7 @@ def sample_stratified_batch(
     )
     cand = cand.localCheckpoint()  # read state BEFORE overwriting into it
     cand.write.mode("overwrite").parquet(f"{spath}/batch={batch_id}")
-    _prune_sampler_state(spath, batch_id)
+    _prune_sampler_state(ss, spath, batch_id)
 
 
 def stream_sample_stratified(
@@ -1235,7 +1281,6 @@ def stream_sample_stratified(
     ``corpus_stratified_weighted_sql`` verbatim). Exactly-once by the
     sampler pattern: per-batch overwrite + own-batch exclusion +
     latest-directory monotone state."""
-    _require_local_path(table_path, "stream_sample_stratified")
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -1266,10 +1311,9 @@ def read_stream_sample_stratified(
 
     from tiny_md_hbase_spark.sources.writer import write_meta_row
 
-    _require_local_path(table_path, "read_stream_sample_stratified")
-    if os.path.exists(f"{table_path}/_params"):
+    if fs_exists(spark, f"{table_path}/_params"):
         _check_sample_k(spark, table_path, k, write_meta_row)
-    latest = _latest_state_dir(f"{table_path}/state")
+    latest = _latest_state_dir(spark, f"{table_path}/state")
     if latest is None:
         top = spark.createDataFrame(
             [], "doc_id long, source string, weight long, q double"
@@ -1311,26 +1355,39 @@ def decontaminate_batch_hits(
     batch_id: int,
     table_path: str,
     gram_n: int = 8,
+    broadcast_eval: bool = True,
 ) -> None:
     """One micro-batch of :func:`stream_decontaminate`: explode the
-    arrivals' distinct ``gram_n``-token n-grams, broadcast-join the
-    persisted eval-gram table, count shared grams per (train, eval)
-    pair, and OVERWRITE ``hits/batch=<id>``. STATELESS across batches
-    (the eval set is fixed for the stream's lifetime), so replay
-    idempotence needs only the per-batch overwrite — there is no state
-    read to exclude."""
+    arrivals' distinct ``gram_n``-token n-grams, join the persisted
+    eval-gram table, count shared grams per (train, eval) pair, and
+    OVERWRITE ``hits/batch=<id>``. STATELESS across batches (the eval
+    set is fixed for the stream's lifetime), so replay idempotence
+    needs only the per-batch overwrite — there is no state read to
+    exclude. ``broadcast_eval`` picks the join strategy: True (the
+    normal case — eval suites are MB-scale) ships the gram table to
+    every executor so the arriving corpus never shuffles; False (an
+    eval side too big to broadcast, decided once at stream start by
+    :func:`stream_decontaminate`) falls back to a shuffle join — the
+    batch pays one exchange on ``g`` but cannot OOM the executors."""
     from tiny_md_hbase_spark.operators.dedup import shingles
 
     ss = batch.sparkSession
-    _require_local_path(table_path, "stream_decontaminate")
     eval_g = ss.read.parquet(f"{table_path}/_eval_grams")
+    if broadcast_eval:
+        eval_g = F.broadcast(eval_g)
     hits = (
         batch.select("doc_id", F.explode(shingles("text", gram_n)).alias("g"))
-        .join(F.broadcast(eval_g), "g")
+        .join(eval_g, "g")
         .groupBy(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )
     hits.write.mode("overwrite").parquet(f"{table_path}/hits/batch={batch_id}")
+
+
+# above this many bytes of materialized eval grams the per-batch join
+# falls back from broadcast to shuffle (autoBroadcastJoinThreshold-shaped;
+# real eval suites are a few hundred MB of grams at most)
+EVAL_BROADCAST_MAX_BYTES = 256 << 20
 
 
 def stream_decontaminate(
@@ -1342,6 +1399,7 @@ def stream_decontaminate(
     gram_n: int = 8,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    eval_broadcast_max_bytes: int = EVAL_BROADCAST_MAX_BYTES,
 ) -> StreamingQuery:
     """Streaming benchmark decontamination — the route-on-arrival twin
     of ``text.decontaminate``: every arriving training document is
@@ -1353,27 +1411,43 @@ def stream_decontaminate(
 
     The eval side is materialized ONCE at stream start —
     ``{table_path}/_eval_grams`` holds (eval_doc_id, g) for the eval
-    set's distinct grams — and broadcast-joined per batch: the
-    arriving corpus never shuffles, per-batch work is O(batch grams),
-    and there is NO cross-batch state at all (the eval set is static;
-    a changed eval set is a new stream). At 100 TB that is exactly the
-    batch operator's scale story, amortized per arrival. Hits append as
-    exactly-once ``hits/batch=<id>`` overwrite partitions; the drained
-    hit set over a staged corpus equals the batch operator (and
-    ``decontaminate_sql``) verbatim."""
+    set's distinct grams, written atomically (mode=overwrite, gated on
+    ``_SUCCESS`` so a crash mid-materialization is redone on restart
+    instead of silently reusing a partial gram table) — and joined per
+    batch. The join strategy is decided HERE, once, from the measured
+    size of the materialized gram table: at or below
+    ``eval_broadcast_max_bytes`` (default 256 MiB — every real eval
+    suite) it is broadcast, so the arriving corpus never shuffles and
+    per-batch work is O(batch grams); above it (someone passed a corpus
+    as ``eval_docs``) every batch degrades to a shuffle join on ``g``
+    instead of OOMing the executors. There is NO cross-batch state at
+    all (the eval set is static; a changed eval set is a new stream).
+    At 100 TB that is exactly the batch operator's scale story,
+    amortized per arrival. Hits append as exactly-once
+    ``hits/batch=<id>`` overwrite partitions.
+
+    PRECONDITION for batch equality: the drained hit set over a staged
+    corpus equals the batch operator (and ``decontaminate_sql``)
+    verbatim only when the staged corpus EXCLUDES the eval documents
+    themselves — an eval document arriving in the stream self-hits
+    (every gram shared with itself), whereas the batch operator is
+    called with disjoint train/eval relations. Feed the stream the
+    training side only, or anti-join arrivals on the eval doc_id set
+    upstream if the two can overlap."""
     from tiny_md_hbase_spark.operators.dedup import shingles
 
-    _require_local_path(table_path, "stream_decontaminate")
     eval_path = f"{table_path}/_eval_grams"
-    if not os.path.exists(eval_path):
+    if not fs_exists(spark, f"{eval_path}/_SUCCESS"):
         (
             eval_docs.select(
                 F.col("doc_id").alias("eval_doc_id"),
                 F.explode(shingles("text", gram_n)).alias("g"),
             )
             .distinct()
-            .write.parquet(eval_path)
+            .write.mode("overwrite")
+            .parquet(eval_path)
         )
+    broadcast_eval = fs_du(spark, eval_path) <= eval_broadcast_max_bytes
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger:
@@ -1381,7 +1455,9 @@ def stream_decontaminate(
     stream = reader.parquet(source_dir)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        decontaminate_batch_hits(batch, batch_id, table_path, gram_n)
+        decontaminate_batch_hits(
+            batch, batch_id, table_path, gram_n, broadcast_eval=broadcast_eval
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
@@ -1455,7 +1531,7 @@ def merge_manifest_batch(
     from tiny_md_hbase_spark.operators.text import FINGERPRINT_MOD, corpus_manifest
 
     delta = corpus_manifest(batch, shards)
-    if os.path.exists(mpath):
+    if fs_exists(batch.sparkSession, mpath):
         old = batch.sparkSession.read.parquet(mpath)
         stamp = old.agg(F.max("last_batch_id")).first()[0]
         if stamp is not None and batch_id <= stamp:
