@@ -2260,6 +2260,67 @@ def _q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_stream_output_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OUTPUT compaction end-to-end (streaming/ingest.py
+    compact_stream_output): the same staged corpus-plus-planted-dups
+    drain as stream_dedup_docs, then the drained ``docs/batch=<id>``
+    tree is FOLDED into a size-targeted snapshot (write-then-delete
+    under _SUCCESS, newest batch excluded for replay safety) and read
+    back through read_stream_output's snapshot+live selection rule.
+    The per-lang counts must equal the uncompacted drain — i.e. the
+    stream_dedup_docs oracle verbatim — proving compaction is purely
+    a layout change: O(batches) listing work becomes O(1) directories
+    for every downstream read, with zero effect on the relation."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming.ingest import (
+        DOCS_SCHEMA,
+        compact_stream_output,
+        read_stream_output,
+        stream_dedup_docs,
+    )
+
+    d = tempfile.mkdtemp(prefix="socompact_q_")
+    try:
+        base = load_table(spark, sf_dir, "documents")
+        staged = (
+            base.unionByName(
+                base.filter(F.col("doc_id") % 7 == 0).select(
+                    (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                    "text", "lang", "source", "n_chars",
+                )
+            )
+            .unionByName(
+                base.filter(F.col("doc_id") % 11 == 0).select(
+                    (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                    "text", "lang", "source", "n_chars",
+                )
+            )
+        )
+        staged.repartitionByRange(4, "doc_id").write.parquet(f"{d}/src")
+        q = stream_dedup_docs(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        _await_drained(q)
+        folded = compact_stream_output(spark, f"{d}/table/docs", DOCS_SCHEMA)
+        assert folded >= 1, "drain produced nothing to fold"
+        docs = read_stream_output(spark, f"{d}/table/docs", DOCS_SCHEMA)
+        return (
+            docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("lang")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-dup detection end-to-end (streaming/ingest.py
     stream_dedup_near): the corpus staged as doc_id-ordered arriving
@@ -2344,6 +2405,19 @@ def _q_corpus_stratified_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
     per-stratum form of corpus_weighted_sample a multi-source
     pretraining budget needs. Skew-safe per-source top-(k+1)."""
     return TX.corpus_stratified_weighted(load_table(spark, sf_dir, "documents"))
+
+
+def _q_corpus_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-driven per-source DLT sampling (operators/text.py
+    corpus_stratified_quota): the temperature schedule decides each
+    source's budget (corpus_temperature's exact Hamilton quotas at
+    T=2) and the sampler draws exactly that many per source in one
+    operator — rank and tau compared to the joined per-source quota
+    instead of one constant k (r12 verdict #3). Skew-safe top at the
+    max quota; oracle computes quotas + sampling in one chained CTE."""
+    return TX.corpus_stratified_quota(
+        load_table(spark, sf_dir, "documents"), budget=120, temperature=2.0
+    )
 
 
 def _q_stream_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2815,10 +2889,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation — they stay r08-verified, not never-checked, so
         # rotation_audit stays green.
         "corpus_stratified_weighted": _q_corpus_stratified_weighted,
+        "corpus_stratified_quota": _q_corpus_stratified_quota,
         "stream_sample_stratified": _q_stream_sample_stratified,
         "stream_decontaminate": _q_stream_decontaminate,
         "stream_dedup_near": _q_stream_dedup_near,
         "stream_dedup_docs": _q_stream_dedup_docs,
+        "stream_output_compact": _q_stream_output_compact,
         "stream_sample": _q_stream_sample,
         # -- r12 window 4-23: the r07 staleness cohort (floor -> r08) ----
         "bucket_route": _q_bucket_route,
@@ -3663,6 +3739,9 @@ def oracle_sql() -> dict[str, str]:
         # the stratified pair share one twin — the streaming drain's
         # contract is exact equality with the batch operator
         "corpus_stratified_weighted": TX.corpus_stratified_weighted_sql(),
+        "corpus_stratified_quota": TX.corpus_stratified_quota_sql(
+            budget=120, temperature=2.0
+        ),
         "stream_sample_stratified": TX.corpus_stratified_weighted_sql(),
         # the streaming decontaminator's drained hits equal the batch
         # operator over the whole corpus — the raw-string twin verbatim
@@ -3713,6 +3792,17 @@ def oracle_sql() -> dict[str, str]:
         # the staged set = documents + the two planted-dup unions; one
         # survivor per distinct content regardless of batch order
         "stream_dedup_docs": (
+            "WITH staged AS (SELECT * FROM documents "
+            "UNION ALL SELECT doc_id + 2000000, text, lang, source, n_chars "
+            "FROM documents WHERE doc_id % 7 = 0 "
+            "UNION ALL SELECT doc_id + 3000000, text, lang, source, n_chars "
+            "FROM documents WHERE doc_id % 11 = 0) "
+            "SELECT lang, count(DISTINCT text) AS n_docs FROM staged "
+            "GROUP BY lang ORDER BY lang"
+        ),
+        # compaction is a pure layout change: the post-fold read must
+        # equal the uncompacted drain, i.e. the same oracle text
+        "stream_output_compact": (
             "WITH staged AS (SELECT * FROM documents "
             "UNION ALL SELECT doc_id + 2000000, text, lang, source, n_chars "
             "FROM documents WHERE doc_id % 7 = 0 "

@@ -2037,3 +2037,236 @@ def test_stream_decontaminate_oversized_eval_falls_back_to_shuffle(spark):
         assert bc == sh == [(2, 50, 1)]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- r13: streaming OUTPUT compaction ---------------------------------------
+
+def _stage_docs_batches(spark, uri, n_batches=5):
+    rows = lambda b: [  # noqa: E731
+        (100 * b + i, f"doc body {b} {i} words", "en", "s", 20)
+        for i in range(4)
+    ] + ([(100 * b + 50, "doc body 0 0 words", "en", "s", 20)] if b else [])
+    for b in range(n_batches):
+        ING.dedup_docs_batch(
+            spark.createDataFrame(rows(b), _DOCS_SCHEMA), b, uri, compact_every=3
+        )
+
+
+def test_output_compaction_preserves_drain(spark):
+    """compact_stream_output folds drained docs/batch=<id> dirs into one
+    size-targeted snapshot; read_stream_output returns the identical
+    relation before and after, and the listing drops to snapshot+newest."""
+    d = tempfile.mkdtemp(prefix="ocompact_")
+    t = f"{d}/t"
+    try:
+        _stage_docs_batches(spark, t, n_batches=5)
+        before = sorted(
+            (r.doc_id, r.text)
+            for r in ING.read_stream_output(
+                spark, f"{t}/docs", ING.DOCS_SCHEMA
+            ).collect()
+        )
+        folded = ING.compact_stream_output(spark, f"{t}/docs", ING.DOCS_SCHEMA)
+        assert folded == 4  # batches 0-3; batch=4 kept for replay
+        after = sorted(
+            (r.doc_id, r.text)
+            for r in ING.read_stream_output(
+                spark, f"{t}/docs", ING.DOCS_SCHEMA
+            ).collect()
+        )
+        assert after == before and len(after) == 20  # dup content dropped
+        names = sorted(os.listdir(f"{t}/docs"))
+        assert names == ["batch=4", "snapshot=3"]
+        # re-run is a no-op: only the replay-window batch remains
+        assert ING.compact_stream_output(spark, f"{t}/docs", ING.DOCS_SCHEMA) == 0
+        # missing tree is a no-op too
+        assert ING.compact_stream_output(spark, f"{t}/nope", ING.DOCS_SCHEMA) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_output_compaction_respects_replay_window(spark):
+    """The newest batch survives compaction so a restarted stream's
+    replay overwrite still lands on its own directory: replaying it
+    after compaction leaves the drained relation unchanged."""
+    d = tempfile.mkdtemp(prefix="ocompactr_")
+    t = f"{d}/t"
+    try:
+        _stage_docs_batches(spark, t, n_batches=4)
+        ING.compact_stream_output(spark, f"{t}/docs", ING.DOCS_SCHEMA)
+        before = sorted(
+            r.doc_id
+            for r in ING.read_stream_output(
+                spark, f"{t}/docs", ING.DOCS_SCHEMA
+            ).collect()
+        )
+        # replay batch 3 (the one compaction must have left alone)
+        rows = [
+            (300 + i, f"doc body 3 {i} words", "en", "s", 20) for i in range(4)
+        ] + [(350, "doc body 0 0 words", "en", "s", 20)]
+        ING.dedup_docs_batch(
+            spark.createDataFrame(rows, _DOCS_SCHEMA), 3, t, compact_every=3
+        )
+        after = sorted(
+            r.doc_id
+            for r in ING.read_stream_output(
+                spark, f"{t}/docs", ING.DOCS_SCHEMA
+            ).collect()
+        )
+        assert after == before
+        # and a later batch + second compaction keep folding forward
+        ING.dedup_docs_batch(
+            spark.createDataFrame(
+                [(900, "fresh ninehundred content", "en", "s", 25)], _DOCS_SCHEMA
+            ),
+            4,
+            t,
+            compact_every=3,
+        )
+        assert ING.compact_stream_output(spark, f"{t}/docs", ING.DOCS_SCHEMA) == 1
+        final = ING.read_stream_output(spark, f"{t}/docs", ING.DOCS_SCHEMA)
+        assert final.count() == len(before) + 1
+        assert sorted(os.listdir(f"{t}/docs")) == ["batch=4", "snapshot=3"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_output_compaction_uri_and_file_sizing(spark):
+    """Output compaction over a file:// URI path, with the file-count
+    target honored: a tiny target_file_bytes forces >1 output file, the
+    default collapses to 1."""
+    d = tempfile.mkdtemp(prefix="ocompactu_")
+    uri = f"file://{d}/t"
+    try:
+        _stage_docs_batches(spark, uri, n_batches=4)
+        ING.compact_stream_output(
+            spark, f"{uri}/docs", ING.DOCS_SCHEMA, target_file_bytes=1
+        )
+        snap_files = [
+            f
+            for f in os.listdir(f"{d}/t/docs/snapshot=2")
+            if f.endswith(".parquet")
+        ]
+        assert len(snap_files) > 1  # sized by bytes/target, not one blob
+        got = ING.read_stream_output(spark, f"{uri}/docs", ING.DOCS_SCHEMA)
+        assert got.count() == 16  # 4 batches x 4 uniques
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# --- r13: quota-driven stratified sampling ----------------------------------
+
+def test_corpus_stratified_quota_composition(spark, sf_dir):
+    """The quota-driven sampler == temperature spec + per-source solo
+    sampling: each source's rows equal corpus_stratified_weighted run
+    with k = that source's quota (same priorities, same tau), and the
+    total row count is min(quota, n_s) summed — with quotas within
+    source sizes, exactly the budget."""
+    from tiny_md_hbase_spark.operators.text import (
+        corpus_stratified_quota,
+        corpus_stratified_weighted,
+        corpus_temperature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    quotas = corpus_temperature(docs, budget=60, temperature=2.0)
+    got = corpus_stratified_quota(docs, quotas=quotas)
+    rows = got.collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for q in quotas.collect():
+        srows = by_source.get(q.source, [])
+        assert len(srows) == min(q.quota, q.n_docs)
+        solo = corpus_stratified_weighted(
+            docs.filter(F.col("source") == q.source), k=int(q.quota)
+        ).collect()
+        assert [(r.doc_id, r.priority, r.est) for r in srows] == [
+            (r.doc_id, r.priority, r.est) for r in solo
+        ]
+    assert len(rows) == 60  # quotas sum to the budget and all fit
+
+
+def test_corpus_stratified_quota_oversized_and_zero_quota(spark):
+    """A quota >= the source keeps every doc with tau 0 (est == weight:
+    the sample IS the source); a quota of 0 contributes nothing; a
+    source absent from the spec contributes nothing."""
+    from tiny_md_hbase_spark.operators.text import corpus_stratified_quota
+
+    rows = [
+        (i, f"doc {i} " * 3, "en", "tiny", 10 + i) for i in range(3)
+    ] + [
+        (100 + i, f"big {i} " * 4, "en", "big", 20 + i) for i in range(6)
+    ] + [
+        (200, "ghost words", "en", "ghost", 11)
+    ]
+    docs = spark.createDataFrame(rows, _DOCS_SCHEMA)
+    got = corpus_stratified_quota(
+        docs, quotas=spark.createDataFrame(
+            [("tiny", 5), ("big", 0)], "source string, quota long"
+        )
+    ).collect()
+    assert sorted(r.doc_id for r in got) == [0, 1, 2]  # all of tiny, only tiny
+    assert all(r.est == float(r.weight) for r in got)  # tau 0: quota > size
+
+
+def test_stream_sample_stratified_quota_equals_batch(spark):
+    """The streaming twin under a quota spec: multi-batch drain ==
+    corpus_stratified_quota over everything arrived; a read or drain
+    under a different spec (or constant-k mode) fails loudly."""
+    from tiny_md_hbase_spark.operators.text import corpus_stratified_quota
+    from tiny_md_hbase_spark.streaming.ingest import (
+        read_stream_sample_stratified,
+        sample_stratified_batch,
+    )
+
+    rows = [
+        (100 * s + i, f"doc {s} {i} " * (3 + i), "en", f"s{s}", 10 + 7 * i + s)
+        for s in range(3)
+        for i in range(6)
+    ]
+    quotas = {"s0": 2, "s1": 4, "s2": 9}  # s2's quota exceeds its size
+    d = tempfile.mkdtemp(prefix="squota_")
+    try:
+        all_docs = spark.createDataFrame(rows, _DOCS_SCHEMA)
+        b0 = spark.createDataFrame(rows[:7], _DOCS_SCHEMA)
+        b1 = spark.createDataFrame(rows[5:] + rows[:2], _DOCS_SCHEMA)  # redelivery
+        sample_stratified_batch(b0, 0, f"{d}/t", quotas=quotas)
+        sample_stratified_batch(b1, 1, f"{d}/t", quotas=quotas)
+        got = [
+            (r.source, r.doc_id, r.priority, r.est)
+            for r in read_stream_sample_stratified(
+                spark, f"{d}/t", quotas=quotas
+            ).collect()
+        ]
+        want = [
+            (r.source, r.doc_id, r.priority, r.est)
+            for r in corpus_stratified_quota(
+                all_docs,
+                quotas=spark.createDataFrame(
+                    sorted(quotas.items()), "source string, quota long"
+                ),
+            ).collect()
+        ]
+        assert got == want and len(got) == 2 + 4 + 6  # s2 capped by size
+        # state bound: Σ(k_s+1) rows
+        state = spark.read.parquet(f"{d}/t/state/batch=1")
+        assert state.count() <= (2 + 1) + (4 + 1) + (9 + 1)
+        # replay rewrites identical state
+        sample_stratified_batch(b1, 1, f"{d}/t", quotas=quotas)
+        again = [
+            (r.source, r.doc_id, r.priority, r.est)
+            for r in read_stream_sample_stratified(
+                spark, f"{d}/t", quotas=quotas
+            ).collect()
+        ]
+        assert again == want
+        # cross-mode and cross-spec reads fail loudly
+        with pytest.raises(ValueError, match="k/quota spec"):
+            read_stream_sample_stratified(spark, f"{d}/t", k=3)
+        with pytest.raises(ValueError, match="k/quota spec"):
+            read_stream_sample_stratified(
+                spark, f"{d}/t", quotas={"s0": 2, "s1": 4, "s2": 8}
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

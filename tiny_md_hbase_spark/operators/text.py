@@ -2796,6 +2796,107 @@ def corpus_stratified_weighted_sql(k: int = STRAT_WSAMPLE_K) -> str:
     )
 
 
+def corpus_stratified_quota(
+    documents: DataFrame,
+    quotas: DataFrame | None = None,
+    budget: int = 1000,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Quota-driven per-source weight-proportional sampling: the
+    composition a pretraining mix actually runs — a temperature
+    schedule decides per-source budgets, the DLT sampler draws them —
+    in ONE operator (r12 verdict #3: :func:`corpus_stratified_weighted`
+    took a constant k for every source; here k_s comes from a quotas
+    relation, rank-vs-k_s instead of rank-vs-literal, tau/estimator
+    algebra unchanged per stratum: tau_s = the (k_s+1)-th priority of
+    source s when present else 0, est = max(weight, tau_s)).
+
+    ``quotas`` is any (source, quota) relation; None computes it with
+    :func:`corpus_temperature` (budget, temperature) so spec and draw
+    share one quota table and cannot disagree. A source whose quota
+    meets or exceeds its size keeps every doc with tau 0 (the sample IS
+    the source — exactly the flattened-tail case temperature scaling
+    exists for); quota-0 sources contribute nothing; NULL sources are
+    excluded as in :func:`corpus_temperature`.
+
+    Scale shape: the quota table is source-sized and broadcast; the
+    per-source top goes through :func:`skew_safe_topk` at the MAX quota
+    (one bounded metadata collect) so a dominant source never funnels
+    through one window task, then the per-source rank is compared to
+    the joined k_s. The tau window runs on ≤ Σ(k_s+1) survivor rows —
+    bounded by the mixture spec, not the data."""
+    from pyspark.sql import Window
+
+    if quotas is None:
+        quotas = corpus_temperature(documents, budget, temperature)
+    quotas = quotas.select("source", F.col("quota").cast("long").alias("quota"))
+    # bounded metadata collect: ONE row — the phase-1 rank cap
+    kmax = quotas.agg(F.max("quota")).first()[0]
+    if kmax is None or kmax <= 0:
+        return documents.sparkSession.createDataFrame(
+            [],
+            "doc_id long, source string, weight long, priority double, est double",
+        )
+    top = skew_safe_topk(
+        dlt_priorities(documents).join(F.broadcast(quotas), "source"),
+        ["source"],
+        [F.desc("q"), F.asc("doc_id")],
+        int(kmax) + 1,
+        F.pmod(F.xxhash64("doc_id"), F.lit(8)),
+        rank_name="_rn",
+    ).filter(F.col("_rn") <= F.col("quota") + 1)
+    wsrc = Window.partitionBy("source")
+    tau = F.when(
+        F.max("_rn").over(wsrc) == F.col("quota") + 1, F.min("q").over(wsrc)
+    ).otherwise(F.lit(0.0))
+    return (
+        top.withColumn("_tau", tau)
+        .filter(F.col("_rn") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            F.col("q").alias("priority"),
+            F.greatest(F.col("weight").cast("double"), F.col("_tau")).alias(
+                "est"
+            ),
+        )
+        .orderBy("source", F.desc("priority"), F.asc("doc_id"))
+    )
+
+
+def corpus_stratified_quota_sql(
+    budget: int = 1000, temperature: float = 2.0
+) -> str:
+    """DuckDB twin of :func:`corpus_stratified_quota` with computed
+    quotas: the temperature-quota CTE chain feeding the stratified
+    DLT chain in one statement — quotas + sampling computed together,
+    rank and tau compared to the joined per-source quota."""
+    u = (
+        f"((((doc_id % {_WS_P}) * 48271 + 11) % {_WS_P}) * 69621 + 7919) "
+        f"% {_WS_P} + 1"
+    )
+    inner = corpus_temperature_sql(budget, temperature)
+    return (
+        f"WITH tq AS ({inner}), "
+        "p AS (SELECT doc_id, source, n_chars AS weight, "
+        f"(CAST(n_chars AS DOUBLE) * {_WS_P}.0) / CAST({u} AS DOUBLE) AS q "
+        "FROM documents WHERE n_chars > 0), "
+        "j AS (SELECT p.doc_id, p.source, p.weight, p.q, tq.quota "
+        "FROM p JOIN tq ON p.source = tq.source), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source "
+        "ORDER BY q DESC, doc_id) AS rn FROM j), "
+        "top AS (SELECT * FROM r WHERE rn <= quota + 1), "
+        "t AS (SELECT doc_id, source, weight, q, rn, quota, "
+        "CASE WHEN max(rn) OVER (PARTITION BY source) = quota + 1 "
+        "THEN min(q) OVER (PARTITION BY source) ELSE 0.0 END AS tau "
+        "FROM top) "
+        "SELECT doc_id, source, weight, q AS priority, "
+        "GREATEST(CAST(weight AS DOUBLE), tau) AS est "
+        "FROM t WHERE rn <= quota ORDER BY source, priority DESC, doc_id"
+    )
+
+
 def corpus_temperature(
     documents: DataFrame, budget: int = 1000, temperature: float = 2.0
 ) -> DataFrame:

@@ -71,6 +71,8 @@ __all__ = [
     "fs_listdir",
     "fs_rmtree",
     "fs_du",
+    "compact_stream_output",
+    "read_stream_output",
 ]
 
 # ts arrives as TIMESTAMP(NANOS) in the fixtures, surfaced as nanos-long
@@ -627,6 +629,78 @@ def _maybe_compact(
     if snap:
         fs_rmtree(ss, snap)
     return True
+
+
+def compact_stream_output(
+    spark: SparkSession,
+    output_path: str,
+    schema: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Maintenance compaction for a streaming OUTPUT tree (the
+    ``docs``/``pairs``/``hits`` ``batch=<id>`` directories the sinks
+    append): fold every DRAINED batch directory — ids strictly below
+    the newest, which a restarted stream may still replay-overwrite —
+    plus the prior snapshot into one ``snapshot=<cutoff>`` directory of
+    ``target_file_bytes``-sized files. A year-long ingest otherwise
+    leaves O(batches) directories for every downstream read to list
+    (the state trees got this fix in r12 via :func:`_maybe_compact`;
+    this is the same write-then-delete/_SUCCESS discipline applied to
+    the output side, sized for bulk reads instead of state lookups).
+
+    Crash safety is :func:`_maybe_compact`'s: the new snapshot commits
+    (_SUCCESS) before any source directory is removed, and
+    :func:`read_stream_output`'s selection rule (highest committed
+    snapshot + batch dirs above its cutoff) reads every crash window
+    exactly once. Excluding the newest batch keeps the sinks' replay
+    contract intact: a replayed batch overwrites its own directory,
+    which must therefore not have been folded away beneath it.
+
+    Returns the number of batch directories folded (0 = nothing to
+    do). Idempotent and safe to run while the stream is stopped or
+    between triggers of an availableNow drain."""
+    snap, _cutoff, live = _state_layout(spark, output_path)
+    if not live:
+        return 0
+    newest = max(live)
+    foldable = {i: p for i, p in live.items() if i < newest}
+    if not foldable:
+        return 0
+    new_cutoff = max(foldable)
+    src_dirs = ([snap] if snap else []) + [
+        p for _, p in sorted(foldable.items())
+    ]
+    total = sum(fs_du(spark, p) for p in src_dirs)
+    n_files = max(1, -(-total // max(1, target_file_bytes)))
+    parts = [spark.read.schema(schema).parquet(p) for p in src_dirs]
+    merged = parts[0]
+    for df in parts[1:]:
+        merged = merged.unionByName(df)
+    merged.repartition(n_files).write.mode("overwrite").parquet(
+        f"{output_path}/snapshot={new_cutoff}"
+    )
+    for p in src_dirs:
+        fs_rmtree(spark, p)
+    return len(foldable)
+
+
+def read_stream_output(
+    spark: SparkSession, output_path: str, schema: str
+) -> DataFrame:
+    """Read a streaming output tree regardless of compaction state:
+    the highest _SUCCESS-committed snapshot plus the batch directories
+    above its cutoff — the same selection rule the state reads use, so
+    pre- and post-:func:`compact_stream_output` reads return the
+    identical relation. Empty relation when nothing was drained yet."""
+    snap, _cutoff, live = _state_layout(spark, output_path)
+    dirs = ([snap] if snap else []) + [p for _, p in sorted(live.items())]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    parts = [spark.read.schema(schema).parquet(p) for p in dirs]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 SEEN_STATE_SCHEMA = "h long"
@@ -1207,23 +1281,90 @@ def read_stream_sample(
     return dlt_finish(top, k)
 
 
+def _quota_items(quotas) -> list[tuple[str, int]]:
+    """Normalize a quotas relation/dict to sorted (source, quota) pairs.
+    Mixture specs are SOURCE-sized metadata (dozens of rows at any
+    corpus scale), so the collect is bounded by parameters, not data."""
+    if isinstance(quotas, dict):
+        items = sorted((s, int(q)) for s, q in quotas.items())
+    else:
+        items = sorted(
+            (r[0], int(r[1])) for r in quotas.select("source", "quota").collect()
+        )
+    if any(q < 0 for _s, q in items):
+        raise ValueError(f"negative quota in {items}")
+    return items
+
+
+def _quota_col(items: list[tuple[str, int]]) -> Column:
+    """Per-source quota as a map-literal lookup on ``source`` — NULL
+    (hence dropped by every ``<= quota`` filter) for sources outside
+    the mixture spec, matching the batch operator's inner join."""
+    pairs = [x for s, q in items for x in (F.lit(s), F.lit(int(q)))]
+    return F.element_at(F.create_map(*pairs), F.col("source"))
+
+
+def _quota_fp(items: list[tuple[str, int]]) -> int:
+    """Deterministic 63-bit fingerprint of a quota spec (the _params
+    marker payload: state drawn under one spec must not be read under
+    another — per-source taus would silently disagree)."""
+    import hashlib
+
+    h = hashlib.sha256(repr(items).encode()).digest()
+    return int.from_bytes(h[:8], "big") % (2**63)
+
+
+def _check_stratified_params(
+    ss: SparkSession, table_path: str, k: int, quota_fp: int | None, write_meta_row
+) -> None:
+    """The stratified sampler's _params guard: constant-k state stores
+    {k}; quota-driven state stores {k: -1, quota_fp} — any cross-mode
+    or cross-spec mix fails loudly instead of returning a sample drawn
+    under different per-source budgets."""
+    ppath = f"{table_path}/_params"
+    if quota_fp is None:
+        want = [("k", k, "int")]
+    else:
+        want = [("k", -1, "int"), ("quota_fp", quota_fp, "long")]
+    if not fs_exists(ss, ppath):
+        write_meta_row(ss, ppath, want)
+        return
+    stored = ss.read.parquet(ppath).collect()[0].asDict()
+    want_d = {nm: v for nm, v, _t in want}
+    if stored != want_d:
+        raise ValueError(
+            f"stream_sample_stratified state at {table_path} was built "
+            f"with params {stored}; this call passed {want_d} — a state "
+            "drawn under one k/quota spec cannot answer another. Use a "
+            "fresh table_path or the original parameters."
+        )
+
+
 def sample_stratified_batch(
-    batch: DataFrame, batch_id: int, table_path: str, k: int = 10
+    batch: DataFrame,
+    batch_id: int,
+    table_path: str,
+    k: int = 10,
+    quotas=None,
 ) -> None:
     """One micro-batch of :func:`stream_sample_stratified`: the batch's
-    per-source top-(k+1) DLT priorities (distinct — redelivery absorbs
+    per-source top-(k_s+1) DLT priorities (distinct — redelivery absorbs
     within AND across batches, as in :func:`sample_topk_batch`) merge
     with the latest prior state directory and the new per-source
-    top-(k+1) overwrites ``state/batch=<id>``.
+    top-(k_s+1) overwrites ``state/batch=<id>``. k_s is the constant
+    ``k`` by default, or the per-source quota when a ``quotas``
+    relation/dict is given (the streaming twin of
+    ``text.corpus_stratified_quota`` — state bound Σ(k_s+1) rows).
 
     The monotonicity argument is :func:`sample_topk_batch`'s, applied
-    per stratum: any row of source ``s``'s true top-(k+1) over all
-    arrivals survived every intermediate per-source top-(k+1), so the
-    latest prior directory already holds the full per-source state —
-    one directory read per batch, state ≤ n_sources x (k+1) rows,
+    per stratum with its own k_s: any row of source ``s``'s true
+    top-(k_s+1) over all arrivals survived every intermediate
+    per-source top-(k_s+1), so the latest prior directory already holds
+    the full per-source state — one directory read per batch,
     independent of stream length. The batch-side top goes through
-    skew_safe_topk (a giant single-source batch must not funnel through
-    one window task); the merge window's input is state-bounded."""
+    skew_safe_topk at the max quota (a giant single-source batch must
+    not funnel through one window task); the merge window's input is
+    state-bounded."""
     from pyspark.sql.window import Window
 
     from tiny_md_hbase_spark.operators.text import (
@@ -1233,28 +1374,44 @@ def sample_stratified_batch(
     from tiny_md_hbase_spark.sources.writer import write_meta_row
 
     ss = batch.sparkSession
-    _check_sample_k(ss, table_path, k, write_meta_row)
+    if quotas is None:
+        _check_stratified_params(ss, table_path, k, None, write_meta_row)
+        kq = F.lit(k)
+        kmax = k
+    else:
+        items = _quota_items(quotas)
+        _check_stratified_params(
+            ss, table_path, k, _quota_fp(items), write_meta_row
+        )
+        kq = _quota_col(items)
+        kmax = max((q for _s, q in items), default=0)
+        if kmax <= 0:
+            raise ValueError(f"quota spec allocates nothing: {items}")
     spath = f"{table_path}/state"
-    cand = skew_safe_topk(
-        dlt_priorities(batch).distinct(),
-        ["source"],
-        [F.desc("q"), F.asc("doc_id")],
-        k + 1,
-        F.pmod(F.xxhash64("doc_id"), F.lit(8)),
-        rank_name="_rn",
-    ).drop("_rn")
+    cand = (
+        skew_safe_topk(
+            dlt_priorities(batch).distinct(),
+            ["source"],
+            [F.desc("q"), F.asc("doc_id")],
+            kmax + 1,
+            F.pmod(F.xxhash64("doc_id"), F.lit(8)),
+            rank_name="_rn",
+        )
+        .filter(F.col("_rn") <= kq + 1)
+        .drop("_rn")
+    )
     prior_dir = _latest_state_dir(ss, spath, exclude_batch=batch_id)
     if prior_dir is not None:
         prior = ss.read.parquet(prior_dir).select(
             "doc_id", "source", "weight", "q"
         )
         cand = prior.unionByName(cand).distinct()
-    # re-top per source over the bounded merge (≤ 2 x n_sources x (k+1)
-    # rows by construction — a plain per-source window is fine here)
+    # re-top per source over the bounded merge (≤ 2 x Σ(k_s+1) rows by
+    # construction — a plain per-source window is fine here)
     worder = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
     cand = (
         cand.withColumn("_rn", F.row_number().over(worder))
-        .filter(F.col("_rn") <= k + 1)
+        .filter(F.col("_rn") <= kq + 1)
         .drop("_rn")
     )
     cand = cand.localCheckpoint()  # read state BEFORE overwriting into it
@@ -1270,6 +1427,7 @@ def stream_sample_stratified(
     k: int = 10,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    quotas=None,
 ) -> StreamingQuery:
     """Streaming PER-SOURCE weight-proportional sampling — the
     route-on-arrival twin of ``text.corpus_stratified_weighted``: an
@@ -1280,14 +1438,32 @@ def stream_sample_stratified(
     priorities, taus, estimators — the driver oracle is
     ``corpus_stratified_weighted_sql`` verbatim). Exactly-once by the
     sampler pattern: per-batch overwrite + own-batch exclusion +
-    latest-directory monotone state."""
+    latest-directory monotone state.
+
+    ``quotas`` (a (source, quota) relation or dict) switches the
+    sampler to QUOTA-DRIVEN mode — per-source budgets k_s instead of
+    one constant, the streaming twin of
+    ``text.corpus_stratified_quota`` (e.g. feed it
+    ``corpus_temperature``'s output): state bound becomes Σ(k_s+1)
+    rows and the drain must be read back with the same quotas. The
+    spec is fingerprinted into the _params marker, so a drain or read
+    under a different spec fails loudly."""
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
+    # normalize once, driver-side: the foreachBatch closure must not
+    # capture a DataFrame whose lineage could lapse mid-stream
+    quota_items = None if quotas is None else _quota_items(quotas)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        sample_stratified_batch(batch, batch_id, table_path, k)
+        sample_stratified_batch(
+            batch,
+            batch_id,
+            table_path,
+            k,
+            quotas=dict(quota_items) if quota_items is not None else None,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
@@ -1300,19 +1476,28 @@ def stream_sample_stratified(
 
 
 def read_stream_sample_stratified(
-    spark: SparkSession, table_path: str, k: int = 10
+    spark: SparkSession, table_path: str, k: int = 10, quotas=None
 ) -> DataFrame:
     """The drained per-source sample: apply the batch operator's
     per-source tau/estimator tail to the latest state directory (which
-    IS the per-source top-(k+1) of everything arrived — monotone per
-    stratum). Empty relation when never drained; a mismatched k fails
+    IS the per-source top-(k_s+1) of everything arrived — monotone per
+    stratum). Pass the drain's ``quotas`` to read a quota-driven drain
+    (tau and the cut compare against each source's own k_s). Empty
+    relation when never drained; a mismatched k or quota spec fails
     loudly via the stored ``_params`` marker."""
     from pyspark.sql.window import Window
 
     from tiny_md_hbase_spark.sources.writer import write_meta_row
 
+    if quotas is None:
+        kq = F.lit(k)
+        fp = None
+    else:
+        items = _quota_items(quotas)
+        kq = _quota_col(items)
+        fp = _quota_fp(items)
     if fs_exists(spark, f"{table_path}/_params"):
-        _check_sample_k(spark, table_path, k, write_meta_row)
+        _check_stratified_params(spark, table_path, k, fp, write_meta_row)
     latest = _latest_state_dir(spark, f"{table_path}/state")
     if latest is None:
         top = spark.createDataFrame(
@@ -1325,7 +1510,7 @@ def read_stream_sample_stratified(
     wsrc = Window.partitionBy("source")
     worder = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
     tau = F.when(
-        F.count(F.lit(1)).over(wsrc) == k + 1, F.min("q").over(wsrc)
+        F.count(F.lit(1)).over(wsrc) == kq + 1, F.min("q").over(wsrc)
     ).otherwise(F.lit(0.0))
     return (
         top.select(
@@ -1336,7 +1521,7 @@ def read_stream_sample_stratified(
             F.row_number().over(worder).alias("_rn"),
             tau.alias("_tau"),
         )
-        .filter(F.col("_rn") <= k)
+        .filter(F.col("_rn") <= kq)
         .select(
             "doc_id",
             "source",
