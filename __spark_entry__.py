@@ -2853,103 +2853,35 @@ def _q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
-    # Round-12 rotation (derived from CORRECTNESS_r01-r11 by
+    # Round-13 rotation (derived from CORRECTNESS_r01-r12 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-6: three NEW keys needing first verdicts —
-    #   corpus_stratified_weighted (per-source DLT priority sampling,
-    #   skew-safe top-(k+1) per stratum), stream_sample_stratified (its
-    #   route-on-arrival twin, state bounded by n_sources x (k+1)), and
-    #   stream_decontaminate (ingest-time eval-set n-gram hygiene,
-    #   stateless broadcast join) — then the three keys whose CODE
-    #   changed this session: stream_dedup_near / stream_dedup_docs
-    #   (state trees now snapshot-compact every compact_every batches;
-    #   the bands routing table is bucket=<b>/-partitioned and read by
-    #   touched-bucket path selection; the entry drains pass
-    #   compact_every=2 so the oracle covers the fold mid-drain) and
-    #   stream_sample (cross-batch redelivery dedup after the
-    #   prior-union merge).
-    #   7-26: the full 20-key r07 staleness cohort, in rotation_audit's
-    #   suggested order (bucket_route ... make_mask) — burning it lifts
-    #   the out-of-window staleness floor to r08 (the r11 verdict's
-    #   Next-round #3).
-    #   27-50: the 24 oldest r08 keys (bucket_split ... dedup_exact ...
-    #   frame_sample; doc_containment / dedup_edit / stream_scd2 were
-    #   displaced by the new keys and lead the next rotation).
+    #   1-2: the two NEW keys (corpus_stratified_quota,
+    #   stream_output_compact) — rotation_audit invariant 1: new keys
+    #   enter the window for their first driver verdict.
+    #   3-17: the ENTIRE 15-key r08 staleness cohort (doc_containment
+    #   ... embedding_profile) — the r12 verdict's Next-round #2; all 15
+    #   were judge-reverified OK in r12, this records them in the
+    #   driver ledger and lifts the out-of-window floor to r09.
+    #   18-50: the 33 oldest r09 keys per rotation_audit's printed
+    #   front (dedup_simhash ... sales_cube).
     # Below the marker: every remaining key by ascending last-verdict
-    # round (r08 remainder, r09, r10, and the r11 window at the back) —
-    # verdict age stays monotone down the dict.
+    # round — verdict age stays monotone down the dict.
     return {
-        # -- r12 window 1-6: NEW keys + streaming-state machinery changed
-        # this session. corpus_stratified_weighted / stream_sample_
-        # stratified / stream_decontaminate are NEW (per-source DLT
-        # sampling, its route-on-arrival twin, and ingest-time
-        # decontamination); inserting them displaces the last 3 r08 keys
-        # (doc_containment, dedup_edit, stream_scd2) to the next
-        # rotation — they stay r08-verified, not never-checked, so
-        # rotation_audit stays green.
-        "corpus_stratified_weighted": _q_corpus_stratified_weighted,
+        # -- r13 window 1-2: the two NEW keys needing first verdicts —
+        # corpus_stratified_quota (quota-driven per-source DLT sampling:
+        # temperature quotas decide k_s, rank/tau vs the joined quota)
+        # and stream_output_compact (drained batch=<id> output dirs
+        # folded into a size-targeted snapshot; the post-fold read must
+        # equal the uncompacted drain).
         "corpus_stratified_quota": _q_corpus_stratified_quota,
-        "stream_sample_stratified": _q_stream_sample_stratified,
-        "stream_decontaminate": _q_stream_decontaminate,
-        "stream_dedup_near": _q_stream_dedup_near,
-        "stream_dedup_docs": _q_stream_dedup_docs,
         "stream_output_compact": _q_stream_output_compact,
-        "stream_sample": _q_stream_sample,
-        # -- r12 window 4-23: the r07 staleness cohort (floor -> r08) ----
-        "bucket_route": _q_bucket_route,
-        "insert_append": _q_insert_append,
-        "skew_join": _q_skew_join,
-        "running_total": _q_running_total,
-        "knn_indexed": _q_knn_indexed,
-        "stream_ingest_points": _q_stream_ingest_points,
-        "corpus_mix": _q_corpus_mix,
-        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
-        "full_scan": _q_full_scan,
-        "range_query": _q_range_query,
-        "range_query_cover": _q_range_query_cover,
-        "range_count": _q_range_count,
-        "point_get": _q_point_get,
-        "knn": _q_knn,
-        "distance_join": _q_distance_join,
-        "knn_join": _q_knn_join,
-        "zorder_encode": _q_zorder_encode,
-        "zorder_decode": _q_zorder_decode,
-        "prefix_render": _q_prefix_render,
-        "make_mask": _q_make_mask,
-        # -- r12 window 24-50: the 27 oldest r08 keys --------------------
-        "bucket_split": _q_bucket_split,
-        "prefix_match": _q_prefix_match,
-        "bit_spread": _q_bit_spread,
-        "set_bit": _q_set_bit,
-        "byte_ops": _q_byte_ops,
-        "euclid_dist": _q_euclid_dist,
-        "interval_preds": _q_interval_preds,
-        "range_filter": _q_range_filter,
-        "id_gen": _q_id_gen,
-        "table_create": _q_table_create,
-        "table_drop": _q_table_drop,
-        "table_lifecycle": _q_table_lifecycle,
-        "compact_layout": _q_compact_layout,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_simhash_portable": _q_dedup_simhash_portable,
-        "embedding_knn": _q_embedding_knn,
-        "text_stats": _q_text_stats,
-        "token_count": _q_token_count,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "multimodal_features": _q_multimodal_features,
-        "media_dedup": _q_media_dedup,
-        "frame_sample": _q_frame_sample,
-        # ---- driver window ends here (first 50 keys) -------------------
-        # (doc_containment / dedup_edit / stream_scd2 were displaced from
-        # the window tail by the 3 new keys — they stay r08-verified and
-        # lead the next rotation)
+        # -- r13 window 3-17: the full 15-key r08 staleness cohort
+        # (judge-reverified ALL OK in r12; the driver ledger records it
+        # here) — burning it lifts the out-of-window floor to r09.
         "doc_containment": _q_doc_containment,
         "dedup_edit": _q_dedup_edit,
         "stream_scd2": _q_stream_scd2,
-        # -- remaining keys, ascending verdict age (r08 -> r10) ----------
         "json_props_stats": _q_json_props_stats,
         "shortest_path": _q_shortest_path,
         "hilbert_encode": _q_hilbert_encode,
@@ -2962,6 +2894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "quality_gate": _q_quality_gate,
         "embedding_profile": _q_embedding_profile,
+        # -- r13 window 18-50: the 33 oldest r09 keys, in
+        # rotation_audit's suggested order.
         "dedup_simhash": _q_dedup_simhash,
         "embedding_knn_ivf": _q_embedding_knn_ivf,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
@@ -2995,6 +2929,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_count": _q_distinct_count,
         "set_except": _q_set_except,
         "sales_cube": _q_sales_cube,
+        # ---- driver window ends here (first 50 keys) -------------------
+        # Below the marker: every remaining key by ascending last-verdict
+        # round (r09 remainder, r10, r11, and the r12 window at the back)
+        # — verdict age stays monotone down the dict.
         "rollup_hierarchy": _q_rollup_hierarchy,
         "latest_state": _q_latest_state,
         "pivot": _q_pivot,
@@ -3047,7 +2985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_build": _q_index_build,
         "index_inspect": _q_index_inspect,
         "floor_lookup": _q_floor_lookup,
-        # -- the r11 window (youngest verdicts) --------------------------
         "ppm_decode": _q_ppm_decode,
         "ppm_resize": _q_ppm_resize,
         "ppm_frames": _q_ppm_frames,
@@ -3095,6 +3032,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "table_profile_approx": _q_table_profile_approx,
         "sql_pricing_summary": _q_sql_pricing_summary,
+        "corpus_stratified_weighted": _q_corpus_stratified_weighted,
+        "stream_sample_stratified": _q_stream_sample_stratified,
+        "stream_decontaminate": _q_stream_decontaminate,
+        "stream_dedup_near": _q_stream_dedup_near,
+        "stream_dedup_docs": _q_stream_dedup_docs,
+        "stream_sample": _q_stream_sample,
+        "bucket_route": _q_bucket_route,
+        "insert_append": _q_insert_append,
+        "skew_join": _q_skew_join,
+        "running_total": _q_running_total,
+        "knn_indexed": _q_knn_indexed,
+        "stream_ingest_points": _q_stream_ingest_points,
+        "corpus_mix": _q_corpus_mix,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "full_scan": _q_full_scan,
+        "range_query": _q_range_query,
+        "range_query_cover": _q_range_query_cover,
+        "range_count": _q_range_count,
+        "point_get": _q_point_get,
+        "knn": _q_knn,
+        "distance_join": _q_distance_join,
+        "knn_join": _q_knn_join,
+        "zorder_encode": _q_zorder_encode,
+        "zorder_decode": _q_zorder_decode,
+        "prefix_render": _q_prefix_render,
+        "make_mask": _q_make_mask,
+        "bucket_split": _q_bucket_split,
+        "prefix_match": _q_prefix_match,
+        "bit_spread": _q_bit_spread,
+        "set_bit": _q_set_bit,
+        "byte_ops": _q_byte_ops,
+        "euclid_dist": _q_euclid_dist,
+        "interval_preds": _q_interval_preds,
+        "range_filter": _q_range_filter,
+        "id_gen": _q_id_gen,
+        "table_create": _q_table_create,
+        "table_drop": _q_table_drop,
+        "table_lifecycle": _q_table_lifecycle,
+        "compact_layout": _q_compact_layout,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_simhash_portable": _q_dedup_simhash_portable,
+        "embedding_knn": _q_embedding_knn,
+        "text_stats": _q_text_stats,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "multimodal_features": _q_multimodal_features,
+        "media_dedup": _q_media_dedup,
+        "frame_sample": _q_frame_sample,
     }
 
 

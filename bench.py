@@ -302,6 +302,8 @@ BENCH_KEYS = [
     "corpus_stratified_weighted",
     "stream_sample_stratified",
     "stream_decontaminate",
+    "corpus_stratified_quota",
+    "stream_output_compact",
 ]
 
 # entries whose execution includes scratch-layout materialization get one
@@ -959,6 +961,47 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # exempt-key confirmation (r12 verdict #4): keys with sub-0.15 s
+    # records skip the re-sample discipline above, so a REAL regression
+    # on a fast key (e.g. a lost PushedFilters contract turning a pruned
+    # scan into a full scan — exactly what range_query_zsorted exists to
+    # measure) would land in the artifact looking identical to timer
+    # noise (r12: that key rode the exemption at 2.08x unannotated).
+    # Give each such elevation ONE confirmation sample and annotate the
+    # artifact either way, so a confirmed-fast key is distinguishable
+    # from a genuinely slow one without re-running the bench.
+    exempt_confirms: dict[str, dict] = {}
+    exempt_over = [
+        k
+        for k in BENCH_KEYS
+        if k in results
+        and k not in errors
+        and 0.0 < (records or {}).get(k, 0.0) < 0.15
+        and results[k] > 2.0 * records[k]
+    ]
+    for key in exempt_over[:16]:
+        before = results[key]
+        dt = run_once(key)
+        if dt is None:
+            # optional extra sample: a transient failure must not
+            # convert a benchmarked key into an errored one
+            errors.pop(key, None)
+        else:
+            timings[key].append(dt)
+            results[key] = min(results[key], dt)
+        exempt_confirms[key] = {
+            "record": records[key],
+            "before": before,
+            "confirmed_min": results[key],
+            "still_over_2x": results[key] > 2.0 * records[key],
+        }
+        print(
+            f"bench: exempt key {key} read {before:.3f}s vs sub-0.15s "
+            f"record {records[key]:.3f}s (>2x) — confirmation sample -> "
+            f"{results[key]:.3f}s",
+            file=sys.stderr,
+        )
+
     # the same discipline for the LAYOUT-section entries: they are
     # measured once after the sweeps and their two-attempt probe gate
     # can miss a degraded scratch phase that sits between its probe
@@ -1024,6 +1067,7 @@ def main() -> None:
         "probe_ref": probe_ref,
         "streaming": streaming_health,
         "resampled": resampled,
+        "exempt_confirms": exempt_confirms,
         "warm_sweep_sec": warm_sweep_sec,
         "scratch_free_gb": _SCRATCH_FREE_GB,
         "sf": sf,

@@ -175,6 +175,94 @@ def main() -> int:
         "5 exact-integer rounds; 10 node-offset disjoint graph copies",
     )
 
+    # r13 (r12 verdict #6): the two most expensive registry keys — the
+    # iterative graph forms — get their 10x rows. Disjoint 10x copies
+    # mean the ROUND counts must stay fixed while per-round cost grows
+    # linearly; the rounds are printed alongside so the growth axis is
+    # visible, not inferred.
+    def star_clusters(docs, log):
+        pairs = D.ngram_jaccard(docs)
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        return G.connected_components_star(
+            docs.select(F.col("doc_id").alias("node")), edges, round_log=log
+        )
+
+    star_rounds: dict[str, int] = {}
+
+    def run_star(docs, tag):
+        log: list = []
+        run_noop(star_clusters(docs, log))
+        star_rounds[tag] = len(log)
+
+    bench(
+        "dedup_clusters_star",
+        lambda: run_star(docs1, "1x"),
+        lambda: run_star(docs10b, "10x"),
+        "O(log n) star-contraction rounds; disjoint 10x copies keep rounds fixed",
+    )
+    print(
+        f"  dedup_clusters_star rounds: 1x {star_rounds['1x']} "
+        f"10x {star_rounds['10x']} (disjoint copies: expect equal)"
+    )
+    rows[-1] = rows[-1][:4] + (
+        rows[-1][4]
+        + f" — rounds {star_rounds['1x']} vs {star_rounds['10x']}",
+    )
+
+    # rounds-vs-n on the operator's own worst case: PATH graphs, where
+    # min-label needs O(n) rounds and star contraction must need O(log n)
+    def path_rounds(n: int) -> int:
+        nodes = spark.range(n).select(F.col("id").alias("node"))
+        e = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        log: list = []
+        run_noop(G.connected_components_star(nodes, e.localCheckpoint(), round_log=log))
+        return len(log)
+
+    pr_small, pr_big = path_rounds(1_000), path_rounds(10_000)
+    print(
+        f"  star contraction path-graph rounds: n=1000 -> {pr_small}, "
+        f"n=10000 -> {pr_big} (O(log n): expect +~3-4, not +9000)"
+    )
+    rows.append(
+        (
+            "star rounds (path graph)",
+            float(pr_small),
+            float(pr_big),
+            pr_big / pr_small,
+            "ROUNDS at n=1k vs 10k — the O(log n) contract measured directly",
+        )
+    )
+
+    ew1 = G.purchase_edges_weighted(
+        load_table(spark, args.sf_dir, "orders"),
+        load_table(spark, args.sf_dir, "lineitem"),
+    ).localCheckpoint()
+    partsw = [
+        ew1.select(
+            (F.col("src") + F.lit(c * n_off)).alias("src"),
+            (F.col("dst") + F.lit(c * n_off)).alias("dst"),
+            "w",
+        )
+        for c in range(10)
+    ]
+    ew10 = partsw[0]
+    for p in partsw[1:]:
+        ew10 = ew10.unionByName(p)
+    ew10 = ew10.localCheckpoint()
+    bench(
+        "pagerank_weighted",
+        lambda: run_noop(G.pagerank_weighted(ew1)),
+        lambda: run_noop(G.pagerank_weighted(ew10)),
+        "5 fixed exact-integer rounds; linear per-round cost over 10x edges",
+    )
+
     # the contract's quadratic axis, measured LAST: ~160 s of all-pairs
     # verify heats the host and its pinned 10x checkpoint competes for
     # memory — running it earlier inflated the linear rows ~3x

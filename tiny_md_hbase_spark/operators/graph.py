@@ -453,7 +453,10 @@ def connected_components(
 
 
 def connected_components_star(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 48
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 48,
+    round_log: list | None = None,
 ) -> DataFrame:
     """Connected components by ALTERNATING star contraction (Kiveris,
     Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
@@ -552,6 +555,11 @@ def connected_components_star(
             )
         )
         fp_new = _fp(new_canon)
+        if round_log is not None:
+            # scale-probe observable (scripts/scale_ops.py): surviving
+            # canonical edge count after each full round — rounds-vs-n
+            # is the operator's O(log n) contract
+            round_log.append(fp_new[0])
         # converged only when the FULL ROUND is a no-op: both the
         # large-star and the small-star outputs equal the round-start
         # set. Comparing small's output to large's alone stops a round
