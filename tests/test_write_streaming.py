@@ -2270,3 +2270,29 @@ def test_stream_sample_stratified_quota_equals_batch(spark):
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_table_lifecycle_and_compaction_uri(spark):
+    """Batch-side maintenance on a file:// table path: create, append,
+    compact (out-of-place + FS-API swap), query, drop — the same
+    Hadoop FileSystem call path hdfs:// and s3a:// resolve through."""
+    from tiny_md_hbase_spark.sources.writer import compact_points_table
+
+    d = tempfile.mkdtemp(prefix="urilife_")
+    uri = f"file://{d}/t"
+    try:
+        W.table_create(spark, uri)
+        pts = spark.createDataFrame(
+            [(i, i % 64, (i * 7) % 64) for i in range(256)], "id long, x int, y int"
+        )
+        W.insert_append(spark, uri, pts)
+        compact_points_table(spark, uri, num_partitions=4)
+        got = spark.read.parquet(f"{uri}/points")
+        assert got.count() == 256
+        assert not os.path.exists(f"{d}/t/points_compacting")
+        W.table_drop(uri, spark)
+        assert not os.path.exists(f"{d}/t")
+        with pytest.raises(ValueError, match="spark handle"):
+            W.table_drop("file:///tmp/never", None)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

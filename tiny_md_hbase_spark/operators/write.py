@@ -52,8 +52,21 @@ def table_create(spark: SparkSession, path: str) -> None:
     index_build(empty).write.mode("overwrite").parquet(f"{path}/index")
 
 
-def table_drop(path: str) -> None:
-    """Drop both tables (CLI ``drop``, ``Client.java:217-224``)."""
+def table_drop(path: str, spark: SparkSession | None = None) -> None:
+    """Drop both tables (CLI ``drop``, ``Client.java:217-224``). A
+    URI-scheme path (hdfs://, s3a://, file://) routes through the
+    Hadoop FileSystem API and needs the ``spark`` handle; bare local
+    paths keep the zero-dependency fast path."""
+    if "://" in path:
+        if spark is None:
+            raise ValueError(
+                f"table_drop({path!r}): URI-scheme paths need the spark "
+                "handle to resolve the Hadoop FileSystem"
+            )
+        from tiny_md_hbase_spark.fsutil import fs_rmtree
+
+        fs_rmtree(spark, path)
+        return
     shutil.rmtree(path, ignore_errors=True)
 
 

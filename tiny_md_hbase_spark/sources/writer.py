@@ -158,9 +158,12 @@ def compact_points_table(
     overlap in z over time, degrading pruning selectivity. Compaction
     rewrites the table with ``repartitionByRange + sortWithinPartitions``
     so file z-spans are disjoint again. Runs out-of-place then swaps, so
-    readers of the old files are never corrupted mid-rewrite.
+    readers of the old files are never corrupted mid-rewrite. The swap
+    routes through the Hadoop FileSystem API for URI-scheme table paths
+    (fsutil.fs_rmtree/fs_rename), so the maintenance op works on
+    hdfs://s3a:// exactly like the streaming state machinery.
     """
-    import shutil
+    from tiny_md_hbase_spark.fsutil import fs_rename, fs_rmtree
 
     pts_path = f"{table_path}/points"
     tmp_path = f"{table_path}/points_compacting"
@@ -170,8 +173,8 @@ def compact_points_table(
     else:
         enc = enc.repartitionByRange("zvalue")
     enc.sortWithinPartitions("zvalue").write.mode("overwrite").parquet(tmp_path)
-    shutil.rmtree(pts_path)
-    shutil.move(tmp_path, pts_path)
+    fs_rmtree(spark, pts_path)
+    fs_rename(spark, tmp_path, pts_path)
 
 
 def write_corpus_shards(

@@ -37,8 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-import os
-
+from tiny_md_hbase_spark.fsutil import fs_du, fs_exists, fs_listdir, fs_rmtree
 from tiny_md_hbase_spark.operators.index import DEFAULT_THRESHOLD
 from tiny_md_hbase_spark.operators.write import (
     refresh_index,
@@ -447,72 +446,6 @@ def _band_bucket() -> Column:
     (band, bhash) bucket identity. xxhash64 is fine here — the bucket is
     state-internal routing, never oracle-visible."""
     return F.pmod(F.xxhash64("band", "bhash"), F.lit(STATE_BUCKETS)).cast("int")
-
-
-def _is_uri(path: str) -> bool:
-    return "://" in path
-
-
-def _fs_api(ss: SparkSession, path: str):
-    """(FileSystem, Path) for a URI-scheme path, resolved through the
-    session's Hadoop configuration — the same resolution Spark's own
-    readers/writers use, so whatever scheme the executors can write
-    (hdfs://, s3a://, file://) the state discovery can list."""
-    jvm = ss._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(ss._jsc.hadoopConfiguration()), jpath
-
-
-def fs_exists(ss: SparkSession, path: str) -> bool:
-    """Existence on any scheme; bare local paths skip the JVM."""
-    if not _is_uri(path):
-        return os.path.exists(path)
-    fs, jp = _fs_api(ss, path)
-    return fs.exists(jp)
-
-
-def fs_listdir(ss: SparkSession, path: str) -> list[str]:
-    """Child BASENAMES of a directory on any scheme ([] when the
-    directory doesn't exist — callers treat missing state as empty)."""
-    if not _is_uri(path):
-        return os.listdir(path) if os.path.exists(path) else []
-    fs, jp = _fs_api(ss, path)
-    if not fs.exists(jp):
-        return []
-    return [st.getPath().getName() for st in fs.listStatus(jp)]
-
-
-def fs_rmtree(ss: SparkSession, path: str) -> None:
-    """Recursive delete on any scheme; missing paths are a no-op (the
-    compaction sweeps call this on leftovers that may already be gone)."""
-    if not _is_uri(path):
-        import shutil
-
-        shutil.rmtree(path, ignore_errors=True)
-        return
-    fs, jp = _fs_api(ss, path)
-    fs.delete(jp, True)
-
-
-def fs_du(ss: SparkSession, path: str) -> int:
-    """Total bytes under a path (0 when missing) — the size probe behind
-    :func:`stream_decontaminate`'s broadcast-vs-shuffle decision."""
-    if not _is_uri(path):
-        if not os.path.exists(path):
-            return 0
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                # skip local checksum files (.part-*.crc): Hadoop's
-                # LocalFileSystem hides them too, keeping the two code
-                # paths' byte counts identical
-                if not f.startswith("."):
-                    total += os.path.getsize(os.path.join(root, f))
-        return total
-    fs, jp = _fs_api(ss, path)
-    if not fs.exists(jp):
-        return 0
-    return fs.getContentSummary(jp).getLength()
 
 
 def _state_layout(
