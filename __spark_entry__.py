@@ -2454,6 +2454,49 @@ def _q_stream_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_stream_sample_stratified_quota(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The QUOTA-DRIVEN streaming sampler end-to-end (streaming/
+    ingest.py stream_sample_stratified with a quotas spec): the
+    temperature schedule's Hamilton quotas (budget=120, T=2 — the same
+    spec as corpus_stratified_quota) decide each source's k_s, the
+    corpus arrives as files, and the drained per-source state
+    (Σ(k_s+1) rows, latest-directory monotone-per-stratum) reads back
+    EXACTLY the batch corpus_stratified_quota — so the oracle is
+    corpus_stratified_quota_sql verbatim: quotas + sampling in one
+    chained CTE, checked against a multi-batch drain."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.operators.text import corpus_temperature
+    from tiny_md_hbase_spark.streaming.ingest import (
+        read_stream_sample_stratified,
+        stream_sample_stratified,
+    )
+
+    d = tempfile.mkdtemp(prefix="ssampq_q_")
+    try:
+        base = load_table(spark, sf_dir, "documents")
+        quotas = corpus_temperature(base, budget=120, temperature=2.0)
+        base.repartitionByRange(4, "doc_id").write.parquet(f"{d}/src")
+        q = stream_sample_stratified(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            available_now=True,
+            max_files_per_trigger=1,
+            quotas=quotas,
+        )
+        _await_drained(q)
+        return read_stream_sample_stratified(
+            spark, f"{d}/table", quotas=quotas
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming benchmark decontamination end-to-end
     (streaming/ingest.py stream_decontaminate): the TRAIN side of the
@@ -2856,19 +2899,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-13 rotation (derived from CORRECTNESS_r01-r12 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-2: the two NEW keys (corpus_stratified_quota,
-    #   stream_output_compact) — rotation_audit invariant 1: new keys
-    #   enter the window for their first driver verdict.
-    #   3-17: the ENTIRE 15-key r08 staleness cohort (doc_containment
+    #   1-3: the three NEW keys (corpus_stratified_quota,
+    #   stream_output_compact, stream_sample_stratified_quota) —
+    #   rotation_audit invariant 1: new keys enter the window for
+    #   their first driver verdict.
+    #   4-18: the ENTIRE 15-key r08 staleness cohort (doc_containment
     #   ... embedding_profile) — the r12 verdict's Next-round #2; all 15
     #   were judge-reverified OK in r12, this records them in the
     #   driver ledger and lifts the out-of-window floor to r09.
-    #   18-50: the 33 oldest r09 keys per rotation_audit's printed
-    #   front (dedup_simhash ... sales_cube).
+    #   19-50: the 32 oldest r09 keys per rotation_audit's printed
+    #   front (dedup_simhash ... set_except; sales_cube was displaced
+    #   by the third new key and leads the next rotation).
     # Below the marker: every remaining key by ascending last-verdict
     # round — verdict age stays monotone down the dict.
     return {
-        # -- r13 window 1-2: the two NEW keys needing first verdicts —
+        # -- r13 window 1-3: the three NEW keys needing first verdicts —
         # corpus_stratified_quota (quota-driven per-source DLT sampling:
         # temperature quotas decide k_s, rank/tau vs the joined quota)
         # and stream_output_compact (drained batch=<id> output dirs
@@ -2876,7 +2921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equal the uncompacted drain).
         "corpus_stratified_quota": _q_corpus_stratified_quota,
         "stream_output_compact": _q_stream_output_compact,
-        # -- r13 window 3-17: the full 15-key r08 staleness cohort
+        "stream_sample_stratified_quota": _q_stream_sample_stratified_quota,
+        # -- r13 window 4-18: the full 15-key r08 staleness cohort
         # (judge-reverified ALL OK in r12; the driver ledger records it
         # here) — burning it lifts the out-of-window floor to r09.
         "doc_containment": _q_doc_containment,
@@ -2894,7 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "quality_gate": _q_quality_gate,
         "embedding_profile": _q_embedding_profile,
-        # -- r13 window 18-50: the 33 oldest r09 keys, in
+        # -- r13 window 19-50: the 32 oldest r09 keys, in
         # rotation_audit's suggested order.
         "dedup_simhash": _q_dedup_simhash,
         "embedding_knn_ivf": _q_embedding_knn_ivf,
@@ -2928,8 +2974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": _q_semi_join,
         "distinct_count": _q_distinct_count,
         "set_except": _q_set_except,
-        "sales_cube": _q_sales_cube,
         # ---- driver window ends here (first 50 keys) -------------------
+        # (sales_cube was displaced from the window tail by the third
+        # new key — it stays r09-verified and leads the next rotation)
+        "sales_cube": _q_sales_cube,
         # Below the marker: every remaining key by ascending last-verdict
         # round (r09 remainder, r10, r11, and the r12 window at the back)
         # — verdict age stays monotone down the dict.
@@ -3727,6 +3775,11 @@ def oracle_sql() -> dict[str, str]:
         # contract is exact equality with the batch operator
         "corpus_stratified_weighted": TX.corpus_stratified_weighted_sql(),
         "corpus_stratified_quota": TX.corpus_stratified_quota_sql(
+            budget=120, temperature=2.0
+        ),
+        # the streaming quota drain equals the batch operator exactly,
+        # so the oracle IS the batch chained CTE
+        "stream_sample_stratified_quota": TX.corpus_stratified_quota_sql(
             budget=120, temperature=2.0
         ),
         "stream_sample_stratified": TX.corpus_stratified_weighted_sql(),
