@@ -1726,6 +1726,131 @@ def _q_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.decontaminate_hashed(load_table(spark, sf_dir, "documents"))
 
 
+def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/text.py
+    decontaminate_bloom) — the LARGE-eval-side scale path: the eval
+    grams fold into an m-bit Bloom bitset built as a DataFrame
+    aggregate (groupBy(p div 64).agg(bit_or(shiftleft(1, p mod 64))) —
+    m/64 rows bounded by the FILTER size), the corpus grams probe it
+    via two tiny broadcast joins + codegen bitwise tests, and only the
+    survivors cross a deliberate SHUFFLE join for the exact verify —
+    the plan for eval sides too big for a broadcast hash table. The
+    verify makes the output exact, so the oracle is decontaminate_sql
+    verbatim."""
+    return TX.decontaminate_bloom(load_table(spark, sf_dir, "documents"))
+
+
+# TTL-dedup staging: arrival tick = doc_id*8; every 7th doc re-sent
+# inside the horizon (+32 < ttl → suppressed), every 11th re-sent past
+# it (+192 > ttl → re-admitted). Shared by the batch key, the streaming
+# twin, and both oracles.
+DEDUP_TTL = 64
+
+
+def _stage_ttl_arrivals(docs: DataFrame) -> DataFrame:
+    base = docs.select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        (F.col("doc_id") * 8).alias("arrival"),
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+        (F.col("doc_id") * 8 + 32).alias("arrival"),
+    )
+    far = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+        (F.col("doc_id") * 8 + 192).alias("arrival"),
+    )
+    return base.unionByName(near).unionByName(far)
+
+
+def _touch_in_order(src_dir: str) -> None:
+    """Force the file stream's delivery order to match part-file order.
+    FileStreamSource processes files by MODIFICATION TIME, and a
+    parallel parquet write finishes its tasks in arbitrary order — so a
+    4-file range-partitioned staging can arrive 3,1,2,0 even though
+    part-00000 holds the lowest range. Operators whose contract needs
+    in-order batches (stream_dedup_ttl's arrival ordering) get it by
+    bumping mtimes in part-name order (part-00000 oldest), which is
+    exactly how a real ingest's files behave: the hour-N file lands
+    before the hour-N+1 file."""
+    import glob as _glob
+
+    parts = sorted(_glob.glob(f"{src_dir}/part-*"))
+    base = os.stat(parts[0]).st_mtime if parts else 0
+    for i, p in enumerate(parts):
+        os.utime(p, (base + 10 * i, base + 10 * i))
+
+
+_TTL_STAGED_CTE = (
+    "WITH staged AS ("
+    "SELECT doc_id, text, lang, source, n_chars, doc_id*8 AS arrival "
+    "FROM documents "
+    "UNION ALL SELECT doc_id+2000000, text, lang, source, n_chars, "
+    "doc_id*8+32 FROM documents WHERE doc_id%7=0 "
+    "UNION ALL SELECT doc_id+3000000, text, lang, source, n_chars, "
+    "doc_id*8+192 FROM documents WHERE doc_id%11=0) "
+)
+
+
+def _q_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon-bounded (TTL) exact dedup (operators/dedup.py dedup_ttl):
+    admit a document iff no same-fingerprint occurrence lies within the
+    previous ttl arrival ticks, last-seen-renewal semantics (every
+    sighting — admitted or suppressed — renews the clock; the rule is
+    one lag over a per-fingerprint window). The unbounded-stream answer
+    to the forever-growing exact seen-set: state is O(content in the
+    horizon). Staged arrivals plant an inside-horizon re-send
+    (suppressed) and a past-horizon re-send (re-admitted) of known
+    rows."""
+    return D.dedup_ttl(
+        _stage_ttl_arrivals(load_table(spark, sf_dir, "documents")), DEDUP_TTL
+    )
+
+
+def _q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TTL dedup end-to-end (streaming/ingest.py
+    stream_dedup_ttl): the same staged arrivals written as
+    arrival-ordered files, drained through the per-fingerprint
+    last-arrival state sink (renewal on every sighting, physical expiry
+    past the horizon at compaction — compact_every=2 so the 4-batch
+    drain folds AND expires mid-drain), then read back from the output
+    tree. The drained relation must equal the batch operator over
+    everything that arrived, so the oracle is dedup_ttl's verbatim."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming.ingest import (
+        DOCS_TTL_SCHEMA,
+        read_stream_output,
+        stream_dedup_ttl,
+    )
+
+    d = tempfile.mkdtemp(prefix="sttl_q_")
+    try:
+        staged = _stage_ttl_arrivals(load_table(spark, sf_dir, "documents"))
+        staged.repartitionByRange(4, "arrival").write.parquet(f"{d}/src")
+        _touch_in_order(f"{d}/src")  # deliver ranges in arrival order
+        q = stream_dedup_ttl(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            ttl=DEDUP_TTL,
+            available_now=True,
+            max_files_per_trigger=1,
+            compact_every=2,
+        )
+        _await_drained(q)
+        out = read_stream_output(
+            spark, f"{d}/table/docs", DOCS_TTL_SCHEMA
+        ).select("doc_id", "arrival", "lang", "source", "n_chars")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.table_profile(load_table(spark, sf_dir, "lineitem"))
 
@@ -2899,30 +3024,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-13 rotation (derived from CORRECTNESS_r01-r12 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-3: the three NEW keys (corpus_stratified_quota,
-    #   stream_output_compact, stream_sample_stratified_quota) —
+    #   1-6: the six NEW r13 keys (corpus_stratified_quota,
+    #   stream_output_compact, stream_sample_stratified_quota,
+    #   decontaminate_bloom, dedup_ttl, stream_dedup_ttl) —
     #   rotation_audit invariant 1: new keys enter the window for
     #   their first driver verdict.
-    #   4-18: the ENTIRE 15-key r08 staleness cohort (doc_containment
+    #   7-21: the ENTIRE 15-key r08 staleness cohort (doc_containment
     #   ... embedding_profile) — the r12 verdict's Next-round #2; all 15
     #   were judge-reverified OK in r12, this records them in the
     #   driver ledger and lifts the out-of-window floor to r09.
-    #   19-50: the 32 oldest r09 keys per rotation_audit's printed
-    #   front (dedup_simhash ... set_except; sales_cube was displaced
-    #   by the third new key and leads the next rotation).
+    #   22-50: the 29 oldest r09 keys per rotation_audit's printed
+    #   front (dedup_simhash ... anti_join; semi_join, distinct_count,
+    #   set_except and sales_cube were displaced by the new keys and
+    #   lead the next rotation).
     # Below the marker: every remaining key by ascending last-verdict
     # round — verdict age stays monotone down the dict.
     return {
-        # -- r13 window 1-3: the three NEW keys needing first verdicts —
+        # -- r13 window 1-6: the six NEW keys needing first verdicts —
         # corpus_stratified_quota (quota-driven per-source DLT sampling:
-        # temperature quotas decide k_s, rank/tau vs the joined quota)
-        # and stream_output_compact (drained batch=<id> output dirs
+        # temperature quotas decide k_s, rank/tau vs the joined quota),
+        # stream_output_compact (drained batch=<id> output dirs
         # folded into a size-targeted snapshot; the post-fold read must
-        # equal the uncompacted drain).
+        # equal the uncompacted drain), decontaminate_bloom (Bloom
+        # bitset prefilter + exact shuffle verify — the large-eval-side
+        # path), and the TTL dedup pair (horizon-bounded seen state,
+        # batch + streaming twins).
         "corpus_stratified_quota": _q_corpus_stratified_quota,
         "stream_output_compact": _q_stream_output_compact,
         "stream_sample_stratified_quota": _q_stream_sample_stratified_quota,
-        # -- r13 window 4-18: the full 15-key r08 staleness cohort
+        "decontaminate_bloom": _q_decontaminate_bloom,
+        "dedup_ttl": _q_dedup_ttl,
+        "stream_dedup_ttl": _q_stream_dedup_ttl,
+        # -- r13 window 7-21: the full 15-key r08 staleness cohort
         # (judge-reverified ALL OK in r12; the driver ledger records it
         # here) — burning it lifts the out-of-window floor to r09.
         "doc_containment": _q_doc_containment,
@@ -2940,7 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "quality_gate": _q_quality_gate,
         "embedding_profile": _q_embedding_profile,
-        # -- r13 window 19-50: the 32 oldest r09 keys, in
+        # -- r13 window 22-50: the 29 oldest r09 keys, in
         # rotation_audit's suggested order.
         "dedup_simhash": _q_dedup_simhash,
         "embedding_knn_ivf": _q_embedding_knn_ivf,
@@ -2971,12 +3104,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": _q_sales_rollup,
         "topk_per_group": _q_topk_per_group,
         "anti_join": _q_anti_join,
+        # ---- driver window ends here (first 50 keys) -------------------
+        # (semi_join, distinct_count, set_except and sales_cube were
+        # displaced from the window tail by the new r13 keys — they stay
+        # r09-verified and lead the next rotation)
         "semi_join": _q_semi_join,
         "distinct_count": _q_distinct_count,
         "set_except": _q_set_except,
-        # ---- driver window ends here (first 50 keys) -------------------
-        # (sales_cube was displaced from the window tail by the third
-        # new key — it stays r09-verified and leads the next rotation)
         "sales_cube": _q_sales_cube,
         # Below the marker: every remaining key by ascending last-verdict
         # round (r09 remainder, r10, r11, and the r12 window at the back)
@@ -4034,6 +4168,15 @@ def oracle_sql() -> dict[str, str]:
         # identical output to the raw-string variant barring a 64-bit hash
         # collision (~1e-8 at 10^9 grams): the raw twin IS the oracle
         "decontaminate_hashed": TX.decontaminate_sql(),
+        # the Bloom prefilter is followed by an exact verify join, so the
+        # output is decontaminate's exactly (same collision caveat)
+        "decontaminate_bloom": TX.decontaminate_sql(),
+        # batch + streaming TTL dedup share one oracle: the drained stream
+        # must equal the batch operator over the same staged arrivals
+        "dedup_ttl": _TTL_STAGED_CTE + D.dedup_ttl_sql("staged", DEDUP_TTL),
+        "stream_dedup_ttl": (
+            _TTL_STAGED_CTE + D.dedup_ttl_sql("staged", DEDUP_TTL)
+        ),
         "repetition_stats": TX.repetition_stats_sql(),
         "corpus_stratified": TX.corpus_stratified_sql(),
         "corpus_sample": (

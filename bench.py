@@ -304,6 +304,10 @@ BENCH_KEYS = [
     "stream_decontaminate",
     "corpus_stratified_quota",
     "stream_output_compact",
+    "stream_sample_stratified_quota",
+    "decontaminate_bloom",
+    "dedup_ttl",
+    "stream_dedup_ttl",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

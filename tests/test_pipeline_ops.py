@@ -750,6 +750,78 @@ def test_decontaminate_hashed_matches_raw(spark, sf_dir):
     assert hashed.get((900001, ev.doc_id)) == 5
 
 
+def test_decontaminate_bloom_matches_exact(spark, sf_dir):
+    """The Bloom-prefiltered large-eval-side path must emit exactly the
+    raw variant's result — the exact verify join eliminates every Bloom
+    false positive — including on a planted leak."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % TX.DECON_EVAL_MOD == 0).limit(1).collect()[0]
+    leaked_text = " ".join(ev.text.split()[:12])
+    leak = spark.createDataFrame(
+        [(900001, leaked_text, ev.lang, "leak", len(leaked_text))], docs.schema
+    )
+    corpus = docs.unionByName(leak)
+    raw = {
+        (r.train_doc_id, r.eval_doc_id): r.n_shared_grams
+        for r in TX.decontaminate(corpus).collect()
+    }
+    bloom = {
+        (r.train_doc_id, r.eval_doc_id): r.n_shared_grams
+        for r in TX.decontaminate_bloom(corpus).collect()
+    }
+    assert bloom == raw
+    assert bloom.get((900001, ev.doc_id)) == 5
+
+
+def test_decontaminate_bloom_tiny_filter_still_exact(spark, sf_dir):
+    """Force a saturated bitset (1 bit/gram → heavy false-positive rate):
+    the prefilter passes junk through, the verify join still removes all
+    of it. Pins that correctness never depends on the FPP tuning."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = sorted(
+        (r.train_doc_id, r.eval_doc_id, r.n_shared_grams)
+        for r in TX.decontaminate(docs).collect()
+    )
+    bloom = sorted(
+        (r.train_doc_id, r.eval_doc_id, r.n_shared_grams)
+        for r in TX.decontaminate_bloom(docs, bits_per_gram=1).collect()
+    )
+    assert bloom == raw
+
+
+def test_dedup_ttl_renewal_and_boundary(spark):
+    """Last-seen-renewal semantics on a hand-built arrival sequence,
+    ttl=64: (a) a steady same-content drip at sub-horizon gaps is
+    suppressed FOREVER after the first admit (each sighting renews the
+    clock — a fixed-window-from-admit rule would re-admit at t=100);
+    (b) gap exactly == ttl is suppressed (strict >); (c) gap ttl+1 is
+    re-admitted; (d) distinct content is never suppressed."""
+    from tiny_md_hbase_spark.operators import dedup as D
+
+    rows = [
+        # drip: same content at 0, 50, 100 — renewal keeps suppressing
+        (1, "drip content", "en", "s", 12, 0),
+        (2, "drip content", "en", "s", 12, 50),
+        (3, "drip content", "en", "s", 12, 100),
+        # boundary: gap == ttl suppressed, ttl+1 admitted
+        (4, "edge content", "en", "s", 12, 0),
+        (5, "edge content", "en", "s", 12, 64),
+        (6, "edge content", "en", "s", 12, 129),
+        # distinct content at a colliding tick
+        (7, "other content", "en", "s", 13, 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long, arrival long"
+    )
+    got = sorted(r.doc_id for r in D.dedup_ttl(df, 64).collect())
+    assert got == [1, 4, 6, 7]
+
+
 def test_embedding_knn_ivf_portable_pipeline(embs):
     """Fixed-centroid IVF twin: deterministic, bounded candidate set, and
     widening the probe to every cluster recovers the exact top-k (IVF

@@ -256,6 +256,25 @@ def test_decontaminate_fuzzy_broadcasts_eval_side_only(spark, sf_dir):
     assert "SortMergeJoin" not in P.explain_str(q, "simple")
 
 
+def test_decontaminate_bloom_plan_shape(spark, sf_dir):
+    """The Bloom path's physical contract: the two bitset probes are
+    BROADCAST joins carrying the bitwise membership tests as join
+    conditions (the m/64-word table is bounded by the filter size,
+    never the eval set). The verify join's strategy is deliberately
+    Catalyst's to pick — broadcast below the threshold (as here, at
+    fixture scale), shuffle above it — so the contract pinned is: both
+    w0/w1 probes broadcast WITH their bit tests, and the gh verify join
+    exists."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    q = TX.decontaminate_bloom(load_table(spark, sf_dir, "documents"))
+    plan = P.explain_str(q, "simple")
+    probes = re.findall(r"BroadcastHashJoin \[(w\d)#", plan)
+    assert sorted(probes) == ["w0", "w1"], plan
+    assert plan.count("shiftleft(1,") >= 2, plan  # bit tests ride the joins
+    assert re.search(r"Join \[gh#\d+L?\]", plan) or "Join [gh" in plan, plan
+
+
 def test_winnow_fingerprint_single_exchange(spark, sf_dir):
     """Winnowing costs exactly one shuffle (on doc_id for the sliding
     window); the per-doc dedup must reuse that partitioning — doc_id is

@@ -2296,3 +2296,127 @@ def test_table_lifecycle_and_compaction_uri(spark):
             W.table_drop("file:///tmp/never", None)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- r13: horizon-bounded (TTL) streaming dedup ----------------------------
+
+_TTLD_SCHEMA = _DOCS_SCHEMA + ", arrival long"
+
+
+def _ttl_doc(i: int, text: str, arrival: int) -> tuple:
+    return (i, text, "en", "s", len(text), arrival)
+
+
+def test_dedup_ttl_batch_cross_batch_and_replay(spark):
+    """Cross-batch suppression, renewal, past-horizon re-admission, and
+    replay idempotence — the batch body run directly (ttl=64):
+    batch 0 admits A@0; batch 1's A@50 is suppressed (gap 50) but RENEWS
+    the clock; batch 2's A@100 is suppressed only because of that
+    renewal (gap from the admit would be 100 > 64); batch 3's A@200
+    re-admits (gap 100 > 64). Replaying the LAST batch — the only batch
+    Structured Streaming ever replays — leaves everything unchanged
+    (own-batch exclusion: the replay sees the pre-batch state, and its
+    renewal row is its own prior attempt's)."""
+    d = tempfile.mkdtemp(prefix="ttlb_")
+    try:
+        batches = [
+            [_ttl_doc(1, "content A", 0), _ttl_doc(2, "content B", 10)],
+            [_ttl_doc(3, "content A", 50)],
+            [_ttl_doc(4, "content A", 100), _ttl_doc(5, "content C", 110)],
+            [_ttl_doc(6, "content A", 200)],
+        ]
+        for i, rows in enumerate(batches):
+            ING.dedup_ttl_batch(
+                spark.createDataFrame(rows, _TTLD_SCHEMA), i, f"{d}/t", 64,
+                compact_every=2,
+            )
+        got = ING.read_stream_output(spark, f"{d}/t/docs", ING.DOCS_TTL_SCHEMA)
+        admitted = sorted(r.doc_id for r in got.collect())
+        assert admitted == [1, 2, 5, 6]
+        # replay the last batch: identical drained relation
+        ING.dedup_ttl_batch(
+            spark.createDataFrame(batches[3], _TTLD_SCHEMA), 3, f"{d}/t", 64,
+            compact_every=2,
+        )
+        again = ING.read_stream_output(spark, f"{d}/t/docs", ING.DOCS_TTL_SCHEMA)
+        assert sorted(r.doc_id for r in again.collect()) == [1, 2, 5, 6]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_ttl_state_expires_at_compaction(spark):
+    """The scale property the operator exists for: fingerprints whose
+    last sighting fell out of the horizon are PHYSICALLY dropped when
+    the state folds (the _maybe_compact fold hook), so working state is
+    O(content in the horizon) for an unbounded stream — here 8 batches
+    of fresh content (ttl=64, one batch per 100 ticks) end with a
+    snapshot holding only the horizon's fingerprints, not all 8
+    batches' worth."""
+    d = tempfile.mkdtemp(prefix="ttle_")
+    try:
+        nb = 8
+        for i in range(nb):
+            rows = [
+                _ttl_doc(100 * i + j, f"fresh {i}-{j}", 100 * i + j)
+                for j in range(4)
+            ]
+            ING.dedup_ttl_batch(
+                spark.createDataFrame(rows, _TTLD_SCHEMA), i, f"{d}/t", 64,
+                compact_every=2,
+            )
+        layout = sorted(os.listdir(f"{d}/t/state"))
+        assert any(p.startswith("snapshot=") for p in layout)
+        state = ING._read_state(
+            spark, f"{d}/t/state", nb, ING.TTL_STATE_SCHEMA, ["h", "last_arrival"]
+        )
+        rows = state.groupBy("h").agg(F.max("last_arrival").alias("la")).collect()
+        # 32 distinct contents arrived; only those inside ~ttl of the
+        # snapshot max plus the un-folded recent deltas may remain
+        assert len(rows) < 32
+        # and everything the drain admitted is still exactly once
+        got = ING.read_stream_output(spark, f"{d}/t/docs", ING.DOCS_TTL_SCHEMA)
+        assert got.count() == 32  # all fresh content admitted
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_ttl_drain_equals_batch_op(spark, sf_dir):
+    """End-to-end drain through the real stream equals dedup.dedup_ttl
+    over the same staged arrivals (the driver-oracle contract), with
+    mtimes bumped so the file source delivers ranges in arrival order
+    (the staging contract both the operator and the oracle equality
+    assume)."""
+    import glob
+
+    from tiny_md_hbase_spark.operators import dedup as D
+
+    d = tempfile.mkdtemp(prefix="sttl_")
+    try:
+        base = load_table(spark, sf_dir, "documents")
+        staged = base.select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            (F.col("doc_id") * 8).alias("arrival"),
+        ).unionByName(
+            base.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+                (F.col("doc_id") * 8 + 16).alias("arrival"),
+            )
+        )
+        staged.repartitionByRange(4, "arrival").write.parquet(f"{d}/src")
+        parts = sorted(glob.glob(f"{d}/src/part-*"))
+        t0 = os.stat(parts[0]).st_mtime
+        for i, p in enumerate(parts):
+            os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+        q = ING.stream_dedup_ttl(
+            spark, f"{d}/src", f"{d}/t", f"{d}/ckpt", ttl=64,
+            available_now=True, max_files_per_trigger=1, compact_every=2,
+        )
+        q.awaitTermination(300)
+        want = sorted(
+            (r.doc_id, r.arrival) for r in D.dedup_ttl(staged, 64).collect()
+        )
+        got = ING.read_stream_output(spark, f"{d}/t/docs", ING.DOCS_TTL_SCHEMA)
+        assert sorted((r.doc_id, r.arrival) for r in got.collect()) == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

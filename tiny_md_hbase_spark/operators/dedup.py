@@ -1814,6 +1814,79 @@ def dedup_incremental_sql(
     )
 
 
+DEDUP_TTL_HORIZON = 64  # arrival ticks a content stays "seen" after its last sighting
+
+
+def dedup_ttl(
+    documents: DataFrame,
+    ttl: int = DEDUP_TTL_HORIZON,
+    arrival: str = "arrival",
+) -> DataFrame:
+    """Horizon-bounded (TTL) exact dedup — the UNBOUNDED-stream answer
+    to :func:`dedup_exact`/``stream_dedup_docs``'s forever-growing
+    seen-set: a document is admitted iff NO document with the same
+    content fingerprint occurred within the previous ``ttl`` arrival
+    ticks. Semantics are LAST-SEEN RENEWAL (the cache-TTL contract:
+    every sighting — admitted or suppressed — renews the content's
+    clock), so the rule is exactly "gap to the immediately previous
+    same-content occurrence > ttl": one ``lag`` over a per-fingerprint
+    window ordered by (arrival, doc_id).
+
+    This is the production shape for perpetual ingest: an exact
+    seen-set over an unbounded stream grows O(all content ever) —
+    eventually unpayable even compacted — while the TTL form's working
+    state is O(content in the horizon), the deliberate trade
+    re-crawl pipelines make (a page re-seen after a year SHOULD be
+    re-admitted; its content may matter again). Output: the admitted
+    rows (doc_id, arrival, lang, source, n_chars).
+
+    Scale: ONE shuffle on the 8-byte fingerprint; per-key payload is
+    two longs, so even a content with millions of sightings streams
+    through its window task in arrival order (the single-content
+    pathological key is the ``dedup_minhash_capped`` analog — cap or
+    salt upstream if one literal string dominates arrivals). The
+    streaming twin (``streaming/ingest.py stream_dedup_ttl``) carries
+    the same rule across micro-batches with per-fingerprint
+    last-arrival state, physically EXPIRED at compaction."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy(arrival, "doc_id")
+    prev = F.lag(arrival).over(w)
+    return (
+        documents.withColumn("h", _content_fp("text"))
+        .withColumn("_prev", prev)
+        .filter(F.col("_prev").isNull() | (F.col(arrival) - F.col("_prev") > ttl))
+        .select(
+            "doc_id",
+            F.col(arrival).cast("long").alias("arrival"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+
+
+def dedup_ttl_sql(
+    staged: str = "staged", ttl: int = DEDUP_TTL_HORIZON
+) -> str:
+    """DuckDB twin of :func:`dedup_ttl` over a relation ``staged``
+    (doc_id, text, lang, source, n_chars, arrival) — the entry prepends
+    the arrival-staging CTE. Same fingerprint expression, same lag
+    window, same renewal rule."""
+    from tiny_md_hbase_spark.operators.text import doc_fingerprint_sql
+
+    fp = doc_fingerprint_sql()
+    return (
+        f"SELECT doc_id, CAST(arrival AS BIGINT) AS arrival, lang, source, "
+        "n_chars FROM ("
+        "SELECT doc_id, arrival, lang, source, n_chars, "
+        "lag(arrival) OVER (PARTITION BY h ORDER BY arrival, doc_id) AS prev "
+        f"FROM (SELECT doc_id, arrival, lang, source, n_chars, {fp} AS h "
+        f"FROM {staged})) "
+        f"WHERE prev IS NULL OR arrival - prev > {ttl}"
+    )
+
+
 def dedup_keep_best(documents: DataFrame, clusters: DataFrame) -> DataFrame:
     """Pick each near-dup cluster's SURVIVOR by merit, not by id: the
     longest member (``n_chars`` desc, doc_id asc tiebreak) wins. Real

@@ -60,6 +60,7 @@ __all__ = [
     "repetition_stats",
     "repetition_stats_sql",
     "decontaminate",
+    "decontaminate_bloom",
     "decontaminate_hashed",
     "decontaminate_sql",
     "tfidf_top_terms",
@@ -598,6 +599,115 @@ def decontaminate_hashed(
     )
     return (
         train.join(F.broadcast(eval_g), "gh")
+        .groupBy(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+DECON_BLOOM_BITS_PER_GRAM = 10  # k=2 double hashing → ~8% FPP; exact verify after
+
+
+def decontaminate_bloom(
+    documents: DataFrame,
+    gram_n: int = DECON_GRAM,
+    eval_mod: int = DECON_EVAL_MOD,
+    bits_per_gram: int = DECON_BLOOM_BITS_PER_GRAM,
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — the LARGE-eval-side scale path
+    of :func:`decontaminate`. The broadcast-join forms cap the eval side
+    at executor memory (a broadcast hash table holds ~16+ bytes per
+    entry); past that bound the join must shuffle BOTH sides — including
+    the 100 TB corpus's exploded grams, almost none of which match. This
+    operator drops the non-matching grams BEFORE that shuffle with a
+    Bloom bitset whose footprint is ``bits_per_gram/8`` bytes per eval
+    gram (~1.2 B/gram at the default) regardless of gram length:
+
+    1. Hash every eval gram twice (``xxhash64(g)``, ``xxhash64(g, 7)``)
+       and fold the k=2 double-hashed bit positions into an ``m``-bit
+       bitset AS A DATAFRAME AGGREGATE — ``groupBy(p div 64).agg(
+       bit_or(shiftleft(1, p mod 64)))`` — so the bitset is built
+       distributedly and only ``m/64`` (word, bits) rows exist, bounded
+       by the FILTER size, never the eval set.
+    2. Broadcast-join the corpus grams against that tiny word table
+       twice (one equi-join per probe position, whole-stage codegen
+       bitwise tests, zero Python) and keep the grams whose both bits
+       are set — the only rows that reach the shuffle.
+    3. Exact verify: shuffle-join the surviving grams against the eval
+       grams on the 8-byte hash and count per pair, so Bloom false
+       positives are eliminated and the output EQUALS
+       :func:`decontaminate` — which is why ``decontaminate_sql`` is
+       this operator's oracle verbatim.
+
+    ``m`` is the next power of two ≥ ``bits_per_gram × |eval grams|``
+    (one metadata-sized ``count()`` decides it), so ``pmod`` stays a
+    cheap mask-shaped mod and the bitset table is ~m/64 longs — e.g.
+    20 GB of eval text ≈ 2.7e9 grams → m = 2^35 bits = 4 GiB of
+    bitset... split across a 512 MiB broadcast per 2^32 bits if ever
+    needed; at every real eval-suite size (MMLU/GSM8K-scale, ≤ tens of
+    MB of grams) the word table is a few thousand rows."""
+    from tiny_md_hbase_spark.operators.dedup import shingles
+
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(shingles("text", gram_n)).alias("g")
+    ).select(
+        "doc_id",
+        F.xxhash64("g").alias("gh"),
+        F.xxhash64("g", F.lit(7)).alias("gh2"),
+    )
+    train = grams(documents.filter(F.col("doc_id") % eval_mod != 0))
+    eval_g = grams(documents.filter(F.col("doc_id") % eval_mod == 0)).select(
+        F.col("doc_id").alias("eval_doc_id"), "gh", "gh2"
+    )
+
+    n_grams = eval_g.select("gh").distinct().count()  # metadata action
+    m = 1 << max(10, (max(1, n_grams) * bits_per_gram - 1).bit_length())
+
+    # k=2 Kirsch-Mitzenmacher positions: p_i = (h1 + i*h2) mod m, with the
+    # addition done on pre-reduced residues so ANSI long arithmetic cannot
+    # overflow (m ≤ 2^62).
+    def _positions(df: DataFrame) -> tuple[Column, Column]:
+        r1 = F.pmod(F.col("gh"), F.lit(m))
+        r2 = F.pmod(F.col("gh2"), F.lit(m))
+        return r1, F.pmod(r1 + r2, F.lit(m))
+
+    p0, p1 = _positions(eval_g)
+    bitset = (
+        eval_g.select(F.explode(F.array(p0, p1)).alias("p"))
+        .groupBy(F.floor(F.col("p") / F.lit(64)).cast("long").alias("w"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.pmod(F.col("p"), F.lit(64)).cast("int"),
+                )
+            ).alias("bits")
+        )
+    )
+
+    q0, q1 = _positions(train)
+    probed = train.select("doc_id", "gh", q0.alias("p0"), q1.alias("p1"))
+    mask = lambda p: F.call_function(  # noqa: E731
+        "shiftleft", F.lit(1).cast("long"), F.pmod(F.col(p), F.lit(64)).cast("int")
+    )
+    survivors = probed
+    for p, w, b in (("p0", "w0", "b0"), ("p1", "w1", "b1")):
+        survivors = (
+            survivors.withColumn(w, F.floor(F.col(p) / F.lit(64)).cast("long"))
+            .join(
+                F.broadcast(bitset.select(F.col("w").alias(w), F.col("bits").alias(b))),
+                w,
+            )
+            .filter(F.col(b).bitwiseAND(mask(p)) != 0)
+        )
+    # exact verify on the 8-byte hash. The strategy is deliberately left
+    # to Catalyst: below autoBroadcastJoinThreshold it broadcasts (tiny
+    # evals cost nothing extra), above it it becomes the shuffle join
+    # this operator exists for — and only Bloom survivors, a vanishing
+    # fraction of the corpus grams, ever cross that shuffle.
+    return (
+        survivors.select("doc_id", "gh")
+        .join(eval_g.select("eval_doc_id", "gh"), "gh")
         .groupBy(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )

@@ -516,6 +516,7 @@ def _maybe_compact(
     every: int,
     schema: str,
     partition_col: str | None = None,
+    fold=None,
 ) -> bool:
     """Fold prior batch directories (ids < the RUNNING batch only — its
     own directory must stay individually excludable for replay) plus the
@@ -524,7 +525,15 @@ def _maybe_compact(
     (_SUCCESS) before any source directory is removed, so every crash
     window leaves a tree the selection rule in :func:`_state_layout`
     reads exactly once. Also sweeps leftovers a previous interrupted
-    fold left at or below the committed cutoff."""
+    fold left at or below the committed cutoff.
+
+    ``fold`` (DataFrame -> DataFrame, default identity) lets a state
+    whose read side aggregates (e.g. the TTL dedup's per-key
+    max(last_arrival) + horizon expiry) apply that aggregation
+    PHYSICALLY at fold time, so the snapshot stores the reduced state
+    instead of the row history — the read-side aggregate over
+    (snapshot ∪ deltas) is unchanged because it is idempotent over its
+    own output."""
     snap, cutoff, live = _state_layout(ss, spath)
     # opportunistic sweep of crash leftovers the selection rule
     # already ignores: batch dirs <= cutoff, snapshots < cutoff, and
@@ -549,6 +558,8 @@ def _maybe_compact(
     merged = parts[0]
     for df in parts[1:]:
         merged = merged.unionByName(df)
+    if fold is not None:
+        merged = fold(merged)
     writer = merged.write.mode("overwrite")
     if partition_col:
         # one file per non-empty bucket directory instead of
@@ -729,6 +740,154 @@ def stream_dedup_docs(
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         dedup_docs_batch(batch, batch_id, table_path, compact_every=compact_every)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+DOCS_TTL_SCHEMA = DOCS_SCHEMA + ", arrival long"
+TTL_STATE_SCHEMA = "h long, last_arrival long"
+
+
+def dedup_ttl_batch(
+    batch: DataFrame,
+    batch_id: int,
+    table_path: str,
+    ttl: int,
+    compact_every: int = DEFAULT_COMPACT_EVERY,
+) -> None:
+    """One micro-batch of :func:`stream_dedup_ttl` (module-level so the
+    replay path is directly testable): admit an arriving document iff no
+    same-fingerprint occurrence lies within the previous ``ttl``
+    arrival ticks — ``dedup.dedup_ttl``'s last-seen-renewal rule carried
+    across batches.
+
+    State is (h, last_arrival) upsert DELTAS: each batch writes one row
+    per fingerprint it saw (its max in-batch arrival — renewal counts
+    every sighting, admitted or suppressed); the read side folds
+    ``max(last_arrival)`` per h over (snapshot ∪ deltas). The prior
+    occurrence then seeds each fingerprint's in-batch lag-chain as a
+    pseudo-row ordered BEFORE the arrivals, so the window computes the
+    identical gaps the batch operator sees over the full history.
+
+    EXPIRY is what bounds this state where ``stream_dedup_docs``'s
+    seen-set cannot be bounded: at every fold, :func:`_maybe_compact`'s
+    ``fold`` hook reduces to per-h max and DROPS fingerprints with
+    ``last_arrival < max(last_arrival) - ttl``. That is exact, not
+    lossy, under the staging contract (batches arrive in arrival order,
+    the same contract the oracle equality needs): any future arrival is
+    ≥ the fold's max, so a dropped key could only ever produce
+    gap > ttl — exactly what its absence produces. Working state is
+    O(distinct content in the horizon) for an UNBOUNDED stream.
+
+    Replay safety is the sink family's: own-batch exclusion on the
+    state read + per-batch overwrite of docs/state directories. A row
+    re-delivered in a later batch finds its own renewal row at gap 0 →
+    suppressed (absorbed exactly once)."""
+    from pyspark.sql.window import Window
+
+    from tiny_md_hbase_spark.operators.dedup import _content_fp
+
+    ss = batch.sparkSession
+    b = batch.distinct().withColumn("h", _content_fp("text"))
+    state = _read_state(
+        ss,
+        f"{table_path}/state",
+        batch_id,
+        TTL_STATE_SCHEMA,
+        ["h", "last_arrival"],
+    )
+    rows = b.select(
+        "doc_id", "text", "lang", "source", "n_chars", "arrival", "h",
+        F.lit(0).alias("_seed"),
+    )
+    if state is not None:
+        seeds = (
+            state.groupBy("h")
+            .agg(F.max("last_arrival").alias("arrival"))
+            .select(
+                F.lit(None).cast("long").alias("doc_id"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("string").alias("source"),
+                F.lit(None).cast("long").alias("n_chars"),
+                "arrival",
+                "h",
+                F.lit(1).alias("_seed"),
+            )
+        )
+        rows = rows.unionByName(seeds)
+    # seed orders BEFORE a real row at the same arrival (cross-batch
+    # redelivery: the prior attempt's renewal sits at the row's own tick)
+    w = Window.partitionBy("h").orderBy("arrival", F.desc("_seed"), "doc_id")
+    chained = rows.withColumn("_prev", F.lag("arrival").over(w))
+    surv = chained.filter(
+        (F.col("_seed") == 0)
+        & (F.col("_prev").isNull() | (F.col("arrival") - F.col("_prev") > ttl))
+    ).localCheckpoint()  # read state BEFORE overwriting into it
+    surv.select(
+        "doc_id", "text", "lang", "source", "n_chars", "arrival"
+    ).write.mode("overwrite").parquet(f"{table_path}/docs/batch={batch_id}")
+    b.groupBy("h").agg(F.max("arrival").alias("last_arrival")).write.mode(
+        "overwrite"
+    ).parquet(f"{table_path}/state/batch={batch_id}")
+
+    def _fold(df: DataFrame) -> DataFrame:
+        agg = df.groupBy("h").agg(F.max("last_arrival").alias("last_arrival"))
+        mx = agg.agg(F.max("last_arrival")).collect()[0][0]  # one-row action
+        if mx is None:
+            return agg
+        return agg.filter(F.col("last_arrival") >= mx - ttl)
+
+    _maybe_compact(
+        ss,
+        f"{table_path}/state",
+        batch_id,
+        compact_every,
+        TTL_STATE_SCHEMA,
+        fold=_fold,
+    )
+
+
+def stream_dedup_ttl(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    ttl: int,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    compact_every: int = DEFAULT_COMPACT_EVERY,
+) -> StreamingQuery:
+    """Streaming horizon-bounded (TTL) dedup — the route-on-arrival twin
+    of ``dedup.dedup_ttl`` and the UNBOUNDED-stream replacement for
+    :func:`stream_dedup_docs`'s forever-growing seen-set: state is
+    per-fingerprint last-arrival, renewed on every sighting and
+    physically expired past the ``ttl`` horizon at compaction, so a
+    perpetual 100 TB/year ingest carries O(content in the horizon)
+    state instead of O(all content ever).
+
+    Source files must arrive in arrival order (stage with
+    ``repartitionByRange`` on the arrival tick) — the same contract
+    under which the drained ``docs`` tree equals ``dedup.dedup_ttl``
+    over everything that arrived, which is why the driver's oracle is
+    ``dedup_ttl_sql`` verbatim. Exactly-once by the sink family's
+    pattern (own-batch exclusion + per-batch overwrite); the output
+    tree is :func:`compact_stream_output`-maintainable like every other
+    sink's."""
+    reader = spark.readStream.schema(DOCS_TTL_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        dedup_ttl_batch(batch, batch_id, table_path, ttl, compact_every)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
