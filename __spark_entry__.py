@@ -107,6 +107,37 @@ def _q_range_query_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.range_query(pts, RECT_X, RECT_Y, z_cover=16)
 
 
+def _q_range_query_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file-skipping) rectangle query (sources/writer.py
+    write_zone_map / range_query_zonemap): the points are z-clustered
+    into files (tight per-file x/y bounding boxes via space-filling
+    locality), an explicit Iceberg/Delta-style stats table records each
+    file's box, and the query prunes whole FILES by box intersection
+    before any data file is opened — the surviving paths feed
+    spark.read.parquet(*files) directly, then the exact rectangle is
+    the pushed residual. The file-level complement of the z-cover's
+    row-level pruning; the result equals the plain rectangle query by
+    construction, so the range_query oracle serves verbatim."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.sources.writer import (
+        range_query_zonemap,
+        write_points_zsorted,
+        write_zone_map,
+    )
+
+    d = tempfile.mkdtemp(prefix="zmap_q_")
+    try:
+        write_points_zsorted(points(spark, sf_dir), f"{d}/points", num_partitions=16)
+        write_zone_map(spark, f"{d}/points", f"{d}/zones")
+        return range_query_zonemap(
+            spark, f"{d}/points", f"{d}/zones", RECT_X, RECT_Y
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_range_query_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-guided rectangle query over the HILBERT key (hilbert.py
     hilbert_cover_py): ≤16-interval cover + residual rect predicate —
@@ -3024,23 +3055,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-13 rotation (derived from CORRECTNESS_r01-r12 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-6: the six NEW r13 keys (corpus_stratified_quota,
+    #   1-7: the seven NEW r13 keys (corpus_stratified_quota,
     #   stream_output_compact, stream_sample_stratified_quota,
-    #   decontaminate_bloom, dedup_ttl, stream_dedup_ttl) —
-    #   rotation_audit invariant 1: new keys enter the window for
-    #   their first driver verdict.
-    #   7-21: the ENTIRE 15-key r08 staleness cohort (doc_containment
+    #   decontaminate_bloom, dedup_ttl, stream_dedup_ttl,
+    #   range_query_zonemap) — rotation_audit invariant 1: new keys
+    #   enter the window for their first driver verdict.
+    #   8-22: the ENTIRE 15-key r08 staleness cohort (doc_containment
     #   ... embedding_profile) — the r12 verdict's Next-round #2; all 15
     #   were judge-reverified OK in r12, this records them in the
     #   driver ledger and lifts the out-of-window floor to r09.
-    #   22-50: the 29 oldest r09 keys per rotation_audit's printed
-    #   front (dedup_simhash ... anti_join; semi_join, distinct_count,
-    #   set_except and sales_cube were displaced by the new keys and
-    #   lead the next rotation).
+    #   23-50: the 28 oldest r09 keys per rotation_audit's printed
+    #   front (dedup_simhash ... topk_per_group; anti_join, semi_join,
+    #   distinct_count, set_except and sales_cube were displaced by the
+    #   new keys and lead the next rotation).
     # Below the marker: every remaining key by ascending last-verdict
     # round — verdict age stays monotone down the dict.
     return {
-        # -- r13 window 1-6: the six NEW keys needing first verdicts —
+        # -- r13 window 1-7: the seven NEW keys needing first verdicts —
         # corpus_stratified_quota (quota-driven per-source DLT sampling:
         # temperature quotas decide k_s, rank/tau vs the joined quota),
         # stream_output_compact (drained batch=<id> output dirs
@@ -3055,7 +3086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": _q_decontaminate_bloom,
         "dedup_ttl": _q_dedup_ttl,
         "stream_dedup_ttl": _q_stream_dedup_ttl,
-        # -- r13 window 7-21: the full 15-key r08 staleness cohort
+        "range_query_zonemap": _q_range_query_zonemap,
+        # -- r13 window 8-22: the full 15-key r08 staleness cohort
         # (judge-reverified ALL OK in r12; the driver ledger records it
         # here) — burning it lifts the out-of-window floor to r09.
         "doc_containment": _q_doc_containment,
@@ -3073,7 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "quality_gate": _q_quality_gate,
         "embedding_profile": _q_embedding_profile,
-        # -- r13 window 22-50: the 29 oldest r09 keys, in
+        # -- r13 window 23-50: the 28 oldest r09 keys, in
         # rotation_audit's suggested order.
         "dedup_simhash": _q_dedup_simhash,
         "embedding_knn_ivf": _q_embedding_knn_ivf,
@@ -3103,11 +3135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_histogram": _q_grouped_histogram,
         "sales_rollup": _q_sales_rollup,
         "topk_per_group": _q_topk_per_group,
-        "anti_join": _q_anti_join,
         # ---- driver window ends here (first 50 keys) -------------------
-        # (semi_join, distinct_count, set_except and sales_cube were
-        # displaced from the window tail by the new r13 keys — they stay
-        # r09-verified and lead the next rotation)
+        # (anti_join, semi_join, distinct_count, set_except and
+        # sales_cube were displaced from the window tail by the new r13
+        # keys — they stay r09-verified and lead the next rotation)
+        "anti_join": _q_anti_join,
         "semi_join": _q_semi_join,
         "distinct_count": _q_distinct_count,
         "set_except": _q_set_except,
@@ -3380,6 +3412,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "full_scan": f"{_POINTS_CTE} SELECT id, x, y FROM points",
         "range_query": f"{_POINTS_CTE} SELECT id, x, y FROM points WHERE {rect}",
+        # file-skipping via the zone map is lossless (bounding-box
+        # intersection + exact residual), so the plain rectangle IS the oracle
+        "range_query_zonemap": (
+            f"{_POINTS_CTE} SELECT id, x, y FROM points WHERE {rect}"
+        ),
         # the z-cover is a lossless superset prefilter; the residual rect
         # predicate makes results identical to the plain rectangle query
         "range_query_cover": (

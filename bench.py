@@ -308,6 +308,7 @@ BENCH_KEYS = [
     "decontaminate_bloom",
     "dedup_ttl",
     "stream_dedup_ttl",
+    "range_query_zonemap",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

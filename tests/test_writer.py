@@ -486,3 +486,62 @@ def test_hsorted_layout_disjoint_spans_and_pruned_probe(spark, sf_dir):
     # the cover predicate reaches the parquet scan (pushed filter on h)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "h" in plan.split("PushedFilters")[1][:400]
+
+
+# --- r13: zone-map (file-skipping) query path -------------------------------
+
+
+def test_zone_map_prune_skips_files_and_stays_exact(spark, sf_dir):
+    """The data-skipping contract: (a) the zone-map query equals the
+    plain rectangle query over the full table; (b) on a z-clustered
+    layout the rectangle touches a strict subset of the files (file-
+    level pruning is real, not a no-op); (c) a rectangle outside the
+    domain selects ZERO files — the empty result without opening any
+    data file."""
+    import shutil
+
+    from tiny_md_hbase_spark.sources.writer import (
+        range_query_zonemap,
+        write_points_zsorted,
+        write_zone_map,
+        zone_map_prune,
+    )
+
+    d = tempfile.mkdtemp(prefix="zmap_t_")
+    try:
+        pts = points(spark, sf_dir)
+        write_points_zsorted(pts, f"{d}/points", num_partitions=16)
+        write_zone_map(spark, f"{d}/points", f"{d}/zones")
+        n_files = spark.read.parquet(f"{d}/zones").count()
+
+        # sf0.001's derived points only reach ~200 in x/y — query the
+        # populated corner (the entry keys' ENTRY_RECT convention)
+        rect_x, rect_y = (32, 95), (16, 127)
+        want = sorted(
+            (r.id, r.x, r.y)
+            for r in spatial.range_query(pts, rect_x, rect_y).collect()
+        )
+        got = sorted(
+            (r.id, r.x, r.y)
+            for r in range_query_zonemap(
+                spark, f"{d}/points", f"{d}/zones", rect_x, rect_y
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+
+        touched = zone_map_prune(spark, f"{d}/zones", rect_x, rect_y)
+        assert 0 < len(touched) < n_files, (len(touched), n_files)
+
+        # a narrow query in one corner prunes harder than the wide rect
+        narrow = zone_map_prune(spark, f"{d}/zones", (0, 15), (0, 15))
+        assert len(narrow) <= len(touched)
+
+        # outside the 0..4095 domain: no file survives, result is empty
+        assert zone_map_prune(spark, f"{d}/zones", (9000, 9999), (0, 10)) == []
+        empty = range_query_zonemap(
+            spark, f"{d}/points", f"{d}/zones", (9000, 9999), (0, 10)
+        )
+        assert empty.count() == 0
+        assert [f.name for f in empty.schema.fields] == ["id", "x", "y"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
