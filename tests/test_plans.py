@@ -275,6 +275,20 @@ def test_decontaminate_bloom_plan_shape(spark, sf_dir):
     assert re.search(r"Join \[gh#\d+L?\]", plan) or "Join [gh" in plan, plan
 
 
+def test_dedup_ttl_single_exchange(spark, sf_dir):
+    """TTL dedup costs exactly ONE shuffle — the per-fingerprint window
+    partitioning; the filter and projection ride the window stage. (The
+    per-key payload is two longs, so even heavy-duplicate keys stream
+    through their window task.)"""
+    from tiny_md_hbase_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "arrival", F.col("doc_id") * 8
+    )
+    q = DD.dedup_ttl(docs, 64)
+    assert P.exchange_count(q) == 1
+
+
 def test_winnow_fingerprint_single_exchange(spark, sf_dir):
     """Winnowing costs exactly one shuffle (on doc_id for the sliding
     window); the per-doc dedup must reuse that partitioning — doc_id is
