@@ -2420,3 +2420,29 @@ def test_stream_dedup_ttl_drain_equals_batch_op(spark, sf_dir):
         assert sorted((r.doc_id, r.arrival) for r in got.collect()) == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_ttl_uri_table_path(spark):
+    """The TTL sink's state machinery over a file:// table_path — the
+    same spark._jvm FileSystem call path hdfs:// and s3a:// resolve
+    through: cross-batch suppression, renewal, fold-with-expiry, and
+    the drained read all run through the FS API."""
+    d = tempfile.mkdtemp(prefix="urittl_")
+    uri = f"file://{d}/t"
+    try:
+        batches = [
+            [_ttl_doc(1, "uri content A", 0)],
+            [_ttl_doc(2, "uri content A", 50)],
+            [_ttl_doc(3, "uri content A", 100), _ttl_doc(4, "uri other", 100)],
+        ]
+        for i, rows in enumerate(batches):
+            ING.dedup_ttl_batch(
+                spark.createDataFrame(rows, _TTLD_SCHEMA), i, uri, 64,
+                compact_every=2,
+            )
+        got = ING.read_stream_output(spark, f"{uri}/docs", ING.DOCS_TTL_SCHEMA)
+        assert sorted(r.doc_id for r in got.collect()) == [1, 4]
+        # the fold ran through fs_rmtree: folded batch dirs are gone
+        assert "batch=0" not in os.listdir(f"{d}/t/state")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
