@@ -1488,6 +1488,43 @@ def _q_keyword_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search, scan form (operators/text.py phrase_search):
+    adjacency + order — what conjunctive keyword/BM25 cannot express.
+    Per row the start offsets where the n-token window equals the
+    phrase, counted by codegen'd array kernels; zero shuffle except the
+    final TakeOrderedAndProject."""
+    return TX.phrase_search(load_table(spark, sf_dir, "documents"))
+
+
+def _q_phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search over the POSITIONAL inverted index
+    (sources/writer.py write_positional_index +
+    phrase_search_positional): bucket-partitioned postings carrying
+    sorted position lists; the probe reads only the query terms' bucket
+    directories (PartitionFilters on literal buckets + term pushdown)
+    and folds array_intersect(starts, positions_i - i) across the
+    phrase — O(query terms' postings) per query, never O(corpus).
+    Returns exactly the scan form's rows, so its oracle SQL applies
+    verbatim."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.sources.writer import (
+        phrase_search_positional,
+        write_positional_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="pidx_q_")
+    try:
+        write_positional_index(
+            load_table(spark, sf_dir, "documents"), f"{d}/idx"
+        )
+        return phrase_search_positional(spark, f"{d}/idx").localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source/sink round trip (sources/jsonl.py): export the
     documents corpus as sharded JSONL, read it back under the enforced
@@ -3055,23 +3092,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-13 rotation (derived from CORRECTNESS_r01-r12 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-7: the seven NEW r13 keys (corpus_stratified_quota,
+    #   1-9: the nine NEW r13 keys (corpus_stratified_quota,
     #   stream_output_compact, stream_sample_stratified_quota,
     #   decontaminate_bloom, dedup_ttl, stream_dedup_ttl,
-    #   range_query_zonemap) — rotation_audit invariant 1: new keys
-    #   enter the window for their first driver verdict.
-    #   8-22: the ENTIRE 15-key r08 staleness cohort (doc_containment
+    #   range_query_zonemap, phrase_search, phrase_search_indexed) —
+    #   rotation_audit invariant 1: new keys enter the window for
+    #   their first driver verdict.
+    #   10-24: the ENTIRE 15-key r08 staleness cohort (doc_containment
     #   ... embedding_profile) — the r12 verdict's Next-round #2; all 15
     #   were judge-reverified OK in r12, this records them in the
     #   driver ledger and lifts the out-of-window floor to r09.
-    #   23-50: the 28 oldest r09 keys per rotation_audit's printed
-    #   front (dedup_simhash ... topk_per_group; anti_join, semi_join,
-    #   distinct_count, set_except and sales_cube were displaced by the
-    #   new keys and lead the next rotation).
+    #   25-50: the 26 oldest r09 keys per rotation_audit's printed
+    #   front (dedup_simhash ... grouped_histogram; sales_rollup,
+    #   topk_per_group, anti_join, semi_join, distinct_count,
+    #   set_except and sales_cube were displaced by the new keys and
+    #   lead the next rotation).
     # Below the marker: every remaining key by ascending last-verdict
     # round — verdict age stays monotone down the dict.
     return {
-        # -- r13 window 1-7: the seven NEW keys needing first verdicts —
+        # -- r13 window 1-9: the nine NEW keys needing first verdicts —
         # corpus_stratified_quota (quota-driven per-source DLT sampling:
         # temperature quotas decide k_s, rank/tau vs the joined quota),
         # stream_output_compact (drained batch=<id> output dirs
@@ -3087,7 +3126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ttl": _q_dedup_ttl,
         "stream_dedup_ttl": _q_stream_dedup_ttl,
         "range_query_zonemap": _q_range_query_zonemap,
-        # -- r13 window 8-22: the full 15-key r08 staleness cohort
+        "phrase_search": _q_phrase_search,
+        "phrase_search_indexed": _q_phrase_search_indexed,
+        # -- r13 window 10-24: the full 15-key r08 staleness cohort
         # (judge-reverified ALL OK in r12; the driver ledger records it
         # here) — burning it lifts the out-of-window floor to r09.
         "doc_containment": _q_doc_containment,
@@ -3105,7 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "quality_gate": _q_quality_gate,
         "embedding_profile": _q_embedding_profile,
-        # -- r13 window 23-50: the 28 oldest r09 keys, in
+        # -- r13 window 25-50: the 26 oldest r09 keys, in
         # rotation_audit's suggested order.
         "dedup_simhash": _q_dedup_simhash,
         "embedding_knn_ivf": _q_embedding_knn_ivf,
@@ -3133,12 +3174,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "time_band_join": _q_time_band_join,
         "grouped_histogram": _q_grouped_histogram,
+        # ---- driver window ends here (first 50 keys) -------------------
+        # (sales_rollup, topk_per_group, anti_join, semi_join,
+        # distinct_count, set_except and sales_cube were displaced from
+        # the window tail by the new r13 keys — they stay r09-verified
+        # and lead the next rotation)
         "sales_rollup": _q_sales_rollup,
         "topk_per_group": _q_topk_per_group,
-        # ---- driver window ends here (first 50 keys) -------------------
-        # (anti_join, semi_join, distinct_count, set_except and
-        # sales_cube were displaced from the window tail by the new r13
-        # keys — they stay r09-verified and lead the next rotation)
         "anti_join": _q_anti_join,
         "semi_join": _q_semi_join,
         "distinct_count": _q_distinct_count,
@@ -4211,6 +4253,9 @@ def oracle_sql() -> dict[str, str]:
         # batch + streaming TTL dedup share one oracle: the drained stream
         # must equal the batch operator over the same staged arrivals
         "dedup_ttl": _TTL_STAGED_CTE + D.dedup_ttl_sql("staged", DEDUP_TTL),
+        "phrase_search": TX.phrase_search_sql(),
+        # the positional-index probe returns the scan form's rows exactly
+        "phrase_search_indexed": TX.phrase_search_sql(),
         "stream_dedup_ttl": (
             _TTL_STAGED_CTE + D.dedup_ttl_sql("staged", DEDUP_TTL)
         ),

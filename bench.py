@@ -309,6 +309,7 @@ BENCH_KEYS = [
     "dedup_ttl",
     "stream_dedup_ttl",
     "range_query_zonemap",
+    "phrase_search",
 ]
 
 # entries whose execution includes scratch-layout materialization get one
@@ -346,6 +347,8 @@ HEADLINE = [
     "inverted_index_build",
     "keyword_search_indexed_probe",
     "keyword_search_bm25_indexed_probe",
+    "positional_index_build",
+    "phrase_search_indexed_probe",
     "embeddings_clustered_build",
     "embedding_knn_clustered_probe",
     "embeddings_quantized_build",
@@ -849,6 +852,16 @@ def main() -> None:
             _probe(
                 "keyword_search_bm25_indexed_probe",
                 lambda: WR.keyword_search_bm25_indexed(spark, ipath),
+            )
+
+            ppath = tempfile.mkdtemp(prefix="bench_pi_") + "/pi"
+            _timed(
+                "positional_index_build",
+                lambda: WR.write_positional_index(docs, ppath),
+            )
+            _probe(
+                "phrase_search_indexed_probe",
+                lambda: WR.phrase_search_positional(spark, ppath),
             )
 
             emb = load_table(spark, sf_dir, "embeddings")

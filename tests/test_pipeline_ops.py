@@ -2369,3 +2369,75 @@ def test_corpus_temperature_sample_executes_the_spec(spark):
     assert max(per_doc.values()) - min(per_doc.values()) <= 1
     # a quota <= n source stays epoch-0 only
     assert all(r.epoch == 0 for r in got if r.source == "big")
+
+
+def test_phrase_search_semantics(spark):
+    """Phrase semantics on hand-built docs: adjacency (conjunctive
+    containment is NOT enough), order sensitivity, OVERLAPPING
+    occurrences each counting, short-doc safety, and the repeated-term
+    phrase."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    rows = [
+        (1, "alpha beta gamma", "en", "s", 16),        # exact once
+        (2, "alpha gamma beta", "en", "s", 16),        # terms present, wrong order
+        (3, "alpha beta gamma alpha beta gamma", "en", "s", 33),  # twice
+        (4, "alpha beta", "en", "s", 10),               # shorter than phrase
+        (5, "x alpha beta gamma y", "en", "s", 20),    # embedded once
+        (6, "", "en", "s", 0),                          # empty
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.doc_id: r.n_hits for r in TX.phrase_search(df, ("alpha", "beta", "gamma")).collect()}
+    assert got == {3: 2, 1: 1, 5: 1}
+    # overlapping occurrences: 'a a a' contains 'a a' twice
+    ov = spark.createDataFrame(
+        [(7, "a a a", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    o = {r.doc_id: r.n_hits for r in TX.phrase_search(ov, ("a", "a")).collect()}
+    assert o == {7: 2}
+
+
+def test_phrase_search_indexed_equals_scan(spark, sf_dir):
+    """The positional-index probe returns exactly the scan form's rows
+    (default phrase and a repeated-term phrase), and its plan prunes to
+    the query terms' bucket partitions with the term pushed down."""
+    import re
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.operators import text as TX
+    from tiny_md_hbase_spark.plans.inspect import explain_str
+    from tiny_md_hbase_spark.sources.writer import (
+        phrase_search_positional,
+        write_positional_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="pidx_t_")
+    try:
+        write_positional_index(docs, f"{d}/idx")
+        for phrase in (None, ("table", "table")):
+            want = [
+                (r.doc_id, r.n_hits)
+                for r in (
+                    TX.phrase_search(docs)
+                    if phrase is None
+                    else TX.phrase_search(docs, phrase)
+                ).collect()
+            ]
+            got = [
+                (r.doc_id, r.n_hits)
+                for r in phrase_search_positional(
+                    spark, f"{d}/idx", phrase
+                ).collect()
+            ]
+            assert got == want
+        plan = explain_str(phrase_search_positional(spark, f"{d}/idx"))
+        pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and all("bucket" in p and "IN" in p for p in pf), plan
+        assert "In(term," in plan or "In(term ," in plan, plan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

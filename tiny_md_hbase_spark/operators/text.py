@@ -1576,6 +1576,67 @@ def keyword_search_sql(
     )
 
 
+PHRASE_TERMS = ("value", "table", "part")  # fixture phrase, exact-adjacency
+
+
+def phrase_search(
+    documents: DataFrame,
+    phrase: tuple[str, ...] = PHRASE_TERMS,
+    k: int = 10,
+) -> DataFrame:
+    """Exact PHRASE search — the retrieval capability conjunctive
+    keyword/BM25 search cannot express: the query terms must occur
+    ADJACENT and IN ORDER. This is the single-query scan form (the
+    indexed twin is ``sources.writer.phrase_search_positional``):
+    per row, count the token offsets where the n-token window equals
+    the phrase — ``size(filter(sequence(1, len-n+1), i ->
+    slice(toks, i, n) == phrase))`` — all codegen'd array kernels,
+    zero shuffle except the final top-k (TakeOrderedAndProject).
+    Returns (doc_id, n_hits) for documents containing the phrase,
+    top-k by (n_hits desc, doc_id). Overlapping occurrences count
+    (every start offset is tested independently)."""
+    n = len(phrase)
+    if n == 0:
+        raise ValueError("phrase_search requires a non-empty phrase")
+    want = F.array(*[F.lit(t.lower()) for t in phrase])
+    toks = F.transform(tokens("text"), lambda t: F.lower(t))
+    d = documents.select("doc_id", toks.alias("toks"))
+    # guard the sequence: Spark's sequence(1, 0) DESCENDS ([1, 0]); a
+    # doc shorter than the phrase must contribute zero start offsets
+    starts = F.when(
+        F.size("toks") >= n,
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    hits = F.size(F.filter(starts, lambda i: F.slice("toks", i, n) == want))
+    return (
+        d.select("doc_id", hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def phrase_search_sql(
+    phrase: tuple[str, ...] = PHRASE_TERMS, k: int = 10
+) -> str:
+    """DuckDB twin of :func:`phrase_search` (1-based inclusive list
+    slicing: ``toks[i : i+n-1]`` is the n-token window at offset i;
+    ``range``'s exclusive stop empties itself on short docs)."""
+    n = len(phrase)
+    arr = ", ".join(f"'{t.lower()}'" for t in phrase)
+    return (
+        "WITH d AS (SELECT doc_id, "
+        f"list_transform({tokens_sql('text')}, t -> lower(t)) AS toks "
+        "FROM documents), "
+        "h AS (SELECT doc_id, CAST(len(list_filter("
+        f"range(1, len(toks) - {n} + 2), "
+        f"i -> toks[i : i + {n - 1}] = [{arr}])) AS BIGINT) AS n_hits "
+        "FROM d) "
+        "SELECT doc_id, n_hits FROM h WHERE n_hits > 0 "
+        f"ORDER BY n_hits DESC, doc_id LIMIT {k}"
+    )
+
+
 def bm25_score(tf_cols: list[Column], dl: Column, k1: float, b: float) -> Column:
     """The BM25 scoring expression tree — the SINGLE source both the
     scan form and the index-accelerated form build from, so their

@@ -448,6 +448,123 @@ def write_inverted_index(
     ).write.mode("overwrite").parquet(f"{path}/_doc_lens")
 
 
+def build_postings_positional(
+    documents: DataFrame, num_buckets: int = 16
+) -> DataFrame:
+    """Positional posting rows (term, doc_id, positions, tf, bucket):
+    the phrase-capable index build. ``posexplode`` keeps each token's
+    0-based offset; positions aggregate as a SORTED array per
+    (term, doc_id) — ``sort_array(collect_list(pos))``, deterministic
+    where bare collect_list is not — so adjacency checks downstream are
+    order-stable. Bucketing and the vocabulary-side portable hash join
+    are :func:`build_postings`' exactly (the interpreted char fold must
+    never ride the posting stream)."""
+    from tiny_md_hbase_spark.operators.text import tokens
+
+    spark_parallelism = max(
+        documents.sparkSession.sparkContext.defaultParallelism, num_buckets
+    )
+    postings = (
+        documents.select(
+            "doc_id",
+            F.posexplode(F.transform(tokens("text"), lambda t: F.lower(t))).alias(
+                "pos", "term"
+            ),
+        )
+        .groupBy("term", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+                "positions"
+            ),
+            F.count("*").cast("long").alias("tf"),
+        )
+    )
+    vocab = (
+        postings.select("term")
+        .distinct()
+        .withColumn("bucket", _term_bucket_col(F.col("term"), num_buckets))
+    )
+    postings = postings.join(vocab, "term")
+    return postings.repartition(spark_parallelism, "bucket", F.crc32("term"))
+
+
+def write_positional_index(
+    documents: DataFrame, path: str, num_buckets: int = 16
+) -> None:
+    """Materialize the positional inverted index — the phrase-search
+    build. Layout, salting, and the ``_index_meta`` modulus marker are
+    :func:`write_inverted_index`'s (same pruning story: a phrase probe
+    reads only its terms' bucket directories); the payload adds each
+    posting's sorted position list, ~one extra long per occurrence —
+    the standard positional-index size trade (Lucene's .pos file)."""
+    build_postings_positional(documents, num_buckets).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+    write_meta_row(
+        documents.sparkSession,
+        f"{path}/_index_meta",
+        [("num_buckets", num_buckets, "int")],
+    )
+
+
+def phrase_search_positional(
+    spark: SparkSession,
+    path: str,
+    phrase: tuple[str, ...] | None = None,
+    k: int = 10,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Exact phrase search over the positional index — returns exactly
+    ``text.phrase_search``'s rows ((doc_id, n_hits), (n_hits desc,
+    doc_id) order) without touching the corpus: the classic positional
+    posting-list intersection. Read ONLY the query terms' bucket
+    directories, then fold left across the phrase: start from term 0's
+    position list and for each subsequent term i keep
+    ``array_intersect(starts, positions_i - i)`` — the start offsets
+    whose i-th token matches — dropping documents the moment the
+    intersection empties. Per query the work is O(postings of the
+    query's terms), not O(corpus): the point of paying the positional
+    build. A phrase with a repeated term intersects the same posting
+    list at two distances — no special case."""
+    from tiny_md_hbase_spark.operators.text import PHRASE_TERMS
+
+    qs = [t.lower() for t in (PHRASE_TERMS if phrase is None else phrase)]
+    if not qs:
+        raise ValueError("phrase_search_positional requires a non-empty phrase")
+    if num_buckets is None:
+        num_buckets = int(
+            spark.read.parquet(f"{path}/_index_meta").first().num_buckets
+        )
+    buckets = sorted({term_bucket(q, num_buckets) for q in qs})
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(sorted(set(qs))))
+        .select("term", "doc_id", "positions")
+    )
+    base = idx.filter(F.col("term") == qs[0]).select(
+        "doc_id", F.col("positions").alias("starts")
+    )
+    for i, q in enumerate(qs[1:], 1):
+        nxt = idx.filter(F.col("term") == q).select(
+            "doc_id",
+            F.transform("positions", lambda p: p - i).alias(f"_shift{i}"),
+        )
+        base = (
+            base.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect("starts", f"_shift{i}").alias("starts"),
+            )
+            .filter(F.size("starts") > 0)
+        )
+    return (
+        base.select("doc_id", F.size("starts").cast("long").alias("n_hits"))
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def keyword_search_indexed(
     spark: SparkSession,
     path: str,
