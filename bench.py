@@ -988,25 +988,33 @@ def main() -> None:
     # Give each such elevation ONE confirmation sample and annotate the
     # artifact either way, so a confirmed-fast key is distinguishable
     # from a genuinely slow one without re-running the bench.
+    # scan EVERY timed entry, not BENCH_KEYS: the sub-0.15 s keys this
+    # exists for are mostly the layout-section probes (range_query_zsorted
+    # et al.), which are timed into `results` without being sweep keys —
+    # the r13 driver run read exactly that key at 3x unconfirmed because
+    # the first cut of this block only looked at BENCH_KEYS
     exempt_confirms: dict[str, dict] = {}
     exempt_over = [
         k
-        for k in BENCH_KEYS
-        if k in results
-        and k not in errors
+        for k in sorted(results)
+        if k not in errors
         and 0.0 < (records or {}).get(k, 0.0) < 0.15
         and results[k] > 2.0 * records[k]
     ]
     for key in exempt_over[:16]:
         before = results[key]
-        dt = run_once(key)
-        if dt is None:
-            # optional extra sample: a transient failure must not
-            # convert a benchmarked key into an errored one
-            errors.pop(key, None)
-        else:
-            timings[key].append(dt)
-            results[key] = min(results[key], dt)
+        if key in qs:
+            dt = run_once(key)
+            if dt is None:
+                # optional extra sample: a transient failure must not
+                # convert a benchmarked key into an errored one
+                errors.pop(key, None)
+            else:
+                timings[key].append(dt)
+                results[key] = min(results[key], dt)
+        # layout-section keys have no standalone runner here — their
+        # confirmation re-run is the layout retry loop below; this
+        # block still annotates them so the artifact shows the verdict
         exempt_confirms[key] = {
             "record": records[key],
             "before": before,
@@ -1032,12 +1040,17 @@ def main() -> None:
     # 2.63x through a healthy-probed retry) — keep re-running, with a
     # scratch cleanup before each attempt, until every layout key is
     # under 2x or two extra attempts are spent; minima accumulate.
+    # no 0.15 s floor here (unlike the sweep-key re-sample): the fast
+    # layout probes (range_query_zsorted at a 0.084 record) are exactly
+    # the keys whose 2x elevation must be CONFIRMED by a re-run rather
+    # than annotated as noise — the section re-run IS their confirmation
+    # sample (r12 verdict #4, closed properly in r13)
     for _retry in range(2):
         layout_over = [
             k
             for k, v in results.items()
             if k not in BENCH_KEYS
-            and (records or {}).get(k, 0.0) >= 0.15
+            and (records or {}).get(k, 0.0) > 0.0
             and v > 2.0 * records[k]
         ]
         if not layout_over:
