@@ -2446,3 +2446,36 @@ def test_dedup_ttl_uri_table_path(spark):
         assert "batch=0" not in os.listdir(f"{d}/t/state")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_ttl_rejects_out_of_horizon_late_batch(spark):
+    """The in-order staging contract fails LOUDLY at the only boundary
+    where violating it can silently corrupt results: a batch arriving
+    more than ttl behind the state front may have had its suppression
+    history expired, so the sink refuses it. Within-horizon redelivery
+    (the at-least-once case) still absorbs silently at gap 0."""
+    import pytest as _pytest
+
+    d = tempfile.mkdtemp(prefix="ttlo_")
+    try:
+        ING.dedup_ttl_batch(
+            spark.createDataFrame([_ttl_doc(1, "front A", 500)], _TTLD_SCHEMA),
+            0, f"{d}/t", 64,
+        )
+        # within-horizon redelivery: absorbed, not refused
+        ING.dedup_ttl_batch(
+            spark.createDataFrame([_ttl_doc(1, "front A", 500)], _TTLD_SCHEMA),
+            1, f"{d}/t", 64,
+        )
+        got = ING.read_stream_output(spark, f"{d}/t/docs", ING.DOCS_TTL_SCHEMA)
+        assert [r.doc_id for r in got.collect()] == [1]
+        # out-of-horizon late batch: refused with the staging hint
+        with _pytest.raises(ValueError, match="behind the state front"):
+            ING.dedup_ttl_batch(
+                spark.createDataFrame(
+                    [_ttl_doc(9, "very late", 100)], _TTLD_SCHEMA
+                ),
+                2, f"{d}/t", 64,
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

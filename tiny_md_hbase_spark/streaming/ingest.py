@@ -808,6 +808,26 @@ def dedup_ttl_batch(
         F.lit(0).alias("_seed"),
     )
     if state is not None:
+        # the in-order contract, enforced LOUDLY at the only boundary
+        # where it can silently corrupt results: an arrival older than
+        # (front - ttl) may have had its suppression history EXPIRED at
+        # a fold, so processing it can re-admit content the batch
+        # operator would suppress. Arrivals within the horizon are fine
+        # (their renewal rows are still live — redelivered rows absorb
+        # at gap 0), so at-least-once redelivery keeps working; only a
+        # genuinely out-of-horizon late batch is refused.
+        front, batch_min = (
+            state.agg(F.max("last_arrival")).collect()[0][0],
+            b.agg(F.min("arrival")).collect()[0][0],
+        )
+        if front is not None and batch_min is not None and batch_min < front - ttl:
+            raise ValueError(
+                f"stream_dedup_ttl batch {batch_id} contains arrival "
+                f"{batch_min}, more than ttl={ttl} behind the state front "
+                f"{front}: its suppression history may already be expired. "
+                "Stage batches in arrival order (repartitionByRange on the "
+                "arrival tick) — see the staging contract in the docstring."
+            )
         seeds = (
             state.groupBy("h")
             .agg(F.max("last_arrival").alias("arrival"))
