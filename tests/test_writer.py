@@ -545,3 +545,65 @@ def test_zone_map_prune_skips_files_and_stays_exact(spark, sf_dir):
         assert [f.name for f in empty.schema.fields] == ["id", "x", "y"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zone_map_maintenance_across_append_and_compaction(spark, sf_dir):
+    """The zone map's table-maintenance lifecycle: appends write their
+    own z-sorted batch whose file boxes OVERLAP the existing ones
+    (pruning degrades, exactly like the z-span story), and after the
+    major compaction + a zone-map rebuild the narrow query is tight
+    again — and stays EXACT at every stage."""
+    import shutil
+
+    from tiny_md_hbase_spark.sources.writer import (
+        range_query_zonemap,
+        write_points_zsorted,
+        write_zone_map,
+        zone_map_prune,
+    )
+
+    d = tempfile.mkdtemp(prefix="zmapm_")
+    try:
+        pts = points(spark, sf_dir)
+        half_a = pts.filter(F.col("id") % 2 == 0)
+        half_b = pts.filter(F.col("id") % 2 == 1)
+        write_points_zsorted(half_a, f"{d}/points", num_partitions=8)
+        write_points_zsorted(
+            half_b, f"{d}/points", num_partitions=8, mode="append"
+        )
+        write_zone_map(spark, f"{d}/points", f"{d}/zones")
+        rect_x, rect_y = (0, 15), (0, 15)
+        want = sorted(
+            (r.id, r.x, r.y)
+            for r in spatial.range_query(pts, rect_x, rect_y).collect()
+        )
+        got_appended = sorted(
+            (r.id, r.x, r.y)
+            for r in range_query_zonemap(
+                spark, f"{d}/points", f"{d}/zones", rect_x, rect_y
+            ).collect()
+        )
+        assert got_appended == want
+        n_before = len(zone_map_prune(spark, f"{d}/zones", rect_x, rect_y))
+        # two overlapping z-sorted batches: the narrow corner lives in
+        # one file PER BATCH at least
+        assert n_before >= 2
+        # major compaction: one global re-cluster (the out-of-place
+        # write compact_points_table does for the table layout)
+        write_points_zsorted(
+            spark.read.parquet(f"{d}/points").select("id", "x", "y"),
+            f"{d}/points2",
+            num_partitions=16,
+        )
+        write_zone_map(spark, f"{d}/points2", f"{d}/zones2")
+        n_after = len(zone_map_prune(spark, f"{d}/zones2", rect_x, rect_y))
+        assert n_after <= n_before
+        got_compacted = sorted(
+            (r.id, r.x, r.y)
+            for r in range_query_zonemap(
+                spark, f"{d}/points2", f"{d}/zones2", rect_x, rect_y
+            ).collect()
+        )
+        assert got_compacted == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
