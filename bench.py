@@ -1081,6 +1081,16 @@ def main() -> None:
                 "after": results.get(k),
             }
 
+    # layout-section keys got their exempt_confirms verdict BEFORE the
+    # section retries above (their confirmation re-run IS the retry
+    # loop) — refresh those entries from the post-retry minima so the
+    # annotated verdict matches the confirmation sample instead of the
+    # pre-retry reading
+    for key, entry in exempt_confirms.items():
+        if key not in BENCH_KEYS and key in results:
+            entry["confirmed_min"] = results[key]
+            entry["still_over_2x"] = results[key] > 2.0 * records[key]
+
     total = round(sum(results.values()), 3)
 
     # full record -> file (every query, every timing sample, every error)

@@ -297,9 +297,50 @@ def test_decode_features_shapes(spark):
 
 
 def test_decode_real_codec_is_gated(spark):
+    """codec='pil' is IMPORT-gated: absent Pillow it raises the honest
+    NotImplementedError; with Pillow present it must NOT raise (the
+    decode itself is covered by test_decode_features_pil_codec).
+    codec='ffmpeg' stays a hard stub either way."""
     media = MM.synth_media(spark, 3)
+    try:
+        import PIL.Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            MM.decode_features(media, codec="pil")
     with pytest.raises(NotImplementedError):
-        MM.decode_features(media, codec="pil")
+        MM.decode_features(media, codec="ffmpeg")
+
+
+def test_decode_features_pil_codec(spark):
+    """Runs only where Pillow exists (skip-marked otherwise): real PNG
+    payloads built by Pillow round-trip through the import-gated codec
+    and match a driver-side recompute of the same grayscale+NEAREST
+    feature."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rows = []
+    for i in range(6):
+        img = Image.new("RGB", (16 + i, 12 + i))
+        img.putdata(
+            [((x * 7 + i) % 256, (x * 13) % 256, (x * 29 + i) % 256)
+             for x in range((16 + i) * (12 + i))]
+        )
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        rows.append((i, "image", buf.getvalue(), 16 + i, 12 + i, None, "png"))
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.media_id: r.feature for r in
+           MM.decode_features(media, codec="pil").collect()}
+    assert len(got) == 6
+    for i, _, payload, *_ in rows:
+        want = MM._pil_feature(payload)
+        assert got[i] == pytest.approx(want)
+        assert len(want) == 8 and all(0.0 <= v <= 1.0 for v in want)
 
 
 def test_frame_sample_explodes_video_only(spark):

@@ -17,8 +17,10 @@ environment, so the library-backed byte-interpreting steps are stubbed:
 ``codec="fake"`` (default) derives deterministic pseudo-features from
 the payload bytes — the full Spark plumbing (schemas, Arrow batching,
 partition strategy, UDF signatures) is real and tested;
-``codec="pil"``/``codec="ffmpeg"`` raise ``NotImplementedError`` until
-the libraries exist on the cluster. The REAL decode paths that need no
+``codec="pil"`` is IMPORT-GATED — it runs a real Pillow decode when the
+library is importable and raises ``NotImplementedError`` only when it
+genuinely is not; ``codec="ffmpeg"`` stays stubbed until that library
+exists on the cluster. The REAL decode paths that need no
 library at all are implemented honestly, in the same Arrow-batched
 kernel shape, with integer / byte-exact outputs a DuckDB oracle
 recomputes byte-for-byte from ``hex(payload)``:
@@ -193,19 +195,54 @@ def _fake_feature(payload: bytes) -> list[float]:
     return out
 
 
+def _pil_feature(payload: bytes) -> list[float]:
+    # library-backed decode: grayscale the image and NEAREST-resample it
+    # to a 1x_FEATURE_DIM strip — deterministic (no AA filter kernels),
+    # so the same payload yields the same feature on every executor
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    strip = img.resize((_FEATURE_DIM, 1), resample=Image.NEAREST)
+    return [px / 255.0 for px in strip.getdata()]
+
+
 def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Decode payloads and emit fixed-width feature vectors.
 
     Repartitions on metadata first so decode cost spreads evenly; the
     kernel is an Arrow-batched generator — one pandas batch in, one out.
+
+    ``codec="pil"`` is gated on IMPORT AVAILABILITY, not hard-stubbed: on
+    a cluster with Pillow installed it decodes real image payloads
+    (:func:`_pil_feature` — grayscale + deterministic NEAREST resample to
+    ``_FEATURE_DIM``); only when the import genuinely fails does it raise
+    ``NotImplementedError``. The driver-side probe below fails fast with
+    the honest message instead of dying per-task inside the kernel.
     """
-    if codec != "fake":
+    if codec == "pil":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "codec 'pil': Pillow is not importable in this environment "
+                f"({e}); plumbing is exercised with codec='fake', and the "
+                "library-free image decodes are real — see ppm_decode / "
+                "ppm_resize (binary PPM). On a cluster with Pillow "
+                "installed this same call decodes real images."
+            ) from None
+        feature_fn = _pil_feature
+    elif codec == "fake":
+        feature_fn = _fake_feature
+    else:
         raise NotImplementedError(
-            f"codec {codec!r}: image/audio libraries are not present in this "
-            "environment; plumbing is exercised with codec='fake', and the "
-            "library-free decodes are real — see wav_decode (16-bit PCM "
-            "RIFF/WAVE), ppm_decode / ppm_resize (binary PPM), and "
-            "ppm_stream_frames (concatenated-P6 demux)"
+            f"codec {codec!r}: no decoder for it here; plumbing is "
+            "exercised with codec='fake' (codec='pil' lights up when "
+            "Pillow is installed), and the library-free decodes are real "
+            "— see wav_decode (16-bit PCM RIFF/WAVE), ppm_decode / "
+            "ppm_resize (binary PPM), and ppm_stream_frames "
+            "(concatenated-P6 demux)"
         )
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -217,7 +254,7 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len),
-                    "feature": pdf["payload"].map(_fake_feature),
+                    "feature": pdf["payload"].map(feature_fn),
                 }
             )
 

@@ -655,11 +655,20 @@ def decontaminate_bloom(
         F.xxhash64("g", F.lit(7)).alias("gh2"),
     )
     train = grams(documents.filter(F.col("doc_id") % eval_mod != 0))
-    eval_g = grams(documents.filter(F.col("doc_id") % eval_mod == 0)).select(
-        F.col("doc_id").alias("eval_doc_id"), "gh", "gh2"
+    # the eval-gram relation feeds THREE consumers — the sizing count
+    # below, the bitset aggregate, and the exact verify join — so it is
+    # materialized once (localCheckpoint) instead of re-running the
+    # tokenize→explode→hash pass per consumer (the count alone was a
+    # second full eval pass before this)
+    eval_g = (
+        grams(documents.filter(F.col("doc_id") % eval_mod == 0))
+        .select(F.col("doc_id").alias("eval_doc_id"), "gh", "gh2")
+        .localCheckpoint()
     )
 
-    n_grams = eval_g.select("gh").distinct().count()  # metadata action
+    # sizing action over the materialized grams (distinct-count of the
+    # 8-byte hashes, not a re-tokenization)
+    n_grams = eval_g.select("gh").distinct().count()
     m = 1 << max(10, (max(1, n_grams) * bits_per_gram - 1).bit_length())
 
     # k=2 Kirsch-Mitzenmacher positions: p_i = (h1 + i*h2) mod m, with the
