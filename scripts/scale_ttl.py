@@ -126,8 +126,89 @@ def main() -> None:
     out["state_rows_ratio_seen_over_ttl"] = round(
         out["seen"]["state_rows"] / max(1, out["ttl"]["state_rows"]), 2
     )
+    out["skew"] = _skew_probe(spark)
     print(json.dumps(out))
     spark.stop()
+
+
+def _skew_probe(spark) -> dict:
+    """r14 hot-key probe: ONE content = 90% of all arrivals (the
+    pathological key the r13 docstring punted upstream). The structural
+    guard (tick-reduce + epoch-salt, dedup.dedup_ttl) must hold its
+    bound — no window partition above ttl+1 rows post-reduce — and wall
+    time must scale ~linearly 1x → 10x (a single-task funnel scales the
+    hot key's time superlinearly with its row count). Exactness: the
+    guarded operator equals the plain global-lag rule (the oracle's
+    form) on the same skewed relation at both scales."""
+    from pyspark.sql import Window
+
+    from tiny_md_hbase_spark.operators import dedup as D
+
+    def skewed(n: int):
+        # 90% one literal string spread over ticks (renewal chains), 10% fresh
+        hot = [
+            (i, "the one hot boilerplate string", "en", "s", 30, i * 3)
+            for i in range(int(n * 0.9))
+        ]
+        cold = [
+            (10_000_000 + i, f"fresh body {i} w{i * 31}", "en", "s", 20,
+             i * 30 + 1)
+            for i in range(n - len(hot))
+        ]
+        return spark.createDataFrame(hot + cold, ING.DOCS_TTL_SCHEMA)
+
+    res: dict = {"hot_share": 0.9, "ttl": TTL}
+    for label, n in (("1x", 20_000), ("10x", 200_000)):
+        df = skewed(n).localCheckpoint()  # isolate generation cost
+        t0 = time.monotonic()
+        got = D.dedup_ttl(df, TTL)
+        n_admit = got.count()
+        dt = time.monotonic() - t0
+        # the plain global-lag rule (the DuckDB oracle's shape), run on
+        # Spark over the same relation — equality proves the guard is a
+        # re-plan, not a semantics change
+        w = Window.partitionBy("h").orderBy("arrival", "doc_id")
+        ref = (
+            df.withColumn("h", D._content_fp("text"))
+            .withColumn("_prev", F.lag("arrival").over(w))
+            .filter(
+                F.col("_prev").isNull()
+                | (F.col("arrival") - F.col("_prev") > TTL)
+            )
+        )
+        same = (
+            sorted((r.doc_id, r.arrival) for r in got.collect())
+            == sorted((r.doc_id, r.arrival) for r in ref.select(
+                "doc_id", "arrival").collect())
+        )
+        # the funnel observable: max rows any (h, epoch) window
+        # partition holds after the tick-reduce — the guard's hard bound
+        epoch_len = TTL + 1
+        reduced = (
+            df.withColumn("h", D._content_fp("text"))
+            .groupBy("h", F.col("arrival").alias("_arr"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        max_part = (
+            reduced.groupBy(
+                "h", D._ttl_floor_epoch("_arr", epoch_len).alias("_ep")
+            )
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .agg(F.max("rows"))
+            .collect()[0][0]
+        )
+        res[label] = {
+            "rows": n,
+            "admitted": n_admit,
+            "sec": round(dt, 3),
+            "max_window_partition_rows": max_part,
+            "bound_ttl_plus_1": epoch_len,
+            "equals_plain_lag": same,
+        }
+    res["time_ratio_10x_over_1x"] = round(
+        res["10x"]["sec"] / max(res["1x"]["sec"], 1e-9), 2
+    )
+    return res
 
 
 if __name__ == "__main__":

@@ -822,6 +822,81 @@ def test_dedup_ttl_renewal_and_boundary(spark):
     assert got == [1, 4, 6, 7]
 
 
+def test_dedup_ttl_epoch_salt_equals_plain_lag(spark):
+    """The r14 hot-key guard (tick-reduce + epoch-salt) is an exact
+    re-plan of the global lag rule — pinned on a sequence built to
+    stress every seam: predecessors straddling an epoch boundary at gap
+    == ttl and ttl+1, an EMPTY intermediate epoch (the seed-routing
+    argument's 'two epochs back is always past the horizon' case),
+    same-tick floods where only the min-doc_id row may be admitted,
+    negative ticks (floor — not truncation — epochs), and a hot key
+    spanning many epochs."""
+    from pyspark.sql import Window
+
+    from tiny_md_hbase_spark.operators import dedup as D
+
+    ttl = 10  # epoch length 11
+    rows = []
+    did = 0
+
+    def add(text, arrival, k=1):
+        nonlocal did
+        for _ in range(k):
+            did += 1
+            rows.append((did, text, "en", "s", len(text), arrival))
+
+    # epoch-boundary gaps: 10->20 (gap 10 == ttl, suppressed, crosses
+    # the 11-boundary), 21->32 (gap 11 > ttl, re-admitted)
+    add("edge a", 10)
+    add("edge a", 20)
+    add("edge b", 21)
+    add("edge b", 32)
+    # empty intermediate epoch: 5 -> 40 (epochs 0 -> 3, gap 35 > ttl)
+    add("far apart", 5)
+    add("far apart", 40)
+    # same-tick flood: 7 copies at one tick, later copies at the next
+    add("flood", 50, k=7)
+    add("flood", 55, k=3)
+    add("flood", 66, k=2)  # gap 11 > ttl: re-admit exactly one
+    # negative ticks across the zero boundary
+    add("neg", -25)
+    add("neg", -14)  # gap 11 > ttl: re-admit
+    add("neg", -3)   # gap 11 == ttl+1? (-3)-(-14)=11 > 10: re-admit
+    # hot key across many epochs at sub-horizon gaps: admitted once
+    for t in range(100, 200, 5):
+        add("hot", t)
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long, arrival long"
+    )
+    got = sorted(
+        (r.doc_id, r.arrival) for r in D.dedup_ttl(df, ttl).collect()
+    )
+    w = Window.partitionBy("h").orderBy("arrival", "doc_id")
+    ref = (
+        df.withColumn("h", D._content_fp("text"))
+        .withColumn("_prev", F.lag("arrival").over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col("arrival") - F.col("_prev") > ttl)
+        )
+    )
+    want = sorted((r.doc_id, r.arrival) for r in ref.collect())
+    assert got == want
+    # and the structural bound holds: no (h, epoch) group exceeds ttl+1
+    reduced = (
+        df.withColumn("h", D._content_fp("text"))
+        .groupBy("h", F.col("arrival").alias("_arr"))
+        .count()
+    )
+    mx = (
+        reduced.groupBy("h", D._ttl_floor_epoch("_arr", ttl + 1).alias("_ep"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert mx <= ttl + 1
+
+
 def test_embedding_knn_ivf_portable_pipeline(embs):
     """Fixed-centroid IVF twin: deterministic, bounded candidate set, and
     widening the probe to every cluster recovers the exact top-k (IVF

@@ -2518,5 +2518,17 @@ def test_dedup_ttl_rejects_out_of_horizon_late_batch(spark):
                 ),
                 2, f"{d}/t", 64,
             )
+        # WITHIN-horizon order violation: also refused (r14 — the guard
+        # is strict in-order, batch min >= state front). An arrival in
+        # (front - ttl, front) can re-admit content whose history was
+        # expired at a fold or renewed past it, so 450 < 500 is refused
+        # even though it is inside the ttl=64 horizon.
+        with _pytest.raises(ValueError, match="behind the state front"):
+            ING.dedup_ttl_batch(
+                spark.createDataFrame(
+                    [_ttl_doc(10, "slightly late", 450)], _TTLD_SCHEMA
+                ),
+                2, f"{d}/t", 64,
+            )
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -1817,6 +1817,16 @@ def dedup_incremental_sql(
 DEDUP_TTL_HORIZON = 64  # arrival ticks a content stays "seen" after its last sighting
 
 
+def _ttl_floor_epoch(arr: str | Column, epoch_len: int) -> Column:
+    """Floor-division epoch of an arrival tick — ``pmod`` makes it a true
+    floor (not truncation toward zero), so negative ticks still land in
+    the epoch below zero and the seed-routing argument (only the
+    immediately previous epoch can hold a within-``ttl`` predecessor when
+    ``epoch_len = ttl + 1``) stays exact over the whole long domain."""
+    a = F.col(arr) if isinstance(arr, str) else arr
+    return ((a - F.pmod(a, F.lit(epoch_len))) / F.lit(epoch_len)).cast("long")
+
+
 def dedup_ttl(
     documents: DataFrame,
     ttl: int = DEDUP_TTL_HORIZON,
@@ -1829,61 +1839,110 @@ def dedup_ttl(
     ticks. Semantics are LAST-SEEN RENEWAL (the cache-TTL contract:
     every sighting — admitted or suppressed — renews the content's
     clock), so the rule is exactly "gap to the immediately previous
-    same-content occurrence > ttl": one ``lag`` over a per-fingerprint
-    window ordered by (arrival, doc_id).
+    same-content occurrence > ttl". Output: the admitted rows
+    (doc_id, <arrival col>, lang, source, n_chars) — the tick column
+    keeps the caller's name, so the event-time twin reads naturally.
 
     This is the production shape for perpetual ingest: an exact
     seen-set over an unbounded stream grows O(all content ever) —
     eventually unpayable even compacted — while the TTL form's working
     state is O(content in the horizon), the deliberate trade
     re-crawl pipelines make (a page re-seen after a year SHOULD be
-    re-admitted; its content may matter again). Output: the admitted
-    rows (doc_id, arrival, lang, source, n_chars).
+    re-admitted; its content may matter again).
 
-    Scale: ONE shuffle on the 8-byte fingerprint; per-key payload is
-    two longs, so even a content with millions of sightings streams
-    through its window task in arrival order (the single-content
-    pathological key is the ``dedup_minhash_capped`` analog — cap or
-    salt upstream if one literal string dominates arrivals). The
-    streaming twin (``streaming/ingest.py stream_dedup_ttl``) carries
-    the same rule across micro-batches with per-fingerprint
-    last-arrival state, physically EXPIRED at compaction."""
+    Scale — the hot-key guard is STRUCTURAL, not an upstream caveat
+    (the ``_cap_band_buckets`` precedent made real; a naive
+    per-fingerprint window funnels a content with millions of sightings
+    through ONE task):
+
+    1. TICK-REDUCE: per (h, tick) only the min-``doc_id`` row can ever
+       be admitted — any other same-tick row has gap 0 ≤ ttl to it —
+       so the rows first collapse through a (h, tick)-keyed ``min_by``
+       aggregate with MAP-SIDE partial combine: a same-tick flood of
+       one literal string reduces inside each input task before any
+       exchange.
+    2. EPOCH-SALT: the lag chain then runs per (h, epoch) with
+       ``epoch = tick div (ttl+1)``, seeded by the previous epoch's max
+       tick. With epoch length ttl+1, a predecessor two or more epochs
+       back is ALWAYS past the horizon (gap > ttl), so the one-epoch
+       seed preserves the exact gap rule while bounding every window
+       partition at ≤ ttl+1 post-reduce rows + 1 seed — no partition
+       can exceed that no matter how skewed arrivals are.
+
+    Two exchanges on 8-byte-keyed rows instead of one, bought for a
+    hard per-task bound; both carry (h, long, small struct) rows only.
+    The streaming twin (``streaming/ingest.py stream_dedup_ttl``)
+    threads the same reduce+salt through its per-batch chain."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("h").orderBy(arrival, "doc_id")
-    prev = F.lag(arrival).over(w)
-    return (
+    epoch_len = int(ttl) + 1
+    payload = F.struct("doc_id", "lang", "source", "n_chars").alias("_p")
+    reduced = (
         documents.withColumn("h", _content_fp("text"))
-        .withColumn("_prev", prev)
-        .filter(F.col("_prev").isNull() | (F.col(arrival) - F.col("_prev") > ttl))
+        .select("h", F.col(arrival).cast("long").alias("_arr"), payload)
+        .groupBy("h", "_arr")
+        .agg(F.min_by("_p", F.col("_p.doc_id")).alias("_p"))
+    )
+    real = reduced.select(
+        "h",
+        "_arr",
+        _ttl_floor_epoch("_arr", epoch_len).alias("_ep"),
+        F.lit(0).alias("_seed"),
+        "_p",
+    )
+    seeds = (
+        real.groupBy("h", "_ep")
+        .agg(F.max("_arr").alias("_arr"))
         .select(
-            "doc_id",
-            F.col(arrival).cast("long").alias("arrival"),
-            "lang",
-            "source",
-            "n_chars",
+            "h",
+            "_arr",
+            (F.col("_ep") + 1).alias("_ep"),
+            F.lit(1).alias("_seed"),
+            F.lit(None).cast(real.schema["_p"].dataType).alias("_p"),
+        )
+    )
+    w = Window.partitionBy("h", "_ep").orderBy("_arr", F.desc("_seed"))
+    return (
+        real.unionByName(seeds)
+        .withColumn("_prev", F.lag("_arr").over(w))
+        .filter(
+            (F.col("_seed") == 0)
+            & (F.col("_prev").isNull() | (F.col("_arr") - F.col("_prev") > ttl))
+        )
+        .select(
+            F.col("_p.doc_id").alias("doc_id"),
+            F.col("_arr").alias(arrival),
+            F.col("_p.lang").alias("lang"),
+            F.col("_p.source").alias("source"),
+            F.col("_p.n_chars").alias("n_chars"),
         )
     )
 
 
 def dedup_ttl_sql(
-    staged: str = "staged", ttl: int = DEDUP_TTL_HORIZON
+    staged: str = "staged",
+    ttl: int = DEDUP_TTL_HORIZON,
+    tick: str = "arrival",
 ) -> str:
     """DuckDB twin of :func:`dedup_ttl` over a relation ``staged``
-    (doc_id, text, lang, source, n_chars, arrival) — the entry prepends
-    the arrival-staging CTE. Same fingerprint expression, same lag
-    window, same renewal rule."""
+    (doc_id, text, lang, source, n_chars, <tick>) — the entry prepends
+    the tick-staging CTE. Same fingerprint expression, the plain global
+    lag window (the Spark side's tick-reduce + epoch-salt is an exact
+    re-plan of this rule, which is the point of oracling it against the
+    simple form), same renewal rule. ``tick`` names the clock column —
+    ``arrival`` for the arrival-time key, ``event_ts`` for the
+    event-time twin."""
     from tiny_md_hbase_spark.operators.text import doc_fingerprint_sql
 
     fp = doc_fingerprint_sql()
     return (
-        f"SELECT doc_id, CAST(arrival AS BIGINT) AS arrival, lang, source, "
+        f"SELECT doc_id, CAST({tick} AS BIGINT) AS {tick}, lang, source, "
         "n_chars FROM ("
-        "SELECT doc_id, arrival, lang, source, n_chars, "
-        "lag(arrival) OVER (PARTITION BY h ORDER BY arrival, doc_id) AS prev "
-        f"FROM (SELECT doc_id, arrival, lang, source, n_chars, {fp} AS h "
+        f"SELECT doc_id, {tick}, lang, source, n_chars, "
+        f"lag({tick}) OVER (PARTITION BY h ORDER BY {tick}, doc_id) AS prev "
+        f"FROM (SELECT doc_id, {tick}, lang, source, n_chars, {fp} AS h "
         f"FROM {staged})) "
-        f"WHERE prev IS NULL OR arrival - prev > {ttl}"
+        f"WHERE prev IS NULL OR {tick} - prev > {ttl}"
     )
 
 

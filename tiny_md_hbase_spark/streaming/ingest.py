@@ -780,21 +780,44 @@ def dedup_ttl_batch(
     seen-set cannot be bounded: at every fold, :func:`_maybe_compact`'s
     ``fold`` hook reduces to per-h max and DROPS fingerprints with
     ``last_arrival < max(last_arrival) - ttl``. That is exact, not
-    lossy, under the staging contract (batches arrive in arrival order,
-    the same contract the oracle equality needs): any future arrival is
-    ≥ the fold's max, so a dropped key could only ever produce
-    gap > ttl — exactly what its absence produces. Working state is
-    O(distinct content in the horizon) for an UNBOUNDED stream.
+    lossy, under the staging contract enforced below: any future
+    arrival is ≥ the fold's max, so a dropped key could only ever
+    produce gap > ttl — exactly what its absence produces. Working
+    state is O(distinct content in the horizon) for an UNBOUNDED
+    stream.
+
+    The in-order contract is STRICT and enforced loudly: every batch's
+    min arrival must be ≥ the state front (the max arrival any prior
+    batch recorded). Anything weaker silently corrupts — an arrival
+    within (front - ttl, front) can (a) have had its suppression
+    history expired at a fold whose max exceeded it by > ttl, or
+    (b) be a redelivered row ordering BELOW a later renewal of its own
+    content, re-admitting what the batch operator suppresses — so the
+    refusal line is the front itself, not front - ttl. Equality at the
+    front is fine (a redelivered row at the renewal tick absorbs at
+    gap 0 via the seed ordering), which keeps same-batch replay AND
+    boundary redelivery working; ``repartitionByRange`` staging on the
+    arrival tick satisfies the contract by construction.
+
+    The hot-key guard is ``dedup.dedup_ttl``'s, threaded through the
+    per-batch chain: TICK-REDUCE (per (h, tick) only the min-doc_id
+    row can be admitted — map-side partial ``min_by``, so a same-tick
+    flood collapses before any exchange) then EPOCH-SALT (the lag chain
+    runs per (h, tick div (ttl+1)), seeded by the previous epoch's max
+    tick and by the state front routed to its own and the next epoch),
+    bounding every window partition at ≤ ttl+1 rows + seeds.
 
     Replay safety is the sink family's: own-batch exclusion on the
-    state read + per-batch overwrite of docs/state directories. A row
-    re-delivered in a later batch finds its own renewal row at gap 0 →
-    suppressed (absorbed exactly once)."""
+    state read + per-batch overwrite of docs/state directories."""
     from pyspark.sql.window import Window
 
-    from tiny_md_hbase_spark.operators.dedup import _content_fp
+    from tiny_md_hbase_spark.operators.dedup import (
+        _content_fp,
+        _ttl_floor_epoch,
+    )
 
     ss = batch.sparkSession
+    epoch_len = int(ttl) + 1
     b = batch.distinct().withColumn("h", _content_fp("text"))
     state = _read_state(
         ss,
@@ -803,58 +826,84 @@ def dedup_ttl_batch(
         TTL_STATE_SCHEMA,
         ["h", "last_arrival"],
     )
-    rows = b.select(
-        "doc_id", "text", "lang", "source", "n_chars", "arrival", "h",
+    payload = F.struct("doc_id", "text", "lang", "source", "n_chars").alias(
+        "_p"
+    )
+    reduced = (
+        b.select("h", F.col("arrival").cast("long").alias("_arr"), payload)
+        .groupBy("h", "_arr")
+        .agg(F.min_by("_p", F.col("_p.doc_id")).alias("_p"))
+    )
+    real = reduced.select(
+        "h",
+        "_arr",
+        _ttl_floor_epoch("_arr", epoch_len).alias("_ep"),
         F.lit(0).alias("_seed"),
+        "_p",
+    )
+    ptype = real.schema["_p"].dataType
+    # in-batch epoch seeds: each epoch's max tick, routed one epoch up
+    # (epoch length ttl+1 makes anything two epochs back > ttl away)
+    rows = real.unionByName(
+        real.groupBy("h", "_ep")
+        .agg(F.max("_arr").alias("_arr"))
+        .select(
+            "h",
+            "_arr",
+            (F.col("_ep") + 1).alias("_ep"),
+            F.lit(1).alias("_seed"),
+            F.lit(None).cast(ptype).alias("_p"),
+        )
     )
     if state is not None:
-        # the in-order contract, enforced LOUDLY at the only boundary
-        # where it can silently corrupt results: an arrival older than
-        # (front - ttl) may have had its suppression history EXPIRED at
-        # a fold, so processing it can re-admit content the batch
-        # operator would suppress. Arrivals within the horizon are fine
-        # (their renewal rows are still live — redelivered rows absorb
-        # at gap 0), so at-least-once redelivery keeps working; only a
-        # genuinely out-of-horizon late batch is refused.
         front, batch_min = (
             state.agg(F.max("last_arrival")).collect()[0][0],
-            b.agg(F.min("arrival")).collect()[0][0],
+            reduced.agg(F.min("_arr")).collect()[0][0],
         )
-        if front is not None and batch_min is not None and batch_min < front - ttl:
+        if front is not None and batch_min is not None and batch_min < front:
             raise ValueError(
                 f"stream_dedup_ttl batch {batch_id} contains arrival "
-                f"{batch_min}, more than ttl={ttl} behind the state front "
-                f"{front}: its suppression history may already be expired. "
-                "Stage batches in arrival order (repartitionByRange on the "
-                "arrival tick) — see the staging contract in the docstring."
+                f"{batch_min}, behind the state front {front}: an"
+                " out-of-order batch can re-admit content whose"
+                " suppression history was expired or renewed past it."
+                " Stage batches in arrival order (repartitionByRange on"
+                " the arrival tick) — see the staging contract in the"
+                " docstring."
             )
-        seeds = (
+        # state seeds: the per-h front, routed to its own epoch (covers
+        # same-epoch arrivals, incl. redelivery at the renewal tick —
+        # _seed desc orders it first at tick ties) and the next one
+        rows = rows.unionByName(
             state.groupBy("h")
-            .agg(F.max("last_arrival").alias("arrival"))
+            .agg(F.max("last_arrival").alias("_arr"))
             .select(
-                F.lit(None).cast("long").alias("doc_id"),
-                F.lit(None).cast("string").alias("text"),
-                F.lit(None).cast("string").alias("lang"),
-                F.lit(None).cast("string").alias("source"),
-                F.lit(None).cast("long").alias("n_chars"),
-                "arrival",
                 "h",
+                "_arr",
+                F.explode(
+                    F.array(
+                        _ttl_floor_epoch("_arr", epoch_len),
+                        _ttl_floor_epoch("_arr", epoch_len) + 1,
+                    )
+                ).alias("_ep"),
                 F.lit(1).alias("_seed"),
+                F.lit(None).cast(ptype).alias("_p"),
             )
         )
-        rows = rows.unionByName(seeds)
-    # seed orders BEFORE a real row at the same arrival (cross-batch
-    # redelivery: the prior attempt's renewal sits at the row's own tick)
-    w = Window.partitionBy("h").orderBy("arrival", F.desc("_seed"), "doc_id")
-    chained = rows.withColumn("_prev", F.lag("arrival").over(w))
+    w = Window.partitionBy("h", "_ep").orderBy("_arr", F.desc("_seed"))
+    chained = rows.withColumn("_prev", F.lag("_arr").over(w))
     surv = chained.filter(
         (F.col("_seed") == 0)
-        & (F.col("_prev").isNull() | (F.col("arrival") - F.col("_prev") > ttl))
+        & (F.col("_prev").isNull() | (F.col("_arr") - F.col("_prev") > ttl))
     ).localCheckpoint()  # read state BEFORE overwriting into it
     surv.select(
-        "doc_id", "text", "lang", "source", "n_chars", "arrival"
+        F.col("_p.doc_id").alias("doc_id"),
+        F.col("_p.text").alias("text"),
+        F.col("_p.lang").alias("lang"),
+        F.col("_p.source").alias("source"),
+        F.col("_p.n_chars").alias("n_chars"),
+        F.col("_arr").alias("arrival"),
     ).write.mode("overwrite").parquet(f"{table_path}/docs/batch={batch_id}")
-    b.groupBy("h").agg(F.max("arrival").alias("last_arrival")).write.mode(
+    reduced.groupBy("h").agg(F.max("_arr").alias("last_arrival")).write.mode(
         "overwrite"
     ).parquet(f"{table_path}/state/batch={batch_id}")
 
