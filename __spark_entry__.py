@@ -1919,6 +1919,110 @@ def _q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+# Event-time TTL staging: event_ts = doc_id*8 + (doc_id%7)*3 (bounded
+# jitter, so events are OUT OF ORDER relative to the arrival staging
+# but within the lateness bound); every 7th doc re-sent at event +32
+# (< ttl → suppressed), every 11th at +192 (> ttl → re-admitted), each
+# arriving one tick after its event. Shared by the batch key, the
+# streaming twin, and both oracles.
+DEDUP_TTL_EVENT_LATENESS = 64
+
+
+def _stage_ttl_events(docs: DataFrame) -> DataFrame:
+    base = docs.select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        (F.col("doc_id") * 8).alias("arrival"),
+        (F.col("doc_id") * 8 + (F.col("doc_id") % 7) * 3).alias("event_ts"),
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+        (F.col("doc_id") * 8 + 33).alias("arrival"),
+        (F.col("doc_id") * 8 + 32).alias("event_ts"),
+    )
+    far = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+        (F.col("doc_id") * 8 + 193).alias("arrival"),
+        (F.col("doc_id") * 8 + 192).alias("event_ts"),
+    )
+    return base.unionByName(near).unionByName(far)
+
+
+_TTL_EVENT_STAGED_CTE = (
+    "WITH staged AS ("
+    "SELECT doc_id, text, lang, source, n_chars, "
+    "doc_id*8 + (doc_id%7)*3 AS event_ts FROM documents "
+    "UNION ALL SELECT doc_id+2000000, text, lang, source, n_chars, "
+    "doc_id*8+32 FROM documents WHERE doc_id%7=0 "
+    "UNION ALL SELECT doc_id+3000000, text, lang, source, n_chars, "
+    "doc_id*8+192 FROM documents WHERE doc_id%11=0) "
+)
+
+
+def _q_dedup_ttl_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon-bounded dedup on EVENT time (operators/dedup.py dedup_ttl
+    with arrival='event_ts'): the re-crawl form — a page re-seen within
+    ttl EVENT ticks of its previous sighting is suppressed (renewal),
+    past it re-admitted — over a staging whose event order differs from
+    its arrival order (bounded jitter + re-sends arriving one tick
+    after their event). The same structural hot-key guard (tick-reduce
+    + epoch-salt) runs on event ticks."""
+    return D.dedup_ttl(
+        _stage_ttl_events(load_table(spark, sf_dir, "documents")).drop(
+            "arrival"
+        ),
+        DEDUP_TTL,
+        arrival="event_ts",
+    )
+
+
+def _q_stream_dedup_ttl_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-time TTL dedup end-to-end (streaming/ingest.py
+    stream_dedup_ttl_event): arrival-ordered files carry out-of-event-
+    order rows; each micro-batch advances the watermark (max event -
+    lateness), buffers rows above it and finalizes rows below it
+    through the shared admit chain; rows below the previous watermark
+    are refused loudly. After the drain, flush_dedup_ttl_event closes
+    the pending tail, and the docs tree equals the batch operator on
+    event_ts over everything staged — so the oracle is dedup_ttl_sql
+    with tick='event_ts' verbatim."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming.ingest import (
+        DOCS_EVENT_SCHEMA,
+        flush_dedup_ttl_event,
+        read_stream_output,
+        stream_dedup_ttl_event,
+    )
+
+    d = tempfile.mkdtemp(prefix="sttlev_q_")
+    try:
+        staged = _stage_ttl_events(load_table(spark, sf_dir, "documents"))
+        staged.repartitionByRange(4, "arrival").write.parquet(f"{d}/src")
+        _touch_in_order(f"{d}/src")  # deliver ranges in arrival order
+        q = stream_dedup_ttl_event(
+            spark,
+            f"{d}/src",
+            f"{d}/table",
+            f"{d}/ckpt",
+            ttl=DEDUP_TTL,
+            lateness=DEDUP_TTL_EVENT_LATENESS,
+            available_now=True,
+            max_files_per_trigger=1,
+            compact_every=2,
+        )
+        _await_drained(q)
+        flush_dedup_ttl_event(spark, f"{d}/table", DEDUP_TTL)
+        out = read_stream_output(
+            spark, f"{d}/table/docs", DOCS_EVENT_SCHEMA
+        ).select("doc_id", "event_ts", "lang", "source", "n_chars")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.table_profile(load_table(spark, sf_dir, "lineitem"))
 
@@ -3110,6 +3214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Below the marker: every remaining key by ascending last-verdict
     # round — verdict age stays monotone down the dict.
     return {
+        # -- r14 NEW keys (placed ahead of the r13 window pending the
+        # r14 rotation rewrite at session close):
+        "dedup_ttl_event": _q_dedup_ttl_event,
+        "stream_dedup_ttl_event": _q_stream_dedup_ttl_event,
         # -- r13 window 1-9: the nine NEW keys needing first verdicts —
         # corpus_stratified_quota (quota-driven per-source DLT sampling:
         # temperature quotas decide k_s, rank/tau vs the joined quota),
@@ -4258,6 +4366,17 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search_indexed": TX.phrase_search_sql(),
         "stream_dedup_ttl": (
             _TTL_STAGED_CTE + D.dedup_ttl_sql("staged", DEDUP_TTL)
+        ),
+        # event-time TTL pair: same one-oracle contract on event ticks —
+        # the drained+flushed stream must equal the batch operator over
+        # the same staged (out-of-event-order) rows
+        "dedup_ttl_event": (
+            _TTL_EVENT_STAGED_CTE
+            + D.dedup_ttl_sql("staged", DEDUP_TTL, tick="event_ts")
+        ),
+        "stream_dedup_ttl_event": (
+            _TTL_EVENT_STAGED_CTE
+            + D.dedup_ttl_sql("staged", DEDUP_TTL, tick="event_ts")
         ),
         "repetition_stats": TX.repetition_stats_sql(),
         "corpus_stratified": TX.corpus_stratified_sql(),

@@ -2532,3 +2532,159 @@ def test_dedup_ttl_rejects_out_of_horizon_late_batch(spark):
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- r14: event-time TTL dedup (watermarked) --------------------------------
+
+_TTLE_SCHEMA = _DOCS_SCHEMA + ", event_ts long"
+
+
+def _ev_doc(i: int, text: str, event_ts: int) -> tuple:
+    return (i, text, "en", "s", len(text), event_ts)
+
+
+def test_dedup_ttl_event_out_of_order_and_flush(spark):
+    """Event-time TTL dedup over out-of-event-order arrivals: the gap
+    rule runs on event_ts after watermark reordering, so a drain +
+    flush equals dedup.dedup_ttl keyed on event_ts over everything that
+    arrived (ttl=64, lateness=50). Batch 0 delivers events 100 and 60
+    out of order (60 buffered or finalized per the watermark, either
+    way ordered before 100 in the chain); same-content events at gaps
+    ≤ ttl are suppressed with renewal; a gap > ttl re-admits."""
+    from tiny_md_hbase_spark.operators import dedup as D
+
+    d = tempfile.mkdtemp(prefix="ttlev_")
+    try:
+        batches = [
+            # out of event order within the batch
+            [_ev_doc(1, "ev content A", 100), _ev_doc(2, "ev content A", 60)],
+            # arrives later, event between the two above (within lateness
+            # of the running max 100: wm = 50, 90 >= 50 OK)
+            [_ev_doc(3, "ev content A", 90), _ev_doc(4, "ev content B", 95)],
+            # advances the watermark far enough to finalize everything
+            # seen so far; 230 - 124 = 106 > 64 re-admits A
+            [_ev_doc(5, "ev content A", 230), _ev_doc(6, "ev content A", 124)],
+        ]
+        for i, rows in enumerate(batches):
+            ING.dedup_ttl_event_batch(
+                spark.createDataFrame(rows, _TTLE_SCHEMA), i, f"{d}/t", 64,
+                lateness=50, compact_every=2,
+            )
+        ING.flush_dedup_ttl_event(spark, f"{d}/t", 64)
+        got = sorted(
+            (r.doc_id, r.event_ts)
+            for r in ING.read_stream_output(
+                spark, f"{d}/t/docs", ING.DOCS_EVENT_SCHEMA
+            ).collect()
+        )
+        staged = spark.createDataFrame(
+            [r for b in batches for r in b], _TTLE_SCHEMA
+        )
+        want = sorted(
+            (r.doc_id, r.event_ts)
+            for r in D.dedup_ttl(staged, 64, arrival="event_ts").collect()
+        )
+        assert got == want
+        # event order decided: A@60 (doc 2) admitted, A@90/100/124
+        # suppressed by renewal chain, A@230 re-admitted (gap 106)
+        assert got == [(2, 60), (4, 95), (5, 230)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_ttl_event_replay_and_late_refusal(spark):
+    """Replaying the newest batch (the only one Structured Streaming
+    replays) leaves docs, state, watermark, and pending identical; a
+    row below the watermark (max event - lateness) is refused loudly
+    with the bound named."""
+    import pytest as _pytest
+
+    d = tempfile.mkdtemp(prefix="ttlevr_")
+    try:
+        b0 = [_ev_doc(1, "ev A", 1000), _ev_doc(2, "ev B", 980)]
+        b1 = [_ev_doc(3, "ev A", 1040)]
+        ING.dedup_ttl_event_batch(
+            spark.createDataFrame(b0, _TTLE_SCHEMA), 0, f"{d}/t", 64,
+            lateness=50,
+        )
+        ING.dedup_ttl_event_batch(
+            spark.createDataFrame(b1, _TTLE_SCHEMA), 1, f"{d}/t", 64,
+            lateness=50,
+        )
+        snap = sorted(
+            (r.doc_id, r.event_ts)
+            for r in ING.read_stream_output(
+                spark, f"{d}/t/docs", ING.DOCS_EVENT_SCHEMA
+            ).collect()
+        )
+        # replay batch 1: identical output tree
+        ING.dedup_ttl_event_batch(
+            spark.createDataFrame(b1, _TTLE_SCHEMA), 1, f"{d}/t", 64,
+            lateness=50,
+        )
+        again = sorted(
+            (r.doc_id, r.event_ts)
+            for r in ING.read_stream_output(
+                spark, f"{d}/t/docs", ING.DOCS_EVENT_SCHEMA
+            ).collect()
+        )
+        assert again == snap
+        # watermark after b1: max event 1040 - 50 = 990; event 900 < 990
+        with _pytest.raises(ValueError, match="below the watermark"):
+            ING.dedup_ttl_event_batch(
+                spark.createDataFrame(
+                    [_ev_doc(9, "too late", 900)], _TTLE_SCHEMA
+                ),
+                2, f"{d}/t", 64, lateness=50,
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_ttl_event_drain_equals_batch_op(spark, sf_dir):
+    """End-to-end: staged files in arrival order carry out-of-event-order
+    rows (bounded disorder); the real stream drains, the flush closes
+    the pending tail, and the docs tree equals dedup.dedup_ttl on
+    event_ts over everything staged — the driver-oracle contract."""
+    import glob
+
+    from tiny_md_hbase_spark.operators import dedup as D
+
+    d = tempfile.mkdtemp(prefix="sttlev_")
+    try:
+        base = load_table(spark, sf_dir, "documents")
+        staged = base.select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            (F.col("doc_id") * 8).alias("arrival"),
+            (F.col("doc_id") * 8 + (F.col("doc_id") % 7) * 3).alias("event_ts"),
+        ).unionByName(
+            base.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+                (F.col("doc_id") * 8 + 33).alias("arrival"),
+                (F.col("doc_id") * 8 + 32).alias("event_ts"),
+            )
+        )
+        staged.repartitionByRange(4, "arrival").write.parquet(f"{d}/src")
+        parts = sorted(glob.glob(f"{d}/src/part-*"))
+        t0 = os.stat(parts[0]).st_mtime
+        for i, p in enumerate(parts):
+            os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+        q = ING.stream_dedup_ttl_event(
+            spark, f"{d}/src", f"{d}/t", f"{d}/ckpt", ttl=64, lateness=64,
+            available_now=True, max_files_per_trigger=1, compact_every=2,
+        )
+        q.awaitTermination(300)
+        ING.flush_dedup_ttl_event(spark, f"{d}/t", 64)
+        want = sorted(
+            (r.doc_id, r.event_ts)
+            for r in D.dedup_ttl(
+                staged.drop("arrival"), 64, arrival="event_ts"
+            ).collect()
+        )
+        got = ING.read_stream_output(
+            spark, f"{d}/t/docs", ING.DOCS_EVENT_SCHEMA
+        )
+        assert sorted((r.doc_id, r.event_ts) for r in got.collect()) == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -63,6 +63,11 @@ __all__ = [
     "sample_stratified_batch",
     "stream_decontaminate",
     "decontaminate_batch_hits",
+    "dedup_ttl_batch",
+    "stream_dedup_ttl",
+    "dedup_ttl_event_batch",
+    "stream_dedup_ttl_event",
+    "flush_dedup_ttl_event",
     "stream_ingest_embeddings",
     "stream_manifest",
     "merge_manifest_batch",
@@ -755,6 +760,87 @@ DOCS_TTL_SCHEMA = DOCS_SCHEMA + ", arrival long"
 TTL_STATE_SCHEMA = "h long, last_arrival long"
 
 
+def _ttl_reduce(b: DataFrame, tick_col: str) -> DataFrame:
+    """Tick-reduce step of the TTL admit chain (dedup.dedup_ttl's
+    structural hot-key guard, shared by the arrival- and event-time
+    sinks): per (h, tick) only the min-doc_id row can ever be admitted
+    (any other same-tick row has gap 0), so the rows collapse through a
+    map-side-partial ``min_by`` before any window. Input carries
+    (doc_id, text, lang, source, n_chars, <tick_col>, h); output is
+    (h, _arr, _p)."""
+    payload = F.struct("doc_id", "text", "lang", "source", "n_chars").alias(
+        "_p"
+    )
+    return (
+        b.select("h", F.col(tick_col).cast("long").alias("_arr"), payload)
+        .groupBy("h", "_arr")
+        .agg(F.min_by("_p", F.col("_p.doc_id")).alias("_p"))
+    )
+
+
+def _ttl_admit(
+    reduced: DataFrame, fronts: DataFrame | None, ttl: int
+) -> DataFrame:
+    """Epoch-salted lag chain of the TTL admit (the second half of the
+    structural guard): run the gap rule per (h, tick div (ttl+1)),
+    seeding each epoch with the previous epoch's max tick and — when
+    ``fronts`` (h, _arr per-fingerprint prior front) is given — with the
+    cross-batch front routed to its own and the next epoch. Epoch
+    length ttl+1 makes anything two epochs back always past the
+    horizon, so the one-epoch seed preserves the exact gap rule while
+    bounding every window partition at ≤ ttl+1 rows + seeds. Seeds
+    order BEFORE real rows at tick ties (_seed desc), so redelivery at
+    the renewal tick absorbs at gap 0. Returns admitted (h, _arr, _p)."""
+    from pyspark.sql.window import Window
+
+    from tiny_md_hbase_spark.operators.dedup import _ttl_floor_epoch
+
+    epoch_len = int(ttl) + 1
+    real = reduced.select(
+        "h",
+        "_arr",
+        _ttl_floor_epoch("_arr", epoch_len).alias("_ep"),
+        F.lit(0).alias("_seed"),
+        "_p",
+    )
+    ptype = real.schema["_p"].dataType
+    rows = real.unionByName(
+        real.groupBy("h", "_ep")
+        .agg(F.max("_arr").alias("_arr"))
+        .select(
+            "h",
+            "_arr",
+            (F.col("_ep") + 1).alias("_ep"),
+            F.lit(1).alias("_seed"),
+            F.lit(None).cast(ptype).alias("_p"),
+        )
+    )
+    if fronts is not None:
+        rows = rows.unionByName(
+            fronts.select(
+                "h",
+                "_arr",
+                F.explode(
+                    F.array(
+                        _ttl_floor_epoch("_arr", epoch_len),
+                        _ttl_floor_epoch("_arr", epoch_len) + 1,
+                    )
+                ).alias("_ep"),
+                F.lit(1).alias("_seed"),
+                F.lit(None).cast(ptype).alias("_p"),
+            )
+        )
+    w = Window.partitionBy("h", "_ep").orderBy("_arr", F.desc("_seed"))
+    return (
+        rows.withColumn("_prev", F.lag("_arr").over(w))
+        .filter(
+            (F.col("_seed") == 0)
+            & (F.col("_prev").isNull() | (F.col("_arr") - F.col("_prev") > ttl))
+        )
+        .select("h", "_arr", "_p")
+    )
+
+
 def dedup_ttl_batch(
     batch: DataFrame,
     batch_id: int,
@@ -809,15 +895,9 @@ def dedup_ttl_batch(
 
     Replay safety is the sink family's: own-batch exclusion on the
     state read + per-batch overwrite of docs/state directories."""
-    from pyspark.sql.window import Window
-
-    from tiny_md_hbase_spark.operators.dedup import (
-        _content_fp,
-        _ttl_floor_epoch,
-    )
+    from tiny_md_hbase_spark.operators.dedup import _content_fp
 
     ss = batch.sparkSession
-    epoch_len = int(ttl) + 1
     b = batch.distinct().withColumn("h", _content_fp("text"))
     state = _read_state(
         ss,
@@ -826,35 +906,8 @@ def dedup_ttl_batch(
         TTL_STATE_SCHEMA,
         ["h", "last_arrival"],
     )
-    payload = F.struct("doc_id", "text", "lang", "source", "n_chars").alias(
-        "_p"
-    )
-    reduced = (
-        b.select("h", F.col("arrival").cast("long").alias("_arr"), payload)
-        .groupBy("h", "_arr")
-        .agg(F.min_by("_p", F.col("_p.doc_id")).alias("_p"))
-    )
-    real = reduced.select(
-        "h",
-        "_arr",
-        _ttl_floor_epoch("_arr", epoch_len).alias("_ep"),
-        F.lit(0).alias("_seed"),
-        "_p",
-    )
-    ptype = real.schema["_p"].dataType
-    # in-batch epoch seeds: each epoch's max tick, routed one epoch up
-    # (epoch length ttl+1 makes anything two epochs back > ttl away)
-    rows = real.unionByName(
-        real.groupBy("h", "_ep")
-        .agg(F.max("_arr").alias("_arr"))
-        .select(
-            "h",
-            "_arr",
-            (F.col("_ep") + 1).alias("_ep"),
-            F.lit(1).alias("_seed"),
-            F.lit(None).cast(ptype).alias("_p"),
-        )
-    )
+    reduced = _ttl_reduce(b, "arrival")
+    fronts = None
     if state is not None:
         front, batch_min = (
             state.agg(F.max("last_arrival")).collect()[0][0],
@@ -870,31 +923,9 @@ def dedup_ttl_batch(
                 " the arrival tick) — see the staging contract in the"
                 " docstring."
             )
-        # state seeds: the per-h front, routed to its own epoch (covers
-        # same-epoch arrivals, incl. redelivery at the renewal tick —
-        # _seed desc orders it first at tick ties) and the next one
-        rows = rows.unionByName(
-            state.groupBy("h")
-            .agg(F.max("last_arrival").alias("_arr"))
-            .select(
-                "h",
-                "_arr",
-                F.explode(
-                    F.array(
-                        _ttl_floor_epoch("_arr", epoch_len),
-                        _ttl_floor_epoch("_arr", epoch_len) + 1,
-                    )
-                ).alias("_ep"),
-                F.lit(1).alias("_seed"),
-                F.lit(None).cast(ptype).alias("_p"),
-            )
-        )
-    w = Window.partitionBy("h", "_ep").orderBy("_arr", F.desc("_seed"))
-    chained = rows.withColumn("_prev", F.lag("_arr").over(w))
-    surv = chained.filter(
-        (F.col("_seed") == 0)
-        & (F.col("_prev").isNull() | (F.col("_arr") - F.col("_prev") > ttl))
-    ).localCheckpoint()  # read state BEFORE overwriting into it
+        fronts = state.groupBy("h").agg(F.max("last_arrival").alias("_arr"))
+    surv = _ttl_admit(reduced, fronts, ttl).localCheckpoint()
+    # (localCheckpoint: read state BEFORE overwriting into it)
     surv.select(
         F.col("_p.doc_id").alias("doc_id"),
         F.col("_p.text").alias("text"),
@@ -957,6 +988,293 @@ def stream_dedup_ttl(
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         dedup_ttl_batch(batch, batch_id, table_path, ttl, compact_every)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+DOCS_EVENT_SCHEMA = DOCS_SCHEMA + ", event_ts long"
+TTL_EVENT_STATE_SCHEMA = "h long, last_event long"
+TTL_EVENT_WM_SCHEMA = "max_event long"
+TTL_EVENT_PENDING_SCHEMA = DOCS_EVENT_SCHEMA + ", h long"
+# terminal flush writes under this id — far above any real micro-batch
+# count, so a (contract-violating) post-flush restart cannot overwrite it
+TTL_EVENT_FLUSH_ID = 1 << 40
+
+
+def _read_latest_rewrite(
+    ss: SparkSession, spath: str, exclude_batch: int, schema: str
+) -> DataFrame | None:
+    """Latest-snapshot state (vs the ADDITIVE delta trees of
+    :func:`_read_state`): each batch OVERWRITES the full relation into
+    its own ``batch=<id>`` directory and readers use the HIGHEST id ≠
+    the running batch — the shape for state that shrinks (the event-TTL
+    pending buffer: rows leave it when the watermark passes them), which
+    a union-of-deltas tree cannot express. Replay safe for the same
+    reason as the delta trees: foreachBatch only ever replays the
+    newest batch, whose own directory is excluded here, and the
+    directory read is always a completed write (an interrupted write
+    belongs to the batch that will be replayed, not to any reader).
+    Superseded directories (below the one read) are swept in passing."""
+    if not fs_exists(ss, spath):
+        return None
+    ids = []
+    for d in fs_listdir(ss, spath):
+        kind, _, val = d.partition("=")
+        if kind == "batch" and val.lstrip("-").isdigit():
+            ids.append(int(val))
+    cand = [i for i in ids if i != exclude_batch]
+    if not cand:
+        return None
+    cur = max(cand)
+    for i in ids:
+        if i < cur:
+            fs_rmtree(ss, f"{spath}/batch={i}")
+    return ss.read.schema(schema).parquet(f"{spath}/batch={cur}")
+
+
+def dedup_ttl_event_batch(
+    batch: DataFrame,
+    batch_id: int,
+    table_path: str,
+    ttl: int,
+    lateness: int,
+    compact_every: int = DEFAULT_COMPACT_EVERY,
+) -> None:
+    """One micro-batch of :func:`stream_dedup_ttl_event` — TTL dedup on
+    EVENT time under a watermark, the re-crawl-pipeline form the
+    arrival-tick sink cannot express: events arrive out of event-time
+    order (bounded by ``lateness``), and the gap rule must still see
+    them in event order. The standard streaming answer: BUFFER rows
+    until the watermark passes them, then finalize in event-time order.
+
+    Per batch: watermark = max(event_ts ever seen) - lateness; rows
+    (arriving ∪ buffered) at or below the new watermark FINALIZE through
+    the shared admit chain (:func:`_ttl_reduce` + :func:`_ttl_admit` —
+    the same tick-reduce + epoch-salt hot-key guard, keyed on event
+    ticks, seeded by the per-fingerprint last FINALIZED event); rows
+    above it stay in the pending buffer. Finalization is MONOTONE in
+    event time (every newly finalized event ≥ the previous watermark ≥
+    every state front), which is what makes the per-h seed exact.
+
+    Late-data policy is the family's loud refusal: a row whose event_ts
+    is below the PREVIOUS watermark violated the lateness bound — its
+    suppression history may be expired and already-emitted decisions
+    can no longer be revised — so the batch fails with the bound named
+    rather than silently re-admitting or dropping. (Rows equal to the
+    watermark are on time; ties of the same content at the exact
+    boundary must co-batch, as with the arrival twin's equal ticks.)
+
+    State: ``state`` (h, last_event — additive deltas, folded with
+    expiry below watermark - ttl exactly as the arrival sink's),
+    ``wm`` (per-batch max event_ts — additive, folds to one row),
+    ``pending`` (the buffer — a :func:`_read_latest_rewrite` full
+    snapshot per batch, bounded by lateness × arrival rate). Docs write
+    per-batch-overwrite as everywhere. Working state is O(horizon +
+    lateness window) for an unbounded stream."""
+    from tiny_md_hbase_spark.operators.dedup import _content_fp
+
+    ss = batch.sparkSession
+    b = batch.distinct().withColumn("h", _content_fp("text"))
+
+    wm_tree = _read_state(
+        ss, f"{table_path}/wm", batch_id, TTL_EVENT_WM_SCHEMA, ["max_event"]
+    )
+    prev_max = (
+        wm_tree.agg(F.max("max_event")).collect()[0][0]
+        if wm_tree is not None
+        else None
+    )
+    stats = b.agg(
+        F.min("event_ts").alias("mn"), F.max("event_ts").alias("mx")
+    ).collect()[0]
+    if prev_max is not None and stats.mn is not None:
+        prev_wm = prev_max - lateness
+        if stats.mn < prev_wm:
+            raise ValueError(
+                f"stream_dedup_ttl_event batch {batch_id} contains "
+                f"event_ts {stats.mn}, below the watermark {prev_wm} "
+                f"(max event seen {prev_max} - lateness {lateness}): "
+                "decisions at or below the watermark are already final. "
+                "Raise the lateness bound or repair the source ordering."
+            )
+    new_max = max(
+        v for v in (prev_max, stats.mx) if v is not None
+    ) if (prev_max is not None or stats.mx is not None) else None
+
+    pending = _read_latest_rewrite(
+        ss, f"{table_path}/pending", batch_id, TTL_EVENT_PENDING_SCHEMA
+    )
+    allr = b.select(
+        "doc_id", "text", "lang", "source", "n_chars", "event_ts", "h"
+    )
+    if pending is not None:
+        allr = allr.unionByName(
+            pending.select(
+                "doc_id", "text", "lang", "source", "n_chars", "event_ts", "h"
+            )
+        )
+    new_wm = None if new_max is None else new_max - lateness
+    final = allr.filter(F.col("event_ts") <= F.lit(new_wm)) if new_wm is not None else allr.limit(0)
+    still = allr.filter(F.col("event_ts") > F.lit(new_wm)) if new_wm is not None else allr
+
+    state = _read_state(
+        ss,
+        f"{table_path}/state",
+        batch_id,
+        TTL_EVENT_STATE_SCHEMA,
+        ["h", "last_event"],
+    )
+    fronts = (
+        state.groupBy("h").agg(F.max("last_event").alias("_arr"))
+        if state is not None
+        else None
+    )
+    reduced = _ttl_reduce(final, "event_ts")
+    surv = _ttl_admit(reduced, fronts, ttl).localCheckpoint()
+    # (localCheckpoint: every input tree is read before being overwritten)
+    still = still.localCheckpoint()
+    surv.select(
+        F.col("_p.doc_id").alias("doc_id"),
+        F.col("_p.text").alias("text"),
+        F.col("_p.lang").alias("lang"),
+        F.col("_p.source").alias("source"),
+        F.col("_p.n_chars").alias("n_chars"),
+        F.col("_arr").alias("event_ts"),
+    ).write.mode("overwrite").parquet(f"{table_path}/docs/batch={batch_id}")
+    reduced.groupBy("h").agg(F.max("_arr").alias("last_event")).write.mode(
+        "overwrite"
+    ).parquet(f"{table_path}/state/batch={batch_id}")
+    ss.range(1).select(
+        F.lit(new_max).cast("long").alias("max_event")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{table_path}/wm/batch={batch_id}"
+    )
+    still.write.mode("overwrite").parquet(
+        f"{table_path}/pending/batch={batch_id}"
+    )
+
+    def _fold(df: DataFrame) -> DataFrame:
+        agg = df.groupBy("h").agg(F.max("last_event").alias("last_event"))
+        if new_wm is None:
+            return agg
+        # exact expiry: every future finalized event is ≥ the current
+        # watermark, so a key whose last finalized event is > ttl below
+        # it can only ever produce gap > ttl — same as its absence
+        return agg.filter(F.col("last_event") >= new_wm - ttl)
+
+    _maybe_compact(
+        ss,
+        f"{table_path}/state",
+        batch_id,
+        compact_every,
+        TTL_EVENT_STATE_SCHEMA,
+        fold=_fold,
+    )
+    _maybe_compact(
+        ss,
+        f"{table_path}/wm",
+        batch_id,
+        compact_every,
+        TTL_EVENT_WM_SCHEMA,
+        fold=lambda df: df.agg(F.max("max_event").alias("max_event")),
+    )
+
+
+def flush_dedup_ttl_event(
+    spark: SparkSession, table_path: str, ttl: int
+) -> int:
+    """Terminal close of an event-time TTL dedup table: finalize every
+    still-pending row as if the watermark advanced past everything —
+    the end-of-stream flush a drained backfill (or an end-of-day close)
+    needs before the drained docs tree can equal the batch operator
+    over all staged rows. Writes under the reserved
+    ``TTL_EVENT_FLUSH_ID`` and empties the pending buffer; idempotent
+    (a re-run recomputes from the same pre-flush trees — the flush's
+    own directories are excluded from its reads — and overwrites the
+    identical output).
+    TERMINAL by contract: do not feed more batches into the same
+    table_path after flushing — their decisions could no longer be
+    ordered against the flushed ones. Returns rows flushed."""
+    pending = _read_latest_rewrite(
+        spark, f"{table_path}/pending", TTL_EVENT_FLUSH_ID,
+        TTL_EVENT_PENDING_SCHEMA,
+    )
+    n = 0 if pending is None else pending.count()
+    if n:
+        state = _read_state(
+            spark,
+            f"{table_path}/state",
+            TTL_EVENT_FLUSH_ID,
+            TTL_EVENT_STATE_SCHEMA,
+            ["h", "last_event"],
+        )
+        fronts = (
+            state.groupBy("h").agg(F.max("last_event").alias("_arr"))
+            if state is not None
+            else None
+        )
+        surv = _ttl_admit(
+            _ttl_reduce(pending, "event_ts"), fronts, ttl
+        ).localCheckpoint()
+        surv.select(
+            F.col("_p.doc_id").alias("doc_id"),
+            F.col("_p.text").alias("text"),
+            F.col("_p.lang").alias("lang"),
+            F.col("_p.source").alias("source"),
+            F.col("_p.n_chars").alias("n_chars"),
+            F.col("_arr").alias("event_ts"),
+        ).write.mode("overwrite").parquet(
+            f"{table_path}/docs/batch={TTL_EVENT_FLUSH_ID}"
+        )
+    spark.createDataFrame([], TTL_EVENT_PENDING_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{table_path}/pending/batch={TTL_EVENT_FLUSH_ID}")
+    return n
+
+
+def stream_dedup_ttl_event(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    ttl: int,
+    lateness: int,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    compact_every: int = DEFAULT_COMPACT_EVERY,
+) -> StreamingQuery:
+    """Streaming EVENT-TIME TTL dedup — :func:`stream_dedup_ttl`'s
+    re-crawl twin: the horizon is measured on ``event_ts`` (when the
+    content was seen by the crawler), not arrival ticks, so events may
+    arrive out of order within a ``lateness`` bound and the rule still
+    matches ``dedup.dedup_ttl(staged, ttl, arrival="event_ts")`` over
+    everything that arrived — which is why ``dedup_ttl_sql`` with
+    ``tick="event_ts"`` is this sink's oracle after a drain +
+    :func:`flush_dedup_ttl_event`.
+
+    Mechanics per micro-batch in :func:`dedup_ttl_event_batch`
+    (watermark = max event seen - lateness; buffer above it, finalize
+    below it through the shared tick-reduce + epoch-salt admit chain;
+    refuse rows below the previous watermark loudly). State is bounded
+    twice over: the pending buffer by lateness × arrival rate, the
+    per-fingerprint last-event table by the ttl horizon at every fold
+    — an unbounded stream carries O(horizon + lateness window)."""
+    reader = spark.readStream.schema(DOCS_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        dedup_ttl_event_batch(
+            batch, batch_id, table_path, ttl, lateness, compact_every
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
