@@ -138,6 +138,78 @@ def _q_range_query_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+# corpus/embedding zone-map scan parameters (shared with the oracles)
+ZONED_LANG = "en"
+ZONED_CHARS = (200, 400)
+ZONED_C0 = (0.05, 0.15)
+ZONED_NORM_SQ = (0.5, 1.5)
+
+
+def _q_doc_scan_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation scan through a documents ZONE MAP
+    (sources/writer.py write_corpus_zonemap / doc_scan_zonemap — the
+    r13 verdict's generalization of file skipping off the points
+    table): documents are range-clustered by (lang, n_chars), a
+    metadata-sized stats table records each file's language SET and
+    n_chars span, and a (lang, length-band) scan prunes whole files by
+    path selection before any footer opens, with the exact predicate as
+    the pushed residual. Equals the plain filtered scan by
+    construction, so a WHERE-clause oracle serves verbatim."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.sources.writer import (
+        doc_scan_zonemap,
+        write_corpus_zonemap,
+        write_documents_zoned,
+    )
+
+    d = tempfile.mkdtemp(prefix="dzone_q_")
+    try:
+        write_documents_zoned(
+            load_table(spark, sf_dir, "documents"), f"{d}/docs",
+            num_partitions=16,
+        )
+        write_corpus_zonemap(spark, f"{d}/docs", f"{d}/zones")
+        return doc_scan_zonemap(
+            spark, f"{d}/docs", f"{d}/zones", ZONED_LANG, ZONED_CHARS
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _q_emb_scan_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding zone-map scan (sources/writer.py write_embedding_zonemap
+    / emb_scan_zonemap): vectors range-clustered by their leading
+    component, per-file stats record the component span AND the squared-
+    norm bounds (the junk-vector sweep — degenerate at 1.0 on this
+    unit-normalized fixture, which is itself the health signal), and a
+    component-range scan with the norm-band residual prunes files by
+    path selection. The per-row norm fold is round(6)-pinned on both
+    engines."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.sources.writer import (
+        emb_scan_zonemap,
+        write_embedding_zonemap,
+        write_embeddings_zoned,
+    )
+
+    d = tempfile.mkdtemp(prefix="ezone_q_")
+    try:
+        write_embeddings_zoned(
+            load_table(spark, sf_dir, "embeddings"), f"{d}/emb",
+            num_partitions=8,
+        )
+        write_embedding_zonemap(spark, f"{d}/emb", f"{d}/zones")
+        return emb_scan_zonemap(
+            spark, f"{d}/emb", f"{d}/zones", ZONED_C0, ZONED_NORM_SQ
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_range_query_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-guided rectangle query over the HILBERT key (hilbert.py
     hilbert_cover_py): ≤16-interval cover + residual rect predicate —
@@ -3218,6 +3290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r14 rotation rewrite at session close):
         "dedup_ttl_event": _q_dedup_ttl_event,
         "stream_dedup_ttl_event": _q_stream_dedup_ttl_event,
+        "doc_scan_zonemap": _q_doc_scan_zonemap,
+        "emb_scan_zonemap": _q_emb_scan_zonemap,
         # -- r13 window 1-9: the nine NEW keys needing first verdicts —
         # corpus_stratified_quota (quota-driven per-source DLT sampling:
         # temperature quotas decide k_s, rank/tau vs the joined quota),
@@ -4377,6 +4451,20 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_ttl_event": (
             _TTL_EVENT_STAGED_CTE
             + D.dedup_ttl_sql("staged", DEDUP_TTL, tick="event_ts")
+        ),
+        # zone-map scans equal the plain filtered scans by construction
+        # (prune-by-path-selection + exact residual)
+        "doc_scan_zonemap": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            f"WHERE lang = '{ZONED_LANG}' AND n_chars BETWEEN "
+            f"{ZONED_CHARS[0]} AND {ZONED_CHARS[1]}"
+        ),
+        "emb_scan_zonemap": (
+            "SELECT vec_id, label FROM embeddings "
+            f"WHERE CAST(embedding[1] AS DOUBLE) BETWEEN {ZONED_C0[0]} "
+            f"AND {ZONED_C0[1]} AND round(list_sum(list_transform("
+            "CAST(embedding AS DOUBLE[]), x -> x*x)), 6) BETWEEN "
+            f"{ZONED_NORM_SQ[0]} AND {ZONED_NORM_SQ[1]}"
         ),
         "repetition_stats": TX.repetition_stats_sql(),
         "corpus_stratified": TX.corpus_stratified_sql(),

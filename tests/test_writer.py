@@ -547,6 +547,119 @@ def test_zone_map_prune_skips_files_and_stays_exact(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_corpus_zonemap_skips_files_and_stays_exact(spark, sf_dir):
+    """r14 generalization of the zone map off the points table: on the
+    (lang, n_chars)-clustered documents layout, a (lang, length-band)
+    curation scan (a) equals the plain filtered scan, (b) touches a
+    strict subset of the files, (c) selects zero files for a language
+    that does not exist."""
+    import shutil
+
+    from tiny_md_hbase_spark.sources.writer import (
+        corpus_zonemap_prune,
+        doc_scan_zonemap,
+        write_corpus_zonemap,
+        write_documents_zoned,
+    )
+
+    from tiny_md_hbase_spark.sources import load_table
+
+    d = tempfile.mkdtemp(prefix="dzone_t_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        write_documents_zoned(docs, f"{d}/docs", num_partitions=16)
+        write_corpus_zonemap(spark, f"{d}/docs", f"{d}/zones")
+        n_files = spark.read.parquet(f"{d}/zones").count()
+
+        lang, rng = "en", (200, 400)
+        want = sorted(
+            (r.doc_id, r.n_chars)
+            for r in docs.filter(
+                (F.col("lang") == lang)
+                & F.col("n_chars").between(*rng)
+            ).collect()
+        )
+        got = sorted(
+            (r.doc_id, r.n_chars)
+            for r in doc_scan_zonemap(
+                spark, f"{d}/docs", f"{d}/zones", lang, rng
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        touched = corpus_zonemap_prune(spark, f"{d}/zones", lang, rng)
+        assert 0 < len(touched) < n_files, (len(touched), n_files)
+        # a language-only prune for a minority language touches fewer
+        # files than the corpus holds (lang clustering is real)
+        zh = corpus_zonemap_prune(spark, f"{d}/zones", "zh", (0, 10**9))
+        assert 0 < len(zh) < n_files
+        # unknown language: zero files, empty-but-typed result
+        assert corpus_zonemap_prune(spark, f"{d}/zones", "xx", rng) == []
+        empty = doc_scan_zonemap(spark, f"{d}/docs", f"{d}/zones", "xx", rng)
+        assert empty.count() == 0
+        assert [f.name for f in empty.schema.fields] == [
+            "doc_id", "lang", "source", "n_chars",
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_embedding_zonemap_skips_files_and_stays_exact(spark, sf_dir):
+    """Embedding zone map: component-range scan equals the plain
+    filtered scan, prunes files on the component-clustered layout, and
+    the norm bounds read ~1.0 on the unit-normalized fixture (the
+    degenerate-is-healthy signal the docstring promises); a norm band
+    excluding 1.0 selects zero files — the junk-vector sweep's empty
+    result without opening data."""
+    import shutil
+
+    from tiny_md_hbase_spark.sources.writer import (
+        emb_scan_zonemap,
+        write_embedding_zonemap,
+        write_embeddings_zoned,
+    )
+
+    from tiny_md_hbase_spark.sources import load_table
+
+    d = tempfile.mkdtemp(prefix="ezone_t_")
+    try:
+        embs = load_table(spark, sf_dir, "embeddings")
+        write_embeddings_zoned(embs, f"{d}/emb", num_partitions=8)
+        write_embedding_zonemap(spark, f"{d}/emb", f"{d}/zones")
+        zones = spark.read.parquet(f"{d}/zones").collect()
+        n_files = len(zones)
+        assert all(
+            0.99 < z.min_norm_sq <= z.max_norm_sq < 1.01 for z in zones
+        )
+
+        c0 = (0.05, 0.15)
+        want = sorted(
+            r.vec_id
+            for r in embs.filter(
+                F.element_at("embedding", 1).between(*c0)
+            ).collect()
+        )
+        got = sorted(
+            r.vec_id
+            for r in emb_scan_zonemap(
+                spark, f"{d}/emb", f"{d}/zones", c0
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        # pruning is real: the narrow component band misses most files
+        survivors = [
+            z for z in zones
+            if not (z.max_c0 < c0[0] or z.min_c0 > c0[1])
+        ]
+        assert 0 < len(survivors) < n_files
+        # a norm band excluding 1.0 selects nothing at the FILE level
+        none = emb_scan_zonemap(
+            spark, f"{d}/emb", f"{d}/zones", c0, norm_sq_range=(2.0, 3.0)
+        )
+        assert none.count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_zone_map_maintenance_across_append_and_compaction(spark, sf_dir):
     """The zone map's table-maintenance lifecycle: appends write their
     own z-sorted batch whose file boxes OVERLAP the existing ones
