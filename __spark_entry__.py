@@ -210,6 +210,50 @@ def _q_emb_scan_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_stream_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental text-index maintenance end-to-end
+    (streaming/ingest.py stream_index_maintain — the r13 verdict's #1
+    beyond-parity gap, mirroring the reference's insert-time index
+    maintenance Index.java:175-230 on the text side): documents staged
+    as ordered files drain through the sink (one file per trigger,
+    compact_every=2 so the posting tree folds mid-drain), each batch
+    appending its positional postings + token counts as additive deltas
+    into the bucket-partitioned layout at O(batch) cost. The post-drain
+    probe is the most demanding consumer — BM25 over the maintained
+    tree (postings + _doc_lens + corpus stats all incremental) — which
+    must equal the scan form row-for-row, so keyword_search_bm25's
+    oracle serves verbatim."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.streaming.ingest import (
+        keyword_search_bm25_maintained,
+        stream_index_maintain,
+    )
+
+    d = tempfile.mkdtemp(prefix="sidx_q_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.repartition(4).write.parquet(f"{d}/src")
+        _touch_in_order(f"{d}/src")
+        q = stream_index_maintain(
+            spark,
+            f"{d}/src",
+            f"{d}/idx",
+            f"{d}/ckpt",
+            num_buckets=16,
+            available_now=True,
+            max_files_per_trigger=1,
+            compact_every=2,
+        )
+        _await_drained(q)
+        return keyword_search_bm25_maintained(
+            spark, f"{d}/idx"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_range_query_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-guided rectangle query over the HILBERT key (hilbert.py
     hilbert_cover_py): ≤16-interval cover + residual rect predicate —
@@ -3292,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_ttl_event": _q_stream_dedup_ttl_event,
         "doc_scan_zonemap": _q_doc_scan_zonemap,
         "emb_scan_zonemap": _q_emb_scan_zonemap,
+        "stream_index_maintain": _q_stream_index_maintain,
         # -- r13 window 1-9: the nine NEW keys needing first verdicts —
         # corpus_stratified_quota (quota-driven per-source DLT sampling:
         # temperature quotas decide k_s, rank/tau vs the joined quota),
@@ -4466,6 +4511,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(embedding AS DOUBLE[]), x -> x*x)), 6) BETWEEN "
             f"{ZONED_NORM_SQ[0]} AND {ZONED_NORM_SQ[1]}"
         ),
+        # the maintained index's BM25 probe equals the scan form, whose
+        # oracle therefore serves the whole ingest+maintain+query path
+        "stream_index_maintain": TX.keyword_search_bm25_sql(),
         "repetition_stats": TX.repetition_stats_sql(),
         "corpus_stratified": TX.corpus_stratified_sql(),
         "corpus_sample": (

@@ -2534,6 +2534,130 @@ def test_dedup_ttl_rejects_out_of_horizon_late_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# --- r14: streaming text-index maintenance ----------------------------------
+
+
+def test_stream_index_maintain_equals_fresh_build(spark, sf_dir):
+    """The incremental-maintenance contract: after draining a staged
+    corpus through stream_index_maintain (one file per trigger,
+    compact_every=2 so the posting tree folds mid-drain), the
+    keyword, BM25, and phrase probes over the MAINTAINED index return
+    exactly what the same probes over a FRESH one-shot
+    write_positional_index build of the drained corpus return — and
+    therefore what the scan forms return (their oracle contract)."""
+    import glob
+
+    from tiny_md_hbase_spark.operators import text as TX
+    from tiny_md_hbase_spark.sources.writer import (
+        keyword_search_indexed,
+        phrase_search_positional,
+        write_inverted_index,
+        write_positional_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="sidx_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.repartition(4).write.parquet(f"{d}/src")
+        parts = sorted(glob.glob(f"{d}/src/part-*"))
+        t0 = os.stat(parts[0]).st_mtime
+        for i, p in enumerate(parts):
+            os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+        q = ING.stream_index_maintain(
+            spark, f"{d}/src", f"{d}/idx", f"{d}/ckpt", num_buckets=16,
+            available_now=True, max_files_per_trigger=1, compact_every=2,
+        )
+        q.awaitTermination(300)
+        # the posting tree compacted mid-drain: a snapshot exists
+        assert any(
+            p.startswith("snapshot=")
+            for p in os.listdir(f"{d}/idx/postings")
+        )
+
+        write_positional_index(docs, f"{d}/fresh_pos", num_buckets=16)
+        write_inverted_index(docs, f"{d}/fresh_inv", num_buckets=16)
+
+        got_kw = [
+            (r.doc_id, r.score)
+            for r in ING.keyword_search_maintained(spark, f"{d}/idx").collect()
+        ]
+        want_kw = [
+            (r.doc_id, r.score)
+            for r in keyword_search_indexed(spark, f"{d}/fresh_inv").collect()
+        ]
+        assert got_kw == want_kw and len(got_kw) > 0
+
+        got_bm = [
+            (r.doc_id, r.bm25)
+            for r in ING.keyword_search_bm25_maintained(
+                spark, f"{d}/idx"
+            ).collect()
+        ]
+        want_bm = [
+            (r.doc_id, r.bm25)
+            for r in TX.keyword_search_bm25(docs).collect()
+        ]
+        assert got_bm == want_bm and len(got_bm) > 0
+
+        # the default fixture phrase has no hit at sf0.001 — use one
+        # that does, passed identically to both index forms
+        ph = ("data", "stream", "vector")
+        got_ph = [
+            (r.doc_id, r.n_hits)
+            for r in ING.phrase_search_maintained(
+                spark, f"{d}/idx", phrase=ph
+            ).collect()
+        ]
+        want_ph = [
+            (r.doc_id, r.n_hits)
+            for r in phrase_search_positional(
+                spark, f"{d}/fresh_pos", phrase=ph
+            ).collect()
+        ]
+        assert got_ph == want_ph and len(got_ph) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_index_maintain_batch_replay_and_modulus_guard(spark, sf_dir):
+    """Replaying the newest batch (the only batch Structured Streaming
+    replays) overwrites its own delta and leaves every probe identical;
+    restarting the stream with a different bucket modulus than the
+    stored _index_meta refuses loudly."""
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="sidxr_")
+    try:
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        rest = docs.filter(F.col("doc_id") % 2 == 1)
+        from tiny_md_hbase_spark.sources.writer import write_meta_row
+
+        write_meta_row(
+            spark, f"{d}/idx/_index_meta", [("num_buckets", 16, "int")]
+        )
+        ING.index_maintain_batch(half, 0, f"{d}/idx", 16)
+        ING.index_maintain_batch(rest, 1, f"{d}/idx", 16)
+        before = [
+            (r.doc_id, r.score)
+            for r in ING.keyword_search_maintained(spark, f"{d}/idx").collect()
+        ]
+        ING.index_maintain_batch(rest, 1, f"{d}/idx", 16)  # replay
+        after = [
+            (r.doc_id, r.score)
+            for r in ING.keyword_search_maintained(spark, f"{d}/idx").collect()
+        ]
+        assert after == before and len(before) > 0
+        # modulus mismatch refused at stream start
+        docs.limit(1).write.parquet(f"{d}/src2")
+        with _pytest.raises(ValueError, match="num_buckets"):
+            ING.stream_index_maintain(
+                spark, f"{d}/src2", f"{d}/idx", f"{d}/ckpt2", num_buckets=8,
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # --- r14: event-time TTL dedup (watermarked) --------------------------------
 
 _TTLE_SCHEMA = _DOCS_SCHEMA + ", event_ts long"

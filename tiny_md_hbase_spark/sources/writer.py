@@ -723,11 +723,18 @@ def phrase_search_positional(
             spark.read.parquet(f"{path}/_index_meta").first().num_buckets
         )
     buckets = sorted({term_bucket(q, num_buckets) for q in qs})
-    idx = (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(sorted(set(qs))))
-        .select("term", "doc_id", "positions")
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    return phrase_rank_postings(idx, qs, k)
+
+
+def phrase_rank_postings(idx: DataFrame, qs: list[str], k: int) -> DataFrame:
+    """The positional-intersection core of :func:`phrase_search_positional`
+    over an ALREADY-PRUNED posting relation (term, doc_id, positions) —
+    shared with the stream-maintained index reader
+    (``streaming.ingest.phrase_search_maintained``), whose pruning is
+    path selection over a batch tree instead of a partition filter."""
+    idx = idx.filter(F.col("term").isin(sorted(set(qs)))).select(
+        "term", "doc_id", "positions"
     )
     base = idx.filter(F.col("term") == qs[0]).select(
         "doc_id", F.col("positions").alias("starts")
@@ -788,11 +795,15 @@ def keyword_search_indexed(
         # than silently searching the default query
         raise ValueError("keyword_search_indexed requires at least one term")
     buckets = sorted({term_bucket(q, num_buckets) for q in qs})
-    idx = (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(qs))
-    )
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    return keyword_rank_postings(idx, qs, k)
+
+
+def keyword_rank_postings(idx: DataFrame, qs: list[str], k: int) -> DataFrame:
+    """The conjunction-and-rank core of :func:`keyword_search_indexed`
+    over an already-pruned posting relation (term, doc_id, tf) — shared
+    with the stream-maintained index reader."""
+    idx = idx.filter(F.col("term").isin(qs))
     return (
         idx.groupBy("doc_id")
         .agg(
@@ -1078,7 +1089,7 @@ def keyword_search_bm25_indexed(
     expression tree — literals, casts, associativity, term order — is
     applied, ending in the same round(6). The per-term df/stat
     relations are 1-row broadcasts."""
-    from tiny_md_hbase_spark.operators.text import SEARCH_TERMS, bm25_score
+    from tiny_md_hbase_spark.operators.text import SEARCH_TERMS
 
     if num_buckets is None:
         num_buckets = int(
@@ -1095,16 +1106,31 @@ def keyword_search_bm25_indexed(
         )
     buckets = sorted({term_bucket(q, num_buckets) for q in qs})
     lens = spark.read.parquet(f"{path}/_doc_lens")
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    return bm25_rank_postings(idx, lens, qs, k, k1, b)
+
+
+def bm25_rank_postings(
+    idx: DataFrame,
+    lens: DataFrame,
+    qs: list[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The Okapi-BM25 core of :func:`keyword_search_bm25_indexed` over
+    an already-pruned posting relation (term, doc_id, tf) and the
+    ``_doc_lens`` side relation (doc_id, dl) — shared with the
+    stream-maintained index reader. Float parity discipline per the
+    caller's docstring: same expression tree, same round(6)."""
+    from tiny_md_hbase_spark.operators.text import bm25_score
+
+    idx = idx.filter(F.col("term").isin(qs))
     stats = lens.agg(
         F.count(F.lit(1)).cast("double").alias("nd"),
         (
             F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
-    )
-    idx = (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(qs))
     )
     dfs = idx.agg(
         *[
