@@ -2050,16 +2050,24 @@ def dedup_edit(
     Returns (doc_a, doc_b, dist) with doc_a < doc_b, ordered
     (dist, doc_a, doc_b), top-``k`` — a total order.
 
-    Scale shape: the only all-to-all step is the gram-key equi-join
-    (hashes, not documents, shuffle); full texts are joined back ONLY
-    for verified candidate pairs (two hash joins on doc_id).
-    Verification uses Spark's thresholded ``levenshtein(a, b, max)``
-    — the banded O(max·L) DP, not the O(L²) full matrix; the oracle
-    side computes the full distance and applies the same ≤ filter,
-    which is value-identical on every accepted pair. ``max_gram_df``
-    (:func:`_cap_gram_df`) drops hub grams — windows shared by more
-    than that many documents — before the pair join, bounding per-gram
-    fan-out at max_gram_df²/2.
+    Scale shape (r14 re-plan — the drift root-cause fix): with a df cap
+    in force, candidate generation is ONE shuffle of the 16-byte gram
+    hashes — group the incidence list by gram, keep blocks of width
+    2..max_gram_df (the df filter falls out of the same aggregation for
+    free), and expand each block's pairs with a double explode bounded
+    by the cap. The previous self-join form planned the tokenize→md5
+    incidence subtree TWICE (no ReusedExchange — verified in the plan)
+    plus two more passes for the cap's count+semi-join; this computes
+    it once and shuffles it once. Full texts are joined back ONLY for
+    candidate pairs (two hash joins on doc_id; column pruning keeps
+    tokenization out of those branches). Verification uses Spark's
+    thresholded ``levenshtein(a, b, max)`` — the banded O(max·L) DP,
+    not the O(L²) full matrix; the oracle side computes the full
+    distance and applies the same ≤ filter, which is value-identical on
+    every accepted pair. With ``max_gram_df=None`` block width is
+    unbounded, so the pair expansion falls back to the blocked
+    self-join (collect_list of an unbounded hub gram would be the exact
+    single-task funnel the rest of the family refuses to build).
 
     Cap recall caveat (know what the cap can lose): a document
     replicated MORE than ``max_gram_df`` times has EVERY gram above the
@@ -2079,19 +2087,40 @@ def dedup_edit(
     base = documents.repartition(para, "doc_id").select(
         "doc_id", txt.alias("text"), tokens(txt).alias("toks")
     )
-    grams = _cap_gram_df(_gram_incidence(base, gram_len), max_gram_df)
-    a, b = grams.alias("a"), grams.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    inc = _gram_incidence(base, gram_len)
+    if max_gram_df is not None:
+        # single-shuffle grouped form: block width is cap-bounded, so
+        # the per-gram pair expansion is a bounded double explode and
+        # the df filter is the same aggregation's size() check
+        blocks = (
+            inc.groupBy("h")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter(
+                (F.size("ids") >= 2) & (F.size("ids") <= max_gram_df)
+            )
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        cands = (
+            blocks.select(F.explode("ids").alias("doc_a"), "ids")
+            .select("doc_a", F.explode("ids").alias("doc_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        # unbounded block width: self-join on the gram key (never
+        # collect an unbounded hub gram into one row)
+        a, b = inc.alias("a"), inc.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
     ta = base.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     tb = base.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
     return (
