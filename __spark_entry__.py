@@ -3309,103 +3309,37 @@ def _q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50 keys.
-    # Round-13 rotation (derived from CORRECTNESS_r01-r12 by
+    # Round-14 rotation (derived from CORRECTNESS_r01-r13 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-9: the nine NEW r13 keys (corpus_stratified_quota,
-    #   stream_output_compact, stream_sample_stratified_quota,
-    #   decontaminate_bloom, dedup_ttl, stream_dedup_ttl,
-    #   range_query_zonemap, phrase_search, phrase_search_indexed) —
-    #   rotation_audit invariant 1: new keys enter the window for
-    #   their first driver verdict.
-    #   10-24: the ENTIRE 15-key r08 staleness cohort (doc_containment
-    #   ... embedding_profile) — the r12 verdict's Next-round #2; all 15
-    #   were judge-reverified OK in r12, this records them in the
-    #   driver ledger and lifts the out-of-window floor to r09.
-    #   25-50: the 26 oldest r09 keys per rotation_audit's printed
-    #   front (dedup_simhash ... grouped_histogram; sales_rollup,
-    #   topk_per_group, anti_join, semi_join, distinct_count,
-    #   set_except and sales_cube were displaced by the new keys and
-    #   lead the next rotation).
+    #   1-5: the five NEW r14 keys (dedup_ttl_event,
+    #   stream_dedup_ttl_event, doc_scan_zonemap, emb_scan_zonemap,
+    #   stream_index_maintain) — rotation_audit invariant 1: new keys
+    #   enter the window for their first driver verdict.
+    #   6-23: the ENTIRE 18-key r09 staleness cohort (sales_rollup ...
+    #   stream_dedup) — the r13 verdict's Next-round #1; burning it
+    #   lifts the out-of-window floor to r10.
+    #   24-50: the 27 oldest r10 keys per rotation_audit's printed
+    #   front (skyline ... embedding_knn_projected).
     # Below the marker: every remaining key by ascending last-verdict
     # round — verdict age stays monotone down the dict.
     return {
-        # -- r14 NEW keys (placed ahead of the r13 window pending the
-        # r14 rotation rewrite at session close):
+        # -- r14 window 1-5: the five NEW keys needing first verdicts —
+        # the event-time TTL dedup pair (watermarked out-of-order
+        # arrivals; drain + flush equals the batch operator on event
+        # ticks), the corpus/embedding zone-map scans (file skipping
+        # generalized off the points table), and streaming text-index
+        # maintenance (additive posting deltas; the post-drain BM25
+        # probe hash-matches the scan form's oracle).
         "dedup_ttl_event": _q_dedup_ttl_event,
         "stream_dedup_ttl_event": _q_stream_dedup_ttl_event,
         "doc_scan_zonemap": _q_doc_scan_zonemap,
         "emb_scan_zonemap": _q_emb_scan_zonemap,
         "stream_index_maintain": _q_stream_index_maintain,
-        # -- r13 window 1-9: the nine NEW keys needing first verdicts —
-        # corpus_stratified_quota (quota-driven per-source DLT sampling:
-        # temperature quotas decide k_s, rank/tau vs the joined quota),
-        # stream_output_compact (drained batch=<id> output dirs
-        # folded into a size-targeted snapshot; the post-fold read must
-        # equal the uncompacted drain), decontaminate_bloom (Bloom
-        # bitset prefilter + exact shuffle verify — the large-eval-side
-        # path), and the TTL dedup pair (horizon-bounded seen state,
-        # batch + streaming twins).
-        "corpus_stratified_quota": _q_corpus_stratified_quota,
-        "stream_output_compact": _q_stream_output_compact,
-        "stream_sample_stratified_quota": _q_stream_sample_stratified_quota,
-        "decontaminate_bloom": _q_decontaminate_bloom,
-        "dedup_ttl": _q_dedup_ttl,
-        "stream_dedup_ttl": _q_stream_dedup_ttl,
-        "range_query_zonemap": _q_range_query_zonemap,
-        "phrase_search": _q_phrase_search,
-        "phrase_search_indexed": _q_phrase_search_indexed,
-        # -- r13 window 10-24: the full 15-key r08 staleness cohort
-        # (judge-reverified ALL OK in r12; the driver ledger records it
-        # here) — burning it lifts the out-of-window floor to r09.
-        "doc_containment": _q_doc_containment,
-        "dedup_edit": _q_dedup_edit,
-        "stream_scd2": _q_stream_scd2,
-        "json_props_stats": _q_json_props_stats,
-        "shortest_path": _q_shortest_path,
-        "hilbert_encode": _q_hilbert_encode,
-        "hilbert_decode": _q_hilbert_decode,
-        "sfc_locality": _q_sfc_locality,
-        "range_query_hilbert": _q_range_query_hilbert,
-        "corpus_temperature": _q_corpus_temperature,
-        "corpus_temperature_sample": _q_corpus_temperature_sample,
-        "keyword_search_bm25": _q_keyword_search_bm25,
-        "line_dedup": _q_line_dedup,
-        "quality_gate": _q_quality_gate,
-        "embedding_profile": _q_embedding_profile,
-        # -- r13 window 25-50: the 26 oldest r09 keys, in
-        # rotation_audit's suggested order.
-        "dedup_simhash": _q_dedup_simhash,
-        "embedding_knn_ivf": _q_embedding_knn_ivf,
-        "corpus_weighted_sample": _q_corpus_weighted_sample,
-        "shortest_path_weighted": _q_shortest_path_weighted,
-        "knn_hilbert": _q_knn_hilbert,
-        "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
-        "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
-        "dedup_semantic": _q_dedup_semantic,
-        "embedding_knn_clustered": _q_embedding_knn_clustered,
-        "stream_ingest_embeddings": _q_stream_ingest_embeddings,
-        "embedding_knn_lsh": _q_embedding_knn_lsh,
-        "polygon_query": _q_polygon_query,
-        "embedding_knn_quantized": _q_embedding_knn_quantized,
-        "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
-        "pii_scrub": _q_pii_scrub,
-        "winnow_fingerprint": _q_winnow_fingerprint,
-        "winnow_pairs": _q_winnow_pairs,
-        "corpus_budget": _q_corpus_budget,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "corpus_shuffle": _q_corpus_shuffle,
-        "bytes_concat": _q_bytes_concat,
-        "stream_windowed": _q_stream_windowed,
-        "sessionize": _q_sessionize,
-        "interval_join": _q_interval_join,
-        "time_band_join": _q_time_band_join,
-        "grouped_histogram": _q_grouped_histogram,
-        # ---- driver window ends here (first 50 keys) -------------------
-        # (sales_rollup, topk_per_group, anti_join, semi_join,
-        # distinct_count, set_except and sales_cube were displaced from
-        # the window tail by the new r13 keys — they stay r09-verified
-        # and lead the next rotation)
+        # -- r14 window 6-23: the ENTIRE 18-key r09 staleness cohort
+        # (the r13 verdict's Next-round #1; the judge re-verified all
+        # 18 in r13 — this records them in the driver ledger and lifts
+        # the out-of-window floor to r10).
         "sales_rollup": _q_sales_rollup,
         "topk_per_group": _q_topk_per_group,
         "anti_join": _q_anti_join,
@@ -3413,9 +3347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_count": _q_distinct_count,
         "set_except": _q_set_except,
         "sales_cube": _q_sales_cube,
-        # Below the marker: every remaining key by ascending last-verdict
-        # round (r09 remainder, r10, r11, and the r12 window at the back)
-        # — verdict age stays monotone down the dict.
         "rollup_hierarchy": _q_rollup_hierarchy,
         "latest_state": _q_latest_state,
         "pivot": _q_pivot,
@@ -3427,6 +3358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_tokens": _q_pack_tokens,
         "windowed_counts": _q_windowed_counts,
         "stream_dedup": _q_stream_dedup,
+        # -- r14 window 24-50: the 27 oldest r10 keys, in
+        # rotation_audit's suggested order.
         "skyline": _q_skyline,
         "keyword_search_indexed": _q_keyword_search_indexed,
         "keyword_search_bm25_indexed": _q_keyword_search_bm25_indexed,
@@ -3454,6 +3387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "anomaly_zscore": _q_anomaly_zscore,
         "embedding_knn_projected": _q_embedding_knn_projected,
+        # ---- driver window ends here (first 50 keys) -------------------
+        # Below the marker: every remaining key by ascending last-verdict
+        # round (r10 remainder, r11, r12, and the r13 window at the back)
+        # — verdict age stays monotone down the dict.
         "source_cap": _q_source_cap,
         "dedup_keep_best": _q_dedup_keep_best,
         "centroid_assign": _q_centroid_assign,
@@ -3565,6 +3502,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "media_dedup": _q_media_dedup,
         "frame_sample": _q_frame_sample,
+        "corpus_stratified_quota": _q_corpus_stratified_quota,
+        "stream_output_compact": _q_stream_output_compact,
+        "stream_sample_stratified_quota": _q_stream_sample_stratified_quota,
+        "decontaminate_bloom": _q_decontaminate_bloom,
+        "dedup_ttl": _q_dedup_ttl,
+        "stream_dedup_ttl": _q_stream_dedup_ttl,
+        "range_query_zonemap": _q_range_query_zonemap,
+        "phrase_search": _q_phrase_search,
+        "phrase_search_indexed": _q_phrase_search_indexed,
+        "doc_containment": _q_doc_containment,
+        "dedup_edit": _q_dedup_edit,
+        "stream_scd2": _q_stream_scd2,
+        "json_props_stats": _q_json_props_stats,
+        "shortest_path": _q_shortest_path,
+        "hilbert_encode": _q_hilbert_encode,
+        "hilbert_decode": _q_hilbert_decode,
+        "sfc_locality": _q_sfc_locality,
+        "range_query_hilbert": _q_range_query_hilbert,
+        "corpus_temperature": _q_corpus_temperature,
+        "corpus_temperature_sample": _q_corpus_temperature_sample,
+        "keyword_search_bm25": _q_keyword_search_bm25,
+        "line_dedup": _q_line_dedup,
+        "quality_gate": _q_quality_gate,
+        "embedding_profile": _q_embedding_profile,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_knn_ivf": _q_embedding_knn_ivf,
+        "corpus_weighted_sample": _q_corpus_weighted_sample,
+        "shortest_path_weighted": _q_shortest_path_weighted,
+        "knn_hilbert": _q_knn_hilbert,
+        "embedding_knn_ivf_portable": _q_embedding_knn_ivf_portable,
+        "embedding_knn_ivf_full": _q_embedding_knn_ivf_full,
+        "dedup_semantic": _q_dedup_semantic,
+        "embedding_knn_clustered": _q_embedding_knn_clustered,
+        "stream_ingest_embeddings": _q_stream_ingest_embeddings,
+        "embedding_knn_lsh": _q_embedding_knn_lsh,
+        "polygon_query": _q_polygon_query,
+        "embedding_knn_quantized": _q_embedding_knn_quantized,
+        "embedding_knn_quantized_stored": _q_embedding_knn_quantized_stored,
+        "pii_scrub": _q_pii_scrub,
+        "winnow_fingerprint": _q_winnow_fingerprint,
+        "winnow_pairs": _q_winnow_pairs,
+        "corpus_budget": _q_corpus_budget,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "bytes_concat": _q_bytes_concat,
+        "stream_windowed": _q_stream_windowed,
+        "sessionize": _q_sessionize,
+        "interval_join": _q_interval_join,
+        "time_band_join": _q_time_band_join,
+        "grouped_histogram": _q_grouped_histogram,
     }
 
 

@@ -310,6 +310,11 @@ BENCH_KEYS = [
     "stream_dedup_ttl",
     "range_query_zonemap",
     "phrase_search",
+    "dedup_ttl_event",
+    "stream_dedup_ttl_event",
+    "doc_scan_zonemap",
+    "emb_scan_zonemap",
+    "stream_index_maintain",
 ]
 
 # entries whose execution includes scratch-layout materialization get one
