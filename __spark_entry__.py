@@ -1982,8 +1982,10 @@ def _q_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horizon-bounded (TTL) exact dedup (operators/dedup.py dedup_ttl):
     admit a document iff no same-fingerprint occurrence lies within the
     previous ttl arrival ticks, last-seen-renewal semantics (every
-    sighting — admitted or suppressed — renews the clock; the rule is
-    one lag over a per-fingerprint window). The unbounded-stream answer
+    sighting — admitted or suppressed — renews the clock). Since r14
+    the lag chain is tick-reduced + epoch-salted (the structural
+    hot-key guard: no window partition exceeds ttl+1 rows), an exact
+    re-plan of the oracle's plain lag rule. The unbounded-stream answer
     to the forever-growing exact seen-set: state is O(content in the
     horizon). Staged arrivals plant an inside-horizon re-send
     (suppressed) and a past-horizon re-send (re-admitted) of known

@@ -275,18 +275,23 @@ def test_decontaminate_bloom_plan_shape(spark, sf_dir):
     assert re.search(r"Join \[gh#\d+L?\]", plan) or "Join [gh" in plan, plan
 
 
-def test_dedup_ttl_single_exchange(spark, sf_dir):
-    """TTL dedup costs exactly ONE shuffle — the per-fingerprint window
-    partitioning; the filter and projection ride the window stage. (The
-    per-key payload is two longs, so even heavy-duplicate keys stream
-    through their window task.)"""
+def test_dedup_ttl_bounded_exchanges_with_partial_reduce(spark, sf_dir):
+    """r14 contract: the structural hot-key guard costs a BOUNDED number
+    of 8-byte-keyed exchanges — the (h, tick) reduce, the (h, epoch)
+    window, and the epoch-seed aggregate — bought for a hard per-task
+    bound (no window partition exceeds ttl+1 rows). The tick-reduce
+    must be a real aggregate with MAP-SIDE partials (partial_min_by
+    before its exchange), which is what collapses a same-tick flood
+    inside its input tasks."""
     from tiny_md_hbase_spark.operators import dedup as DD
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "arrival", F.col("doc_id") * 8
     )
     q = DD.dedup_ttl(docs, 64)
-    assert P.exchange_count(q) == 1
+    assert P.exchange_count(q) <= 3
+    plan = P.explain_str(q, "simple")
+    assert "partial_min_by" in plan, plan[:2000]
 
 
 def test_winnow_fingerprint_single_exchange(spark, sf_dir):
@@ -635,9 +640,16 @@ def test_triangle_count_no_cartesian_and_pruned_scan(spark, sf_dir):
 
 
 def test_dedup_edit_blocked_join_pruned_scan(spark, sf_dir):
-    """Candidates come from the gram-key equi-join (no cartesian); full
-    texts re-join only on doc_id hash joins; scan reads (doc_id, text)
-    only."""
+    """Candidates come from the gram blocks (no cartesian); full texts
+    re-join only on doc_id hash joins; scan reads (doc_id, text) only.
+    r14 plan contract: with the df cap in force the candidate stage is
+    the single-shuffle GROUPED form — collect_list per gram + bounded
+    double explode, NO join on the gram-hash column anywhere in the
+    plan (the old self-join planned the tokenize+md5 incidence subtree
+    twice with no ReusedExchange — the benchmark-drift root cause);
+    with max_gram_df=None the self-join form returns (an unbounded hub
+    gram must never collect into one row), and the gram join IS
+    present."""
     spark.catalog.clearCache()
     from tiny_md_hbase_spark.operators import dedup as D
 
@@ -648,6 +660,17 @@ def test_dedup_edit_blocked_join_pruned_scan(spark, sf_dir):
     assert all(
         "lang" not in s and "source" not in s for s in P.read_schemas(q)
     )
+    # capped form: no gram-keyed join ("...Join [h#..." covers
+    # SortMerge/BroadcastHash/ShuffledHash); the block aggregate exists
+    assert "collect_list" in plan
+    assert "Join [h#" not in plan, plan[:2000]
+    # uncapped form: the blocked self-join returns
+    q2 = D.dedup_edit(
+        load_table(spark, sf_dir, "documents"), max_gram_df=None
+    )
+    plan2 = P.explain_str(q2, "simple")
+    assert "collect_list" not in plan2
+    assert "CartesianProduct" not in plan2 and "NestedLoop" not in plan2
 
 
 def test_doc_containment_broadcast_is_conditional(spark, sf_dir):
