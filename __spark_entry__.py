@@ -210,6 +210,69 @@ def _q_emb_scan_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+REDACT_MOD = 97  # doc_id % 97 == 0 plays the takedown-request list
+
+
+def _q_corpus_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted delete-by-id over the primary-key corpus layout
+    (sources/writer.py write_documents_pk / redact_documents_pk) — the
+    beyond-parity operation the reference's API lacks entirely (no
+    delete anywhere, SURVEY §2.5) and every real training-data pipeline
+    needs: a takedown/GDPR request against a 100 TB corpus must rewrite
+    only the files whose zone-map id span contains a requested id,
+    leaving every other file's bytes untouched. Staging: the low-id
+    bulk is written pk-clustered, the high-id tail arrives through the
+    incremental append path (zone rows statted from ONLY the new
+    files), then the request list (doc_id % 97 == 0, collected
+    driver-side like a real request queue) is redacted. Returns the
+    surviving relation read back THROUGH the zone map's file list — so
+    the oracle (a NOT-IN filter) also proves the map stayed complete
+    across append and redact."""
+    import shutil
+    import tempfile
+
+    from tiny_md_hbase_spark.sources.writer import (
+        append_documents_pk,
+        redact_documents_pk,
+        write_documents_pk,
+        write_pk_zonemap,
+    )
+
+    d = tempfile.mkdtemp(prefix="redact_q_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        cut = docs.agg(
+            F.percentile_approx("doc_id", 0.8, 10000)
+        ).collect()[0][0]
+        write_documents_pk(
+            docs.filter(F.col("doc_id") <= cut), f"{d}/docs",
+            num_partitions=8,
+        )
+        write_pk_zonemap(spark, f"{d}/docs", f"{d}/zones")
+        append_documents_pk(
+            docs.filter(F.col("doc_id") > cut), f"{d}/docs", f"{d}/zones",
+            num_partitions=2,
+        )
+        ids = [
+            r.doc_id
+            for r in docs.filter(F.col("doc_id") % REDACT_MOD == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        redact_documents_pk(spark, f"{d}/docs", f"{d}/zones", ids)
+        zfiles = [
+            r.file
+            for r in spark.read.parquet(f"{d}/zones").select("file").collect()
+        ]
+        return (
+            spark.read.parquet(*zfiles)
+            .select("doc_id", "lang", "source", "n_chars")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_stream_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental text-index maintenance end-to-end
     (streaming/ingest.py stream_index_maintain — the r13 verdict's #1
@@ -3314,19 +3377,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-14 rotation (derived from CORRECTNESS_r01-r13 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-5: the five NEW r14 keys (dedup_ttl_event,
+    #   1-6: the six NEW r14 keys (corpus_redact, dedup_ttl_event,
     #   stream_dedup_ttl_event, doc_scan_zonemap, emb_scan_zonemap,
     #   stream_index_maintain) — rotation_audit invariant 1: new keys
     #   enter the window for their first driver verdict.
-    #   6-23: the ENTIRE 18-key r09 staleness cohort (sales_rollup ...
+    #   7-24: the ENTIRE 18-key r09 staleness cohort (sales_rollup ...
     #   stream_dedup) — the r13 verdict's Next-round #1; burning it
     #   lifts the out-of-window floor to r10.
-    #   24-50: the 27 oldest r10 keys per rotation_audit's printed
-    #   front (skyline ... embedding_knn_projected).
+    #   25-50: the 26 oldest r10 keys per rotation_audit's printed
+    #   front (skyline ... anomaly_zscore; embedding_knn_projected was
+    #   displaced by corpus_redact — it stays r10-verified and leads
+    #   the next rotation).
     # Below the marker: every remaining key by ascending last-verdict
     # round — verdict age stays monotone down the dict.
     return {
-        # -- r14 window 1-5: the five NEW keys needing first verdicts —
+        # -- r14 window 1-6: the six NEW keys needing first verdicts —
+        # targeted delete-by-id over the pk-clustered corpus layout
+        # (zone-map-pruned file rewrite — the delete the reference's
+        # API lacks entirely),
+        "corpus_redact": _q_corpus_redact,
         # the event-time TTL dedup pair (watermarked out-of-order
         # arrivals; drain + flush equals the batch operator on event
         # ticks), the corpus/embedding zone-map scans (file skipping
@@ -3388,8 +3457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_jsonl_roundtrip": _q_corpus_jsonl_roundtrip,
         "dedup_incremental": _q_dedup_incremental,
         "anomaly_zscore": _q_anomaly_zscore,
-        "embedding_knn_projected": _q_embedding_knn_projected,
         # ---- driver window ends here (first 50 keys) -------------------
+        # (embedding_knn_projected was displaced from the window tail by
+        # corpus_redact — it stays r10-verified and leads the next
+        # rotation)
+        "embedding_knn_projected": _q_embedding_knn_projected,
         # Below the marker: every remaining key by ascending last-verdict
         # round (r10 remainder, r11, r12, and the r13 window at the back)
         # — verdict age stays monotone down the dict.
@@ -4503,6 +4575,12 @@ def oracle_sql() -> dict[str, str]:
         # the maintained index's BM25 probe equals the scan form, whose
         # oracle therefore serves the whole ingest+maintain+query path
         "stream_index_maintain": TX.keyword_search_bm25_sql(),
+        # redaction leaves exactly the NOT-IN relation, read back through
+        # the zone map's file list (map completeness is part of the check)
+        "corpus_redact": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            f"WHERE doc_id % {REDACT_MOD} != 0"
+        ),
         "repetition_stats": TX.repetition_stats_sql(),
         "corpus_stratified": TX.corpus_stratified_sql(),
         "corpus_sample": (

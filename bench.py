@@ -315,6 +315,7 @@ BENCH_KEYS = [
     "doc_scan_zonemap",
     "emb_scan_zonemap",
     "stream_index_maintain",
+    "corpus_redact",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

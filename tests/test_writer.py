@@ -3,6 +3,7 @@ the parquet scan, and query equivalence on the materialized table."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -656,6 +657,87 @@ def test_embedding_zonemap_skips_files_and_stays_exact(spark, sf_dir):
             spark, f"{d}/emb", f"{d}/zones", c0, norm_sq_range=(2.0, 3.0)
         )
         assert none.count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_redact_documents_pk_targeted_rewrite(spark, sf_dir):
+    """The takedown contract on the pk-clustered layout: (a) only files
+    whose zone-map id span contains a requested id are rewritten —
+    every other file survives byte-identical (same name, same inode
+    content); (b) the surviving relation equals the NOT-IN filter;
+    (c) the zone map stays complete across the incremental append AND
+    the redact (read-through-map equals direct read); (d) a re-run
+    removes zero further rows and leaves the relation identical."""
+    import shutil
+
+    from tiny_md_hbase_spark.sources import load_table
+    from tiny_md_hbase_spark.sources.writer import (
+        append_documents_pk,
+        redact_documents_pk,
+        write_documents_pk,
+        write_pk_zonemap,
+    )
+
+    d = tempfile.mkdtemp(prefix="redact_t_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        cut = docs.agg(F.expr("percentile_approx(doc_id, 0.8, 10000)")).collect()[0][0]
+        write_documents_pk(
+            docs.filter(F.col("doc_id") <= cut), f"{d}/docs", num_partitions=8
+        )
+        write_pk_zonemap(spark, f"{d}/docs", f"{d}/zones")
+        n_mapped = append_documents_pk(
+            docs.filter(F.col("doc_id") > cut), f"{d}/docs", f"{d}/zones",
+            num_partitions=2,
+        )
+        assert n_mapped >= 1
+        # map complete after the append: every data file has a zone row
+        data_files = {
+            f for f in os.listdir(f"{d}/docs") if f.endswith(".parquet")
+        }
+        zoned = {
+            r.file.rsplit("/", 1)[-1]
+            for r in spark.read.parquet(f"{d}/zones").collect()
+        }
+        assert zoned == data_files
+
+        before = {
+            f: os.path.getmtime(f"{d}/docs/{f}") for f in data_files
+        }
+        # two low ids living in few files — the targeted case
+        ids = [r.doc_id for r in docs.orderBy("doc_id").limit(2).collect()]
+        res = redact_documents_pk(spark, f"{d}/docs", f"{d}/zones", ids)
+        assert res["rows_removed"] == 2
+        assert 0 < res["files_touched"] < res["files_total"]
+        after_files = {
+            f for f in os.listdir(f"{d}/docs") if f.endswith(".parquet")
+        }
+        survivors = set(before) & after_files
+        # untouched files: same mtime (bytes never rewritten)
+        assert len(survivors) == len(before) - res["files_touched"]
+        for f in survivors:
+            assert os.path.getmtime(f"{d}/docs/{f}") == before[f]
+
+        want = sorted(
+            r.doc_id
+            for r in docs.filter(~F.col("doc_id").isin(ids)).collect()
+        )
+        got = sorted(
+            r.doc_id for r in spark.read.parquet(f"{d}/docs").collect()
+        )
+        assert got == want
+        # zone map complete post-redact: read-through equals direct
+        zfiles = [r.file for r in spark.read.parquet(f"{d}/zones").collect()]
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(*zfiles).collect()
+        ) == want
+        # idempotent re-run: zero rows removed, relation unchanged
+        res2 = redact_documents_pk(spark, f"{d}/docs", f"{d}/zones", ids)
+        assert res2["rows_removed"] == 0
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(f"{d}/docs").collect()
+        ) == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -57,6 +57,10 @@ __all__ = [
     "write_embeddings_zoned",
     "write_embedding_zonemap",
     "emb_scan_zonemap",
+    "write_documents_pk",
+    "write_pk_zonemap",
+    "append_documents_pk",
+    "redact_documents_pk",
 ]
 
 
@@ -523,6 +527,178 @@ def emb_scan_zonemap(
             norm_sq_range[0], norm_sq_range[1]
         )
     ).select("vec_id", "label")
+
+
+def write_documents_pk(
+    documents: DataFrame, path: str, num_partitions: int | None = None
+) -> None:
+    """Primary-key corpus layout: documents range-clustered by doc_id —
+    each file holds a contiguous id span, the prerequisite for
+    TARGETED maintenance (redaction, point lookups by id) the same way
+    the z-table's key clustering is the prerequisite for rectangle
+    pruning. The reference has NO delete anywhere in its API
+    (SURVEY §2.5); this layout plus :func:`redact_documents_pk` is the
+    beyond-parity answer every real training-data pipeline needs (a
+    takedown/GDPR request against a 100 TB corpus must not cost a full
+    rewrite)."""
+    if num_partitions:
+        enc = documents.repartitionByRange(num_partitions, "doc_id")
+    else:
+        enc = documents.repartitionByRange("doc_id")
+    enc.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(path)
+
+
+PK_ZONE_SCHEMA = (
+    "file string, min_id long, max_id long, min_chars long, "
+    "max_chars long, n_rows long"
+)
+
+
+def _pk_file_stats(df: DataFrame) -> DataFrame:
+    return df.groupBy(F.input_file_name().alias("file")).agg(
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def write_pk_zonemap(
+    spark: SparkSession, docs_path: str, zones_path: str
+) -> None:
+    """Zone map for the primary-key corpus layout: per file, the doc_id
+    span (tight on the id-clustered layout — the pruning stat for
+    targeted redaction and id-range scans) plus the n_chars span and
+    row count. One map-side aggregation; metadata-sized at 100 TB."""
+    _pk_file_stats(spark.read.parquet(docs_path)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(zones_path)
+
+
+def append_documents_pk(
+    documents: DataFrame,
+    docs_path: str,
+    zones_path: str,
+    num_partitions: int | None = None,
+) -> int:
+    """Incremental maintenance of the pk layout + its zone map: append
+    the batch as new files, then stat ONLY the new files (set
+    difference of the directory listing against the zone table's file
+    list — never a table rescan) and append their zone rows. The
+    zone-map twin of the z-table's append path: ingest cost is
+    O(batch), and the map stays complete — a pruned scan that missed an
+    unmapped file would be a FALSE NEGATIVE, which the zone-map family
+    never produces. Appended files' id spans may overlap existing ones
+    (pruning degrades, exactly the z-span story) until a re-cluster +
+    :func:`write_pk_zonemap` rebuild. Returns the number of files
+    mapped."""
+    from tiny_md_hbase_spark.fsutil import fs_listdir
+
+    spark = documents.sparkSession
+    if num_partitions:
+        enc = documents.repartitionByRange(num_partitions, "doc_id")
+    else:
+        enc = documents.repartitionByRange("doc_id")
+    enc.sortWithinPartitions("doc_id").write.mode("append").parquet(docs_path)
+    known = {
+        r.file.rsplit("/", 1)[-1]
+        for r in spark.read.parquet(zones_path).select("file").collect()
+    }
+    new_files = [
+        f"{docs_path}/{name}"
+        for name in fs_listdir(spark, docs_path)
+        if name.endswith(".parquet") and name not in known
+    ]
+    if not new_files:
+        return 0
+    stats = _pk_file_stats(spark.read.parquet(*new_files)).localCheckpoint()
+    stats.coalesce(1).write.mode("append").parquet(zones_path)
+    return len(new_files)
+
+
+def redact_documents_pk(
+    spark: SparkSession,
+    docs_path: str,
+    zones_path: str,
+    doc_ids: list[int],
+) -> dict:
+    """TARGETED delete-by-id over the pk layout — rewrite ONLY the files
+    whose zone-map id span contains a target id; every other file's
+    bytes are untouched (its name, mtime, and stats survive verbatim).
+    The metadata-driven shape a takedown pipeline needs at 100 TB: k
+    requested ids touch at most k files on the id-clustered layout, so
+    the rewrite cost is O(k x file size), not O(corpus).
+
+    Mechanics per affected file: read it, anti-filter the target ids,
+    write the survivors out-of-place, then swap (delete the old file,
+    move the replacements in under unique names) and patch the zone
+    rows — drop the replaced files' rows, append the replacements'.
+    Single-writer maintenance op on plain parquet (the
+    compact_points_table caveat: production wraps the swap in a
+    transactional table format; the swap keeps every step restartable —
+    a re-run may rewrite files whose id SPAN still covers a target, but
+    removes zero rows and leaves the relation identical).
+    ``doc_ids`` is a driver-side request list (takedown
+    requests are metadata-sized; pass a few thousand at most — batch
+    larger sweeps through an anti-join rewrite instead). Returns
+    {files_total, files_touched, rows_removed}."""
+    from tiny_md_hbase_spark.fsutil import fs_rename, fs_rmtree
+
+    targets = sorted(set(int(i) for i in doc_ids))
+    zones = spark.read.parquet(zones_path).collect()
+    touched = [
+        z
+        for z in zones
+        if any(z.min_id <= i <= z.max_id for i in targets)
+    ]
+    out = {
+        "files_total": len(zones),
+        "files_touched": len(touched),
+        "rows_removed": 0,
+    }
+    if not touched:
+        return out
+    tfiles = [z.file for z in touched]
+    df = spark.read.parquet(*tfiles)
+    keep = df.filter(~F.col("doc_id").isin(targets))
+    n_before = sum(z.n_rows for z in touched)
+    tmp = f"{docs_path}_redacting"
+    keep.repartitionByRange(
+        max(1, len(tfiles)), "doc_id"
+    ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp)
+    # swap: move replacements in under unique names, drop the originals
+    from tiny_md_hbase_spark.fsutil import fs_listdir
+
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    moved = []
+    for i, name in enumerate(
+        sorted(
+            n for n in fs_listdir(spark, tmp) if n.endswith(".parquet")
+        )
+    ):
+        dest = f"{docs_path}/part-redact-{tag}-{i:05d}.parquet"
+        fs_rename(spark, f"{tmp}/{name}", dest)
+        moved.append(dest)
+    for z in touched:
+        fs_rmtree(spark, z.file)
+    fs_rmtree(spark, tmp)
+    # patch the zone table: untouched rows survive verbatim, replaced
+    # files' rows drop, replacement files' stats append
+    survivors = [z for z in zones if z.file not in set(tfiles)]
+    new_stats = (
+        _pk_file_stats(spark.read.parquet(*moved)).collect() if moved else []
+    )
+    rows = [tuple(z) for z in survivors] + [tuple(z) for z in new_stats]
+    spark.createDataFrame(rows, PK_ZONE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(zones_path)
+    out["rows_removed"] = int(
+        n_before - sum(r.n_rows for r in new_stats)
+    )
+    return out
 
 
 def term_bucket(term: str, num_buckets: int = 16) -> int:
