@@ -88,3 +88,38 @@ def test_cli_rank_and_gate(capsys, sf_dir):
     assert cli.main(["gate", corpus, "0.3"]) == 0
     out = capsys.readouterr().out
     assert "kept: " in out and "cutoff quality:" in out
+
+
+def test_cli_redact_verb(capsys, spark, sf_dir):
+    """The takedown verb over a pk-clustered corpus table: removes the
+    requested ids, rewrites only their files, leaves the relation equal
+    to the NOT-IN filter."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from tiny_md_hbase_spark.sources import load_table
+    from tiny_md_hbase_spark.sources.writer import (
+        write_documents_pk,
+        write_pk_zonemap,
+    )
+
+    d = _tf.mkdtemp(prefix="cli_redact_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        write_documents_pk(docs, f"{d}/docs", num_partitions=8)
+        write_pk_zonemap(spark, f"{d}/docs", f"{d}/zones")
+        ids = [r.doc_id for r in docs.orderBy("doc_id").limit(2).collect()]
+        assert cli.main(["redact", d] + [str(i) for i in ids]) == 0
+        out = capsys.readouterr().out
+        assert "removed 2 rows" in out
+        got = sorted(
+            r.doc_id for r in spark.read.parquet(f"{d}/docs").collect()
+        )
+        want = sorted(
+            r.doc_id
+            for r in docs.filter(~F.col("doc_id").isin(ids)).collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -2658,6 +2658,115 @@ def test_index_maintain_batch_replay_and_modulus_guard(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_compact_maintained_index_graduates_to_static_layout(spark, sf_dir):
+    """End of the incremental index lifecycle: after a drain, the
+    maintained batch tree graduates into the one-shot static layout and
+    the EXISTING static readers (keyword / BM25 / phrase over
+    bucket-partition pruning) return exactly the maintained readers'
+    rows."""
+    from tiny_md_hbase_spark.sources.writer import (
+        keyword_search_bm25_indexed,
+        keyword_search_indexed,
+        phrase_search_positional,
+        write_meta_row,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="sidxg_")
+    try:
+        write_meta_row(
+            spark, f"{d}/idx/_index_meta", [("num_buckets", 16, "int")]
+        )
+        ING.index_maintain_batch(
+            docs.filter(F.col("doc_id") % 2 == 0), 0, f"{d}/idx", 16,
+            compact_every=1,
+        )
+        ING.index_maintain_batch(
+            docs.filter(F.col("doc_id") % 2 == 1), 1, f"{d}/idx", 16,
+        )
+        n = ING.compact_maintained_index(spark, f"{d}/idx", f"{d}/static")
+        assert n > 0
+        kw_s = [
+            (r.doc_id, r.score)
+            for r in keyword_search_indexed(spark, f"{d}/static").collect()
+        ]
+        kw_m = [
+            (r.doc_id, r.score)
+            for r in ING.keyword_search_maintained(spark, f"{d}/idx").collect()
+        ]
+        assert kw_s == kw_m and len(kw_s) > 0
+        bm_s = [
+            (r.doc_id, r.bm25)
+            for r in keyword_search_bm25_indexed(spark, f"{d}/static").collect()
+        ]
+        bm_m = [
+            (r.doc_id, r.bm25)
+            for r in ING.keyword_search_bm25_maintained(
+                spark, f"{d}/idx"
+            ).collect()
+        ]
+        assert bm_s == bm_m and len(bm_s) > 0
+        ph = ("data", "stream", "vector")
+        ph_s = [
+            (r.doc_id, r.n_hits)
+            for r in phrase_search_positional(
+                spark, f"{d}/static", phrase=ph
+            ).collect()
+        ]
+        ph_m = [
+            (r.doc_id, r.n_hits)
+            for r in ING.phrase_search_maintained(
+                spark, f"{d}/idx", phrase=ph
+            ).collect()
+        ]
+        assert ph_s == ph_m and len(ph_s) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_ingest_documents_pk_zone_map_complete(spark, sf_dir):
+    """Streaming corpus ingest into the pk layout: after a 4-batch
+    drain the relation equals the source, every data file has a zone
+    row (the map never produces false negatives), and targeted
+    redaction works directly on the streamed table."""
+    import glob
+
+    from tiny_md_hbase_spark.sources.writer import redact_documents_pk
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="spk_")
+    try:
+        docs.repartitionByRange(4, "doc_id").write.parquet(f"{d}/src")
+        parts = sorted(glob.glob(f"{d}/src/part-*"))
+        t0 = os.stat(parts[0]).st_mtime
+        for i, p in enumerate(parts):
+            os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+        q = ING.stream_ingest_documents_pk(
+            spark, f"{d}/src", f"{d}/t", f"{d}/ckpt", num_partitions=2,
+            available_now=True, max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        got = sorted(
+            r.doc_id for r in spark.read.parquet(f"{d}/t/docs").collect()
+        )
+        want = sorted(r.doc_id for r in docs.collect())
+        assert got == want
+        data_files = {
+            f for f in os.listdir(f"{d}/t/docs") if f.endswith(".parquet")
+        }
+        zoned = {
+            r.file.rsplit("/", 1)[-1]
+            for r in spark.read.parquet(f"{d}/t/zones").collect()
+        }
+        assert zoned == data_files
+        ids = want[:2]
+        res = redact_documents_pk(spark, f"{d}/t/docs", f"{d}/t/zones", ids)
+        assert res["rows_removed"] == 2
+        assert res["files_touched"] < res["files_total"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # --- r14: event-time TTL dedup (watermarked) --------------------------------
 
 _TTLE_SCHEMA = _DOCS_SCHEMA + ", event_ts long"

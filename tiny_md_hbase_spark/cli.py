@@ -21,6 +21,7 @@ same way):
     python -m tiny_md_hbase_spark.cli gate    <corpus_dir> <keep_frac>
     python -m tiny_md_hbase_spark.cli dedup   <corpus_dir>
     python -m tiny_md_hbase_spark.cli export  <corpus_dir> <out_dir>
+    python -m tiny_md_hbase_spark.cli redact  <pk_table_dir> <doc_id> [doc_id ...]
 
 Differences from the reference CLI, on purpose:
 - ``knn`` exists as a verb (the reference implements kNN but never wires
@@ -66,7 +67,7 @@ def main(argv: list[str] | None = None) -> int:
     verb, *args = argv
     if verb not in {
         "create", "put", "get", "count", "range", "knn", "index", "drop",
-        "search", "rank", "quality", "gate", "dedup", "export",
+        "search", "rank", "quality", "gate", "dedup", "export", "redact",
     }:
         print(USAGE)
         return 2
@@ -175,6 +176,24 @@ def main(argv: list[str] | None = None) -> int:
             docs = spark.read.parquet(path)
             write_jsonl_corpus(docs, out, n_shards=8)
             print(f"exported {docs.count()} docs to {out}")
+        elif verb == "redact":
+            # takedown verb over a pk-clustered corpus table directory
+            # ({dir}/docs + {dir}/zones, write_documents_pk layout):
+            # rewrites only the files whose zone-map id span holds a
+            # requested id — the delete the reference CLI never had
+            path, *ids = args
+            from tiny_md_hbase_spark.sources.writer import (
+                redact_documents_pk,
+            )
+
+            res = redact_documents_pk(
+                spark, f"{path}/docs", f"{path}/zones",
+                [int(i) for i in ids],
+            )
+            print(
+                f"removed {res['rows_removed']} rows, rewrote "
+                f"{res['files_touched']}/{res['files_total']} files"
+            )
         elif verb == "index":
             (path,) = args
             idx = spark.read.parquet(f"{path}/index")

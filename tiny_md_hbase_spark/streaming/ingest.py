@@ -73,6 +73,8 @@ __all__ = [
     "keyword_search_maintained",
     "keyword_search_bm25_maintained",
     "phrase_search_maintained",
+    "compact_maintained_index",
+    "stream_ingest_documents_pk",
     "stream_ingest_embeddings",
     "stream_manifest",
     "merge_manifest_batch",
@@ -2532,6 +2534,109 @@ def phrase_search_maintained(
     if idx is None:
         return spark.createDataFrame([], "doc_id long, n_hits long")
     return phrase_rank_postings(idx, qs, k)
+
+
+def compact_maintained_index(
+    spark: SparkSession, index_path: str, static_path: str
+) -> int:
+    """GRADUATE a stream-maintained index into the one-shot static
+    layout — the end of the incremental index's lifecycle (the HBase
+    memstore→HFile major-compaction analog, and the reference's
+    split-maintenance end state): the batch-tree postings fold into a
+    ``bucket=N/``-partitioned table identical in shape to
+    ``writer.write_positional_index``'s output, with ``_index_meta``
+    and the ``_doc_lens`` side table, so the EXISTING static readers
+    (``keyword_search_indexed`` / ``keyword_search_bm25_indexed`` /
+    ``phrase_search_positional``) serve it directly with partition
+    pruning instead of batch-tree path selection. Write parallelism is
+    the one-shot build's (cluster-width salt on (bucket, crc32(term)));
+    the maintained tree is left untouched (the stream may keep
+    appending — re-graduate later for a fresher static snapshot).
+    Returns the number of posting rows graduated."""
+    from tiny_md_hbase_spark.sources.writer import write_meta_row
+
+    num_buckets = int(
+        spark.read.parquet(f"{index_path}/_index_meta").first().num_buckets
+    )
+    postings = _read_state(
+        spark,
+        f"{index_path}/postings",
+        -1,
+        MAINT_POSTINGS_SCHEMA,
+        ["term", "doc_id", "positions", "tf", "bucket"],
+    )
+    lens = _read_state(
+        spark,
+        f"{index_path}/_doc_lens",
+        -1,
+        MAINT_DOC_LENS_SCHEMA,
+        ["doc_id", "dl"],
+    )
+    if postings is None or lens is None:
+        raise ValueError(
+            f"maintained index at {index_path} holds no postings yet — "
+            "drain the stream before graduating it"
+        )
+    para = max(spark.sparkContext.defaultParallelism, num_buckets)
+    postings.repartition(para, "bucket", F.crc32("term")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(static_path)
+    write_meta_row(
+        spark, f"{static_path}/_index_meta",
+        [("num_buckets", num_buckets, "int")],
+    )
+    lens.write.mode("overwrite").parquet(f"{static_path}/_doc_lens")
+    return spark.read.parquet(static_path).count()
+
+
+def stream_ingest_documents_pk(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    num_partitions: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming ingest into the primary-key corpus layout with its
+    zone map maintained per batch — the documents-table member of the
+    route-on-arrival family (points → z-table, embeddings → clustered
+    ANN, postings → maintained index, and now the corpus itself): each
+    micro-batch appends id-clustered files and stats ONLY those new
+    files into the zone map (``writer.append_documents_pk``), so
+    targeted redaction and id-span pruning stay available on a table
+    that never stops growing. Replay semantics are
+    :func:`stream_ingest_points`'s: at-least-once (a replayed batch
+    re-appends; the directory shape is itself the product — production
+    closes this with a transactional table format)."""
+    from tiny_md_hbase_spark.sources.writer import (
+        append_documents_pk,
+        write_documents_pk,
+        write_pk_zonemap,
+    )
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    docs_path = f"{table_path}/docs"
+    zones_path = f"{table_path}/zones"
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if not fs_exists(spark, f"{zones_path}/_SUCCESS"):
+            write_documents_pk(batch, docs_path, num_partitions)
+            write_pk_zonemap(spark, docs_path, zones_path)
+        else:
+            append_documents_pk(batch, docs_path, zones_path, num_partitions)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 SCD2_OUT_SCHEMA = (
