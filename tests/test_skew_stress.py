@@ -279,3 +279,52 @@ def test_embedding_lsh_collapse_and_cap(spark):
     uncapped = dedup_embedding_lsh(embs, max_bucket_width=None)
     near_u = uncapped.filter((F.col("vec_a") >= 1000) & (F.col("vec_b") >= 1000))
     assert near_u.count() == n_near * (n_near - 1) // 2
+
+
+def test_dedup_ttl_hot_key_bound_and_exactness(spark):
+    """r14 TTL hot-key guard under the skew fixture's regime: ONE
+    content supplies 90% of arrivals spread over renewal-chain ticks.
+    The structural bound must hold (no (h, epoch) window partition
+    above ttl+1 rows post tick-reduce) and the guarded operator must
+    equal the plain global-lag rule — the committed in-suite form of
+    scripts/scale_ttl.py's skew probe."""
+    from tiny_md_hbase_spark.operators import dedup as D
+
+    ttl = 50
+    rows = []
+    for i in range(N_DOCS):
+        if i % 10 != 0:
+            rows.append(
+                (i, "one hot boilerplate string", "en", "s", 26, i * 3)
+            )
+        else:
+            rows.append((i, f"fresh body {i}", "en", "s", 13, i * 3 + 1))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, arrival long",
+    ).localCheckpoint()
+    got = sorted(
+        (r.doc_id, r.arrival) for r in D.dedup_ttl(df, ttl).collect()
+    )
+    w = Window.partitionBy("h").orderBy("arrival", "doc_id")
+    ref = (
+        df.withColumn("h", D._content_fp("text"))
+        .withColumn("_prev", F.lag("arrival").over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col("arrival") - F.col("_prev") > ttl)
+        )
+    )
+    assert got == sorted((r.doc_id, r.arrival) for r in ref.collect())
+    reduced = (
+        df.withColumn("h", D._content_fp("text"))
+        .groupBy("h", F.col("arrival").alias("_arr"))
+        .count()
+    )
+    mx = (
+        reduced.groupBy("h", D._ttl_floor_epoch("_arr", ttl + 1).alias("_ep"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert mx <= ttl + 1
