@@ -641,37 +641,46 @@ def redact_documents_pk(
     removes zero rows and leaves the relation identical).
     ``doc_ids`` is a driver-side request list (takedown
     requests are metadata-sized; pass a few thousand at most — batch
-    larger sweeps through an anti-join rewrite instead). Returns
+    larger sweeps through an anti-join rewrite instead). Only the
+    TOUCHED files' zone rows ever reach the driver: the span probe is a
+    broadcast range join against the zone table and the zone-table
+    patch is a distributed anti-join + union, so a million-file table
+    costs the driver O(touched + targets), never O(files). Returns
     {files_total, files_touched, rows_removed}."""
-    from tiny_md_hbase_spark.fsutil import fs_rename, fs_rmtree
+    import uuid
+
+    from tiny_md_hbase_spark.fsutil import fs_listdir, fs_rename, fs_rmtree
 
     targets = sorted(set(int(i) for i in doc_ids))
-    zones = spark.read.parquet(zones_path).collect()
-    touched = [
-        z
-        for z in zones
-        if any(z.min_id <= i <= z.max_id for i in targets)
-    ]
+    zones_df = spark.read.parquet(zones_path)
+    targets_df = spark.createDataFrame([(i,) for i in targets], "id long")
+    touched = (
+        zones_df.alias("z")
+        .join(
+            F.broadcast(targets_df).alias("t"),
+            (F.col("t.id") >= F.col("z.min_id"))
+            & (F.col("t.id") <= F.col("z.max_id")),
+            "left_semi",
+        )
+        .collect()
+    )
     out = {
-        "files_total": len(zones),
+        "files_total": zones_df.count(),
         "files_touched": len(touched),
         "rows_removed": 0,
     }
     if not touched:
         return out
     tfiles = [z.file for z in touched]
-    df = spark.read.parquet(*tfiles)
-    keep = df.filter(~F.col("doc_id").isin(targets))
+    keep = spark.read.parquet(*tfiles).filter(
+        ~F.col("doc_id").isin(targets)
+    )
     n_before = sum(z.n_rows for z in touched)
     tmp = f"{docs_path}_redacting"
     keep.repartitionByRange(
         max(1, len(tfiles)), "doc_id"
     ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp)
     # swap: move replacements in under unique names, drop the originals
-    from tiny_md_hbase_spark.fsutil import fs_listdir
-
-    import uuid
-
     tag = uuid.uuid4().hex[:8]
     moved = []
     for i, name in enumerate(
@@ -685,19 +694,24 @@ def redact_documents_pk(
     for z in touched:
         fs_rmtree(spark, z.file)
     fs_rmtree(spark, tmp)
-    # patch the zone table: untouched rows survive verbatim, replaced
-    # files' rows drop, replacement files' stats append
-    survivors = [z for z in zones if z.file not in set(tfiles)]
+    # patch the zone table distributively: untouched rows survive
+    # verbatim (anti-join on the touched file list), replacement files'
+    # stats append; materialize before overwriting the table being read
+    tfiles_df = spark.createDataFrame(
+        [(f,) for f in tfiles], "file string"
+    )
+    survivors = zones_df.join(F.broadcast(tfiles_df), "file", "left_anti")
     new_stats = (
-        _pk_file_stats(spark.read.parquet(*moved)).collect() if moved else []
+        _pk_file_stats(spark.read.parquet(*moved)).localCheckpoint()
+        if moved
+        else spark.createDataFrame([], PK_ZONE_SCHEMA)
     )
-    rows = [tuple(z) for z in survivors] + [tuple(z) for z in new_stats]
-    spark.createDataFrame(rows, PK_ZONE_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(zones_path)
-    out["rows_removed"] = int(
-        n_before - sum(r.n_rows for r in new_stats)
-    )
+    patched = survivors.unionByName(new_stats).localCheckpoint()
+    patched.coalesce(1).write.mode("overwrite").parquet(zones_path)
+    n_after = (
+        new_stats.agg(F.sum("n_rows")).collect()[0][0] if moved else 0
+    ) or 0
+    out["rows_removed"] = int(n_before - n_after)
     return out
 
 
