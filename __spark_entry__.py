@@ -1754,6 +1754,17 @@ def _q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.lm_bigram_score(load_table(spark, sf_dir, "documents"))
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PMI collocations (operators/text.py collocations): adjacent
+    token pairs ranked by ASSOCIATION, not frequency — the lift ratio
+    c_ab/(c_a*c_b) ranks identically to PMI on a fixed corpus and is
+    computed as an exact integer (DECIMAL(38,0) div on Spark, HUGEINT //
+    on DuckDB), so no float or libm log ever enters the ordering. The
+    min-count guard kills the hapax-pair degeneracy; the top-k is
+    TakeOrderedAndProject over vocabulary-joined pair counts."""
+    return TX.collocations(load_table(spark, sf_dir, "documents"))
+
+
 def _q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only resize planning (operators/multimodal.py resize_meta)
     — pure JVM Column math, now ORACLE-checked: the media metadata is
@@ -3377,17 +3388,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-14 rotation (derived from CORRECTNESS_r01-r13 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-6: the six NEW r14 keys (corpus_redact, dedup_ttl_event,
-    #   stream_dedup_ttl_event, doc_scan_zonemap, emb_scan_zonemap,
-    #   stream_index_maintain) — rotation_audit invariant 1: new keys
-    #   enter the window for their first driver verdict.
-    #   7-24: the ENTIRE 18-key r09 staleness cohort (sales_rollup ...
+    #   1-7: the seven NEW r14 keys (corpus_redact, collocations,
+    #   dedup_ttl_event, stream_dedup_ttl_event, doc_scan_zonemap,
+    #   emb_scan_zonemap, stream_index_maintain) — rotation_audit
+    #   invariant 1: new keys enter the window for their first driver
+    #   verdict.
+    #   8-25: the ENTIRE 18-key r09 staleness cohort (sales_rollup ...
     #   stream_dedup) — the r13 verdict's Next-round #1; burning it
     #   lifts the out-of-window floor to r10.
-    #   25-50: the 26 oldest r10 keys per rotation_audit's printed
-    #   front (skyline ... anomaly_zscore; embedding_knn_projected was
-    #   displaced by corpus_redact — it stays r10-verified and leads
-    #   the next rotation).
+    #   26-50: the 25 oldest r10 keys per rotation_audit's printed
+    #   front (skyline ... dedup_incremental; anomaly_zscore and
+    #   embedding_knn_projected were displaced by the two newest keys —
+    #   they stay r10-verified and lead the next rotation).
     # Below the marker: every remaining key by ascending last-verdict
     # round — verdict age stays monotone down the dict.
     return {
@@ -3396,6 +3408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (zone-map-pruned file rewrite — the delete the reference's
         # API lacks entirely),
         "corpus_redact": _q_corpus_redact,
+        # PMI collocations — association-ranked adjacent pairs under an
+        # exact integer lift score (no float in the ordering)
+        "collocations": _q_collocations,
         # the event-time TTL dedup pair (watermarked out-of-order
         # arrivals; drain + flush equals the batch operator on event
         # ticks), the corpus/embedding zone-map scans (file skipping
@@ -3458,9 +3473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "anomaly_zscore": _q_anomaly_zscore,
         # ---- driver window ends here (first 50 keys) -------------------
-        # (embedding_knn_projected was displaced from the window tail by
-        # corpus_redact — it stays r10-verified and leads the next
-        # rotation)
+        # (anomaly_zscore and embedding_knn_projected were displaced
+        # from the window tail by corpus_redact and collocations — they
+        # stay r10-verified and lead the next rotation)
+        "anomaly_zscore": _q_anomaly_zscore,
         "embedding_knn_projected": _q_embedding_knn_projected,
         # Below the marker: every remaining key by ascending last-verdict
         # round (r10 remainder, r11, r12, and the r13 window at the back)
@@ -4581,6 +4597,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source, n_chars FROM documents "
             f"WHERE doc_id % {REDACT_MOD} != 0"
         ),
+        "collocations": TX.collocations_sql(),
         "repetition_stats": TX.repetition_stats_sql(),
         "corpus_stratified": TX.corpus_stratified_sql(),
         "corpus_sample": (

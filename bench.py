@@ -316,6 +316,7 @@ BENCH_KEYS = [
     "emb_scan_zonemap",
     "stream_index_maintain",
     "corpus_redact",
+    "collocations",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

@@ -897,6 +897,53 @@ def test_dedup_ttl_epoch_salt_equals_plain_lag(spark):
     assert mx <= ttl + 1
 
 
+def test_dedup_ttl_salt_randomized_equivalence(spark):
+    """Randomized adversary for the tick-reduce + epoch-salt re-plan:
+    seeded random arrival multisets (heavy tick collisions, clustered
+    bursts, wide gaps) across several ttl values INCLUDING the ttl=0
+    (every epoch one tick wide) and ttl=1 boundaries — the guarded
+    operator must equal the plain global-lag rule on every draw."""
+    import random
+
+    from pyspark.sql import Window
+
+    from tiny_md_hbase_spark.operators import dedup as D
+
+    rng = random.Random(20260816)
+    for case in range(4):
+        ttl = [0, 1, 7, 40][case]
+        rows = []
+        did = 0
+        for content in range(6):
+            n = rng.randrange(3, 40)
+            t = 0
+            for _ in range(n):
+                # bursts (same tick), crawl gaps, occasional big jumps
+                t += rng.choice([0, 0, 1, 2, ttl, ttl + 1, 3 * ttl + 5])
+                did += 1
+                rows.append(
+                    (did, f"content {content}", "en", "s", 9, t)
+                )
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long, arrival long"
+        )
+        got = sorted(
+            (r.doc_id, r.arrival) for r in D.dedup_ttl(df, ttl).collect()
+        )
+        w = Window.partitionBy("h").orderBy("arrival", "doc_id")
+        ref = (
+            df.withColumn("h", D._content_fp("text"))
+            .withColumn("_prev", F.lag("arrival").over(w))
+            .filter(
+                F.col("_prev").isNull()
+                | (F.col("arrival") - F.col("_prev") > ttl)
+            )
+        )
+        want = sorted((r.doc_id, r.arrival) for r in ref.collect())
+        assert got == want, f"ttl={ttl} diverged"
+
+
 def test_embedding_knn_ivf_portable_pipeline(embs):
     """Fixed-centroid IVF twin: deterministic, bounded candidate set, and
     widening the probe to every cluster recovers the exact top-k (IVF
@@ -2516,3 +2563,39 @@ def test_phrase_search_indexed_equals_scan(spark, sf_dir):
         assert "In(term," in plan or "In(term ," in plan, plan
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_collocations_association_beats_frequency(spark):
+    """A planted pair whose parts NEVER occur apart must out-rank a more
+    frequent pair of independently common words (association vs raw
+    frequency — BPE pair counts would rank them the other way);
+    hapax pairs are excluded by the min-count guard; the score is an
+    exact integer in both engines' semantics (truncating division on
+    positive values)."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    filler = "the data the table the data the table the stream"
+    rows = []
+    for i in range(40):
+        txt = filler
+        if i % 4 == 0:
+            txt += " hong kong"            # exclusive pair, 10 occurrences
+        if i == 0:
+            txt += " unique hapax"         # 1 occurrence: guarded away
+        rows.append((i, txt, "en", "s", len(txt)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    out = TX.collocations(docs, k=10, min_count=2).collect()
+    ranked = [(r.term_a, r.term_b) for r in out]
+    assert ranked[0] == ("hong", "kong")
+    assert ("unique", "hapax") not in ranked
+    # 'the data' is far more frequent but its parts are everywhere: it
+    # must rank below the exclusive pair
+    top = {(r.term_a, r.term_b): r.lift_score for r in out}
+    assert top[("hong", "kong")] > top.get(("the", "data"), 0)
+    # deterministic across runs
+    again = [(r.term_a, r.term_b, r.lift_score)
+             for r in TX.collocations(docs, k=10, min_count=2).collect()]
+    assert again == [(r.term_a, r.term_b, r.lift_score) for r in out]

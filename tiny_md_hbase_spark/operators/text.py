@@ -79,6 +79,8 @@ __all__ = [
     "line_dedup_sql",
     "lm_bigram_score",
     "lm_bigram_score_sql",
+    "collocations",
+    "collocations_sql",
     "gopher_quality",
     "gopher_quality_sql",
     "GOPHER_STOPWORDS",
@@ -2326,6 +2328,109 @@ def lm_bigram_score_sql() -> str:
 
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+COLLOC_MIN_COUNT = 5
+COLLOC_LIFT_SCALE = 1_000_000_000_000  # 1e12: integer lift resolution
+
+
+def collocations(
+    documents: DataFrame,
+    k: int = 20,
+    min_count: int = COLLOC_MIN_COUNT,
+) -> DataFrame:
+    """Top-k collocations (PMI-ranked adjacent token pairs) — the
+    classic corpus-linguistics signal (fixed phrases, named entities,
+    boilerplate constructions surface first) and the tokenizer-merge
+    shortlist's statistical cousin (BPE's pair counts rank by raw
+    frequency; PMI ranks by ASSOCIATION, surfacing pairs whose parts
+    rarely occur apart). Returns (term_a, term_b, n_pair, lift_score),
+    (lift_score desc, term_a, term_b) order, top-k among pairs with
+    ``n_pair >= min_count`` (the standard low-count PMI guard —
+    hapax pairs otherwise dominate any PMI ranking).
+
+    Cross-engine determinism without logs: PMI = ln(p_ab/(p_a·p_b))
+    ranks identically to the LIFT ratio c_ab/(c_a·c_b) on a fixed
+    corpus (the normalizers are pair-independent constants and ln is
+    monotone), so the score is the exact INTEGER
+    ``c_ab·SCALE div (c_a·c_b)`` — DECIMAL(38,0) arithmetic on Spark,
+    HUGEINT on DuckDB, truncating division on positive values in both —
+    and no float (or libm ln) ever enters the ordering. Truncation
+    ties break on the pair itself (a total order).
+
+    100 TB shape: one corpus explode for pairs, one for unigrams
+    (both map-side-partial count aggregates; the pair aggregate's
+    ``HAVING >= min_count`` prunes the long tail before any join);
+    the two unigram joins key on vocabulary-sized relations (AQE
+    broadcasts them); the final top-k is TakeOrderedAndProject."""
+    lt = F.transform(tokens("text"), lambda t: F.lower(t))
+    d = documents.select(lt.alias("lt"))
+    pair_structs = F.when(
+        F.size("lt") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("lt") - 2),
+            lambda i: F.struct(
+                F.element_at("lt", i + 1).alias("a"),
+                F.element_at("lt", i + 2).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = d.select(F.explode(pair_structs).alias("p")).select("p.a", "p.b")
+    uni = d.select(F.explode("lt").alias("w")).groupBy("w").agg(
+        F.count("*").alias("cw")
+    )
+    big = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= min_count)
+    )
+    j = (
+        big.join(
+            uni.select(F.col("w").alias("a"), F.col("cw").alias("ca")), "a"
+        )
+        .join(
+            uni.select(F.col("w").alias("b"), F.col("cw").alias("cb")), "b"
+        )
+    )
+    score = F.expr(
+        f"CAST(cab AS DECIMAL(38,0)) * {COLLOC_LIFT_SCALE} div "
+        "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))"
+    )
+    return (
+        j.select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            F.col("cab").cast("long").alias("n_pair"),
+            score.cast("long").alias("lift_score"),
+        )
+        .orderBy(F.desc("lift_score"), "term_a", "term_b")
+        .limit(k)
+    )
+
+
+def collocations_sql(
+    k: int = 20, min_count: int = COLLOC_MIN_COUNT
+) -> str:
+    """DuckDB twin of :func:`collocations` — same adjacent pairs, same
+    min-count guard, same HUGEINT truncating-division lift."""
+    return (
+        "WITH d AS (SELECT "
+        f"list_transform({tokens_sql('text')}, t -> lower(t)) AS lt "
+        "FROM documents), "
+        "p AS (SELECT lt[u.i + 1] AS a, lt[u.i + 2] AS b "
+        "FROM d, unnest(range(len(lt) - 1)) AS u(i) WHERE len(lt) >= 2), "
+        "uni AS (SELECT w, count(*) AS cw FROM "
+        "(SELECT unnest(lt) AS w FROM d) GROUP BY 1), "
+        "big AS (SELECT a, b, count(*) AS cab FROM p GROUP BY 1, 2 "
+        f"HAVING count(*) >= {min_count}), "
+        "j AS (SELECT a, b, cab, ua.cw AS ca, ub.cw AS cb FROM big "
+        "JOIN uni ua ON big.a = ua.w JOIN uni ub ON big.b = ub.w) "
+        "SELECT a AS term_a, b AS term_b, CAST(cab AS BIGINT) AS n_pair, "
+        f"CAST(CAST(cab AS HUGEINT) * {COLLOC_LIFT_SCALE} // "
+        "(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT)) AS BIGINT) "
+        "AS lift_score "
+        f"FROM j ORDER BY lift_score DESC, term_a, term_b LIMIT {k}"
+    )
 
 
 def gopher_quality(documents: DataFrame) -> DataFrame:
