@@ -1765,6 +1765,18 @@ def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.collocations(load_table(spark, sf_dir, "documents"))
 
 
+def _q_quality_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-quantile quality gate (operators/text.py
+    quality_gate_by_source): every source keeps its own top
+    ceil(n_source * 0.3) by (quality desc, doc_id) — the
+    diversity-preserving form of the global gate (one high-quality
+    source can no longer crowd other domains out of the mix). Same
+    bounded-cardinality histogram selection, grouped on (source,
+    quality): windows run over score CLASSES per source, never
+    documents; only each source's boundary class ranks members."""
+    return TX.quality_gate_by_source(load_table(spark, sf_dir, "documents"))
+
+
 def _q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only resize planning (operators/multimodal.py resize_meta)
     — pure JVM Column math, now ORACLE-checked: the media metadata is
@@ -3388,18 +3400,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-14 rotation (derived from CORRECTNESS_r01-r13 by
     # scripts/rotation_audit.py — run it when planning the next one).
     # Window composition (50):
-    #   1-7: the seven NEW r14 keys (corpus_redact, collocations,
-    #   dedup_ttl_event, stream_dedup_ttl_event, doc_scan_zonemap,
-    #   emb_scan_zonemap, stream_index_maintain) — rotation_audit
-    #   invariant 1: new keys enter the window for their first driver
-    #   verdict.
-    #   8-25: the ENTIRE 18-key r09 staleness cohort (sales_rollup ...
+    #   1-8: the eight NEW r14 keys (corpus_redact, collocations,
+    #   quality_gate_by_source, dedup_ttl_event, stream_dedup_ttl_event,
+    #   doc_scan_zonemap, emb_scan_zonemap, stream_index_maintain) —
+    #   rotation_audit invariant 1: new keys enter the window for their
+    #   first driver verdict.
+    #   9-26: the ENTIRE 18-key r09 staleness cohort (sales_rollup ...
     #   stream_dedup) — the r13 verdict's Next-round #1; burning it
     #   lifts the out-of-window floor to r10.
-    #   26-50: the 25 oldest r10 keys per rotation_audit's printed
-    #   front (skyline ... dedup_incremental; anomaly_zscore and
-    #   embedding_knn_projected were displaced by the two newest keys —
-    #   they stay r10-verified and lead the next rotation).
+    #   27-50: the 24 oldest r10 keys per rotation_audit's printed
+    #   front (skyline ... corpus_jsonl_roundtrip; dedup_incremental,
+    #   anomaly_zscore and embedding_knn_projected were displaced by
+    #   the newest keys — they stay r10-verified and lead the next
+    #   rotation).
     # Below the marker: every remaining key by ascending last-verdict
     # round — verdict age stays monotone down the dict.
     return {
@@ -3411,6 +3424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PMI collocations — association-ranked adjacent pairs under an
         # exact integer lift score (no float in the ordering)
         "collocations": _q_collocations,
+        # per-source exact-quantile gate (grouped histogram selection)
+        "quality_gate_by_source": _q_quality_gate_by_source,
         # the event-time TTL dedup pair (watermarked out-of-order
         # arrivals; drain + flush equals the batch operator on event
         # ticks), the corpus/embedding zone-map scans (file skipping
@@ -3474,8 +3489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": _q_anomaly_zscore,
         # ---- driver window ends here (first 50 keys) -------------------
         # (anomaly_zscore and embedding_knn_projected were displaced
-        # from the window tail by corpus_redact and collocations — they
-        # stay r10-verified and lead the next rotation)
+        # from the window tail by the newest r14 keys — they stay
+        # r10-verified and lead the next rotation)
+        "dedup_incremental": _q_dedup_incremental,
         "anomaly_zscore": _q_anomaly_zscore,
         "embedding_knn_projected": _q_embedding_knn_projected,
         # Below the marker: every remaining key by ascending last-verdict
@@ -4598,6 +4614,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE doc_id % {REDACT_MOD} != 0"
         ),
         "collocations": TX.collocations_sql(),
+        "quality_gate_by_source": TX.quality_gate_by_source_sql(),
         "repetition_stats": TX.repetition_stats_sql(),
         "corpus_stratified": TX.corpus_stratified_sql(),
         "corpus_sample": (

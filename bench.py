@@ -317,6 +317,7 @@ BENCH_KEYS = [
     "stream_index_maintain",
     "corpus_redact",
     "collocations",
+    "quality_gate_by_source",
 ]
 
 # entries whose execution includes scratch-layout materialization get one

@@ -328,3 +328,44 @@ def test_dedup_ttl_hot_key_bound_and_exactness(spark):
         .collect()[0][0]
     )
     assert mx <= ttl + 1
+
+
+def test_quality_gate_by_source_dominant_class(skewed_docs):
+    """Per-source gate under the skew fixture: megacrawl's cut lands
+    inside its single dominant score class, every small source gets its
+    own independent cut, and selection equals the naive per-source
+    row_number form exactly."""
+    import math
+
+    frac = 0.4
+    got = T.quality_gate_by_source(skewed_docs, frac)
+    naive_w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    scored = (
+        T.quality_score(skewed_docs)
+        .select("doc_id", "quality")
+        .filter(F.col("quality").isNotNull())
+        .join(skewed_docs.select("doc_id", "source"), "doc_id")
+    )
+    counts = {
+        r.source: r["count"]
+        for r in scored.groupBy("source").count().collect()
+    }
+    naive = {
+        r.doc_id
+        for r in scored.select(
+            "doc_id", "source",
+            F.row_number().over(naive_w).alias("rn"),
+        ).collect()
+        if r.rn <= math.ceil(counts[r.source] * frac)
+    }
+    got_ids = sorted(r.doc_id for r in got.collect())
+    assert got_ids == sorted(naive)
+    # every source independently holds its own fraction
+    per_source = {
+        r.source: r["count"]
+        for r in got.groupBy("source").count().collect()
+    }
+    for src, n in counts.items():
+        assert per_source.get(src, 0) == math.ceil(n * frac), src

@@ -72,6 +72,8 @@ __all__ = [
     "bm25_score",
     "quality_gate",
     "quality_gate_sql",
+    "quality_gate_by_source",
+    "quality_gate_by_source_sql",
     "quality_qbase_sql",
     "quality_ratios_sql",
     "quality_blend_sql",
@@ -1878,6 +1880,94 @@ def quality_gate_sql(keep_frac: float = 0.3) -> str:
         "k AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) * "
         f"{keep_frac!r}) AS BIGINT) AS k FROM r) "
         "SELECT doc_id, quality FROM r, k WHERE rn <= k.k"
+    )
+
+
+def quality_gate_by_source(
+    documents: DataFrame, keep_frac: float = 0.3
+) -> DataFrame:
+    """PER-SOURCE exact-quantile quality gate: every source keeps its
+    own top ``ceil(n_source * keep_frac)`` documents by (quality desc,
+    doc_id asc) — the diversity-preserving form of :func:`quality_gate`
+    (a global cut lets one high-quality source crowd every other domain
+    out of the mix; real curation gates within source and lets the
+    mixture weights decide between sources).
+
+    Same bounded-cardinality histogram trick, grouped: the per-score
+    histogram keys on (source, quality) — still metadata-sized (sources
+    × score classes); the cumulative and total windows partition by
+    source (single task per source over its score CLASSES, not its
+    documents); classes wholly above the per-source cut are kept with
+    zero sorting and only each source's single boundary class ranks its
+    members by doc_id. The ``source`` column rides a doc_id-keyed join
+    back onto the scored projection (column pruning keeps the second
+    documents scan to two small columns).
+
+    Cross-engine contract: per-source ``k = ceil(double(n_source) *
+    keep_frac)``; selection equals ``row_number() OVER (PARTITION BY
+    source ORDER BY quality DESC, doc_id) <= k`` — the oracle's form.
+    Returns (doc_id, source, quality)."""
+    from pyspark.sql import Window
+
+    scored = (
+        quality_score(documents)
+        .select("doc_id", "quality")
+        .filter(F.col("quality").isNotNull())
+        .join(documents.select("doc_id", "source"), "doc_id")
+    )
+    hist = scored.groupBy("source", "quality").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    hist = hist.select(
+        "source",
+        "quality",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("above"),
+        F.ceil(F.sum("c").over(w_tot).cast("double") * F.lit(keep_frac))
+        .cast("long")
+        .alias("k"),
+    )
+    j = scored.join(F.broadcast(hist), ["source", "quality"])
+    full = j.filter(F.col("above") + F.col("c") <= F.col("k"))
+    w_edge = Window.partitionBy("source", "quality").orderBy("doc_id")
+    edge = (
+        j.filter(
+            (F.col("above") < F.col("k"))
+            & (F.col("above") + F.col("c") > F.col("k"))
+        )
+        .withColumn("rn", F.row_number().over(w_edge))
+        .filter(F.col("rn") <= F.col("k") - F.col("above"))
+    )
+    return full.select("doc_id", "source", "quality").unionByName(
+        edge.select("doc_id", "source", "quality")
+    )
+
+
+def quality_gate_by_source_sql(keep_frac: float = 0.3) -> str:
+    """DuckDB twin of :func:`quality_gate_by_source` — the per-source
+    row_number reference form the grouped histogram selection must
+    equal."""
+    return (
+        f"WITH sc AS ({_quality_scored_sql()}), "
+        "s AS (SELECT sc.doc_id, d.source, sc.quality FROM sc "
+        "JOIN documents d ON sc.doc_id = d.doc_id "
+        "WHERE sc.quality IS NOT NULL), "
+        "r AS (SELECT doc_id, source, quality, row_number() OVER "
+        "(PARTITION BY source ORDER BY quality DESC, doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY source) AS n FROM s) "
+        "SELECT doc_id, source, quality FROM r "
+        "WHERE rn <= CAST(ceil(CAST(n AS DOUBLE) * "
+        f"{keep_frac!r}) AS BIGINT)"
     )
 
 
