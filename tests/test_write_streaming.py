@@ -2921,3 +2921,63 @@ def test_stream_dedup_ttl_event_drain_equals_batch_op(spark, sf_dir):
         assert sorted((r.doc_id, r.event_ts) for r in got.collect()) == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_redact_maintained_index_tombstones(spark, sf_dir):
+    """Right-to-be-forgotten spans the derived index: after tombstoning
+    a document, every maintained probe (keyword, BM25 — including its
+    N/avgdl stats — and phrase) equals the same probe over a FRESH
+    index built from the corpus WITHOUT that document, and graduation
+    applies the tombstones physically (the static layout never holds
+    the redacted postings)."""
+    from tiny_md_hbase_spark.operators import text as TX
+    from tiny_md_hbase_spark.sources.writer import write_meta_row
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="sidxt_")
+    try:
+        write_meta_row(
+            spark, f"{d}/idx/_index_meta", [("num_buckets", 16, "int")]
+        )
+        ING.index_maintain_batch(docs, 0, f"{d}/idx", 16)
+        # pick a doc that currently appears in the BM25 top-k
+        top = ING.keyword_search_bm25_maintained(spark, f"{d}/idx").collect()
+        victim = top[0].doc_id
+        assert ING.redact_maintained_index(spark, f"{d}/idx", [victim]) == 1
+        redacted = docs.filter(F.col("doc_id") != victim)
+        got_bm = [
+            (r.doc_id, r.bm25)
+            for r in ING.keyword_search_bm25_maintained(
+                spark, f"{d}/idx"
+            ).collect()
+        ]
+        want_bm = [
+            (r.doc_id, r.bm25)
+            for r in TX.keyword_search_bm25(redacted).collect()
+        ]
+        assert got_bm == want_bm and victim not in {i for i, _ in got_bm}
+        got_kw = [
+            (r.doc_id, r.score)
+            for r in ING.keyword_search_maintained(spark, f"{d}/idx").collect()
+        ]
+        want_kw = [
+            (r.doc_id, r.score)
+            for r in TX.keyword_search(redacted).collect()
+        ]
+        assert got_kw == want_kw
+        # graduation applies tombstones physically
+        ING.compact_maintained_index(spark, f"{d}/idx", f"{d}/static")
+        n_victim = (
+            spark.read.parquet(f"{d}/static")
+            .filter(F.col("doc_id") == victim)
+            .count()
+        )
+        assert n_victim == 0
+        lens_victim = (
+            spark.read.parquet(f"{d}/static/_doc_lens")
+            .filter(F.col("doc_id") == victim)
+            .count()
+        )
+        assert lens_victim == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

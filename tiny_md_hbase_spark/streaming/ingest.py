@@ -75,6 +75,7 @@ __all__ = [
     "phrase_search_maintained",
     "compact_maintained_index",
     "stream_ingest_documents_pk",
+    "redact_maintained_index",
     "stream_ingest_embeddings",
     "stream_manifest",
     "merge_manifest_batch",
@@ -2436,21 +2437,66 @@ def stream_index_maintain(
     return writer.start()
 
 
+MAINT_DELETED_SCHEMA = "doc_id long"
+
+
+def redact_maintained_index(
+    spark: SparkSession, index_path: str, doc_ids: list[int]
+) -> int:
+    """Right-to-be-forgotten for the SEARCH INDEX: redacting a document
+    from the corpus (``writer.redact_documents_pk``) is not enough —
+    its postings would keep serving its content to keyword/BM25/phrase
+    queries. Physically rewriting the posting tree per request would
+    touch every bucket the document's terms hash to, so deletion is a
+    TOMBSTONE: the ids append to a ``_deleted`` side table (bounded by
+    total takedowns, metadata-sized) and every maintained reader
+    anti-joins it — postings AND the ``_doc_lens`` stats, so N/avgdl
+    stop counting the redacted document exactly as a fresh build of the
+    redacted corpus would. :func:`compact_maintained_index` applies
+    tombstones PHYSICALLY at graduation (the static layout never
+    contains them), which is also when the debt is paid down — the
+    standard tombstone-then-compact delete of every LSM store. Returns
+    the number of newly recorded ids."""
+    ids = sorted(set(int(i) for i in doc_ids))
+    if not ids:
+        return 0
+    spark.createDataFrame(
+        [(i,) for i in ids], MAINT_DELETED_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(f"{index_path}/_deleted")
+    return len(ids)
+
+
+def _maintained_tombstones(
+    ss: SparkSession, index_path: str
+) -> DataFrame | None:
+    path = f"{index_path}/_deleted"
+    if not fs_exists(ss, path):
+        return None
+    return ss.read.schema(MAINT_DELETED_SCHEMA).parquet(path).distinct()
+
+
+def _anti_tombstones(df: DataFrame, tombs: DataFrame | None) -> DataFrame:
+    if tombs is None:
+        return df
+    return df.join(F.broadcast(tombs), "doc_id", "left_anti")
+
+
 def _maintained_postings(
     ss: SparkSession, index_path: str, qs: list[str]
 ) -> DataFrame | None:
     """The query-side read of a maintained index: resolve the stored
     bucket modulus, prune the batch tree BY PATH SELECTION to the query
     terms' bucket subdirectories (the bands-state read applied to
-    postings — untouched buckets are never listed), return the pruned
-    posting relation or None when nothing was ingested yet."""
+    postings — untouched buckets are never listed), drop tombstoned
+    documents, return the pruned posting relation or None when nothing
+    was ingested yet."""
     from tiny_md_hbase_spark.sources.writer import term_bucket
 
     num_buckets = int(
         ss.read.parquet(f"{index_path}/_index_meta").first().num_buckets
     )
     buckets = sorted({term_bucket(q, num_buckets) for q in qs})
-    return _read_state(
+    idx = _read_state(
         ss,
         f"{index_path}/postings",
         -1,  # queries exclude nothing: no batch id is ever negative
@@ -2458,6 +2504,9 @@ def _maintained_postings(
         ["term", "doc_id", "positions", "tf"],
         bucket_in=buckets,
     )
+    if idx is None:
+        return None
+    return _anti_tombstones(idx, _maintained_tombstones(ss, index_path))
 
 
 def keyword_search_maintained(
@@ -2512,6 +2561,9 @@ def keyword_search_bm25_maintained(
     )
     if idx is None or lens is None:
         return spark.createDataFrame([], "doc_id long, bm25 double")
+    # tombstoned docs leave the STATS too: N/avgdl must equal a fresh
+    # build of the redacted corpus, not just hide the hits
+    lens = _anti_tombstones(lens, _maintained_tombstones(spark, index_path))
     return bm25_rank_postings(idx, lens, qs, k, k1, b)
 
 
@@ -2577,6 +2629,11 @@ def compact_maintained_index(
             f"maintained index at {index_path} holds no postings yet — "
             "drain the stream before graduating it"
         )
+    # tombstones are applied PHYSICALLY here: the static layout never
+    # contains a redacted document's postings or length row
+    tombs = _maintained_tombstones(spark, index_path)
+    postings = _anti_tombstones(postings, tombs)
+    lens = _anti_tombstones(lens, tombs)
     para = max(spark.sparkContext.defaultParallelism, num_buckets)
     postings.repartition(para, "bucket", F.crc32("term")).write.mode(
         "overwrite"
