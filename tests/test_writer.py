@@ -802,3 +802,61 @@ def test_zone_map_maintenance_across_append_and_compaction(spark, sf_dir):
         assert got_compacted == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_redact_embeddings_layout_tombstones(spark, sf_dir):
+    """ANN right-to-be-forgotten: after tombstoning the clustered
+    layout's top hit, the full-probe top-k equals exact brute-force kNN
+    over the embeddings WITHOUT that vector; the quantized layout's
+    reader honors the same tombstone table."""
+    import shutil
+
+    from tiny_md_hbase_spark.operators.similarity import embedding_knn
+    from tiny_md_hbase_spark.sources import load_table
+    from tiny_md_hbase_spark.sources.writer import (
+        embedding_knn_clustered,
+        embedding_knn_quantized_stored,
+        redact_embeddings_layout,
+        write_embeddings_clustered,
+        write_embeddings_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first().embedding]
+    d = tempfile.mkdtemp(prefix="annred_")
+    try:
+        write_embeddings_clustered(emb, f"{d}/cl", n_clusters=16)
+        top = embedding_knn_clustered(spark, f"{d}/cl", qvec, k=5).collect()
+        # not the query's own vector: embedding_knn resolves its query
+        # by vec_id inside the relation
+        victim = next(r.vec_id for r in top if r.vec_id != 1)
+        assert redact_embeddings_layout(spark, f"{d}/cl", [victim]) == 1
+        got = [
+            (r.vec_id, r.cos_sim)
+            for r in embedding_knn_clustered(
+                spark, f"{d}/cl", qvec, k=5
+            ).collect()
+        ]
+        want = [
+            (r.vec_id, r.cos_sim)
+            for r in embedding_knn(
+                emb.filter(F.col("vec_id") != victim), 1, 5
+            ).collect()
+        ]
+        assert got == want and victim not in {v for v, _ in got}
+
+        write_embeddings_quantized(emb, f"{d}/sq")
+        qtop = embedding_knn_quantized_stored(
+            spark, f"{d}/sq", qvec, k=5
+        ).collect()
+        qvictim = next(r.vec_id for r in qtop if r.vec_id != 1)
+        redact_embeddings_layout(spark, f"{d}/sq", [qvictim])
+        qgot = {
+            r.vec_id
+            for r in embedding_knn_quantized_stored(
+                spark, f"{d}/sq", qvec, k=5
+            ).collect()
+        }
+        assert qvictim not in qgot and len(qgot) == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -61,6 +61,7 @@ __all__ = [
     "write_pk_zonemap",
     "append_documents_pk",
     "redact_documents_pk",
+    "redact_embeddings_layout",
 ]
 
 
@@ -1119,6 +1120,43 @@ def append_embeddings_clustered(
     ).parquet(path)
 
 
+VEC_DELETED_SCHEMA = "vec_id long"
+
+
+def redact_embeddings_layout(
+    spark: SparkSession, path: str, vec_ids: list[int]
+) -> int:
+    """Tombstone deletion for a stored embedding layout (clustered OR
+    quantized) — the ANN member of the right-to-be-forgotten family
+    (``redact_documents_pk`` for the corpus,
+    ``ingest.redact_maintained_index`` for the text index): ids append
+    to an underscore-prefixed ``_deleted`` side table (invisible to the
+    data read, bounded by total takedowns) and the layout's readers
+    anti-join it, so a redacted vector can never appear in a top-k
+    again. Physical removal rides the next layout rebuild. Returns the
+    number of newly recorded ids."""
+    ids = sorted(set(int(i) for i in vec_ids))
+    if not ids:
+        return 0
+    spark.createDataFrame(
+        [(i,) for i in ids], VEC_DELETED_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_deleted")
+    return len(ids)
+
+
+def _apply_vec_tombstones(
+    spark: SparkSession, path: str, df: DataFrame
+) -> DataFrame:
+    """Anti-join a layout's ``_deleted`` tombstones (no-op when none)."""
+    from tiny_md_hbase_spark.fsutil import fs_exists
+
+    dpath = f"{path}/_deleted"
+    if not fs_exists(spark, dpath):
+        return df
+    tombs = spark.read.schema(VEC_DELETED_SCHEMA).parquet(dpath).distinct()
+    return df.join(F.broadcast(tombs), "vec_id", "left_anti")
+
+
 def embedding_knn_clustered(
     spark: SparkSession,
     path: str,
@@ -1161,10 +1199,12 @@ def embedding_knn_clustered(
     probe = probe_order(query_vec, cents, n_probe)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = F.round(cosine(F.col("embedding"), qv), 6)
+    base = _apply_vec_tombstones(
+        spark, path,
+        spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe)),
+    )
     return (
-        spark.read.parquet(path)
-        .filter(F.col("ivf_cluster").isin(probe))
-        .select("vec_id", "label", sim.alias("cos_sim"))
+        base.select("vec_id", "label", sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )
@@ -1244,7 +1284,7 @@ def embedding_knn_quantized_stored(
         lambda acc, x: acc + x,
     )
     return (
-        spark.read.parquet(path)
+        _apply_vec_tombstones(spark, path, spark.read.parquet(path))
         .select("vec_id", "label", qscore.alias("qscore"))
         .orderBy(F.col("qscore").desc(), "vec_id")
         .limit(k)
