@@ -3485,12 +3485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "corpus_split": _q_corpus_split,
         "corpus_jsonl_roundtrip": _q_corpus_jsonl_roundtrip,
-        "dedup_incremental": _q_dedup_incremental,
-        "anomaly_zscore": _q_anomaly_zscore,
         # ---- driver window ends here (first 50 keys) -------------------
-        # (anomaly_zscore and embedding_knn_projected were displaced
-        # from the window tail by the newest r14 keys — they stay
-        # r10-verified and lead the next rotation)
+        # (dedup_incremental, anomaly_zscore and embedding_knn_projected
+        # were displaced from the window tail by the newest r14 keys —
+        # they stay r10-verified and lead the next rotation)
         "dedup_incremental": _q_dedup_incremental,
         "anomaly_zscore": _q_anomaly_zscore,
         "embedding_knn_projected": _q_embedding_knn_projected,

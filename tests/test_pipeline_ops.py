@@ -2599,3 +2599,47 @@ def test_collocations_association_beats_frequency(spark):
     again = [(r.term_a, r.term_b, r.lift_score)
              for r in TX.collocations(docs, k=10, min_count=2).collect()]
     assert again == [(r.term_a, r.term_b, r.lift_score) for r in out]
+
+
+def test_dedup_ttl_huge_ticks_exact_epochs(spark):
+    """Regression for the 2^53 epoch mis-binning: at nanosecond-epoch
+    tick magnitudes (~1.6e18) a double-division epoch jumped by the
+    double's ulp, splitting a within-horizon predecessor out of seed
+    range and re-admitting a duplicate. The decimal-exact floor must
+    suppress it and agree with the plain lag rule at full long
+    magnitudes (positive and negative)."""
+    from pyspark.sql import Window
+
+    from tiny_md_hbase_spark.operators import dedup as D
+
+    ttl = 63
+    base = 1_600_000_000_000_000_192  # > 2^53, near a double ulp seam
+    rows = [
+        (1, "huge tick content", "en", "s", 17, base),
+        (2, "huge tick content", "en", "s", 17, base + 20),   # gap 20: suppress
+        (3, "huge tick content", "en", "s", 17, base + 100),  # gap 80: admit
+        (4, "neg huge", "en", "s", 8, -base),
+        (5, "neg huge", "en", "s", 8, -base + 30),            # gap 30: suppress
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long, arrival long"
+    )
+    got = sorted(r.doc_id for r in D.dedup_ttl(df, ttl).collect())
+    assert got == [1, 3, 4]
+    w = Window.partitionBy("h").orderBy("arrival", "doc_id")
+    ref = (
+        df.withColumn("h", D._content_fp("text"))
+        .withColumn("_prev", F.lag("arrival").over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col("arrival") - F.col("_prev") > ttl)
+        )
+    )
+    assert sorted(r.doc_id for r in ref.collect()) == got
+    # the epoch column itself is exact at these magnitudes
+    eps = (
+        df.select(D._ttl_floor_epoch("arrival", ttl + 1).alias("e"), "arrival")
+        .collect()
+    )
+    for r in eps:
+        assert r.e == r.arrival // (ttl + 1), (r.arrival, r.e)

@@ -660,10 +660,16 @@ def test_dedup_edit_blocked_join_pruned_scan(spark, sf_dir):
     assert all(
         "lang" not in s and "source" not in s for s in P.read_schemas(q)
     )
-    # capped form: no gram-keyed join ("...Join [h#..." covers
-    # SortMerge/BroadcastHash/ShuffledHash); the block aggregate exists
+    # capped form: the block aggregate exists; the ONLY gram-keyed join
+    # is the hub prefilter against the constant-memory df-count keep
+    # set (one join — a pair SELF-join would be a second one), and the
+    # pair expansion is the joinless bounded double explode
     assert "collect_list" in plan
-    assert "Join [h#" not in plan, plan[:2000]
+    import re as _re
+
+    gram_joins = _re.findall(r"Join \[h#\d+\][^\n]*", plan)
+    assert len(gram_joins) == 1, gram_joins
+    assert plan.count("Generate explode") >= 2, plan[:2000]
     # uncapped form: the blocked self-join returns
     q2 = D.dedup_edit(
         load_table(spark, sf_dir, "documents"), max_gram_df=None

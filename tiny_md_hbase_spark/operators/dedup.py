@@ -1822,9 +1822,19 @@ def _ttl_floor_epoch(arr: str | Column, epoch_len: int) -> Column:
     floor (not truncation toward zero), so negative ticks still land in
     the epoch below zero and the seed-routing argument (only the
     immediately previous epoch can hold a within-``ttl`` predecessor when
-    ``epoch_len = ttl + 1``) stays exact over the whole long domain."""
+    ``epoch_len = ttl + 1``) stays exact over the whole long domain.
+
+    The quotient is computed in DECIMAL(38,0), never double: ``x / L``
+    on longs promotes to double, whose 53-bit mantissa mis-bins ticks
+    above 2^53 — at nanosecond-epoch magnitudes (~1.6e18) the rounding
+    jumped epochs by the double's ulp (4 at 2.5e16), splitting
+    within-horizon predecessors out of seed range and re-admitting
+    duplicates. The subtraction makes the dividend an exact multiple of
+    ``epoch_len``, so the decimal quotient is an exact integer at any
+    scale and the final long cast is lossless."""
     a = F.col(arr) if isinstance(arr, str) else arr
-    return ((a - F.pmod(a, F.lit(epoch_len))) / F.lit(epoch_len)).cast("long")
+    exact = (a - F.pmod(a, F.lit(epoch_len))).cast("decimal(38,0)")
+    return (exact / F.lit(epoch_len)).cast("long")
 
 
 def dedup_ttl(
@@ -2051,11 +2061,14 @@ def dedup_edit(
     (dist, doc_a, doc_b), top-``k`` — a total order.
 
     Scale shape (r14 re-plan — the drift root-cause fix): with a df cap
-    in force, candidate generation is ONE shuffle of the 16-byte gram
-    hashes — group the incidence list by gram, keep blocks of width
-    2..max_gram_df (the df filter falls out of the same aggregation for
-    free), and expand each block's pairs with a double explode bounded
-    by the cap. The previous self-join form planned the tokenize→md5
+    in force, candidate generation is the GROUPED block form on the
+    16-byte gram hashes — the df count (map-side partial, constant
+    memory) + semi-join drops above-cap hub grams BEFORE any block
+    list materializes, the survivors group into cap-bounded doc_id
+    blocks, and each block's pairs expand with a bounded double
+    explode; count, semi-join, and collect all hash on h, so the
+    prefilter rides one partitioning. The previous self-join form
+    planned the tokenize→md5
     incidence subtree TWICE (no ReusedExchange — verified in the plan)
     plus two more passes for the cap's count+semi-join; this computes
     it once and shuffles it once. Full texts are joined back ONLY for
@@ -2089,15 +2102,20 @@ def dedup_edit(
     )
     inc = _gram_incidence(base, gram_len)
     if max_gram_df is not None:
-        # single-shuffle grouped form: block width is cap-bounded, so
-        # the per-gram pair expansion is a bounded double explode and
-        # the df filter is the same aggregation's size() check
+        # grouped candidate form, hub-safe: the df COUNT (map-side
+        # partial, constant memory per gram) + semi-join prunes
+        # above-cap hub grams BEFORE any list materializes — a plain
+        # size() filter after collect_list would still funnel a
+        # 10^7-doc boilerplate gram's whole block into one reduce
+        # task's array first. The count, the semi-join, and the collect
+        # all hash on h, so the prefilter rides the same partitioning;
+        # blocks that survive are cap-bounded by construction and the
+        # pair expansion is a bounded double explode.
+        capped = _cap_gram_df(inc, max_gram_df)
         blocks = (
-            inc.groupBy("h")
+            capped.groupBy("h")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-            .filter(
-                (F.size("ids") >= 2) & (F.size("ids") <= max_gram_df)
-            )
+            .filter(F.size("ids") >= 2)
         )
         cands = (
             blocks.select(F.explode("ids").alias("doc_a"), "ids")

@@ -632,14 +632,17 @@ def redact_documents_pk(
     the rewrite cost is O(k x file size), not O(corpus).
 
     Mechanics per affected file: read it, anti-filter the target ids,
-    write the survivors out-of-place, then swap (delete the old file,
-    move the replacements in under unique names) and patch the zone
-    rows — drop the replaced files' rows, append the replacements'.
+    write the survivors out-of-place, then swap in map-first order —
+    move the replacements in under unique names, PATCH the zone rows
+    (drop the replaced files', append the replacements'), and only then
+    delete the originals — so a map-routed reader sees a consistent
+    relation (pre- or post-redact, never a mix) in every crash window.
     Single-writer maintenance op on plain parquet (the
     compact_points_table caveat: production wraps the swap in a
-    transactional table format; the swap keeps every step restartable —
-    a re-run may rewrite files whose id SPAN still covers a target, but
-    removes zero rows and leaves the relation identical).
+    transactional table format; a re-run may rewrite files whose id
+    SPAN still covers a target, but removes zero rows and leaves the
+    relation identical, and a crash between patch and delete leaves
+    only map-invisible orphan originals — see the swap comment).
     ``doc_ids`` is a driver-side request list (takedown
     requests are metadata-sized; pass a few thousand at most — batch
     larger sweeps through an anti-join rewrite instead). Only the
@@ -681,7 +684,19 @@ def redact_documents_pk(
     keep.repartitionByRange(
         max(1, len(tfiles)), "doc_id"
     ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp)
-    # swap: move replacements in under unique names, drop the originals
+    # swap order is crash-safety-load-bearing: (1) move replacements in,
+    # (2) PATCH THE ZONE MAP, (3) only then delete the originals. A
+    # map-routed reader is consistent in every window — before the patch
+    # it reads the original files (all still present: the pre-redact
+    # relation), after it the replacements (the post-redact relation);
+    # deleting originals first would leave the map pointing at missing
+    # paths with the replacements invisible, the false negative the
+    # zone-map family forbids. A crash between (2) and (3) leaves the
+    # originals as unmapped orphans: invisible to map-routed reads,
+    # duplicated in raw directory reads until a re-cluster
+    # (write_documents_pk + write_pk_zonemap rebuild) or a sweep of
+    # files absent from the map reclaims them — the documented
+    # plain-parquet residue a transactional table format removes.
     tag = uuid.uuid4().hex[:8]
     moved = []
     for i, name in enumerate(
@@ -692,12 +707,6 @@ def redact_documents_pk(
         dest = f"{docs_path}/part-redact-{tag}-{i:05d}.parquet"
         fs_rename(spark, f"{tmp}/{name}", dest)
         moved.append(dest)
-    for z in touched:
-        fs_rmtree(spark, z.file)
-    fs_rmtree(spark, tmp)
-    # patch the zone table distributively: untouched rows survive
-    # verbatim (anti-join on the touched file list), replacement files'
-    # stats append; materialize before overwriting the table being read
     tfiles_df = spark.createDataFrame(
         [(f,) for f in tfiles], "file string"
     )
@@ -707,8 +716,12 @@ def redact_documents_pk(
         if moved
         else spark.createDataFrame([], PK_ZONE_SCHEMA)
     )
+    # materialized before overwriting the table being read
     patched = survivors.unionByName(new_stats).localCheckpoint()
     patched.coalesce(1).write.mode("overwrite").parquet(zones_path)
+    for z in touched:
+        fs_rmtree(spark, z.file)
+    fs_rmtree(spark, tmp)
     n_after = (
         new_stats.agg(F.sum("n_rows")).collect()[0][0] if moved else 0
     ) or 0
@@ -1122,6 +1135,47 @@ def append_embeddings_clustered(
 
 VEC_DELETED_SCHEMA = "vec_id long"
 
+# --- shared tombstone plumbing (the right-to-be-forgotten family) ----------
+# One implementation serves every derived-artifact layout: the maintained
+# text index (key doc_id), the clustered/quantized ANN layouts (vec_id).
+# Ids append to an underscore-prefixed `_deleted` side table (invisible to
+# the layout's data read, bounded by total takedowns); readers anti-join
+# it; physical removal rides the layout's next rebuild/graduation.
+
+
+def append_tombstones(
+    spark: SparkSession, layout_path: str, ids: list[int], key_col: str
+) -> int:
+    """Record takedown ids for a stored layout. Returns ids recorded."""
+    uniq = sorted(set(int(i) for i in ids))
+    if not uniq:
+        return 0
+    spark.createDataFrame(
+        [(i,) for i in uniq], f"{key_col} long"
+    ).coalesce(1).write.mode("append").parquet(f"{layout_path}/_deleted")
+    return len(uniq)
+
+
+def read_tombstones(
+    spark: SparkSession, layout_path: str, key_col: str
+) -> DataFrame | None:
+    """The layout's distinct tombstone ids, or None when none exist."""
+    from tiny_md_hbase_spark.fsutil import fs_exists
+
+    dpath = f"{layout_path}/_deleted"
+    if not fs_exists(spark, dpath):
+        return None
+    return spark.read.schema(f"{key_col} long").parquet(dpath).distinct()
+
+
+def anti_join_tombstones(
+    df: DataFrame, tombs: DataFrame | None, key_col: str
+) -> DataFrame:
+    """Drop tombstoned rows (no-op when the layout has no tombstones)."""
+    if tombs is None:
+        return df
+    return df.join(F.broadcast(tombs), key_col, "left_anti")
+
 
 def redact_embeddings_layout(
     spark: SparkSession, path: str, vec_ids: list[int]
@@ -1129,32 +1183,19 @@ def redact_embeddings_layout(
     """Tombstone deletion for a stored embedding layout (clustered OR
     quantized) — the ANN member of the right-to-be-forgotten family
     (``redact_documents_pk`` for the corpus,
-    ``ingest.redact_maintained_index`` for the text index): ids append
-    to an underscore-prefixed ``_deleted`` side table (invisible to the
-    data read, bounded by total takedowns) and the layout's readers
-    anti-join it, so a redacted vector can never appear in a top-k
-    again. Physical removal rides the next layout rebuild. Returns the
-    number of newly recorded ids."""
-    ids = sorted(set(int(i) for i in vec_ids))
-    if not ids:
-        return 0
-    spark.createDataFrame(
-        [(i,) for i in ids], VEC_DELETED_SCHEMA
-    ).coalesce(1).write.mode("append").parquet(f"{path}/_deleted")
-    return len(ids)
+    ``ingest.redact_maintained_index`` for the text index): a redacted
+    vector can never appear in a top-k again. Returns the number of
+    newly recorded ids."""
+    return append_tombstones(spark, path, vec_ids, "vec_id")
 
 
 def _apply_vec_tombstones(
     spark: SparkSession, path: str, df: DataFrame
 ) -> DataFrame:
     """Anti-join a layout's ``_deleted`` tombstones (no-op when none)."""
-    from tiny_md_hbase_spark.fsutil import fs_exists
-
-    dpath = f"{path}/_deleted"
-    if not fs_exists(spark, dpath):
-        return df
-    tombs = spark.read.schema(VEC_DELETED_SCHEMA).parquet(dpath).distinct()
-    return df.join(F.broadcast(tombs), "vec_id", "left_anti")
+    return anti_join_tombstones(
+        df, read_tombstones(spark, path, "vec_id"), "vec_id"
+    )
 
 
 def embedding_knn_clustered(

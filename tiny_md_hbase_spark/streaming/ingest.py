@@ -914,7 +914,10 @@ def dedup_ttl_batch(
         TTL_STATE_SCHEMA,
         ["h", "last_arrival"],
     )
-    reduced = _ttl_reduce(b, "arrival")
+    # the tick-reduce shuffle feeds THREE consumers (the batch_min
+    # action, the admit chain, the state-delta write) — materialize it
+    # once instead of re-running fingerprint+exchange per consumer
+    reduced = _ttl_reduce(b, "arrival").localCheckpoint()
     fronts = None
     if state is not None:
         front, batch_min = (
@@ -1144,7 +1147,9 @@ def dedup_ttl_event_batch(
         if state is not None
         else None
     )
-    reduced = _ttl_reduce(final, "event_ts")
+    # materialized once: the reduce feeds the admit chain AND the
+    # state-delta write (the arrival sink's rule)
+    reduced = _ttl_reduce(final, "event_ts").localCheckpoint()
     surv = _ttl_admit(reduced, fronts, ttl).localCheckpoint()
     # (localCheckpoint: every input tree is read before being overwritten)
     still = still.localCheckpoint()
@@ -2437,9 +2442,6 @@ def stream_index_maintain(
     return writer.start()
 
 
-MAINT_DELETED_SCHEMA = "doc_id long"
-
-
 def redact_maintained_index(
     spark: SparkSession, index_path: str, doc_ids: list[int]
 ) -> int:
@@ -2447,49 +2449,50 @@ def redact_maintained_index(
     from the corpus (``writer.redact_documents_pk``) is not enough —
     its postings would keep serving its content to keyword/BM25/phrase
     queries. Physically rewriting the posting tree per request would
-    touch every bucket the document's terms hash to, so deletion is a
-    TOMBSTONE: the ids append to a ``_deleted`` side table (bounded by
-    total takedowns, metadata-sized) and every maintained reader
-    anti-joins it — postings AND the ``_doc_lens`` stats, so N/avgdl
-    stop counting the redacted document exactly as a fresh build of the
-    redacted corpus would. :func:`compact_maintained_index` applies
-    tombstones PHYSICALLY at graduation (the static layout never
-    contains them), which is also when the debt is paid down — the
-    standard tombstone-then-compact delete of every LSM store. Returns
-    the number of newly recorded ids."""
-    ids = sorted(set(int(i) for i in doc_ids))
-    if not ids:
-        return 0
-    spark.createDataFrame(
-        [(i,) for i in ids], MAINT_DELETED_SCHEMA
-    ).coalesce(1).write.mode("append").parquet(f"{index_path}/_deleted")
-    return len(ids)
+    touch every bucket the document's terms hash to, so deletion rides
+    the shared tombstone family (``writer.append_tombstones`` — the
+    same ``_deleted`` side table the ANN layouts use) and every
+    maintained reader anti-joins it — postings AND the ``_doc_lens``
+    stats, so N/avgdl stop counting the redacted document exactly as a
+    fresh build of the redacted corpus would.
+    :func:`compact_maintained_index` applies tombstones PHYSICALLY at
+    graduation (the static layout never contains them), which is also
+    when the debt is paid down — the standard tombstone-then-compact
+    delete of every LSM store. Returns the number of newly recorded
+    ids."""
+    from tiny_md_hbase_spark.sources.writer import append_tombstones
+
+    return append_tombstones(spark, index_path, doc_ids, "doc_id")
 
 
 def _maintained_tombstones(
     ss: SparkSession, index_path: str
 ) -> DataFrame | None:
-    path = f"{index_path}/_deleted"
-    if not fs_exists(ss, path):
-        return None
-    return ss.read.schema(MAINT_DELETED_SCHEMA).parquet(path).distinct()
+    from tiny_md_hbase_spark.sources.writer import read_tombstones
+
+    return read_tombstones(ss, index_path, "doc_id")
 
 
 def _anti_tombstones(df: DataFrame, tombs: DataFrame | None) -> DataFrame:
-    if tombs is None:
-        return df
-    return df.join(F.broadcast(tombs), "doc_id", "left_anti")
+    from tiny_md_hbase_spark.sources.writer import anti_join_tombstones
+
+    return anti_join_tombstones(df, tombs, "doc_id")
+
+
+_TOMBS_UNREAD = object()  # sentinel: read the tombstone tree internally
 
 
 def _maintained_postings(
-    ss: SparkSession, index_path: str, qs: list[str]
+    ss: SparkSession, index_path: str, qs: list[str], tombs=_TOMBS_UNREAD
 ) -> DataFrame | None:
     """The query-side read of a maintained index: resolve the stored
     bucket modulus, prune the batch tree BY PATH SELECTION to the query
     terms' bucket subdirectories (the bands-state read applied to
     postings — untouched buckets are never listed), drop tombstoned
     documents, return the pruned posting relation or None when nothing
-    was ingested yet."""
+    was ingested yet. A caller that also anti-joins other relations
+    (BM25's ``_doc_lens``) passes its one pre-read ``tombs`` through so
+    the ``_deleted`` tree is listed and scanned once per query."""
     from tiny_md_hbase_spark.sources.writer import term_bucket
 
     num_buckets = int(
@@ -2506,7 +2509,9 @@ def _maintained_postings(
     )
     if idx is None:
         return None
-    return _anti_tombstones(idx, _maintained_tombstones(ss, index_path))
+    if tombs is _TOMBS_UNREAD:
+        tombs = _maintained_tombstones(ss, index_path)
+    return _anti_tombstones(idx, tombs)
 
 
 def keyword_search_maintained(
@@ -2551,7 +2556,8 @@ def keyword_search_bm25_maintained(
         raise ValueError(
             "keyword_search_bm25_maintained requires at least one term"
         )
-    idx = _maintained_postings(spark, index_path, qs)
+    tombs = _maintained_tombstones(spark, index_path)  # read ONCE
+    idx = _maintained_postings(spark, index_path, qs, tombs=tombs)
     lens = _read_state(
         spark,
         f"{index_path}/_doc_lens",
@@ -2563,7 +2569,7 @@ def keyword_search_bm25_maintained(
         return spark.createDataFrame([], "doc_id long, bm25 double")
     # tombstoned docs leave the STATS too: N/avgdl must equal a fresh
     # build of the redacted corpus, not just hide the hits
-    lens = _anti_tombstones(lens, _maintained_tombstones(spark, index_path))
+    lens = _anti_tombstones(lens, tombs)
     return bm25_rank_postings(idx, lens, qs, k, k1, b)
 
 
