@@ -190,3 +190,40 @@ def test_split_step_empty_child(spark):
     )
     assert len(rows) == 2
     assert (rows[0].size, rows[1].size) == (5, 0)
+
+
+def test_index_build_np_equals_py_oracle():
+    """The vectorized trie kernel (the driver-coarse/tail-batch fast
+    path) must emit EXACTLY the pure-Python recursion's output — same
+    leaves, same (bucket_z, pl, size) tuples, same sort — across empty,
+    tiny, duplicate-key, weighted-count, and deep/shallow-depth inputs."""
+    import random
+
+    import numpy as np
+
+    random.seed(20260817)
+    cases = []
+    for _ in range(25):
+        n = random.choice([0, 1, 7, 300, 4000])
+        cases.append(
+            (
+                [
+                    (random.getrandbits(40), random.randint(1, 5))
+                    for _ in range(n)
+                ],
+                random.choice([1, 3, 10]),
+                random.choice([6, 12, 40, 64]),
+                random.choice([2, 5]),
+            )
+        )
+    cases.append(([(7, 1)] * 100 + [(9, 2)] * 50, 10, 64, 2))
+    for cells, th, md, rpl in cases:
+        want = IX.index_build_py(
+            cells, threshold=th, max_depth=md, root_pl=rpl
+        )
+        z = np.array([c[0] for c in cells], dtype=np.int64)
+        c = np.array([c[1] for c in cells], dtype=np.int64)
+        got = IX.index_build_np(
+            z, c, threshold=th, max_depth=md, root_pl=rpl
+        )
+        assert got == want

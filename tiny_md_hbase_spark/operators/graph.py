@@ -542,7 +542,12 @@ def connected_components_star(
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
         )
-        fp_large = _fp(canon)
+        # the mid-round fingerprint is only CONSUMED by the convergence
+        # test, which also requires fp_new == fp_start — so it is
+        # evaluated lazily below (the large canon is already
+        # checkpointed; fingerprinting it later costs the same tiny
+        # agg), saving one action per non-final round
+        large = canon
         sym = _sym(canon)
         mins = _mins(sym)
         # small-star: (neighbor b < a) AND a itself re-pointed at m(a)
@@ -566,8 +571,10 @@ def connected_components_star(
         # early on partially-folded chains (e.g. a 4-path stabilizes at
         # {(1,0),(2,0),(3,1)} under small∘large while large still has
         # work) — the post-condition below would catch the under-merge,
-        # but the loop must not manufacture that state.
-        if fp_large == fp_start and fp_new == fp_start:
+        # but the loop must not manufacture that state. fp_new is
+        # checked FIRST so the large-star fingerprint only runs on the
+        # (at most one) candidate-convergence round.
+        if fp_new == fp_start and _fp(large) == fp_start:
             canon = new_canon
             break
         canon, fp_start = new_canon, fp_new

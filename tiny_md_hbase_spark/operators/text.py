@@ -251,10 +251,17 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return df.select("doc_id", pred.alias("lang_pred"))
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
+def quality_score(
+    documents: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document quality signals: length, token stats, alphabetic /
     whitespace ratios, stopword ratio, and a blended [0,1] score.
-    Heuristics in the spirit of C4/Gopher filtering rules (public)."""
+    Heuristics in the spirit of C4/Gopher filtering rules (public).
+
+    ``extra_cols`` rides additional (cheap) input columns through the
+    scoring projection so a caller that needs them alongside the score
+    (e.g. the per-source gate) does not pay a second corpus scan plus a
+    doc_id join to re-attach them."""
     toks = tokens("text")
     n_chars = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
@@ -268,6 +275,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     # division never evaluates for them)
     df = documents.select(
         "doc_id",
+        *extra_cols,
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.when(n_chars > 0, alpha / n_chars).alias("alpha_ratio"),
@@ -670,9 +678,16 @@ def decontaminate_bloom(
         .localCheckpoint()
     )
 
-    # sizing action over the materialized grams (distinct-count of the
-    # 8-byte hashes, not a re-tokenization)
-    n_grams = eval_g.select("gh").distinct().count()
+    # sizing action over the materialized grams: the TOTAL gram count —
+    # a shuffle-free sum of checkpointed partition sizes — not a
+    # distinct-count (which costs a full exchange + hash aggregate just
+    # to size the filter). Total ≥ distinct, so m only ever rounds up
+    # (per-doc grams are already distinct via shingles(); cross-doc
+    # duplication inflates m by at most the duplicate factor, i.e. one
+    # power of two in practice), and m is plan-internal anyway: Bloom
+    # false positives are removed by the exact verify join, so the
+    # OUTPUT is identical for any m.
+    n_grams = eval_g.count()
     m = 1 << max(10, (max(1, n_grams) * bits_per_gram - 1).bit_length())
 
     # k=2 Kirsch-Mitzenmacher positions: p_i = (h1 + i*h2) mod m, with the
@@ -1611,16 +1626,35 @@ def phrase_search(
     n = len(phrase)
     if n == 0:
         raise ValueError("phrase_search requires a non-empty phrase")
-    want = F.array(*[F.lit(t.lower()) for t in phrase])
-    toks = F.transform(tokens("text"), lambda t: F.lower(t))
-    d = documents.select("doc_id", toks.alias("toks"))
+    wanted = [t.lower() for t in phrase]
+    d = documents.select("doc_id", tokens("text").alias("toks"))
     # guard the sequence: Spark's sequence(1, 0) DESCENDS ([1, 0]); a
     # doc shorter than the phrase must contribute zero start offsets
     starts = F.when(
         F.size("toks") >= n,
         F.sequence(F.lit(1), F.size("toks") - (n - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    hits = F.size(F.filter(starts, lambda i: F.slice("toks", i, n) == want))
+
+    # per-offset test: an unrolled short-circuiting AND of per-element
+    # comparisons instead of materializing slice(toks, i, n) and an
+    # array-equality per offset — no per-offset array allocation, and
+    # most offsets exit on the first token. lower() runs on demand per
+    # COMPARED element (~1 eval/offset with the short circuit) instead
+    # of pre-lowering the whole token array into a second array per
+    # document. Indexes are in bounds by the ``starts`` guard, so
+    # element_at never trips ANSI bounds checking. Semantics unchanged:
+    # slice-equality over non-null string arrays IS the conjunction of
+    # element equalities.
+    def _match(i: Column) -> Column:
+        cond = F.lower(F.element_at(F.col("toks"), i)) == F.lit(wanted[0])
+        for j in range(1, n):
+            cond = cond & (
+                F.lower(F.element_at(F.col("toks"), i + F.lit(j)))
+                == F.lit(wanted[j])
+            )
+        return cond
+
+    hits = F.size(F.filter(starts, _match))
     return (
         d.select("doc_id", hits.cast("long").alias("n_hits"))
         .filter(F.col("n_hits") > 0)
@@ -1814,18 +1848,27 @@ def quality_gate(documents: DataFrame, keep_frac: float = 0.3) -> DataFrame:
     quality DESC, doc_id) <= k`` — the oracle's form."""
     from pyspark.sql import Window
 
+    # the scored (doc_id, quality) proxy feeds THREE consumers — the
+    # histogram build and the two selection branches below — and the
+    # scoring lineage is the expensive part of this operator (two
+    # corpus regexes + tokenize + stopword probe per document).
+    # Materialize the 16-byte-per-row proxy ONCE (localCheckpoint) so
+    # the plan pays one scoring scan instead of three; every later pass
+    # reads the checkpointed proxy, never the text again (the
+    # decide-on-small-rows shape — at 100 TB the proxy is ~16 B x N
+    # docs vs three passes over the corpus text).
     scored = (
         quality_score(documents)
         .select("doc_id", "quality")
         .filter(F.col("quality").isNotNull())
+        .localCheckpoint()
     )
     hist = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
     # above AND k both come from windows over the HISTOGRAM, inside the
     # one broadcast relation: a separate k-aggregate (or a corpus count)
-    # would re-evaluate the regex-heavy scoring lineage once per
-    # consumer — this keeps the whole plan at three scoring scans
-    # (histogram build + the two branches below), and the shared
-    # broadcast is built once (ReusedExchange across the union)
+    # would re-evaluate the proxy once per consumer — this keeps the
+    # whole plan at one scoring scan + three proxy reads, and the
+    # shared broadcast is built once (ReusedExchange across the union)
     w_cum = Window.orderBy(F.col("quality").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1899,9 +1942,9 @@ def quality_gate_by_source(
     source (single task per source over its score CLASSES, not its
     documents); classes wholly above the per-source cut are kept with
     zero sorting and only each source's single boundary class ranks its
-    members by doc_id. The ``source`` column rides a doc_id-keyed join
-    back onto the scored projection (column pruning keeps the second
-    documents scan to two small columns).
+    members by doc_id. The ``source`` column rides the scoring
+    projection itself (``quality_score(extra_cols=...)``), so the
+    corpus is scanned exactly once.
 
     Cross-engine contract: per-source ``k = ceil(double(n_source) *
     keep_frac)``; selection equals ``row_number() OVER (PARTITION BY
@@ -1909,11 +1952,16 @@ def quality_gate_by_source(
     Returns (doc_id, source, quality)."""
     from pyspark.sql import Window
 
+    # source rides the scoring projection (extra_cols) instead of a
+    # second corpus scan + doc_id shuffle join to re-attach it, and the
+    # (doc_id, source, quality) proxy is materialized once for the same
+    # three-consumer reason as quality_gate's (one scoring scan, not
+    # three; no join exchange at all)
     scored = (
-        quality_score(documents)
-        .select("doc_id", "quality")
+        quality_score(documents, extra_cols=("source",))
+        .select("doc_id", "source", "quality")
         .filter(F.col("quality").isNotNull())
-        .join(documents.select("doc_id", "source"), "doc_id")
+        .localCheckpoint()
     )
     hist = scored.groupBy("source", "quality").agg(
         F.count(F.lit(1)).alias("c")

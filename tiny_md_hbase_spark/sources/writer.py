@@ -840,7 +840,10 @@ def write_inverted_index(
 
 
 def build_postings_positional(
-    documents: DataFrame, num_buckets: int = 16
+    documents: DataFrame,
+    num_buckets: int = 16,
+    toks_col: str | None = None,
+    repartition_out: bool = True,
 ) -> DataFrame:
     """Positional posting rows (term, doc_id, positions, tf, bucket):
     the phrase-capable index build. ``posexplode`` keeps each token's
@@ -849,18 +852,29 @@ def build_postings_positional(
     where bare collect_list is not — so adjacency checks downstream are
     order-stable. Bucketing and the vocabulary-side portable hash join
     are :func:`build_postings`' exactly (the interpreted char fold must
-    never ride the posting stream)."""
+    never ride the posting stream).
+
+    ``toks_col`` names an already-lowered token-array column on
+    ``documents`` (a caller that also needs per-doc token counts can
+    tokenize ONCE and share the column); default tokenizes here.
+    ``repartition_out=False`` skips the final salted exchange for
+    callers that re-key the stream themselves (the streaming
+    maintenance sink repartitions to one-task-per-bucket — stacking
+    both exchanges would shuffle every posting twice)."""
     from tiny_md_hbase_spark.operators.text import tokens
 
     spark_parallelism = max(
         documents.sparkSession.sparkContext.defaultParallelism, num_buckets
     )
+    toks = (
+        F.col(toks_col)
+        if toks_col is not None
+        else F.transform(tokens("text"), lambda t: F.lower(t))
+    )
     postings = (
         documents.select(
             "doc_id",
-            F.posexplode(F.transform(tokens("text"), lambda t: F.lower(t))).alias(
-                "pos", "term"
-            ),
+            F.posexplode(toks).alias("pos", "term"),
         )
         .groupBy("term", "doc_id")
         .agg(
@@ -876,6 +890,8 @@ def build_postings_positional(
         .withColumn("bucket", _term_bucket_col(F.col("term"), num_buckets))
     )
     postings = postings.join(vocab, "term")
+    if not repartition_out:
+        return postings
     return postings.repartition(spark_parallelism, "bucket", F.crc32("term"))
 
 

@@ -920,10 +920,14 @@ def dedup_ttl_batch(
     reduced = _ttl_reduce(b, "arrival").localCheckpoint()
     fronts = None
     if state is not None:
-        front, batch_min = (
-            state.agg(F.max("last_arrival")).collect()[0][0],
-            reduced.agg(F.min("_arr")).collect()[0][0],
+        # ONE action for both guard scalars (state front × batch min —
+        # two 1-row aggregates crossed), not one collect per relation
+        guard = (
+            state.agg(F.max("last_arrival").alias("_front"))
+            .crossJoin(reduced.agg(F.min("_arr").alias("_bmin")))
+            .collect()[0]
         )
+        front, batch_min = guard["_front"], guard["_bmin"]
         if front is not None and batch_min is not None and batch_min < front:
             raise ValueError(
                 f"stream_dedup_ttl batch {batch_id} contains arrival "
@@ -935,8 +939,12 @@ def dedup_ttl_batch(
                 " docstring."
             )
         fronts = state.groupBy("h").agg(F.max("last_arrival").alias("_arr"))
-    surv = _ttl_admit(reduced, fronts, ttl).localCheckpoint()
-    # (localCheckpoint: read state BEFORE overwriting into it)
+    # surv feeds exactly one consumer (the docs write below), so it is
+    # NOT checkpointed — the write materializes the admit chain itself.
+    # Safe ordering: the chain reads only state dirs the selection rule
+    # keeps (the running batch's own dir is excluded; compaction, which
+    # deletes folded dirs, runs after every write in this function).
+    surv = _ttl_admit(reduced, fronts, ttl)
     surv.select(
         F.col("_p.doc_id").alias("doc_id"),
         F.col("_p.text").alias("text"),
@@ -950,11 +958,21 @@ def dedup_ttl_batch(
     ).parquet(f"{table_path}/state/batch={batch_id}")
 
     def _fold(df: DataFrame) -> DataFrame:
+        # expiry without a driver action: the global front rides a
+        # broadcast cross-join of the 1-row max (map-side partials on
+        # both sides), so the fold is a single job — the write inside
+        # _maybe_compact. NULL front (empty state) keeps every row via
+        # the coalesce, matching the old None early-return.
         agg = df.groupBy("h").agg(F.max("last_arrival").alias("last_arrival"))
-        mx = agg.agg(F.max("last_arrival")).collect()[0][0]  # one-row action
-        if mx is None:
-            return agg
-        return agg.filter(F.col("last_arrival") >= mx - ttl)
+        mx = agg.agg(F.max("last_arrival").alias("_mx"))
+        return (
+            agg.crossJoin(F.broadcast(mx))
+            .filter(
+                F.col("last_arrival")
+                >= F.coalesce(F.col("_mx"), F.col("last_arrival")) - ttl
+            )
+            .drop("_mx")
+        )
 
     _maybe_compact(
         ss,
@@ -1097,14 +1115,19 @@ def dedup_ttl_event_batch(
     wm_tree = _read_state(
         ss, f"{table_path}/wm", batch_id, TTL_EVENT_WM_SCHEMA, ["max_event"]
     )
-    prev_max = (
-        wm_tree.agg(F.max("max_event")).collect()[0][0]
-        if wm_tree is not None
-        else None
-    )
-    stats = b.agg(
+    # ONE action for all three guard scalars (batch min/max event × the
+    # previous watermark front) instead of one collect per relation
+    stats_agg = b.agg(
         F.min("event_ts").alias("mn"), F.max("event_ts").alias("mx")
-    ).collect()[0]
+    )
+    if wm_tree is not None:
+        stats = stats_agg.crossJoin(
+            wm_tree.agg(F.max("max_event").alias("_pm"))
+        ).collect()[0]
+        prev_max = stats["_pm"]
+    else:
+        stats = stats_agg.collect()[0]
+        prev_max = None
     if prev_max is not None and stats.mn is not None:
         prev_wm = prev_max - lateness
         if stats.mn < prev_wm:
@@ -1148,11 +1171,13 @@ def dedup_ttl_event_batch(
         else None
     )
     # materialized once: the reduce feeds the admit chain AND the
-    # state-delta write (the arrival sink's rule)
+    # state-delta write (the arrival sink's rule). surv and still each
+    # feed exactly ONE write below, so they stay lazy — their writes
+    # materialize them, and every tree they read (state/pending dirs ≠
+    # this batch's own output dirs; sweeps only run at listing time or
+    # after the writes) is still present when the writes execute.
     reduced = _ttl_reduce(final, "event_ts").localCheckpoint()
-    surv = _ttl_admit(reduced, fronts, ttl).localCheckpoint()
-    # (localCheckpoint: every input tree is read before being overwritten)
-    still = still.localCheckpoint()
+    surv = _ttl_admit(reduced, fronts, ttl)
     surv.select(
         F.col("_p.doc_id").alias("doc_id"),
         F.col("_p.text").alias("text"),
@@ -1233,9 +1258,10 @@ def flush_dedup_ttl_event(
             if state is not None
             else None
         )
-        surv = _ttl_admit(
-            _ttl_reduce(pending, "event_ts"), fronts, ttl
-        ).localCheckpoint()
+        # single consumer (the docs write): materialized by the write
+        # itself; it reads only pending/state dirs the flush never
+        # overwrites (the flush's own reserved id is excluded)
+        surv = _ttl_admit(_ttl_reduce(pending, "event_ts"), fronts, ttl)
         surv.select(
             F.col("_p.doc_id").alias("doc_id"),
             F.col("_p.text").alias("text"),
@@ -1683,7 +1709,9 @@ def sample_topk_batch(
             .orderBy(F.desc("q"), F.asc("doc_id"))
             .limit(k + 1)
         )
-    cand = cand.localCheckpoint()  # read state BEFORE overwriting into it
+    # single consumer: the write below materializes cand itself. It
+    # reads only the prior state dir (≠ this batch's own output dir;
+    # pruning runs after the write), so no checkpoint barrier is needed.
     cand.write.mode("overwrite").parquet(f"{spath}/batch={batch_id}")
     _prune_sampler_state(ss, spath, batch_id)
 
@@ -1906,7 +1934,9 @@ def sample_stratified_batch(
         .filter(F.col("_rn") <= kq + 1)
         .drop("_rn")
     )
-    cand = cand.localCheckpoint()  # read state BEFORE overwriting into it
+    # single consumer: the write below materializes cand itself (reads
+    # only the prior state dir ≠ this batch's own output dir; pruning
+    # runs after the write) — no checkpoint barrier needed.
     cand.write.mode("overwrite").parquet(f"{spath}/batch={batch_id}")
     _prune_sampler_state(ss, spath, batch_id)
 
@@ -2354,12 +2384,27 @@ def index_maintain_batch(
     from tiny_md_hbase_spark.sources.writer import build_postings_positional
 
     ss = batch.sparkSession
-    postings = build_postings_positional(batch, num_buckets)
+    # tokenize the arriving text ONCE (the lowered token array feeds
+    # both the postings build and the _doc_lens write — previously two
+    # independent tokenize passes over the batch), and skip the
+    # builder's salted exchange: the batch-sized stream stays one task
+    # per touched bucket, so only the repartition("bucket") below is
+    # needed (stacking both shuffled every posting twice). dl =
+    # size(lowered toks) = size(raw toks) — transform preserves length,
+    # so zero-token documents still land in _doc_lens exactly as the
+    # one-shot build writes them.
+    toked = batch.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: F.lower(t)).alias("_toks"),
+    ).localCheckpoint()
+    postings = build_postings_positional(
+        toked, num_buckets, toks_col="_toks", repartition_out=False
+    )
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{index_path}/postings/batch={batch_id}")
-    batch.select(
-        "doc_id", F.size(tokens("text")).cast("long").alias("dl")
+    toked.select(
+        "doc_id", F.size("_toks").cast("long").alias("dl")
     ).write.mode("overwrite").parquet(
         f"{index_path}/_doc_lens/batch={batch_id}"
     )
