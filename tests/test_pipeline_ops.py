@@ -2643,3 +2643,53 @@ def test_dedup_ttl_huge_ticks_exact_epochs(spark):
     )
     for r in eps:
         assert r.e == r.arrival // (ttl + 1), (r.arrival, r.e)
+
+
+def test_shingle_hashes_partitions_like_string_shingles(spark):
+    """The token-hash shingle form (shingle_hashes — the internal key of
+    ngram_jaccard and the hashed/Bloom decontaminate twins) must induce
+    the SAME equalities as the gram-string form: per-doc distinct counts
+    match shingles(), and cross-doc hash-set intersections match the
+    gram-string intersections, over the tricky shapes (empty/NULL text,
+    short docs, duplicate grams, unicode, whitespace variants)."""
+    texts = [
+        "",
+        None,
+        "one",
+        "one two",
+        "one two three",
+        "one two three four five six",
+        "one two three one two three one two three",
+        "  leading and   multiple   spaces\ttabs\nnewlines  ",
+        "naïve café naïve café naïve café naïve",
+        "a b a b a b a b a b",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n in (3, 8):
+        rows = (
+            df.select(
+                "doc_id",
+                D.shingles(F.coalesce(F.col("text"), F.lit("")), n).alias("s"),
+                D.shingle_hashes(
+                    F.coalesce(F.col("text"), F.lit("")), n
+                ).alias("h"),
+                D.shingle_hashes(
+                    F.coalesce(F.col("text"), F.lit("")), n, extra=7
+                ).alias("h2"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        for r in rows:
+            assert len(r.h) == len(set(r.h)) == len(r.s), (n, r.doc_id)
+            assert len(r.h2) == len(r.s), (n, r.doc_id)
+            # gh of the pair form matches the scalar form's values
+            assert sorted(p.gh for p in r.h2) == sorted(r.h), (n, r.doc_id)
+        # cross-doc: hash-set intersections == gram-string intersections
+        for ra in rows:
+            for rb in rows:
+                want = len(set(ra.s) & set(rb.s))
+                got = len(set(ra.h) & set(rb.h))
+                assert got == want, (n, ra.doc_id, rb.doc_id, want, got)

@@ -295,13 +295,18 @@ def test_dedup_ttl_bounded_exchanges_with_partial_reduce(spark, sf_dir):
 
 
 def test_winnow_fingerprint_single_exchange(spark, sf_dir):
-    """Winnowing costs exactly one shuffle (on doc_id for the sliding
-    window); the per-doc dedup must reuse that partitioning — doc_id is
-    a prefix of the dedup key — instead of adding a second exchange."""
+    """Winnowing is ZERO-shuffle: the whole fold/assemble/slide/dedup
+    pipeline runs inside one vectorized Arrow kernel per input split
+    (MapInPandas), so the plan has no Exchange at all — the only data
+    movement is (doc_id, text) into the Python worker and (doc_id, fp)
+    longs back. The former formulation paid a doc_id exchange plus two
+    window sorts; this contract pins the improvement."""
     from tiny_md_hbase_spark.operators import text as TX
 
     q = TX.winnow_fingerprint(load_table(spark, sf_dir, "documents"))
-    assert P.exchange_count(q) == 1
+    assert P.exchange_count(q) == 0
+    plan = P.explain_str(q, "simple")
+    assert "MapInPandas" in plan, plan[:2000]
 
 
 def test_corpus_budget_sharded_prefix_sum(spark, sf_dir):

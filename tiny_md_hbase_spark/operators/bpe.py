@@ -48,10 +48,6 @@ FIXTURE_MERGES: list[tuple[str, str]] = [
     ("h", "</w>"), ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
 ]
 
-# merges applied per chained projection before a lineage-truncating
-# checkpoint in the encoder (Catalyst analysis cost grows superlinearly
-# with nested aggregate folds; 64 stays comfortably inside it)
-_ENC_CHUNK = 64
 
 
 def word_counts(documents: DataFrame) -> DataFrame:
@@ -205,23 +201,19 @@ def bpe_token_count(
     tokenizer-aware corpus accounting (token budgets, packing, cost
     estimates are all denominated in tokenizer tokens, not words).
 
-    Scale shape: the merges apply over the DISTINCT-word table — in
-    CHUNKS of ``_ENC_CHUNK`` chained projections with a localCheckpoint
-    between chunks, because a real tokenizer's merge list is 10^4-10^5
-    entries and an unbroken chain of that many nested aggregate folds
-    would blow up Catalyst analysis (the training loop truncates its
-    lineage every round for the same reason). The resulting
-    (word -> n_pieces) mapping joins back onto the corpus word stream
-    (AQE broadcasts it when the vocabulary is small; huge vocabularies
-    fall back to an ordinary hash join on the word key); per-doc counts
-    are one map-side-partial aggregation. The exploded word stream is
-    materialized ONCE (localCheckpoint — it feeds the vocabulary
-    distinct and the count join) and the only other input touch is a
-    doc_id-pruned spine scan for empty/NULL docs, which count 0.
-    Returns (doc_id, n_bpe_tokens).
-
-    Matches :func:`bpe_encode_py` piece-for-piece (same shared greedy
-    fold, tests pin it)."""
+    Scale shape: the merges apply over the DISTINCT-word table via
+    :func:`bpe_encode_py` in a single ``mapInPandas`` pass (the encoder
+    is the pinned reference for the JVM ``_merge_fold`` — tests assert
+    the two agree piece-for-piece — and a 10^4-10^5-entry real merge
+    list is just more list passes per word, never a deeper plan). The
+    resulting (word -> n_pieces) mapping joins back onto the corpus
+    word stream (AQE broadcasts it when the vocabulary is small; huge
+    vocabularies fall back to an ordinary hash join on the word key);
+    per-doc counts are one map-side-partial aggregation. The exploded
+    word stream is materialized ONCE (localCheckpoint — it feeds the
+    vocabulary distinct and the count join) and the only other input
+    touch is a doc_id-pruned spine scan for empty/NULL docs, which
+    count 0. Returns (doc_id, n_bpe_tokens)."""
     txt = F.coalesce(F.col("text"), F.lit(""))
     # pre-aggregate to (doc_id, word, c) BEFORE materializing: the
     # checkpoint and the mapping join then carry one row per distinct
@@ -233,15 +225,31 @@ def bpe_token_count(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint()
     )
-    enc = words.select("word").distinct().select(
-        "word", _syms_expr(F.col("word")).alias("syms")
+    # piece counts via the pure-Python greedy encoder in ONE Arrow
+    # batch pass over the distinct-word table: bpe_encode_py applies the same
+    # non-overlapping left-to-right scan as _merge_fold (tests pin the
+    # two piece-for-piece), but as |merges| tight list passes per word
+    # instead of |merges| chained INTERPRETED Catalyst aggregate folds,
+    # each of which allocated a struct + growing array per symbol per
+    # merge. Only the ~bytes-sized `word` column crosses the Python
+    # boundary, the table is vocabulary-bounded (never corpus-sized),
+    # and the encoder is defined at module level so workers import it
+    # instead of re-pickling per task.
+    ms = [(str(l), str(r)) for l, r in merges]
+
+    def _pieces(pdfs):
+        for pdf in pdfs:
+            pdf = pdf[["word"]].copy()
+            pdf["n_pieces"] = [
+                len(bpe_encode_py(w, ms)) for w in pdf["word"]
+            ]
+            yield pdf
+
+    mapping = (
+        words.select("word")
+        .distinct()
+        .mapInPandas(_pieces, "word string, n_pieces int")
     )
-    for i in range(0, len(merges), _ENC_CHUNK):
-        for l, r in merges[i : i + _ENC_CHUNK]:
-            enc = enc.select("word", _merge_fold(l, r, "syms").alias("syms"))
-        if i + _ENC_CHUNK < len(merges):
-            enc = enc.localCheckpoint()
-    mapping = enc.select("word", F.size("syms").alias("n_pieces"))
     counted = (
         words.join(mapping, "word")
         .groupBy("doc_id")

@@ -235,18 +235,93 @@ def dedup_exact_hashed(documents: DataFrame, key: str = "text") -> DataFrame:
     )
 
 
+def bind_once(val: Column, body) -> Column:
+    """A let-binding for Column expressions: evaluate ``val`` ONCE per row
+    and hand the result to ``body`` as a bound lambda variable —
+    ``element_at(transform(array(val), body), 1)``. Catalyst evaluates an
+    expression subtree once per REFERENCE, and higher-order lambdas
+    re-evaluate their captured subtrees once per element, so an O(T)
+    subtree (tokenize) referenced inside an O(T)-element gram lambda costs
+    O(T^2) per row. A lambda variable is bound to its computed value, and
+    the optimizer cannot inline through it, so the subtree is computed
+    once per row instead (measured 3.5x on string shingles, 50x on the
+    token-hash form at 120-token docs). Values are bit-identical — this
+    changes evaluation strategy, never semantics."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a document; documents shorter than
-    n tokens contribute their whole token string as one shingle."""
-    toks = tokens(text)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return F.array_distinct(grams)
+    n tokens contribute their whole token string as one shingle. The
+    token array is let-bound (:func:`bind_once`) so tokenize runs once
+    per document, not once per gram offset."""
+
+    def build(tk: Column) -> Column:
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", tk)))
+
+    return F.array_distinct(bind_once(tokens(text), build))
+
+
+def shingle_hashes(
+    text: Column | str, n: int = 3, extra: int | None = None
+) -> Column:
+    """Distinct 64-bit shingle hashes of a document WITHOUT building the
+    gram strings: hash each token once (``xxhash64``), then hash each
+    n-slice of the token-hash array — ``xxhash64(array<long>)`` chains
+    the element hashes, so equal token sequences (⟺ equal gram strings;
+    tokens contain no whitespace) get equal hashes and unequal ones
+    collide with the same ~2^-64 odds the gram-string hash already
+    carries. Compared to ``xxhash64(shingles(...))`` this skips the
+    per-offset n-token ``concat_ws`` string allocation + variable-length
+    re-hash of every character n times across overlapping grams, and the
+    distinct runs on longs, not strings.
+
+    ONLY for consumers whose OUTPUT is hash-agnostic (set sizes /
+    join-match counts with an exact verify): ngram_jaccard and the
+    hashed/Bloom decontaminate forms. MinHash/SimHash outputs embed the
+    hash VALUES (signatures, band keys, fingerprints) and must keep
+    their exact hash definitions.
+
+    Short-doc rule mirrors :func:`shingles`: a document with fewer than
+    ``n`` tokens contributes its whole token sequence as one shingle
+    (the hash of the full token-hash array; ``[]`` included).
+
+    ``extra`` returns array<struct<gh,gh2>> with a second independent
+    hash (``xxhash64(slice, lit(extra))``) per shingle — the k=2 Bloom
+    probe pair — with distinctness on the (gh, gh2) struct.
+
+    The token-hash array is let-bound (:func:`bind_once`) so both the
+    tokenize and the per-token hashing run once per document; each gram
+    is then one ``slice`` of the bound array (an n-long copy) hashed as
+    a single array argument. Referencing the unbound subtree inside the
+    gram lambda instead re-evaluates tokenize+hash once per reference —
+    O(n·T^2) per document, measured 50x slower at 120-token docs."""
+    if extra is None:
+        mk = lambda sl: F.xxhash64(sl)  # noqa: E731
+    else:
+        mk = lambda sl: F.struct(  # noqa: E731
+            F.xxhash64(sl).alias("gh"),
+            F.xxhash64(sl, F.lit(extra)).alias("gh2"),
+        )
+
+    def build(th: Column) -> Column:
+        return F.when(
+            F.size(th) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(th) - n),
+                lambda i: mk(F.slice(th, i + 1, n)),
+            ),
+        ).otherwise(F.array(mk(th)))
+
+    return F.array_distinct(
+        bind_once(F.transform(tokens(text), lambda t: F.xxhash64(t)), build)
+    )
 
 
 def minhash_signature(text: Column | str, num_hashes: int = 32, n: int = 3) -> Column:
@@ -254,18 +329,25 @@ def minhash_signature(text: Column | str, num_hashes: int = 32, n: int = 3) -> C
     minimum of ``(a_i * xxhash64(shingle) + b_i) mod M`` over the
     document's shingle set. One pass, all JVM-side."""
     sh = shingles(text, n)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    base,
-                    lambda h, i=i: (h * F.lit(2 * i + 1) + F.lit(7919 * (i + 1)))
-                    % F.lit(_MERSENNE31),
+    # let-bind the base-hash array (bind_once): the shingle+hash subtree
+    # would otherwise be re-evaluated once PER PERMUTATION — num_hashes
+    # full passes over the document instead of one
+    return bind_once(
+        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))),
+        lambda base: F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        base,
+                        lambda h, i=i: (
+                            h * F.lit(2 * i + 1) + F.lit(7919 * (i + 1))
+                        )
+                        % F.lit(_MERSENNE31),
+                    )
                 )
-            )
-            for i in range(num_hashes)
-        ]
+                for i in range(num_hashes)
+            ]
+        ),
     )
 
 
@@ -1198,7 +1280,11 @@ def ngram_jaccard(
     # compares longs instead of strings (measured ~5x on the pair stage).
     # Set cardinalities are unchanged barring a 64-bit collision *within
     # one document pair's shingle sets* (~1e-15 per pair) — the value the
-    # string-based SQL oracle computes
+    # string-based SQL oracle computes. The hashes come from
+    # shingle_hashes (token-hash slices, no gram-string construction) —
+    # a DIFFERENT 64-bit value than xxhash64(gram string) but the same
+    # collision class, and this operator's output depends only on set
+    # sizes, never the values.
     # the corpus usually arrives as ONE parquet file: repartition the raw
     # rows BEFORE the shingle projection (an exchange above the projection
     # would leave the whole expensive pass on one core — measured 5-10x on
@@ -1214,9 +1300,7 @@ def ngram_jaccard(
         .select(
             F.col("doc_id"),
             F.col(block_col).alias("blk"),
-            F.array_distinct(
-                F.transform(shingles("text", n), lambda s: F.xxhash64(s))
-            ).alias("sh"),
+            shingle_hashes("text", n).alias("sh"),
         )
         .withColumn("sz", F.size("sh"))
         # lossless length-bucket blocking: J(A,B) >= t implies |A|/|B| >= t,
@@ -1318,15 +1402,24 @@ def dedup_clusters(
     """
     spark = documents.sparkSession
     ids = documents.select("doc_id")
+    # lazy checkpoint + ONE bounded collect decides the path AND (when
+    # small enough) already holds the whole edge list — previously this
+    # ran three driver actions (eager checkpoint, count, collect) over
+    # the same relation. limit(collect_limit + 1) bounds the driver
+    # transfer exactly as the old count()-gate did; the checkpoint's
+    # remaining partitions are computed by the same job's backfill, so
+    # the distributed fallback reuses the materialized edges without
+    # recomputing the (expensive) pair generation.
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    if edges.count() <= collect_limit:
+    head = edges.limit(collect_limit + 1).collect()
+    if len(head) <= collect_limit:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -1335,7 +1428,7 @@ def dedup_clusters(
                 x = parent[x]
             return x
 
-        for r in edges.collect():
+        for r in head:
             a, b = int(r.a), int(r.b)
             parent.setdefault(a, a)
             parent.setdefault(b, b)

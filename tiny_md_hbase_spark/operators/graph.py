@@ -170,7 +170,13 @@ def pagerank_weighted(
                     + F.expr(f"({DAMP} * coalesce(inc, 0L)) div 100")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint()
+            # eager=False: the checkpoint still truncates lineage (each
+            # round plans against the previous round's RDD, never the
+            # k-deep expression chain) but materialization rides the
+            # caller's single terminal action instead of one eager
+            # driver job per round — 5 scheduling round-trips removed,
+            # identical work and identical integer results
+            .localCheckpoint(eager=False)
         )
     return (
         ranks.select(
@@ -267,7 +273,10 @@ def pagerank(edges: DataFrame, n_iter: int = 5, k: int = TOP_K) -> DataFrame:
                     + F.expr(f"({DAMP} * coalesce(inc, 0L)) div 100")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint()
+            # eager=False: lineage is truncated per round as before, but
+            # the 5 per-round materialization jobs collapse into the
+            # caller's terminal action (see pagerank_weighted)
+            .localCheckpoint(eager=False)
         )
     return (
         ranks.select(
@@ -435,7 +444,10 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            # eager=False: the convergence count below materializes the
+            # round in the SAME job — one driver action per round, not
+            # two; lineage is truncated either way
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -486,13 +498,20 @@ def connected_components_star(
     pathological diameters. Per-round localCheckpoint truncates
     lineage exactly as the other iterative operators here."""
     # canonical down-edges (big, small), deduped, self-loops dropped
+    # eager=False everywhere in this loop: each checkpoint still
+    # truncates lineage (every round plans against RDDs, never a
+    # round-deep expression chain), but materialization is carried by
+    # the ONE fingerprint action per round — previously each round ran
+    # three driver jobs (large-star checkpoint, small-star checkpoint,
+    # fingerprint agg); now the fingerprint's job computes the whole
+    # round's chain. Identical relations, identical results.
     canon = (
         edges.select(
             F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _sym(e: DataFrame) -> DataFrame:
@@ -512,7 +531,7 @@ def connected_components_star(
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     def _fp(e: DataFrame) -> tuple:
@@ -1099,7 +1118,11 @@ def shortest_path_weighted(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("min_cost").cast("long").alias("min_cost"))
-            .localCheckpoint()
+            # eager=False: the fingerprint action below computes every
+            # partition of the round in the same job — one driver
+            # action per round instead of two; lineage truncation and
+            # results are identical
+            .localCheckpoint(eager=False)
         )
         nfp = _fp(dist)
         # fingerprint equality is the cheap filter, never the verdict:

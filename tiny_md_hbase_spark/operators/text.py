@@ -18,6 +18,8 @@ Cross-engine determinism notes (the DuckDB oracles must hash-match):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -599,12 +601,15 @@ def decontaminate_hashed(
     UTF-8 per probe. Collision odds are ~1e-8 even at 10^9 distinct grams
     (64-bit birthday bound), so the output is the raw-string result with
     probability ≈ 1 — which is why the raw :func:`decontaminate_sql` also
-    serves as this operator's oracle."""
-    from tiny_md_hbase_spark.operators.dedup import shingles
+    serves as this operator's oracle. The hash is ``shingle_hashes``'
+    token-hash form (each token hashed once, grams hashed as n-long
+    tuples — no gram-string concat per offset); the collision class is
+    the same and the output is hash-value-agnostic."""
+    from tiny_md_hbase_spark.operators.dedup import shingle_hashes
 
     grams = lambda df: df.select(  # noqa: E731
-        "doc_id", F.explode(shingles("text", gram_n)).alias("g")
-    ).select("doc_id", F.xxhash64("g").alias("gh"))
+        "doc_id", F.explode(shingle_hashes("text", gram_n)).alias("gh")
+    )
     train = grams(documents.filter(F.col("doc_id") % eval_mod != 0))
     eval_g = grams(documents.filter(F.col("doc_id") % eval_mod == 0)).select(
         F.col("doc_id").alias("eval_doc_id"), "gh"
@@ -634,7 +639,9 @@ def decontaminate_bloom(
     Bloom bitset whose footprint is ``bits_per_gram/8`` bytes per eval
     gram (~1.2 B/gram at the default) regardless of gram length:
 
-    1. Hash every eval gram twice (``xxhash64(g)``, ``xxhash64(g, 7)``)
+    1. Hash every eval gram twice (``shingle_hashes(..., extra=7)``'s
+       independent (gh, gh2) pair — token-hash shingles, no gram-string
+       construction)
        and fold the k=2 double-hashed bit positions into an ``m``-bit
        bitset AS A DATAFRAME AGGREGATE — ``groupBy(p div 64).agg(
        bit_or(shiftleft(1, p mod 64)))`` — so the bitset is built
@@ -657,15 +664,16 @@ def decontaminate_bloom(
     bitset... split across a 512 MiB broadcast per 2^32 bits if ever
     needed; at every real eval-suite size (MMLU/GSM8K-scale, ≤ tens of
     MB of grams) the word table is a few thousand rows."""
-    from tiny_md_hbase_spark.operators.dedup import shingles
+    from tiny_md_hbase_spark.operators.dedup import shingle_hashes
 
+    # token-hash shingles (no gram-string construction); the struct form
+    # carries the k=2 probe pair per distinct gram. Hash VALUES are
+    # plan-internal: false positives die in the exact verify join, and
+    # the verify key's collision class is unchanged.
     grams = lambda df: df.select(  # noqa: E731
-        "doc_id", F.explode(shingles("text", gram_n)).alias("g")
-    ).select(
         "doc_id",
-        F.xxhash64("g").alias("gh"),
-        F.xxhash64("g", F.lit(7)).alias("gh2"),
-    )
+        F.explode(shingle_hashes("text", gram_n, extra=7)).alias("_g"),
+    ).select("doc_id", F.col("_g.gh").alias("gh"), F.col("_g.gh2").alias("gh2"))
     train = grams(documents.filter(F.col("doc_id") % eval_mod != 0))
     # the eval-gram relation feeds THREE consumers — the sizing count
     # below, the bitset aggregate, and the exact verify join — so it is
@@ -1038,90 +1046,118 @@ def winnow_fingerprint(
     provide.
 
     All exact integer arithmetic (the polynomial char hash both engines
-    reproduce bit-for-bit). Scale shape — hash tokens, not grams:
-    posexplode the token sequence and fold each token ONCE into
-    ``(h, 31^len mod M)`` (one interpreted higher-order fold per token;
-    hashing the gram strings instead folds every char k times across
-    overlapping grams and ships ~20-byte strings through the shuffle —
-    measured ~2× slower; an array-of-windows expression tree is worse
-    still, O(grams²) interpreted, ~50×). The gram hash is then assembled
-    from k consecutive token hashes with pure codegen ``lead()``
-    arithmetic — congruent to the char fold of the exact gram string,
+    reproduce bit-for-bit), evaluated as ONE vectorized numpy kernel
+    per partition (``mapInPandas``): tokenize, fold each token once
+    into ``(h, 31^len mod M)`` (codepoint columns batched across every
+    token in the Arrow batch), assemble gram hashes from k consecutive
+    token hashes — congruent to the char fold of the exact gram string,
     since tokens contain no whitespace and every intermediate stays
-    under 2^62 — and the w-row sliding minimum runs over the same
-    (doc_id, position) sort, so the whole operator costs ONE shuffle of
-    long-only rows; the final per-doc dedup reuses the partitioning
-    (doc_id is a prefix of the dedup key). Returns (doc_id, fp) — feed
-    into an equi-join on fp to find copied passages across a corpus,
-    the same banding shape as the MinHash LSH join."""
-    from pyspark.sql import Window
+    under 2^62 — take the w-window sliding minima, and dedup per doc,
+    all inside the kernel. ZERO shuffle: the former formulation
+    posexploded to a token table and paid a doc_id-keyed exchange +
+    two window sorts + a dedup, with the per-token fold running as
+    interpreted higher-order expressions; here the only data movement
+    is (doc_id, text) into the Python worker and the (doc_id, fp)
+    longs back. Returns (doc_id, fp) — feed into an equi-join on fp to
+    find copied passages across a corpus, the same banding shape as
+    the MinHash LSH join."""
 
-    M = F.lit(FINGERPRINT_MOD)
-    # NULL ≡ '' (the corpus-wide empty-content convention): a NULL-text
-    # doc must emit the same single fp 0 as an empty one, not vanish
-    # from the output while the SQL twin keeps it
-    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
-    base = documents.select("doc_id", toks.alias("toks"))
+    def _kernel(pdfs):
+        import numpy as np
+        import pandas as pd
 
-    # -- long docs: per-token (h, p=31^len) in ONE fold ------------------
-    t = base.filter(F.size("toks") >= k).select(
-        "doc_id", F.posexplode("toks").alias("ti", "tok")
-    )
-    hp = F.aggregate(
-        F.transform(F.split("tok", ""), lambda c: F.ascii(c).cast("long")),
-        F.struct(
-            F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")
-        ),
-        lambda acc, c: F.struct(
-            ((acc["h"] * 31 + c) % M).alias("h"), ((acc["p"] * 31) % M).alias("p")
-        ),
-    )
-    th = t.select("doc_id", "ti", hp.alias("hp")).select(
-        "doc_id", "ti", F.col("hp.h").alias("h"), F.col("hp.p").alias("p")
-    )
-    order = Window.partitionBy("doc_id").orderBy("ti")
-    # h(t1 ' ' t2 ... ' ' tk): extend by the space (×31 + 32), then by the
-    # next token (× its 31^len, + its hash) — mod after every product so
-    # nothing exceeds 2^60
-    gram_h: Column = F.col("h")
-    for j in range(1, k):
-        gram_h = (gram_h * 31 + 32) % M
-        gram_h = (
-            gram_h * F.lead("p", j).over(order) + F.lead("h", j).over(order)
-        ) % M
-    g = (
-        th.select("doc_id", F.col("ti").alias("gi"), gram_h.alias("gh"))
-        # trailing positions have no full gram (lead returned null)
-        .filter(F.col("gh").isNotNull())
-    )
-    slide = Window.partitionBy("doc_id").orderBy("gi").rowsBetween(0, w - 1)
-    per_doc = Window.partitionBy("doc_id")
-    long_fps = (
-        g.withColumn("wmin", F.min("gh").over(slide))
-        .withColumn("n", F.count("*").over(per_doc))
-        # one window per full w-run; docs with fewer than w grams keep
-        # their single (truncated-window) minimum at position 0
-        .filter(
-            (F.col("gi") <= F.col("n") - w)
-            | ((F.col("n") < w) & (F.col("gi") == 0))
-        )
-        .select("doc_id", F.col("wmin").alias("fp"))
-        .dropDuplicates(["doc_id", "fp"])
-    )
+        M = FINGERPRINT_MOD
+        ws_re = re.compile(_WS)
+        for pdf in pdfs:
+            out_doc: list = []
+            out_fp: list = []
+            doc_ids = pdf["doc_id"].to_numpy()
+            tok_lists = [
+                [t for t in ws_re.split(s if isinstance(s, str) else "") if t]
+                for s in pdf["text"]
+            ]
+            # -- short docs (< k tokens): whole joined text is the fp --
+            long_rows: list[int] = []
+            for r, toks in enumerate(tok_lists):
+                if len(toks) < k:
+                    h = 0
+                    for cp in map(ord, " ".join(toks)):
+                        h = (h * 31 + cp) % M
+                    out_doc.append(doc_ids[r])
+                    out_fp.append(h)
+                else:
+                    long_rows.append(r)
+            if long_rows:
+                # flatten every long doc's tokens into one codepoint
+                # array; per-token (h, p) fold runs column-by-column
+                # over a padded (n_tokens, max_len) view — max_len
+                # vectorized steps total, exact int64 arithmetic
+                # (values stay < 2^60 with the mod after every product)
+                toks_flat = [t for r in long_rows for t in tok_lists[r]]
+                n_per_doc = np.array(
+                    [len(tok_lists[r]) for r in long_rows], dtype=np.int64
+                )
+                lens = np.array([len(t) for t in toks_flat], dtype=np.int64)
+                cp = np.frombuffer(
+                    "".join(toks_flat).encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                h = np.zeros(len(toks_flat), dtype=np.int64)
+                p = np.ones(len(toks_flat), dtype=np.int64)
+                for col in range(int(lens.max(initial=0))):
+                    sel = lens > col
+                    idx = starts[sel] + col
+                    h[sel] = (h[sel] * 31 + cp[idx]) % M
+                    p[sel] = (p[sel] * 31) % M
+                # gram hash at token offset i (within doc):
+                # gh = h_i; then per j: gh = (gh*31+32)%M (the space),
+                # gh = (gh*p_{i+j} + h_{i+j})%M — valid iff i+k-1 is
+                # still inside the doc
+                doc_end = np.repeat(np.cumsum(n_per_doc), n_per_doc)
+                pos = np.arange(len(toks_flat), dtype=np.int64)
+                gvalid = pos + (k - 1) < doc_end
+                gh = h.copy()
+                for j in range(1, k):
+                    gh = (gh * 31 + 32) % M
+                    nxt = np.roll(h, -j)
+                    nxp = np.roll(p, -j)
+                    # out-of-doc positions are dropped by gvalid below;
+                    # roll wrap-around only ever lands there
+                    gh = (gh * nxp + nxt) % M
+                g = gh[gvalid]
+                m_per_doc = n_per_doc - (k - 1)  # >= 1 (len >= k)
+                gdoc = np.repeat(np.arange(len(long_rows)), m_per_doc)
+                gend = np.repeat(np.cumsum(m_per_doc), m_per_doc)
+                gpos = np.arange(len(g), dtype=np.int64)
+                # sliding min over the w-window, truncated at doc tail
+                wmin = g.copy()
+                for j in range(1, w):
+                    shifted = np.roll(g, -j)
+                    ok = gpos + j < gend
+                    wmin = np.minimum(wmin, np.where(ok, shifted, M))
+                gi = gpos - (gend - np.repeat(m_per_doc, m_per_doc))
+                keep = (gi <= np.repeat(m_per_doc - w, m_per_doc)) | (
+                    (np.repeat(m_per_doc, m_per_doc) < w) & (gi == 0)
+                )
+                sel_doc = doc_ids[np.array(long_rows, dtype=np.int64)][
+                    gdoc[keep]
+                ]
+                pairs = np.unique(
+                    np.stack((sel_doc, wmin[keep]), axis=1), axis=0
+                )
+                out_doc.extend(pairs[:, 0].tolist())
+                out_fp.extend(pairs[:, 1].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "fp": pd.Series(out_fp, dtype="int64"),
+                }
+            )
 
-    # -- short docs (< k tokens): whole text is the single gram ----------
-    short_fps = base.filter(F.size("toks") < k).select(
-        "doc_id",
-        F.aggregate(
-            F.transform(
-                F.split(F.concat_ws(" ", "toks"), ""),
-                lambda c: F.ascii(c).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * 31 + x) % M,
-        ).alias("fp"),
+    return documents.select("doc_id", "text").mapInPandas(
+        _kernel, "doc_id long, fp long"
     )
-    return long_fps.unionByName(short_fps)
 
 
 def winnow_fingerprint_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
