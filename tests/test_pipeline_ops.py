@@ -2675,18 +2675,12 @@ def test_shingle_hashes_partitions_like_string_shingles(spark):
                 D.shingle_hashes(
                     F.coalesce(F.col("text"), F.lit("")), n
                 ).alias("h"),
-                D.shingle_hashes(
-                    F.coalesce(F.col("text"), F.lit("")), n, extra=7
-                ).alias("h2"),
             )
             .orderBy("doc_id")
             .collect()
         )
         for r in rows:
             assert len(r.h) == len(set(r.h)) == len(r.s), (n, r.doc_id)
-            assert len(r.h2) == len(r.s), (n, r.doc_id)
-            # gh of the pair form matches the scalar form's values
-            assert sorted(p.gh for p in r.h2) == sorted(r.h), (n, r.doc_id)
         # cross-doc: hash-set intersections == gram-string intersections
         for ra in rows:
             for rb in rows:

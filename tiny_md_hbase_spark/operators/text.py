@@ -621,7 +621,7 @@ def decontaminate_hashed(
     )
 
 
-DECON_BLOOM_BITS_PER_GRAM = 10  # k=2 double hashing → ~8% FPP; exact verify after
+DECON_BLOOM_BITS_PER_GRAM = 10  # k=2 blocked bloom → ~4% FPP; exact verify after
 
 
 def decontaminate_bloom(
@@ -636,21 +636,26 @@ def decontaminate_bloom(
     entry); past that bound the join must shuffle BOTH sides — including
     the 100 TB corpus's exploded grams, almost none of which match. This
     operator drops the non-matching grams BEFORE that shuffle with a
-    Bloom bitset whose footprint is ``bits_per_gram/8`` bytes per eval
-    gram (~1.2 B/gram at the default) regardless of gram length:
+    REGISTER-BLOCKED Bloom bitset (both probe bits of a key live in the
+    same 64-bit word) whose footprint is ``bits_per_gram/8`` bytes per
+    eval gram (~1.2 B/gram at the default) regardless of gram length:
 
-    1. Hash every eval gram twice (``shingle_hashes(..., extra=7)``'s
-       independent (gh, gh2) pair — token-hash shingles, no gram-string
-       construction)
-       and fold the k=2 double-hashed bit positions into an ``m``-bit
-       bitset AS A DATAFRAME AGGREGATE — ``groupBy(p div 64).agg(
-       bit_or(shiftleft(1, p mod 64)))`` — so the bitset is built
-       distributedly and only ``m/64`` (word, bits) rows exist, bounded
-       by the FILTER size, never the eval set.
+    1. Each eval gram's single 64-bit token-hash ``gh`` supplies all
+       three probe coordinates from disjoint bit fields — word
+       ``w = (gh & (m-1)) >> 6``, bits ``gh & 63`` and
+       ``(gh >>> 48) & 63`` — so the k=2 filter costs ZERO extra
+       hashing, and the bitset is folded AS A DATAFRAME AGGREGATE —
+       ``groupBy(w).agg(bit_or(mask))``, one row per gram, no explode —
+       so it is built distributedly and only ``m/64`` (word, bits) rows
+       exist, bounded by the FILTER size, never the eval set.
     2. Broadcast-join the corpus grams against that tiny word table
-       twice (one equi-join per probe position, whole-stage codegen
-       bitwise tests, zero Python) and keep the grams whose both bits
-       are set — the only rows that reach the shuffle.
+       ONCE (both bit tests ride the single equi-join as one
+       ``bits & need = need`` conjunction, whole-stage codegen, zero
+       Python) and keep the grams whose both bits are set — the only
+       rows that reach the shuffle. One join instead of the classic
+       k joins is exactly what the blocked layout buys; the price is a
+       mildly higher FPP (~4% vs ~3% at 10 bits/gram), which only sizes
+       the verify join's input, never the output.
     3. Exact verify: shuffle-join the surviving grams against the eval
        grams on the 8-byte hash and count per pair, so Bloom false
        positives are eliminated and the output EQUALS
@@ -658,22 +663,21 @@ def decontaminate_bloom(
        this operator's oracle verbatim.
 
     ``m`` is the next power of two ≥ ``bits_per_gram × |eval grams|``
-    (one metadata-sized ``count()`` decides it), so ``pmod`` stays a
-    cheap mask-shaped mod and the bitset table is ~m/64 longs — e.g.
-    20 GB of eval text ≈ 2.7e9 grams → m = 2^35 bits = 4 GiB of
-    bitset... split across a 512 MiB broadcast per 2^32 bits if ever
-    needed; at every real eval-suite size (MMLU/GSM8K-scale, ≤ tens of
-    MB of grams) the word table is a few thousand rows."""
+    (one metadata-sized ``count()`` over the checkpointed grams decides
+    it), so the word index is a mask+shift and the bitset table is
+    ~m/64 longs — e.g. 20 GB of eval text ≈ 2.7e9 grams → m = 2^35 bits
+    = 4 GiB of bitset... split across a 512 MiB broadcast per 2^32 bits
+    if ever needed; at every real eval-suite size (MMLU/GSM8K-scale,
+    ≤ tens of MB of grams) the word table is a few thousand rows. The
+    bit fields stay disjoint for any m < 2^48 bits (32 TiB)."""
     from tiny_md_hbase_spark.operators.dedup import shingle_hashes
 
-    # token-hash shingles (no gram-string construction); the struct form
-    # carries the k=2 probe pair per distinct gram. Hash VALUES are
+    # token-hash shingles (no gram-string construction). Hash VALUES are
     # plan-internal: false positives die in the exact verify join, and
     # the verify key's collision class is unchanged.
     grams = lambda df: df.select(  # noqa: E731
-        "doc_id",
-        F.explode(shingle_hashes("text", gram_n, extra=7)).alias("_g"),
-    ).select("doc_id", F.col("_g.gh").alias("gh"), F.col("_g.gh2").alias("gh2"))
+        "doc_id", F.explode(shingle_hashes("text", gram_n)).alias("gh")
+    )
     train = grams(documents.filter(F.col("doc_id") % eval_mod != 0))
     # the eval-gram relation feeds THREE consumers — the sizing count
     # below, the bitset aggregate, and the exact verify join — so it is
@@ -682,7 +686,7 @@ def decontaminate_bloom(
     # second full eval pass before this)
     eval_g = (
         grams(documents.filter(F.col("doc_id") % eval_mod == 0))
-        .select(F.col("doc_id").alias("eval_doc_id"), "gh", "gh2")
+        .select(F.col("doc_id").alias("eval_doc_id"), "gh")
         .localCheckpoint()
     )
 
@@ -698,44 +702,34 @@ def decontaminate_bloom(
     n_grams = eval_g.count()
     m = 1 << max(10, (max(1, n_grams) * bits_per_gram - 1).bit_length())
 
-    # k=2 Kirsch-Mitzenmacher positions: p_i = (h1 + i*h2) mod m, with the
-    # addition done on pre-reduced residues so ANSI long arithmetic cannot
-    # overflow (m ≤ 2^62).
-    def _positions(df: DataFrame) -> tuple[Column, Column]:
-        r1 = F.pmod(F.col("gh"), F.lit(m))
-        r2 = F.pmod(F.col("gh2"), F.lit(m))
-        return r1, F.pmod(r1 + r2, F.lit(m))
+    # blocked-bloom coordinates from disjoint fields of gh (m is a power
+    # of two, so & (m-1) is the non-negative low-bits residue even for
+    # negative hashes): home word + the two in-word bit masks OR-ed into
+    # one probe mask. No second hash, no per-position explode.
+    gh = F.col("gh")
+    word = F.shiftright(gh.bitwiseAND(F.lit(m - 1)), 6)
+    one = F.lit(1).cast("long")
+    mask = F.call_function(
+        "shiftleft", one, gh.bitwiseAND(F.lit(63)).cast("int")
+    ).bitwiseOR(
+        F.call_function(
+            "shiftleft",
+            one,
+            F.shiftrightunsigned(gh, 48).bitwiseAND(F.lit(63)).cast("int"),
+        )
+    )
 
-    p0, p1 = _positions(eval_g)
     bitset = (
-        eval_g.select(F.explode(F.array(p0, p1)).alias("p"))
-        .groupBy(F.floor(F.col("p") / F.lit(64)).cast("long").alias("w"))
-        .agg(
-            F.bit_or(
-                F.call_function(
-                    "shiftleft",
-                    F.lit(1).cast("long"),
-                    F.pmod(F.col("p"), F.lit(64)).cast("int"),
-                )
-            ).alias("bits")
-        )
+        eval_g.select(word.alias("w"), mask.alias("mk"))
+        .groupBy("w")
+        .agg(F.bit_or("mk").alias("bits"))
     )
 
-    q0, q1 = _positions(train)
-    probed = train.select("doc_id", "gh", q0.alias("p0"), q1.alias("p1"))
-    mask = lambda p: F.call_function(  # noqa: E731
-        "shiftleft", F.lit(1).cast("long"), F.pmod(F.col(p), F.lit(64)).cast("int")
+    survivors = (
+        train.select("doc_id", "gh", word.alias("w"), mask.alias("need"))
+        .join(F.broadcast(bitset), "w")
+        .filter(F.col("bits").bitwiseAND(F.col("need")) == F.col("need"))
     )
-    survivors = probed
-    for p, w, b in (("p0", "w0", "b0"), ("p1", "w1", "b1")):
-        survivors = (
-            survivors.withColumn(w, F.floor(F.col(p) / F.lit(64)).cast("long"))
-            .join(
-                F.broadcast(bitset.select(F.col("w").alias(w), F.col("bits").alias(b))),
-                w,
-            )
-            .filter(F.col(b).bitwiseAND(mask(p)) != 0)
-        )
     # exact verify on the 8-byte hash. The strategy is deliberately left
     # to Catalyst: below autoBroadcastJoinThreshold it broadcasts (tiny
     # evals cost nothing extra), above it it becomes the shuffle join

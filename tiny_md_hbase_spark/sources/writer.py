@@ -22,6 +22,8 @@ pruning across thousands of files.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -755,11 +757,55 @@ def _term_bucket_col(term, num_buckets: int):
     return F.pmod(h, F.lit(num_buckets)).cast("int")
 
 
-def build_postings(documents: DataFrame, num_buckets: int = 16) -> DataFrame:
+def _salt_buckets(df: DataFrame, n_dirs: int) -> int:
+    """Salt values PER PARTITION DIRECTORY for a salted layout write,
+    sized from the plan's estimated bytes so output files land near the
+    target size (guide §6: 128 MB - 1 GB files): ``S = ceil(bytes /
+    (n_dirs * target))``. A fixed cluster-width salt (the old
+    ``max(defaultParallelism, n_dirs)``) is the wrong constant at BOTH
+    ends — at bench scale it fans a few MB into n_dirs x cores tiny
+    files (measured 496 files for a 1 MB embeddings table, where file
+    open/commit overhead dominated the build), and at 100 TB it caps
+    write parallelism at the cluster width regardless of data volume.
+    Deriving S from the input size gives ~1 file per ``target`` bytes at
+    any scale; the salt stays a deterministic pmod so a key's rows still
+    land in one task. ``SPARK_GRAFT_TARGET_FILE_BYTES`` overrides the
+    128 MB default for clusters that want larger files. Falls back to
+    cluster-width salting when plan statistics are unavailable
+    (RDD-backed lineage)."""
+    target = int(
+        os.environ.get("SPARK_GRAFT_TARGET_FILE_BYTES", str(128 << 20))
+    )
+    para = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        size = None
+    if size is None or size <= 0 or size > (1 << 60):
+        return max(1, -(-para // max(1, n_dirs)))
+    return max(1, -(-size // (max(1, n_dirs) * target)))
+
+
+def build_postings(
+    documents: DataFrame,
+    num_buckets: int = 16,
+    salt_buckets: int | None = None,
+) -> DataFrame:
     """The pre-write posting table of :func:`write_inverted_index`,
     already carrying the exchange the writer relies on — exposed so the
-    plan-contract test can assert the write parallelism (>1 partition
-    per bucket directory) on the exact DataFrame that gets written.
+    plan-contract test can assert the write parallelism (scaling with
+    data volume, never capped at the bucket count) on the exact
+    DataFrame that gets written.
+
+    The pre-write exchange hash-partitions on (bucket, pmod(crc32(term),
+    S)) with S salt values per bucket directory sized by
+    :func:`_salt_buckets` (``salt_buckets`` overrides): at 100 TB the
+    write fans far beyond the 16-task ceiling a bare
+    ``repartition("bucket")`` imposes, while a bench-scale corpus lands
+    in ~one file per bucket instead of bucket x cores tiny files. A
+    term's postings share one salt value, so they still share one file.
 
     The portable bucket hash (:func:`_term_bucket_col` — an
     ``F.aggregate`` char fold, CodegenFallback/interpreted, kept
@@ -773,9 +819,6 @@ def build_postings(documents: DataFrame, num_buckets: int = 16) -> DataFrame:
     join keys the vocabulary on term and AQE broadcasts it when small."""
     from tiny_md_hbase_spark.operators.text import tokens
 
-    spark_parallelism = max(
-        documents.sparkSession.sparkContext.defaultParallelism, num_buckets
-    )
     postings = (
         documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .select("doc_id", F.lower("tok").alias("term"))
@@ -788,7 +831,12 @@ def build_postings(documents: DataFrame, num_buckets: int = 16) -> DataFrame:
         .withColumn("bucket", _term_bucket_col(F.col("term"), num_buckets))
     )
     postings = postings.join(vocab, "term")
-    return postings.repartition(spark_parallelism, "bucket", F.crc32("term"))
+    s = salt_buckets if salt_buckets is not None else _salt_buckets(
+        documents, num_buckets
+    )
+    return postings.repartition(
+        num_buckets * s, "bucket", F.pmod(F.crc32("term"), F.lit(s))
+    )
 
 
 def write_inverted_index(
@@ -844,6 +892,7 @@ def build_postings_positional(
     num_buckets: int = 16,
     toks_col: str | None = None,
     repartition_out: bool = True,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Positional posting rows (term, doc_id, positions, tf, bucket):
     the phrase-capable index build. ``posexplode`` keeps each token's
@@ -860,12 +909,12 @@ def build_postings_positional(
     ``repartition_out=False`` skips the final salted exchange for
     callers that re-key the stream themselves (the streaming
     maintenance sink repartitions to one-task-per-bucket — stacking
-    both exchanges would shuffle every posting twice)."""
+    both exchanges would shuffle every posting twice). The salted
+    exchange is sized by :func:`_salt_buckets` (``salt_buckets``
+    overrides) — data-proportional write fan-out, see
+    :func:`build_postings`."""
     from tiny_md_hbase_spark.operators.text import tokens
 
-    spark_parallelism = max(
-        documents.sparkSession.sparkContext.defaultParallelism, num_buckets
-    )
     toks = (
         F.col(toks_col)
         if toks_col is not None
@@ -892,7 +941,12 @@ def build_postings_positional(
     postings = postings.join(vocab, "term")
     if not repartition_out:
         return postings
-    return postings.repartition(spark_parallelism, "bucket", F.crc32("term"))
+    s = salt_buckets if salt_buckets is not None else _salt_buckets(
+        documents, num_buckets
+    )
+    return postings.repartition(
+        num_buckets * s, "bucket", F.pmod(F.crc32("term"), F.lit(s))
+    )
 
 
 def write_positional_index(
@@ -1057,13 +1111,16 @@ def write_embeddings_clustered(
 
     The assignment (similarity.assign_fixed_clusters, under the
     unit-normalized centroid family) is row-local; the pre-write
-    exchange hash-partitions on (ivf_cluster, crc32(vec_id)) at cluster
-    width — partitioning on the cluster column alone would cap the
-    whole build at ``n_clusters`` write tasks (the same 16-task ceiling
-    the inverted-index writer had), which at 10^9 vectors makes the
-    write the bottleneck by construction. Listing-level pruning is
-    untouched: probes prune on the ``ivf_cluster=N/`` directories, not
-    on file counts.
+    exchange hash-partitions on (ivf_cluster, pmod(crc32(vec_id), S))
+    with S salt values per cluster sized by :func:`_salt_buckets` —
+    partitioning on the cluster column alone would cap the whole build
+    at ``n_clusters`` write tasks (the same 16-task ceiling the
+    inverted-index writer had), which at 10^9 vectors makes the write
+    the bottleneck by construction, while the old fixed cluster-width
+    salt fanned a bench-scale table into n_clusters x cores tiny files
+    (496 files for 1 MB of vectors — file open/commit overhead was the
+    whole build). Listing-level pruning is untouched: probes prune on
+    the ``ivf_cluster=N/`` directories, not on file counts.
 
     ``_ivf_meta`` records the centroid FAMILY beside (n_clusters, dim):
     a probe ranking query-to-centroid distances under a different
@@ -1072,14 +1129,14 @@ def write_embeddings_clustered(
     recognize instead of returning confidently wrong results."""
     from tiny_md_hbase_spark.operators.similarity import assign_fixed_clusters
 
-    spark_parallelism = max(
-        embeddings.sparkSession.sparkContext.defaultParallelism, n_clusters
-    )
     assigned = assign_fixed_clusters(embeddings, n_clusters, dim).select(
         "vec_id", "label", F.col("v").alias("embedding"), "ivf_cluster"
     )
+    s = _salt_buckets(embeddings, n_clusters)
     assigned.repartition(
-        spark_parallelism, "ivf_cluster", F.crc32(F.col("vec_id").cast("string"))
+        n_clusters * s,
+        "ivf_cluster",
+        F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(s)),
     ).write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
     write_meta_row(
         embeddings.sparkSession,
