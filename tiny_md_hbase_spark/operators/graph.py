@@ -152,9 +152,14 @@ def pagerank_weighted(
         F.col("src").alias("node"), F.lit(init).cast("long").alias("rank")
     )
     for _ in range(n_iter):
+        # shuffled-hash hints on the node-sized build sides — see
+        # pagerank's loop comment
         contrib = (
-            edges.join(wsum, "src")
-            .join(ranks, edges["src"] == ranks["node"])
+            edges.join(wsum.hint("shuffle_hash"), "src")
+            .join(
+                ranks.hint("shuffle_hash"),
+                edges["src"] == ranks["node"],
+            )
             .select(
                 "dst", F.expr("(rank * w) div wsum").alias("contrib")
             )
@@ -254,12 +259,20 @@ def pagerank(edges: DataFrame, n_iter: int = 5, k: int = TOP_K) -> DataFrame:
     base = (init * (100 - DAMP)) // 100
     ranks = deg.select(F.col("src").alias("node"), F.lit(init).cast("long").alias("rank"))
     for _ in range(n_iter):
-        contrib = ranks.join(deg, ranks.node == deg.src).select(
+        # shuffled-hash hints: all loop relations are stats-less RDDs
+        # (the planner would sort-merge and sort the edge stream every
+        # round); the build sides are node-sized — bounded per task by
+        # partition count (see connected_components).
+        contrib = ranks.join(
+            deg.hint("shuffle_hash"), ranks.node == deg.src
+        ).select(
             F.col("node").alias("cnode"),
             F.expr("rank div deg").alias("contrib"),
         )
         inc = (
-            edges.join(contrib, edges.src == F.col("cnode"))
+            edges.join(
+                contrib.hint("shuffle_hash"), edges.src == F.col("cnode")
+            )
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inc"))
         )
@@ -431,8 +444,16 @@ def connected_components(
     ).localCheckpoint()
     edges = edges.select("src", "dst").localCheckpoint()
     for _ in range(max_iter):
+        # deliberate join strategy: every per-round relation here is a
+        # stats-less checkpointed RDD, so the planner defaults to
+        # sort-merge and pays two sorts per round. Build the NODE-sized
+        # label table as a shuffled hash (per-task build = labels /
+        # shuffle-partitions rows — bounded at any scale by partition
+        # count); the edge stream is never sorted.
         nbr_min = (
-            edges.join(labels, edges["src"] == labels["node"])
+            edges.join(
+                labels.hint("shuffle_hash"), edges["src"] == labels["node"]
+            )
             .groupBy("dst")
             .agg(F.min("comp").alias("nbr"))
         )
@@ -555,9 +576,16 @@ def connected_components_star(
     for _ in range(max_iter):
         sym = _sym(canon)
         mins = _mins(sym)
-        # large-star: (neighbor b > a) re-pointed at m(a)
+        # large-star: (neighbor b > a) re-pointed at m(a). The mins side
+        # is hinted shuffled-hash: all inputs are stats-less RDDs, so the
+        # planner would pick sort-merge and sort the edge-sized sym
+        # stream twice per round; the node-sized mins build is bounded
+        # per task by partition count (the dedup.ngram_jaccard argument)
+        # and sym is consumed unsorted.
         canon = _canon(
-            sym.join(mins, sym["a"] == mins["mu_node"])
+            sym.join(
+                mins.hint("shuffle_hash"), sym["a"] == mins["mu_node"]
+            )
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
         )
@@ -571,7 +599,9 @@ def connected_components_star(
         mins = _mins(sym)
         # small-star: (neighbor b < a) AND a itself re-pointed at m(a)
         new_canon = _canon(
-            sym.join(mins, sym["a"] == mins["mu_node"])
+            sym.join(
+                mins.hint("shuffle_hash"), sym["a"] == mins["mu_node"]
+            )
             .filter(F.col("b") < F.col("a"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
             .unionByName(
@@ -1014,11 +1044,16 @@ def shortest_path(
     ).localCheckpoint()
     frontier = dist
     for hop in range(1, max_hops + 1):
+        # shuffled-hash hints: the frontier and the settled-distance
+        # table are the node-sized build sides (bounded per task by
+        # partition count); without them the stats-less RDD inputs
+        # default to sort-merge with per-round sorts of the edge stream
         nxt = (
-            frontier.join(e, frontier["node"] == e["src"])
+            frontier.hint("shuffle_hash")
+            .join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist, "node", "left_anti")
+            .join(dist.hint("shuffle_hash"), "node", "left_anti")
             .select("node", F.lit(hop).cast("long").alias("dist"))
             .localCheckpoint()
         )
@@ -1107,8 +1142,11 @@ def shortest_path_weighted(
     fp = _fp(dist)
     for _ in range(max_hops):
         prev = dist
+        # shuffled-hash hint: dist is the node-sized build side (see
+        # shortest_path); the edge stream is never sorted
         relaxed = (
-            dist.join(e, dist["node"] == e["src"])
+            dist.hint("shuffle_hash")
+            .join(e, dist["node"] == e["src"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("min_cost") + F.col("w")).alias("min_cost"),

@@ -284,13 +284,22 @@ def distance_join(points: DataFrame, radius: int, cell_bits: int | None = None) 
             F.col("o.same").alias("same"),
         )
     )
+    # deliberate join strategy: the planner picks sort-merge for the
+    # cell equi-join (both inputs are stats-less checkpointed RDDs), and
+    # the SMJ sorts cost more than the join itself — the probe side is
+    # 5x the point table. A shuffled-hash build of the HOME side is
+    # strictly better here: the build is one point-row per cell bucket
+    # per task (points/partitions rows — bounded per task at any scale
+    # by partition count, exactly like the salted shuffle-hash path in
+    # dedup.ngram_jaccard), and no sort of the 5x probe stream ever
+    # runs. Measured 3.4s -> 1.8s at sf0.1 (528,790 identical pairs).
     home = cells_df.select(
         F.col("id").alias("id_b"),
         F.col("x").alias("x_b"),
         F.col("y").alias("y_b"),
         "cx",
         "cy",
-    )
+    ).hint("shuffle_hash")
     dx = F.col("x_a").cast("long") - F.col("x_b")
     dy = F.col("y_a").cast("long") - F.col("y_b")
     sa = F.struct(
