@@ -943,3 +943,34 @@ def test_codec_kernel_exchange_width_is_explicit(spark, opname):
         .count()
     )
     assert pids >= 4, f"{opname} kernel ran on only {pids} task(s)"
+
+
+def test_graph_loop_round_single_exchange(spark, sf_dir):
+    """The iterative graph operators checkpoint their loop-invariant
+    relations PARTITIONED on the per-round join key
+    (graph._checkpoint_partitioned), so one pagerank-style round plans
+    with exactly ONE shuffle exchange — the fundamental contrib
+    groupBy(dst) — and the never-changing edge stream is not
+    re-exchanged each round."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    edges = G.purchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    e = G._checkpoint_partitioned(edges.select("src", "dst"), "src")
+    deg = G._checkpoint_partitioned(
+        e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg")),
+        "src",
+    )
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1).cast("long").alias("rank")
+    )
+    contrib = ranks.join(deg.hint("shuffle_hash"), ranks.node == deg.src).select(
+        F.col("node").alias("cnode"), F.expr("rank div deg").alias("contrib")
+    )
+    inc = (
+        e.join(contrib.hint("shuffle_hash"), e.src == F.col("cnode"))
+        .groupBy("dst")
+        .agg(F.sum("contrib").alias("inc"))
+    )
+    assert P.exchange_count(inc) == 1, P.explain_str(inc, "simple")

@@ -61,6 +61,30 @@ DAMP = 85  # damping numerator (denominator 100)
 TOP_K = 20
 
 
+def _checkpoint_partitioned(df: DataFrame, *keys: str) -> DataFrame:
+    """Materialize a loop-invariant relation hash-partitioned on its
+    join key(s), PRESERVING the partitioning through the checkpoint so
+    every round's equi-join consumes it without a fresh Exchange — the
+    per-round edge-stream shuffle is the dominant cost of the iterative
+    operators here, and it re-shuffles bytes that never change.
+
+    AQE is disabled for the ONE materialization: under AQE the
+    checkpoint captures the AdaptiveSparkPlanExec's partitioning as
+    Unknown and the planner re-exchanges the relation every round
+    (measured: 2 Exchange per round vs 1 with the partitioning kept).
+    The partition count is pinned to ``spark.sql.shuffle.partitions``
+    (scale-sized by the session factory) so the per-round shuffled side
+    matches it and co-partitioning is recognized."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.repartition(n, *keys).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def _incidence(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """The ONE (customer, supplier) incidence build — distinct pairs via
     the orderkey equi-join — shared by :func:`purchase_edges` and
@@ -137,10 +161,14 @@ def pagerank_weighted(
     extra state is the per-edge weight column riding the checkpointed
     edge table. ``rank_i * w_ij`` stays far inside int64: SCALE=10^12
     micro-units times fixture weights (< 10^4) < 10^17."""
-    edges = edges.select("src", "dst", "w").localCheckpoint()
-    wsum = edges.groupBy("src").agg(
-        F.sum("w").cast("long").alias("wsum")
-    ).localCheckpoint()
+    # both loop-invariant relations are joined on src every round:
+    # checkpoint them PARTITIONED on src so the per-round plan exchanges
+    # only the node-sized rank table (see _checkpoint_partitioned)
+    edges = _checkpoint_partitioned(edges.select("src", "dst", "w"), "src")
+    wsum = _checkpoint_partitioned(
+        edges.groupBy("src").agg(F.sum("w").cast("long").alias("wsum")),
+        "src",
+    )
     n = wsum.count()
     if n == 0:
         return edges.sparkSession.createDataFrame(
@@ -246,10 +274,11 @@ def pagerank(edges: DataFrame, n_iter: int = 5, k: int = TOP_K) -> DataFrame:
     # unmaterialized edge lineage (purchase_edges is a join + distinct)
     # would re-execute its whole upstream 2x per round — the same move
     # every iterative graph engine makes (GraphX caches the edge RDD)
-    edges = edges.localCheckpoint()
-    deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    ).localCheckpoint()
+    edges = _checkpoint_partitioned(edges.select("src", "dst"), "src")
+    deg = _checkpoint_partitioned(
+        edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg")),
+        "src",
+    )
     n = deg.count()  # node count — graph metadata, not data
     if n == 0:
         return edges.sparkSession.createDataFrame(
@@ -442,7 +471,10 @@ def connected_components(
     labels = nodes.select(
         "node", F.col("node").alias("comp")
     ).localCheckpoint()
-    edges = edges.select("src", "dst").localCheckpoint()
+    # loop-invariant edge list, joined on src every round: keep it
+    # partitioned on src through the checkpoint so each round only
+    # exchanges the node-sized label table (_checkpoint_partitioned)
+    edges = _checkpoint_partitioned(edges.select("src", "dst"), "src")
     for _ in range(max_iter):
         # deliberate join strategy: every per-round relation here is a
         # stats-less checkpointed RDD, so the planner defaults to
@@ -534,6 +566,13 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # pinned for the post-condition below: joining the RAW ``edges``
+    # argument there would re-execute its whole upstream lineage (for
+    # dedup_clusters_star that is the full near-dup pair generation — a
+    # second multi-second pass for a check the canonical set answers
+    # identically: self-loops agree trivially and the check is
+    # endpoint-symmetric)
+    canon0 = canon
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
@@ -637,15 +676,19 @@ def connected_components_star(
         "node", F.coalesce("comp", F.col("node")).alias("comp")
     ).localCheckpoint()
     # post-condition (makes the operator self-verifying): every INPUT
-    # edge's endpoints must agree on comp. Over-merging is impossible by
-    # construction (every emitted edge joins nodes already connected
-    # through the pivot's neighborhood), so this one equi-join — the
-    # cost of a single extra round — rules out the only failure mode a
-    # subtle early-termination bug could cause (under-merging).
-    l1 = out.select(F.col("node").alias("src"), F.col("comp").alias("_c1"))
-    l2 = out.select(F.col("node").alias("dst"), F.col("comp").alias("_c2"))
+    # edge's endpoints must agree on comp — checked over the pinned
+    # canonical set canon0, which carries exactly the input edges minus
+    # self-loops (trivially agreeing) and direction (the check is
+    # endpoint-symmetric), without re-executing the raw edges lineage.
+    # Over-merging is impossible by construction (every emitted edge
+    # joins nodes already connected through the pivot's neighborhood),
+    # so this one equi-join — the cost of a single extra round — rules
+    # out the only failure mode a subtle early-termination bug could
+    # cause (under-merging).
+    l1 = out.select(F.col("node").alias("u"), F.col("comp").alias("_c1"))
+    l2 = out.select(F.col("node").alias("v"), F.col("comp").alias("_c2"))
     bad = (
-        edges.join(l1, "src").join(l2, "dst")
+        canon0.join(l1, "u").join(l2, "v")
         .filter(F.col("_c1") != F.col("_c2"))
         .count()
     )
@@ -1026,7 +1069,9 @@ def shortest_path(
     plan time — no data-dependent driver loops beyond it.
     """
     spark = edges.sparkSession
-    e = edges.select("src", "dst").localCheckpoint()
+    # loop-invariant, joined on src every hop: checkpoint partitioned
+    # (see _checkpoint_partitioned) so only the frontier is exchanged
+    e = _checkpoint_partitioned(edges.select("src", "dst"), "src")
     if source is None:
         source = e.agg(
             F.min(F.when(F.col("src") % 2 == 0, F.col("src")))
@@ -1117,7 +1162,10 @@ def shortest_path_weighted(
     matching fingerprint is confirmed with an exact ``exceptAll``
     check on the node-sized dist table (one extra bounded action,
     paid only at the exit round) before breaking."""
-    e = edges.select("src", "dst", "w").localCheckpoint()
+    # loop-invariant, joined on src every relaxation round: checkpoint
+    # partitioned (see _checkpoint_partitioned) so only the node-sized
+    # dist table is exchanged per round
+    e = _checkpoint_partitioned(edges.select("src", "dst", "w"), "src")
     if source is None:
         source = e.agg(
             F.min(F.when(F.col("src") % 2 == 0, F.col("src")))
