@@ -974,3 +974,29 @@ def test_graph_loop_round_single_exchange(spark, sf_dir):
         .agg(F.sum("contrib").alias("inc"))
     )
     assert P.exchange_count(inc) == 1, P.explain_str(inc, "simple")
+
+
+def test_maintain_postings_inline_bucket_same_rows_fewer_exchanges(
+    spark, sf_dir
+):
+    """The streaming index-maintenance sink computes posting buckets
+    inline (per posting row) instead of via the one-shot builds'
+    vocabulary hash-join: identical rows — the bucket is a pure function
+    of the term either way — with one exchange fewer per micro-batch."""
+    from tiny_md_hbase_spark.operators.text import tokens
+    from tiny_md_hbase_spark.sources.writer import build_postings_positional
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: F.lower(t)).alias("_toks"),
+    ).localCheckpoint()
+    via_vocab = build_postings_positional(
+        toked, 16, toks_col="_toks", repartition_out=False
+    )
+    inline = build_postings_positional(
+        toked, 16, toks_col="_toks", repartition_out=False, bucket_inline=True
+    )
+    assert P.exchange_count(inline) < P.exchange_count(via_vocab)
+    assert inline.exceptAll(via_vocab).limit(1).count() == 0
+    assert via_vocab.exceptAll(inline).limit(1).count() == 0

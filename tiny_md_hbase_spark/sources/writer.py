@@ -893,6 +893,7 @@ def build_postings_positional(
     toks_col: str | None = None,
     repartition_out: bool = True,
     salt_buckets: int | None = None,
+    bucket_inline: bool = False,
 ) -> DataFrame:
     """Positional posting rows (term, doc_id, positions, tf, bucket):
     the phrase-capable index build. ``posexplode`` keeps each token's
@@ -912,7 +913,16 @@ def build_postings_positional(
     both exchanges would shuffle every posting twice). The salted
     exchange is sized by :func:`_salt_buckets` (``salt_buckets``
     overrides) — data-proportional write fan-out, see
-    :func:`build_postings`."""
+    :func:`build_postings`.
+
+    ``bucket_inline=True`` computes the bucket hash directly on each
+    posting row instead of once per distinct term via the vocabulary
+    hash-join. The join exists so the interpreted char fold never rides
+    a CORPUS-sized posting stream; a micro-batch's posting stream is
+    batch-sized, where the vocabulary route's three extra exchanges
+    (vocab distinct + re-keying both join sides on term) cost more than
+    folding a few characters per row — same bucket values, same output,
+    one exchange fewer per trigger."""
     from tiny_md_hbase_spark.operators.text import tokens
 
     toks = (
@@ -933,12 +943,17 @@ def build_postings_positional(
             F.count("*").cast("long").alias("tf"),
         )
     )
-    vocab = (
-        postings.select("term")
-        .distinct()
-        .withColumn("bucket", _term_bucket_col(F.col("term"), num_buckets))
-    )
-    postings = postings.join(vocab, "term")
+    if bucket_inline:
+        postings = postings.withColumn(
+            "bucket", _term_bucket_col(F.col("term"), num_buckets)
+        )
+    else:
+        vocab = (
+            postings.select("term")
+            .distinct()
+            .withColumn("bucket", _term_bucket_col(F.col("term"), num_buckets))
+        )
+        postings = postings.join(vocab, "term")
     if not repartition_out:
         return postings
     s = salt_buckets if salt_buckets is not None else _salt_buckets(

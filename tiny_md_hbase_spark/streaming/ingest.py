@@ -1116,8 +1116,10 @@ def dedup_ttl_event_batch(
         ss, f"{table_path}/wm", batch_id, TTL_EVENT_WM_SCHEMA, ["max_event"]
     )
     # ONE action for all three guard scalars (batch min/max event × the
-    # previous watermark front) instead of one collect per relation
-    stats_agg = b.agg(
+    # previous watermark front) instead of one collect per relation —
+    # over the RAW batch: min/max are invariant under distinct, so the
+    # guard job skips the dedup exchange and the fingerprint expression
+    stats_agg = batch.agg(
         F.min("event_ts").alias("mn"), F.max("event_ts").alias("mx")
     )
     if wm_tree is not None:
@@ -2397,8 +2399,16 @@ def index_maintain_batch(
         "doc_id",
         F.transform(tokens("text"), lambda t: F.lower(t)).alias("_toks"),
     ).localCheckpoint()
+    # bucket_inline: a micro-batch's posting stream is batch-sized, so
+    # the per-row bucket fold beats the vocabulary hash-join's three
+    # extra exchanges (see build_postings_positional) — the one-shot
+    # corpus builds keep the join.
     postings = build_postings_positional(
-        toked, num_buckets, toks_col="_toks", repartition_out=False
+        toked,
+        num_buckets,
+        toks_col="_toks",
+        repartition_out=False,
+        bucket_inline=True,
     )
     postings.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
