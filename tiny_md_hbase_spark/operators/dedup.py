@@ -2327,6 +2327,11 @@ def doc_containment(
         ),
         max_gram_df,
     )
+    # materialize ONCE: grams (tokenize + md5 + explode + distinct +
+    # cap — the expensive half) feeds THREE consumers (n_a, both sides
+    # of the self-join) and the planner does not reuse the common
+    # subtree across aliases (the co_purchase finding)
+    grams = grams.localCheckpoint()
     n = grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_a")
     )

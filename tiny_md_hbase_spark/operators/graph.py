@@ -407,6 +407,14 @@ def co_purchase(
         inc = inc.join(
             deg.filter(F.col("d") <= max_degree).select("cust"), "cust"
         )
+    # NOTE (r14, measured): the planner does not reuse the incidence
+    # subtree across the two aliases (0 ReusedExchange), so the
+    # orders⋈lineitem + distinct build plans twice — but the two copies
+    # run as INDEPENDENT stages of one job and hide in idle capacity,
+    # while a localCheckpoint serializes materialize-then-join and
+    # measured ~20% SLOWER at bench scale. On a saturated cluster the
+    # duplicated scan bytes are real; revisit with a persisted incidence
+    # when this operator feeds more than one consumer.
     a, b = inc.alias("a"), inc.alias("b")
     return (
         a.join(
@@ -785,6 +793,10 @@ def doc_overlap_edges(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("h"),
     )
+    # the twice-planned gram build hides in idle stage parallelism here
+    # (the co_purchase note); doc_containment/source_overlap, whose gram
+    # builds feed 2-3 consumers AND dominate their operators, checkpoint
+    # instead — both forms measured, each kept the faster one
     inc = grams.distinct()
     a, b = inc.alias("a"), inc.alias("b")
     return (

@@ -2358,7 +2358,10 @@ def source_overlap(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("h"),
     )
-    inc = grams.distinct()
+    # materialize ONCE before the self-join (the co_purchase rule: the
+    # planner does not reuse the tokenize→md5→distinct subtree across
+    # the two aliases)
+    inc = grams.distinct().localCheckpoint()
     a, b = inc.alias("a"), inc.alias("b")
     return (
         a.join(
