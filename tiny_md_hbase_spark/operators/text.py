@@ -1268,7 +1268,17 @@ def corpus_prepare(
     100 TB the corpus is scanned once for scrub+quality+dedup (Catalyst
     fuses the row-local stages into the aggregation's scan side), once
     more for the budget's token projection — each stage's scale story is
-    documented and plan-tested on its own operator."""
+    documented and plan-tested on its own operator.
+
+    r14 measured NOTE: the executed plan shows 16 parquet scans (the
+    nested join aliases re-plan the upstream), but checkpointing
+    ``good`` to collapse them made the key 5x SLOWER (1.1 → 5.6 s at
+    sf0.1): most of those scans are COLUMN-PRUNED key-only reads that
+    never evaluate the regex scrub or touch text — only the dedup
+    aggregation and the budget's token projection do — while the
+    materialization forces one eager full-text scrub + row-format
+    storage and forfeits pruning for every consumer. Scan count is not
+    a cost proxy; what each scan READS is (ReadSchema, guide §6)."""
     cur: Column = F.col("text")
     from tiny_md_hbase_spark.operators.privacy import PII_PATTERNS
 
