@@ -525,6 +525,9 @@ def main() -> None:
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
     spark = get_spark("tiny-md-hbase-spark-bench", cpus=cpus)
+    # the parallelism the session ACTUALLY got (recorded in the detail
+    # artifact as cpus_effective)
+    cpus_effective = spark.sparkContext.defaultParallelism
 
     import __spark_entry__ as entrymod
 
@@ -1121,6 +1124,14 @@ def main() -> None:
         "scratch_free_gb": _SCRATCH_FREE_GB,
         "sf": sf,
         "cpus": cpus,
+        # read back from the LIVE context, not the env: proves the bench
+        # honored $SPARK_GRAFT_CPUS (bench.py main -> session.get_spark
+        # builds local[cpus]) — the r14 PERF scaling block flagged
+        # "suspect_cpus_ignored" because most sf0.1 keys are
+        # per-job-overhead-bound and read ~1.0 across core counts; this
+        # field plus the BENCH.md "Scaling at bench SF" note make that
+        # interpretable without re-deriving it
+        "cpus_effective": cpus_effective,
         "scratch": _SCRATCH_DESC,
     }
     if errors:

@@ -156,7 +156,10 @@ def test_co_purchase_cap_filters_before_pair_join_plan_contract(spark):
     rows = [(9, 10), (9, 20), (9, 30), (1, 10), (1, 20), (2, 10), (2, 20)]
     q = G.co_purchase(*_orders_lineitem(spark, rows), min_shared=1, max_degree=2)
     plan = P.explain_str(q, "simple")
-    pair_join = plan.index(", Inner, (supp#")  # the supp<supp pair join
+    # the supp<supp pair join: SMJ prints ", Inner, (supp#", SHJ (the
+    # r15 co-partitioned shape) ", Inner, BuildRight, (supp#" — locate
+    # by the non-equi condition itself
+    pair_join = plan.index(", (supp#")
     cap_filter = plan.index("Filter (d#")
     assert cap_filter > pair_join, "degree cap applied after the pair join"
     # and the uncapped form has no degree filter at all

@@ -1000,3 +1000,72 @@ def test_maintain_postings_inline_bucket_same_rows_fewer_exchanges(
     assert P.exchange_count(inline) < P.exchange_count(via_vocab)
     assert inline.exceptAll(via_vocab).limit(1).count() == 0
     assert via_vocab.exceptAll(inline).limit(1).count() == 0
+
+
+def test_cc_round_single_exchange_no_convergence_join(spark, sf_dir):
+    """r15 min-label CC round contract: labels live hash-partitioned on
+    node and edges on src (equal counts), so BOTH per-round joins are
+    co-partitioned and a round's only shuffle is the fundamental
+    neighbor-min groupBy(dst); convergence is a monotone sum over the
+    checkpointed round output, not a label⋈label comparison join — the
+    full round plans with exactly ONE exchange and zero sorts."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    edges = G.purchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    labels = G._checkpoint_partitioned(
+        edges.select(F.col("src").alias("node")).distinct(), "node"
+    ).select("node", F.col("node").alias("comp"))
+    e = G._checkpoint_partitioned(edges.select("src", "dst"), "src")
+    nbr_min = (
+        e.join(labels.hint("shuffle_hash"), e["src"] == labels["node"])
+        .groupBy("dst")
+        .agg(F.min("comp").alias("nbr"))
+    )
+    new_labels = labels.join(
+        nbr_min.hint("shuffle_hash"), labels["node"] == nbr_min["dst"], "left"
+    ).select(
+        "node",
+        F.least(F.col("comp"), F.coalesce(F.col("nbr"), F.col("comp"))).alias(
+            "comp"
+        ),
+    )
+    assert P.exchange_count(new_labels) == 1, P.explain_str(new_labels, "simple")
+    assert "Sort " not in P.explain_str(new_labels, "simple")
+
+
+def test_co_purchase_shared_incidence_exchange_no_sorts(spark, sf_dir):
+    """r15 co_purchase contract: the incidence clusters on cust below
+    its distinct, so the self-join's two aliases hang off byte-identical
+    Exchange subtrees (reused at runtime), the pair join is
+    co-partitioned shuffled-hash, and nothing in the plan sorts — the
+    plan carries exactly the two incidence exchanges plus the pair
+    aggregation's (TakeOrderedAndProject does the top-k without a global
+    sort)."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    q = G.co_purchase(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    plan = P.explain_str(q, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    # 2 planned incidence exchanges (identical subtrees -> one runtime
+    # stage) + 1 pair-count exchange
+    assert P.exchange_count(q) == 3, plan
+    assert "Sort " not in plan, plan
+
+
+def test_triangle_count_plans_without_sorts(spark, sf_dir):
+    """r15 triangle_count contract: every join over the stats-less
+    checkpointed edge/degree/oriented relations is a hinted
+    shuffled-hash join — the wedge and closure streams are never sorted
+    (the before-plan carried 28 Sort nodes; see plans/r15)."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    edges = G.doc_overlap_edges(load_table(spark, sf_dir, "documents"))
+    q = G.triangle_count(edges)
+    plan = P.explain_str(q, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "Sort " not in plan, plan

@@ -1396,17 +1396,26 @@ def dedup_clusters(
     # the same relation. limit(collect_limit + 1) bounds the driver
     # transfer exactly as the old count()-gate did; the checkpoint's
     # remaining partitions are computed by the same job's backfill, so
-    # the distributed fallback reuses the materialized edges without
+    # the distributed fallback reuses the materialized pairs without
     # recomputing the (expensive) pair generation.
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    head = edges.limit(collect_limit + 1).collect()
+    #
+    # r15: the gate collects the RAW pair rows — union-find treats
+    # edges as undirected and is insensitive to duplicates, so the old
+    # bidirectional union + distinct bought nothing on this path while
+    # costing a full exchange + hash aggregation ahead of the collect
+    # (guide §2.4: a distinct on data whose consumers don't need it)
+    # and doubling the driver transfer. ``collect_limit`` therefore now
+    # bounds PAIR rows (it bounded deduped directed edges ≈ 2x pairs
+    # before); both paths compute the same unique fixpoint, so a graph
+    # near the boundary returns identical output through either. The
+    # distributed fallback builds its bidirectional view on top of the
+    # already-materialized pair checkpoint — min-label propagation is
+    # itself duplicate-tolerant (a min aggregation), so no distinct is
+    # needed there either.
+    p2 = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint(eager=False)
+    head = p2.limit(collect_limit + 1).collect()
     if len(head) <= collect_limit:
         parent: dict[int, int] = {}
 
@@ -1437,12 +1446,17 @@ def dedup_clusters(
 
     # distributed path: the general min-label-propagation operator
     # (operators/graph.py connected_components — shared with the graph
-    # analytics surface so the fixpoint loop exists exactly once)
+    # analytics surface so the fixpoint loop exists exactly once);
+    # propagation is directed, so both directions of each pair are
+    # passed (built over the checkpointed pairs — the pair generation
+    # never re-runs)
     from tiny_md_hbase_spark.operators.graph import connected_components
 
+    edges = p2.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        p2.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
     comp = connected_components(
-        ids.select(F.col("doc_id").alias("node")),
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        ids.select(F.col("doc_id").alias("node")), edges
     )
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")

@@ -85,18 +85,62 @@ def _checkpoint_partitioned(df: DataFrame, *keys: str) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
-def _incidence(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+def _checkpoint_keep_partitioning(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` that RECORDS the plan's output
+    partitioning in the checkpointed relation — the per-round twin of
+    :func:`_checkpoint_partitioned` for relations that are ALREADY
+    partitioned on the key the next round joins on (e.g. a label table
+    produced by a co-partitioned join), so no repartition exchange is
+    paid just to keep the partitioning visible.
+
+    AQE must be off for the CALL (not the later materialization): the
+    checkpoint captures the physical plan's partitioning at call time,
+    and an AdaptiveSparkPlanExec reports Unknown until executed — the
+    same reason :func:`_checkpoint_partitioned` toggles it. The toggle
+    is session-global and therefore single-threaded-correct only; the
+    engine's query builders run single-threaded by design (noted once
+    here rather than per site)."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def _incidence(
+    orders: DataFrame, lineitem: DataFrame, cluster_by_cust: bool = False
+) -> DataFrame:
     """The ONE (customer, supplier) incidence build — distinct pairs via
     the orderkey equi-join — shared by :func:`purchase_edges` and
     :func:`co_purchase` so the incidence semantics can never diverge
-    between the two graph views."""
-    return (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
-        )
-        .distinct()
+    between the two graph views.
+
+    ``cluster_by_cust`` inserts an explicit repartition on ``cust``
+    BELOW the distinct: hashpartitioning(cust) already clusters
+    (cust, supp), so the dedup aggregation rides that one exchange
+    instead of adding its own — and, decisive for :func:`co_purchase`'s
+    self-join, BOTH join aliases then hang off the byte-identical
+    Exchange subtree, which is exactly the case Spark's ReuseExchange
+    does handle (one orders⋈lineitem build instead of two planned
+    copies) while also making the pair join co-partitioned (zero
+    further exchanges, guide §2.4)."""
+    j = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).select(
+        F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
     )
+    if cluster_by_cust:
+        # EXPLICIT partition count: an un-sized repartition(col) is
+        # AQE-coalesced to the data's byte size — correct for scan-bound
+        # stages, wrong here because the downstream pair join fans each
+        # incidence row out quadratically (measured: coalescing to 9
+        # tasks at sf0.1 ran the 12.5M-row pair enumeration on 9 cores
+        # and cost 39%). Pinning to spark.sql.shuffle.partitions (the
+        # session factory's scale knob) keeps the CPU-bound stage at
+        # cluster width at any scale.
+        n = int(j.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        j = j.repartition(n, "cust")
+    return j.distinct()
 
 
 def purchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
@@ -401,24 +445,26 @@ def co_purchase(
     exactly this cap), which bounds the fan-out at max_degree²/2 per
     customer. ``None`` keeps every customer (the fixture default, and
     the form the oracle mirrors)."""
-    inc = _incidence(orders, lineitem)
+    # cluster_by_cust: the distinct rides ONE explicit cust exchange and
+    # both self-join aliases share it as a ReusedExchange — this is the
+    # r15 fix for the r14 finding that the planner never reuses the
+    # incidence subtree across aliases when each side shuffles
+    # separately (a localCheckpoint was measured ~20% SLOWER at bench
+    # scale because it serializes materialize-then-join; the shared
+    # exchange keeps everything in one job). The pair join is then
+    # co-partitioned on cust — zero exchanges of its own — and the
+    # shuffle_hash hint keeps the 587k-row sides unsorted (guide §3.1:
+    # stats-less subtrees otherwise plan sort-merge and pay two sorts).
+    inc = _incidence(orders, lineitem, cluster_by_cust=True)
     if max_degree is not None:
         deg = inc.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
         inc = inc.join(
             deg.filter(F.col("d") <= max_degree).select("cust"), "cust"
         )
-    # NOTE (r14, measured): the planner does not reuse the incidence
-    # subtree across the two aliases (0 ReusedExchange), so the
-    # orders⋈lineitem + distinct build plans twice — but the two copies
-    # run as INDEPENDENT stages of one job and hide in idle capacity,
-    # while a localCheckpoint serializes materialize-then-join and
-    # measured ~20% SLOWER at bench scale. On a saturated cluster the
-    # duplicated scan bytes are real; revisit with a persisted incidence
-    # when this operator feeds more than one consumer.
     a, b = inc.alias("a"), inc.alias("b")
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.cust") == F.col("b.cust"))
             & (F.col("a.supp") < F.col("b.supp")),
         )
@@ -476,13 +522,33 @@ def connected_components(
     large-star/small-star contraction (Kiveris et al. 2014) instead,
     which trades ~2x work per round for O(log n) rounds. ``max_iter``
     is a runaway backstop, far above any realistic diameter here."""
-    labels = nodes.select(
+    # labels partitioned on node, edges on src — the per-round equi-join
+    # keys. Both sides of BOTH per-round joins are then co-partitioned
+    # (src==node and node==dst at the same pinned partition count), so a
+    # round's ONLY exchange is the fundamental neighbor-min groupBy(dst);
+    # the label table is never re-shuffled and the edge stream never
+    # moves at all (guide §2.4 — r14 removed the per-round edge
+    # exchange, this removes the two label exchanges that remained).
+    # checkpoint the ONE-column node table and alias comp above it: a
+    # checkpoint of select(node, node AS comp) captures its partitioning
+    # in terms of WHICHEVER alias the planner normalized to (observed:
+    # hashpartitioning(comp)), and the per-round join on node then
+    # re-exchanges — aliasing after the checkpoint keeps the recorded
+    # partitioning on the join key itself
+    labels = _checkpoint_partitioned(nodes.select("node"), "node").select(
         "node", F.col("node").alias("comp")
-    ).localCheckpoint()
-    # loop-invariant edge list, joined on src every round: keep it
-    # partitioned on src through the checkpoint so each round only
-    # exchanges the node-sized label table (_checkpoint_partitioned)
+    )
     edges = _checkpoint_partitioned(edges.select("src", "dst"), "src")
+    # convergence by EXACT monotone fingerprint: comp = least(comp, ...)
+    # can only DECREASE, so sum(comp) strictly decreases whenever any
+    # label changed and is unchanged exactly at the fixpoint. decimal
+    # sum cannot overflow (≤1e18 per id × ≤1e19 rows < 1e38) and, being
+    # strictly monotone, has no collision class — this is the old
+    # changed==0 test without its per-round label⋈label comparison join.
+    _sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("comp").cast("decimal(38,0)"))
+    ).first()[0]
+    prev_sum = _sum(labels)
     for _ in range(max_iter):
         # deliberate join strategy: every per-round relation here is a
         # stats-less checkpointed RDD, so the planner defaults to
@@ -497,28 +563,29 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("comp").alias("nbr"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
-            .select(
+        # nbr_min is dst-partitioned by its groupBy and labels is the
+        # streamed side, so the join adds no exchange and its output
+        # KEEPS the node partitioning — recorded through the lazy
+        # checkpoint so the next round sees it
+        new_labels = _checkpoint_keep_partitioning(
+            labels.join(
+                nbr_min.hint("shuffle_hash"),
+                labels["node"] == nbr_min["dst"],
+                "left",
+            ).select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr"), F.col("comp"))
                 ).alias("comp"),
             )
-            # eager=False: the convergence count below materializes the
-            # round in the SAME job — one driver action per round, not
-            # two; lineage is truncated either way
-            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        # ONE driver action per round: the fingerprint materializes the
+        # checkpointed round in the same job
+        new_sum = _sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds the backstop)"
@@ -582,6 +649,15 @@ def connected_components_star(
     # endpoint-symmetric)
     canon0 = canon
 
+    # r15 note (measured, NOT adopted): hanging both consumers of the
+    # symmetric view off one explicit repartition("a") — hoping the min
+    # aggregation and the join probe would share a ReusedExchange — does
+    # NOT help: the probe side's b>a/b<a filter is pushed BELOW its
+    # exchange (so the two exchange subtrees differ and never reuse) and
+    # the explicit repartition costs the mins branch its map-side
+    # partial aggregation. The committed shape already exchanges only
+    # the filtered half-stream on the probe side and partial-aggregated
+    # mins on the build side (plans/r15/star_round_{before,after}.txt).
     def _sym(e: DataFrame) -> DataFrame:
         return e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
             e.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -793,15 +869,25 @@ def doc_overlap_edges(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("h"),
     )
-    # the twice-planned gram build hides in idle stage parallelism here
-    # (the co_purchase note); doc_containment/source_overlap, whose gram
-    # builds feed 2-3 consumers AND dominate their operators, checkpoint
-    # instead — both forms measured, each kept the faster one
-    inc = grams.distinct()
+    # r15 (the co_purchase shared-exchange fix applied here too): the
+    # distinct rides ONE explicit h exchange — hashpartitioning(h)
+    # already clusters (doc_id, h) — and both self-join aliases share
+    # that byte-identical Exchange subtree as a ReusedExchange, so the
+    # tokenize+md5+explode gram build is computed ONCE and the pair
+    # join is co-partitioned on h with no exchanges of its own.
+    # (doc_containment/source_overlap, whose gram builds feed 2-3
+    # DIFFERENTLY-SHAPED consumers, checkpoint instead — measured in
+    # r14, each form kept where it won.) shuffle_hash keeps the
+    # gram-keyed sides unsorted (guide §3.1).
+    # explicit count for the same reason as _incidence's cluster knob:
+    # the downstream pair join fans out per gram, so the exchange must
+    # not be AQE-coalesced down to the (tiny) incidence byte size
+    n = int(grams.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    inc = grams.repartition(n, "h").distinct()
     a, b = inc.alias("a"), inc.alias("b")
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -853,9 +939,17 @@ def triangle_count(edges: DataFrame, k: int = 50) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
         .localCheckpoint()
     )
+    # deliberate join strategies (guide §3.1, the r14 loop-join rule
+    # applied here too): every relation below is a stats-less
+    # checkpointed RDD, so the planner defaults to sort-merge and sorts
+    # the edge/wedge streams once per join. Hint the NODE- or
+    # edge-bounded side as the shuffled-hash build (per-task build
+    # bounded by partition count); the larger stream is never sorted.
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    lo_first = e.join(du, "u").join(dv, "v")
+    lo_first = e.join(du.hint("shuffle_hash"), "u").join(
+        dv.hint("shuffle_hash"), "v"
+    )
     u_low = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -871,14 +965,21 @@ def triangle_count(edges: DataFrame, k: int = 50) -> DataFrame:
     rank_lt = (F.col("x.dd") < F.col("y.dd")) | (
         (F.col("x.dd") == F.col("y.dd")) & (F.col("x.dst") < F.col("y.dst"))
     )
-    wedges = x.join(y, (F.col("x.src") == F.col("y.src")) & rank_lt).select(
+    # wedge join: both sides are the oriented edge set — build on y
+    # (o's partitions are bounded; the wedge stream x side fans out).
+    # closure join: build on the EDGE-sized z, probe with the
+    # wedge-sized stream (wedges ≥ edges by the out-degree fan-out)
+    wedges = x.join(
+        y.hint("shuffle_hash"), (F.col("x.src") == F.col("y.src")) & rank_lt
+    ).select(
         F.col("x.src").alias("a"),
         F.col("x.dst").alias("b"),
         F.col("y.dst").alias("c"),
     )
     z = o.alias("z")
     tri = wedges.join(
-        z, (F.col("b") == F.col("z.src")) & (F.col("c") == F.col("z.dst"))
+        z.hint("shuffle_hash"),
+        (F.col("b") == F.col("z.src")) & (F.col("c") == F.col("z.dst")),
     ).select("a", "b", "c")
     pern = (
         tri.select(F.col("a").alias("node"))
@@ -889,7 +990,7 @@ def triangle_count(edges: DataFrame, k: int = 50) -> DataFrame:
     )
     return (
         deg.select("node")
-        .join(pern, "node", "left")
+        .join(pern.hint("shuffle_hash"), "node", "left")
         .select(
             "node",
             F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
