@@ -1069,3 +1069,65 @@ def test_triangle_count_plans_without_sorts(spark, sf_dir):
     plan = P.explain_str(q, "simple")
     assert "SortMergeJoin" not in plan, plan
     assert "Sort " not in plan, plan
+
+
+def test_pagerank_full_round_single_exchange_no_sorts(spark, sf_dir):
+    """r15 pagerank round contract (extends the inc-fragment test
+    above): with the rank table's node partitioning RECORDED through
+    its per-round checkpoint and the assembly join hinted, a FULL round
+    — contrib join, inc aggregation, rank assembly — plans with exactly
+    one exchange (the contrib groupBy) and zero sorts."""
+    from tiny_md_hbase_spark.operators import graph as G
+
+    edges = G.purchase_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    e = G._checkpoint_partitioned(edges.select("src", "dst"), "src")
+    deg = G._checkpoint_partitioned(
+        e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg")),
+        "src",
+    )
+
+    def full_round(ranks):
+        contrib = ranks.join(
+            deg.hint("shuffle_hash"), ranks.node == deg.src
+        ).select(
+            F.col("node").alias("cnode"), F.expr("rank div deg").alias("contrib")
+        )
+        inc = (
+            e.join(contrib.hint("shuffle_hash"), e.src == F.col("cnode"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        return (
+            deg.select(F.col("src").alias("node"))
+            .join(inc.hint("shuffle_hash"), F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.lit(1) + F.expr("(85 * coalesce(inc, 0L)) div 100"))
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+
+    r0 = deg.select(
+        F.col("src").alias("node"), F.lit(1).cast("long").alias("rank")
+    )
+    ranks1 = G._checkpoint_keep_partitioning(full_round(r0))
+    round2 = full_round(ranks1)
+    assert P.exchange_count(round2) == 1, P.explain_str(round2, "simple")
+    assert "Sort " not in P.explain_str(round2, "simple")
+
+
+def test_span_dedup_token_stream_not_reexchanged(spark, sf_dir):
+    """r15 span_dedup contract: the tokenized table is checkpointed
+    doc_id-partitioned and posexplode preserves that, so the coverage
+    join, coverage window, rebuild aggregation and assembly joins add
+    NO exchange over the token-level relations — the r14 plan carried 5
+    shuffle exchanges, the r15 one carries the fundamental span-key
+    aggregation (plus at most a scale-dependent distribution of the
+    span-start side)."""
+    from tiny_md_hbase_spark.operators import text as TX
+
+    q = TX.span_dedup(load_table(spark, sf_dir, "documents"))
+    assert P.exchange_count(q) <= 2, P.explain_str(q, "simple")

@@ -237,9 +237,13 @@ def pagerank_weighted(
             )
         )
         inc = contrib.groupBy("dst").agg(F.sum("contrib").alias("inc"))
-        ranks = (
+        # co-partitioned assembly + partitioning-recording checkpoint —
+        # the same one-exchange-per-round shape as pagerank (see its
+        # loop comment); eager=False as before: lineage truncated per
+        # round, materialization rides the caller's terminal action
+        ranks = _checkpoint_keep_partitioning(
             wsum.select(F.col("src").alias("node"))
-            .join(inc, F.col("node") == F.col("dst"), "left")
+            .join(inc.hint("shuffle_hash"), F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
                 (
@@ -247,13 +251,6 @@ def pagerank_weighted(
                     + F.expr(f"({DAMP} * coalesce(inc, 0L)) div 100")
                 ).cast("long").alias("rank"),
             )
-            # eager=False: the checkpoint still truncates lineage (each
-            # round plans against the previous round's RDD, never the
-            # k-deep expression chain) but materialization rides the
-            # caller's single terminal action instead of one eager
-            # driver job per round — 5 scheduling round-trips removed,
-            # identical work and identical integer results
-            .localCheckpoint(eager=False)
         )
     return (
         ranks.select(
@@ -349,9 +346,18 @@ def pagerank(edges: DataFrame, n_iter: int = 5, k: int = TOP_K) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inc"))
         )
-        ranks = (
+        # assembly join: deg's src partitioning survives the node alias
+        # and inc is dst-partitioned by its groupBy, so this is
+        # co-partitioned (no exchange) with the hint picking the unsorted
+        # shuffled-hash; the checkpoint RECORDS the node partitioning
+        # (_checkpoint_keep_partitioning) so the next round's
+        # ranks⋈deg join is also exchange-free — one shuffle per round
+        # (the fundamental contrib groupBy), the r15 CC-loop shape.
+        # eager=False as before: lineage truncated per round,
+        # materialization rides the caller's terminal action.
+        ranks = _checkpoint_keep_partitioning(
             deg.select(F.col("src").alias("node"))
-            .join(inc, F.col("node") == F.col("dst"), "left")
+            .join(inc.hint("shuffle_hash"), F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
                 (
@@ -359,10 +365,6 @@ def pagerank(edges: DataFrame, n_iter: int = 5, k: int = TOP_K) -> DataFrame:
                     + F.expr(f"({DAMP} * coalesce(inc, 0L)) div 100")
                 ).cast("long").alias("rank"),
             )
-            # eager=False: lineage is truncated per round as before, but
-            # the 5 per-round materialization jobs collapse into the
-            # caller's terminal action (see pagerank_weighted)
-            .localCheckpoint(eager=False)
         )
     return (
         ranks.select(
@@ -1206,14 +1208,20 @@ def shortest_path(
         # table are the node-sized build sides (bounded per task by
         # partition count); without them the stats-less RDD inputs
         # default to sort-merge with per-round sorts of the edge stream
-        nxt = (
+        # the anti-join's stream side carries the distinct's node
+        # partitioning; recording it through a LAZY checkpoint
+        # (_checkpoint_keep_partitioning) makes the next hop's
+        # frontier⋈edges join co-partitioned (frontier never
+        # re-exchanged) and folds the old eager materialization job
+        # into the isEmpty probe below — per hop: 3 exchanges + 2
+        # actions → 2 exchanges + 1 action
+        nxt = _checkpoint_keep_partitioning(
             frontier.hint("shuffle_hash")
             .join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(dist.hint("shuffle_hash"), "node", "left_anti")
             .select("node", F.lit(hop).cast("long").alias("dist"))
-            .localCheckpoint()
         )
         if nxt.isEmpty():
             break
@@ -1313,15 +1321,14 @@ def shortest_path_weighted(
                 (F.col("min_cost") + F.col("w")).alias("min_cost"),
             )
         )
-        dist = (
+        # eager=False as before (the fingerprint action computes the
+        # round); the checkpoint additionally RECORDS the min-agg's
+        # node partitioning so the next round's dist⋈edges join is
+        # co-partitioned — dist is never re-exchanged after round 1
+        dist = _checkpoint_keep_partitioning(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("min_cost").cast("long").alias("min_cost"))
-            # eager=False: the fingerprint action below computes every
-            # partition of the round in the same job — one driver
-            # action per round instead of two; lineage truncation and
-            # results are identical
-            .localCheckpoint(eager=False)
         )
         nfp = _fp(dist)
         # fingerprint equality is the cheap filter, never the verdict:

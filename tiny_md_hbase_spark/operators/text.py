@@ -2183,12 +2183,16 @@ def span_dedup(
     # tokenized table: it feeds the span-key build, the position table,
     # AND the rebuild — without materialization every consumer re-runs
     # the tokenize pass (the same localCheckpoint pattern as the
-    # minhash/ngram shingle tables)
-    para = documents.sparkSession.sparkContext.defaultParallelism
-    toks = (
-        documents.repartition(para, "doc_id")
-        .select("doc_id", tokens(txt).alias("toks"))
-        .localCheckpoint()
+    # minhash/ngram shingle tables). r15: the checkpoint RECORDS its
+    # doc_id partitioning (_checkpoint_partitioned) — posexplode
+    # preserves it, so the coverage join, the coverage window, the
+    # rebuild aggregation and the final assembly joins below are ALL
+    # exchange-free on the token-level relations; the only token-level
+    # shuffle left is the fundamental span-key aggregation on h
+    from tiny_md_hbase_spark.operators.graph import _checkpoint_partitioned
+
+    toks = _checkpoint_partitioned(
+        documents.select("doc_id", tokens(txt).alias("toks")), "doc_id"
     )
     pos = toks.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
@@ -2268,17 +2272,18 @@ def span_dedup(
             F.count(F.lit(1)).cast("long").alias("n_kept"),
         )
     )
-    n_tokens = pos.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
-    )
+    # n_tokens is size(toks) — identical to counting the exploded rows
+    # (posexplode emits exactly size(toks) rows, 0 for the empty array)
+    # without a second token-level aggregation pass; anchoring the
+    # assembly on toks (same doc_id rows as documents, and already
+    # doc_id-partitioned) keeps the final left joins exchange-free
     return (
-        documents.select("doc_id")
-        .join(n_tokens, "doc_id", "left")
+        toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            "n_tokens",
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         )
     )

@@ -701,7 +701,14 @@ def dedup_docs_batch(
     )
     if seen is not None:
         surv = surv.join(seen, "h", "left_anti")
-    surv = surv.localCheckpoint()  # read seen BEFORE writing to it
+    # lazy: the docs write below is the checkpoint's first consumer and
+    # materializes it — including the seen-state read — BEFORE the seen
+    # write (the next job) can touch that directory, so the
+    # read-before-overwrite ordering holds without a separate eager
+    # materialization job per trigger (r15 jobs-per-trigger audit:
+    # eager ran 2-3 extra stage-jobs per batch). The seen write then
+    # reads the cached checkpoint partitions, never the state dirs.
+    surv = surv.localCheckpoint(eager=False)
     surv.select(
         "doc_id", "text", "lang", "source", "n_chars"
     ).write.mode("overwrite").parquet(f"{table_path}/docs/batch={batch_id}")
@@ -2262,8 +2269,12 @@ def merge_manifest_batch(
     else:
         merged = delta
     merged = merged.withColumn("last_batch_id", F.lit(batch_id).cast("long"))
-    # materialize BEFORE overwriting the table it was read from
-    merged.localCheckpoint().write.mode("overwrite").parquet(mpath)
+    # materialize BEFORE overwriting the table it was read from; the
+    # manifest is n_shards rows (16 by default) — coalesce(1) pins it to
+    # ONE file so the next trigger's read+stamp probe lists one footer
+    # instead of a shuffle-partition fan of tiny files (guide §6; AQE
+    # usually coalesces this anyway, the explicit form guarantees it)
+    merged.coalesce(1).localCheckpoint().write.mode("overwrite").parquet(mpath)
     return True
 
 
