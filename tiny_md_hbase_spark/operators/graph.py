@@ -756,11 +756,16 @@ def connected_components_star(
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
         )
-    # stars rooted at minima: u -> v IS node -> component min
+    # stars rooted at minima: u -> v IS node -> component min.
+    # eager=False: the post-condition count below is the first consumer
+    # and materializes the checkpoint in its own job; the caller then
+    # reads the cached partitions — one driver action saved per query
+    # (r15 phase profile: the loop's cost at bench scale is almost
+    # entirely per-action scheduling, the data is tiny)
     labels = canon.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     out = nodes.join(labels, "node", "left").select(
         "node", F.coalesce("comp", F.col("node")).alias("comp")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # post-condition (makes the operator self-verifying): every INPUT
     # edge's endpoints must agree on comp — checked over the pinned
     # canonical set canon0, which carries exactly the input edges minus
