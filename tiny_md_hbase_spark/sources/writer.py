@@ -1544,6 +1544,15 @@ def write_points_hsorted(
     from tiny_md_hbase_spark.hilbert import hilbert_encode
 
     enc = points if "h" in points.columns else hilbert_encode(points)
+    # materialize the encoded table ONCE: repartitionByRange runs a
+    # full reservoir-sampling pass over its child to pick range bounds,
+    # so without the checkpoint the chained-projection Hilbert encoder
+    # — the expensive part of this write — executes TWICE (measured:
+    # hsort_write ~2x the encode cost; the z twin's interleave is cheap
+    # enough that its double evaluation is noise, so it stays
+    # unmaterialized). The checkpoint holds rows the write is about to
+    # re-read anyway; it is dropped with the session.
+    enc = enc.localCheckpoint()
     if num_partitions:
         enc = enc.repartitionByRange(num_partitions, "h")
     else:
